@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loaders for the driver parquet fixtures (TESTDATA.md).
+  *
+  * Siddhi analog: `define stream` / `define table` declarations with fixed,
+  * explicit schemas — reference: siddhi-io/siddhi
+  * `modules/siddhi-query-api/.../definition/StreamDefinition.java` /
+  * `TableDefinition.java` (SURVEY.md §1.1; `/root/reference` is empty this
+  * session, so citations are public-repo path granularity, [unverified]).
+  *
+  * Scale notes (100 TB design):
+  *   - All loaders return plain parquet scans — column pruning and predicate
+  *     pushdown reach the scan because nothing here materializes or caches.
+  *   - `events` converts the raw TIMESTAMP(NANOS) column (which Spark's
+  *     parquet reader rejects outright) by reading nanos as long
+  *     (`spark.sql.legacy.parquet.nanosAsLong`) and deriving a µs-precision
+  *     TimestampType column with integral arithmetic (no double round-trip —
+  *     ns epochs exceed the 53-bit double mantissa).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+
+  /** The stream table. `ts` becomes TimestampType (µs, floor-truncated from
+    * ns); `ts_ns` keeps the raw nanosecond epoch for exact arithmetic.
+    * Matches DuckDB semantics: `epoch_ms(ts)` there == `unix_millis(ts)`
+    * here (both floor positive epochs).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}
