@@ -1,0 +1,318 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CEP patterns & sequences (SURVEY.md §2.6) — the genuinely novel part of
+  * the reference engine.
+  *
+  * Siddhi analogs [unverified public-repo paths; /root/reference empty]:
+  * siddhi-core `query/input/stream/state/{StreamPreStateProcessor,
+  * StreamPostStateProcessor,LogicalPreStateProcessor,AbsentPreStateProcessor,
+  * CountPreStateProcessor}.java` + `util/parser/StateParser.java` — Siddhi
+  * compiles `A -> B`, `A, B`, `not B for T`, `<m:n>`, `and/or`, `every`,
+  * `within` into a chain of pre/post state processors (an NFA).
+  *
+  * Re-expression here: a small explicit NFA over per-key, time-ordered
+  * events. Batch execution: `groupByKey(key).flatMapGroups` — Spark's
+  * shuffle IS Siddhi's partition; each group is sorted by (ts, id) and the
+  * NFA folds over it. The same `Nfa.run` core is reused by the streaming
+  * path (`flatMapGroupsWithState`, see graft.engine.Streaming) so batch and
+  * streaming share one matching engine.
+  *
+  * Scale notes (100 TB): one shuffle on the partition key; NFA state is
+  * O(active runs) and runs expire via `within`/absence deadlines. The batch
+  * path materializes one key-group at a time for the time sort — per-user
+  * event counts are bounded in practice; for pathological keys pre-bucketing
+  * by (key, day) bounds the group. No driver-side collection anywhere.
+  */
+object Cep {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Event projection used by the pattern queries (ns timestamps: exact). */
+  case class Ev(eventId: Long, tsNs: Long, userId: Long, eventType: String,
+                value: Double)
+
+  type Bindings = Map[String, Vector[Ev]]
+
+  sealed trait PStep
+  /** One condition, optionally a count quantifier `<min:max>`; `strict`
+    * = Siddhi `,` (the very next event must match or the run dies). */
+  final case class Single(name: String, pred: (Ev, Bindings) => Boolean,
+                          min: Int = 1, max: Int = 1, strict: Boolean = false)
+      extends PStep
+  /** Siddhi `not <cond> for <T>`: succeeds iff NO matching event arrives
+    * within forNs of the previous step's last binding (or stream end). */
+  final case class Absent(name: String, pred: (Ev, Bindings) => Boolean,
+                          forNs: Long) extends PStep
+  /** Siddhi logical `e1=A and e2=B`: both conditions, any order. */
+  final case class BothOf(nameA: String, predA: (Ev, Bindings) => Boolean,
+                          nameB: String, predB: (Ev, Bindings) => Boolean)
+      extends PStep
+
+  /** `every` ⇒ spawn a run at each step-0 match (overlapping runs);
+    * otherwise only when no run is currently accumulating step 0 (one run
+    * per contiguous island — restart after completion/kill). */
+  sealed trait SpawnPolicy
+  case object EveryMatch extends SpawnPolicy
+  case object WhenNoneActive extends SpawnPolicy
+
+  private final case class Run(stepIdx: Int, bindings: Bindings,
+                               startNs: Long, count: Int,
+                               absentDeadlineNs: Long)
+
+  /** The NFA core: fold time-ordered events of one key, emit a projection
+    * of the bindings for every completed run. Deterministic: events must be
+    * strictly ordered; all transitions are greedy (current step preferred
+    * over advancement, Siddhi's default). */
+  def run[Out](steps: IndexedSeq[PStep], withinNs: Option[Long],
+               spawn: SpawnPolicy, project: Bindings => Out)
+              (events: Iterator[Ev]): Iterator[Out] = {
+    var active = List.empty[Run]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+
+    def bind(b: Bindings, name: String, e: Ev): Bindings =
+      b.updated(name, b.getOrElse(name, Vector.empty) :+ e)
+
+    def complete(r: Run): Unit = out += project(r.bindings)
+
+    // Advance a run INTO step idx with event e already consumed by idx-1.
+    // Returns None if the run completed.
+    def enter(r: Run, idx: Int): Option[Run] =
+      if (idx >= steps.length) { complete(r); None }
+      else steps(idx) match {
+        case Absent(_, _, forNs) =>
+          Some(r.copy(stepIdx = idx, count = 0,
+            absentDeadlineNs = lastBoundTs(r) + forNs))
+        case _ => Some(r.copy(stepIdx = idx, count = 0))
+      }
+
+    def lastBoundTs(r: Run): Long =
+      r.bindings.values.flatten.map(_.tsNs).maxOption.getOrElse(r.startNs)
+
+    def feed(r: Run, e: Ev): Option[Run] = steps(r.stepIdx) match {
+      case s @ Single(name, pred, min, max, strict) =>
+        if (pred(e, r.bindings)) {
+          val r2 = r.copy(bindings = bind(r.bindings, name, e),
+            count = r.count + 1)
+          if (r2.count >= max) enter(r2, r.stepIdx + 1) else Some(r2)
+        } else if (r.count >= min && r.stepIdx + 1 < steps.length) {
+          // quantifier satisfied: let the NEXT step try this event
+          enter(r, r.stepIdx + 1) match {
+            case Some(r2) => feed(r2, e)
+            case None => None
+          }
+        } else if (strict) None // `,` semantics: next event must match
+        else Some(r) // loose: ignore non-matching event
+      case Absent(_, pred, _) =>
+        if (e.tsNs > r.absentDeadlineNs) {
+          // absence confirmed BEFORE this event; re-feed into next step
+          enter(r, r.stepIdx + 1) match {
+            case Some(r2) => feed(r2, e)
+            case None => None
+          }
+        } else if (pred(e, r.bindings)) None // violation: run dies
+        else Some(r)
+      case BothOf(na, pa, nb, pb) =>
+        val hasA = r.bindings.contains(na)
+        val hasB = r.bindings.contains(nb)
+        if (!hasA && pa(e, r.bindings)) {
+          val r2 = r.copy(bindings = bind(r.bindings, na, e))
+          if (hasB) enter(r2, r.stepIdx + 1) else Some(r2)
+        } else if (!hasB && pb(e, r.bindings)) {
+          val r2 = r.copy(bindings = bind(r.bindings, nb, e))
+          if (hasA) enter(r2, r.stepIdx + 1) else Some(r2)
+        } else Some(r)
+    }
+
+    for (e <- events) {
+      // 1. expire runs whose pattern deadline passed (before this event);
+      //    an expiring run parked at an Absent step whose own deadline
+      //    already passed still completes (absence was confirmed in time)
+      active = active.filter { r =>
+        val alive = withinNs.forall(w => e.tsNs <= r.startNs + w)
+        if (!alive) steps(r.stepIdx) match {
+          case _: Absent if r.absentDeadlineNs < e.tsNs =>
+            enter(r, r.stepIdx + 1)
+          case _ => ()
+        }
+        alive
+      }
+      // 2. feed active runs
+      active = active.flatMap(r => feed(r, e))
+      // 3. spawn new runs at step 0
+      val mayStart = spawn match {
+        case EveryMatch => true
+        case WhenNoneActive => !active.exists(_.stepIdx == 0)
+      }
+      if (mayStart) {
+        val seed = Run(0, Map.empty, e.tsNs, 0, Long.MaxValue)
+        steps(0) match {
+          case Single(_, pred, _, _, _) if pred(e, seed.bindings) =>
+            active = active ++ feed(seed, e).toList
+          case BothOf(_, pa, _, pb) if pa(e, seed.bindings) ||
+              pb(e, seed.bindings) =>
+            active = active ++ feed(seed, e).toList
+          case _ => ()
+        }
+      }
+    }
+    // end-of-stream: absence steps with no violation are confirmed
+    active.foreach { r =>
+      steps(r.stepIdx) match {
+        case _: Absent => enter(r, r.stepIdx + 1)
+        case _ => ()
+      }
+    }
+    out.iterator
+  }
+
+  /** Batch entry: shuffle by key, time-sort each group, run the NFA. */
+  def matchPattern[Out: Encoder](spark: SparkSession, dir: String,
+      steps: IndexedSeq[PStep], withinNs: Option[Long],
+      spawn: SpawnPolicy)(project: Bindings => Out): Dataset[Out] = {
+    import spark.implicits._
+    events(spark, dir)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroups { (_, it) =>
+        run(steps, withinNs, spawn, project)(
+          it.toVector.sortBy(e => (e.tsNs, e.eventId)).iterator)
+      }
+  }
+
+  private val MIN5: Long = 5L * 60 * 1000 * 1000 * 1000 // 5 min in ns
+
+  case class SeqMatch(user_id: Long, start_id: Long, next_id: Long,
+                      next_value: Double)
+
+  /** `from every e1=S[type=='error'] -> e2=S[type=='purchase'] within 5 min`
+    * — each error spawns a run completing on the FIRST later purchase. */
+  def seqFollowedBy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[SeqMatch](s, d, IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "error"),
+        Single("e2", (e, _) => e.eventType == "purchase")),
+      Some(MIN5), EveryMatch) { b =>
+        val e1 = b("e1").head; val e2 = b("e2").head
+        SeqMatch(e1.userId, e1.eventId, e2.eventId, e2.value)
+      }.toDF().orderBy("start_id")
+  }
+
+  case class StrictMatch(user_id: Long, first_id: Long, second_id: Long)
+
+  /** Strict sequence `e1=S[error], e2=S[purchase]` — the very next event
+    * of the same key must match. */
+  def strictNext(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[StrictMatch](s, d, IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "error"),
+        Single("e2", (e, _) => e.eventType == "purchase", strict = true)),
+      None, EveryMatch) { b =>
+        StrictMatch(b("e1").head.userId, b("e1").head.eventId,
+          b("e2").head.eventId)
+      }.toDF().orderBy("first_id")
+  }
+
+  case class AbsenceMatch(user_id: Long, event_id: Long)
+
+  /** Absence `every e1=S[error] -> not S[purchase] for 5 min` — errors NOT
+    * followed by a purchase within 5 minutes. */
+  def absence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[AbsenceMatch](s, d, IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "error"),
+        Absent("no_purchase", (e, _) => e.eventType == "purchase", MIN5)),
+      None, EveryMatch) { b =>
+        AbsenceMatch(b("e1").head.userId, b("e1").head.eventId)
+      }.toDF().orderBy("event_id")
+  }
+
+  case class CountMatch(user_id: Long, purchase_id: Long, n_clicks: Long)
+
+  /** Count quantifier `e1=S[click]<3:>, e2=S[purchase]` (contiguous run of
+    * ≥3 clicks immediately followed by a purchase; one run per island). */
+  def countQuantifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[CountMatch](s, d, IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "click",
+          min = 3, max = Int.MaxValue, strict = true),
+        Single("e2", (e, _) => e.eventType == "purchase", strict = true)),
+      None, WhenNoneActive) { b =>
+        CountMatch(b("e1").head.userId, b("e2").head.eventId,
+          b("e1").size.toLong)
+      }.toDF().orderBy("purchase_id")
+  }
+
+  case class LogicalMatch(user_id: Long, error_id: Long, signup_id: Long)
+
+  /** Logical `every (e1=S[error] and e2=S[signup]) within 5 min` — both in
+    * any order; condition-on-prior-binding: value correlation shown in
+    * ScalaTest (e2.value > e1.value predicates work via Bindings). */
+  def logicalAnd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[LogicalMatch](s, d, IndexedSeq(
+        BothOf("e1", (e, _) => e.eventType == "error",
+               "e2", (e, _) => e.eventType == "signup")),
+      Some(MIN5), WhenNoneActive) { b =>
+        LogicalMatch(b("e1").head.userId, b("e1").head.eventId,
+          b("e2").head.eventId)
+      }.toDF().orderBy("error_id", "signup_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cep_seq_followed_by" -> (seqFollowedBy _),
+    "cep_strict_next"     -> (strictNext _),
+    "cep_absence"         -> (absence _),
+    "cep_count_quant"     -> (countQuantifier _),
+    "cep_logical_and"     -> (logicalAnd _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cep_seq_followed_by" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM err e JOIN pur p ON e.user_id = p.user_id
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id""".stripMargin,
+    "cep_strict_next" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS nxt_type,
+        |    lead(event_id) OVER w AS nxt_id
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS first_id, nxt_id AS second_id FROM seq
+        |WHERE event_type = 'error' AND nxt_type = 'purchase'
+        |ORDER BY first_id""".stripMargin,
+    "cep_absence" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
+    "cep_count_quant" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |isl AS (SELECT *, rn - row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY rn) AS grp FROM seq),
+        |runs AS (SELECT user_id, grp, max(rn) AS run_end,
+        |    count(*) AS n_clicks
+        |  FROM isl WHERE event_type = 'click' GROUP BY user_id, grp)
+        |SELECT r.user_id, s.event_id AS purchase_id, r.n_clicks
+        |FROM runs r JOIN seq s ON s.user_id = r.user_id
+        |  AND s.rn = r.run_end + 1 AND s.event_type = 'purchase'
+        |WHERE r.n_clicks >= 3 ORDER BY purchase_id""".stripMargin
+    // cep_logical_and: restart-after-match semantics are procedural —
+    // covered by ScalaTest golden cases; driver records rows-only.
+  )
+}
