@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Aggregates.queries ++
-      Functions.queries ++ Cep.queries
+      Functions.queries ++ Cep.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Aggregates.oracle ++
-      Functions.oracle ++ Cep.oracle
+      Functions.oracle ++ Cep.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,151 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (beyond-reference ops;
+  * builder brief + SURVEY.md §7.3 step 9).
+  *
+  *   - sim_topk_brute: the exact baseline — broadcast the query set, one
+  *     linear scan over all vectors, two-phase top-k (partition-local via a
+  *     salted window, then global over the k·P survivors). No single-key
+  *     skew: the first ranking pass partitions by (query, spark partition),
+  *     so at 100 TB no reducer ever sees more than its scan share.
+  *   - sim_topk_ivf: the scale path — a deterministic "IVF" built from a
+  *     broadcastable centroid set; vectors are assigned to their nearest
+  *     centroid (one broadcast join + per-vector argmax), queries probe the
+  *     nprobe closest centroids and search only those clusters. Recall <
+  *     1.0 by design; the oracle implements the identical probing logic so
+  *     the gate checks the algorithm, not just its lucky agreement with
+  *     brute force.
+  *
+  * Cosine is computed as an explicit left-to-right double fold (aggregate/
+  * zip_with) so the DuckDB oracle's list_reduce reproduces it bit-for-bit;
+  * results round to 6 decimals before ranking-irrelevant comparison.
+  */
+object Similarity {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic sequential-fold cosine between array<double> cols a, b */
+  private def cosExpr(a: String, b: String): Column = expr(
+    s"round(aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double)," +
+      s" (acc, p) -> acc + p) / " +
+      s"(sqrt(aggregate(transform($a, x -> x * x), cast(0 as double), " +
+      s"(acc, p) -> acc + p)) * " +
+      s"sqrt(aggregate(transform($b, x -> x * x), cast(0 as double), " +
+      s"(acc, p) -> acc + p))), 6)")
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  /** sim_topk_brute: top-10 cosine neighbours for query vectors id<5. */
+  def topkBrute(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosExpr("qv", "v"))
+      .select("q_id", "vec_id", "cos")
+    // two-phase top-k: local rank within (query, physical partition) bounds
+    // any single reducer to its scan share; global rank sees only k·P rows
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", expr("row_number() over (partition by q_id, pid " +
+        "order by cos desc, vec_id)"))
+      .filter(col("lrk") <= 10)
+    local
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by cos desc, vec_id)"))
+      .filter(col("rk") <= 10)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** sim_topk_ivf: IVF-style probe — centroids are vec_id % 97 == 0;
+    * every vector is assigned to its nearest centroid; queries (vec_id in
+    * 1..3) probe the 2 nearest centroids and rank only those clusters. */
+  def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // nearest-centroid assignment: broadcast join + per-vector argmax
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosExpr("v", "cv"))
+      .withColumn("crk", expr("row_number() over (partition by vec_id " +
+        "order by ccos desc, c_id)"))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val queries = all.filter(col("vec_id") >= 1 && col("vec_id") <= 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // probe list: 2 nearest centroids per query
+    val probes = queries.join(broadcast(cents))
+      .withColumn("ccos", cosExpr("qv", "cv"))
+      .withColumn("crk", expr("row_number() over (partition by q_id " +
+        "order by ccos desc, c_id)"))
+      .filter(col("crk") <= 2)
+      .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
+    probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosExpr("qv", "v"))
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by cos desc, vec_id)"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_brute" -> (topkBrute _),
+    "sim_topk_ivf"   -> (topkIvf _)
+  )
+
+  /** DuckDB sequential-fold cosine over DOUBLE[] columns a/b (64 dims). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+       |    i -> $a[i::INTEGER] * $b[i::INTEGER])), (x, y) -> x + y) /
+       |  (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |    range(1, 65), i -> $a[i::INTEGER] * $a[i::INTEGER])),
+       |    (x, y) -> x + y)) *
+       |   sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |    range(1, 65), i -> $b[i::INTEGER] * $b[i::INTEGER])),
+       |    (x, y) -> x + y))), 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS q_id, e.vec_id,
+        |    ${cosSql("q.v", "e.v")} AS cos
+        |  FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 97 = 0),
+        |asg AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.c_id AS cluster, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS crk
+        |    FROM e JOIN cents c ON true) t WHERE crk = 1),
+        |probes AS (SELECT q_id, qv, cluster FROM (
+        |  SELECT q.vec_id AS q_id, q.v AS qv, c.c_id AS cluster,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.c_id) AS crk
+        |    FROM e q JOIN cents c ON q.vec_id BETWEEN 1 AND 3) t
+        |  WHERE crk <= 2),
+        |scored AS (SELECT p.q_id, a.vec_id,
+        |    ${cosSql("p.qv", "a.v")} AS cos
+        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+        |  WHERE a.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (beyond-reference ops;
+  * builder brief + SURVEY.md §7.3 step 9): language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All pure per-row array/string expressions (one scan, whole-stage
+  * codegen, no UDFs, no shuffle except the presentation sort) — the shape
+  * that streams through 100 TB at scan speed.
+  */
+object TextAnalysis {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopList = Seq("the", "a", "of", "and", "to", "in", "is",
+    "for", "on", "it")
+  private val stopIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** text_langid: n-gram/stopword heuristic — stopword ratio over the
+    * token stream decides en vs unknown; compared against the labeled
+    * lang column for accuracy accounting. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_stop", expr(
+        s"size(filter(split(text, ' '), t -> t in $stopIn))"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("pred_lang",
+        when(col("stop_ratio") >= 0.05, "en").otherwise("unknown"))
+      .select("doc_id", "lang", "pred_lang", "stop_ratio", "n_tokens")
+      .orderBy("doc_id")
+
+  /** text_quality: length/structure/stopword quality signals + a composite
+    * score — the pre-training filter shape. */
+  def quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("mean_tok_len", round(
+        expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + " +
+          "length(t)) / cast(size(toks) as double)"), 6))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct") / col("n_tokens").cast("double"), 6))
+      .withColumn("stop_ratio", round(expr(
+        s"size(filter(toks, t -> t in $stopIn))") /
+        col("n_tokens").cast("double"), 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+          lit(0.4) * col("distinct_ratio") + lit(0.2) * col("stop_ratio"), 6))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct", "mean_tok_len",
+        "distinct_ratio", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** text_tokens: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single non-alnum) vs chars. */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("bpe_ish", expr(
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+      .withColumn("n_chars_m", length(col("text")))
+      .select("doc_id", "ws_tokens", "bpe_ish", "n_chars_m")
+      .orderBy("doc_id")
+
+  /** text_fingerprint: order-sensitive rolling hash (mod-prime fold over
+    * tokens) + order-insensitive canonical md5 (sorted distinct tokens). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("rolling_fp", expr(
+        "aggregate(split(text, ' '), cast(7 as bigint), (acc, t) -> " +
+          "(acc * 31 + length(t) * ascii(substring(t, 1, 1))) % 1000000007)"))
+      .withColumn("canonical_fp",
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+          " ")))
+      .select("doc_id", "rolling_fp", "canonical_fp")
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_langid"      -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_tokens"      -> (tokens _),
+    "text_fingerprint" -> (fingerprint _)
+  )
+
+  private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN round(len(list_filter(str_split(text, ' '),
+        |      t -> t IN $stopInSql))::DOUBLE /
+        |      len(str_split(text, ' ')), 6) >= 0.05
+        |    THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |  round(len(list_filter(str_split(text, ' '),
+        |      t -> t IN $stopInSql))::DOUBLE /
+        |    len(str_split(text, ' ')), 6) AS stop_ratio,
+        |  len(str_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, str_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_chars,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    round(list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(toks, x -> length(x)::BIGINT)),
+        |      (a, b) -> a + b) / len(toks)::DOUBLE, 6) AS mean_tok_len,
+        |    round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6)
+        |      AS distinct_ratio,
+        |    round(len(list_filter(toks, t -> t IN $stopInSql)) /
+        |      len(toks)::DOUBLE, 6) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct, mean_tok_len,
+        |  distinct_ratio, stop_ratio,
+        |  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * distinct_ratio
+        |    + 0.2 * stop_ratio, 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(str_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+        |    AS bpe_ish,
+        |  length(text) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(7::BIGINT,
+        |    list_transform(str_split(text, ' '),
+        |      t -> (length(t) * ascii(substr(t, 1, 1)))::BIGINT)),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp,
+        |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))),
+        |    ' ')) AS canonical_fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
