@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Aggregates.queries ++
       Functions.queries ++ Cep.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Aggregates.oracle ++
       Functions.oracle ++ Cep.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
+      Streaming.oracle
 }

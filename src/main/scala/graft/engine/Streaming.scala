@@ -1,0 +1,257 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming execution of the engine's operators (SURVEY.md
+  * §2.3, §2.7, §2.6 streaming side).
+  *
+  * Siddhi analogs [unverified public-repo paths; /root/reference empty]:
+  * the runtime event path `core/stream/StreamJunction.java` →
+  * window/aggregator processors; snapshot recovery
+  * `core/util/snapshot/SnapshotService.java` (≈ Spark checkpointing);
+  * `update or insert into T` upserts compiled by
+  * `core/util/parser/OutputParser.java`.
+  *
+  * Each query here REALLY runs through MicroBatchExecution: parquet rows →
+  * MemoryStream (chunked into multiple micro-batches) → the same
+  * declarative combinators as the batch module → memory sink → DataFrame.
+  * Their DuckDB oracles are therefore checking streaming results — the
+  * batch/stream parity Siddhi gets by construction, we get by Spark's
+  * incremental planner, and the gate proves it.
+  *
+  * MemoryStream is the harness-side source (driver-fed, test scale); at
+  * 100 TB the same pipelines read `readStream.format("parquet"/"kafka")` —
+  * nothing in the transforms changes, which is the point of declaring them
+  * as Dataset combinators.
+  */
+object Streaming {
+  import Tables._
+  import Cep.Ev
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Feed the events table through a MemoryStream in `chunks` micro-batches
+    * (time-ordered), apply `build`, run to completion, return the sink. */
+  def runStream(spark: SparkSession, dir: String, name: String,
+                mode: OutputMode, chunks: Int = 3)
+               (build: Dataset[Ev] => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = events(spark, dir)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev].orderBy("tsNs", "eventId").collect() // harness feed only
+    val ms = MemoryStream[Ev]
+    val q = build(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val per = math.max(rows.length / chunks, 1)
+    rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def withTs(ds: Dataset[Ev]): DataFrame =
+    ds.withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
+
+  /** stream_timebatch_sum: the flagship tumbling window, executed
+    * incrementally (complete mode emits the final state of every pane). */
+  def timeBatchSum(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_timebatch_sum", OutputMode.Complete()) { ds =>
+      withTs(ds)
+        .groupBy(window(col("ts"), "1 minute"))
+        .agg(round(sum("value"), 2).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("sum_value"), col("cnt"))
+    }.orderBy("w_start_ms")
+
+  /** stream_session: built-in session_window, streaming. */
+  def session(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_session", OutputMode.Complete()) { ds =>
+      withTs(ds)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("userId"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("userId").as("user_id"),
+          unix_millis(col("session_window.start")).as("sess_start_ms"),
+          col("n_events"), col("sum_value"))
+    }.orderBy("user_id", "sess_start_ms")
+
+  /** stream_dedup_keys: streaming dropDuplicates — the `unique:*` window
+    * family; emits each (user, type) key once (set semantics so the result
+    * is order-independent and oracle-checkable). */
+  def dedupKeys(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_dedup_keys", OutputMode.Append()) { ds =>
+      ds.select(col("userId").as("user_id"), col("eventType")
+        .as("event_type")).dropDuplicates("user_id", "event_type")
+    }.orderBy("user_id", "event_type")
+
+  /** stream_stream_join: watermarked self-join — every (error, purchase)
+    * pair of the same user within 5 minutes (purchase after error). */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_stream_join", OutputMode.Append()) { ds =>
+      val base = withTs(ds)
+      val err = base.filter(col("eventType") === "error")
+        .select(col("userId").as("e_user"), col("eventId").as("error_id"),
+          col("ts").as("e_ts")).withWatermark("e_ts", "10 minutes")
+      val pur = base.filter(col("eventType") === "purchase")
+        .select(col("userId").as("p_user"), col("eventId").as("purchase_id"),
+          col("ts").as("p_ts")).withWatermark("p_ts", "10 minutes")
+      err.join(pur,
+        col("e_user") === col("p_user") &&
+          col("p_ts") > col("e_ts") &&
+          col("p_ts") <= col("e_ts") + expr("interval 5 minutes"))
+        .select(col("e_user").as("user_id"), col("error_id"),
+          col("purchase_id"))
+    }.orderBy("error_id", "purchase_id")
+
+  /** stream_cep_seq: the CEP NFA running INSIDE flatMapGroupsWithState —
+    * per-key state buffers the history; each micro-batch re-folds and
+    * emits only matches beyond the already-emitted watermark count
+    * (prefix-stable because `->` matches finalize at their last event).
+    * Same oracle as the batch cep_seq_followed_by. */
+  def cepSeq(s: SparkSession, d: String): DataFrame = {
+    val steps: IndexedSeq[Cep.PStep] = IndexedSeq(
+      Cep.Single("e1", (e, _) => e.eventType == "error"),
+      Cep.Single("e2", (e, _) => e.eventType == "purchase"))
+    val withinNs = Some(5L * 60 * 1000 * 1000 * 1000)
+    runStream(s, d, "stream_cep_seq", OutputMode.Append()) { ds =>
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[(Vector[Ev], Int), Cep.SeqMatch](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (_, batch: Iterator[Ev],
+                state: GroupState[(Vector[Ev], Int)]) =>
+            val (hist, emitted) = state.getOption.getOrElse((Vector.empty, 0))
+            val all = (hist ++ batch).sortBy(e => (e.tsNs, e.eventId))
+            val outs = Cep.run[Cep.SeqMatch](steps, withinNs, Cep.EveryMatch,
+              b => Cep.SeqMatch(b("e1").head.userId, b("e1").head.eventId,
+                b("e2").head.eventId, b("e2").head.value))(all.iterator)
+              .toVector
+            state.update((all, outs.length))
+            outs.drop(emitted).iterator
+        }.toDF()
+    }.orderBy("start_id")
+  }
+
+  /** stream_table_upsert: Siddhi `update or insert into T` — foreachBatch
+    * MERGE emulation without Delta: each micro-batch full-outer-merges into
+    * the keyed table (latest event wins, counts accumulate), written to
+    * alternating parquet generations. Returns the final table state. */
+  def tableUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = events(s, d)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev].orderBy("tsNs", "eventId").collect() // harness feed only
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString
+    var gen = 0
+    val ms = MemoryStream[Ev]
+    val q = ms.toDS().writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[Ev], _: Long) =>
+        val delta = batch
+          .groupBy(col("userId").as("user_id"))
+          .agg(max(struct(col("tsNs"), col("value"))).as("latest"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), col("latest.tsNs").as("last_ts_ns"),
+            col("latest.value").as("last_value"), col("n"))
+        val spark = batch.sparkSession
+        val merged =
+          if (gen == 0) delta
+          else {
+            val prev = spark.read.parquet(s"$tmp/gen$gen")
+            prev.as("t").join(delta.as("u"),
+                col("t.user_id") === col("u.user_id"), "full_outer")
+              .select(
+                coalesce(col("u.user_id"), col("t.user_id")).as("user_id"),
+                greatest(coalesce(col("u.last_ts_ns"), lit(Long.MinValue)),
+                  coalesce(col("t.last_ts_ns"), lit(Long.MinValue)))
+                  .as("last_ts_ns"),
+                when(coalesce(col("u.last_ts_ns"), lit(Long.MinValue)) >=
+                     coalesce(col("t.last_ts_ns"), lit(Long.MinValue)),
+                  col("u.last_value")).otherwise(col("t.last_value"))
+                  .as("last_value"),
+                (coalesce(col("t.n"), lit(0L)) + coalesce(col("u.n"),
+                  lit(0L))).as("n"))
+          }
+        merged.write.mode("overwrite").parquet(s"$tmp/gen${gen + 1}")
+        gen += 1
+      }.start()
+    rows.grouped(math.max(rows.length / 4, 1)).foreach { g =>
+      ms.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    s.read.parquet(s"$tmp/gen$gen")
+      .select(col("user_id"), expr("last_ts_ns div 1000000")
+        .as("last_ts_ms"), round(col("last_value"), 2).as("last_value"),
+        col("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_timebatch_sum" -> (timeBatchSum _),
+    "stream_session"       -> (session _),
+    "stream_dedup_keys"    -> (dedupKeys _),
+    "stream_stream_join"   -> (streamStreamJoin _),
+    "stream_cep_seq"       -> (cepSeq _),
+    "stream_table_upsert"  -> (tableUpsert _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_timebatch_sum" ->
+      """SELECT epoch_ms(date_trunc('minute', ts)) AS w_start_ms,
+        |  round(sum(value), 2) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_ms(min(ts)) AS sess_start_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_ms""".stripMargin,
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p ON e.event_type = 'error'
+        |  AND p.event_type = 'purchase' AND p.user_id = e.user_id
+        |  AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
+        |ORDER BY error_id, purchase_id""".stripMargin,
+    "stream_cep_seq" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM err e JOIN pur p ON e.user_id = p.user_id
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id""".stripMargin,
+    "stream_table_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, epoch_ms(ts) AS last_ts_ms, round(value, 2)
+        |      AS last_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, last_ts_ms, last_value, n_events FROM latest
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin
+  )
+}
