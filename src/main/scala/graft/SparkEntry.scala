@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Aggregates.queries ++
       Functions.queries ++ Cep.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streaming.queries ++ Sketches.queries
+      Streaming.queries ++ Sketches.queries ++ Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ Aggregates.oracle ++
       Functions.oracle ++ Cep.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Streaming.oracle ++ Sketches.oracle
+      Streaming.oracle ++ Sketches.oracle ++ Ops.oracle
 }
