@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Cep
+import graft.engine.Cep._
+
+/** Pure NFA-core tests (no Spark): golden event sequences per pattern
+  * feature, mirroring the reference's per-feature TestNG style
+  * (SURVEY.md §5) — send events with explicit timestamps, assert matches. */
+class CepNfaSpec extends AnyFunSuite {
+
+  private val SEC = 1000L * 1000 * 1000
+  private def ev(id: Long, tSec: Long, typ: String, value: Double = 0.0,
+                 user: Long = 1): Ev = Ev(id, tSec * SEC, user, typ, value)
+
+  private def matches[T](steps: IndexedSeq[PStep],
+      within: Option[Long] = None, spawn: SpawnPolicy = EveryMatch)
+      (project: Bindings => T)(events: Ev*): List[T] =
+    Cep.run(steps, within, spawn, project)(events.iterator).toList
+
+  private val errThenPurchase = IndexedSeq(
+    Single("e1", (e, _) => e.eventType == "A"),
+    Single("e2", (e, _) => e.eventType == "B"))
+
+  test("followed-by: first later match completes the run") {
+    val out = matches(errThenPurchase)(b =>
+      (b("e1").head.eventId, b("e2").head.eventId))(
+      ev(1, 0, "A"), ev(2, 1, "C"), ev(3, 2, "B"), ev(4, 3, "B"))
+    assert(out == List((1L, 3L))) // run completed at first B; 4 ignored
+  }
+
+  test("every: overlapping runs each complete on the same B") {
+    val out = matches(errThenPurchase)(b =>
+      (b("e1").head.eventId, b("e2").head.eventId))(
+      ev(1, 0, "A"), ev(2, 1, "A"), ev(3, 2, "B"))
+    assert(out == List((1L, 3L), (2L, 3L)))
+  }
+
+  test("within: run expires before a too-late B") {
+    val out = matches(errThenPurchase, within = Some(5 * SEC))(b =>
+      (b("e1").head.eventId, b("e2").head.eventId))(
+      ev(1, 0, "A"), ev(2, 10, "B"), // expired
+      ev(3, 11, "A"), ev(4, 13, "B")) // in time
+    assert(out == List((3L, 4L)))
+  }
+
+  test("cross-binding predicate: e2.value > e1.value") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Single("e2", (e, b) => e.eventType == "B" &&
+        e.value > b("e1").head.value))
+    val out = matches(steps)(b =>
+      (b("e1").head.eventId, b("e2").head.eventId))(
+      ev(1, 0, "A", value = 10), ev(2, 1, "B", value = 5), // too small
+      ev(3, 2, "B", value = 20)) // matches
+    assert(out == List((1L, 3L)))
+  }
+
+  test("strict `,`: non-matching next event kills the run") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Single("e2", (e, _) => e.eventType == "B", strict = true))
+    val out = matches(steps)(b => b("e1").head.eventId)(
+      ev(1, 0, "A"), ev(2, 1, "C"), ev(3, 2, "B"), // killed by C
+      ev(4, 3, "A"), ev(5, 4, "B")) // contiguous
+    assert(out == List(4L))
+  }
+
+  test("absence: violation kills, quiet confirms via later event") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Absent("no_b", (e, _) => e.eventType == "B", 5 * SEC))
+    val out = matches(steps)(b => b("e1").head.eventId)(
+      ev(1, 0, "A"), ev(2, 2, "B"), // violated
+      ev(3, 10, "A"), ev(4, 20, "C")) // quiet 5s, confirmed by C at t=20
+    assert(out == List(3L))
+  }
+
+  test("absence: confirmed at end of stream") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Absent("no_b", (e, _) => e.eventType == "B", 5 * SEC))
+    val out = matches(steps)(b => b("e1").head.eventId)(ev(1, 0, "A"))
+    assert(out == List(1L))
+  }
+
+  test("count quantifier <3:∞> strict + island spawn") {
+    val steps = IndexedSeq(
+      Single("c", (e, _) => e.eventType == "C",
+        min = 3, max = Int.MaxValue, strict = true),
+      Single("p", (e, _) => e.eventType == "P", strict = true))
+    def run(evs: Ev*) = matches(steps, spawn = WhenNoneActive)(b =>
+      (b("p").head.eventId, b("c").size))(evs: _*)
+    // 4 clicks then purchase → one match with n=4
+    assert(run(ev(1, 0, "C"), ev(2, 1, "C"), ev(3, 2, "C"), ev(4, 3, "C"),
+      ev(5, 4, "P")) == List((5L, 4)))
+    // only 2 clicks → no match
+    assert(run(ev(1, 0, "C"), ev(2, 1, "C"), ev(5, 4, "P")) == Nil)
+    // interrupted island restarts the count
+    assert(run(ev(1, 0, "C"), ev(2, 1, "C"), ev(3, 2, "X"), ev(4, 3, "C"),
+      ev(5, 4, "C"), ev(6, 5, "C"), ev(7, 6, "P")) == List((7L, 3)))
+  }
+
+  test("logical and: both orders bind, completion on second") {
+    val steps = IndexedSeq(
+      BothOf("a", (e, _) => e.eventType == "A",
+             "b", (e, _) => e.eventType == "B"))
+    val out = matches(steps, spawn = WhenNoneActive)(b =>
+      (b("a").head.eventId, b("b").head.eventId))(
+      ev(1, 0, "B"), ev(2, 1, "C"), ev(3, 2, "A"))
+    assert(out == List((3L, 1L)))
+  }
+
+  test("three-step chain A -> B -> C collects all bindings") {
+    val steps = IndexedSeq(
+      Single("a", (e, _) => e.eventType == "A"),
+      Single("b", (e, _) => e.eventType == "B"),
+      Single("c", (e, _) => e.eventType == "C"))
+    val out = matches(steps)(b =>
+      (b("a").head.eventId, b("b").head.eventId, b("c").head.eventId))(
+      ev(1, 0, "A"), ev(2, 1, "B"), ev(3, 2, "X"), ev(4, 3, "C"))
+    assert(out == List((1L, 2L, 4L)))
+  }
+}

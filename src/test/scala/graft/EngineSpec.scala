@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.engine._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Operator-level checks on the smallest fixture + physical-plan
+  * assertions (the 100 TB-shape guarantees: pushdown, broadcast, no
+  * cartesian products where banding should prevent them). */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_threshold pushes predicates into the parquet scan") {
+    val df = Relational.filterThreshold(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(value,100.0)") || p.contains("IsNotNull")),
+      s"no pushed filters in plan:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("join_multiway broadcasts the small dimension") {
+    val p = plan(Relational.joinMultiway(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
+    val p = plan(Dedup.minhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in LSH plan:\n$p")
+  }
+
+  test("window aggregations use partial (map-side) aggregation") {
+    val p = plan(Windows.timeBatchSum(spark, sf))
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+  }
+
+  test("windows: timeBatch sum equals manual per-minute grouping") {
+    import org.apache.spark.sql.functions._
+    val got = Windows.timeBatchSum(spark, sf)
+    val manual = Tables.events(spark, sf)
+      .groupBy((expr("ts_ns div 60000000000") * 60000L).as("w_start_ms"))
+      .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("cnt"))
+      .orderBy("w_start_ms")
+    assert(got.collect().toSeq == manual.collect().toSeq)
+  }
+
+  test("dedup_exact keeps one keeper per prefix hash") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keepers = rows.map(_.getAs[Long]("keeper_id"))
+    assert(keepers.distinct.length == keepers.length)
+  }
+
+  test("similarity brute top-k: k rows per query, descending cosine") {
+    val rows = Similarity.topkBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val cos = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cep batch matches equal streaming flatMapGroupsWithState matches") {
+    val batch = Cep.seqFollowedBy(spark, sf).collect().toSeq
+    val stream = Streaming.cepSeq(spark, sf).collect().toSeq
+    assert(batch == stream)
+  }
+
+  test("multimodal features: byte stats consistent with doc lengths") {
+    val feats = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      assert(r.getAs[Int]("n_frames") == (n + 15) / 16)
+      assert(r.getAs[Long]("byte_sum") > 0)
+    }
+  }
+
+  override def afterAll(): Unit = () // session shared across suites
+}
