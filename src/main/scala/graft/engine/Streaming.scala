@@ -45,11 +45,20 @@ object Streaming {
         col("value"))
       .as[Ev].orderBy("tsNs", "eventId").collect() // harness feed only
     val ms = MemoryStream[Ev]
-    val q = build(ms.toDS())
-      .writeStream.format("memory").queryName(name).outputMode(mode).start()
-    val per = math.max(rows.length / chunks, 1)
-    rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
-    q.stop()
+    // state-store partition count is fixed at query start from
+    // spark.sql.shuffle.partitions; 8 is plenty for the harness feed and
+    // cuts per-batch checkpoint-file overhead 4× vs the batch setting
+    // (a real deployment sizes this to the cluster, not per query)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode(mode)
+        .start()
+      val per = math.max(rows.length / chunks, 1)
+      rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
