@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Aggregates.queries ++
       Functions.queries ++ Cep.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streaming.queries ++ Sketches.queries ++ Ops.queries
+      Streaming.queries ++ Sketches.queries ++ Ops.queries ++
+      Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ Aggregates.oracle ++
       Functions.oracle ++ Cep.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Streaming.oracle ++ Sketches.oracle ++ Ops.oracle
+      Streaming.oracle ++ Sketches.oracle ++ Ops.oracle ++
+      Extras.oracle
 }

@@ -299,21 +299,30 @@ object Dedup {
     val e = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .as[(Long, Array[Double])]
-    val all = e.collect().sortBy(_._1) // broadcastable matrix (N·64 doubles)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // broadcastable matrix with PRE-COMPUTED norms (same sqrt(Σx²) double
+    // as the per-pair formula, so results stay bit-identical to the
+    // oracle while halving the inner-loop flops)
+    val all = e.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
     val bc = s.sparkContext.broadcast(all)
     e.mapPartitions { it =>
       val mat = bc.value
-      def dot(a: Array[Double], b: Array[Double]): Double = {
+      def d(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { acc += a(i) * b(i); i += 1 }
         acc
       }
       it.map { case (id, v) =>
-        val nv = math.sqrt(dot(v, v))
+        val nv = math.sqrt(d(v, v))
         var bestId = -1L; var bestCos = Double.MinValue
-        mat.foreach { case (oid, ov) =>
+        mat.foreach { case (oid, ov, on) =>
           if (oid != id) {
-            val c = BigDecimal(dot(v, ov) / (nv * math.sqrt(dot(ov, ov))))
+            val c = BigDecimal(d(v, ov) / (nv * on))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             if (c > bestCos || (c == bestCos && oid < bestId)) {
               bestCos = c; bestId = oid

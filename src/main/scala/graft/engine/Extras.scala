@@ -1,0 +1,155 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Coverage for the remaining SURVEY.md §2 inventory rows: payload
+  * mappers (§2.1), cron/timeLength windows (§2.3), named shared windows
+  * (§1.1), K-slack reorder (§2.7).
+  *
+  * Siddhi analogs [unverified public-repo paths; /root/reference empty]:
+  * `siddhi-map-json` (JsonSourceMapper/JsonSinkMapper), `siddhi-map-csv`,
+  * `core/query/processor/stream/window/{CronWindowProcessor,
+  * TimeLengthWindowProcessor}.java`, `core/window/Window.java` (named
+  * windows), `siddhi-execution-reorder` (KSlackExtension).
+  */
+object Extras {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** mapper_json_roundtrip: sink-map rows to JSON (`@sink @map(json)`),
+    * then source-map back through the declared schema (`@source
+    * @map(json)`) — from_json/to_json are the engine's mapper pair. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    events(s, d)
+      .select(to_json(struct(col("event_id"), col("event_type"),
+        col("value"))).as("payload"))
+      .select(from_json(col("payload"), schema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        col("e.event_type").as("event_type"),
+        round(col("e.value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  /** mapper_csv_roundtrip: text/CSV mapper pair via concat_ws + from_csv. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .select(col("event_id").as("orig_id"),
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type"))
+          .as("line"))
+      .select(col("orig_id"),
+        from_csv(col("line"), StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType))),
+          Map.empty[String, String]).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        col("e.user_id").as("user_id"), col("e.event_type").as("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** window_cron: `#window.cron('0 0/15 * * * ?')` — contents emitted on
+    * 15-minute marks ⇒ aggregation per cron-aligned bucket. */
+  def cronWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      .select(unix_millis(col("window.start")).as("cron_tick_ms"),
+        col("n"), col("avg_value"))
+      .orderBy("cron_tick_ms")
+
+  /** window_timelength: `#window.timeLength(2 min, 10)` — the window holds
+    * at most 10 events, evicting those older than 2 minutes; occupancy at
+    * each event = least(#within-2min, 10). */
+  def timeLength(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      .rangeBetween(-120L * 1000 * 1000 * 1000, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        least(count(lit(1)).over(w), lit(10L)).as("n_in_window"))
+      .orderBy("event_id")
+  }
+
+  /** named_window_shared: `define window W(...) timeBatch(1 hour)` with two
+    * consumer queries — the shared windowed relation is computed once
+    * (cached) and feeds both aggregations (Siddhi's StreamJunction fan-out
+    * ≡ a reused DataFrame). */
+  def namedWindowShared(s: SparkSession, d: String): DataFrame = {
+    val shared = events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        col("user_id"))
+      .agg(sum("value").as("v"), count(lit(1)).as("n"))
+      .cache() // the named window, shared by both consumers
+    val byType = shared.groupBy("event_type")
+      .agg(round(sum("v"), 2).as("metric"))
+      .select(lit("by_type").as("consumer"), col("event_type").as("key"),
+        col("metric"))
+    val topUsers = shared.groupBy("user_id")
+      .agg(sum("n").as("cnt"))
+      .filter(col("cnt") >= 80)
+      .select(lit("busy_user").as("consumer"),
+        col("user_id").cast("string").as("key"),
+        col("cnt").cast("double").as("metric"))
+    byType.unionByName(topUsers).orderBy("consumer", "key")
+  }
+
+  /** reorder_kslack: `reorder:kslack(ts)` — emit the per-key stream in
+    * corrected event-time order with its resequenced index (batch analog:
+    * the slack buffer converges to a full per-key sort). */
+  def kslackReorder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).as("seq_idx"))
+      .orderBy("user_id", "seq_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mapper_json_roundtrip" -> (jsonRoundtrip _),
+    "mapper_csv_roundtrip"  -> (csvRoundtrip _),
+    "window_cron"           -> (cronWindow _),
+    "window_timelength"     -> (timeLength _),
+    "named_window_shared"   -> (namedWindowShared _),
+    "reorder_kslack"        -> (kslackReorder _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mapper_json_roundtrip" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "mapper_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "window_cron" ->
+      """SELECT epoch_ms(ts) // 900000 * 900000 AS cron_tick_ms,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_timelength" ->
+      """SELECT event_id, user_id,
+        |  least(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |    RANGE BETWEEN 120000000000 PRECEDING AND CURRENT ROW),
+        |    10) AS n_in_window
+        |FROM events ORDER BY event_id""".stripMargin,
+    "named_window_shared" ->
+      """WITH shared AS (
+        |  SELECT event_type, user_id, sum(value) AS v, count(*) AS n
+        |  FROM events
+        |  GROUP BY epoch_ms(ts) // 3600000, event_type, user_id)
+        |SELECT 'busy_user' AS consumer, CAST(user_id AS VARCHAR) AS key,
+        |  CAST(sum(n) AS DOUBLE) AS metric
+        |FROM shared GROUP BY user_id HAVING sum(n) >= 80
+        |UNION ALL
+        |SELECT 'by_type', event_type, round(sum(v), 2) FROM shared
+        |GROUP BY event_type
+        |ORDER BY consumer, key""".stripMargin,
+    "reorder_kslack" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS seq_idx
+        |FROM events ORDER BY user_id, seq_idx""".stripMargin
+  )
+}
