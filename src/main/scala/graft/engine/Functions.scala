@@ -156,7 +156,18 @@ object Functions {
     ).orderBy("event_id")
   }
 
+  /** UUID()/currentTimeMillis()/eventTimestamp() — nondeterministic
+    * scalars (rows-only check; no oracle can reproduce them). */
+  def fnNondeterministic(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      expr("uuid()").as("event_uuid"),
+      unix_millis(current_timestamp()).as("now_ms"),
+      col("ts_ns").as("event_ts_ns") // eventTimestamp()
+    ).orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "fn_nondeterministic" -> (fnNondeterministic _),
     "fn_string"      -> (fnString _),
     "fn_math"        -> (fnMath _),
     "fn_time"        -> (fnTime _),
