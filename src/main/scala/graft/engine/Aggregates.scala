@@ -126,7 +126,23 @@ object Aggregates {
       .orderBy("hour_start_ms")
   }
 
+  /** `timeseries:regress` (siddhi-execution-timeseries) — per-key OLS of
+    * value against event time, expressed as closed-form moment aggregates
+    * (covar/var): one hash aggregation, no iteration — the scalable way
+    * to fit millions of tiny per-key models. */
+  def timeseriesRegress(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("x", ((col("ts_ns") - lit(1704067200000000000L)) / lit(1e9)).cast("double"))
+      .groupBy("user_id")
+      .agg(
+        round((covar_pop(col("x"), col("value")) / var_pop(col("x"))) * 3600,
+          6).as("slope_per_hour"),
+        round(avg("value"), 6).as("mean_value"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "agg_timeseries_regress" -> (timeseriesRegress _),
     "agg_basic"            -> (aggBasic _),
     "agg_distinctcount"    -> (distinctCount _),
     "agg_stddev"           -> (stddevPop _),
@@ -139,6 +155,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_timeseries_regress" ->
+      """SELECT user_id,
+        |  round(covar_pop((epoch_ns(ts) - 1704067200000000000) / 1e9, value) /
+        |    var_pop((epoch_ns(ts) - 1704067200000000000) / 1e9) * 3600, 6) AS slope_per_hour,
+        |  round(avg(value), 6) AS mean_value, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -203,7 +203,36 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** stream_batch_window: Siddhi `#window.batch()` — one aggregate per
+    * arrival chunk ≡ per-micro-batch (foreachBatch). The feed is 4 equal
+    * event-time-ordered chunks, so batch boundaries are deterministic. */
+  def batchWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = events(s, d)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev].orderBy("tsNs", "eventId").collect() // harness feed only
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val ms = MemoryStream[Ev]
+    val q = ms.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Ev], id: Long) =>
+        val r = batch.agg(count(lit(1)), round(sum("value"), 2)).collect()(0)
+        if (r.getLong(0) > 0) { acc += ((id, r.getLong(0), r.getDouble(1))) }
+        ()
+      }.start()
+    rows.grouped(math.max(rows.length / 4, 1)).foreach { g =>
+      ms.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    s.createDataFrame(acc.toSeq).toDF("batch_id", "n", "sum_value")
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_batch_window"  -> (batchWindow _),
     "stream_timebatch_sum" -> (timeBatchSum _),
     "stream_session"       -> (session _),
     "stream_dedup_keys"    -> (dedupKeys _),
@@ -213,6 +242,14 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_batch_window" ->
+      """WITH ranked AS (
+        |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+        |    count(*) OVER () AS total
+        |  FROM events)
+        |SELECT rn // greatest(total // 4, 1) AS batch_id, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_timebatch_sum" ->
       """SELECT epoch_ms(date_trunc('minute', ts)) AS w_start_ms,
         |  round(sum(value), 2) AS sum_value, count(*) AS cnt
