@@ -27,14 +27,11 @@ object Similarity {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic sequential-fold cosine between array<double> cols a, b */
-  private def cosExpr(a: String, b: String): Column = expr(
-    s"round(aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double)," +
-      s" (acc, p) -> acc + p) / " +
-      s"(sqrt(aggregate(transform($a, x -> x * x), cast(0 as double), " +
-      s"(acc, p) -> acc + p)) * " +
-      s"sqrt(aggregate(transform($b, x -> x * x), cast(0 as double), " +
-      s"(acc, p) -> acc + p))), 6)")
+  /** Deterministic sequential-fold cosine between array<double> cols a, b
+    * — the native codegen'd CosineSimilarity expression (identical
+    * accumulation order to the oracle's list_reduce folds). */
+  private def cosExpr(a: String, b: String): Column =
+    expr(s"round(cosine_sim($a, $b), 6)")
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
@@ -42,6 +39,7 @@ object Similarity {
 
   /** sim_topk_brute: top-10 cosine neighbours for query vectors id<5. */
   def topkBrute(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
     val all = vecs(s, d)
     val queries = all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -67,6 +65,7 @@ object Similarity {
     * every vector is assigned to its nearest centroid; queries (vec_id in
     * 1..3) probe the 2 nearest centroids and rank only those clusters. */
   def topkIvf(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
     val all = vecs(s, d)
     val cents = all.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))

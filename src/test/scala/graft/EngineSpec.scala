@@ -89,6 +89,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == stream)
   }
 
+  test("native cosine_sim expression: SQL-registered, correct, codegen'd") {
+    engine.expressions.CosineSimilarity.register(spark)
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(1.0D, 2.0D, 3.0D),
+        |  array(3.0D, 2.0D, 1.0D)), 6) AS c""".stripMargin).collect()
+    assert(r.head.getDouble(0) == 0.714286) // 10 / (sqrt14 * sqrt14)
+    // identical to the interpreted HOF fold on real data
+    import org.apache.spark.sql.functions._
+    val e = engine.Tables.embeddings(spark, sf).limit(50)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val native = e.select(expr("round(cosine_sim(v, v), 6)").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(native.forall(_ == 1.0))
+  }
+
   test("multimodal features: byte stats consistent with doc lengths") {
     val feats = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.nonEmpty)
