@@ -108,7 +108,47 @@ object Extras {
       .orderBy("user_id", "seq_idx")
   }
 
+  /** window_expression: `#window.expression('count() < 10 and sum(value)
+    * < 800')` — retain-while-predicate window: on each arrival, evict from
+    * the front until the retention expression holds again; emit the
+    * occupancy and retained sum per event. Procedural per-key state (no
+    * SQL oracle — rows-only check + golden ScalaTest). */
+  def expressionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Cep.Ev]
+      .groupByKey(_.userId)
+      .flatMapGroups { (uid, it) =>
+        val buf = scala.collection.mutable.Queue.empty[Cep.Ev]
+        var sum = 0.0
+        it.toVector.sortBy(e => (e.tsNs, e.eventId)).map { e =>
+          buf.enqueue(e); sum += e.value
+          while (buf.length >= 10 || sum >= 800.0) {
+            sum -= buf.dequeue().value
+          }
+          (e.eventId, uid, buf.length.toLong,
+            BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }
+      .toDF("event_id", "user_id", "occupancy", "retained_sum")
+      .orderBy("event_id")
+  }
+
+  /** order by + limit + offset (§2.9: Siddhi `limit`/`offset` clauses). */
+  def orderLimitOffset(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .offset(5).limit(10)
+
   val queries: Map[String, Q] = Map(
+    "window_expression"     -> (expressionWindow _),
+    "agg_order_limit_offset" -> (orderLimitOffset _),
     "mapper_json_roundtrip" -> (jsonRoundtrip _),
     "mapper_csv_roundtrip"  -> (csvRoundtrip _),
     "window_cron"           -> (cronWindow _),
@@ -118,6 +158,11 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // window_expression: procedural retention state — rows-only + ScalaTest
+    "agg_order_limit_offset" ->
+      """SELECT user_id, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10 OFFSET 5""".stripMargin,
     "mapper_json_roundtrip" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM events ORDER BY event_id""".stripMargin,

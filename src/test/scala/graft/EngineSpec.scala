@@ -104,6 +104,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native.forall(_ == 1.0))
   }
 
+  test("expression window: retention invariant holds at every event") {
+    val rows = Extras.expressionWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("occupancy") < 10)
+      assert(r.getAs[Double]("retained_sum") < 800.0)
+      assert(r.getAs[Long]("occupancy") >= 1) // current event always retained
+    }
+  }
+
   test("multimodal features: byte stats consistent with doc lengths") {
     val feats = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.nonEmpty)
