@@ -32,6 +32,13 @@ object Streaming {
   import Cep.Ev
   type Q = (SparkSession, String) => DataFrame
 
+  /** Output row of the timer-based absence pattern. */
+  case class AbsenceHit(user_id: Long, event_id: Long)
+
+  /** Ev + its µs event-time column (the watermark column). */
+  case class EvT(eventId: Long, tsNs: Long, userId: Long, eventType: String,
+                 value: Double, ts: java.sql.Timestamp)
+
   /** Feed the events table through a MemoryStream in `chunks` micro-batches
     * (time-ordered), apply `build`, run to completion, return the sink. */
   def runStream(spark: SparkSession, dir: String, name: String,
@@ -231,7 +238,81 @@ object Streaming {
       .orderBy("batch_id")
   }
 
+  /** stream_cep_absence: timer-based absence detection — the SURVEY §7.4
+    * "hard part". `every e1=error -> not purchase for 5 min` running live:
+    * pending errors are per-key state with an event-time timeout at the
+    * earliest deadline; purchases cancel pending errors; watermark
+    * advancement fires the timer and emits confirmed absences. The feed
+    * appends far-future sentinel rows (userId = -1, filtered out) so the
+    * watermark provably passes every deadline before the query stops —
+    * the streaming analog of the batch NFA's end-of-stream flush. */
+  def cepAbsence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val MIN5NS = 5L * 60 * 1000 * 1000 * 1000
+    val rows = events(s, d)
+      .select(col("event_id").as("eventId"), col("ts_ns").as("tsNs"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev].orderBy("tsNs", "eventId").collect() // harness feed only
+    val maxTs = rows.map(_.tsNs).max
+    val ms = MemoryStream[Ev]
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = ms.toDS()
+        .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EvT]
+        .groupByKey(_.userId)
+        .flatMapGroupsWithState[List[(Long, Long, Long)], AbsenceHit](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case (uid, batch, state) =>
+            // pending: (eventId, tsNs, deadlineNs)
+            var pending = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[AbsenceHit]
+            if (!state.hasTimedOut) {
+              val evs = batch.toVector.sortBy(e => (e.tsNs, e.eventId))
+              evs.foreach { e =>
+                if (e.eventType == "purchase")
+                  pending = pending.filterNot { case (_, ets, ddl) =>
+                    e.tsNs > ets && e.tsNs <= ddl
+                  }
+                else if (e.eventType == "error")
+                  pending = (e.eventId, e.tsNs, e.tsNs + MIN5NS) :: pending
+              }
+            }
+            // emit every pending error whose deadline the watermark passed
+            val wmNs = state.getCurrentWatermarkMs() * 1000000L
+            val (expired, alive) = pending.partition(_._3 < wmNs)
+            expired.sortBy(_._1).foreach { case (id, _, _) =>
+              out += AbsenceHit(uid, id)
+            }
+            if (alive.isEmpty) state.remove()
+            else {
+              state.update(alive)
+              state.setTimeoutTimestamp(alive.map(_._3).min / 1000000L + 1)
+            }
+            out.iterator
+        }
+        .filter(col("user_id") =!= -1L)
+        .writeStream.format("memory").queryName("stream_cep_absence")
+        .outputMode("append").start()
+      val per = math.max(rows.length / 3, 1)
+      rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
+      // two sentinels: the first advances the watermark past every
+      // deadline, the second triggers a batch that fires the timers
+      ms.addData(Ev(-1, maxTs + 2 * MIN5NS, -1, "sentinel", 0))
+      q.processAllAvailable()
+      ms.addData(Ev(-2, maxTs + 3 * MIN5NS, -1, "sentinel", 0))
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_cep_absence").orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_cep_absence"   -> (cepAbsence _),
     "stream_batch_window"  -> (batchWindow _),
     "stream_timebatch_sum" -> (timeBatchSum _),
     "stream_session"       -> (session _),
@@ -242,6 +323,13 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_cep_absence" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
     "stream_batch_window" ->
       """WITH ranked AS (
         |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
