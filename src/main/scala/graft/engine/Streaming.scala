@@ -42,7 +42,7 @@ object Streaming {
   /** Feed the events table through a MemoryStream in `chunks` micro-batches
     * (time-ordered), apply `build`, run to completion, return the sink. */
   def runStream(spark: SparkSession, dir: String, name: String,
-                mode: OutputMode, chunks: Int = 3)
+                mode: OutputMode, chunks: Int = 2)
                (build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
