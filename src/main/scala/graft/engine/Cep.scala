@@ -50,6 +50,11 @@ object Cep {
   final case class BothOf(nameA: String, predA: (Ev, Bindings) => Boolean,
                           nameB: String, predB: (Ev, Bindings) => Boolean)
       extends PStep
+  /** Siddhi logical `e1=A or e2=B`: first event matching either condition
+    * binds its branch and completes the step. */
+  final case class EitherOf(nameA: String, predA: (Ev, Bindings) => Boolean,
+                            nameB: String, predB: (Ev, Bindings) => Boolean)
+      extends PStep
 
   /** `every` ⇒ spawn a run at each step-0 match (overlapping runs);
     * otherwise only when no run is currently accumulating step 0 (one run
@@ -124,6 +129,12 @@ object Cep {
           val r2 = r.copy(bindings = bind(r.bindings, nb, e))
           if (hasA) enter(r2, r.stepIdx + 1) else Some(r2)
         } else Some(r)
+      case EitherOf(na, pa, nb, pb) =>
+        if (pa(e, r.bindings))
+          enter(r.copy(bindings = bind(r.bindings, na, e)), r.stepIdx + 1)
+        else if (pb(e, r.bindings))
+          enter(r.copy(bindings = bind(r.bindings, nb, e)), r.stepIdx + 1)
+        else Some(r)
     }
 
     for (e <- events) {
@@ -152,6 +163,9 @@ object Cep {
           case Single(_, pred, _, _, _) if pred(e, seed.bindings) =>
             active = active ++ feed(seed, e).toList
           case BothOf(_, pa, _, pb) if pa(e, seed.bindings) ||
+              pb(e, seed.bindings) =>
+            active = active ++ feed(seed, e).toList
+          case EitherOf(_, pa, _, pb) if pa(e, seed.bindings) ||
               pb(e, seed.bindings) =>
             active = active ++ feed(seed, e).toList
           case _ => ()
@@ -264,7 +278,26 @@ object Cep {
       }.toDF().orderBy("error_id", "signup_id")
   }
 
+  case class OrMatch(user_id: Long, start_id: Long, next_id: Long,
+                     next_type: String)
+
+  /** Logical-or continuation `every e1=S[error] -> (e2=S[purchase] or
+    * e3=S[signup]) within 5 min` — first event of either kind completes. */
+  def logicalOr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern[OrMatch](s, d, IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "error"),
+        EitherOf("e2", (e, _) => e.eventType == "purchase",
+                 "e3", (e, _) => e.eventType == "signup")),
+      Some(MIN5), EveryMatch) { b =>
+        val e1 = b("e1").head
+        val nxt = b.get("e2").orElse(b.get("e3")).get.head
+        OrMatch(e1.userId, e1.eventId, nxt.eventId, nxt.eventType)
+      }.toDF().orderBy("start_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cep_logical_or"      -> (logicalOr _),
     "cep_seq_followed_by" -> (seqFollowedBy _),
     "cep_strict_next"     -> (strictNext _),
     "cep_absence"         -> (absence _),
@@ -273,6 +306,18 @@ object Cep {
   )
 
   val oracle: Map[String, String] = Map(
+    "cep_logical_or" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |nxt AS (SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'signup'))
+        |SELECT user_id, start_id, next_id, next_type FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, n.event_id AS next_id,
+        |    n.event_type AS next_type,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY n.ts, n.event_id) AS rk
+        |  FROM err e JOIN nxt n ON e.user_id = n.user_id
+        |    AND n.ts > e.ts AND n.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id""".stripMargin,
     "cep_seq_followed_by" ->
       """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
         |pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')

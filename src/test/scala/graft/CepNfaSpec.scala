@@ -111,6 +111,19 @@ class CepNfaSpec extends AnyFunSuite {
     assert(out == List((3L, 1L)))
   }
 
+  test("logical or: first matching branch completes, branch identity kept") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      EitherOf("b", (e, _) => e.eventType == "B",
+               "c", (e, _) => e.eventType == "C"))
+    val out = matches(steps)(b =>
+      (b("e1").head.eventId,
+        b.get("b").orElse(b.get("c")).get.head.eventId,
+        b.contains("b")))(
+      ev(1, 0, "A"), ev(2, 1, "X"), ev(3, 2, "C"), ev(4, 3, "B"))
+    assert(out == List((1L, 3L, false))) // C branch won; B too late
+  }
+
   test("three-step chain A -> B -> C collects all bindings") {
     val steps = IndexedSeq(
       Single("a", (e, _) => e.eventType == "A"),
