@@ -311,7 +311,64 @@ object Streaming {
     s.table("stream_cep_absence").orderBy("event_id")
   }
 
+  /** stream_length_sliding: count-based sliding window (`#window.length
+    * (20)`) in streaming — SURVEY §7.4 hard part (no Spark primitive).
+    * Per-key ring buffer in flatMapGroupsWithState; one output per event
+    * carrying the last-20 running aggregate. Same oracle as the batch
+    * window-function formulation. */
+  def lengthSliding(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_length_sliding", OutputMode.Append()) { ds =>
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[Vector[Double], (Long, Long, Double, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, batch, state) =>
+            var ring = state.getOption.getOrElse(Vector.empty)
+            val out = batch.toVector.sortBy(e => (e.tsNs, e.eventId))
+              .map { e =>
+                ring = (ring :+ e.value).takeRight(20)
+                (e.eventId, uid,
+                  BigDecimal(ring.sum).setScale(2,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble,
+                  ring.length.toLong)
+              }
+            state.update(ring)
+            out.iterator
+        }
+        .toDF("event_id", "user_id", "sum_last20", "n_last20")
+    }.orderBy("event_id")
+
+  /** stream_window_expired: `insert expired events into` semantics
+    * (SURVEY §7.4) — a time(1 min) sliding window that EMITS its eviction
+    * records: when a later event of the key advances that key's clock past
+    * an occupant's ts + 1 min, the occupant leaves the window as an
+    * expired event stamped with its expiry time. */
+  def windowExpired(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_window_expired", OutputMode.Append()) { ds =>
+      import ds.sparkSession.implicits._
+      val WIN = 60L * 1000 * 1000 * 1000
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[Vector[(Long, Long)], (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (_, batch, state) =>
+            var held = state.getOption.getOrElse(Vector.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            batch.toVector.sortBy(e => (e.tsNs, e.eventId)).foreach { e =>
+              val (gone, kept) = held.partition(_._2 + WIN < e.tsNs)
+              gone.foreach { case (id, ts) =>
+                out += ((id, ts / 1000000L + 60000L))
+              }
+              held = kept :+ (e.eventId, e.tsNs)
+            }
+            state.update(held)
+            out.iterator
+        }
+        .toDF("event_id", "expired_at_ms")
+    }.orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "stream_window_expired" -> (windowExpired _),
+    "stream_length_sliding" -> (lengthSliding _),
     "stream_cep_absence"   -> (cepAbsence _),
     "stream_batch_window"  -> (batchWindow _),
     "stream_timebatch_sum" -> (timeBatchSum _),
@@ -323,6 +380,22 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // an event expires iff a later same-key event advances past its
+    // ts + 1 min while the query runs
+    "stream_window_expired" ->
+      """SELECT e.event_id, epoch_ms(e.ts) + 60000 AS expired_at_ms
+        |FROM events e WHERE EXISTS (
+        |  SELECT 1 FROM events l WHERE l.user_id = e.user_id
+        |    AND l.ts > e.ts + INTERVAL 1 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
+    "stream_length_sliding" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS sum_last20,
+        |  count(*) OVER w AS n_last20
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "stream_cep_absence" ->
       """SELECT e.user_id, e.event_id
         |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
