@@ -124,5 +124,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed tables co-locate joins: no shuffle exchange in the plan") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    def writeBucketed(name: String): Unit =
+      li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$name").saveAsTable(name)
+    writeBucketed("li_a")
+    writeBucketed("li_b")
+    // force the co-located merge path (tiny test tables would broadcast)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_a").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qa"))
+        .join(spark.table("li_b").groupBy("l_orderkey")
+          .agg(sum("l_extendedprice").as("pb")), "l_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      // bucketed scans already satisfy the hash-partitioning requirement:
+      // aggregation AND join run with zero shuffle exchanges
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS li_a")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+    }
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }
