@@ -366,7 +366,63 @@ object Streaming {
         .toDF("event_id", "expired_at_ms")
     }.orderBy("event_id")
 
+  /** The same last-20 ring buffer as [[lengthSliding]], but on the modern
+    * `transformWithState` API (Spark 4 StatefulProcessor + RocksDB state
+    * store) — typed ValueState, explicit init/handle lifecycle. Identical
+    * oracle to the flatMapGroupsWithState variant: the two stateful APIs
+    * are proven interchangeable for this engine's window state. */
+  class RingProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Double, Long)] {
+    @transient private var ring:
+        org.apache.spark.sql.streaming.ValueState[Array[Double]] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      ring = getHandle.getValueState[Array[Double]]("ring",
+        org.apache.spark.sql.Encoders.kryo[Array[Double]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double, Long)] = {
+      var buf = Option(ring.get()).getOrElse(Array.empty[Double]).toVector
+      val out = rows.toVector.sortBy(e => (e.tsNs, e.eventId)).map { e =>
+        buf = (buf :+ e.value).takeRight(20)
+        (e.eventId, key,
+          BigDecimal(buf.sum).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          buf.length.toLong)
+      }
+      ring.update(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** stream_length_tws: transformWithState execution of the count window. */
+  def lengthSlidingTws(s: SparkSession, d: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      runStream(s, d, "stream_length_tws", OutputMode.Append()) { ds =>
+        import ds.sparkSession.implicits._
+        ds.groupByKey(_.userId)
+          .transformWithState(new RingProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("event_id", "user_id", "sum_last20", "n_last20")
+      }.orderBy("event_id")
+    } finally prevProvider match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_length_tws"     -> (lengthSlidingTws _),
     "stream_window_expired" -> (windowExpired _),
     "stream_length_sliding" -> (lengthSliding _),
     "stream_cep_absence"   -> (cepAbsence _),
@@ -380,6 +436,14 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_length_tws" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS sum_last20,
+        |  count(*) OVER w AS n_last20
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // an event expires iff a later same-key event advances past its
     // ts + 1 min while the query runs
     "stream_window_expired" ->
