@@ -146,7 +146,37 @@ object Extras {
       .orderBy(col("total_value").desc, col("user_id"))
       .offset(5).limit(10)
 
+  /** markov: (siddhi-execution-markov) — first-order transition matrix of
+    * event types per user stream: P(next | current) from lag pairs. One
+    * window pass + one hash aggregation. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum("n").over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** sentiment: (siddhi-execution-sentiment) — lexicon hit-count score
+    * over the token stream (positive - negative occurrences). */
+  def sentimentScore(s: SparkSession, d: String): DataFrame = {
+    val pos = "('fast', 'value', 'merge')"
+    val neg = "('slow', 'error', 'skew')"
+    documents(s, d).select(
+      col("doc_id"),
+      expr(s"size(filter(split(text, ' '), t -> t in $pos))").as("n_pos"),
+      expr(s"size(filter(split(text, ' '), t -> t in $neg))").as("n_neg"))
+      .withColumn("sentiment", col("n_pos") - col("n_neg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "markov_transitions"    -> (markovTransitions _),
+    "text_sentiment"        -> (sentimentScore _),
     "window_expression"     -> (expressionWindow _),
     "agg_order_limit_offset" -> (orderLimitOffset _),
     "mapper_json_roundtrip" -> (jsonRoundtrip _),
@@ -158,6 +188,28 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "markov_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "text_sentiment" ->
+      """SELECT doc_id,
+        |  len(list_filter(str_split(text, ' '),
+        |    t -> t IN ('fast', 'value', 'merge'))) AS n_pos,
+        |  len(list_filter(str_split(text, ' '),
+        |    t -> t IN ('slow', 'error', 'skew'))) AS n_neg,
+        |  len(list_filter(str_split(text, ' '),
+        |    t -> t IN ('fast', 'value', 'merge'))) -
+        |  len(list_filter(str_split(text, ' '),
+        |    t -> t IN ('slow', 'error', 'skew'))) AS sentiment
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // window_expression: procedural retention state — rows-only + ScalaTest
     "agg_order_limit_offset" ->
       """SELECT user_id, round(sum(value), 2) AS total_value
