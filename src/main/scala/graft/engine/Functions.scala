@@ -156,6 +156,41 @@ object Functions {
     ).orderBy("event_id")
   }
 
+  /** str: family, second batch — charAt/strcmp/hex(bin)/fillTemplate
+    * (format)/translate (siddhi-execution-string remainder). */
+  def fnString2(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      substring(col("text"), 3, 1).as("char_at_3"),
+      when(col("lang") < col("source"), -1)
+        .when(col("lang") > col("source"), 1)
+        .otherwise(0).as("strcmp_ls"),
+      hex(col("n_chars")).as("len_hex"),
+      bin(col("n_chars")).as("len_bin"),
+      format_string("%s-%d", col("source"), col("doc_id"))
+        .as("filled_template"),
+      translate(col("lang"), "en", "xy").as("lang_translated")
+    ).orderBy("doc_id")
+
+  /** geo: family (siddhi-execution-geo essentials) — haversine distance
+    * and bounding-box membership over coordinates derived from the event
+    * stream (pure trigonometric expressions, codegen'd). */
+  def fnGeo(s: SparkSession, d: String): DataFrame = {
+    val lat1 = (col("user_id") % 170 - 85).cast("double")
+    val lon1 = (col("event_id") % 350 - 175).cast("double")
+    val lat2 = lat1 + lit(1.5)
+    val lon2 = lon1 + lit(2.0)
+    val dist = lit(2.0) * lit(6371.0) * asin(sqrt(
+      pow(sin(radians(lat2 - lat1) / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) *
+        pow(sin(radians(lon2 - lon1) / 2), 2)))
+    events(s, d).select(
+      col("event_id"),
+      round(dist, 4).as("haversine_km"),
+      (lat1.between(-45, 45) && lon1.between(-90, 90)).as("in_bbox")
+    ).orderBy("event_id")
+  }
+
   /** UUID()/currentTimeMillis()/eventTimestamp() — nondeterministic
     * scalars (rows-only check; no oracle can reproduce them). */
   def fnNondeterministic(s: SparkSession, d: String): DataFrame =
@@ -168,6 +203,8 @@ object Functions {
 
   val queries: Map[String, Q] = Map(
     "fn_nondeterministic" -> (fnNondeterministic _),
+    "fn_string2"     -> (fnString2 _),
+    "fn_geo"         -> (fnGeo _),
     "fn_string"      -> (fnString _),
     "fn_math"        -> (fnMath _),
     "fn_time"        -> (fnTime _),
@@ -179,6 +216,26 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT doc_id,
+        |  substr(text, 3, 1) AS char_at_3,
+        |  CASE WHEN lang < source THEN -1 WHEN lang > source THEN 1
+        |    ELSE 0 END AS strcmp_ls,
+        |  to_hex(n_chars) AS len_hex,
+        |  bin(n_chars) AS len_bin,
+        |  printf('%s-%d', source, doc_id) AS filled_template,
+        |  translate(lang, 'en', 'xy') AS lang_translated
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_geo" ->
+      """SELECT event_id,
+        |  round(2.0 * 6371.0 * asin(sqrt(
+        |    pow(sin(radians(1.5) / 2), 2) +
+        |    cos(radians((user_id % 170 - 85)::DOUBLE)) *
+        |    cos(radians((user_id % 170 - 85)::DOUBLE + 1.5)) *
+        |    pow(sin(radians(2.0) / 2), 2))), 4) AS haversine_km,
+        |  (user_id % 170 - 85) BETWEEN -45 AND 45
+        |    AND (event_id % 350 - 175) BETWEEN -90 AND 90 AS in_bbox
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """SELECT doc_id,
         |  upper(substr(text, 1, 10)) AS sub_upper,
