@@ -156,6 +156,26 @@ object Functions {
     ).orderBy("event_id")
   }
 
+  /** json: mutation — setElement/removeElement/toObject via typed struct
+    * rebuild (withField/dropFields), the engine's stance on JSON edits:
+    * parse once, mutate the struct, only serialize at the edge. */
+  def fnJsonMutate(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    events(s, d)
+      .withColumn("obj", from_json(col("props"), schema)) // toObject
+      .withColumn("obj2",
+        col("obj").withField("k2", col("obj.k") * 2) // setElement
+          .withField("tag", col("event_type")))
+      .withColumn("obj3", col("obj2").dropFields("k")) // removeElement
+      .select(
+        col("event_id"),
+        col("obj2.k").as("k"),
+        col("obj2.k2").as("k2"),
+        col("obj3.tag").as("tag"),
+        col("obj3").getField("tag").isNotNull.as("has_tag"))
+      .orderBy("event_id")
+  }
+
   /** str: family, second batch — charAt/strcmp/hex(bin)/fillTemplate
     * (format)/translate (siddhi-execution-string remainder). */
   def fnString2(s: SparkSession, d: String): DataFrame =
@@ -204,6 +224,7 @@ object Functions {
   val queries: Map[String, Q] = Map(
     "fn_nondeterministic" -> (fnNondeterministic _),
     "fn_string2"     -> (fnString2 _),
+    "fn_json_mutate" -> (fnJsonMutate _),
     "fn_geo"         -> (fnGeo _),
     "fn_string"      -> (fnString _),
     "fn_math"        -> (fnMath _),
@@ -216,6 +237,13 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_json_mutate" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2,
+        |  event_type AS tag,
+        |  true AS has_tag
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_string2" ->
       """SELECT doc_id,
         |  substr(text, 3, 1) AS char_at_3,
