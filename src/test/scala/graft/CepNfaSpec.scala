@@ -124,6 +124,51 @@ class CepNfaSpec extends AnyFunSuite {
     assert(out == List((1L, 3L, false))) // C branch won; B too late
   }
 
+  test("property: NFA followed-by ≡ brute-force first-match (seeded random)") {
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("A", "B", "C")
+      val n = 5 + rnd.nextInt(60)
+      var t = 0L
+      val evs = (0 until n).map { i =>
+        t += 1 + rnd.nextInt(8)
+        ev(i.toLong, t, types(rnd.nextInt(3)))
+      }
+      val within = 10L * SEC
+      val got = matches(errThenPurchase, within = Some(within))(b =>
+        (b("e1").head.eventId, b("e2").head.eventId))(evs: _*)
+      // brute force: for every A, the first B strictly after it within T
+      val want = evs.filter(_.eventType == "A").flatMap { a =>
+        evs.find(b => b.eventType == "B" && b.tsNs > a.tsNs &&
+          b.tsNs <= a.tsNs + within).map(b => (a.eventId, b.eventId))
+      }.toList
+      assert(got.sorted == want.sorted, s"seed=$seed n=$n")
+    }
+  }
+
+  test("property: NFA absence ≡ brute-force not-exists (seeded random)") {
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(seed + 1000)
+      val types = Vector("A", "B", "C")
+      val n = 5 + rnd.nextInt(60)
+      var t = 0L
+      val evs = (0 until n).map { i =>
+        t += 1 + rnd.nextInt(8)
+        ev(i.toLong, t, types(rnd.nextInt(3)))
+      }
+      val forT = 10L * SEC
+      val steps = IndexedSeq(
+        Single("e1", (e, _) => e.eventType == "A"),
+        Absent("no_b", (e, _) => e.eventType == "B", forT))
+      val got = matches(steps)(b => b("e1").head.eventId)(evs: _*)
+      val want = evs.filter(_.eventType == "A").filterNot { a =>
+        evs.exists(b => b.eventType == "B" && b.tsNs > a.tsNs &&
+          b.tsNs <= a.tsNs + forT)
+      }.map(_.eventId).toList
+      assert(got.sorted == want.sorted, s"seed=$seed n=$n")
+    }
+  }
+
   test("three-step chain A -> B -> C collects all bindings") {
     val steps = IndexedSeq(
       Single("a", (e, _) => e.eventType == "A"),
