@@ -58,9 +58,20 @@ def main():
             else:
                 for c in got.columns:
                     g, w = got[c], want[c]
-                    if pd.api.types.is_float_dtype(w) or pd.api.types.is_float_dtype(g):
-                        bad = ~(np.isclose(g.astype(float), w.astype(float),
-                                           rtol=0, atol=0, equal_nan=True))
+                    # driver hashes VALUES after dtype normalization — an
+                    # int64-vs-float64 (or float-vs-int8) column pair hashes
+                    # differently even when numerically equal, so flag
+                    # integer/float kind mismatches as a failure here too.
+                    g_f, w_f = pd.api.types.is_float_dtype(g), pd.api.types.is_float_dtype(w)
+                    g_i, w_i = pd.api.types.is_integer_dtype(g), pd.api.types.is_integer_dtype(w)
+                    if (g_f != w_f) or (g_i != w_i):
+                        status = "DTYPE"
+                        detail = f"col={c} spark={g.dtype} oracle={w.dtype}"
+                        break
+                    if g_f or w_f:
+                        gb = g.astype(np.float64).to_numpy().view(np.uint64)
+                        wb = w.astype(np.float64).to_numpy().view(np.uint64)
+                        bad = gb != wb  # bitwise: catches -0.0 vs 0.0 too
                     else:
                         gs, ws = g.astype(str), w.astype(str)
                         bad = (gs != ws).to_numpy()

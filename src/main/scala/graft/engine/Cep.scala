@@ -102,8 +102,10 @@ object Cep {
           val r2 = r.copy(bindings = bind(r.bindings, name, e),
             count = r.count + 1)
           if (r2.count >= max) enter(r2, r.stepIdx + 1) else Some(r2)
-        } else if (r.count >= min && r.stepIdx + 1 < steps.length) {
-          // quantifier satisfied: let the NEXT step try this event
+        } else if (r.count >= min) {
+          // quantifier satisfied: advance — completes the run when this is
+          // the final step (enter returns None), else the NEXT step tries
+          // this event
           enter(r, r.stepIdx + 1) match {
             case Some(r2) => feed(r2, e)
             case None => None
@@ -172,10 +174,15 @@ object Cep {
         }
       }
     }
-    // end-of-stream: absence steps with no violation are confirmed
+    // end-of-stream: absence steps with no violation are confirmed, and a
+    // final count-quantified Single with its minimum satisfied completes
+    // (e.g. a pattern ending in `A<3:>` — nothing else can close it)
     active.foreach { r =>
       steps(r.stepIdx) match {
         case _: Absent => enter(r, r.stepIdx + 1)
+        case Single(_, _, min, _, _)
+            if r.count >= min && r.stepIdx == steps.length - 1 =>
+          enter(r, r.stepIdx + 1)
         case _ => ()
       }
     }
@@ -356,8 +363,79 @@ object Cep {
         |SELECT r.user_id, s.event_id AS purchase_id, r.n_clicks
         |FROM runs r JOIN seq s ON s.user_id = r.user_id
         |  AND s.rn = r.run_end + 1 AND s.event_type = 'purchase'
-        |WHERE r.n_clicks >= 3 ORDER BY purchase_id""".stripMargin
-    // cep_logical_and: restart-after-match semantics are procedural —
-    // covered by ScalaTest golden cases; driver records rows-only.
+        |WHERE r.n_clicks >= 3 ORDER BY purchase_id""".stripMargin,
+    // cep_logical_and: the NFA's sequential restart-after-match semantics,
+    // simulated exactly by a recursive-CTE state machine over the per-user
+    // (error|signup) event sequence: a run spawns on the first matching
+    // event while idle, completes when the OTHER type arrives within 5 min
+    // of the run start, and the completing event immediately re-binds as
+    // the next run's start (matching Cep.run's spawn-after-complete).
+    "cep_logical_and" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE event_type IN ('error', 'signup')),
+        |sim AS (
+        |  SELECT user_id, 0::BIGINT AS rn,
+        |    CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+        |    CAST(NULL AS TIMESTAMP) AS start_ts,
+        |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
+        |  FROM (SELECT DISTINCT user_id FROM m)
+        |  UNION ALL
+        |  SELECT s.user_id, e.rn,
+        |    CASE
+        |      WHEN s.start_ts IS NOT NULL
+        |        AND e.ts <= s.start_ts + INTERVAL 5 MINUTE THEN
+        |        CASE WHEN s.a_id IS NOT NULL AND e.event_type = 'signup'
+        |               THEN NULL
+        |             WHEN s.b_id IS NOT NULL AND e.event_type = 'error'
+        |               THEN e.event_id
+        |             ELSE s.a_id END
+        |      ELSE CASE WHEN e.event_type = 'error' THEN e.event_id
+        |        ELSE NULL END
+        |    END AS a_id,
+        |    CASE
+        |      WHEN s.start_ts IS NOT NULL
+        |        AND e.ts <= s.start_ts + INTERVAL 5 MINUTE THEN
+        |        CASE WHEN s.a_id IS NOT NULL AND e.event_type = 'signup'
+        |               THEN e.event_id
+        |             WHEN s.b_id IS NOT NULL AND e.event_type = 'error'
+        |               THEN NULL
+        |             ELSE s.b_id END
+        |      ELSE CASE WHEN e.event_type = 'signup' THEN e.event_id
+        |        ELSE NULL END
+        |    END AS b_id,
+        |    CASE
+        |      WHEN s.start_ts IS NOT NULL
+        |        AND e.ts <= s.start_ts + INTERVAL 5 MINUTE THEN
+        |        CASE WHEN (s.a_id IS NOT NULL AND e.event_type = 'signup')
+        |               OR (s.b_id IS NOT NULL AND e.event_type = 'error')
+        |               THEN e.ts
+        |             ELSE s.start_ts END
+        |      ELSE e.ts
+        |    END AS start_ts,
+        |    CASE WHEN s.start_ts IS NOT NULL
+        |          AND e.ts <= s.start_ts + INTERVAL 5 MINUTE
+        |          AND s.a_id IS NOT NULL AND e.event_type = 'signup'
+        |           THEN s.a_id
+        |         WHEN s.start_ts IS NOT NULL
+        |          AND e.ts <= s.start_ts + INTERVAL 5 MINUTE
+        |          AND s.b_id IS NOT NULL AND e.event_type = 'error'
+        |           THEN e.event_id
+        |         ELSE NULL END AS emit_a,
+        |    CASE WHEN s.start_ts IS NOT NULL
+        |          AND e.ts <= s.start_ts + INTERVAL 5 MINUTE
+        |          AND s.a_id IS NOT NULL AND e.event_type = 'signup'
+        |           THEN e.event_id
+        |         WHEN s.start_ts IS NOT NULL
+        |          AND e.ts <= s.start_ts + INTERVAL 5 MINUTE
+        |          AND s.b_id IS NOT NULL AND e.event_type = 'error'
+        |           THEN s.b_id
+        |         ELSE NULL END AS emit_b
+        |  FROM sim s JOIN m e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, emit_a AS error_id, emit_b AS signup_id
+        |FROM sim WHERE emit_a IS NOT NULL
+        |ORDER BY error_id, signup_id""".stripMargin
   )
 }

@@ -132,6 +132,17 @@ object Dedup {
     * factors stay < 2^31 so products fit in a long (no overflow, exactly
     * reproducible in the oracle's BIGINT arithmetic). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val (banded, result) = minhashLshPlanned(s, d)
+    val res = result.localCheckpoint() // materialize the (small) result …
+    banded.unpersist()                 // … so the signature cache frees now
+    res
+  }
+
+  /** The lazy LSH pipeline + its cached signature relation (separate from
+    * [[minhashLsh]] so plan-shape tests can inspect the join strategy
+    * before checkpointing truncates the lineage). */
+  private[graft] def minhashLshPlanned(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val p31 = 2147483647L // 31-bit universe keeps a_i·m inside a long
     // shingle → minhash signatures + band keys in one narrow typed pass
@@ -200,13 +211,14 @@ object Dedup {
       .select("d1", "d2", "sh1", "sh2")
     // exact-Jaccard verification over the sorted hash sets (typed merge
     // scan: O(|A|+|B|) per candidate pair)
-    cand.as[(Long, Long, Array[Long], Array[Long])]
+    val res = cand.as[(Long, Long, Array[Long], Array[Long])]
       .map { case (d1, d2, a, b) =>
         (d1, d2, DedupKernels.jaccardSorted(a, b))
       }
       .toDF("d1", "d2", "j")
       .filter(col("j") >= 0.6)
       .orderBy("d1", "d2")
+    (banded, res)
   }
 
   /** dedup_simhash: 48-bit simhash (majority vote per bit over shingle
@@ -270,15 +282,23 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
     val sets = docs.select("doc_id", "g3")
-    candIds
+    val res = candIds
       .join(sets.toDF("d1", "g3a"), Seq("d1"))
       .join(sets.toDF("d2", "g3b"), Seq("d2"))
+      // necessary condition for j >= 0.5: |A∩B| ≤ min ⇒ j ≤ min/max, so
+      // size-incompatible pairs can be dropped before the O(|A|+|B|)
+      // merge scan (cheap codegen'd filter on array lengths)
+      .filter(least(size(col("g3a")), size(col("g3b"))) * 2 >=
+        greatest(size(col("g3a")), size(col("g3b"))))
       .select("d1", "d2", "g3a", "g3b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (d1, d2, a, b) => (d1, d2, DedupKernels.jaccardSorted(a, b)) }
       .toDF("d1", "d2", "j")
       .filter(col("j") >= 0.5)
       .orderBy("d1", "d2")
+      .localCheckpoint() // materialize, then free the trigram cache
+    docs.unpersist()
+    res
   }
 
   /** dedup_embedding_nn: per-vector EXACT nearest neighbour by cosine.
@@ -322,10 +342,17 @@ object Dedup {
         var bestId = -1L; var bestCos = Double.MinValue
         mat.foreach { case (oid, ov, on) =>
           if (oid != id) {
-            val c = BigDecimal(d(v, ov) / (nv * on))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (c > bestCos || (c == bestCos && oid < bestId)) {
-              bestCos = c; bestId = oid
+            val raw = d(v, ov) / (nv * on)
+            // rounding (BigDecimal, expensive) only when the raw value
+            // could round to >= the current best: raw < best - 5e-7 can
+            // never win, which skips the allocation for ~all of the N
+            // comparisons without changing the rounded-argmax semantics
+            if (raw > bestCos - 6e-7) {
+              val c = BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (c > bestCos || (c == bestCos && oid < bestId)) {
+                bestCos = c; bestId = oid
+              }
             }
           }
         }

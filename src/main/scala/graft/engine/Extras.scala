@@ -94,7 +94,10 @@ object Extras {
       .select(lit("busy_user").as("consumer"),
         col("user_id").cast("string").as("key"),
         col("cnt").cast("double").as("metric"))
-    byType.unionByName(topUsers).orderBy("consumer", "key")
+    val res = byType.unionByName(topUsers).orderBy("consumer", "key")
+      .localCheckpoint() // both consumers have read the window: free it
+    shared.unpersist()
+    res
   }
 
   /** reorder_kslack: `reorder:kslack(ts)` — emit the per-key stream in
@@ -111,8 +114,13 @@ object Extras {
   /** window_expression: `#window.expression('count() < 10 and sum(value)
     * < 800')` — retain-while-predicate window: on each arrival, evict from
     * the front until the retention expression holds again; emit the
-    * occupancy and retained sum per event. Procedural per-key state (no
-    * SQL oracle — rows-only check + golden ScalaTest). */
+    * occupancy and retained sum per event.
+    *
+    * Values are handled as exact integer cents (`round(value*100)`) so the
+    * running add/evict sum is drift-free and the DuckDB oracle reproduces
+    * it exactly: with non-negative values the front pointer has the closed
+    * form `max(rn-8, min f with P[f-1] > P[rn]-80000)` over per-key prefix
+    * sums P — a window-function formulation, no procedural state needed. */
   def expressionWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d)
@@ -122,19 +130,18 @@ object Extras {
       .as[Cep.Ev]
       .groupByKey(_.userId)
       .flatMapGroups { (uid, it) =>
-        val buf = scala.collection.mutable.Queue.empty[Cep.Ev]
-        var sum = 0.0
+        val buf = scala.collection.mutable.Queue.empty[Long]
+        var sum = 0L
         it.toVector.sortBy(e => (e.tsNs, e.eventId)).map { e =>
-          buf.enqueue(e); sum += e.value
-          while (buf.length >= 10 || sum >= 800.0) {
-            sum -= buf.dequeue().value
+          val cents = math.round(e.value * 100)
+          buf.enqueue(cents); sum += cents
+          while (buf.length >= 10 || sum >= 80000L) {
+            sum -= buf.dequeue()
           }
-          (e.eventId, uid, buf.length.toLong,
-            BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
+          (e.eventId, uid, buf.length.toLong, sum)
         }
       }
-      .toDF("event_id", "user_id", "occupancy", "retained_sum")
+      .toDF("event_id", "user_id", "occupancy", "retained_cents")
       .orderBy("event_id")
   }
 
@@ -210,7 +217,38 @@ object Extras {
         |  len(list_filter(str_split(text, ' '),
         |    t -> t IN ('slow', 'error', 'skew'))) AS sentiment
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // window_expression: procedural retention state — rows-only + ScalaTest
+    // window_expression: closed form of the retain-while eviction — with
+    // non-negative integer-cent values, the post-eviction front pointer is
+    // max(rn-8, smallest f with P[f-1] > P[rn]-80000) over per-key prefix
+    // sums (both constraint sets upward-closed, thresholds monotone in rn,
+    // so the greedy one-at-a-time eviction reaches exactly this front)
+    "window_expression" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    sum(CAST(round(value * 100) AS BIGINT))
+        |      OVER (w ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pref AS (
+        |  SELECT user_id, rn AS j, p FROM e
+        |  UNION ALL
+        |  SELECT DISTINCT user_id, 0, 0 FROM e),
+        |f AS (
+        |  SELECT a.user_id, a.event_id, a.rn, a.p,
+        |    count(*) FILTER (WHERE b.p <= a.p - 80000) AS n_fail
+        |  FROM e a JOIN pref b ON a.user_id = b.user_id AND b.j < a.rn
+        |  GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT user_id, event_id, rn, p,
+        |    greatest(rn - 8, 1 + n_fail) AS front
+        |  FROM f)
+        |SELECT g.event_id, g.user_id,
+        |  CAST(g.rn - g.front + 1 AS BIGINT) AS occupancy,
+        |  CAST(g.p - pb.p AS BIGINT) AS retained_cents
+        |FROM g JOIN pref pb ON pb.user_id = g.user_id
+        |  AND pb.j = g.front - 1
+        |ORDER BY g.event_id""".stripMargin,
     "agg_order_limit_offset" ->
       """SELECT user_id, round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id

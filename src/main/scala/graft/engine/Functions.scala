@@ -280,15 +280,15 @@ object Functions {
     "fn_math" ->
       """SELECT event_id,
         |  round(abs(value - 100), 6) AS abs_v,
-        |  ceil(value) AS ceil_v,
-        |  floor(value) AS floor_v,
+        |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+        |  CAST(floor(value) AS BIGINT) AS floor_v,
         |  round(sqrt(abs(value)), 6) AS sqrt_v,
         |  round(exp(-value / 100), 6) AS exp_v,
         |  round(ln(value + 1), 6) AS ln_v,
         |  round(log10(value + 1), 6) AS log10_v,
         |  round(log2(value + 1), 6) AS log2_v,
         |  round(pow(value / 100, 2), 6) AS pow_v,
-        |  sign(value - 100) AS sign_v,
+        |  CAST(sign(value - 100) AS DOUBLE) AS sign_v,
         |  round(sin(value / 100), 6) AS sin_v,
         |  round(radians(value), 6) AS rad_v,
         |  round(value * 1000, 6) AS km_to_m,

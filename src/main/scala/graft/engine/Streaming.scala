@@ -171,28 +171,37 @@ object Streaming {
     val ms = MemoryStream[Ev]
     val q = ms.toDS().writeStream.outputMode("update")
       .foreachBatch { (batch: Dataset[Ev], _: Long) =>
+        // winner struct carries eventId so a tsNs tie resolves by the
+        // later event_id — matching the oracle's ORDER BY ts DESC,
+        // event_id DESC tie-break (not by larger value)
         val delta = batch
           .groupBy(col("userId").as("user_id"))
-          .agg(max(struct(col("tsNs"), col("value"))).as("latest"),
-            count(lit(1)).as("n"))
+          .agg(max(struct(col("tsNs"), col("eventId"), col("value")))
+            .as("latest"), count(lit(1)).as("n"))
           .select(col("user_id"), col("latest.tsNs").as("last_ts_ns"),
+            col("latest.eventId").as("last_eid"),
             col("latest.value").as("last_value"), col("n"))
         val spark = batch.sparkSession
         val merged =
           if (gen == 0) delta
           else {
             val prev = spark.read.parquet(s"$tmp/gen$gen")
+            val uKey = struct(
+              coalesce(col("u.last_ts_ns"), lit(Long.MinValue)),
+              coalesce(col("u.last_eid"), lit(Long.MinValue)))
+            val tKey = struct(
+              coalesce(col("t.last_ts_ns"), lit(Long.MinValue)),
+              coalesce(col("t.last_eid"), lit(Long.MinValue)))
             prev.as("t").join(delta.as("u"),
                 col("t.user_id") === col("u.user_id"), "full_outer")
               .select(
                 coalesce(col("u.user_id"), col("t.user_id")).as("user_id"),
-                greatest(coalesce(col("u.last_ts_ns"), lit(Long.MinValue)),
-                  coalesce(col("t.last_ts_ns"), lit(Long.MinValue)))
-                  .as("last_ts_ns"),
-                when(coalesce(col("u.last_ts_ns"), lit(Long.MinValue)) >=
-                     coalesce(col("t.last_ts_ns"), lit(Long.MinValue)),
-                  col("u.last_value")).otherwise(col("t.last_value"))
-                  .as("last_value"),
+                when(uKey >= tKey, col("u.last_ts_ns"))
+                  .otherwise(col("t.last_ts_ns")).as("last_ts_ns"),
+                when(uKey >= tKey, col("u.last_eid"))
+                  .otherwise(col("t.last_eid")).as("last_eid"),
+                when(uKey >= tKey, col("u.last_value"))
+                  .otherwise(col("t.last_value")).as("last_value"),
                 (coalesce(col("t.n"), lit(0L)) + coalesce(col("u.n"),
                   lit(0L))).as("n"))
           }
@@ -225,9 +234,14 @@ object Streaming {
       .empty[(Long, Long, Double)]
     val ms = MemoryStream[Ev]
     val q = ms.toDS().writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[Ev], id: Long) =>
+      .foreachBatch { (batch: Dataset[Ev], _: Long) =>
+        // batch_id = local counter over NON-EMPTY batches (engine batch ids
+        // also tick on empty micro-batches, which would desync the oracle's
+        // contiguous-chunk reconstruction)
         val r = batch.agg(count(lit(1)), round(sum("value"), 2)).collect()(0)
-        if (r.getLong(0) > 0) { acc += ((id, r.getLong(0), r.getDouble(1))) }
+        if (r.getLong(0) > 0) {
+          acc += ((acc.length.toLong, r.getLong(0), r.getDouble(1)))
+        }
         ()
       }.start()
     rows.grouped(math.max(rows.length / 4, 1)).foreach { g =>

@@ -1,10 +1,11 @@
 package graft.engine.expressions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two array<double>
   * columns — the one operator in this engine hot enough to justify
@@ -24,10 +25,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are guaranteed array<double> by the registering call sites;
-  // (ExpectsInputTypes is sql-package-private in Spark 4.1)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // ExpectsInputTypes is sql-package-private in Spark 4.1, so type
+  // validation lives here: analysis fails with a readable message instead
+  // of a ClassCastException/codegen error at execution time.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -40,7 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += u * v; na += u * u; nb += v * v
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom // zero vector ⇒ 0.0, not NaN
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -61,8 +73,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $v = $y.getDouble($i);
          |  $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double ${dot}_denom =
+         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} =
+         |  ${dot}_denom == 0.0 ? 0.0 : $dot / ${dot}_denom;
        """.stripMargin
     })
 
@@ -72,15 +86,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Arity-checked builder shared by both registration paths. */
+  def build(children: Seq[Expression]): CosineSimilarity = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"cosine_sim expects exactly 2 arguments, got ${children.length}")
+    CosineSimilarity(children(0), children(1))
+  }
+
   /** Idempotently register `cosine_sim` in a session's function registry
     * (the runtime path; library deployments use [[GraftExtensions]] via
     * `spark.sql.extensions`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1)),
-      "built-in")
+      "cosine_sim", build _, "built-in")
 }
 
 /** `spark.sql.extensions` entry point: makes `cosine_sim` (and any future
@@ -94,7 +113,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+      CosineSimilarity.build _))
   }
 }

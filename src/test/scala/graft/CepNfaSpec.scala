@@ -169,6 +169,27 @@ class CepNfaSpec extends AnyFunSuite {
     }
   }
 
+  test("final count-quantified step completes on non-match and at EOS") {
+    // `A<3:>` alone: min satisfied ⇒ a non-matching event closes the run
+    val steps = IndexedSeq(
+      Single("a", (e, _) => e.eventType == "A",
+        min = 3, max = Int.MaxValue))
+    val closedByEvent = matches(steps, spawn = WhenNoneActive)(b =>
+      b("a").map(_.eventId).toList)(
+      ev(1, 0, "A"), ev(2, 1, "A"), ev(3, 2, "A"), ev(4, 3, "A"),
+      ev(5, 4, "X")) // X closes the greedy run with 4 As bound
+    assert(closedByEvent == List(List(1L, 2L, 3L, 4L)))
+    // end-of-stream closes a min-satisfied final step too
+    val closedAtEos = matches(steps, spawn = WhenNoneActive)(b =>
+      b("a").map(_.eventId).toList)(
+      ev(1, 0, "A"), ev(2, 1, "A"), ev(3, 2, "A"))
+    assert(closedAtEos == List(List(1L, 2L, 3L)))
+    // under-min run emits nothing in either mode
+    val underMin = matches(steps, spawn = WhenNoneActive)(b =>
+      b("a").map(_.eventId).toList)(ev(1, 0, "A"), ev(2, 1, "A"))
+    assert(underMin == Nil)
+  }
+
   test("three-step chain A -> B -> C collects all bindings") {
     val steps = IndexedSeq(
       Single("a", (e, _) => e.eventType == "A"),

@@ -44,7 +44,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
-    val p = plan(Dedup.minhashLsh(spark, sf))
+    val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi-join in LSH plan:\n$p")
@@ -109,8 +109,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("occupancy") < 10)
-      assert(r.getAs[Double]("retained_sum") < 800.0)
-      assert(r.getAs[Long]("occupancy") >= 1) // current event always retained
+      assert(r.getAs[Long]("retained_cents") < 80000L)
+      // current event always retained (every single value < the 800 cap)
+      assert(r.getAs[Long]("occupancy") >= 1)
     }
   }
 
