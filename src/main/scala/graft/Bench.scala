@@ -13,6 +13,27 @@ object Bench {
     // optional: query names as args restrict the run (local iteration);
     // the driver invokes with no args = full suite
     val only = args.toSet
+    // one-time warmup: JIT + MicroBatchExecution/state-store class loading
+    // otherwise lands on whichever streaming query happens to run first
+    // (observed ~5-10 s on the first stream_* query, order-dependent)
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, Double)]
+      val q = ms.toDS().groupByKey(_._1)
+        .flatMapGroupsWithState[Double, (Long, Double)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          case (k, it, st) =>
+            val s0 = st.getOption.getOrElse(0.0) + it.map(_._2).sum
+            st.update(s0); Iterator((k, s0))
+        }
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("append").start()
+      ms.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable(); q.stop()
+      spark.sql("DROP TABLE IF EXISTS bench_warmup")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

@@ -146,8 +146,13 @@ object Dedup {
     import s.implicits._
     val p31 = 2147483647L // 31-bit universe keeps a_i·m inside a long
     // shingle → minhash signatures + band keys in one narrow typed pass
-    // (tight primitive loops; HOF exprs would run interpreted, ~50× slower)
+    // (tight primitive loops; HOF exprs would run interpreted, ~50× slower).
+    // The corpus parquet is one small file = ONE scan partition, which
+    // would run this CPU-bound kernel single-threaded — repartition to the
+    // core count first (at real scale the scan has many splits already;
+    // the rule stands: size partitions to cores for kernel stages).
     val banded = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -201,9 +206,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    // re-attach the sets only to surviving candidate pairs
+    // re-attach the sets only to surviving candidate pairs. The candidate
+    // list is tiny (LSH-surviving pairs) but join-derived, so its size
+    // estimate is unknown — broadcast it explicitly rather than letting
+    // the planner shuffle+sort the wide shingle-set relation twice.
     val sets = banded.select(col("doc_id"), col("sh"))
-    val cand = candIds
+    val cand = broadcast(candIds)
       .join(sets.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("sh", "sh1"), Seq("d1"))
       .join(sets.withColumnRenamed("doc_id", "d2")
@@ -229,6 +237,7 @@ object Dedup {
     import s.implicits._
     val docs = documents(s, d)
       .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, DedupKernels.simhash48(DedupKernels.shingleSet(text)))
@@ -267,38 +276,50 @@ object Dedup {
         " - 2, 1)), i -> xxhash64(concat_ws(' ', slice(split(text, ' '), " +
         "i, 3)))))")
     // each doc keys into its own and the next bucket, so every pair with
-    // |Δn_chars| ≤ 25 meets in some bucket (no boundary misses) while the
-    // join stays an equi-join on the bucket key
+    // |Δn_chars| ≤ 25 meets in some bucket (no boundary misses). A pair
+    // meets in EXACTLY the bucket greatest(blkA, blkB) (equal blocks share
+    // both buckets but greatest picks one; adjacent blocks share only the
+    // higher), so that in-loop predicate dedups pairs with no shuffle.
+    // Execution: shuffle the O(n) docs (with trigram arrays) once by
+    // bucket, then run the O(block²) pair loop INSIDE flatMapGroups —
+    // each doc's array deserializes once per bucket, not once per pair,
+    // and no candidate-pair rows ever materialize; only survivors are
+    // emitted. The cheap size-ratio test (j ≥ 0.5 ⇒ min/max ≥ 0.5) gates
+    // the O(|A|+|B|) merge scan.
     import s.implicits._
-    val docs = documents(s, d)
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
       .select(col("doc_id"), (col("n_chars") / 25).cast("int").as("blk"),
-        array_sort(grams).as("g3")).cache()
-    val keyed = docs
+        array_sort(grams).as("g3"))
       .withColumn("bkey", explode(array(col("blk"), col("blk") + 1)))
-      .select("doc_id", "bkey") // skinny: no arrays through the pair join
-    val candIds = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .dropDuplicates("d1", "d2")
-    val sets = docs.select("doc_id", "g3")
-    val res = candIds
-      .join(sets.toDF("d1", "g3a"), Seq("d1"))
-      .join(sets.toDF("d2", "g3b"), Seq("d2"))
-      // necessary condition for j >= 0.5: |A∩B| ≤ min ⇒ j ≤ min/max, so
-      // size-incompatible pairs can be dropped before the O(|A|+|B|)
-      // merge scan (cheap codegen'd filter on array lengths)
-      .filter(least(size(col("g3a")), size(col("g3b"))) * 2 >=
-        greatest(size(col("g3a")), size(col("g3b"))))
-      .select("d1", "d2", "g3a", "g3b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (d1, d2, a, b) => (d1, d2, DedupKernels.jaccardSorted(a, b)) }
+      .select(col("bkey"), col("doc_id"), col("blk"), col("g3"))
+      .as[(Int, Long, Int, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (bkey, it) =>
+        val ds = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ds.length) {
+          var k = i + 1
+          while (k < ds.length) {
+            val (x, y) = if (ds(i)._2 < ds(k)._2) (ds(i), ds(k))
+                         else (ds(k), ds(i))
+            if (bkey == math.max(x._3, y._3)) {
+              val la = x._4.length; val lb = y._4.length
+              if (math.min(la, lb) * 2 >= math.max(la, lb)) {
+                val j = DedupKernels.jaccardSorted(x._4, y._4)
+                if (j >= 0.5) out += ((x._2, y._2, j))
+              }
+            }
+            k += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
       .toDF("d1", "d2", "j")
-      .filter(col("j") >= 0.5)
       .orderBy("d1", "d2")
-      .localCheckpoint() // materialize, then free the trigram cache
-    docs.unpersist()
-    res
   }
 
   /** dedup_embedding_nn: per-vector EXACT nearest neighbour by cosine.
@@ -318,6 +339,7 @@ object Dedup {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
       .as[(Long, Array[Double])]
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
