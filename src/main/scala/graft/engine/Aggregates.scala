@@ -141,7 +141,22 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
+  /** Grouping-sets upgrade (ABSENT in Siddhi — SURVEY §2.4 free upgrade):
+    * CUBE over (event_type, value band) with grouping_id disambiguating
+    * the NULL-as-ALL rows. One pass, partial-aggregated per grouping set. */
+  def rollupCube(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("band", when(col("value") < 100, "lo").otherwise("hi"))
+      .cube(col("event_type"), col("band"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("band"), lit("ALL")).as("band"),
+        col("gid"), col("n"), col("sum_value"))
+      .orderBy("gid", "etype", "band")
+
   val queries: Map[String, Q] = Map(
+    "agg_rollup_cube"     -> (rollupCube _),
     "agg_timeseries_regress" -> (timeseriesRegress _),
     "agg_basic"            -> (aggBasic _),
     "agg_distinctcount"    -> (distinctCount _),
@@ -155,6 +170,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_rollup_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |  coalesce(band, 'ALL') AS band,
+        |  CAST(GROUPING(event_type, band) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT event_type,
+        |    CASE WHEN value < 100 THEN 'lo' ELSE 'hi' END AS band, value
+        |  FROM events)
+        |GROUP BY CUBE(event_type, band)
+        |ORDER BY gid, etype, band""".stripMargin,
     "agg_timeseries_regress" ->
       """SELECT user_id,
         |  round(covar_pop((epoch_ns(ts) - 1704067200000000000) / 1e9, value) /

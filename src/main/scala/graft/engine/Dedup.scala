@@ -383,12 +383,51 @@ object Dedup {
     }.toDF("vec_id", "nn_id", "nn_cos").orderBy("vec_id")
   }
 
+  /** dedup_components: near-dup CLUSTERS — connected components over the
+    * LSH dup-pair graph, so each group of transitively-linked documents
+    * gets one canonical keeper (min doc_id) instead of a bag of pairs.
+    *
+    * Execution: iterative min-label propagation over the edge list
+    * (labels ⊳ edges join + min-aggregate per round, converging in
+    * O(diameter) rounds — the standard distributed CC shape; large-star/
+    * small-star halves rounds at extreme scale but the join kernel is the
+    * same). Edge lists are localCheckpoint'd so per-round lineage stays
+    * flat. Deterministic: labels are min doc ids. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val (banded, pairsDf) = minhashLshPlanned(s, d)
+    val base = pairsDf.select(col("d1"), col("d2")).localCheckpoint()
+    banded.unpersist()
+    val edges = base
+      .unionByName(base.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    var changed = true
+    while (changed) {
+      val viaEdges = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("lab"))
+      val prop = viaEdges.unionByName(labels.select("node", "lab"))
+        .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
+      changed = prop.as("p")
+        .join(labels.as("l"), col("p.node") === col("l.node"))
+        .filter(col("p.lab") =!= col("l.lab"))
+        .limit(1).count() > 0
+      labels = prop
+    }
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("doc_id"), col("lab").as("component_id"),
+        col("component_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_embedding_nn"  -> (embeddingNn _)
+    "dedup_embedding_nn"  -> (embeddingNn _),
+    "dedup_components"    -> (components _)
   )
 
   private val shinglesSql =
@@ -440,6 +479,29 @@ object Dedup {
         |  FROM g a JOIN g b ON abs(a.blk - b.blk) <= 1
         |    AND a.doc_id < b.doc_id) t
         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // same brute-force pair truth as dedup_minhash_lsh, closed transitively
+    // by a recursive reachability CTE; component id = min reachable doc id
+    "dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, $shinglesSql AS tk FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+        |    len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.6),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(r) AS component_id FROM reach
+        |  GROUP BY node),
+        |sz AS (SELECT component_id, count(*) AS component_size FROM comp
+        |  GROUP BY 1)
+        |SELECT c.node AS doc_id, c.component_id, s.component_size
+        |FROM comp c JOIN sz s USING (component_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding_nn" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

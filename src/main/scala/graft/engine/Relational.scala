@@ -108,6 +108,77 @@ object Relational {
       .agg(count(lit(1)).as("n_richer_suppliers"))
       .orderBy("c_custkey")
 
+  /** Right-outer join (Siddhi `right outer join`): every customer keeps a
+    * row even with no orders — the mirror of [[joinLeftOuter]], exercising
+    * the planner's right-side-preserving path. */
+  def joinRightOuter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"),
+        "right_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(max(coalesce(col("o_totalprice"), lit(0.0))), 2)
+          .as("max_order"))
+      .orderBy("c_custkey")
+
+  /** As-of join (absent in Siddhi; the classic event↔latest-state lookup).
+    * For each purchase: the most recent error of the same user at or
+    * before it.
+    *
+    * Scalable formulation: NOT a range join (which explodes to
+    * O(pairs-in-range) and at 100 TB to a broadcast-nested-loop) — tag
+    * both sides, union, and take `last(error_id) ignore nulls` over a
+    * per-user (ts, side) window: one shuffle on the user key, linear work,
+    * identical partitioning to every other per-key operator here. Errors
+    * are pre-deduped per (user, ts) to keep the tie-break deterministic. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val err = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts_ns")
+      .agg(max("event_id").as("err_id"))
+      .select(col("user_id"), col("ts_ns"), col("err_id"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"),
+        lit(null).cast("long").as("err_id"), lit(1).as("side"),
+        col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "side")
+      .rowsBetween(Long.MinValue, 0)
+    err.unionByName(pur)
+      .withColumn("asof_error_id", last("err_id", ignoreNulls = true).over(w))
+      .withColumn("asof_error_ts_ns",
+        last(when(col("side") === 0, col("ts_ns")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("asof_error_id"),
+        (expr("ts_ns div 1000000") - expr("asof_error_ts_ns div 1000000"))
+          .as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  /** Bloom-filter semi join — the 100 TB join-pruning pattern: build a
+    * Bloom filter over the small side's keys (one aggregate), prune the
+    * big side with `might_contain` BEFORE the shuffle, then exact
+    * semi-join the survivors. False positives cost only wasted shuffle
+    * rows, never wrong results, so the output equals the plain semi join
+    * and the oracle checks it exactly. */
+  def joinBloomSemi(s: SparkSession, d: String): DataFrame = {
+    val rich = customer(s, d).filter(col("c_acctbal") > 9000)
+      .select("c_custkey")
+    // distributed build via stat.bloomFilter (one aggregation of the small
+    // side, merged on the driver — the same prep cost as a broadcast-join
+    // build), then shipped to every task as a broadcast variable
+    val bf = rich.stat.bloomFilter("c_custkey", 10000L, 0.01)
+    val bcBf = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bcBf.value.mightContainLong(k))
+    orders(s, d)
+      .filter(mightContain(col("o_custkey")))
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
   /** Union (Siddhi: N queries inserting into one stream). */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
@@ -142,7 +213,10 @@ object Relational {
     "join_full_outer"        -> (joinFullOuter _),
     "join_theta"             -> (joinTheta _),
     "setop_union"            -> (setopUnion _),
-    "setop_intersect_except" -> (setopIntersectExcept _)
+    "setop_intersect_except" -> (setopIntersectExcept _),
+    "join_right_outer"       -> (joinRightOuter _),
+    "join_asof"              -> (joinAsof _),
+    "join_bloom_semi"        -> (joinBloomSemi _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -192,6 +266,31 @@ object Relational {
         |SELECT event_id, event_type, value FROM events
         |WHERE event_type = 'purchase' AND value > 150
         |ORDER BY event_id""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(max(coalesce(o_totalprice, 0.0)), 2) AS max_order
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_asof" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, max(event_id) AS err_id FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts),
+        |pur AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  e.err_id AS asof_error_id,
+        |  epoch_ms(p.ts) - epoch_ms(e.ts) AS gap_ms
+        |FROM pur p ASOF LEFT JOIN err e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // bloom prune never changes the result (FPs verified by the exact
+    // join), so the oracle is the plain semi join
+    "join_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
     "setop_intersect_except" ->
       """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
         |     erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')

@@ -60,6 +60,23 @@ object Windows {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "sess_start_ms")
 
+  /** Dynamic-gap session window (beyond Siddhi's fixed gap): the gap is a
+    * per-event EXPRESSION — purchases hold a session open 20 minutes,
+    * everything else 10 — via `session_window(ts, gapExpr)` (Spark-native
+    * dynamic sessionization; same one-shuffle hash-agg shape as the fixed
+    * version). */
+  def sessionDynamic(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", "20 minutes")
+            .otherwise("10 minutes")).as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("sess_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start_ms")
+
   /** `#window.lengthBatch(50)` per key — tumbling count window: batch id =
     * floor(rank/50) over per-user event order. */
   def lengthBatch(s: SparkSession, d: String): DataFrame = {
@@ -134,7 +151,8 @@ object Windows {
     "window_sort_topk"       -> (sortTopK _),
     "window_delay"           -> (delay _),
     "window_unique_first"    -> (uniqueFirst _),
-    "window_external_time"   -> (externalTimeBatch _)
+    "window_external_time"   -> (externalTimeBatch _),
+    "window_session_dynamic" -> (sessionDynamic _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +165,35 @@ object Windows {
         |  event_type, count(*) AS cnt
         |FROM events CROSS JOIN (SELECT unnest(range(0, 5)) AS i) o
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dynamic gap: session end extends to the RUNNING MAX of (ts + gap)
+    // over all earlier members (intervals [ts, ts+gap] merge on overlap),
+    // so the boundary test is ts > cummax(prev ends), not a lag diff
+    "window_session_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 20 MINUTE
+        |      ELSE INTERVAL 10 MINUTE END AS w_end
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM g),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_ms(min(ts)) AS sess_start_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_ms""".stripMargin,
     "window_session" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -43,6 +43,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("join_asof: window formulation ≡ naive range join, no BNLJ in plan") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.joinAsof(spark, sf)
+    // the scalable formulation must not plan a nested-loop/cartesian join
+    val p = plan(got)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"range-join shape:\n$p")
+    // naive truth: max prior-or-equal error per purchase via range join
+    val ev = Tables.events(spark, sf)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts_ns").as("e_ts"),
+        col("event_id").as("e_id"))
+    val naive = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+      .join(err, col("user_id") === col("e_user") &&
+        col("e_ts") <= col("ts_ns"), "left_outer")
+      .groupBy("purchase_id", "user_id", "ts_ns")
+      .agg(max(struct(col("e_ts"), col("e_id"))).as("best"))
+      .select(col("purchase_id"), col("user_id"),
+        col("best.e_id").as("asof_error_id"),
+        (expr("ts_ns div 1000000") - expr("best.e_ts div 1000000"))
+          .as("gap_ms"))
+      .orderBy("purchase_id")
+    assert(got.collect().toSeq == naive.collect().toSeq)
+  }
+
+  test("dedup_components: labels are a closed fixpoint with min ids") {
+    val rows = Dedup.components(spark, sf).collect()
+    val lab = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component id is the min doc id of the component and ≤ every member
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+    // closed under the edge set: both endpoints of every dup pair share
+    // a component
+    val (banded, pairs) = Dedup.minhashLshPlanned(spark, sf)
+    pairs.select("d1", "d2").collect().foreach { r =>
+      assert(lab(r.getLong(0)) == lab(r.getLong(1)))
+    }
+    banded.unpersist()
+  }
+
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
     val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
