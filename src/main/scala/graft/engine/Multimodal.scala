@@ -77,13 +77,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm_frame_sample: frame sampling as a 1→N operator — every "video"
+    * payload explodes into one row per sampled frame (stride 16; a real
+    * codec would seek keyframes at the same call site). Typed flatMap =
+    * the Spark UDTF shape; stays narrow, no shuffle. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    records(s, d)
+      .filter(_.kind == "video")
+      .flatMap { r =>
+        r.payload.indices.by(16).zipWithIndex.map { case (off, i) =>
+          (r.doc_id, i.toLong, off.toLong, (r.payload(off) & 0xff).toLong)
+        }
+      }
+      .toDF("doc_id", "frame_no", "byte_off", "frame_val")
+      .orderBy("doc_id", "frame_no")
+  }
+
   val queries: Map[String, Q] = Map(
-    "mm_decode_features" -> (decodeFeatures _)
+    "mm_decode_features" -> (decodeFeatures _),
+    "mm_frame_sample"    -> (frameSample _)
   )
 
   // Oracle: the text corpus is pure ASCII, so payload bytes ≡ ascii codes —
   // the fake decode is exactly reproducible from the text column.
   val oracle: Map[String, String] = Map(
+    // kind == 'video' ⇔ doc_id % 3 = 2 (see records()); ASCII text makes
+    // the payload bytes exactly reproducible from the text column
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((u.i - 1) // 16 AS BIGINT) AS frame_no,
+        |  CAST(u.i - 1 AS BIGINT) AS byte_off,
+        |  ascii(substr(text, u.i::INTEGER, 1))::BIGINT AS frame_val
+        |FROM documents, unnest(range(1, length(text) + 1, 16)) AS u(i)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id,
         |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER] AS kind,

@@ -80,16 +80,77 @@ object TextAnalysis {
       .select("doc_id", "rolling_fp", "canonical_fp")
       .orderBy("doc_id")
 
+  /** text_winnow: winnowing fingerprints (the MOSS scheme): 48-bit md5
+    * hashes of char-5-grams, sliding window of 4, keep each window's
+    * minimum, fingerprint set = distinct selected minima. Guarantees any
+    * shared substring ≥ 8 chars yields a shared fingerprint — the
+    * standard local-dedup/plagiarism primitive. Typed per-row kernel
+    * (md5 loop), one scan, spread across cores. */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val n = math.max(text.length - 4, 1)
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hs(i) = DedupKernels.md5Int48(
+            text.substring(i, math.min(i + 5, text.length)))
+          i += 1
+        }
+        val w = 4
+        val nw = math.max(n - w + 1, 1)
+        val sel = new scala.collection.mutable.LinkedHashSet[Long]
+        var j = 0
+        while (j < nw) {
+          var mn = Long.MaxValue
+          var k = j
+          val end = math.min(j + w, n)
+          while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
+          sel += mn
+          j += 1
+        }
+        val fps = sel.toArray
+        (id, n.toLong, fps.length.toLong, fps.sum, fps.min)
+      })
+      .toDF("doc_id", "n_grams", "n_fp", "fp_sum", "fp_min")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokens _),
-    "text_fingerprint" -> (fingerprint _)
+    "text_fingerprint" -> (fingerprint _),
+    "text_winnow"      -> (winnow _)
   )
 
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // 48-bit md5 gram hash ≡ CAST('0x'||substr(md5(g),1,12) AS BIGINT);
+    // window minima via list slicing; fingerprint set = distinct minima
+    "text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i::INTEGER, 5)),
+        |        1, 12)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(hs) AS n_grams,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+        |      j -> list_aggregate(hs[j:least(j + 3, len(hs))], 'min')))
+        |      AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum,
+        |  CAST(list_aggregate(fps, 'min') AS BIGINT) AS fp_min
+        |FROM w ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
         |  CASE WHEN round(len(list_filter(str_split(text, ' '),

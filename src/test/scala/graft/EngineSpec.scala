@@ -69,6 +69,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().toSeq == naive.collect().toSeq)
   }
 
+  test("salted two-phase aggregation ≡ direct aggregation under skew") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB skew pattern: a hot key takes 90% of rows — salt the
+    // first aggregation with a shard suffix, then merge partials. The
+    // result must be identical to the direct groupBy (sums of longs
+    // commute exactly; float aggs would need the same plan shape).
+    val ev = Tables.events(spark, sf)
+      .withColumn("k", when(col("user_id") % 10 =!= 0, lit(0L))
+        .otherwise(col("user_id"))) // hot key 0
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+    val direct = ev.groupBy("k")
+      .agg(sum("cents").as("c"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val salted = ev
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("k", "salt") // phase 1: 16-way split of the hot key
+      .agg(sum("cents").as("pc"), count(lit(1)).as("pn"))
+      .groupBy("k") // phase 2: merge partials
+      .agg(sum("pc").as("c"), sum("pn").as("n"))
+      .orderBy("k").collect().toSeq
+    assert(direct.nonEmpty && salted == direct)
+  }
+
   test("dedup_components: labels are a closed fixpoint with min ids") {
     val rows = Dedup.components(spark, sf).collect()
     val lab = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

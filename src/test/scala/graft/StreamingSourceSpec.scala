@@ -41,4 +41,42 @@ class StreamingSourceSpec extends AnyFunSuite {
       .orderBy("w_start_ms").collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("checkpoint recovery: restart resumes exactly-once, no reprocessing") {
+    // Siddhi's SnapshotService persistence ≡ Structured Streaming
+    // checkpointing (SURVEY §2.7): a query killed between batches must
+    // resume from its checkpoint and process each input file exactly once.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_st")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // stage the source as two files fed in two separate query lifetimes
+    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    all.filter(col("event_id") % 2 === 0).write
+      .parquet(s"$srcDir/part_a")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/part_*")
+        .select("event_id", "user_id", "value")
+        .writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // lifetime 1: processes part_a, then terminates
+    all.filter(col("event_id") % 2 === 1).write
+      .parquet(s"$srcDir/part_b")
+    runOnce() // lifetime 2: resumes from checkpoint, processes ONLY part_b
+    val out = spark.read.parquet(outDir.toString)
+    // exactly-once across the restart: every event exactly one output row
+    assert(out.count() == all.count())
+    assert(out.select("event_id").distinct().count() == all.count())
+  }
 }
