@@ -113,6 +113,21 @@ object Ops {
       .orderBy("event_id")
   }
 
+  /** rate_limit_events: `output first every 3 events` — the COUNT-based
+    * rate limiter (vs [[rateLimit]]'s time-based one): per key, emit the
+    * first of every 3 consecutive events with its chunk's size. */
+  def rateLimitEvents(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chunk", ((col("rn") - 1) / 3).cast("long"))
+      .groupBy("user_id", "chunk")
+      .agg(min_by(col("event_id"), col("rn")).as("first_id"),
+        count(lit(1)).as("chunk_n"))
+      .orderBy("user_id", "chunk")
+  }
+
   /** trigger_gapfill: `define trigger T at every 10 min` joined against
     * the event stream — emits every interval in the data's time span,
     * zero-filled where no events arrived (the Siddhi trigger+join idiom;
@@ -158,6 +173,7 @@ object Ops {
     "partition_per_key"    -> (partitionPerKey _),
     "partition_range"      -> (partitionRange _),
     "rate_limit"           -> (rateLimit _),
+    "rate_limit_events"    -> (rateLimitEvents _),
     "rate_limit_snapshot"  -> (rateLimitSnapshot _),
     "fault_stream"         -> (faultStream _),
     "trigger_gapfill"      -> (triggerGapfill _),
@@ -180,6 +196,16 @@ object Ops {
         |  count(*) AS n, round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rate_limit_events" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events)
+        |SELECT user_id, CAST((rn - 1) // 3 AS BIGINT) AS chunk,
+        |  min_by(event_id, rn) AS first_id, count(*) AS chunk_n
+        |FROM seq GROUP BY user_id, 2
+        |ORDER BY user_id, chunk""".stripMargin,
     "rate_limit" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id,
