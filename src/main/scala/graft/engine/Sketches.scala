@@ -169,14 +169,101 @@ object Sketches {
           col("n_exact") * 0.1).as("within_10pct"))
       .orderBy("event_type")
 
+  /** `approximate:similarity` — MinHash ESTIMATE of Jaccard similarity
+    * (vs Dedup's exact-verify LSH): 16 universal-hash minima per doc over
+    * md5-derived 48-bit shingle hashes; estimate = matching components /
+    * 16. Every hash is md5-derived, so the DuckDB oracle reproduces the
+    * signatures (and hence the estimates) bit-for-bit — the estimator
+    * itself is under the correctness gate, not just its bounds. Pairs are
+    * length-block candidates (same blocking as dedup_ngram_jaccard);
+    * output keeps estimates ≥ 4/16. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p31 = 2147483647L
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("n_chars") / 25).cast("int").as("blk"),
+        col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Int, String)]
+      .mapPartitions(_.map { case (id, blk, text) =>
+        val n = math.max(text.length - 4, 1)
+        val hs = new scala.collection.mutable.HashSet[Long]
+        var i = 0
+        while (i < n) {
+          hs += DedupKernels.md5Int48(
+            text.substring(i, math.min(i + 5, text.length))) % p31
+          i += 1
+        }
+        val mh = hs.toArray
+        val sig = new Array[Long](16)
+        var k = 0
+        while (k < 16) {
+          val a = math.floorMod(2654435761L * (k + 1), p31)
+          val b = math.floorMod(40503L * (k + 1) * (k + 1) + 17, p31)
+          var mn = Long.MaxValue
+          var j = 0
+          while (j < mh.length) {
+            val v = (a * mh(j) + b) % p31
+            if (v < mn) mn = v
+            j += 1
+          }
+          sig(k) = mn
+          k += 1
+        }
+        (id, blk, sig)
+      })
+      .toDF("doc_id", "blk", "sig")
+      .withColumn("bkey", explode(array(col("blk"), col("blk") + 1)))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.bkey") === greatest(col("a.blk"), col("b.blk")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        // unrolled component match-count: 16 codegen'd comparisons
+        // (a HOF filter would evaluate interpreted per candidate pair)
+        ((1 to 16).map(i =>
+          when(element_at(col("a.sig"), i) === element_at(col("b.sig"), i),
+            1).otherwise(0)).reduce(_ + _) / 16.0).as("j_est"))
+      .filter(col("j_est") >= 0.25)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
-    "sketch_frequent_mg"     -> (frequentMg _),
-    "sketch_lossy"           -> (lossy _),
-    "sketch_countmin"        -> (countMin _),
-    "sketch_approx_distinct" -> (approxDistinct _)
+    "sketch_frequent_mg"       -> (frequentMg _),
+    "sketch_lossy"             -> (lossy _),
+    "sketch_countmin"          -> (countMin _),
+    "sketch_approx_distinct"   -> (approxDistinct _),
+    "sketch_minhash_estimate"  -> (minhashEstimate _)
   )
 
   val oracle: Map[String, String] = Map(
+    // signatures reproduced exactly: md5-derived 48-bit shingle hashes mod
+    // p31, then the same 16 universal-hash permutations; j_est is k/16 —
+    // exact in binary, no rounding needed
+    "sketch_minhash_estimate" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(n_chars // 25 AS INTEGER) AS blk,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i::INTEGER, 5)),
+        |        1, 12)) AS BIGINT) % 2147483647)) AS mh
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, blk,
+        |    list_transform(range(1, 17), k ->
+        |      list_aggregate(list_transform(mh, m ->
+        |        (((2654435761 * k) % 2147483647) * m +
+        |         ((40503 * k * k + 17) % 2147483647)) % 2147483647),
+        |        'min')) AS sig
+        |  FROM h)
+        |SELECT d1, d2, j_est FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_filter(range(1, 17),
+        |      i -> a.sig[i::INTEGER] = b.sig[i::INTEGER])) / 16.0 AS j_est
+        |  FROM s a JOIN s b ON abs(a.blk - b.blk) <= 1
+        |    AND a.doc_id < b.doc_id) t
+        |WHERE j_est >= 0.25 ORDER BY d1, d2""".stripMargin,
     "sketch_frequent_mg" ->
       """SELECT event_type, user_id, count(*) AS est_count FROM events
         |GROUP BY event_type, user_id HAVING count(*) >= 10

@@ -112,6 +112,19 @@ object Windows {
       .orderBy("user_id", "rk")
   }
 
+  /** `extrema:bottomK` — the mirror of [[sortTopK]]: per-key bottom-3 by
+    * value (two-phase at scale exactly like top-K: partition-local rank,
+    * tiny global survivors). */
+  def sortBottomK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").asc, col("event_id"))
+    events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("user_id", "rk", "event_id", "value")
+      .orderBy("user_id", "rk")
+  }
+
   /** `#window.delay(5 min)` — events re-timestamped T later. */
   def delay(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -149,6 +162,7 @@ object Windows {
     "window_length_batch"    -> (lengthBatch _),
     "window_length_sliding"  -> (lengthSliding _),
     "window_sort_topk"       -> (sortTopK _),
+    "window_sort_bottomk"    -> (sortBottomK _),
     "window_delay"           -> (delay _),
     "window_unique_first"    -> (uniqueFirst _),
     "window_external_time"   -> (externalTimeBatch _),
@@ -230,6 +244,14 @@ object Windows {
         |  SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT user_id, rk, event_id, value FROM ranked
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "window_sort_bottomk" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value ASC, event_id) AS rk
         |  FROM events)
         |SELECT user_id, rk, event_id, value FROM ranked
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,

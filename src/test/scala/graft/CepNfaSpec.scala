@@ -190,6 +190,67 @@ class CepNfaSpec extends AnyFunSuite {
     assert(underMin == Nil)
   }
 
+  test("property: NFA (A and B) within T ≡ sequential reference (random)") {
+    val T = 10L * SEC
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("A", "B", "C")
+      var t = 0L
+      val evs = (0 until (5 + rnd.nextInt(50))).map { i =>
+        t += 1 + rnd.nextInt(8)
+        ev(i.toLong, t, types(rnd.nextInt(3)))
+      }
+      val nfa = matches(IndexedSeq(
+          BothOf("a", (e, _) => e.eventType == "A",
+                 "b", (e, _) => e.eventType == "B")),
+        within = Some(T), spawn = WhenNoneActive)(b =>
+        (b("a").head.eventId, b("b").head.eventId))(evs: _*)
+      // independent reference: one-run state machine with restart-bind
+      var state: Option[(String, Long, Long)] = None // (boundType, id, ts)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      evs.foreach { e =>
+        val alive = state.exists { case (_, _, st) => e.tsNs <= st + T }
+        state match {
+          case Some(("A", aid, _)) if alive && e.eventType == "B" =>
+            out += ((aid, e.eventId)); state = Some(("B", e.eventId, e.tsNs))
+          case Some(("B", bid, _)) if alive && e.eventType == "A" =>
+            out += ((e.eventId, bid)); state = Some(("A", e.eventId, e.tsNs))
+          case Some(_) if alive => () // same branch or C: ignored
+          case _ => // idle or expired: spawn on a matching event
+            if (e.eventType == "A") state = Some(("A", e.eventId, e.tsNs))
+            else if (e.eventType == "B") state = Some(("B", e.eventId, e.tsNs))
+        }
+      }
+      assert(nfa == out.toList, s"seed=$seed")
+    }
+  }
+
+  test("property: NFA A -> (B or C) ≡ brute-force first-of-either (random)") {
+    val T = 10L * SEC
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(seed + 1000)
+      val types = Array("A", "B", "C", "D")
+      var t = 0L
+      val evs = (0 until (5 + rnd.nextInt(50))).map { i =>
+        t += 1 + rnd.nextInt(8)
+        ev(i.toLong, t, types(rnd.nextInt(4)))
+      }
+      val nfa = matches(IndexedSeq(
+          Single("a", (e, _) => e.eventType == "A"),
+          EitherOf("b", (e, _) => e.eventType == "B",
+                   "c", (e, _) => e.eventType == "C")),
+        within = Some(T), spawn = EveryMatch)(b =>
+        (b("a").head.eventId,
+          b.get("b").orElse(b.get("c")).get.head.eventId))(evs: _*)
+      val want = evs.filter(_.eventType == "A").flatMap { a =>
+        evs.find(x => (x.eventType == "B" || x.eventType == "C") &&
+          x.tsNs > a.tsNs && x.tsNs <= a.tsNs + T)
+          .map(x => (a.eventId, x.eventId))
+      }.toList
+      assert(nfa.sorted == want.sorted, s"seed=$seed")
+    }
+  }
+
   test("three-step chain A -> B -> C collects all bindings") {
     val steps = IndexedSeq(
       Single("a", (e, _) => e.eventType == "A"),
