@@ -181,7 +181,20 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** mapper_binary_roundtrip: the `siddhi-map-binary` shape — string →
+    * UTF-8 bytes → base64 wire form → back; payload sizing in bytes
+    * (BinaryType end-to-end through codegen'd expressions). */
+  def binaryRoundtrip(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      base64(encode(col("event_type"), "UTF-8")).as("b64"),
+      decode(unbase64(base64(encode(col("event_type"), "UTF-8"))), "UTF-8")
+        .as("roundtrip"),
+      length(encode(col("props"), "UTF-8")).as("payload_bytes"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "mapper_binary_roundtrip" -> (binaryRoundtrip _),
     "markov_transitions"    -> (markovTransitions _),
     "text_sentiment"        -> (sentimentScore _),
     "window_expression"     -> (expressionWindow _),
@@ -255,6 +268,12 @@ object Extras {
         |ORDER BY total_value DESC, user_id LIMIT 10 OFFSET 5""".stripMargin,
     "mapper_json_roundtrip" ->
       """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "mapper_binary_roundtrip" ->
+      """SELECT event_id,
+        |  to_base64(encode(event_type)) AS b64,
+        |  event_type AS roundtrip,
+        |  octet_length(encode(props)) AS payload_bytes
         |FROM events ORDER BY event_id""".stripMargin,
     "mapper_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type FROM events

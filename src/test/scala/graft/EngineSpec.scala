@@ -69,6 +69,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().toSeq == naive.collect().toSeq)
   }
 
+  test("cosine_sim: arity/type validation and zero-vector handling") {
+    engine.expressions.CosineSimilarity.register(spark)
+    // wrong arity fails at function-resolution time with a clear message
+    val e1 = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(1.0d))").collect())
+    assert(e1.getMessage.contains("2"), e1.getMessage)
+    // wrong input type fails ANALYSIS (readable), not execution (CCE)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT cosine_sim('a', 'b')").collect())
+    assert(e2.getMessage.toLowerCase.contains("array"), e2.getMessage)
+    // zero vector ⇒ 0.0 (not NaN) in interpreted eval and codegen alike
+    val z = spark.sql(
+      "SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("plan sweep: no batch query plans a cartesian product") {
+    // systematic 100 TB guard across the whole registry: an accidental
+    // CartesianProduct (or unintended nested-loop join) in ANY batch
+    // operator would explode at scale. Nested-loop BY DESIGN (broadcast
+    // small side, so a scan — not a shuffled cartesian): join_theta
+    // (arbitrary non-equi condition), sim_topk_brute (exact NN must scan
+    // query×corpus), sim_topk_ivf (centroid assignment compares every
+    // vector to the broadcast centroid set).
+    val nestedLoopByDesign =
+      Set("join_theta", "sim_topk_brute", "sim_topk_ivf")
+    val batchQueries =
+      Relational.queries ++ Windows.queries ++ Aggregates.queries ++
+        Functions.queries ++ Cep.queries ++ Similarity.queries ++
+        TextAnalysis.queries ++ Multimodal.queries ++ Sketches.queries ++
+        Ops.queries ++ Extras.queries
+    val offenders = batchQueries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = plan(fn(spark, sf))
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopByDesign(name)
+        if (cart || bnlj) Some(s"$name (cart=$cart bnlj=$bnlj)") else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile plans: $offenders")
+  }
+
   test("salted two-phase aggregation ≡ direct aggregation under skew") {
     import org.apache.spark.sql.functions._
     // the 100 TB skew pattern: a hot key takes 90% of rows — salt the
