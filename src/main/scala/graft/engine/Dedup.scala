@@ -421,7 +421,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_keeper_filter: the end of the dedup pipeline — the corpus
+    * AFTER near-dup removal: every document not in any dup component, plus
+    * each component's canonical keeper (min doc_id). This is the actual
+    * "training set post-dedup" a pipeline materializes. */
+  def keeperFilter(s: SparkSession, d: String): DataFrame = {
+    val comp = components(s, d)
+      .select(col("doc_id"), col("component_id"))
+    documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .filter(col("component_id").isNull ||
+        col("component_id") === col("doc_id"))
+      .select(col("doc_id"),
+        when(col("component_id").isNull, "unique").otherwise("keeper")
+          .as("keep_reason"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_keeper_filter" -> (keeperFilter _),
     "dedup_exact"         -> (exact _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
@@ -479,6 +497,28 @@ object Dedup {
         |  FROM g a JOIN g b ON abs(a.blk - b.blk) <= 1
         |    AND a.doc_id < b.doc_id) t
         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "dedup_keeper_filter" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, $shinglesSql AS tk FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+        |    len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.6),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(r) AS component_id FROM reach
+        |  GROUP BY node)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.node IS NULL THEN 'unique' ELSE 'keeper' END
+        |    AS keep_reason
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |WHERE c.node IS NULL OR c.component_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // same brute-force pair truth as dedup_minhash_lsh, closed transitively
     // by a recursive reachability CTE; component id = min reachable doc id
     "dedup_components" ->

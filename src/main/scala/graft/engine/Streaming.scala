@@ -414,6 +414,109 @@ object Streaming {
     }
   }
 
+  /** Timer-based absence on the MODERN stateful API: ListState holds the
+    * pending errors, `registerTimer` + `handleExpiredTimer` replace the
+    * fMGWS timeout channel — the Spark 4 `transformWithState` twin of
+    * [[cepAbsence]], sharing its oracle. */
+  class AbsenceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvT, AbsenceHit] {
+    private val MIN5NS = 5L * 60 * 1000 * 1000 * 1000
+    // pending error: (eventId, tsNs, deadlineNs)
+    @transient private var pending:
+        org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long, Long)]("pending",
+        org.apache.spark.sql.Encoders.kryo[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Emit deadline-passed entries, persist the rest, arm the next timer. */
+    private def sweep(key: Long, cur: List[(Long, Long, Long)],
+        wmNs: Long): Iterator[AbsenceHit] = {
+      val (expired, alive) = cur.partition(_._3 < wmNs)
+      pending.clear()
+      if (alive.nonEmpty) {
+        alive.foreach(pending.appendValue)
+        getHandle.registerTimer(alive.map(_._3).min / 1000000L + 1)
+      }
+      expired.sortBy(_._1).map { case (id, _, _) =>
+        AbsenceHit(key, id)
+      }.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AbsenceHit] = {
+      var cur = pending.get().toList
+      rows.toVector.sortBy(e => (e.tsNs, e.eventId)).foreach { e =>
+        if (e.eventType == "purchase")
+          cur = cur.filterNot { case (_, ets, ddl) =>
+            e.tsNs > ets && e.tsNs <= ddl
+          }
+        else if (e.eventType == "error")
+          cur = (e.eventId, e.tsNs, e.tsNs + MIN5NS) :: cur
+      }
+      sweep(key, cur, timers.getCurrentWatermarkInMs() * 1000000L)
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[AbsenceHit] =
+      sweep(key, pending.get().toList,
+        timers.getCurrentWatermarkInMs() * 1000000L)
+  }
+
+  /** stream_cep_absence_tws: the same absence query as [[cepAbsence]] but
+    * executed by [[AbsenceProcessor]] on transformWithState + event-time
+    * timers (same sentinel-driven watermark advance, same oracle). */
+  def cepAbsenceTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val MIN5NS = 5L * 60 * 1000 * 1000 * 1000
+    val rows = feedRows(s, d)
+    val maxTs = rows.map(_.tsNs).max
+    val ms = MemoryStream[Ev]
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // timers use per-family state — transformWithState requires RocksDB
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = ms.toDS()
+        .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
+        .withWatermark("ts", "0 seconds")
+        .as[EvT]
+        .groupByKey(_.userId)
+        .transformWithState(new AbsenceProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .filter(col("user_id") =!= -1L)
+        .writeStream.format("memory").queryName("stream_cep_absence_tws")
+        .outputMode("append").start()
+      val per = math.max(rows.length / 3, 1)
+      rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
+      ms.addData(Ev(-1, maxTs + 2 * MIN5NS, -1, "sentinel", 0))
+      q.processAllAvailable()
+      ms.addData(Ev(-2, maxTs + 3 * MIN5NS, -1, "sentinel", 0))
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table("stream_cep_absence_tws").orderBy("event_id")
+  }
+
   /** stream_length_tws: transformWithState execution of the count window. */
   def lengthSlidingTws(s: SparkSession, d: String): DataFrame = {
     val prevProvider =
@@ -443,6 +546,7 @@ object Streaming {
     "stream_window_expired" -> (windowExpired _),
     "stream_length_sliding" -> (lengthSliding _),
     "stream_cep_absence"   -> (cepAbsence _),
+    "stream_cep_absence_tws" -> (cepAbsenceTws _),
     "stream_batch_window"  -> (batchWindow _),
     "stream_timebatch_sum" -> (timeBatchSum _),
     "stream_session"       -> (session _),
@@ -477,6 +581,13 @@ object Streaming {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "stream_cep_absence_tws" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
     "stream_cep_absence" ->
       """SELECT e.user_id, e.event_id
         |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (

@@ -79,4 +79,65 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(out.count() == all.count())
     assert(out.select("event_id").distinct().count() == all.count())
   }
+
+  test("stateful recovery: window partials survive a restart") {
+    // the stronger recovery claim: a windowed aggregation whose PARTIAL
+    // state (a window split across the two query lifetimes) must be
+    // restored from the checkpoint for the final counts to be right.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_st_out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_st_ck")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    // split mid-minute so at least one window spans both lifetimes
+    val splitTs = all.agg(expr("min(ts) + (max(ts) - min(ts)) div 2"))
+      .collect()(0).getLong(0)
+    val maxTs = all.agg(max("ts")).collect()(0).getLong(0)
+    all.filter(col("ts") < splitTs).write.parquet(s"$srcDir/f1_a")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/f*")
+        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsc", "0 seconds")
+        .groupBy(window(col("tsc"), "1 minute"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("cnt"), col("sv"))
+        .writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // lifetime 1: boundary window stays PARTIAL in state
+    all.filter(col("ts") >= splitTs).write.parquet(s"$srcDir/f2_b")
+    // two sentinel files: watermark advances after the batch that reads
+    // a file, and append-mode eviction happens in the NEXT batch
+    val sent = Seq((-1L, maxTs + 600_000_000_000L, -1L, "sentinel", 0.0,
+      "{}"), (-2L, maxTs + 1_200_000_000_000L, -1L, "sentinel", 0.0, "{}"))
+    import spark.implicits._
+    sent.take(1).toDF(schema.fieldNames: _*).write.parquet(s"$srcDir/f3_s")
+    sent.drop(1).toDF(schema.fieldNames: _*).write.parquet(s"$srcDir/f4_s")
+    runOnce() // lifetime 2: resumes state, completes the boundary window
+    val sentinelFloorMs = (maxTs + 600_000_000_000L) / 60_000_000_000L *
+      60_000L
+    val got = spark.read.parquet(outDir.toString)
+      .filter(col("w_start_ms") < sentinelFloorMs)
+      .orderBy("w_start_ms").collect().toSeq
+    val want = all
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tsc"), "1 minute"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("cnt"), col("sv"))
+      .orderBy("w_start_ms").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
