@@ -52,6 +52,42 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** mapper_xml_roundtrip: `@map(xml)` source/sink pair — Spark 4's
+    * native to_xml/from_xml (no external connector): sink-map rows to an
+    * XML fragment, source-map back through the declared schema. The
+    * double `value` survives the text round-trip exactly (shortest-
+    * representation printing), the same guarantee the JSON mapper shows. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    events(s, d)
+      .select(to_xml(struct(col("event_id"), col("event_type"),
+        col("value"))).as("payload"))
+      .select(from_xml(col("payload"), schema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        col("e.event_type").as("event_type"),
+        round(col("e.value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  /** sink_partitioned_roundtrip: the parquet SINK path with Hive-style
+    * partition layout (`@sink` ≡ `df.write.partitionBy(...)`): write the
+    * stream partitioned by event_type, read the directory tree back, and
+    * aggregate per partition — proving the round trip AND the layout that
+    * makes 100 TB reads prunable (a consumer filtering one event_type
+    * touches one subdirectory, not the full corpus). */
+  def partitionedSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part_sink").toString
+    events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    s.read.parquet(tmp).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** window_cron: `#window.cron('0 0/15 * * * ?')` — contents emitted on
     * 15-minute marks ⇒ aggregation per cron-aligned bucket. */
   def cronWindow(s: SparkSession, d: String): DataFrame =
@@ -194,6 +230,8 @@ object Extras {
       .orderBy("event_id")
 
   val queries: Map[String, Q] = Map(
+    "mapper_xml_roundtrip"  -> (xmlRoundtrip _),
+    "sink_partitioned_roundtrip" -> (partitionedSinkRoundtrip _),
     "mapper_binary_roundtrip" -> (binaryRoundtrip _),
     "markov_transitions"    -> (markovTransitions _),
     "text_sentiment"        -> (sentimentScore _),
@@ -269,6 +307,13 @@ object Extras {
     "mapper_json_roundtrip" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "mapper_xml_roundtrip" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mapper_binary_roundtrip" ->
       """SELECT event_id,
         |  to_base64(encode(event_type)) AS b64,

@@ -124,6 +124,7 @@ object Ops {
       .withColumn("chunk", ((col("rn") - 1) / 3).cast("long"))
       .groupBy("user_id", "chunk")
       .agg(min_by(col("event_id"), col("rn")).as("first_id"),
+        max_by(col("event_id"), col("rn")).as("last_id"),
         count(lit(1)).as("chunk_n"))
       .orderBy("user_id", "chunk")
   }
@@ -203,7 +204,8 @@ object Ops {
         |      AS rn
         |  FROM events)
         |SELECT user_id, CAST((rn - 1) // 3 AS BIGINT) AS chunk,
-        |  min_by(event_id, rn) AS first_id, count(*) AS chunk_n
+        |  min_by(event_id, rn) AS first_id,
+        |  max_by(event_id, rn) AS last_id, count(*) AS chunk_n
         |FROM seq GROUP BY user_id, 2
         |ORDER BY user_id, chunk""".stripMargin,
     "rate_limit" ->

@@ -143,6 +143,19 @@ object Windows {
       .orderBy("user_id", "event_type")
   }
 
+  /** `unique:last`/`unique:ever` dedup window — the LATEST event per
+    * (user, type): the mirror of [[uniqueFirst]], keeping the newest
+    * occupant as older ones are displaced. */
+  def uniqueLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+  }
+
   /** `externalTimeBatch` — tumbling window on an event attribute clock
     * (here: daily buckets of l_shipdate). In Spark every window is an
     * event-time window, so this is the same primitive. */
@@ -165,6 +178,7 @@ object Windows {
     "window_sort_bottomk"    -> (sortBottomK _),
     "window_delay"           -> (delay _),
     "window_unique_first"    -> (uniqueFirst _),
+    "window_unique_last"     -> (uniqueLast _),
     "window_external_time"   -> (externalTimeBatch _),
     "window_session_dynamic" -> (sessionDynamic _)
   )
@@ -263,6 +277,14 @@ object Windows {
         |  SELECT user_id, event_type, event_id, value,
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, value FROM ranked
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "window_unique_last" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_type, event_id, value FROM ranked
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
