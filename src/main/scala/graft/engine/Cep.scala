@@ -303,7 +303,45 @@ object Cep {
       }.toDF().orderBy("start_id")
   }
 
+  case class NotAndMatch(user_id: Long, purchase_id: Long)
+
+  /** Logical `(not S[error] for 5 min) and e2=S[purchase]` — the
+    * pattern-initial absence form (the mirror of [[absence]]'s trailing
+    * `not`): a purchase matches iff NO error of the same user occurred in
+    * the 5 minutes up to and including it.
+    *
+    * Batch form: scalable union+window formulation (same shape as the
+    * as-of join) — tag error/purchase rows, one shuffle on user_id, carry
+    * the last error timestamp forward with `last(..., ignoreNulls)` over
+    * the (ts, side) order, keep purchases whose last error is absent or
+    * out of window. Errors sort before purchases on timestamp ties, so a
+    * same-instant error suppresses the match (matching the oracle's
+    * `e.ts <= p.ts`). No per-purchase scan of the error set — linear
+    * work per key, the plan that survives 100 TB. */
+  def logicalNotAnd(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ns"), lit(0).as("side"),
+        lit(null).cast("long").as("purchase_id"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), lit(1).as("side"),
+        col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "side")
+      .rowsBetween(Long.MinValue, 0)
+    err.unionByName(pur)
+      .withColumn("last_err_ts_ns",
+        last(when(col("side") === 0, col("ts_ns")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1 &&
+        (col("last_err_ts_ns").isNull ||
+          col("last_err_ts_ns") <= col("ts_ns") - MIN5))
+      .select("user_id", "purchase_id")
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cep_logical_not_and" -> (logicalNotAnd _),
     "cep_logical_or"      -> (logicalOr _),
     "cep_seq_followed_by" -> (seqFollowedBy _),
     "cep_strict_next"     -> (strictNext _),
@@ -313,6 +351,13 @@ object Cep {
   )
 
   val oracle: Map[String, String] = Map(
+    "cep_logical_not_and" ->
+      """SELECT p.user_id, p.event_id AS purchase_id
+        |FROM events p WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events e WHERE e.event_type = 'error'
+        |    AND e.user_id = p.user_id AND e.ts <= p.ts
+        |    AND e.ts > p.ts - INTERVAL 5 MINUTE)
+        |ORDER BY purchase_id""".stripMargin,
     "cep_logical_or" ->
       """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
         |nxt AS (SELECT user_id, event_id, ts, event_type FROM events

@@ -179,6 +179,30 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Unidirectional join (Siddhi `S1 unidirectional join S2#window.time`):
+    * only the LEFT side triggers output — each purchase, on arrival, joins
+    * against the errors currently held in the right side's 5-minute window
+    * (errors at or before the purchase, not older than 5 minutes). Errors
+    * arriving later never re-emit pairs — that one-sidedness is exactly the
+    * `e.ts <= p.ts` half of the band, so the batch form is a plain
+    * key-equi join with a time-band filter: one shuffle on user_id, the
+    * band applied post-join (at 100 TB the watermarked streaming twin
+    * bounds right-side state to the 5-minute window). */
+  def joinUnidirectional(s: SparkSession, d: String): DataFrame = {
+    val WIN = 5L * 60 * 1000 * 1000 * 1000
+    val ev = events(s, d)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ns").as("p_ts"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts_ns").as("e_ts"))
+    pur.join(err, Seq("user_id"))
+      .filter(col("e_ts") <= col("p_ts") && col("e_ts") > col("p_ts") - WIN)
+      .select("user_id", "purchase_id", "error_id")
+      .orderBy("purchase_id", "error_id")
+  }
+
   /** Union (Siddhi: N queries inserting into one stream). */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
@@ -216,6 +240,7 @@ object Relational {
     "setop_intersect_except" -> (setopIntersectExcept _),
     "join_right_outer"       -> (joinRightOuter _),
     "join_asof"              -> (joinAsof _),
+    "join_unidirectional"    -> (joinUnidirectional _),
     "join_bloom_semi"        -> (joinBloomSemi _)
   )
 
@@ -291,6 +316,12 @@ object Relational {
         |WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |ORDER BY o_orderkey""".stripMargin,
+    "join_unidirectional" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e ON p.event_type = 'purchase'
+        |  AND e.event_type = 'error' AND e.user_id = p.user_id
+        |  AND e.ts <= p.ts AND e.ts > p.ts - INTERVAL 5 MINUTE
+        |ORDER BY purchase_id, error_id""".stripMargin,
     "setop_intersect_except" ->
       """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
         |     erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')

@@ -95,9 +95,53 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim_topk_srp: signed-random-projection LSH (cosine LSH) — the other
+    * classic ANN scale path next to [[topkIvf]]'s IVF:
+    *   1. 6 fixed ±1 hyperplanes, each entry's sign md5-derived from
+    *      "plane:dim" (deterministic, reproduced bit-for-bit by the
+    *      DuckDB oracle — the hash IS the randomness);
+    *   2. every vector gets a 6-bit bucket: bit k = sign(dot(v, plane_k));
+    *   3. queries multi-probe their own bucket plus all Hamming-1
+    *      neighbours — explode the 7 probe bucket ids and EQUI-join on
+    *      bucket (shuffle/broadcast hash join, never a cross join: the
+    *      plan that survives 100 TB);
+    *   4. exact-cosine re-rank of the candidates, top-5.
+    * Recall < 1 by design; the oracle implements identical probing, so
+    * the gate checks the algorithm. Dots use the same sequential fold as
+    * cosine, so bucket bits are bit-identical to the oracle's. */
+  def topkSrp(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
+    val planes = (0 until 6).map { k =>
+      (0 until 64).map { dim =>
+        if (DedupKernels.md5Int48(s"$k:$dim") % 2 == 0) "1D" else "-1D"
+      }.mkString("array(", ", ", ")")
+    }
+    val bucketExpr = (0 until 6).map { k =>
+      s"(case when aggregate(zip_with(v, ${planes(k)}, (x, p) -> x * p), " +
+        s"0D, (a, x) -> a + x) >= 0D then ${1 << k} else 0 end)"
+    }.mkString(" + ")
+    val all = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("q_bucket"))
+      // multi-probe: own bucket + the 6 Hamming-1 neighbours
+      .withColumn("bucket", explode(expr(
+        "array(q_bucket, " +
+          (0 until 6).map(k => s"q_bucket ^ ${1 << k}").mkString(", ") + ")")))
+    queries.join(all, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosExpr("qv", "v"))
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by cos desc, vec_id)"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> (topkBrute _),
-    "sim_topk_ivf"   -> (topkIvf _)
+    "sim_topk_ivf"   -> (topkIvf _),
+    "sim_topk_srp"   -> (topkSrp _)
   )
 
   /** DuckDB sequential-fold cosine over DOUBLE[] columns a/b (64 dims). */
@@ -112,7 +156,37 @@ object Similarity {
        |    range(1, 65), i -> $b[i::INTEGER] * $b[i::INTEGER])),
        |    (x, y) -> x + y))), 6)""".stripMargin
 
+  /** DuckDB signed dot of v against md5-derived ±1 plane k (same
+    * sequential fold + same "k:dim" hash strings as [[topkSrp]]). */
+  private def srpDotSql(k: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+       |    i -> v[i::INTEGER] * (CASE WHEN CAST(('0x' ||
+       |      substr(md5('$k:' || (i - 1)::VARCHAR), 1, 12)) AS BIGINT)
+       |      % 2 = 0 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)""".stripMargin
+
+  private val srpBucketSql: String =
+    (0 until 6).map { k =>
+      s"(CASE WHEN ${srpDotSql(k)} >= 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "sim_topk_srp" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |bkt AS (SELECT vec_id, v, $srpBucketSql AS bucket FROM e),
+        |probes AS (
+        |  SELECT vec_id AS q_id, v AS qv, unnest([bucket,
+        |    xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
+        |    xor(bucket, 16), xor(bucket, 32)]) AS bucket
+        |  FROM bkt WHERE vec_id < 5),
+        |scored AS (SELECT p.q_id, b.vec_id,
+        |    ${cosSql("p.qv", "b.v")} AS cos
+        |  FROM probes p JOIN bkt b ON b.bucket = p.bucket
+        |  WHERE b.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

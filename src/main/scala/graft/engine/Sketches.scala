@@ -169,6 +169,29 @@ object Sketches {
           col("n_exact") * 0.1).as("within_10pct"))
       .orderBy("event_type")
 
+  /** sketch_approx_quantile: `approximate:percentile` analog — Spark's
+    * built-in quantile sketch (Greenwald–Khanna via percentile_approx,
+    * accuracy 1000) next to the exact percentile; the gate checks the
+    * exact values and that each sketch estimate lands within 5% (the
+    * approx_distinct within-tolerance pattern — deterministic given
+    * data + implementation). GK partial sketches merge associatively, so
+    * the aggregation is map-side combinable at any scale. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 4).as("exact_p50"),
+        round(expr("percentile(value, 0.95D)"), 4).as("exact_p95"),
+        expr("abs(percentile_approx(value, 0.5D, 1000) - " +
+          "percentile(value, 0.5D)) <= " +
+          "greatest(abs(percentile(value, 0.5D)) * 0.05D, 1.0D)")
+          .as("p50_within_5pct"),
+        expr("abs(percentile_approx(value, 0.95D, 1000) - " +
+          "percentile(value, 0.95D)) <= " +
+          "greatest(abs(percentile(value, 0.95D)) * 0.05D, 1.0D)")
+          .as("p95_within_5pct"))
+      .orderBy("event_type")
+
   /** `approximate:similarity` — MinHash ESTIMATE of Jaccard similarity
     * (vs Dedup's exact-verify LSH): 16 universal-hash minima per doc over
     * md5-derived 48-bit shingle hashes; estimate = matching components /
@@ -234,6 +257,7 @@ object Sketches {
     "sketch_lossy"             -> (lossy _),
     "sketch_countmin"          -> (countMin _),
     "sketch_approx_distinct"   -> (approxDistinct _),
+    "sketch_approx_quantile"   -> (approxQuantile _),
     "sketch_minhash_estimate"  -> (minhashEstimate _)
   )
 
@@ -280,6 +304,15 @@ object Sketches {
     "sketch_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  true AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact percentiles checked by value (continuous interpolation matches
+    // Spark's percentile); the sketch estimates by the within-tolerance
+    // contract, as in sketch_approx_distinct
+    "sketch_approx_quantile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(value, 0.95), 4) AS exact_p95,
+        |  true AS p50_within_5pct, true AS p95_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

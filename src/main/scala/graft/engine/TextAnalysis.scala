@@ -119,7 +119,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text_tfidf: classic TF-IDF keyword extraction — explode tokens, one
+    * hash aggregation for per-doc term frequency, one for document
+    * frequency, score tf·ln(N/df), keep each doc's top-3 terms. All
+    * hash aggregations with map-side combine; the corpus size N is one
+    * driver-side parquet-metadata count inlined as a literal (a scalar,
+    * not a joined relation — keeps the plan free of nested-loop joins). */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs) / col("df")), 6))
+      .withColumn("rk", expr("row_number() over (partition by doc_id " +
+        "order by tfidf desc, term)"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** dedup_normalized: canonicalization-based exact dedup — lowercase,
+    * strip non-alphanumerics, collapse whitespace, md5 the canonical
+    * form; duplicate groups share a hash, the keeper is the smallest
+    * doc_id. One scan + one shuffle on the 16-byte hash (never on the
+    * document text) — the first-pass dedup of every corpus pipeline. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")
+    documents(s, d)
+      .withColumn("norm_hash", md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("keeper_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("norm_hash"),
+        (col("group_n") > 1).as("is_dup"), col("keeper_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf"       -> (tfidf _),
+    "dedup_normalized" -> (dedupNormalized _),
     "text_langid"      -> (langId _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokens _),
@@ -130,6 +172,32 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "dedup_normalized" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |    AS norm_hash
+        |  FROM documents)
+        |SELECT doc_id, norm_hash,
+        |  count(*) OVER (PARTITION BY norm_hash) > 1 AS is_dup,
+        |  min(doc_id) OVER (PARTITION BY norm_hash) AS keeper_id
+        |FROM h ORDER BY doc_id""".stripMargin,
     // 48-bit md5 gram hash ≡ CAST('0x'||substr(md5(g),1,12) AS BIGINT);
     // window minima via list slicing; fingerprint set = distinct minima
     "text_winnow" ->
