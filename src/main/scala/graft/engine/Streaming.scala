@@ -541,7 +541,43 @@ object Streaming {
     }
   }
 
+  /** stream_file_source: the FILE streaming source end-to-end — Siddhi's
+    * `@source(type='file', mode='line'/'regex')` dir-watching analog is
+    * Spark's file stream source. The feed is staged as three parquet
+    * files in a watched directory; `readStream.parquet` with
+    * maxFilesPerTrigger=1 discovers them one micro-batch each (a REAL
+    * multi-batch file-arrival sequence, not a MemoryStream), and a
+    * complete-mode aggregation produces the per-type totals the oracle
+    * checks. At 100 TB this is exactly the production ingest path —
+    * files land in object storage, the source lists increments. */
+  def fileSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = feedRows(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_file_src").toString
+    rows.grouped(math.max(rows.length / 3, 1)).foreach { g =>
+      s.createDataset(g.toSeq).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream
+        .schema(s.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .groupBy(col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .writeStream.format("memory").queryName("stream_file_source")
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_file_source").orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_file_source"    -> (fileSource _),
     "stream_length_tws"     -> (lengthSlidingTws _),
     "stream_window_expired" -> (windowExpired _),
     "stream_length_sliding" -> (lengthSliding _),
@@ -557,6 +593,9 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_file_source" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_length_tws" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER w, 2) AS sum_last20,

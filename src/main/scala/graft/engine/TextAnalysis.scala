@@ -159,7 +159,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** corpus_pipeline: the full training-data pipeline as ONE composed
+    * query — canonicalize → exact-dedup (keep smallest doc_id per
+    * canonical hash) → quality gate (length + lexical diversity) →
+    * language gate (stopword ratio) → emit the surviving corpus with its
+    * metrics. Each stage is the same declarative shape as its standalone
+    * query, so Catalyst fuses the scan + per-row stages into one
+    * codegen'd pass, with the only shuffle being the dedup hash — the
+    * composition IS the 100 TB argument: no materialization between
+    * stages. */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("norm_hash").orderBy("doc_id")
+    documents(s, d)
+      .withColumn("norm_hash", md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // dedup: keeper per canonical text
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))) /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("stop_ratio", round(expr(
+        s"size(filter(toks, t -> t in $stopIn))") /
+        col("n_tokens").cast("double"), 6))
+      .filter(col("n_tokens") >= 5 && col("distinct_ratio") >= 0.3)
+      .filter(col("stop_ratio") >= 0.05) // language gate: en
+      .select("doc_id", "norm_hash", "n_tokens", "distinct_ratio",
+        "stop_ratio")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_pipeline"  -> (corpusPipeline _),
     "text_tfidf"       -> (tfidf _),
     "dedup_normalized" -> (dedupNormalized _),
     "text_langid"      -> (langId _),
@@ -172,6 +205,30 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "corpus_pipeline" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, text, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |    AS norm_hash
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, norm_hash, row_number() OVER (
+        |    PARTITION BY norm_hash ORDER BY doc_id) AS rn
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, norm_hash, str_split(text, ' ') AS toks
+        |  FROM kept WHERE rn = 1),
+        |scored AS (
+        |  SELECT doc_id, norm_hash, len(toks) AS n_tokens,
+        |    round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6)
+        |      AS distinct_ratio,
+        |    round(len(list_filter(toks, t -> t IN $stopInSql)) /
+        |      len(toks)::DOUBLE, 6) AS stop_ratio
+        |  FROM m)
+        |SELECT doc_id, norm_hash, n_tokens, distinct_ratio, stop_ratio
+        |FROM scored
+        |WHERE n_tokens >= 5 AND distinct_ratio >= 0.3 AND stop_ratio >= 0.05
+        |ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
