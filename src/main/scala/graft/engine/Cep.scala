@@ -303,6 +303,42 @@ object Cep {
       }.toDF().orderBy("start_id")
   }
 
+  /** cep_pattern_exec: the SAME followed-by pattern as [[seqFollowedBy]],
+    * but executed by the custom Catalyst operator
+    * ([[graft.engine.plans.PatternMatchPlan]] → planner strategy →
+    * [[graft.engine.plans.PatternMatchExec]]): the pattern is a
+    * planner-visible node whose exchange + sort Spark inserts from the
+    * operator's declared distribution/ordering requirements. Shares
+    * [[seqFollowedBy]]'s oracle — two execution stacks, one semantics. */
+  def patternExec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val strat = graft.engine.plans.PatternMatchStrategy
+    if (!s.experimental.extraStrategies.contains(strat))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strat
+    val child = org.apache.spark.sql.GraftSqlBridge.analyzed(
+      events(s, d).select(col("event_id").as("eventId"),
+        col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("value")))
+    val out = Seq(
+      AttributeReference("user_id", LongType, nullable = false)(),
+      AttributeReference("start_id", LongType, nullable = false)(),
+      AttributeReference("next_id", LongType, nullable = false)(),
+      AttributeReference("next_value", DoubleType, nullable = false)())
+    val steps: IndexedSeq[PStep] = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "error"),
+      Single("e2", (e, _) => e.eventType == "purchase"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s,
+      graft.engine.plans.PatternMatchPlan(steps, Some(MIN5), EveryMatch,
+        out, b => {
+          val e1 = b("e1").head; val e2 = b("e2").head
+          // Seq[Any] annotation matters: a bare Seq(longs..., double)
+          // harmonizes to Seq[Double], silently widening the ids
+          Seq[Any](e1.userId, e1.eventId, e2.eventId, e2.value)
+        }, child))
+      .orderBy("start_id")
+  }
+
   case class NotAndMatch(user_id: Long, purchase_id: Long)
 
   /** Logical `(not S[error] for 5 min) and e2=S[purchase]` — the
@@ -341,6 +377,7 @@ object Cep {
   }
 
   val queries: Map[String, Q] = Map(
+    "cep_pattern_exec"    -> (patternExec _),
     "cep_logical_not_and" -> (logicalNotAnd _),
     "cep_logical_or"      -> (logicalOr _),
     "cep_seq_followed_by" -> (seqFollowedBy _),
@@ -351,6 +388,19 @@ object Cep {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical semantics (and oracle) to cep_seq_followed_by — the gate
+    // proves the custom-operator stack emits exactly the NFA's matches
+    "cep_pattern_exec" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM err e JOIN pur p ON e.user_id = p.user_id
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id""".stripMargin,
     "cep_logical_not_and" ->
       """SELECT p.user_id, p.event_id AS purchase_id
         |FROM events p WHERE p.event_type = 'purchase' AND NOT EXISTS (

@@ -114,5 +114,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       CosineSimilarity.build _))
+    // the CEP pattern operator's logical→physical mapping (SURVEY §4):
+    // sessions built with spark.sql.extensions=graft.engine.GraftExtensions
+    // plan PatternMatchPlan without any runtime registration
+    ext.injectPlannerStrategy(_ => graft.engine.plans.PatternMatchStrategy)
   }
 }

@@ -112,6 +112,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"scale-hostile plans: $offenders")
   }
 
+  test("cep_pattern_exec: custom operator plans one exchange, matches NFA") {
+    val df = Cep.patternExec(spark, sf)
+    val p = plan(df)
+    // the custom physical operator is in the plan, with the exchange+sort
+    // EnsureRequirements inserted from its declared requirements
+    assert(p.contains("PatternMatch"), s"no PatternMatchExec:\n$p")
+    // one hash exchange for the operator (the second exchange is the
+    // presentation orderBy's range partitioning)
+    assert("hashpartitioning\\(userId".r.findAllIn(p).size == 1, p)
+    // identical output to the flatMapGroups execution of the same NFA
+    val viaGroups = Cep.seqFollowedBy(spark, sf)
+      .select("user_id", "start_id", "next_id", "next_value")
+    assert(df.collect().toSeq == viaGroups.collect().toSeq)
+  }
+
   test("salted two-phase aggregation ≡ direct aggregation under skew") {
     import org.apache.spark.sql.functions._
     // the 100 TB skew pattern: a hot key takes 90% of rows — salt the
