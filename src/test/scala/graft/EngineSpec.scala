@@ -127,6 +127,56 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().toSeq == viaGroups.collect().toSeq)
   }
 
+  test("sim_topk_srp: deterministic, ranked, and recalls brute-force hits") {
+    import org.apache.spark.sql.functions._
+    val srp = Similarity.topkSrp(spark, sf).collect()
+    // deterministic across plans (hash-derived planes, no RNG)
+    assert(srp.toSeq == Similarity.topkSrp(spark, sf).collect().toSeq)
+    // per query: ranks contiguous from 1, cosine non-increasing
+    srp.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == (1 to byRk.length))
+      val cs = byRk.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // LSH recall vs the exact brute-force top-5 of the same queries:
+    // hamming-1 multiprobe over 6 planes must recover a nontrivial share
+    // (bucketing is similarity-preserving, not random partitioning)
+    val brute = Similarity.topkBrute(spark, sf)
+      .filter(col("rk") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = srp.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.2, s"SRP recall $recall vs brute top-5")
+  }
+
+  test("corpus_pipeline emits only canonical keepers of dedup_normalized") {
+    val keepers = TextAnalysis.dedupNormalized(spark, sf).collect()
+      .filter(r => r.getLong(0) == r.getLong(3)) // doc_id == keeper_id
+      .map(_.getLong(0)).toSet
+    val out = TextAnalysis.corpusPipeline(spark, sf).collect()
+      .map(_.getLong(0))
+    assert(out.nonEmpty && out.forall(keepers))
+  }
+
+  test("join_unidirectional ≡ naive window-contents recompute") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.joinUnidirectional(spark, sf).collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val naive = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts_ns").as("e_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_ns").as("p_ts")), Seq("user_id"))
+      .filter(col("p_ts") - col("e_ts") < 5L * 60 * 1000 * 1000 * 1000 &&
+        col("p_ts") >= col("e_ts"))
+      .select("user_id", "purchase_id", "error_id")
+      .orderBy("purchase_id", "error_id")
+      .collect().toSeq
+    assert(got == naive)
+  }
+
   test("salted two-phase aggregation ≡ direct aggregation under skew") {
     import org.apache.spark.sql.functions._
     // the 100 TB skew pattern: a hot key takes 90% of rows — salt the
