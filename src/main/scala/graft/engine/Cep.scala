@@ -311,11 +311,19 @@ object Cep {
     * operator's declared distribution/ordering requirements. Shares
     * [[seqFollowedBy]]'s oracle — two execution stacks, one semantics. */
   def patternExec(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.types.{DoubleType, LongType}
     val strat = graft.engine.plans.PatternMatchStrategy
     if (!s.experimental.extraStrategies.contains(strat))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ strat
+    patternDf(s, d)
+  }
+
+  /** Builds the [[graft.engine.plans.PatternMatchPlan]] DataFrame WITHOUT
+    * registering any runtime strategy — used by sessions whose planner
+    * already knows the operator via `spark.sql.extensions`
+    * (`GraftExtensions.injectPlannerStrategy`). */
+  def patternDf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val child = org.apache.spark.sql.GraftSqlBridge.analyzed(
       events(s, d).select(col("event_id").as("eventId"),
         col("ts_ns").as("tsNs"), col("user_id").as("userId"),

@@ -576,7 +576,47 @@ object Streaming {
     s.table("stream_file_source").orderBy("event_type")
   }
 
+  /** stream_dim_join: STREAM-STATIC join — Siddhi's `stream join Table`
+    * run live: the streaming events join a static dimension (per-user
+    * spend band, computed batch-side from the same corpus) on user_id;
+    * per-band running totals in complete mode. Structured Streaming
+    * plans the static side as a regular batch relation re-read per
+    * micro-batch and broadcast when small — the exact enrichment-join
+    * shape of a 100 TB ingest (stream facts ⋈ broadcast dimension, no
+    * stream-side state). */
+  def dimJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = events(s, d)
+      .groupBy("user_id")
+      .agg(sum("value").as("spend"))
+      .select(col("user_id").as("dim_user"),
+        when(col("spend") >= 10000, "whale").otherwise("regular")
+          .as("band"))
+    runStream(s, d, "stream_dim_join", OutputMode.Complete()) { ds =>
+      ds.join(broadcast(dim), col("userId") === col("dim_user"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }.orderBy("band")
+  }
+
+  /** stream_rate_limit: `output first every 1 min` LIVE — streaming
+    * dropDuplicates on (user, minute) emits exactly the first event of
+    * each key-interval as it arrives; watermark lets the engine drop
+    * interval state once the minute has passed (bounded state at any
+    * runtime length). */
+  def rateLimitFirst(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_rate_limit", OutputMode.Append()) { ds =>
+      withTs(ds)
+        .withWatermark("ts", "1 minute")
+        .withColumn("w_start_ms",
+          (expr("tsNs div 60000000000") * 60000L))
+        .dropDuplicates("userId", "w_start_ms")
+        .select(col("userId").as("user_id"), col("w_start_ms"),
+          col("eventId").as("first_id"))
+    }.orderBy("user_id", "w_start_ms")
+
   val queries: Map[String, Q] = Map(
+    "stream_dim_join"       -> (dimJoin _),
+    "stream_rate_limit"     -> (rateLimitFirst _),
     "stream_file_source"    -> (fileSource _),
     "stream_length_tws"     -> (lengthSlidingTws _),
     "stream_window_expired" -> (windowExpired _),
@@ -593,6 +633,24 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dim_join" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(value) >= 10000 THEN 'whale' ELSE 'regular' END
+        |      AS band
+        |  FROM events GROUP BY user_id)
+        |SELECT d.band, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY d.band ORDER BY band""".stripMargin,
+    "stream_rate_limit" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_ms(ts) // 60000 * 60000 AS w_start_ms,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 60000
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, w_start_ms, event_id AS first_id FROM ranked
+        |WHERE rn = 1 ORDER BY user_id, w_start_ms""".stripMargin,
     "stream_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -127,6 +127,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().toSeq == viaGroups.collect().toSeq)
   }
 
+  test("GraftExtensions: extensions-built session plans SQL fn + custom op") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions = the programmatic twin of spark.sql.extensions
+    // (the conf-string form is static and can't attach to the test's
+    // already-running SparkContext); both funnel into GraftExtensions.apply
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.engine.expressions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // native function resolves in plain SQL — no runtime register()
+      val c = s2.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-9)
+      // the custom operator plans through the INJECTED strategy alone
+      assert(s2.experimental.extraStrategies.isEmpty)
+      val df = Cep.patternDf(s2, sf)
+      assert(df.queryExecution.executedPlan.toString.contains("PatternMatch"))
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("sim_topk_srp: deterministic, ranked, and recalls brute-force hits") {
     import org.apache.spark.sql.functions._
     val srp = Similarity.topkSrp(spark, sf).collect()
