@@ -126,6 +126,34 @@ object Aggregates {
       .orderBy("hour_start_ms")
   }
 
+  /** agg_incremental_cascade: the full Siddhi incremental-aggregation
+    * grain CHAIN (`aggregate ... every min...day`): minute partials roll
+    * into hours, hours into days — each grain computed FROM THE PREVIOUS
+    * (never re-scanning raw events), exactly how the reference maintains
+    * its grain tables. Day rows carry their contributing bucket counts
+    * down the chain (n_minutes/n_hours), proving the rollup resolution.
+    * At 100 TB each step aggregates the (much smaller) previous grain —
+    * the classic cube-maintenance shape. */
+  def incrementalCascade(s: SparkSession, d: String): DataFrame = {
+    val minute = events(s, d)
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(sum("value").as("sum_v"), count(lit(1)).as("cnt"))
+      .select(col("w.start").as("minute_start"), col("sum_v"), col("cnt"))
+    val hour = minute
+      .groupBy(window(col("minute_start"), "1 hour").as("w"))
+      .agg(sum("sum_v").as("sum_v"), sum("cnt").as("cnt"),
+        count(lit(1)).as("n_minutes"))
+      .select(col("w.start").as("hour_start"), col("sum_v"), col("cnt"),
+        col("n_minutes"))
+    hour
+      .groupBy(window(col("hour_start"), "1 day").as("w"))
+      .agg(round(sum("sum_v"), 2).as("sum_value"), sum("cnt").as("cnt"),
+        sum("n_minutes").as("n_minutes"), count(lit(1)).as("n_hours"))
+      .select(unix_millis(col("w.start")).as("day_start_ms"),
+        col("sum_value"), col("cnt"), col("n_minutes"), col("n_hours"))
+      .orderBy("day_start_ms")
+  }
+
   /** `timeseries:regress` (siddhi-execution-timeseries) — per-key OLS of
     * value against event time, expressed as closed-form moment aggregates
     * (covar/var): one hash aggregation, no iteration — the scalable way
@@ -166,7 +194,8 @@ object Aggregates {
     "agg_unionset_concat"  -> (unionSetConcat _),
     "agg_having_order_limit" -> (havingOrderLimit _),
     "agg_percentile"       -> (percentiles _),
-    "agg_incremental"      -> (incrementalAgg _)
+    "agg_incremental"      -> (incrementalAgg _),
+    "agg_incremental_cascade" -> (incrementalCascade _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +268,12 @@ object Aggregates {
         |FROM events
         |WHERE epoch_ms(date_trunc('hour', ts)) >= 1704067200000
         |  AND epoch_ms(date_trunc('hour', ts)) < 1704672000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_incremental_cascade" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_start_ms,
+        |  round(sum(value), 2) AS sum_value, count(*) AS cnt,
+        |  count(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+        |  count(DISTINCT date_trunc('hour', ts)) AS n_hours
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -314,6 +314,10 @@ object Cep {
     val strat = graft.engine.plans.PatternMatchStrategy
     if (!s.experimental.extraStrategies.contains(strat))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ strat
+    val rule = graft.engine.plans.PatternKeyPushdown
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
     patternDf(s, d)
   }
 

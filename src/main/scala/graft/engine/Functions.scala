@@ -42,6 +42,22 @@ object Functions {
       ascii(substring(col("text"), 1, 1)).as("first_ascii")
     ).orderBy("doc_id")
 
+  /** unitconversion: family (siddhi-execution-unitconversion) — pure
+    * literal-factor arithmetic (the extension is a table of factors);
+    * length/mass/duration/temperature shown, value interpreted in the
+    * source unit. Bit-exact across engines (same literal ops). */
+  def fnUnitConvert(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      round(col("value") * 1000, 6).as("km_to_m"),
+      round(col("value") * 0.621371192, 6).as("km_to_mi"),
+      round(col("value") * 1000000, 6).as("kg_to_mg"),
+      round(col("value") * 2.20462262, 6).as("kg_to_lb"),
+      round(col("value") * 3600000, 6).as("h_to_ms"),
+      round(col("value") * 9 / 5 + 32, 6).as("c_to_f"),
+      round((col("value") * 9 / 5 + 32 - 32) * 5 / 9, 6).as("f_roundtrip"))
+      .orderBy("event_id")
+
   /** math: family — abs/ceil/floor/round/sqrt/exp/ln/log10/log2/pow/
     * signum/sin/radians + unitconversion (lit-factor arithmetic). */
   def fnMath(s: SparkSession, d: String): DataFrame =
@@ -228,6 +244,7 @@ object Functions {
     "fn_geo"         -> (fnGeo _),
     "fn_string"      -> (fnString _),
     "fn_math"        -> (fnMath _),
+    "fn_unitconvert" -> (fnUnitConvert _),
     "fn_time"        -> (fnTime _),
     "fn_json"        -> (fnJson _),
     "fn_conditional" -> (fnConditional _),
@@ -277,6 +294,16 @@ object Functions {
         |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad,
         |  ascii(substr(text, 1, 1)) AS first_ascii
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_unitconvert" ->
+      """SELECT event_id,
+        |  round(value * 1000, 6) AS km_to_m,
+        |  round(value * 0.621371192, 6) AS km_to_mi,
+        |  round(value * 1000000, 6) AS kg_to_mg,
+        |  round(value * 2.20462262, 6) AS kg_to_lb,
+        |  round(value * 3600000, 6) AS h_to_ms,
+        |  round(value * 9 / 5 + 32, 6) AS c_to_f,
+        |  round((value * 9 / 5 + 32 - 32) * 5 / 9, 6) AS f_roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_math" ->
       """SELECT event_id,
         |  round(abs(value - 100), 6) AS abs_v,

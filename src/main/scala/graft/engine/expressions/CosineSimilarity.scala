@@ -118,5 +118,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // sessions built with spark.sql.extensions=graft.engine.GraftExtensions
     // plan PatternMatchPlan without any runtime registration
     ext.injectPlannerStrategy(_ => graft.engine.plans.PatternMatchStrategy)
+    // key-predicate pushdown through the pattern operator (see
+    // plans.PatternKeyPushdown): runs with the operator-optimization batch
+    ext.injectOptimizerRule(_ => graft.engine.plans.PatternKeyPushdown)
   }
 }

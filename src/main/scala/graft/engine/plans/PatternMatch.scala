@@ -130,3 +130,50 @@ object PatternMatchStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Optimizer rule: a predicate on the pattern's PARTITION KEY (`user_id`
+  * in the output ↔ `userId` in the input) commutes with the NFA — the
+  * match of one key never reads another key's events — so it pushes
+  * below [[PatternMatchPlan]], where normal Catalyst pushdown carries it
+  * all the way into the parquet scan. Predicates on any other output
+  * column stay above (they depend on the match, not the input). At
+  * 100 TB this turns "match then discard 99% of keys" into "scan 1% of
+  * row groups, match those". Injected via
+  * `GraftExtensions.injectOptimizerRule` / `experimental.extraOptimizations`.
+  */
+object PatternKeyPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def keyOnly(cond: Expression, keyOut: Attribute): Boolean =
+    cond.references.nonEmpty &&
+      cond.references.subsetOf(AttributeSet(Seq(keyOut))) &&
+      cond.deterministic
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, p: PatternMatchPlan) =>
+      val keyOut = p.output.find(_.name == "user_id")
+      val keyIn = p.child.output.find(_.name == "userId")
+      (keyOut, keyIn) match {
+        case (Some(ko), Some(ki)) =>
+          val (push, keep) =
+            splitConjuncts(cond).partition(keyOnly(_, ko))
+          if (push.isEmpty) f
+          else {
+            val pushed = push
+              .map(_.transform { case a: Attribute if a.semanticEquals(ko) =>
+                ki })
+              .reduce(And(_, _))
+            val below = p.copy(child = Filter(pushed, p.child))
+            keep.reduceOption(And(_, _)).map(Filter(_, below)).getOrElse(below)
+          }
+        case _ => f
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

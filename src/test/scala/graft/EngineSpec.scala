@@ -158,6 +158,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PatternKeyPushdown: key filter reaches the scan; others stay above") {
+    import org.apache.spark.sql.functions._
+    // key predicate above the custom operator → pushed into the parquet scan
+    val keyed = Cep.patternExec(spark, sf).filter(col("user_id") === 7)
+    val p = plan(keyed)
+    assert(p.contains("EqualTo(user_id,7)") ||
+      p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"key filter did not reach the scan:\n$p")
+    // results unchanged vs filtering the un-pushed NFA output
+    val all = Cep.seqFollowedBy(spark, sf)
+      .filter(col("user_id") === 7)
+      .select("user_id", "start_id", "next_id", "next_value")
+    assert(keyed.collect().toSeq == all.collect().toSeq)
+    // a NON-key predicate must NOT push below the match
+    val nonKey = Cep.patternExec(spark, sf).filter(col("next_value") > 100)
+    val p2 = plan(nonKey)
+    assert(!p2.contains("GreaterThan(value,100"),
+      s"non-key filter leaked below the NFA:\n$p2")
+  }
+
   test("sim_topk_srp: deterministic, ranked, and recalls brute-force hits") {
     import org.apache.spark.sql.functions._
     val srp = Similarity.topkSrp(spark, sf).collect()
