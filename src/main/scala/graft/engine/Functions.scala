@@ -77,7 +77,11 @@ object Functions {
       round(radians(col("value")), 6).as("rad_v"),
       // unitconversion: (Siddhi unitconversion:kmTom etc.) — plain factors
       round(col("value") * 1000, 6).as("km_to_m"),
-      round(col("value") * 0.001, 6).as("g_to_kg")
+      round(col("value") * 0.001, 6).as("g_to_kg"),
+      round(cbrt(col("value")), 6).as("cbrt_v"),
+      round(degrees(col("value") / 100), 6).as("deg_v"),
+      conv(col("event_id").cast("string"), 10, 8).as("oct_v"),
+      col("value").isNaN.as("isnan_v")
     ).orderBy("event_id")
 
   /** time: family — date/dateFormat/year…second/isodow/dateAdd/dateDiff/
@@ -223,7 +227,10 @@ object Functions {
     events(s, d).select(
       col("event_id"),
       round(dist, 4).as("haversine_km"),
-      (lat1.between(-45, 45) && lon1.between(-90, 90)).as("in_bbox")
+      (lat1.between(-45, 45) && lon1.between(-90, 90)).as("in_bbox"),
+      // pol2Cart (core executor): r=value, theta=radians(user_id)
+      round(col("value") * cos(radians(col("user_id"))), 6).as("cart_x"),
+      round(col("value") * sin(radians(col("user_id"))), 6).as("cart_y")
     ).orderBy("event_id")
   }
 
@@ -279,7 +286,9 @@ object Functions {
         |    cos(radians((user_id % 170 - 85)::DOUBLE + 1.5)) *
         |    pow(sin(radians(2.0) / 2), 2))), 4) AS haversine_km,
         |  (user_id % 170 - 85) BETWEEN -45 AND 45
-        |    AND (event_id % 350 - 175) BETWEEN -90 AND 90 AS in_bbox
+        |    AND (event_id % 350 - 175) BETWEEN -90 AND 90 AS in_bbox,
+        |  round(value * cos(radians(user_id)), 6) AS cart_x,
+        |  round(value * sin(radians(user_id)), 6) AS cart_y
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """SELECT doc_id,
@@ -319,7 +328,11 @@ object Functions {
         |  round(sin(value / 100), 6) AS sin_v,
         |  round(radians(value), 6) AS rad_v,
         |  round(value * 1000, 6) AS km_to_m,
-        |  round(value * 0.001, 6) AS g_to_kg
+        |  round(value * 0.001, 6) AS g_to_kg,
+        |  round(cbrt(value), 6) AS cbrt_v,
+        |  round(degrees(value / 100), 6) AS deg_v,
+        |  to_base(event_id, 8) AS oct_v,
+        |  isnan(value) AS isnan_v
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_time" ->
       """SELECT event_id,
