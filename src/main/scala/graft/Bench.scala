@@ -34,7 +34,16 @@ object Bench {
       ms.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable(); q.stop()
       spark.sql("DROP TABLE IF EXISTS bench_warmup")
     }
-    val results = SparkEntry.queries
+    // batch-path warmup on the SMALLEST fixture (never the bench SF dir —
+    // bench inputs stay cold): parquet reader + codegen + shuffle machinery
+    // JIT, so the first timed query doesn't absorb ~3-5 s of session init
+    try {
+      val w = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      w.groupBy("event_type").count().count()
+    } catch { case _: Throwable => () }
+    // deterministic alphabetical order: run-to-run and round-to-round
+    // comparable (Map order varies with registry size)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -43,7 +52,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
