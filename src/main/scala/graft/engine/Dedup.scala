@@ -74,6 +74,34 @@ object DedupKernels extends Serializable {
     v
   }
 
+  /** Winnowing fingerprints (MOSS scheme, shared with text_winnow and
+    * dedup_substring): 48-bit md5 hashes of char-5-grams, sliding window
+    * of 4, keep each window's minimum; returns (n_grams, distinct minima
+    * in first-selected order). Any shared substring ≥ 8 chars between two
+    * texts guarantees a shared fingerprint. */
+  def winnow(text: String): (Int, Array[Long]) = {
+    val n = math.max(text.length - 4, 1)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = md5Int48(text.substring(i, math.min(i + 5, text.length)))
+      i += 1
+    }
+    val w = 4
+    val nw = math.max(n - w + 1, 1)
+    val sel = new scala.collection.mutable.LinkedHashSet[Long]
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var k = j
+      val end = math.min(j + w, n)
+      while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      sel += mn
+      j += 1
+    }
+    (n, sel.toArray)
+  }
+
   /** 48-bit simhash: majority vote per bit over the shingle md5 hashes
     * (bit set iff ≥ half of the shingles have it set). */
   def simhash48(shingles: Array[String]): Long = {
@@ -438,7 +466,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_substring: long-shared-substring detection via winnowing
+    * fingerprints (the scalable stand-in for suffix-array exact-substring
+    * dedup): docs sharing any substring ≥ 8 chars share a winnow
+    * fingerprint, so pairs with many shared fingerprints share long /
+    * repeated runs of text. Pipeline: per-doc fingerprint sets (typed
+    * kernel, one scan) → explode → drop STOP FINGERPRINTS (absolute
+    * document frequency > 25: a truly shared rare substring has df ≈
+    * cluster size at ANY corpus scale, while boilerplate df grows with
+    * the corpus — the absolute cap both kills the template noise and
+    * bounds the join fan-out per key to df², making total join work
+    * linear in distinct fingerprints) → self-equi-join on fingerprint →
+    * count per pair, keep ≥ 8. Never an all-pairs comparison. */
+  def substringPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val maxDf = 25L
+    val fps = docs.select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        DedupKernels.winnow(text)._2.map(fp => (id, fp))
+      })
+      .toDF("doc_id", "fp")
+    val stop = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val pruned = fps.join(broadcast(stop), Seq("fp"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 8)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring"     -> (substringPairs _),
     "dedup_keeper_filter" -> (keeperFilter _),
     "dedup_exact"         -> (exact _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -453,6 +517,32 @@ object Dedup {
       " i -> substr(text, i, 5)))"
 
   val oracle: Map[String, String] = Map(
+    // same winnow CTE as text_winnow; stop-fingerprint prune at df > 50
+    "dedup_substring" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i::INTEGER, 5)),
+        |        1, 12)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+        |      j -> list_aggregate(hs[j:least(j + 3, len(hs))], 'min')))
+        |      AS fps
+        |  FROM h),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |keep AS (
+        |  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 25),
+        |pruned AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |  FROM pruned a JOIN pruned b ON a.fp = b.fp
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_shared FROM pairs WHERE n_shared >= 8
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(substr(text, 1, 100))) AS prefix_hash,
         |  min(doc_id) AS keeper_id, count(*) AS group_size,

@@ -92,27 +92,7 @@ object TextAnalysis {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val n = math.max(text.length - 4, 1)
-        val hs = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          hs(i) = DedupKernels.md5Int48(
-            text.substring(i, math.min(i + 5, text.length)))
-          i += 1
-        }
-        val w = 4
-        val nw = math.max(n - w + 1, 1)
-        val sel = new scala.collection.mutable.LinkedHashSet[Long]
-        var j = 0
-        while (j < nw) {
-          var mn = Long.MaxValue
-          var k = j
-          val end = math.min(j + w, n)
-          while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
-          sel += mn
-          j += 1
-        }
-        val fps = sel.toArray
+        val (n, fps) = DedupKernels.winnow(text)
         (id, n.toLong, fps.length.toLong, fps.sum, fps.min)
       })
       .toDF("doc_id", "n_grams", "n_fp", "fp_sum", "fp_min")
