@@ -94,14 +94,54 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** mm_batch_resize: the BATCHED-UDF contract (mapInPandas shape) made
+    * deterministic: docs are bucketed into fixed batches by key
+    * (doc_id/32 — ≤32 payloads per batch), each batch processed as one
+    * unit (a real pipeline amortizes codec/model init per batch and
+    * feeds the batch to a vectorized kernel), rows come back with their
+    * batch bookkeeping (batch_id, n_in_batch) plus the stub "resize":
+    * halved width, fixed height, stride-4 byte checksum. One shuffle on
+    * the batch id; batch size is a constant, so executor memory per
+    * task is bounded at any corpus size. */
+  def batchResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    records(s, d)
+      .groupByKey(_.doc_id / 32)
+      .flatMapGroups { (bid: Long, it: Iterator[MmRec]) =>
+        val batch = it.toVector // ≤ 32 payloads: the vectorized unit
+        batch.map { r =>
+          var sum = 0L
+          var i = 0
+          while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 4 }
+          (r.doc_id, bid, batch.length.toLong,
+            math.max(r.width / 2, 1), 16, sum)
+        }
+      }
+      .toDF("doc_id", "batch_id", "n_in_batch", "out_w", "out_h",
+        "strided_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_features" -> (decodeFeatures _),
-    "mm_frame_sample"    -> (frameSample _)
+    "mm_frame_sample"    -> (frameSample _),
+    "mm_batch_resize"    -> (batchResize _)
   )
 
   // Oracle: the text corpus is pure ASCII, so payload bytes ≡ ascii codes —
   // the fake decode is exactly reproducible from the text column.
   val oracle: Map[String, String] = Map(
+    "mm_batch_resize" ->
+      """SELECT doc_id,
+        |  doc_id // 32 AS batch_id,
+        |  count(*) OVER (PARTITION BY doc_id // 32) AS n_in_batch,
+        |  greatest(((n_chars % 64) + 1) // 2, 1)::INTEGER AS out_w,
+        |  16 AS out_h,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(text) + 1, 4),
+        |      i -> ascii(substr(text, i::INTEGER, 1))::BIGINT)),
+        |    (a, b) -> a + b) AS strided_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // kind == 'video' ⇔ doc_id % 3 = 2 (see records()); ASCII text makes
     // the payload bytes exactly reproducible from the text column
     "mm_frame_sample" ->
