@@ -289,11 +289,29 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Triangle-partitioning fan-out for ngramJaccard: number of hash groups
+    * the docs of one length bucket are split into. A bucket of m docs
+    * spreads its inherent m²/2 comparisons over g(g+1)/2 cells of ≤2m/g
+    * docs each, so a degenerate corpus (every doc the same length — the
+    * NORM for fixed-token-chunk pre-training data) parallelizes instead of
+    * collapsing into one O(m²) task. Total compute is unchanged (exact
+    * all-pairs within the band is the query's semantics); replication cost
+    * is 2g rows per doc. */
+  private[graft] val jaccardCellGroups = 4
+
   /** dedup_ngram_jaccard: word-trigram shingles, blocking on the n_chars
     * bucket (both docs in the same 100-char band), exact Jaccard ≥ 0.5.
     * Non-probabilistic alternative to LSH: block bound makes the join
     * O(block²) instead of O(n²). */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOn(s, documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)) // one-file scan → cores
+
+  /** Replicated cell-key stage of ngramJaccard, exposed so the bucket-size
+    * invariant is testable on an arbitrary corpus (EngineSpec feeds a
+    * uniform-length one). Emits one row per (length bucket, triangle cell)
+    * replica: (bkey, lo, hi, doc_id, blk, grp, g3). */
+  private[graft] def jaccardCellKeys(docs: DataFrame): DataFrame = {
     // trigrams hashed to 64-bit (xxhash64): set operations over longs are
     // ~10× cheaper than over strings; cardinalities (and hence j) are
     // unchanged absent 64-bit collisions. 25-char blocking keeps block
@@ -308,22 +326,41 @@ object Dedup {
     // meets in EXACTLY the bucket greatest(blkA, blkB) (equal blocks share
     // both buckets but greatest picks one; adjacent blocks share only the
     // higher), so that in-loop predicate dedups pairs with no shuffle.
-    // Execution: shuffle the O(n) docs (with trigram arrays) once by
-    // bucket, then run the O(block²) pair loop INSIDE flatMapGroups —
-    // each doc's array deserializes once per bucket, not once per pair,
-    // and no candidate-pair rows ever materialize; only survivors are
-    // emitted. The cheap size-ratio test (j ≥ 0.5 ⇒ min/max ≥ 0.5) gates
-    // the O(|A|+|B|) merge scan.
-    import s.implicits._
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
+    //
+    // WITHIN a bucket, docs are further hashed into g groups and each doc
+    // replicated to the g triangle cells (min(grp,x), max(grp,x)) — a pair
+    // with groups (a,b), a≠b, co-occurs exactly in cell (a,b); a same-
+    // group pair co-occurs in every cell (a,x) but is compared only in
+    // (a,a) (the in-loop group predicate). This bounds every task at
+    // (2m/g)² work even when all docs share one length band — blocking on
+    // length alone degenerates on fixed-size-chunk corpora.
+    val g = jaccardCellGroups
+    docs
       .select(col("doc_id"), (col("n_chars") / 25).cast("int").as("blk"),
+        pmod(xxhash64(col("doc_id")), lit(g)).cast("int").as("grp"),
         array_sort(grams).as("g3"))
       .withColumn("bkey", explode(array(col("blk"), col("blk") + 1)))
-      .select(col("bkey"), col("doc_id"), col("blk"), col("g3"))
-      .as[(Int, Long, Int, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (bkey, it) =>
+      .withColumn("cell", explode(expr(
+        s"transform(sequence(0, ${g - 1}), x -> " +
+          "struct(least(grp, x) as lo, greatest(grp, x) as hi))")))
+      .select(col("bkey"), col("cell.lo").as("lo"), col("cell.hi").as("hi"),
+        col("doc_id"), col("blk"), col("grp"), col("g3"))
+  }
+
+  private[graft] def ngramJaccardOn(s: SparkSession,
+                                    docs: DataFrame): DataFrame = {
+    // Execution: shuffle the O(n·2g) doc replicas (with trigram arrays)
+    // once by (bucket, cell), then run the pair loop INSIDE flatMapGroups —
+    // each doc's array deserializes once per cell, not once per pair, and
+    // no candidate-pair rows ever materialize; only survivors are emitted.
+    // The cheap size-ratio test (j ≥ 0.5 ⇒ min/max ≥ 0.5) gates the
+    // O(|A|+|B|) merge scan.
+    import s.implicits._
+    jaccardCellKeys(docs)
+      .as[(Int, Int, Int, Long, Int, Int, Array[Long])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (bkey, lo, hi) = key
         val ds = it.toArray
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double)]
@@ -331,13 +368,16 @@ object Dedup {
         while (i < ds.length) {
           var k = i + 1
           while (k < ds.length) {
-            val (x, y) = if (ds(i)._2 < ds(k)._2) (ds(i), ds(k))
+            val (x, y) = if (ds(i)._4 < ds(k)._4) (ds(i), ds(k))
                          else (ds(k), ds(i))
-            if (bkey == math.max(x._3, y._3)) {
-              val la = x._4.length; val lb = y._4.length
+            // group predicate: mixed cells compare only cross-group pairs
+            // (same-group pairs belong to their diagonal cell (a,a))
+            if ((if (lo == hi) x._6 == y._6 else x._6 != y._6) &&
+                bkey == math.max(x._5, y._5)) {
+              val la = x._7.length; val lb = y._7.length
               if (math.min(la, lb) * 2 >= math.max(la, lb)) {
-                val j = DedupKernels.jaccardSorted(x._4, y._4)
-                if (j >= 0.5) out += ((x._2, y._2, j))
+                val j = DedupKernels.jaccardSorted(x._7, y._7)
+                if (j >= 0.5) out += ((x._4, y._4, j))
               }
             }
             k += 1
@@ -350,65 +390,84 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Matrix-block row for the block-partitioned exact NN ([graft]-scoped:
+    * plain `private` nested case classes compile to JVM-private
+    * constructors, which the generated encoder projection can't call). */
+  private[graft] case class MatRow(id: Long, v: Array[Double], nrm: Double)
+  private[graft] case class ProbeBlock(vec_id: Long, v: Array[Double],
+                                       nrm: Double, mrows: Array[MatRow])
+
   /** dedup_embedding_nn: per-vector EXACT nearest neighbour by cosine.
     *
-    * Execution: broadcast the (id, unit-vector) matrix, then one narrow
-    * mapPartitions pass — each partition scans its vectors against the
-    * broadcast matrix in a primitive double loop (the block-matrix inner
-    * kernel every exact-NN/IVF system bottoms out in). No shuffle, no N²
-    * join rows materialized. At 100 TB the broadcast side becomes the
-    * chunk loop of a block-partitioned cross product (or the IVF probe of
-    * Similarity.scala); the per-chunk kernel is this same code.
+    * Execution: BLOCK-PARTITIONED cross product, fully distributed — no
+    * driver-side materialization of the matrix, ever. Vectors are hashed
+    * into `nB` matrix blocks (`pmod(vec_id, nB)`, each block one row
+    * carrying ~4k (id, v, ‖v‖) structs); probes replicate once per block
+    * and meet their blocks in a plain equi-join on `blk`. Each joined row
+    * runs the primitive-double block kernel (the inner loop every exact-NN
+    * system bottoms out in) producing one per-block partial argmax, and a
+    * final key-partitioned max(struct) combines partials. Shuffle volume
+    * is n·nB ≈ n²/4096 skinny probe rows — the O(n²) compute inherent to
+    * exact NN, paid as bounded-size tasks instead of a driver OOM; truly
+    * huge corpora route to the IVF/SRP paths in Similarity.scala.
     *
     * Determinism: cosine = sequential fold over dims (identical order to
-    * the oracle's list_reduce), rounded to 6 before the argmax; ties break
-    * toward the smaller neighbour id. */
+    * the oracle's list_reduce; `aggregate(v, 0.0, +)` folds in element
+    * order exactly like the while-loop), rounded to 6 before the argmax;
+    * ties break toward the smaller neighbour id — within a block via the
+    * (cos, id) comparison, across blocks via max(struct(cos, -id)). */
   def embeddingNn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // nB from the row count (a metadata-only count, not a data collect):
+    // ≥2 so the cross-block combine is always exercised, ~4096 vectors per
+    // block (~2 MB rows) at scale.
+    val nB = math.max(2,
+      math.ceil(embeddings(s, d).count() / 4096.0).toInt)
     val e = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      expr("transform(embedding, x -> cast(x as double))").as("v"),
+      sqrt(expr("aggregate(transform(embedding, x -> cast(x as double)), " +
+        "cast(0.0 as double), (a, x) -> a + x * x)")).as("nrm"))
       .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
-      .as[(Long, Array[Double])]
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    // broadcastable matrix with PRE-COMPUTED norms (same sqrt(Σx²) double
-    // as the per-pair formula, so results stay bit-identical to the
-    // oracle while halving the inner-loop flops)
-    val all = e.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
-    val bc = s.sparkContext.broadcast(all)
-    e.mapPartitions { it =>
-      val mat = bc.value
-      def d(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      it.map { case (id, v) =>
-        val nv = math.sqrt(d(v, v))
+    val blocks = e.select(
+      pmod(col("vec_id"), lit(nB)).cast("int").as("blk"),
+      struct(col("vec_id").as("id"), col("v"), col("nrm")).as("r"))
+      .groupBy("blk").agg(collect_list("r").as("mrows"))
+    val probes = e.withColumn("blk",
+      explode(sequence(lit(0), lit(nB - 1))))
+    probes.join(blocks, "blk")
+      .select("vec_id", "v", "nrm", "mrows").as[ProbeBlock]
+      .flatMap { p =>
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
         var bestId = -1L; var bestCos = Double.MinValue
-        mat.foreach { case (oid, ov, on) =>
-          if (oid != id) {
-            val raw = d(v, ov) / (nv * on)
+        p.mrows.foreach { m =>
+          if (m.id != p.vec_id) {
+            val raw = dot(p.v, m.v) / (p.nrm * m.nrm)
             // rounding (BigDecimal, expensive) only when the raw value
-            // could round to >= the current best: raw < best - 5e-7 can
-            // never win, which skips the allocation for ~all of the N
+            // could round to >= the current best: raw < best - 6e-7 can
+            // never win, which skips the allocation for ~all of the
             // comparisons without changing the rounded-argmax semantics
             if (raw > bestCos - 6e-7) {
               val c = BigDecimal(raw)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (c > bestCos || (c == bestCos && oid < bestId)) {
-                bestCos = c; bestId = oid
+              if (c > bestCos || (c == bestCos && m.id < bestId)) {
+                bestCos = c; bestId = m.id
               }
             }
           }
         }
-        (id, bestId, bestCos)
+        if (bestId >= 0) Iterator((p.vec_id, bestId, bestCos))
+        else Iterator.empty
       }
-    }.toDF("vec_id", "nn_id", "nn_cos").orderBy("vec_id")
+      .toDF("vec_id", "nn_id", "nn_cos")
+      .groupBy("vec_id")
+      .agg(max(struct(col("nn_cos"), (-col("nn_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("nn_id"),
+        col("m.nn_cos").as("nn_cos"))
+      .orderBy("vec_id")
   }
 
   /** dedup_components: near-dup CLUSTERS — connected components over the

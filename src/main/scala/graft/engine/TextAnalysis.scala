@@ -104,15 +104,28 @@ object TextAnalysis {
     * frequency, score tf·ln(N/df), keep each doc's top-3 terms. All
     * hash aggregations with map-side combine; the corpus size N is one
     * driver-side parquet-metadata count inlined as a literal (a scalar,
-    * not a joined relation — keeps the plan free of nested-loop joins). */
+    * not a joined relation — keeps the plan free of nested-loop joins).
+    *
+    * Skew: tf⋈df on raw `term` makes every stopword a hot key (at corpus
+    * scale "the" carries one tf row PER DOCUMENT into a single reducer).
+    * The join is salted: tf keys on (term, hash(doc_id) mod S), df rows
+    * replicate S ways — each hot term fans across S tasks, df's shuffle
+    * grows only |vocab|·S skinny rows. Result set is identical (salt is
+    * a pure partitioning refinement), so the oracle is unchanged. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val nDocs = docs.count()
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
+    val salts = 16
+    val toks = docs
+      .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("term"))
+    val tfSalted = tf.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+    val dfSalted = df.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    tfSalted.join(dfSalted, Seq("term", "salt")).drop("salt")
       .withColumn("tfidf",
         round(col("tf") * log(lit(nDocs) / col("df")), 6))
       .withColumn("rk", expr("row_number() over (partition by doc_id " +

@@ -269,6 +269,71 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     banded.unpersist()
   }
 
+  test("dedup_embedding_nn: distributed block join, no driver-side matrix") {
+    import org.apache.spark.sql.functions._
+    val df = Dedup.embeddingNn(spark, sf)
+    val p = plan(df)
+    // the matrix must be a RELATION in the plan (block equi-join), never a
+    // driver-collected broadcast variable (LocalTableScan) — the round-2
+    // driver-OOM-at-scale finding
+    assert(!p.contains("LocalTableScan"),
+      s"driver-side materialized relation in NN plan:\n$p")
+    assert(p.contains("Join"), s"no block join in NN plan:\n$p")
+    // brute-force truth on the tiny fixture (collect is TEST-side only)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val naive = vecs.map { case (id, v) =>
+      val (bid, bcos) = vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .maxBy { case (oid, c) => (c, -oid) }
+      (id, bid, bcos)
+    }
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("dedup_ngram_jaccard: uniform-length corpus stays cell-bounded") {
+    import spark.implicits._
+    // 500 docs, ALL the same length (the fixed-token-chunk pre-training
+    // shape that collapses length-only blocking into one O(n²) task);
+    // docs i and i+250 are identical, all other pairs token-disjoint
+    val n = 500
+    val base = (0 until n / 2).map { i =>
+      (0 until 30).map(k => f"w$i%03d_$k%04d").mkString(" ")
+    }
+    val docs = (base ++ base).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length) }
+      .toDF("doc_id", "text", "n_chars")
+    val g = Dedup.jaccardCellGroups
+    val cellSizes = Dedup.jaccardCellKeys(docs)
+      .groupBy("bkey", "lo", "hi").count().collect()
+    // every length bucket fans into the full g(g+1)/2 triangle cells and
+    // no cell carries more than ~2n/g docs — the degenerate single-bucket
+    // O(n²) task cannot exist
+    cellSizes.groupBy(_.getInt(0)).foreach { case (_, cells) =>
+      assert(cells.length == g * (g + 1) / 2,
+        s"expected ${g * (g + 1) / 2} cells, got ${cells.length}")
+    }
+    val maxCell = cellSizes.map(_.getLong(3)).max
+    assert(maxCell <= 3L * n / g && maxCell < n,
+      s"cell of $maxCell docs — triangle partitioning not bounding work")
+    // and the pair semantics survive the partitioning: exactly the 250
+    // duplicate pairs, each compared once (no drops, no double-counting)
+    val got = Dedup.ngramJaccardOn(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == n / 2, s"got ${got.length} pairs, want ${n / 2}")
+    assert(got.forall { case (d1, d2, j) => d2 == d1 + n / 2 && j == 1.0 })
+  }
+
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
     val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
