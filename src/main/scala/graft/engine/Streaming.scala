@@ -625,7 +625,54 @@ object Streaming {
           col("eventId").as("first_id"))
     }.orderBy("user_id", "w_start_ms")
 
+  /** Staged line-oriented event log for the custom V2 source (one CSV
+    * line per event, time-ordered), written once per sf directory. */
+  private val stagedLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def stagedEventLog(s: SparkSession, d: String): String =
+    stagedLogCache.getOrElseUpdate(d, {
+      val rows = feedRows(s, d)
+      val f = java.nio.file.Files.createTempFile("graft_events", ".csv")
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      rows.foreach { ev =>
+        w.write(s"${ev.eventId},${ev.tsNs},${ev.userId},${ev.eventType}," +
+          s"${ev.value}\n")
+      }
+      w.close()
+      f.toString
+    })
+
+  /** stream_custom_source: the engine's own DataSource V2 streaming
+    * source (sources/GraftEventsSource.scala) — the `Source` SPI analog
+    * every reference transport connector implements. The staged event log
+    * replays through `readStream.format("graft")` in four
+    * admission-controlled micro-batches (row-position offsets,
+    * checkpoint-recoverable — StreamingSourceSpec proves restart resumes
+    * from the committed offset), and a complete-mode aggregation produces
+    * the oracle-checked totals. */
+  def customSource(s: SparkSession, d: String): DataFrame = {
+    val path = stagedEventLog(s, d)
+    val nRows = feedRows(s, d).length
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.format("graft")
+        .option("path", path)
+        .option("rowsPerBatch", math.max(nRows / 4, 1).toString)
+        .load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          max("event_id").as("max_id"))
+        .writeStream.format("memory").queryName("stream_custom_source")
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_custom_source").orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_custom_source"  -> (customSource _),
     "stream_dim_join"       -> (dimJoin _),
     "stream_rate_limit"     -> (rateLimitFirst _),
     "stream_file_source"    -> (fileSource _),
@@ -644,6 +691,10 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_custom_source" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dim_join" ->
       """WITH dim AS (
         |  SELECT user_id,

@@ -140,4 +140,48 @@ class StreamingSourceSpec extends AnyFunSuite {
       .orderBy("w_start_ms").collect().toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("custom V2 source: committed offsets survive restart, exactly-once") {
+    // Lifetime 1 runs against an upstream whose high-watermark sits at
+    // half the log (limitRows); lifetime 2 lifts the cap — the data
+    // "arrived" between runs. Restart must resume from the COMMITTED
+    // row-position offset in the checkpoint: no batch-1 re-delivery, no
+    // gap. This is the Source-SPI recovery contract every transport
+    // connector relies on.
+    val path = graft.engine.Streaming.stagedEventLog(spark, sf)
+    val total = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().size finally src.close()
+    }
+    val half = total / 2
+    val outDir = java.nio.file.Files.createTempDirectory("graft_v2_out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_v2_ck")
+    def run(limit: Option[Int]): Unit = {
+      val reader = spark.readStream.format("graft")
+        .option("path", path)
+        .option("rowsPerBatch", math.max(half / 2, 1).toString)
+      val q = limit.fold(reader)(n => reader.option("limitRows", n.toString))
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(Some(half)) // lifetime 1: two micro-batches up to the watermark
+    val ids1 = spark.read.parquet(outDir.toString)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids1.length == half, s"lifetime 1 delivered ${ids1.length}")
+    run(None) // lifetime 2: resumes at committed offset, drains the rest
+    val idsAll = spark.read.parquet(outDir.toString)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(idsAll.length == total,
+      s"expected $total total rows, got ${idsAll.length} (re-delivery or gap)")
+    assert(idsAll.distinct.length == total, "duplicate event delivery")
+    val wantIds = graft.engine.Streaming.feedRows(spark, sf)
+      .map(_.eventId).toSet
+    assert(idsAll.toSet == wantIds, "delivered ids differ from the log")
+  }
 }
