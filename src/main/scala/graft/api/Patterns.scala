@@ -1,0 +1,130 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.types.DataType
+import scala.concurrent.duration.FiniteDuration
+
+import graft.engine.Cep
+
+/** Public pattern-definition DSL — the SiddhiQL pattern-clause analog.
+  *
+  * A reference pattern like
+  * {{{ from every e1=S[type=='error'] -> e2=S[type=='click']
+  *     -> e3=S[type=='purchase'] within 10 min
+  *     select e1.user, e1.id, e3.value }}}
+  * is written as
+  * {{{
+  * Patterns.begin("e1")((e, _) => e.eventType == "error")
+  *   .followedBy("e2")((e, _) => e.eventType == "click")
+  *   .followedBy("e3")((e, _) => e.eventType == "purchase")
+  *   .within(10.minutes)
+  *   .select[Out](spark, sfDir) { b => ... b("e1").head ... }
+  * }}}
+  *
+  * Predicates see the event AND the bindings accumulated so far, so
+  * cross-binding conditions (`e2.value > e1.value`) are ordinary Scala:
+  * `(e, b) => e.value > b("e1").head.value`. The same builder drives both
+  * execution stacks: [[PatternBuilder.select]] runs the NFA inside
+  * `groupByKey.flatMapGroups` (keyed shuffle + per-key time sort — the
+  * shape that scales to any key cardinality), and
+  * [[PatternBuilder.selectPlan]] plans it as the custom Catalyst operator
+  * ([[graft.engine.plans.PatternMatchPlan]]) whose exchange/sort the
+  * planner inserts from declared requirements (and elides under
+  * bucketing).
+  */
+object Patterns {
+  /** Event record visible to predicates (ns timestamps: exact order). */
+  type Ev = Cep.Ev
+  /** Accumulated bindings: step name → events bound to it, in order. */
+  type Bindings = Cep.Bindings
+  /** Pattern predicate: (candidate event, bindings so far) → matches? */
+  type Pred = (Ev, Bindings) => Boolean
+
+  /** Start a pattern with its first condition (`every` by default —
+    * every matching event spawns an overlapping run, the reference's
+    * most common spawn mode). */
+  def begin(name: String)(pred: Pred): PatternBuilder =
+    PatternBuilder(Vector(Cep.Single(name, pred)), None, Cep.EveryMatch)
+
+  final case class PatternBuilder private[api] (
+      steps: Vector[Cep.PStep],
+      withinNs: Option[Long],
+      spawn: Cep.SpawnPolicy) {
+
+    /** `->` followed-by: non-matching events in between are skipped. */
+    def followedBy(name: String)(pred: Pred): PatternBuilder =
+      copy(steps = steps :+ Cep.Single(name, pred))
+
+    /** `,` strict-next: the very next event must match or the run dies. */
+    def next(name: String)(pred: Pred): PatternBuilder =
+      copy(steps = steps :+ Cep.Single(name, pred, strict = true))
+
+    /** `<min:max>` count quantifier on the most recent condition. */
+    def times(min: Int, max: Int): PatternBuilder = steps.last match {
+      case s: Cep.Single =>
+        copy(steps = steps.init :+ s.copy(min = min, max = max))
+      case other => throw new IllegalArgumentException(
+        s"times() applies to a condition step, not $other")
+    }
+
+    /** `not <cond> for <T>`: succeeds iff NO matching event arrives
+      * within `dur` of the previous step's last binding. */
+    def notFor(name: String, dur: FiniteDuration)(pred: Pred)
+        : PatternBuilder =
+      copy(steps = steps :+ Cep.Absent(name, pred, dur.toNanos))
+
+    /** Logical `A and B`: both conditions, in any order. */
+    def both(nameA: String)(predA: Pred)(nameB: String)(predB: Pred)
+        : PatternBuilder =
+      copy(steps = steps :+ Cep.BothOf(nameA, predA, nameB, predB))
+
+    /** Logical `A or B`: first event matching either branch binds it. */
+    def either(nameA: String)(predA: Pred)(nameB: String)(predB: Pred)
+        : PatternBuilder =
+      copy(steps = steps :+ Cep.EitherOf(nameA, predA, nameB, predB))
+
+    /** `within T`: whole-pattern deadline from the run's first binding. */
+    def within(dur: FiniteDuration): PatternBuilder =
+      copy(withinNs = Some(dur.toNanos))
+
+    /** Suppress overlapping runs: a new run spawns only when none is
+      * currently accumulating step 0 (non-`every` mode). */
+    def firstOnly: PatternBuilder = copy(spawn = Cep.WhenNoneActive)
+
+    /** Execute over the events table (keyed by user, time-ordered per
+      * key), projecting each completed run's bindings. */
+    def select[Out: Encoder](spark: SparkSession, dir: String)
+                            (project: Bindings => Out): Dataset[Out] =
+      Cep.matchPattern[Out](spark, dir, steps.toIndexedSeq, withinNs,
+        spawn)(project)
+
+    /** Execute through the custom Catalyst operator: the pattern becomes
+      * a planner-visible [[graft.engine.plans.PatternMatchPlan]] node
+      * (key-filter pushdown rule applies; exchange/sort come from the
+      * operator's declared requirements). `out` is the output schema,
+      * `project` returns one value per output column. */
+    def selectPlan(spark: SparkSession, dir: String,
+                   out: Seq[(String, DataType)])
+                  (project: Bindings => Seq[Any]): DataFrame = {
+      val strat = graft.engine.plans.PatternMatchStrategy
+      if (!spark.experimental.extraStrategies.contains(strat))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ strat
+      val rule = graft.engine.plans.PatternKeyPushdown
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+      val child = org.apache.spark.sql.GraftSqlBridge.analyzed(
+        graft.engine.Tables.events(spark, dir)
+          .selectExpr("event_id as eventId", "ts_ns as tsNs",
+            "user_id as userId", "event_type as eventType", "value"))
+      val attrs = out.map { case (n, t) =>
+        AttributeReference(n, t, nullable = false)()
+      }
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.engine.plans.PatternMatchPlan(steps.toIndexedSeq, withinNs,
+          spawn, attrs, project, child))
+    }
+  }
+}

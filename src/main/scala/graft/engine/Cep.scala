@@ -351,6 +351,28 @@ object Cep {
       .orderBy("start_id")
   }
 
+  case class ApiMatch(user_id: Long, error_id: Long, click_id: Long,
+                      purchase_id: Long, purchase_value: Double)
+
+  /** cep_api_builder: a three-step funnel (`every error -> click ->
+    * purchase within 10 min`) composed ENTIRELY through the public
+    * pattern DSL ([[graft.api.Patterns]]) — the SiddhiQL-pattern analog a
+    * library user writes. Exercises nothing engine-private: the query is
+    * exactly what the README's API section shows. */
+  def apiBuilder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.duration._
+    graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .followedBy("e2")((e, _) => e.eventType == "click")
+      .followedBy("e3")((e, _) => e.eventType == "purchase")
+      .within(10.minutes)
+      .select[ApiMatch](s, d) { b =>
+        val e1 = b("e1").head; val e2 = b("e2").head; val e3 = b("e3").head
+        ApiMatch(e1.userId, e1.eventId, e2.eventId, e3.eventId, e3.value)
+      }.toDF().orderBy("error_id")
+  }
+
   case class NotAndMatch(user_id: Long, purchase_id: Long)
 
   /** Logical `(not S[error] for 5 min) and e2=S[purchase]` — the
@@ -389,6 +411,7 @@ object Cep {
   }
 
   val queries: Map[String, Q] = Map(
+    "cep_api_builder"     -> (apiBuilder _),
     "cep_pattern_exec"    -> (patternExec _),
     "cep_logical_not_and" -> (logicalNotAnd _),
     "cep_logical_or"      -> (logicalOr _),
@@ -400,6 +423,30 @@ object Cep {
   )
 
   val oracle: Map[String, String] = Map(
+    // greedy first-match chain: each error takes its FIRST later click,
+    // then that run takes the FIRST purchase after the click, everything
+    // within 10 min of the error (the NFA's within-deadline from step 0)
+    "cep_api_builder" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |ec AS (
+        |  SELECT e.user_id, e.event_id AS error_id, e.ts AS e_ts,
+        |    c.event_id AS click_id, c.ts AS c_ts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY c.ts, c.event_id) AS rk
+        |  FROM err e JOIN clk c ON c.user_id = e.user_id
+        |    AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE),
+        |ecp AS (
+        |  SELECT x.user_id, x.error_id, x.click_id,
+        |    p.event_id AS purchase_id, p.value AS purchase_value,
+        |    row_number() OVER (PARTITION BY x.error_id
+        |      ORDER BY p.ts, p.event_id) AS rk2
+        |  FROM (SELECT * FROM ec WHERE rk = 1) x
+        |  JOIN pur p ON p.user_id = x.user_id AND p.ts > x.c_ts
+        |    AND p.ts <= x.e_ts + INTERVAL 10 MINUTE)
+        |SELECT user_id, error_id, click_id, purchase_id, purchase_value
+        |FROM ecp WHERE rk2 = 1 ORDER BY error_id""".stripMargin,
     // identical semantics (and oracle) to cep_seq_followed_by — the gate
     // proves the custom-operator stack emits exactly the NFA's matches
     "cep_pattern_exec" ->

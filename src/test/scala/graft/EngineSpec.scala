@@ -334,6 +334,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (d1, d2, j) => d2 == d1 + n / 2 && j == 1.0 })
   }
 
+  test("Patterns DSL: selectPlan ≡ select (custom operator parity)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    // the same pattern through both public execution paths must agree
+    val pat = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .followedBy("e2")((e, _) => e.eventType == "purchase")
+      .within(5.minutes)
+    val viaNfa = pat.select[(Long, Long, Double)](spark, sf) { b =>
+      (b("e1").head.eventId, b("e2").head.eventId, b("e2").head.value)
+    }.toDF("start_id", "next_id", "next_value").orderBy("start_id")
+    val viaPlan = pat.selectPlan(spark, sf, Seq(
+      "start_id" -> LongType, "next_id" -> LongType,
+      "next_value" -> DoubleType)) { b =>
+      Seq[Any](b("e1").head.eventId, b("e2").head.eventId,
+        b("e2").head.value)
+    }.orderBy("start_id")
+    assert(plan(viaPlan).contains("PatternMatch"),
+      "selectPlan did not plan the custom operator")
+    assert(viaPlan.collect().toSeq == viaNfa.collect().toSeq)
+  }
+
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
     val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
