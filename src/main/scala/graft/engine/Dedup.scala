@@ -235,11 +235,18 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
     // re-attach the sets only to surviving candidate pairs. The candidate
-    // list is tiny (LSH-surviving pairs) but join-derived, so its size
-    // estimate is unknown — broadcast it explicitly rather than letting
-    // the planner shuffle+sort the wide shingle-set relation twice.
+    // list is join-derived, so its size is data-dependent and UNKNOWN at
+    // plan time: template-heavy corpora grow band buckets linearly with
+    // corpus size, hence candidates quadratically (measured: 6 K pairs at
+    // sf0.01 → 643 K at sf0.1 → 122 M at 10×). An unconditional
+    // broadcast() hint here OOMs the driver exactly when it matters —
+    // leave the choice to AQE, which sees the REAL candidate size at
+    // runtime (still broadcasts at small scale, shuffles at large). The
+    // quadratic candidate growth itself is why production pipelines run
+    // canonical/exact dedup (corpus_pipeline's first stage) before LSH:
+    // template clusters collapse to one representative each.
     val sets = banded.select(col("doc_id"), col("sh"))
-    val cand = broadcast(candIds)
+    val cand = candIds
       .join(sets.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("sh", "sh1"), Seq("d1"))
       .join(sets.withColumnRenamed("doc_id", "d2")

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** 10× Spark-only scale rehearsal for the dedup/ANN path (round-3 plan
+  * item 7). The DuckDB oracle is impractical at this size (all-pairs
+  * truth takes hours — BASELINE.md), so exact invariants replace it:
+  *
+  *   - replica-0 exactness: the 10× corpus embeds the sf0.1 corpus
+  *     verbatim (replica 0), so restricting the 10× result to replica-0
+  *     ids must reproduce the oracle-verified sf0.1 result bit-for-bit;
+  *   - replica isolation: mutated replicas are shingle-disjoint, so no
+  *     cross-replica pair may appear;
+  *   - aggregate recall floor: each mutated replica preserves every
+  *     within-replica Jaccard exactly (uniform 1:1 token renaming), so
+  *     the 10× pair count must stay close to 10× the base count;
+  *   - bounded tasks: no single task may absorb the job (the skew
+  *     failure mode the triangle/banding partitioning exists to prevent).
+  *
+  * Ignored by default (assume-gated): run manually with
+  *   SPARK_GRAFT_SCALE=1 sbt "testOnly graft.ScaleRehearsalSpec"
+  * and record the reported wall/task numbers in BASELINE.md.
+  */
+class ScaleRehearsalSpec extends AnyFunSuite {
+  private val enabled = sys.env.get("SPARK_GRAFT_SCALE").contains("1")
+  private val baseSf = "/root/testdata/sf0.1"
+  private val reps = 10
+  private val off = 10000000L
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** 10× corpus: replica k offsets ids by k·10M; replica 0 is verbatim;
+    * replicas k>0 apply a Caesar substitution cipher (shift letters by
+    * k). A bijective character mapping preserves EVERY within-replica
+    * equality — char-5-gram shingles, word trigrams, text lengths — so
+    * each replica's true pair set IS the base corpus's (ids shifted),
+    * while cross-replica shingles are disjoint-ish (different shifts).
+    * (An earlier token-suffix mutation injected the suffix into every
+    * char shingle — shared boilerplate that inflated within-replica
+    * Jaccard 80000×; a cipher has no such footprint.) */
+  private lazy val dir10: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_scale10")
+      .toString
+    val repCol = explode(expr(s"sequence(0, ${reps - 1})")).as("rep")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val src = lower + lower.toUpperCase
+    def shifted(k: Int) =
+      (lower.drop(k) + lower.take(k)) +
+        (lower.drop(k) + lower.take(k)).toUpperCase
+    val ciphered = (1 until reps).foldLeft(
+      when(col("rep") === 0, col("text"))) { (acc, k) =>
+      acc.when(col("rep") === k, translate(col("text"), src, shifted(k)))
+    }
+    Tables.documents(spark, baseSf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        repCol)
+      .withColumn("doc_id", col("doc_id") + col("rep") * off)
+      .withColumn("text", ciphered.otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.embeddings(spark, baseSf)
+      .select(col("vec_id"), col("embedding"), col("label"), repCol)
+      .withColumn("vec_id", col("vec_id") + col("rep") * off)
+      .withColumn("embedding",
+        // hash-derived multiplicative noise (±0.1%): replicas are
+        // near-duplicate twins of their base vector — the realistic
+        // embedding-dedup shape. (An earlier dimension-rotation variant
+        // produced structured pairs that defeat FIXED hyperplanes — a
+        // pathology of synthetic data, not of the corpus.)
+        expr("transform(embedding, (x, i) -> x * cast(1.0 + 0.002 * " +
+          "(pmod(xxhash64(vec_id, i, rep), 1000) / 1000.0 - 0.5) " +
+          "as float))"))
+      .select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  private class MaxTask extends SparkListener {
+    @volatile var maxMs = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null)
+        maxMs = math.max(maxMs, te.taskInfo.duration)
+  }
+
+  /** Run df.collect() under a task-duration listener; returns
+    * (rows, wallSec, maxTaskSec). */
+  private def timed(df: => DataFrame)
+      : (Array[org.apache.spark.sql.Row], Double, Double) = {
+    val l = new MaxTask
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(l)
+    (rows, wall, l.maxMs / 1e3)
+  }
+
+  test("10x minhash LSH: replica-0 exact, replica-isolated, recall ≥ 0.9") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val base = Dedup.minhashLsh(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (rows, wall, maxTask) = timed(Dedup.minhashLsh(spark, dir10))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    info(f"minhash_lsh 10x: ${pairs.length} pairs, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.size} pairs)")
+    assert(pairs.forall { case (a, b) => a / off == b / off },
+      "cross-replica pair: shingle-disjoint replicas may never pair")
+    val rep0 = pairs.filter { case (a, b) => a < off && b < off }.toSet
+    assert(rep0 == base, "replica-0 pairs differ from the sf0.1 result")
+    // the cipher preserves within-replica Jaccard exactly, so each
+    // replica's truth = base truth; ciphered replicas re-draw every
+    // minhash, so borderline-j pairs are re-coin-flipped per replica —
+    // found ⊆ truth (verification is exact) up to draws base missed,
+    // and the aggregate count sits in a tight band around 10x
+    val mapped = pairs.map { case (a, b) => (a % off, b % off) }
+    val novel = mapped.count(p => !base.contains(p))
+    assert(novel <= math.max(2, pairs.length / 20),
+      s"$novel/${pairs.length} pairs outside the base truth set")
+    assert(pairs.length >= 8 * base.size && pairs.length <= 11 * base.size,
+      s"10x pair count ${pairs.length} outside [8,11]x base ${base.size}")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x ngram jaccard: replica-0 exact, replica-isolated, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val base = Dedup.ngramJaccard(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (rows, wall, maxTask) = timed(Dedup.ngramJaccard(spark, dir10))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    info(f"ngram_jaccard 10x: ${pairs.length} pairs, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.size} pairs)")
+    assert(pairs.forall { case (a, b) => a / off == b / off },
+      "cross-replica pair: token-disjoint replicas may never pair")
+    val rep0 = pairs.filter { case (a, b) => a < off && b < off }.toSet
+    assert(rep0 == base, "replica-0 pairs differ from the sf0.1 result")
+    // ngram jaccard is fully deterministic and the cipher preserves token
+    // equality AND text length exactly — every replica must reproduce the
+    // base result verbatim (ids shifted): the strongest 10x invariant
+    assert(pairs.length == reps * base.size,
+      s"10x pair count ${pairs.length} != ${reps}x base ${base.size}")
+    assert(pairs.forall { case (a, b) => base.contains((a % off, b % off)) },
+      "a replica pair maps outside the base result")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x SRP ANN: completes bounded with recall floor vs exact brute") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val (rows, wall, maxTask) = timed(Similarity.topkSrp(spark, dir10))
+    info(f"sim_topk_srp 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    // exact truth from the (also distributed) brute top-k at 10x
+    val brute = Similarity.topkBrute(spark, dir10)
+      .filter(col("rk") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"sim_topk_srp 10x recall vs brute top-5: $recall%.2f")
+    // near-dup twins share SRP signatures with overwhelming probability —
+    // the floor here is strict, unlike the 0.2 generic-neighbour floor
+    assert(recall >= 0.6, s"SRP near-dup recall $recall below floor at 10x")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+}
