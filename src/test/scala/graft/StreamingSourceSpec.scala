@@ -184,4 +184,26 @@ class StreamingSourceSpec extends AnyFunSuite {
       .map(_.eventId).toSet
     assert(idsAll.toSet == wantIds, "delivered ids differ from the log")
   }
+
+  test("console/log sink: windowed agg streams to console without error") {
+    // the reference's log sink analog is writeStream.format("console") —
+    // a one-liner by design (SURVEY §2.1); this pins it as a WORKING
+    // configuration, not just a documented note. Output goes to stdout;
+    // the assertion is that the query starts, processes every batch of
+    // the custom V2 source, and finishes cleanly.
+    val path = graft.engine.Streaming.stagedEventLog(spark, sf)
+    val q = spark.readStream.format("graft")
+      .option("path", path).option("rowsPerBatch", "500")
+      .load()
+      .groupBy("event_type").count()
+      .writeStream.format("console")
+      .option("numRows", "3").option("truncate", "true")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+    assert(progress != null && q.exception.isEmpty,
+      s"console sink failed: ${q.exception}")
+  }
 }
