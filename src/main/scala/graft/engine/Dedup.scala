@@ -397,24 +397,19 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Matrix-block row for the block-partitioned exact NN ([graft]-scoped:
-    * plain `private` nested case classes compile to JVM-private
-    * constructors, which the generated encoder projection can't call). */
-  private[graft] case class MatRow(id: Long, v: Array[Double], nrm: Double)
-  private[graft] case class ProbeBlock(vec_id: Long, v: Array[Double],
-                                       nrm: Double, mrows: Array[MatRow])
-
   /** dedup_embedding_nn: per-vector EXACT nearest neighbour by cosine.
     *
     * Execution: BLOCK-PARTITIONED cross product, fully distributed — no
     * driver-side materialization of the matrix, ever. Vectors are hashed
-    * into `nB` matrix blocks (`pmod(vec_id, nB)`, each block one row
-    * carrying ~4k (id, v, ‖v‖) structs); probes replicate once per block
-    * and meet their blocks in a plain equi-join on `blk`. Each joined row
-    * runs the primitive-double block kernel (the inner loop every exact-NN
-    * system bottoms out in) producing one per-block partial argmax, and a
-    * final key-partitioned max(struct) combines partials. Shuffle volume
-    * is n·nB ≈ n²/4096 skinny probe rows — the O(n²) compute inherent to
+    * into `nB` matrix blocks (`pmod(vec_id, nB)`, ~4k vectors each) and
+    * probes into `pSh` hash shards; a COGROUP on (blk, shard) — probes
+    * replicated per block, matrix rows per shard — gives each of the
+    * nB·pSh tasks ONE decoded matrix block (bounded ~2 MB) and a probe
+    * sub-iterator streamed past it through the primitive-double block
+    * kernel (the inner loop every exact-NN system bottoms out in),
+    * emitting one per-block partial argmax per probe; a final
+    * key-partitioned max(struct) combines partials. Shuffle volume is
+    * n·nB probe rows + n·pSh matrix rows — the O(n²) compute inherent to
     * exact NN, paid as bounded-size tasks instead of a driver OOM; truly
     * huge corpora route to the IVF/SRP paths in Similarity.scala.
     *
@@ -427,7 +422,7 @@ object Dedup {
     import s.implicits._
     // nB from the row count (a metadata-only count, not a data collect):
     // ≥2 so the cross-block combine is always exercised, ~4096 vectors per
-    // block (~2 MB rows) at scale.
+    // block (~2 MB of task-resident matrix) at scale.
     val nB = math.max(2,
       math.ceil(embeddings(s, d).count() / 4096.0).toInt)
     val e = embeddings(s, d).select(col("vec_id"),
@@ -435,24 +430,33 @@ object Dedup {
       sqrt(expr("aggregate(transform(embedding, x -> cast(x as double)), " +
         "cast(0.0 as double), (a, x) -> a + x * x)")).as("nrm"))
       .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
-    val blocks = e.select(
-      pmod(col("vec_id"), lit(nB)).cast("int").as("blk"),
-      struct(col("vec_id").as("id"), col("v"), col("nrm")).as("r"))
-      .groupBy("blk").agg(collect_list("r").as("mrows"))
-    val probes = e.withColumn("blk",
-      explode(sequence(lit(0), lit(nB - 1))))
-    probes.join(blocks, "blk")
-      .select("vec_id", "v", "nrm", "mrows").as[ProbeBlock]
-      .flatMap { p =>
-        def dot(a: Array[Double], b: Array[Double]): Double = {
-          var acc = 0.0; var i = 0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          acc
-        }
+    val pSh = s.sparkContext.defaultParallelism // probe shards per block
+    val mat = e.select(
+        pmod(col("vec_id"), lit(nB)).cast("int").as("blk"),
+        explode(sequence(lit(0), lit(pSh - 1))).as("shard"),
+        col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Int, Long, Array[Double], Double)]
+      .groupByKey(t => (t._1, t._2))
+    val probes = e.select(
+        explode(sequence(lit(0), lit(nB - 1))).as("blk"),
+        pmod(xxhash64(col("vec_id")), lit(pSh)).cast("int").as("shard"),
+        col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Int, Long, Array[Double], Double)]
+      .groupByKey(t => (t._1, t._2))
+    probes.cogroup(mat) { (_, ps, ms) =>
+      val m = ms.toArray // the block decodes ONCE per task, not per probe
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      ps.flatMap { case (_, _, pid, pv, pn) =>
         var bestId = -1L; var bestCos = Double.MinValue
-        p.mrows.foreach { m =>
-          if (m.id != p.vec_id) {
-            val raw = dot(p.v, m.v) / (p.nrm * m.nrm)
+        var i = 0
+        while (i < m.length) {
+          val (_, _, mid, mv, mn) = m(i)
+          if (mid != pid) {
+            val raw = dot(pv, mv) / (pn * mn)
             // rounding (BigDecimal, expensive) only when the raw value
             // could round to >= the current best: raw < best - 6e-7 can
             // never win, which skips the allocation for ~all of the
@@ -460,15 +464,17 @@ object Dedup {
             if (raw > bestCos - 6e-7) {
               val c = BigDecimal(raw)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (c > bestCos || (c == bestCos && m.id < bestId)) {
-                bestCos = c; bestId = m.id
+              if (c > bestCos || (c == bestCos && mid < bestId)) {
+                bestCos = c; bestId = mid
               }
             }
           }
+          i += 1
         }
-        if (bestId >= 0) Iterator((p.vec_id, bestId, bestCos))
+        if (bestId >= 0) Iterator((pid, bestId, bestCos))
         else Iterator.empty
       }
+    }
       .toDF("vec_id", "nn_id", "nn_cos")
       .groupBy("vec_id")
       .agg(max(struct(col("nn_cos"), (-col("nn_id")).as("neg_id"))).as("m"))

@@ -269,16 +269,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     banded.unpersist()
   }
 
-  test("dedup_embedding_nn: distributed block join, no driver-side matrix") {
+  test("dedup_embedding_nn: distributed block cogroup, no driver matrix") {
     import org.apache.spark.sql.functions._
     val df = Dedup.embeddingNn(spark, sf)
     val p = plan(df)
-    // the matrix must be a RELATION in the plan (block equi-join), never a
+    // the matrix must be a RELATION in the plan (block cogroup), never a
     // driver-collected broadcast variable (LocalTableScan) — the round-2
     // driver-OOM-at-scale finding
     assert(!p.contains("LocalTableScan"),
       s"driver-side materialized relation in NN plan:\n$p")
-    assert(p.contains("Join"), s"no block join in NN plan:\n$p")
+    assert(p.contains("CoGroup"), s"no block cogroup in NN plan:\n$p")
     // brute-force truth on the tiny fixture (collect is TEST-side only)
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
