@@ -229,7 +229,58 @@ object Extras {
       length(encode(col("props"), "UTF-8")).as("payload_bytes"))
       .orderBy("event_id")
 
+  /** mapper_avro_roundtrip: the `siddhi-map-avro` shape — each event row
+    * serializes to Avro BINARY (GenericRecord against an explicit record
+    * schema, binary encoder) and decodes back; output carries the decoded
+    * fields plus the wire size. The spark-avro CONNECTOR is absent from
+    * this container, but the mapper SPI needs only avro-core, which Spark
+    * itself ships. Typed mapPartitions kernel with per-partition init
+    * (one writer/reader/buffer reused across the partition, encoder
+    * object recycled) — the serde batching shape every mapper needs at
+    * 100 TB. The oracle reproduces the exact wire size from Avro's
+    * zigzag-varint spec, so the gate checks the FORMAT, not just the
+    * roundtrip identity. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[(Long, Long, String, Double)]
+      .mapPartitions { it =>
+        import org.apache.avro.Schema
+        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+        import org.apache.avro.io.{BinaryEncoder, DecoderFactory, EncoderFactory}
+        val schema = new Schema.Parser().parse(
+          """{"type":"record","name":"Ev","fields":[
+            |{"name":"event_id","type":"long"},
+            |{"name":"user_id","type":"long"},
+            |{"name":"event_type","type":"string"},
+            |{"name":"value","type":"double"}]}""".stripMargin)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        val baos = new java.io.ByteArrayOutputStream()
+        var enc: BinaryEncoder = null
+        it.map { case (id, uid, typ, v) =>
+          baos.reset()
+          enc = EncoderFactory.get().binaryEncoder(baos, enc)
+          val rec = new GenericData.Record(schema)
+          rec.put("event_id", id); rec.put("user_id", uid)
+          rec.put("event_type", typ); rec.put("value", v)
+          writer.write(rec, enc); enc.flush()
+          val bytes = baos.toByteArray
+          val back = reader.read(null,
+            DecoderFactory.get().binaryDecoder(bytes, null))
+          (id, bytes.length.toLong, back.get("event_type").toString,
+            back.get("value").asInstanceOf[Double],
+            back.get("user_id").asInstanceOf[Long])
+        }
+      }
+      .toDF("event_id", "avro_bytes", "rt_type", "rt_value", "rt_user")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mapper_avro_roundtrip" -> (avroRoundtrip _),
     "mapper_xml_roundtrip"  -> (xmlRoundtrip _),
     "sink_partitioned_roundtrip" -> (partitionedSinkRoundtrip _),
     "mapper_binary_roundtrip" -> (binaryRoundtrip _),
@@ -246,6 +297,26 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // wire size from the Avro spec: zigzag-varint(long) per id field
+    // (zigzag(n) = 2n for n ≥ 0; varint = 7 bits/byte), varint(strlen) +
+    // utf8 bytes for the string (types here are short ASCII → 1-byte
+    // length), fixed 8 bytes for the double
+    "mapper_avro_roundtrip" ->
+      """WITH vl AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    (CASE WHEN 2*event_id < 128 THEN 1
+        |          WHEN 2*event_id < 16384 THEN 2
+        |          WHEN 2*event_id < 2097152 THEN 3
+        |          WHEN 2*event_id < 268435456 THEN 4 ELSE 5 END) +
+        |    (CASE WHEN 2*user_id < 128 THEN 1
+        |          WHEN 2*user_id < 16384 THEN 2
+        |          WHEN 2*user_id < 2097152 THEN 3
+        |          WHEN 2*user_id < 268435456 THEN 4 ELSE 5 END) +
+        |    1 + octet_length(encode(event_type)) + 8 AS nb
+        |  FROM events)
+        |SELECT event_id, CAST(nb AS BIGINT) AS avro_bytes,
+        |  event_type AS rt_type, value AS rt_value, user_id AS rt_user
+        |FROM vl ORDER BY event_id""".stripMargin,
     "markov_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type,
