@@ -185,6 +185,36 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(idsAll.toSet == wantIds, "delivered ids differ from the log")
   }
 
+  test("tcp/socket source: lines stream from a live socket") {
+    // the reference's TCP transport analog is Spark's built-in socket
+    // source — pinned here against a REAL local socket (server thread
+    // writes five lines, the stream must deliver exactly those)
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"evt_$i"))
+      out.flush()
+      Thread.sleep(30000) // keep the connection open until the test ends
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", port.toString)
+      .load()
+      .writeStream.format("memory").queryName("sock_src")
+      .outputMode("append").start()
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.table("sock_src").count() < 5 &&
+        System.currentTimeMillis < deadline) Thread.sleep(200)
+    q.stop()
+    server.close()
+    assert(spark.table("sock_src").collect().map(_.getString(0)).toSet ==
+      (1 to 5).map(i => s"evt_$i").toSet)
+  }
+
   test("console/log sink: windowed agg streams to console without error") {
     // the reference's log sink analog is writeStream.format("console") —
     // a one-liner by design (SURVEY §2.1); this pins it as a WORKING
