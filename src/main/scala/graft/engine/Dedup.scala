@@ -502,16 +502,25 @@ object Dedup {
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
+    // convergence via the label-sum invariant: min-label propagation is
+    // monotone non-increasing per node, so the total label sum strictly
+    // decreases on every changing round and the fixpoint is exactly
+    // "sum unchanged" — one cheap aggregate per round instead of a
+    // prop⋈labels diff join (decimal(38,0) so node-id sums can't wrap
+    // at any corpus size)
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labSum(labels)
     var changed = true
     while (changed) {
       val viaEdges = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("lab"))
       val prop = viaEdges.unionByName(labels.select("node", "lab"))
         .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
-      changed = prop.as("p")
-        .join(labels.as("l"), col("p.node") === col("l.node"))
-        .filter(col("p.lab") =!= col("l.lab"))
-        .limit(1).count() > 0
+      val s = labSum(prop)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = prop
     }
     val sizes = labels.groupBy("lab").agg(count(lit(1)).as("component_size"))
