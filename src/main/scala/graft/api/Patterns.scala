@@ -99,6 +99,45 @@ object Patterns {
       Cep.matchPattern[Out](spark, dir, steps.toIndexedSeq, withinNs,
         spawn)(project)
 
+    /** Execute over a LIVE streaming `Dataset[Ev]` (readStream-derived):
+      * per-key NFA state inside `flatMapGroupsWithState`, emitting each
+      * match exactly once as it completes (prefix-stable re-fold — the
+      * already-emitted count is the state watermark).
+      *
+      * Restricted to patterns whose matches finalize AT an event:
+      * absence steps and open final quantifiers complete at end-of-stream
+      * flush, which a live stream never reaches — those stream through
+      * the timeout-based operators (engine Streaming.cepAbsence*,
+      * transformWithState timers) instead, and this guard says so. */
+    def selectStream[Out: Encoder](ds: Dataset[Ev])
+                                  (project: Bindings => Out): Dataset[Out] = {
+      require(!steps.exists(_.isInstanceOf[Cep.Absent]),
+        "absence patterns need timeout-based streaming (Streaming.cepAbsence)")
+      steps.last match {
+        case s: Cep.Single => require(s.min == s.max,
+          "an open final quantifier completes only at end-of-stream; " +
+            "not streamable via re-fold")
+        case _ => ()
+      }
+      import ds.sparkSession.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val st = steps.toIndexedSeq
+      val w = withinNs
+      val sp = spawn
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[(Vector[Ev], Int), Out](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (_, batch: Iterator[Ev],
+                state: GroupState[(Vector[Ev], Int)]) =>
+            val (hist, emitted) =
+              state.getOption.getOrElse((Vector.empty[Ev], 0))
+            val all = (hist ++ batch).sortBy(e => (e.tsNs, e.eventId))
+            val outs = Cep.run[Out](st, w, sp, project)(all.iterator).toVector
+            state.update((all, outs.length))
+            outs.drop(emitted).iterator
+        }
+    }
+
     /** Execute through the custom Catalyst operator: the pattern becomes
       * a planner-visible [[graft.engine.plans.PatternMatchPlan]] node
       * (key-filter pushdown rule applies; exchange/sort come from the

@@ -357,6 +357,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPlan.collect().toSeq == viaNfa.collect().toSeq)
   }
 
+  test("Patterns DSL: selectStream ≡ select over the replayed feed") {
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val pat = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .followedBy("e2")((e, _) => e.eventType == "purchase")
+      .within(5.minutes)
+    val streamed = engine.Streaming.runStream(spark, sf, "dsl_stream_cep",
+      org.apache.spark.sql.streaming.OutputMode.Append()) { ds =>
+      pat.selectStream(ds) { b =>
+        (b("e1").head.eventId, b("e2").head.eventId)
+      }.toDF("start_id", "next_id")
+    }.orderBy("start_id")
+    val batch = pat.select[(Long, Long)](spark, sf) { b =>
+      (b("e1").head.eventId, b("e2").head.eventId)
+    }.toDF("start_id", "next_id").orderBy("start_id")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+    // the guard rejects stream-inexpressible shapes with a clear message
+    val bad = graft.api.Patterns
+      .begin("a")((e, _) => e.eventType == "error")
+      .notFor("n", 5.minutes)((e, _) => e.eventType == "purchase")
+    val err = intercept[IllegalArgumentException](
+      bad.selectStream(null.asInstanceOf[
+        org.apache.spark.sql.Dataset[graft.api.Patterns.Ev]]) { _ => 0 })
+    assert(err.getMessage.contains("absence"))
+  }
+
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
     val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
