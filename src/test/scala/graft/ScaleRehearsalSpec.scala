@@ -158,6 +158,25 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x exact NN: block cogroup completes bounded; NN is always a twin") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // 20k vectors → nB = 5 blocks; the round-2 driver-collect design is
+    // gone, so this must run fully distributed with bounded tasks
+    val (rows, wall, maxTask) = timed(Dedup.embeddingNn(spark, dir10))
+    info(f"dedup_embedding_nn 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    assert(rows.length == 10 * 2000, s"expected 20000 rows, ${rows.length}")
+    // every vector's nearest neighbour must be one of its own 9 noise
+    // twins (±0.1% multiplicative noise ⇒ twin cosine ≈ 0.9999998,
+    // far above any non-twin pair, max ≈ 0.51 in the base corpus)
+    val bad = rows.filter { r =>
+      r.getLong(0) % off != r.getLong(1) % off || r.getDouble(2) < 0.999
+    }
+    assert(bad.isEmpty,
+      s"${bad.length} vectors whose NN is not a twin, e.g. ${bad.take(3).toSeq}")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x SRP ANN: completes bounded with recall floor vs exact brute") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
     val (rows, wall, maxTask) = timed(Similarity.topkSrp(spark, dir10))
