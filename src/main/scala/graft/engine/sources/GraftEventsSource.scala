@@ -44,8 +44,12 @@ class GraftEventsSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     // properties arrive with the caller's original key case — normalize
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftEventsTable(opts.get("path"),
-      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L),
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty,
+      "graft source requires option(\"path\", <event log file>)")
+    val rpb = Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L)
+    require(rpb > 0, s"rowsPerBatch must be positive, got $rpb")
+    new GraftEventsTable(path, rpb,
       Option(opts.get("limitRows")).map(_.toLong).getOrElse(Long.MaxValue))
   }
 }
