@@ -47,6 +47,67 @@ object Patterns {
   def begin(name: String)(pred: Pred): PatternBuilder =
     PatternBuilder(Vector(Cep.Single(name, pred)), None, Cep.EveryMatch)
 
+  /** Evict re-fold history that can no longer affect any future match,
+    * re-anchoring the emitted-count watermark. Pure — unit-tested directly.
+    *
+    * Sound only under `EveryMatch` + a `within` deadline `w`, with the cut
+    * at `historyMax.tsNs - w` kept EXCLUSIVE (events at exactly the cut
+    * timestamp stay), because:
+    *  1. runs spawn independently at every step-0 match, so a refold over
+    *     a suffix of history yields exactly the original matches whose
+    *     spawn event is in the suffix (no new matches, none lost among
+    *     suffix-spawned ones — under `firstOnly` this fails: spawn
+    *     suppression from an evicted run would differ, so no eviction);
+    *  2. a run spawned at an evicted event (ts < max-w) has deadline
+    *     strictly before the history max, so with in-order delivery every
+    *     match it produced completed at an already-processed event — all
+    *     were emitted in earlier folds;
+    *  3. hence refold(kept) is precisely the already-emitted matches that
+    *     survive eviction, and its count is the correct new watermark. */
+  /** One per-key micro-batch step of the streaming re-fold: guard the
+    * in-order precondition, evict dead history, fold, emit the suffix past
+    * the watermark. Pure (state in, state out) — unit-tested directly;
+    * `selectStream` is this inside `flatMapGroupsWithState`. */
+  private[graft] def foldStep[Out](
+      steps: IndexedSeq[Cep.PStep], withinNs: Option[Long],
+      spawn: Cep.SpawnPolicy, project: Bindings => Out)(
+      key: Long, prev: (Vector[Ev], Int), batch: Vector[Ev])
+      : ((Vector[Ev], Int), Vector[Out]) = {
+    val (hist0, emitted0) = prev
+    if (hist0.nonEmpty) {
+      val hMaxTs = hist0.last.tsNs; val hMaxId = hist0.last.eventId
+      batch.find(e => e.tsNs < hMaxTs ||
+          (e.tsNs == hMaxTs && e.eventId < hMaxId)).foreach { late =>
+        throw new IllegalStateException(
+          s"selectStream key=$key: event (ts=${late.tsNs}, id=" +
+            s"${late.eventId}) arrived after history max (ts=$hMaxTs, " +
+            s"id=$hMaxId) — per-key in-order delivery is a precondition " +
+            "of the prefix-stable re-fold; watermark-buffer upstream or " +
+            "use the timeout-based Streaming.cep* operators")
+      }
+    }
+    val (hist, emitted) =
+      evictHistory(steps, withinNs, spawn, project)(hist0, emitted0)
+    val all = (hist ++ batch).sortBy(e => (e.tsNs, e.eventId))
+    val outs = Cep.run[Out](steps, withinNs, spawn, project)(all.iterator)
+      .toVector
+    ((all, outs.length), outs.drop(emitted))
+  }
+
+  private[graft] def evictHistory[Out](
+      steps: IndexedSeq[Cep.PStep], withinNs: Option[Long],
+      spawn: Cep.SpawnPolicy, project: Bindings => Out)(
+      hist: Vector[Ev], emitted: Int): (Vector[Ev], Int) =
+    withinNs match {
+      case Some(w) if spawn == Cep.EveryMatch && hist.nonEmpty =>
+        val cut = hist.last.tsNs - w
+        val kept = hist.dropWhile(_.tsNs < cut) // hist is (ts,id)-sorted
+        if (kept.length == hist.length) (hist, emitted)
+        else (kept,
+          Cep.run(steps, withinNs, spawn, project)(kept.iterator).size)
+      case _ => (hist, emitted)
+    }
+
   final case class PatternBuilder private[api] (
       steps: Vector[Cep.PStep],
       withinNs: Option[Long],
@@ -108,7 +169,26 @@ object Patterns {
       * absence steps and open final quantifiers complete at end-of-stream
       * flush, which a live stream never reaches — those stream through
       * the timeout-based operators (engine Streaming.cepAbsence*,
-      * transformWithState timers) instead, and this guard says so. */
+      * transformWithState timers) instead, and this guard says so.
+      *
+      * PRECONDITION — per-key event-time order across micro-batches. The
+      * re-fold is prefix-stable only if each batch's events sort after the
+      * stored history; a late event that sorts before already-processed
+      * history would change previously-emitted matches. Spark gives no
+      * such guarantee for general sources, so a violating batch FAILS FAST
+      * (clear error naming the key and timestamps) rather than silently
+      * mis-emitting. Buffer behind an event-time watermark upstream (or
+      * use the timeout-based engine operators) for disordered sources.
+      *
+      * State is bounded when the pattern has a `within` deadline and
+      * `every` spawn: history older than `w` before the per-key max can no
+      * longer be bound by any live or future run (every run's deadline is
+      * spawn+w), so it is evicted each batch and the emitted-count
+      * watermark re-anchored — see [[Patterns.evictHistory]] for the
+      * proof obligations. Without `within` (or under `firstOnly`, whose
+      * spawn suppression makes truncated refolds diverge) history grows
+      * with the key's event count — the documented cost of exact re-fold
+      * semantics. */
     def selectStream[Out: Encoder](ds: Dataset[Ev])
                                   (project: Bindings => Out): Dataset[Out] = {
       require(!steps.exists(_.isInstanceOf[Cep.Absent]),
@@ -127,14 +207,13 @@ object Patterns {
       ds.groupByKey(_.userId)
         .flatMapGroupsWithState[(Vector[Ev], Int), Out](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          case (_, batch: Iterator[Ev],
+          case (key, batch: Iterator[Ev],
                 state: GroupState[(Vector[Ev], Int)]) =>
-            val (hist, emitted) =
-              state.getOption.getOrElse((Vector.empty[Ev], 0))
-            val all = (hist ++ batch).sortBy(e => (e.tsNs, e.eventId))
-            val outs = Cep.run[Out](st, w, sp, project)(all.iterator).toVector
-            state.update((all, outs.length))
-            outs.drop(emitted).iterator
+            val (st1, outs) = Patterns.foldStep(st, w, sp, project)(
+              key, state.getOption.getOrElse((Vector.empty[Ev], 0)),
+              batch.toVector)
+            state.update(st1)
+            outs.iterator
         }
     }
 
@@ -147,13 +226,17 @@ object Patterns {
                    out: Seq[(String, DataType)])
                   (project: Bindings => Seq[Any]): DataFrame = {
       val strat = graft.engine.plans.PatternMatchStrategy
-      if (!spark.experimental.extraStrategies.contains(strat))
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ strat
       val rule = graft.engine.plans.PatternKeyPushdown
-      if (!spark.experimental.extraOptimizations.contains(rule))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ rule
+      // check-and-append under a lock: concurrent first calls on the same
+      // session must not double-register the strategy/rule
+      spark.experimental.synchronized {
+        if (!spark.experimental.extraStrategies.contains(strat))
+          spark.experimental.extraStrategies =
+            spark.experimental.extraStrategies :+ strat
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
       val child = org.apache.spark.sql.GraftSqlBridge.analyzed(
         graft.engine.Tables.events(spark, dir)
           .selectExpr("event_id as eventId", "ts_ns as tsNs",

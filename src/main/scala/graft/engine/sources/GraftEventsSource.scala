@@ -42,6 +42,12 @@ class GraftEventsSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
+    // the source produces the fixed 5-column event schema; a caller's
+    // readStream.schema(...) override cannot be honored, so reject a
+    // mismatch at resolution instead of serving misread rows
+    require(schema == GraftEventsSource.schema,
+      s"graft source has a fixed schema ${GraftEventsSource.schema.simpleString}; " +
+        s"got ${schema.simpleString} — drop the .schema(...) override")
     // properties arrive with the caller's original key case — normalize
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
@@ -163,7 +169,16 @@ class GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       private val src = scala.io.Source.fromFile(p.path)
-      private val it = src.getLines().drop(p.startRow.toInt)
+      // skip with a Long counter — drop(Int) would silently truncate the
+      // split start past 2^31 lines and read the wrong range
+      private val it = {
+        val lines = src.getLines()
+        var skipped = 0L
+        while (skipped < p.startRow && lines.hasNext) {
+          lines.next(); skipped += 1
+        }
+        lines
+      }
       private var served = 0L
       private var row: InternalRow = _
       override def next(): Boolean =

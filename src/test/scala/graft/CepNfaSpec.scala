@@ -261,4 +261,75 @@ class CepNfaSpec extends AnyFunSuite {
       ev(1, 0, "A"), ev(2, 1, "B"), ev(3, 2, "X"), ev(4, 3, "C"))
     assert(out == List((1L, 2L, 4L)))
   }
+
+  // ---- streaming re-fold step (Patterns.foldStep / evictHistory) ----
+
+  private val abSteps = IndexedSeq(
+    Single("a", (e, _) => e.eventType == "A"),
+    Single("b", (e, _) => e.eventType == "B"))
+  private def proj(b: Bindings): (Long, Long) =
+    (b("a").head.eventId, b("b").head.eventId)
+
+  test("foldStep: batched fold with eviction ≡ one-shot batch fold, " +
+       "and history stays bounded by the within horizon") {
+    val T = 20 * SEC
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("A", "B", "C")
+      var t = 0L
+      val evs = (1 to 400).map { i =>
+        t += 1 + rnd.nextInt(5)
+        ev(i.toLong, t, types(rnd.nextInt(3)))
+      }.toVector
+      val oneShot =
+        Cep.run(abSteps, Some(T), EveryMatch, proj)(evs.iterator).toVector
+
+      // deliver in random-sized in-order batches, folding the step fn
+      var state = (Vector.empty[Ev], 0)
+      val emitted = Vector.newBuilder[(Long, Long)]
+      var maxHist = 0
+      var rest = evs
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(30)
+        val (batch, tail) = rest.splitAt(n)
+        val (st1, outs) = graft.api.Patterns.foldStep(
+          abSteps, Some(T), EveryMatch, proj)(1L, state, batch)
+        state = st1
+        maxHist = math.max(maxHist, st1._1.length)
+        emitted ++= outs
+        rest = tail
+      }
+      assert(emitted.result() == oneShot, s"seed=$seed")
+      // ts gaps average ~3s, horizon 20s + max batch 30 events → history
+      // must stay far below the 400-event total (unbounded growth would
+      // show ~400 here)
+      assert(maxHist < 80, s"seed=$seed: history grew to $maxHist")
+    }
+  }
+
+  test("foldStep: an event older than stored history max fails fast") {
+    val (st1, _) = graft.api.Patterns.foldStep(
+      abSteps, Some(20 * SEC), EveryMatch, proj)(
+      7L, (Vector.empty, 0), Vector(ev(1, 10, "A"), ev(2, 12, "B")))
+    val err = intercept[IllegalStateException] {
+      graft.api.Patterns.foldStep(abSteps, Some(20 * SEC), EveryMatch,
+        proj)(7L, st1, Vector(ev(3, 5, "A"))) // sorts before history max
+    }
+    assert(err.getMessage.contains("key=7"))
+    assert(err.getMessage.contains("in-order"))
+  }
+
+  test("evictHistory: identity without `within` and under firstOnly") {
+    val hist = Vector(ev(1, 0, "A"), ev(2, 100, "B"), ev(3, 200, "A"))
+    assert(graft.api.Patterns.evictHistory(abSteps, None, EveryMatch,
+      proj)(hist, 1) == ((hist, 1)))
+    assert(graft.api.Patterns.evictHistory(abSteps, Some(5 * SEC),
+      WhenNoneActive, proj)(hist, 1) == ((hist, 1)))
+    // with within + EveryMatch, events past the horizon go and the
+    // watermark re-anchors to the kept refold's match count
+    val (kept, wm) = graft.api.Patterns.evictHistory(abSteps,
+      Some(5 * SEC), EveryMatch, proj)(hist, 1)
+    assert(kept == Vector(ev(3, 200, "A")))
+    assert(wm == 0) // a lone A yields no matches over the kept prefix
+  }
 }
