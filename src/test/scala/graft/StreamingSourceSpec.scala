@@ -236,4 +236,37 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(progress != null && q.exception.isEmpty,
       s"console sink failed: ${q.exception}")
   }
+
+  test("http collector: duplicate deliveries collapse on the event key, " +
+       "scrape replays key-ordered, schema override fails at resolution") {
+    val c = new engine.Http.Collector()
+    try {
+      val uri = s"http://127.0.0.1:${c.port}/ingest"
+      engine.Http.postLines(uri, 2)(
+        Iterator("3,30,1,error,1.5", "1,10,1,click,0.5"))
+      // a retried task re-POSTs its chunk: at-least-once delivery must
+      // not double-count (receiver is idempotent on the key)
+      engine.Http.postLines(uri, 2)(
+        Iterator("3,30,1,error,1.5", "2,20,2,purchase,9.0"))
+      assert(c.acceptedCount == 3)
+      val got = engine.Http.get(s"http://127.0.0.1:${c.port}/scrape")
+      assert(got.linesIterator.toSeq == Seq(
+        "1,10,1,click,0.5", "2,20,2,purchase,9.0", "3,30,1,error,1.5"))
+    } finally c.stop()
+    // graft source: a user schema override is rejected at resolution —
+    // Spark itself refuses (no SupportsExternalMetadata), and getTable's
+    // own require guards direct SPI calls with the same contract
+    val err = intercept[Exception] {
+      spark.readStream
+        .schema(StructType(Seq(StructField("x", LongType))))
+        .format("graft").option("path", "/dev/null").load()
+    }
+    assert(err.getMessage.contains("does not support user-specified schema"))
+    val direct = intercept[IllegalArgumentException] {
+      new engine.sources.GraftEventsSource().getTable(
+        StructType(Seq(StructField("x", LongType))), Array.empty,
+        new java.util.HashMap[String, String]())
+    }
+    assert(direct.getMessage.contains("fixed schema"))
+  }
 }
