@@ -582,7 +582,31 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** dedup_paragraph: sub-document exact dedup — split each document into
+    * 20-token pseudo-paragraphs, report paragraphs appearing more than
+    * once across the corpus (the boilerplate/header stripper of
+    * pre-training pipelines). The paragraph is md5-hashed BEFORE the
+    * groupBy so the corpus-wide shuffle carries 32-hex-char keys, not
+    * 20-token strings — at 100 TB the shuffle is ~5% of corpus bytes and
+    * uniformly keyed (hash keys can't skew). */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val P = 20
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(toks) / $P.0) " +
+          s"as int) - 1, 0)), i -> md5(array_join(slice(toks, i * $P + 1, " +
+          s"$P), ' ')))"))
+      .select(col("doc_id"), explode(col("hashes")).as("para_hash"))
+      .groupBy("para_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .orderBy("para_hash")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_paragraph"     -> (paragraphDedup _),
     "dedup_substring"     -> (substringPairs _),
     "dedup_keeper_filter" -> (keeperFilter _),
     "dedup_exact"         -> (exact _),
@@ -598,6 +622,19 @@ object Dedup {
       " i -> substr(text, i, 5)))"
 
   val oracle: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(CAST(ceil(len(l) / 20.0) AS INT)
+        |      - 1, 0)),
+        |    i -> md5(array_to_string(l[(i*20+1):(i*20+20)], ' '))))
+        |    AS para_hash
+        |  FROM t)
+        |SELECT para_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occ
+        |FROM p GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY para_hash""".stripMargin,
     // same winnow CTE as text_winnow; stop-fingerprint prune at df > 50
     "dedup_substring" ->
       """WITH h AS (

@@ -47,7 +47,16 @@ object Http {
     @volatile private var metricsText = ""
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // daemon threads + explicit shutdown: HttpServer.stop() does NOT stop
+    // a user-supplied executor, and non-daemon pool threads would pin the
+    // JVM open after main returns (observed: sbt runMain hung at exit)
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http-collector")
+        t.setDaemon(true)
+        t
+      })
+    server.setExecutor(pool)
 
     private def respond(x: HttpExchange, code: Int, body: String): Unit = {
       val b = body.getBytes(UTF_8)
@@ -75,14 +84,25 @@ object Http {
     def port: Int = server.getAddress.getPort
     def acceptedCount: Int = accepted.size()
     def setMetrics(text: String): Unit = metricsText = text
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   }
 
-  /** Executor-side chunked POST: one client per partition, `chunk` lines
-    * per request, returns lines sent. Serializable-closure-safe (takes
-    * only the uri string). */
+  /** One client per JVM (per executor on a cluster): connection pooling
+    * across partitions, and a daemon-thread executor so idle client
+    * threads never pin the JVM open at exit. */
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .executor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http-client")
+        t.setDaemon(true)
+        t
+      }))
+    .build()
+
+  /** Executor-side chunked POST: `chunk` lines per request, returns lines
+    * sent. Serializable-closure-safe (takes only the uri string; the
+    * client resolves statically per JVM). */
   def postLines(uri: String, chunk: Int)(lines: Iterator[String]): Long = {
-    val client = HttpClient.newHttpClient()
     var sent = 0L
     lines.grouped(chunk).foreach { g =>
       val req = HttpRequest.newBuilder(URI.create(uri))
@@ -99,7 +119,7 @@ object Http {
 
   /** Blocking GET, UTF-8 body. */
   def get(uri: String): String = {
-    val resp = HttpClient.newHttpClient().send(
+    val resp = client.send(
       HttpRequest.newBuilder(URI.create(uri)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"GET $uri: ${resp.statusCode()}")

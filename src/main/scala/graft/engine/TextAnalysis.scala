@@ -116,16 +116,24 @@ object TextAnalysis {
     val docs = documents(s, d)
     val nDocs = docs.count()
     val salts = 16
-    val toks = docs
+    // tf feeds BOTH join sides (tf rows, and df = count over tf groups);
+    // without a persist the explode + first aggregation run twice — the
+    // most expensive passes in the query. tf is ~|distinct (doc,term)|
+    // rows, far smaller than the exploded token stream; MEMORY_AND_DISK
+    // spills rather than evicts at corpus scale. Freed via the same
+    // localCheckpoint-then-unpersist pattern as minhashLsh (the result is
+    // 3 rows/doc — tiny next to what the cache saves).
+    val tf = docs
       .repartition(s.sparkContext.defaultParallelism) // one-file scan → cores
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val tfSalted = tf.withColumn("salt",
       pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
     val dfSalted = df.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    tfSalted.join(dfSalted, Seq("term", "salt")).drop("salt")
+    val res = tfSalted.join(dfSalted, Seq("term", "salt")).drop("salt")
       .withColumn("tfidf",
         round(col("tf") * log(lit(nDocs) / col("df")), 6))
       .withColumn("rk", expr("row_number() over (partition by doc_id " +
@@ -133,6 +141,9 @@ object TextAnalysis {
       .filter(col("rk") <= 3)
       .select("doc_id", "rk", "term", "tf", "df", "tfidf")
       .orderBy("doc_id", "rk")
+      .localCheckpoint()
+    tf.unpersist()
+    res
   }
 
   /** dedup_normalized: canonicalization-based exact dedup — lowercase,
@@ -184,7 +195,119 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sorted-runs counting over a gram array, as one codegen'd `aggregate`:
+    * array_sort groups equal grams into adjacent runs, the fold tracks
+    * (prev, current run, best run, occurrences inside runs > 1). O(L log L)
+    * per document with NO shuffle — repetition scoring stays a pure scan
+    * stage at 100 TB (the alternative, explode + two-level groupBy, pays a
+    * full-corpus shuffle keyed by gram). chr(0) is the init sentinel (no
+    * gram can equal it; '' could, from irregular whitespace). */
+  private def runsAgg(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', chr(0), 'run', 0, 'best', 0, 'dup', 0),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x = a.prev, a.run + 1, 1),
+       |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, 1)),
+       |    'dup', a.dup + IF(x = a.prev, IF(a.run = 1, 2, 1), 0)),
+       |  a -> named_struct('best', a.best, 'dup', a.dup))""".stripMargin
+
+  /** text_repetition: Gopher-style repetition signals — the fraction of
+    * the document covered by its most common 2-gram and by duplicated
+    * 3-grams, the standard "templated/boilerplate text" filter inputs for
+    * pre-training corpora. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bi", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> concat(t, ' ', element_at(toks, i + 2)))"))
+      .withColumn("tri", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "(t, i) -> concat(t, ' ', element_at(toks, i + 2), ' ', " +
+          "element_at(toks, i + 3)))"))
+      .withColumn("b", expr(runsAgg("bi")))
+      .withColumn("t3", expr(runsAgg("tri")))
+      .select(col("doc_id"),
+        size(col("bi")).cast("long").as("n_bigrams"),
+        col("b.best").cast("long").as("top_bigram_n"),
+        round(col("b.best") /
+          greatest(size(col("bi")), lit(1)).cast("double"), 6)
+          .as("top_bigram_frac"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        col("t3.dup").cast("long").as("dup_trigram_occ"),
+        round(col("t3.dup") /
+          greatest(size(col("tri")), lit(1)).cast("double"), 6)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+1-555-[0-9]{4}"
+  private val ipPat = "10\\.[0-9]{1,3}\\.0\\.1"
+
+  /** text_pii_redact: regex PII detection + redaction (emails, phone
+    * numbers, IPs) — the compliance pass every training corpus runs. The
+    * corpus is synthetic clean text, so deterministic PII is first woven
+    * in FROM table data (doc_id-derived contact line), then detected and
+    * redacted; the oracle reproduces both weave and redaction, proving the
+    * patterns byte-exact. Pure per-row regex — one scan, codegen, no
+    * shuffle. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+      .select(col("doc_id"),
+        regexp_count(col("dirty"), lit(emailPat)).cast("long").as("n_email"),
+        regexp_count(col("dirty"), lit(phonePat)).cast("long").as("n_phone"),
+        regexp_count(col("dirty"), lit(ipPat)).cast("long").as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          lit(emailPat), lit("<EMAIL>")),
+          lit(phonePat), lit("<PHONE>")),
+          lit(ipPat), lit("<IP>")).as("redacted"))
+      .orderBy("doc_id")
+
+  /** text_gopher_filter: the keep/drop DECISION layer over quality
+    * signals (Gopher-rules shape): token-count band, mean word length
+    * band, stopword floor, distinct-token floor. Thresholds compare the
+    * EXACT int/int divisions (bit-identical across engines), never the
+    * rounded display values. One scan, no shuffle. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("mean_tok_len",
+        expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + " +
+          "length(t))") / col("n_tokens").cast("double"))
+      .withColumn("n_stop_hits", expr(
+        s"size(filter(toks, t -> t in $stopIn))"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))) / col("n_tokens").cast("double"))
+      .withColumn("r_len",
+        when(col("n_tokens") < 50 || col("n_tokens") > 100000,
+          "doc_length"))
+      .withColumn("r_mwl",
+        when(col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0,
+          "mean_word_length"))
+      .withColumn("r_stop", when(col("n_stop_hits") < 2, "stopword_floor"))
+      .withColumn("r_rep", when(col("distinct_ratio") <= 0.2, "repetition"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        col("n_stop_hits").cast("long").as("n_stop_hits"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        (col("r_len").isNull && col("r_mwl").isNull &&
+          col("r_stop").isNull && col("r_rep").isNull).as("keep"),
+        concat_ws(",", col("r_len"), col("r_mwl"), col("r_stop"),
+          col("r_rep")).as("reasons"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_repetition"    -> (repetition _),
+    "text_pii_redact"    -> (piiRedact _),
+    "text_gopher_filter" -> (gopherFilter _),
     "corpus_pipeline"  -> (corpusPipeline _),
     "text_tfidf"       -> (tfidf _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -198,6 +321,88 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // group-count formulation (vs the engine's one-scan sorted-runs fold)
+    // — independent derivation of the same metrics
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_filter(list_transform(l,
+        |    (x, i) -> CASE WHEN i < len(l) THEN x || ' ' || l[i+1] END),
+        |    g -> g IS NOT NULL)) AS g FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, sum(c) AS nb, max(c) AS top FROM bc
+        |  GROUP BY 1),
+        |tr AS (SELECT doc_id, unnest(list_filter(list_transform(l,
+        |    (x, i) -> CASE WHEN i < len(l) - 1
+        |      THEN x || ' ' || l[i+1] || ' ' || l[i+2] END),
+        |    g -> g IS NOT NULL)) AS g FROM t),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, sum(c) AS nt,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM tc
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(bm.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(bm.top, 0) AS BIGINT) AS top_bigram_n,
+        |  round(coalesce(bm.top, 0) /
+        |    greatest(coalesce(bm.nb, 0), 1)::DOUBLE, 6) AS top_bigram_frac,
+        |  CAST(coalesce(tm.nt, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(tm.dup, 0) AS BIGINT) AS dup_trigram_occ,
+        |  round(coalesce(tm.dup, 0) /
+        |    greatest(coalesce(tm.nt, 0), 1)::DOUBLE, 6) AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN bm ON d.doc_id = bm.doc_id
+        |LEFT JOIN tm ON d.doc_id = tm.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+        |    '@mail.example.com or +1-555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(dirty, '10\.[0-9]{1,3}\.0\.1'))
+        |    AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.[0-9]{1,3}\.0\.1', '<IP>', 'g') AS redacted
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "text_gopher_filter" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks,
+        |    len(str_split(text, ' ')) AS n_tokens,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(str_split(text, ' '),
+        |        x -> length(x)::BIGINT)), (a, b) -> a + b) /
+        |      len(str_split(text, ' '))::DOUBLE AS mwl,
+        |    len(list_filter(str_split(text, ' '), t -> t IN $stopInSql))
+        |      AS n_stop_hits,
+        |    len(list_distinct(str_split(text, ' '))) /
+        |      len(str_split(text, ' '))::DOUBLE AS dr
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens, mwl, n_stop_hits, dr,
+        |    CASE WHEN n_tokens < 50 OR n_tokens > 100000
+        |      THEN 'doc_length' END AS r_len,
+        |    CASE WHEN mwl < 3.0 OR mwl > 10.0
+        |      THEN 'mean_word_length' END AS r_mwl,
+        |    CASE WHEN n_stop_hits < 2 THEN 'stopword_floor' END AS r_stop,
+        |    CASE WHEN dr <= 0.2 THEN 'repetition' END AS r_rep
+        |  FROM m)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(mwl, 6) AS mean_tok_len,
+        |  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+        |  round(dr, 6) AS distinct_ratio,
+        |  (r_len IS NULL AND r_mwl IS NULL AND r_stop IS NULL
+        |    AND r_rep IS NULL) AS keep,
+        |  concat_ws(',', r_len, r_mwl, r_stop, r_rep) AS reasons
+        |FROM f ORDER BY doc_id""".stripMargin,
     "corpus_pipeline" ->
       s"""WITH h AS (
         |  SELECT doc_id, text, md5(trim(regexp_replace(regexp_replace(
