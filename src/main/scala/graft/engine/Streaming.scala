@@ -238,6 +238,56 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** CDC row state: is the key's row currently present, and its value. */
+  case class CdcState(alive: Boolean, value: Double)
+  /** One emitted change event (Debezium-shaped: op + before/after image). */
+  case class CdcChange(user_id: Long, event_id: Long, op: String,
+                       before_value: Option[Double],
+                       after_value: Option[Double])
+
+  /** stream_cdc_feed: CHANGE-DATA-CAPTURE emission — the cdc-source
+    * connector class (Debezium / Delta CDF analog) as an engine
+    * capability: the keyed table maintained by the stream also EMITS its
+    * change feed, one Debezium-shaped record per applied mutation
+    * (op c/u/d + before/after image). `signup` events are tombstones:
+    * they delete the key's row (emitting 'd' with the before image) and
+    * are ignored when the row is already absent; any other event creates
+    * ('c') or updates ('u') the row. Per-key state is one (alive, value)
+    * pair inside `flatMapGroupsWithState` — O(keys) state, one exchange,
+    * the exact shape a production CDC emitter has at any scale. The
+    * oracle reconstructs the same feed with lag() windows. */
+  def cdcFeed(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "stream_cdc_feed", OutputMode.Append()) { ds =>
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[CdcState, CdcChange](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, it, st) =>
+            var state = st.getOption.getOrElse(CdcState(alive = false, 0.0))
+            val out = it.toVector.sortBy(e => (e.tsNs, e.eventId))
+              .flatMap { e =>
+                if (e.eventType == "signup") {
+                  if (state.alive) {
+                    val before = state.value
+                    state = CdcState(alive = false, 0.0)
+                    Some(CdcChange(uid, e.eventId, "d", Some(before), None))
+                  } else None // delete of an absent row: no change event
+                } else {
+                  val change =
+                    if (state.alive)
+                      CdcChange(uid, e.eventId, "u", Some(state.value),
+                        Some(e.value))
+                    else
+                      CdcChange(uid, e.eventId, "c", None, Some(e.value))
+                  state = CdcState(alive = true, e.value)
+                  Some(change)
+                }
+              }
+            st.update(state)
+            out.iterator
+        }.toDF()
+    }.orderBy("event_id")
+
   /** stream_batch_window: Siddhi `#window.batch()` — one aggregate per
     * arrival chunk ≡ per-micro-batch (foreachBatch). The feed is 4 equal
     * event-time-ordered chunks, so batch boundaries are deterministic. */
@@ -672,6 +722,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_cdc_feed"       -> (cdcFeed _),
     "stream_custom_source"  -> (customSource _),
     "stream_dim_join"       -> (dimJoin _),
     "stream_rate_limit"     -> (rateLimitFirst _),
@@ -691,6 +742,28 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // lag() reconstruction: a key's state before an event is its previous
+    // event (alive iff that event exists and wasn't a tombstone), so op
+    // and before/after images are pure window arithmetic
+    "stream_cdc_feed" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(value) OVER w AS prev_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'signup' THEN 'd'
+        |       WHEN prev_type IS NULL OR prev_type = 'signup' THEN 'c'
+        |       ELSE 'u' END AS op,
+        |  CASE WHEN prev_type IS NOT NULL AND prev_type != 'signup'
+        |       THEN prev_value END AS before_value,
+        |  CASE WHEN event_type = 'signup' THEN NULL
+        |       ELSE value END AS after_value
+        |FROM o
+        |WHERE NOT (event_type = 'signup'
+        |  AND (prev_type IS NULL OR prev_type = 'signup'))
+        |ORDER BY event_id""".stripMargin,
     "stream_custom_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
         |  max(event_id) AS max_id
