@@ -304,7 +304,51 @@ object TextAnalysis {
           col("r_rep")).as("reasons"))
       .orderBy("doc_id")
 
+  /** text_lm_perplexity: bigram-LM quality scoring (the CCNet-style
+    * "perplexity filter" of pre-training pipelines), self-trained: global
+    * bigram/unigram counts estimate P(w2|w1) = c(w1 w2)/c(w1) with no
+    * smoothing needed (every doc bigram is in its own training set), and
+    * each document scores mean log-prob over its bigram stream.
+    *
+    * Scale shape (same as tfidf): the exploded gram relation is persisted
+    * and feeds all three aggregations (unigram, bigram, per-doc counts)
+    * in ONE pass; the count tables are skinny O(vocab) aggregates whose
+    * joins back to per-doc grams are SALTED — stopword-pair bigrams are
+    * exactly the hot keys that would otherwise pile one reducer high. */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val salts = 16
+    val grams = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> named_struct('w1', t, 'bg', concat(t, ' ', " +
+          "element_at(toks, i + 2))))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.bg").as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val docBi = grams.groupBy("doc_id", "w1", "bg")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+    val biS = bi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val uniS = uni.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val res = docBi
+      .join(biS, Seq("bg", "salt"))
+      .join(uniS, Seq("w1", "salt"))
+      .withColumn("lp", log(col("c2") / col("c1").cast("double")))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_bigrams"),
+        round(sum(col("k") * col("lp")) / sum("k"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    grams.unpersist()
+    res
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lm_perplexity" -> (lmPerplexity _),
     "text_repetition"    -> (repetition _),
     "text_pii_redact"    -> (piiRedact _),
     "text_gopher_filter" -> (gopherFilter _),
@@ -321,6 +365,25 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_filter(list_transform(l,
+        |      (x, i) -> CASE WHEN i < len(l) THEN x END),
+        |      v -> v IS NOT NULL)) AS w1,
+        |    unnest(list_filter(list_transform(l,
+        |      (x, i) -> CASE WHEN i < len(l) THEN x || ' ' || l[i+1] END),
+        |      v -> v IS NOT NULL)) AS bg
+        |  FROM t),
+        |uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY 1),
+        |bi AS (SELECT bg, count(*) AS c2 FROM g GROUP BY 1),
+        |db AS (SELECT doc_id, w1, bg, count(*) AS k FROM g GROUP BY 1, 2, 3),
+        |j AS (SELECT db.doc_id, db.k, ln(bi.c2 / uni.c1::DOUBLE) AS lp
+        |  FROM db JOIN bi USING (bg) JOIN uni USING (w1))
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(sum(k * lp) / sum(k), 6) AS avg_logp
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // group-count formulation (vs the engine's one-scan sorted-runs fold)
     // — independent derivation of the same metrics
     "text_repetition" ->
