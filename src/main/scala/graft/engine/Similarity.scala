@@ -138,7 +138,53 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim_topk_quantized: int8-quantized exact scan — the memory-side scale
+    * lever next to IVF/SRP's compute-side ones: per-vector symmetric
+    * quantization q_i = round(x_i · 127 / max|x|) shrinks the resident
+    * matrix 4× (the difference between spilling and not at 100 TB), dots
+    * become exact INTEGER folds (no FP accumulation at all), and only the
+    * final cosine normalization touches doubles. Ranks by quantized
+    * cosine; reports the exact cosine of each survivor next to it so the
+    * quantization error is visible in the result. The oracle implements
+    * the identical quantizer, so the gate checks the algorithm. */
+  def topkQuantized(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
+    val q8 = vecs(s, d)
+      .withColumn("mx", expr(
+        "greatest(aggregate(v, 0.0d, (m, x) -> greatest(m, abs(x))), 1e-12d)"))
+      .withColumn("qv", expr(
+        "transform(v, x -> cast(round(x * 127.0 / mx) as bigint))"))
+      .withColumn("nq", expr(
+        "aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select("vec_id", "v", "qv", "nq")
+    val queries = q8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"),
+        col("qv").as("pqv"), col("nq").as("pnq"))
+    val scored = q8.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(pqv, qv, (a, b) -> a * b), cast(0 as bigint), " +
+          "(a, x) -> a + x)"))
+      .withColumn("cos_q", round(col("dot") /
+        (sqrt(col("pnq").cast("double")) * sqrt(col("nq").cast("double"))),
+        6))
+      .withColumn("cos_exact", cosExpr("pv", "v"))
+      .select("q_id", "vec_id", "cos_q", "cos_exact")
+    // two-phase top-k, same as brute: local rank bounds any reducer
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", expr("row_number() over (partition by q_id, pid " +
+        "order by cos_q desc, vec_id)"))
+      .filter(col("lrk") <= 10)
+    local
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by cos_q desc, vec_id)"))
+      .filter(col("rk") <= 10)
+      .select("q_id", "rk", "vec_id", "cos_q", "cos_exact")
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_ivf"   -> (topkIvf _),
     "sim_topk_srp"   -> (topkSrp _)
@@ -186,6 +232,31 @@ object Similarity {
         |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+    "sim_topk_quantized" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q8 AS (SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(round(x * 127.0 /
+        |      greatest(list_aggregate(list_transform(v, y -> abs(y)),
+        |        'max'), 1e-12)) AS BIGINT)) AS qv
+        |  FROM e),
+        |n8 AS (SELECT vec_id, v, qv,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nq
+        |  FROM q8),
+        |scored AS (SELECT q.vec_id AS q_id, e.vec_id,
+        |    round(list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(range(1, 65),
+        |          i -> q.qv[i::INTEGER] * e.qv[i::INTEGER])),
+        |        (a, b) -> a + b) /
+        |      (sqrt(q.nq::DOUBLE) * sqrt(e.nq::DOUBLE)), 6) AS cos_q,
+        |    ${cosSql("q.v", "e.v")} AS cos_exact
+        |  FROM n8 q JOIN n8 e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, vec_id, cos_q, cos_exact, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_q DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, vec_id, cos_q, cos_exact FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH e AS (SELECT vec_id,
