@@ -95,7 +95,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // query×corpus), sim_topk_ivf (centroid assignment compares every
     // vector to the broadcast centroid set).
     val nestedLoopByDesign =
-      Set("join_theta", "sim_topk_brute", "sim_topk_ivf")
+      Set("join_theta", "sim_topk_brute", "sim_topk_ivf",
+        "sim_topk_quantized") // quantized exact scan: query side broadcast
     val batchQueries =
       Relational.queries ++ Windows.queries ++ Aggregates.queries ++
         Functions.queries ++ Cep.queries ++ Similarity.queries ++
