@@ -177,6 +177,76 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  /** 10× corpus for the token-level round-4 ops: replica k>0 renames
+    * every token t → "r<k>_<t>" — a bijection per replica (preserves all
+    * within-replica token equalities, hence paragraph structure and
+    * bigram/unigram count ratios exactly) whose vocabularies are
+    * cross-replica DISJOINT BY CONSTRUCTION (unlike the Caesar cipher,
+    * where a shifted word can collide with another replica's token —
+    * harmless for shingle sets, fatal for global LM counts). */
+  private lazy val dirTag10: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_scale10t")
+      .toString
+    val repCol = explode(expr(s"sequence(0, ${reps - 1})")).as("rep")
+    Tables.documents(spark, baseSf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        repCol)
+      .withColumn("doc_id", col("doc_id") + col("rep") * off)
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(expr(
+          "array_join(transform(split(text, ' '), " +
+            "t -> concat('r', rep, '_', t)), ' ')")))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("10x paragraph dedup: replica-0 exact, structure reproduced, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val base = Dedup.paragraphDedup(spark, baseSf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (rows, wall, maxTask) = timed(Dedup.paragraphDedup(spark, dirTag10))
+    info(f"dedup_paragraph 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tagging is bijective per replica and vocab-disjoint across replicas,
+    // so each replica contributes exactly the base duplicate-group set
+    assert(got.length == reps * base.length,
+      s"10x row count ${got.length} != ${reps}x base ${base.length}")
+    // replica 0 is verbatim: its hashes are the base hashes
+    assert(base.toSet.subsetOf(got.toSet),
+      "replica-0 paragraph groups missing from the 10x result")
+    // group-shape histogram scales exactly 10x
+    val hist = got.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val bHist = base.groupBy(t => (t._2, t._3)).view.mapValues(_.size * reps)
+      .toMap
+    assert(hist == bHist, s"group-shape histogram differs: $hist vs $bHist")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x LM perplexity: per-replica scores reproduce base, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val base = TextAnalysis.lmPerplexity(spark, baseSf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (rows, wall, maxTask) =
+      timed(TextAnalysis.lmPerplexity(spark, dirTag10))
+    info(f"text_lm_perplexity 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    assert(rows.length == reps * base.size,
+      s"10x row count ${rows.length} != ${reps}x base ${base.size}")
+    // disjoint per-replica vocab ⇒ every replica's global counts equal the
+    // base corpus's ⇒ every doc's (n_bigrams, avg_logp) must reproduce its
+    // base value (1 ulp-at-6-decimals tolerance for summation order)
+    val bad = rows.filter { r =>
+      val (n, lp) = base(r.getLong(0) % off)
+      r.getLong(1) != n || math.abs(r.getDouble(2) - lp) > 1.1e-6
+    }
+    assert(bad.isEmpty, s"${bad.length} docs diverge from base scores, " +
+      s"e.g. ${bad.take(3).toSeq}")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x SRP ANN: completes bounded with recall floor vs exact brute") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
     val (rows, wall, maxTask) = timed(Similarity.topkSrp(spark, dir10))
