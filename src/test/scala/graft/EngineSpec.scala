@@ -86,6 +86,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z == 0.0)
   }
 
+  test("registry hygiene: every query has an oracle (or is the one " +
+       "declared rows-only), every oracle has a query") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val rowsOnly = Set("fn_nondeterministic") // UUID/now(): no oracle
+    assert((queries -- oracles) == rowsOnly,
+      s"queries missing an oracle: ${(queries -- oracles) -- rowsOnly}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracle SQL entries: ${oracles -- queries}")
+  }
+
   test("plan sweep: no batch query plans a cartesian product") {
     // systematic 100 TB guard across the whole registry: an accidental
     // CartesianProduct (or unintended nested-loop join) in ANY batch
