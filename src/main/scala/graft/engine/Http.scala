@@ -144,7 +144,7 @@ object Http {
         .map(ev => s"${ev.eventId},${ev.tsNs},${ev.userId}," +
           s"${ev.eventType},${ev.value}")
         .repartition(8)
-        .mapPartitions(it => Iterator.single(postLines(uri, 500)(it)))
+        .mapPartitions(it => Iterator.single(postLines(uri, 2000)(it)))
         .reduce(_ + _)
       require(posted >= rows.length && collector.acceptedCount == rows.length,
         s"http sink delivered $posted/${rows.length}, " +
