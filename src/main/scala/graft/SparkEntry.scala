@@ -23,7 +23,7 @@ object SparkEntry {
       Functions.queries ++ Cep.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Streaming.queries ++ Sketches.queries ++ Ops.queries ++
-      Extras.queries ++ Ml.queries ++ Http.queries
+      Extras.queries ++ Ml.queries ++ Http.queries ++ SqlGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       Functions.oracle ++ Cep.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
       Streaming.oracle ++ Sketches.oracle ++ Ops.oracle ++
-      Extras.oracle ++ Ml.oracle ++ Http.oracle
+      Extras.oracle ++ Ml.oracle ++ Http.oracle ++ SqlGate.oracle
 }

@@ -1,0 +1,596 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{Cep, Tables}
+
+/** SiddhiQL front-end (subset): compile the reference's query TEXT onto
+  * the engine's combinators, so a user's existing queries run verbatim.
+  *
+  * Supported surface (v1 — the shapes the reference's samples actually
+  * use; everything else fails fast with a clear message):
+  *
+  * {{{
+  * from <stream>[<filter>] (#window.<w>(args))?
+  *   select <expr (as alias)?, ...>
+  *   (group by col, ...)? (having expr)?
+  *   (order by col (asc|desc)?, ...)? (limit N)? (insert into Out)?
+  *
+  * from (every)? e1=<stream>[cond] -> e2=<stream>[cond] ... (within T)?
+  *   select e1.field as alias, ...  -- pattern clause
+  * }}}
+  *
+  * Windows: timeBatch(T), lengthBatch(N), session(T), length(N) sliding,
+  * time(T) sliding. Batch-replay semantics identical to the engine's
+  * oracle-gated queries: tumbling windows become group keys (the window
+  * identity is emitted as a leading implicit column — `w_start_ms`,
+  * `chunk_id`, or `w_start_ms`/`w_end_ms` for session), sliding windows
+  * become frame-bounded window functions partitioned by the `group by`
+  * keys, and pattern clauses compile onto the [[Patterns]] NFA through
+  * the custom Catalyst operator path ([[Patterns.PatternBuilder.selectPlan]]).
+  *
+  * Scale notes: everything lowers to the same declarative plans the rest
+  * of the engine emits (Catalyst sees groupBy/window/pattern operators,
+  * never an interpreter); the only interpreted code is the pattern-step
+  * PREDICATE, which the NFA already takes as a function. A global
+  * `lengthBatch`/unpartitioned sliding window is inherently sequential —
+  * same caveat as the reference's single-threaded window — and is
+  * documented at the call site, not hidden.
+  */
+object SiddhiQL extends Serializable {
+
+  // ---------- AST ----------
+  sealed trait Expr
+  private final case class Num(text: String) extends Expr
+  private final case class Str(value: String) extends Expr
+  private final case class Ref(parts: List[String]) extends Expr
+  private final case class Call(ns: Option[String], name: String,
+                                args: List[Expr]) extends Expr
+  private final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  private final case class Not(e: Expr) extends Expr
+  private final case class Neg(e: Expr) extends Expr
+
+  private final case class SelItem(e: Expr, alias: Option[String])
+  private final case class WindowSpec(name: String, args: List[Long])
+  private sealed trait StreamClause
+  private final case class SingleStream(table: String, filter: Option[Expr],
+      window: Option[WindowSpec]) extends StreamClause
+  private final case class PatStep(binding: String, table: String,
+      cond: Expr)
+  private final case class PatternStream(every: Boolean,
+      steps: List[PatStep], withinNs: Option[Long]) extends StreamClause
+
+  private final case class Ast(stream: StreamClause, select: List[SelItem],
+      groupBy: List[String], having: Option[Expr],
+      orderBy: List[(String, Boolean)], limit: Option[Long],
+      insertInto: Option[String])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"SiddhiQL: $msg")
+
+  // ---------- lexer ----------
+  private sealed trait Tok
+  private final case class TId(s: String) extends Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TSym(s: String) extends Tok
+  private case object TEof extends Tok
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += TId(q.substring(j, i))
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        out += TNum(q.substring(j, i))
+      } else if (c == '\'') {
+        val j = i + 1
+        i += 1
+        while (i < n && q(i) != '\'') i += 1
+        if (i >= n) fail("unterminated string literal")
+        out += TStr(q.substring(j, i)); i += 1
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("->", "==", "!=", "<=", ">=")(two)) {
+          out += TSym(two); i += 2
+        } else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  // ---------- parser ----------
+  private final class P(toks: Vector[Tok]) {
+    private var p = 0
+    def peek: Tok = toks(p)
+    def peek2: Tok = toks(math.min(p + 1, toks.length - 1))
+    def advance(): Tok = { val t = toks(p); p += 1; t }
+    def isKw(s: String): Boolean = peek match {
+      case TId(x) => x.equalsIgnoreCase(s)
+      case _ => false
+    }
+    def tryKw(s: String): Boolean = if (isKw(s)) { p += 1; true } else false
+    def eatKw(s: String): Unit =
+      if (!tryKw(s)) fail(s"expected '$s', got $peek")
+    def isSym(s: String): Boolean = peek match {
+      case TSym(x) => x == s
+      case _ => false
+    }
+    def trySym(s: String): Boolean = if (isSym(s)) { p += 1; true } else false
+    def eatSym(s: String): Unit =
+      if (!trySym(s)) fail(s"expected '$s', got $peek")
+    def ident(): String = advance() match {
+      case TId(s) => s
+      case t => fail(s"expected identifier, got $t")
+    }
+    def intLit(): Long = advance() match {
+      case TNum(s) if !s.contains('.') => s.toLong
+      case t => fail(s"expected integer, got $t")
+    }
+
+    private val clauseKw = Set("select", "group", "having", "order",
+      "limit", "insert", "within", "from")
+
+    // duration: INT unit (ms | sec | min | hour and long forms) → ns
+    def duration(): Long = {
+      val v = intLit()
+      val unit = ident().toLowerCase
+      val ns = unit match {
+        case "ms" | "millisecond" | "milliseconds" => 1000000L
+        case "sec" | "second" | "seconds"          => 1000000000L
+        case "min" | "minute" | "minutes"          => 60L * 1000000000L
+        case "hour" | "hours"                      => 3600L * 1000000000L
+        case u => fail(s"unknown time unit '$u'")
+      }
+      v * ns
+    }
+
+    // ---- expressions (precedence: or < and < not < cmp < add < mul) ----
+    def expr(): Expr = orExpr()
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (isKw("or")) { advance(); l = Bin("or", l, andExpr()) }
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (isKw("and")) { advance(); l = Bin("and", l, notExpr()) }
+      l
+    }
+    private def notExpr(): Expr =
+      if (tryKw("not")) Not(notExpr()) else cmpExpr()
+    private def cmpExpr(): Expr = {
+      val l = addExpr()
+      peek match {
+        case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
+          advance(); Bin(op, l, addExpr())
+        case _ => l
+      }
+    }
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var done = false
+      while (!done) peek match {
+        case TSym(op @ ("+" | "-")) => advance(); l = Bin(op, l, mulExpr())
+        case _ => done = true
+      }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = unary()
+      var done = false
+      while (!done) peek match {
+        case TSym(op @ ("*" | "/" | "%")) => advance(); l = Bin(op, l, unary())
+        case _ => done = true
+      }
+      l
+    }
+    private def unary(): Expr =
+      if (trySym("-")) Neg(unary()) else primary()
+    private def primary(): Expr = advance() match {
+      case TNum(s) => Num(s)
+      case TStr(s) => Str(s)
+      case TSym("(") => val e = expr(); eatSym(")"); e
+      case TId(name) =>
+        if (trySym(":")) { // namespaced call: str:upper(...)
+          val fn = ident(); eatSym("(")
+          Call(Some(name.toLowerCase), fn, argList())
+        } else if (trySym("(")) {
+          Call(None, name, argList())
+        } else if (isSym(".")) { // qualified ref e1.value
+          val parts = List.newBuilder[String]
+          parts += name
+          while (trySym(".")) parts += ident()
+          Ref(parts.result())
+        } else Ref(List(name))
+      case t => fail(s"unexpected token $t in expression")
+    }
+    private def argList(): List[Expr] = {
+      if (trySym(")")) return Nil
+      val args = List.newBuilder[Expr]
+      args += expr()
+      while (trySym(",")) args += expr()
+      eatSym(")")
+      args.result()
+    }
+
+    // ---- clauses ----
+    def selItems(): List[SelItem] = {
+      val items = List.newBuilder[SelItem]
+      def one(): SelItem = {
+        val e = expr()
+        val a = if (tryKw("as")) Some(ident()) else None
+        SelItem(e, a)
+      }
+      items += one()
+      while (trySym(",")) items += one()
+      items.result()
+    }
+
+    def windowSpec(): WindowSpec = {
+      eatSym("#"); eatKw("window"); eatSym(".")
+      val name = ident()
+      eatSym("(")
+      val args = List.newBuilder[Long]
+      if (!trySym(")")) {
+        def arg(): Long = peek2 match {
+          case TId(_) => duration() // "1 min" — number followed by unit
+          case _ => intLit()
+        }
+        args += arg()
+        while (trySym(",")) args += arg()
+        eatSym(")")
+      }
+      WindowSpec(name, args.result())
+    }
+
+    def streamClause(): StreamClause = {
+      val every = tryKw("every")
+      // pattern iff binding '=' follows the first identifier
+      val isPattern = every || (peek match {
+        case TId(_) => peek2 == TSym("=")
+        case _ => false
+      })
+      if (isPattern) {
+        def step(): PatStep = {
+          val b = ident(); eatSym("="); val tbl = ident()
+          eatSym("["); val cond = expr(); eatSym("]")
+          PatStep(b, tbl, cond)
+        }
+        val steps = List.newBuilder[PatStep]
+        steps += step()
+        while (trySym("->")) steps += step()
+        val w = if (tryKw("within")) Some(duration()) else None
+        PatternStream(every, steps.result(), w)
+      } else {
+        val tbl = ident()
+        val filt = if (trySym("[")) {
+          val e = expr(); eatSym("]"); Some(e)
+        } else None
+        val win = if (isSym("#")) Some(windowSpec()) else None
+        SingleStream(tbl, filt, win)
+      }
+    }
+
+    def query(): Ast = {
+      eatKw("from")
+      val stream = streamClause()
+      eatKw("select")
+      val sel = selItems()
+      val grp = if (tryKw("group")) {
+        eatKw("by")
+        val g = List.newBuilder[String]
+        g += ident()
+        while (trySym(",")) g += ident()
+        g.result()
+      } else Nil
+      val hav = if (tryKw("having")) Some(expr()) else None
+      val ord = if (tryKw("order")) {
+        eatKw("by")
+        val o = List.newBuilder[(String, Boolean)]
+        def one(): (String, Boolean) = {
+          val c = ident()
+          val asc = if (tryKw("desc")) false else { tryKw("asc"); true }
+          (c, asc)
+        }
+        o += one()
+        while (trySym(",")) o += one()
+        o.result()
+      } else Nil
+      val lim = if (tryKw("limit")) Some(intLit()) else None
+      val ins = if (tryKw("insert")) { eatKw("into"); Some(ident()) }
+                else None
+      peek match {
+        case TEof => ()
+        case t => fail(s"trailing input at $t")
+      }
+      Ast(stream, sel, grp, hav, ord, lim, ins)
+    }
+  }
+
+  // ---------- expression → Spark SQL text ----------
+  private val aggNames =
+    Set("sum", "count", "avg", "min", "max", "distinctcount")
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case Call(None, n, args) =>
+      aggNames(n.toLowerCase) || args.exists(containsAgg)
+    case Call(_, _, args) => args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case Neg(x) => containsAgg(x)
+    case _ => false
+  }
+
+  private def renderCall(ns: Option[String], name: String,
+                         argc: Int, a: List[String]): String = {
+    def std(n: String) = s"$n(${a.mkString(", ")})"
+    (ns.map(_.toLowerCase), name.toLowerCase) match {
+      case (None, "count") if argc == 0 => "count(*)"
+      case (None, n) if aggNames(n) && n != "distinctcount" => std(n)
+      case (None, "distinctcount") => s"count(DISTINCT ${a.head})"
+      case (None, "ifthenelse") => s"if(${a.mkString(", ")})"
+      case (None, "coalesce") => std("coalesce")
+      case (Some("str"), n @ ("upper" | "lower" | "length" | "trim" |
+                              "concat")) => std(n)
+      case (Some("str"), "contains") => s"(instr(${a(0)}, ${a(1)}) > 0)"
+      case (Some("math"), n @ ("abs" | "round" | "sqrt" | "floor" |
+                               "ceil" | "power")) => std(n)
+      case (nsx, n) =>
+        fail(s"unsupported function ${nsx.fold("")(_ + ":")}$n")
+    }
+  }
+
+  private def sqlOf(e: Expr): String = e match {
+    case Num(t) => t
+    case Str(v) => "'" + v.replace("'", "''") + "'"
+    case Ref(parts) => parts.mkString(".")
+    case Not(x) => s"(NOT ${sqlOf(x)})"
+    case Neg(x) => s"(- ${sqlOf(x)})"
+    case Bin(op, l, r) =>
+      val o = op match { case "==" => "="; case x => x }
+      s"(${sqlOf(l)} $o ${sqlOf(r)})"
+    case Call(ns, name, args) =>
+      renderCall(ns, name, args.length, args.map(sqlOf))
+  }
+
+  // ---------- pattern predicate interpreter ----------
+  private def field(e: Cep.Ev, name: String): Any = name match {
+    case "event_id"   => e.eventId
+    case "ts_ns"      => e.tsNs
+    case "user_id"    => e.userId
+    case "event_type" => e.eventType
+    case "value"      => e.value
+    case f => fail(s"unknown event field '$f'")
+  }
+  private def fieldType(name: String): DataType = name match {
+    case "event_id" | "ts_ns" | "user_id" => LongType
+    case "event_type"                     => StringType
+    case "value"                          => DoubleType
+    case f => fail(s"unknown event field '$f'")
+  }
+
+  private def evalPred(cond: Expr): (Cep.Ev, Cep.Bindings) => Boolean = {
+    def num(v: Any): Double = v match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case x => fail(s"expected number, got $x")
+    }
+    def ev(e: Expr, cur: Cep.Ev, b: Cep.Bindings): Any = e match {
+      case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
+      case Str(v) => v
+      case Ref(f :: Nil) => field(cur, f)
+      case Ref(bn :: f :: Nil) =>
+        field(b.getOrElse(bn, fail(s"unbound pattern ref '$bn'")).head, f)
+      case Ref(p) => fail(s"bad reference ${p.mkString(".")}")
+      case Not(x) => !ev(x, cur, b).asInstanceOf[Boolean]
+      case Neg(x) => -num(ev(x, cur, b))
+      case Bin(op, l, r) =>
+        op match {
+          case "and" => ev(l, cur, b).asInstanceOf[Boolean] &&
+            ev(r, cur, b).asInstanceOf[Boolean]
+          case "or" => ev(l, cur, b).asInstanceOf[Boolean] ||
+            ev(r, cur, b).asInstanceOf[Boolean]
+          case "==" | "!=" =>
+            val (lv, rv) = (ev(l, cur, b), ev(r, cur, b))
+            val eq = (lv, rv) match {
+              case (a: String, c: String) => a == c
+              case (a, c) => num(a) == num(c)
+            }
+            if (op == "==") eq else !eq
+          case "<" => num(ev(l, cur, b)) < num(ev(r, cur, b))
+          case "<=" => num(ev(l, cur, b)) <= num(ev(r, cur, b))
+          case ">" => num(ev(l, cur, b)) > num(ev(r, cur, b))
+          case ">=" => num(ev(l, cur, b)) >= num(ev(r, cur, b))
+          case "+" => num(ev(l, cur, b)) + num(ev(r, cur, b))
+          case "-" => num(ev(l, cur, b)) - num(ev(r, cur, b))
+          case "*" => num(ev(l, cur, b)) * num(ev(r, cur, b))
+          case "/" => num(ev(l, cur, b)) / num(ev(r, cur, b))
+          case "%" => num(ev(l, cur, b)) % num(ev(r, cur, b))
+          case o => fail(s"operator '$o' unsupported in pattern predicate")
+        }
+      case Call(_, n, _) =>
+        fail(s"function '$n' unsupported in pattern predicates")
+    }
+    (cur, b) => ev(cond, cur, b).asInstanceOf[Boolean]
+  }
+
+  // ---------- compiler ----------
+  def compile(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val ast = new P(lex(query)).query()
+    val selected = ast.stream match {
+      case s: SingleStream  => compileSingle(spark, dir, ast, s)
+      case pt: PatternStream => compilePattern(spark, dir, ast, pt)
+    }
+    val ordered =
+      if (ast.orderBy.isEmpty) selected
+      else selected.orderBy(ast.orderBy.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc
+      }: _*)
+    ast.limit.fold(ordered)(n => ordered.limit(n.toInt))
+  }
+
+  private def alias(it: SelItem, i: Int): String = it.alias.getOrElse(
+    it.e match {
+      case Ref(parts) => parts.last
+      case _ => s"col$i"
+    })
+
+  private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
+                            s: SingleStream): DataFrame = {
+    val base0 =
+      if (s.table.equalsIgnoreCase("events")) Tables.events(spark, dir)
+      else Tables.table(spark, dir, s.table)
+    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val items = ast.select.zipWithIndex.map { case (it, i) =>
+      (it, alias(it, i), containsAgg(it.e))
+    }
+    def aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a)
+    }
+    def keyRefs = items.collect { case (it, a, false) => (it, a) }
+
+    def grouped(implicitKeys: Seq[(String, Column)],
+                df: DataFrame): DataFrame = {
+      if (aggCols.isEmpty) fail("a windowed query needs an aggregate select")
+      keyRefs.foreach { case (it, _) =>
+        it.e match {
+          case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+          case _ => fail(s"non-aggregate select item " +
+            s"'${sqlOf(it.e)}' must be a group by column")
+        }
+      }
+      val keyCols = implicitKeys.map(_._2) ++ ast.groupBy.map(col)
+      val agged = df.groupBy(keyCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val out = implicitKeys.map { case (n, _) => col(n) } ++
+        items.map { case (_, a, _) => col(a) }
+      val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+      hav.select(out: _*)
+    }
+
+    def sliding(frame: String): DataFrame = {
+      val part = if (ast.groupBy.isEmpty) ""
+                 else s"partition by ${ast.groupBy.mkString(", ")} "
+      val w = s"(${part}order by $frame)"
+      // attach the frame at the AGGREGATE CALL, not around the whole item
+      // expression — `round(sum(x), 2)` must render as
+      // `round(sum(x) over w, 2)`, never `round(sum(x), 2) over w`
+      def windowed(e: Expr): String = e match {
+        case Call(None, n, _) if aggNames(n.toLowerCase) =>
+          s"${sqlOf(e)} over $w"
+        case Call(ns, n, args) =>
+          renderCall(ns, n, args.length,
+            args.map(x => if (containsAgg(x)) windowed(x) else sqlOf(x)))
+        case Bin(op, l, r) =>
+          val o = if (op == "==") "=" else op
+          s"(${windowed(l)} $o ${windowed(r)})"
+        case Not(x) => s"(NOT ${windowed(x)})"
+        case Neg(x) => s"(- ${windowed(x)})"
+        case other => sqlOf(other)
+      }
+      val cols = items.map { case (it, a, isAgg) =>
+        if (isAgg) expr(windowed(it.e)).as(a)
+        else expr(sqlOf(it.e)).as(a)
+      }
+      if (ast.having.nonEmpty) fail("having needs a tumbling window")
+      base.select(cols: _*)
+    }
+
+    s.window match {
+      case None =>
+        if (aggCols.nonEmpty) grouped(Nil, base)
+        else {
+          if (ast.having.nonEmpty) fail("having needs an aggregation")
+          base.select(items.map { case (it, a, _) =>
+            expr(sqlOf(it.e)).as(a)
+          }: _*)
+        }
+      case Some(WindowSpec(n, args)) => n.toLowerCase match {
+        case "timebatch" =>
+          val tNs = args.head
+          val withW = base.withColumn("w_start_ms",
+            expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+          grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
+        case "lengthbatch" =>
+          // global arrival order: inherently sequential (the reference's
+          // single-threaded window) — one-partition window by design
+          val withC = base.withColumn("chunk_id", expr(
+            s"(row_number() over (order by ts_ns, event_id) - 1) " +
+              s"div ${args.head}"))
+          grouped(Seq("chunk_id" -> col("chunk_id")), withC)
+        case "session" =>
+          val gap = s"${args.head / 1000000} milliseconds"
+          val sw = session_window(col("ts"), gap)
+          if (aggCols.isEmpty) fail("session window needs an aggregate")
+          keyRefs.foreach { case (it, _) => it.e match {
+            case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+            case _ => fail("non-aggregate select item must be grouped")
+          }}
+          val agged = base
+            .groupBy(sw +: ast.groupBy.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+          hav.select(
+            unix_millis(col("session_window.start")).as("w_start_ms") +:
+            unix_millis(col("session_window.end")).as("w_end_ms") +:
+            items.map { case (_, a, _) => col(a) }: _*)
+        case "length" =>
+          sliding(s"ts_ns, event_id rows between ${args.head - 1} " +
+            "preceding and current row")
+        case "time" =>
+          sliding(s"ts_ns range between ${args.head} " +
+            "preceding and current row")
+        case other => fail(s"unsupported window '$other' (supported: " +
+          "timeBatch, lengthBatch, session, length, time)")
+      }
+    }
+  }
+
+  private def compilePattern(spark: SparkSession, dir: String, ast: Ast,
+                             pt: PatternStream): DataFrame = {
+    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("group by / having do not apply to pattern clauses")
+    pt.steps.foreach { st =>
+      if (!st.table.equalsIgnoreCase("events"))
+        fail(s"pattern streams read 'events', got '${st.table}'")
+    }
+    val sel = ast.select.zipWithIndex.map { case (it, i) =>
+      it.e match {
+        case Ref(bn :: f :: Nil) =>
+          val a = it.alias.getOrElse(s"${bn}_$f")
+          (bn, f, a)
+        case _ => fail("pattern select items must be binding.field " +
+          s"references, got '${sqlOf(it.e)}'")
+      }
+    }
+    val bindings = pt.steps.map(_.binding).toSet
+    sel.foreach { case (bn, _, _) =>
+      if (!bindings(bn)) fail(s"select references unknown binding '$bn'")
+    }
+    var b = Patterns.begin(pt.steps.head.binding)(evalPred(
+      pt.steps.head.cond))
+    pt.steps.tail.foreach { st =>
+      b = b.followedBy(st.binding)(evalPred(st.cond))
+    }
+    pt.withinNs.foreach { w =>
+      b = b.within(scala.concurrent.duration.Duration.fromNanos(w))
+    }
+    if (!pt.every) b = b.firstOnly
+    val out = sel.map { case (_, f, a) => (a, fieldType(f)) }
+    b.selectPlan(spark, dir, out) { bnd =>
+      sel.map { case (bn, f, _) => field(bnd(bn).head, f) }
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.SiddhiQL
+
+/** Oracle-gated SiddhiQL front-end queries: each is the reference's query
+  * TEXT compiled by [[graft.api.SiddhiQL]] onto the engine — the "a user
+  * could paste their query" claim, checked value-exact against
+  * hand-written DuckDB oracles (the compiler generates the Spark side
+  * only; the oracle side is independent SQL). */
+object SqlGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(text: String): Q =
+    (s, d) => SiddhiQL.compile(s, d, text)
+
+  val queries: Map[String, Q] = Map(
+    "sql_filter_project" -> q(
+      """from events[value > 120 and event_type == 'click']
+        |select event_id, user_id, value * 2 as v2
+        |order by event_id
+        |insert into filtered""".stripMargin),
+    "sql_timebatch_group" -> q(
+      """from events#window.timeBatch(1 min)
+        |select user_id, sum(value) as total, count() as n
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into perMinute""".stripMargin),
+    "sql_lengthbatch" -> q(
+      """from events#window.lengthBatch(100)
+        |select max(value) as mx, count() as n
+        |order by chunk_id
+        |insert into perChunk""".stripMargin),
+    "sql_session_group" -> q(
+      """from events#window.session(2 min)
+        |select user_id, count() as n, sum(value) as total
+        |group by user_id
+        |order by user_id, w_start_ms
+        |insert into sessions""".stripMargin),
+    "sql_length_sliding" -> q(
+      """from events#window.length(20)
+        |select event_id, user_id, math:round(sum(value), 2) as s20,
+        |  count() as n20
+        |group by user_id
+        |order by event_id
+        |insert into sliding""".stripMargin),
+    "sql_pattern_seq" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase' and value > e1.value]
+        |  within 5 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id, e2.value as next_value
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_filter_project" ->
+      """SELECT event_id, user_id, value * 2 AS v2 FROM events
+        |WHERE value > 120 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "sql_timebatch_group" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
+        |  sum(value) AS total, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_lengthbatch" ->
+      """WITH ranked AS (
+        |  SELECT value,
+        |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 100
+        |      AS chunk_id
+        |  FROM events)
+        |SELECT chunk_id, max(value) AS mx, count(*) AS n
+        |FROM ranked GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+    // session semantics mirror window_session's oracle: a session breaks
+    // when the gap to the previous event of the key exceeds 2 minutes
+    "sql_session_group" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 120000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, value, ms, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ms
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT min(ms) AS w_start_ms, max(ms) + 120000 AS w_end_ms,
+        |  user_id, count(*) AS n, sum(value) AS total
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, w_start_ms""".stripMargin,
+    "sql_length_sliding" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS s20, count(*) OVER w AS n20
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // greedy first-match: each error takes the FIRST later purchase with
+    // a larger value, within 5 min (inclusive deadline, NFA semantics)
+    "sql_pattern_seq" ->
+      """SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.value > e.value
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id, next_id""".stripMargin
+  )
+}

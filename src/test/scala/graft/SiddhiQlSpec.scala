@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SiddhiQL
+
+/** SiddhiQL front-end: the compiled DataFrame must equal the directly
+  * built one, and malformed queries must fail fast with messages that
+  * name the problem (a string front-end that silently mis-compiles is
+  * worse than none). The six `sql_*` oracle-gate queries cover the
+  * window/pattern matrix; this spec covers equivalence + diagnostics. */
+class SiddhiQlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def compile(q: String) = SiddhiQL.compile(spark, sf, q)
+
+  test("filter+projection compiles to the same result as the direct API") {
+    val viaSql = compile(
+      """from events[value > 140 and event_type == 'view']
+        |select event_id, value / 2 as half
+        |order by event_id""".stripMargin).collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("value") > 140 && col("event_type") === "view")
+      .select(col("event_id"), (col("value") / 2).as("half"))
+      .orderBy("event_id").collect().toSeq
+    assert(viaSql == direct)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("generic tables work: filter over lineitem") {
+    val viaSql = compile(
+      """from lineitem[l_quantity >= 49]
+        |select l_orderkey, l_quantity
+        |order by l_orderkey, l_quantity desc limit 5""".stripMargin)
+      .collect().toSeq
+    val direct = engine.Tables.lineitem(spark, sf)
+      .where(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_quantity")
+      .orderBy(col("l_orderkey").asc, col("l_quantity").desc)
+      .limit(5).collect().toSeq
+    assert(viaSql == direct)
+  }
+
+  test("global aggregation without window or group by") {
+    val r = compile(
+      "from events select count() as n, distinctCount(user_id) as u")
+      .collect()
+    val d = engine.Tables.events(spark, sf)
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      .collect()
+    assert(r.toSeq == d.toSeq)
+  }
+
+  test("sliding window attaches the frame at the aggregate call") {
+    // round(sum(x), 2) must become round(sum(x) OVER w, 2)
+    val df = compile(
+      """from events#window.length(5)
+        |select event_id, math:round(sum(value), 2) as s5
+        |group by user_id order by event_id limit 3""".stripMargin)
+    assert(df.columns.toSeq == Seq("event_id", "s5"))
+    assert(df.collect().length == 3)
+  }
+
+  test("diagnostics name the problem") {
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    assert(msg("from events#window.hopping(3) select count() as n")
+      .contains("unsupported window 'hopping'"))
+    assert(msg("from events select str:reverse(event_type) as r")
+      .contains("unsupported function str:reverse"))
+    assert(msg("from events#window.timeBatch(1 min) select value, " +
+      "count() as n").contains("must be a group by column"))
+    assert(msg("from events select event_id extra_token")
+      .contains("trailing input"))
+    assert(msg("from every e1=events[value > 0] -> e2=events[value > 0] " +
+      "select e3.value as v").contains("unknown binding 'e3'"))
+    assert(msg("from events select event_id having event_id > 1")
+      .contains("having needs an aggregation"))
+  }
+
+  test("pattern clause ≡ Patterns DSL over the same condition") {
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val viaSql = compile(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase'] within 5 min
+        |select e1.event_id as start_id, e2.event_id as next_id
+        |order by start_id""".stripMargin).collect().toSeq
+    val viaDsl = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .followedBy("e2")((e, _) => e.eventType == "purchase")
+      .within(5.minutes)
+      .select[(Long, Long)](spark, sf) { b =>
+        (b("e1").head.eventId, b("e2").head.eventId)
+      }.toDF("start_id", "next_id").orderBy("start_id").collect().toSeq
+    assert(viaSql == viaDsl)
+    assert(viaSql.nonEmpty)
+  }
+}
