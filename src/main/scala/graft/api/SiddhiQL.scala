@@ -57,8 +57,14 @@ object SiddhiQL extends Serializable {
   private sealed trait StreamClause
   private final case class SingleStream(table: String, filter: Option[Expr],
       window: Option[WindowSpec]) extends StreamClause
-  private final case class PatStep(binding: String, table: String,
-      cond: Expr)
+  private final case class JoinStream(left: SingleStream,
+      leftAlias: Option[String], joinType: String, right: SingleStream,
+      rightAlias: Option[String], on: Expr) extends StreamClause
+  private sealed trait PatStep
+  private final case class PatCond(binding: String, table: String,
+      cond: Expr) extends PatStep
+  private final case class PatAbsent(table: String, cond: Expr,
+      forNs: Long) extends PatStep
   private final case class PatternStream(every: Boolean,
       steps: List[PatStep], withinNs: Option[Long]) extends StreamClause
 
@@ -257,29 +263,54 @@ object SiddhiQL extends Serializable {
 
     def streamClause(): StreamClause = {
       val every = tryKw("every")
-      // pattern iff binding '=' follows the first identifier
-      val isPattern = every || (peek match {
+      // pattern iff `every`/`not` leads, or binding '=' follows the
+      // first identifier
+      val isPattern = every || isKw("not") || (peek match {
         case TId(_) => peek2 == TSym("=")
         case _ => false
       })
       if (isPattern) {
-        def step(): PatStep = {
-          val b = ident(); eatSym("="); val tbl = ident()
-          eatSym("["); val cond = expr(); eatSym("]")
-          PatStep(b, tbl, cond)
-        }
+        def step(): PatStep =
+          if (tryKw("not")) {
+            val tbl = ident()
+            eatSym("["); val cond = expr(); eatSym("]")
+            eatKw("for")
+            PatAbsent(tbl, cond, duration())
+          } else {
+            val b = ident(); eatSym("="); val tbl = ident()
+            eatSym("["); val cond = expr(); eatSym("]")
+            PatCond(b, tbl, cond)
+          }
         val steps = List.newBuilder[PatStep]
         steps += step()
         while (trySym("->")) steps += step()
         val w = if (tryKw("within")) Some(duration()) else None
         PatternStream(every, steps.result(), w)
       } else {
-        val tbl = ident()
-        val filt = if (trySym("[")) {
-          val e = expr(); eatSym("]"); Some(e)
-        } else None
-        val win = if (isSym("#")) Some(windowSpec()) else None
-        SingleStream(tbl, filt, win)
+        def single(): (SingleStream, Option[String]) = {
+          val tbl = ident()
+          val a = if (tryKw("as")) Some(ident()) else None
+          val filt = if (trySym("[")) {
+            val e = expr(); eatSym("]"); Some(e)
+          } else None
+          val win = if (isSym("#")) Some(windowSpec()) else None
+          (SingleStream(tbl, filt, win), a)
+        }
+        val (l, la) = single()
+        val jt =
+          if (tryKw("join")) Some("inner")
+          else if (isKw("left")) {
+            eatKw("left"); eatKw("outer"); eatKw("join"); Some("left_outer")
+          } else None
+        jt match {
+          case None => l
+          case Some(t) =>
+            val (r, ra) = single()
+            if (l.window.nonEmpty || r.window.nonEmpty)
+              fail("windows on join sides are not supported (v1)")
+            eatKw("on")
+            JoinStream(l, la, t, r, ra, expr())
+        }
       }
     }
 
@@ -430,7 +461,8 @@ object SiddhiQL extends Serializable {
   def compile(spark: SparkSession, dir: String, query: String): DataFrame = {
     val ast = new P(lex(query)).query()
     val selected = ast.stream match {
-      case s: SingleStream  => compileSingle(spark, dir, ast, s)
+      case s: SingleStream   => compileSingle(spark, dir, ast, s)
+      case j: JoinStream     => compileJoin(spark, dir, ast, j)
       case pt: PatternStream => compilePattern(spark, dir, ast, pt)
     }
     val ordered =
@@ -447,26 +479,31 @@ object SiddhiQL extends Serializable {
       case _ => s"col$i"
     })
 
-  private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
-                            s: SingleStream): DataFrame = {
-    val base0 =
-      if (s.table.equalsIgnoreCase("events")) Tables.events(spark, dir)
-      else Tables.table(spark, dir, s.table)
-    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
-    val items = ast.select.zipWithIndex.map { case (it, i) =>
-      (it, alias(it, i), containsAgg(it.e))
-    }
-    def aggCols = items.collect { case (it, a, true) =>
+  /** Select-item bookkeeping shared by the single-stream, windowed, and
+    * join paths: (item, output alias, is-aggregate). */
+  private def itemsOf(ast: Ast) = ast.select.zipWithIndex.map {
+    case (it, i) => (it, alias(it, i), containsAgg(it.e))
+  }
+
+  /** Grouped aggregation over `df` (plus any window-derived implicit
+    * keys), or a plain projection when no item aggregates. */
+  private def selectOrAggregate(ast: Ast, df: DataFrame,
+      implicitKeys: Seq[(String, Column)], windowed: Boolean): DataFrame = {
+    val items = itemsOf(ast)
+    val aggCols = items.collect { case (it, a, true) =>
       expr(sqlOf(it.e)).as(a)
     }
-    def keyRefs = items.collect { case (it, a, false) => (it, a) }
-
-    def grouped(implicitKeys: Seq[(String, Column)],
-                df: DataFrame): DataFrame = {
-      if (aggCols.isEmpty) fail("a windowed query needs an aggregate select")
-      keyRefs.foreach { case (it, _) =>
+    if (aggCols.isEmpty) {
+      if (windowed) fail("a windowed query needs an aggregate select")
+      if (ast.having.nonEmpty) fail("having needs an aggregation")
+      df.select(items.map { case (it, a, _) =>
+        expr(sqlOf(it.e)).as(a)
+      }: _*)
+    } else {
+      items.collect { case (it, _, false) => it }.foreach { it =>
         it.e match {
-          case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+          // a bare or stream-qualified column that is a group key
+          case Ref(parts) if ast.groupBy.contains(parts.last) => ()
           case _ => fail(s"non-aggregate select item " +
             s"'${sqlOf(it.e)}' must be a group by column")
         }
@@ -475,10 +512,46 @@ object SiddhiQL extends Serializable {
       val agged = df.groupBy(keyCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
       val out = implicitKeys.map { case (n, _) => col(n) } ++
-        items.map { case (_, a, _) => col(a) }
+        items.map { case (it, a, isAgg) =>
+          if (isAgg) col(a)
+          else it.e match { case Ref(parts) => col(parts.last).as(a)
+                            case _ => col(a) }
+        }
       val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
       hav.select(out: _*)
     }
+  }
+
+  private def loadTable(spark: SparkSession, dir: String,
+                        name: String): DataFrame =
+    if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
+    else Tables.table(spark, dir, name)
+
+  private def compileJoin(spark: SparkSession, dir: String, ast: Ast,
+                          j: JoinStream): DataFrame = {
+    def side(ss: SingleStream, a: Option[String]): DataFrame = {
+      val b0 = loadTable(spark, dir, ss.table)
+      val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
+      a.fold(b1)(b1.alias)
+    }
+    val joined = side(j.left, j.leftAlias)
+      .join(side(j.right, j.rightAlias), expr(sqlOf(j.on)), j.joinType)
+    selectOrAggregate(ast, joined, Nil, windowed = false)
+  }
+
+  private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
+                            s: SingleStream): DataFrame = {
+    val base0 = loadTable(spark, dir, s.table)
+    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val items = itemsOf(ast)
+    def aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a)
+    }
+    def keyRefs = items.collect { case (it, a, false) => (it, a) }
+
+    def grouped(implicitKeys: Seq[(String, Column)],
+                df: DataFrame): DataFrame =
+      selectOrAggregate(ast, df, implicitKeys, windowed = true)
 
     def sliding(frame: String): DataFrame = {
       val part = if (ast.groupBy.isEmpty) ""
@@ -509,14 +582,7 @@ object SiddhiQL extends Serializable {
     }
 
     s.window match {
-      case None =>
-        if (aggCols.nonEmpty) grouped(Nil, base)
-        else {
-          if (ast.having.nonEmpty) fail("having needs an aggregation")
-          base.select(items.map { case (it, a, _) =>
-            expr(sqlOf(it.e)).as(a)
-          }: _*)
-        }
+      case None => selectOrAggregate(ast, base, Nil, windowed = false)
       case Some(WindowSpec(n, args)) => n.toLowerCase match {
         case "timebatch" =>
           val tNs = args.head
@@ -563,9 +629,15 @@ object SiddhiQL extends Serializable {
     if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
       fail("group by / having do not apply to pattern clauses")
     pt.steps.foreach { st =>
-      if (!st.table.equalsIgnoreCase("events"))
-        fail(s"pattern streams read 'events', got '${st.table}'")
+      val tbl = st match {
+        case PatCond(_, t, _) => t
+        case PatAbsent(t, _, _) => t
+      }
+      if (!tbl.equalsIgnoreCase("events"))
+        fail(s"pattern streams read 'events', got '$tbl'")
     }
+    if (pt.steps.head.isInstanceOf[PatAbsent])
+      fail("a pattern cannot start with an absence")
     val sel = ast.select.zipWithIndex.map { case (it, i) =>
       it.e match {
         case Ref(bn :: f :: Nil) =>
@@ -575,14 +647,21 @@ object SiddhiQL extends Serializable {
           s"references, got '${sqlOf(it.e)}'")
       }
     }
-    val bindings = pt.steps.map(_.binding).toSet
+    val bindings = pt.steps.collect { case PatCond(b, _, _) => b }.toSet
     sel.foreach { case (bn, _, _) =>
       if (!bindings(bn)) fail(s"select references unknown binding '$bn'")
     }
-    var b = Patterns.begin(pt.steps.head.binding)(evalPred(
-      pt.steps.head.cond))
-    pt.steps.tail.foreach { st =>
-      b = b.followedBy(st.binding)(evalPred(st.cond))
+    var b = pt.steps.head match {
+      case PatCond(bn, _, cond) => Patterns.begin(bn)(evalPred(cond))
+      case _: PatAbsent => fail("unreachable: head checked above")
+    }
+    pt.steps.tail.zipWithIndex.foreach {
+      case (PatCond(bn, _, cond), _) =>
+        b = b.followedBy(bn)(evalPred(cond))
+      case (PatAbsent(_, cond, forNs), i) =>
+        b = b.notFor(s"__not$i",
+          scala.concurrent.duration.Duration.fromNanos(forNs))(
+          evalPred(cond))
     }
     pt.withinNs.foreach { w =>
       b = b.within(scala.concurrent.duration.Duration.fromNanos(w))

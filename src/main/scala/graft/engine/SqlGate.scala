@@ -45,6 +45,22 @@ object SqlGate {
         |group by user_id
         |order by event_id
         |insert into sliding""".stripMargin),
+    "sql_join_group" -> q(
+      """from customer as c join nation as n
+        |  on c.c_nationkey == n.n_nationkey
+        |select n_name, count() as n_cust,
+        |  math:round(sum(c.c_acctbal), 2) as bal
+        |group by n_name
+        |having n_cust > 2
+        |order by n_name
+        |insert into perNation""".stripMargin),
+    "sql_pattern_absence" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and user_id == e1.user_id]
+        |     for 5 min
+        |select e1.user_id as user_id, e1.event_id as event_id
+        |order by event_id
+        |insert into silentErrors""".stripMargin),
     "sql_pattern_seq" -> q(
       """from every e1=events[event_type == 'error']
         |  -> e2=events[event_type == 'purchase' and value > e1.value]
@@ -98,6 +114,21 @@ object SqlGate {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "sql_join_group" ->
+      """SELECT n.n_name, count(*) AS n_cust,
+        |  round(sum(c.c_acctbal), 2) AS bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name HAVING count(*) > 2
+        |ORDER BY n_name""".stripMargin,
+    // absence: an error with NO purchase by the same user in the
+    // following 5 minutes (inclusive deadline, NFA semantics)
+    "sql_pattern_absence" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
     // greedy first-match: each error takes the FIRST later purchase with
     // a larger value, within 5 min (inclusive deadline, NFA semantics)
     "sql_pattern_seq" ->

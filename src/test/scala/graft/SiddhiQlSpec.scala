@@ -79,6 +79,33 @@ class SiddhiQlSpec extends AnyFunSuite {
       .contains("having needs an aggregation"))
   }
 
+  test("join clause: left outer join keeps unmatched left rows") {
+    val viaSql = compile(
+      """from nation as n left outer join customer as c
+        |  on n.n_nationkey == c.c_nationkey
+        |select n_name, count() as n
+        |group by n_name order by n_name""".stripMargin).collect().toSeq
+    val direct = engine.Tables.nation(spark, sf).alias("n")
+      .join(engine.Tables.customer(spark, sf).alias("c"),
+        expr("n.n_nationkey = c.c_nationkey"), "left_outer")
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .orderBy("n_name").collect().toSeq
+    assert(viaSql == direct)
+    // left outer: every nation appears even with zero customers
+    assert(viaSql.length ==
+      engine.Tables.nation(spark, sf).count().toInt)
+  }
+
+  test("absence pattern and join diagnostics") {
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    assert(msg("from not events[value > 0] for 5 min " +
+      "select e1.user_id as u").contains("cannot start with an absence"))
+    assert(msg("from events#window.length(5) join nation as n " +
+      "on user_id == n_nationkey select count() as n")
+      .contains("windows on join sides"))
+  }
+
   test("pattern clause ≡ Patterns DSL over the same condition") {
     import scala.concurrent.duration._
     import spark.implicits._
