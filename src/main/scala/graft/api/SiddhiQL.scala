@@ -458,11 +458,66 @@ object SiddhiQL extends Serializable {
   }
 
   // ---------- compiler ----------
-  def compile(spark: SparkSession, dir: String, query: String): DataFrame = {
-    val ast = new P(lex(query)).query()
+  def compile(spark: SparkSession, dir: String, query: String): DataFrame =
+    compileOne(spark, dir, query, Map.empty)
+
+  /** Compile a whole Siddhi APP: `define stream ...;` declarations plus
+    * `@info(name='q') from ... insert into Out;` queries, where later
+    * queries may read earlier outputs BY NAME (`from Out`) — the chained
+    * topology a SiddhiProcess deploys. Returns every named output stream
+    * (query name from @info, else the insert-into target, else `q<i>`).
+    * Chaining is pure plan composition: each stage extends the previous
+    * stage's logical plan, so Catalyst optimizes the WHOLE app as one
+    * tree (filters from late stages can reach the scan). */
+  def compileApp(spark: SparkSession, dir: String,
+                 app: String): Map[String, DataFrame] = {
+    // split on ';' outside string literals
+    val stmts = {
+      val out = List.newBuilder[String]
+      val cur = new StringBuilder
+      var inStr = false
+      app.foreach {
+        case '\'' => inStr = !inStr; cur += '\''
+        case ';' if !inStr => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    var env = Map.empty[String, DataFrame]
+    var results = Map.empty[String, DataFrame]
+    var i = 0
+    stmts.foreach { stmt =>
+      val (name, body) = {
+        // optional @info(name = 'x') annotation prefix
+        val m = "(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'\\s*\\)\\s*(.*)"
+          .r.findFirstMatchIn(stmt)
+        m.map(g => (Some(g.group(1)), g.group(2))).getOrElse((None, stmt))
+      }
+      val head = body.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("define")) () // schemas come from parquet
+      else if (head.equalsIgnoreCase("from")) {
+        val ast = new P(lex(body)).query()
+        val df = compileAst(spark, dir, ast, env)
+        val key = name.orElse(ast.insertInto).getOrElse {
+          i += 1; s"q$i"
+        }
+        ast.insertInto.foreach(t => env += t -> df)
+        results += key -> df
+      } else fail(s"unsupported statement: '${stmt.take(40)}...'")
+    }
+    results
+  }
+
+  private def compileOne(spark: SparkSession, dir: String, query: String,
+                         env: Map[String, DataFrame]): DataFrame =
+    compileAst(spark, dir, new P(lex(query)).query(), env)
+
+  private def compileAst(spark: SparkSession, dir: String, ast: Ast,
+                         env: Map[String, DataFrame]): DataFrame = {
     val selected = ast.stream match {
-      case s: SingleStream   => compileSingle(spark, dir, ast, s)
-      case j: JoinStream     => compileJoin(spark, dir, ast, j)
+      case s: SingleStream   => compileSingle(spark, dir, ast, s, env)
+      case j: JoinStream     => compileJoin(spark, dir, ast, j, env)
       case pt: PatternStream => compilePattern(spark, dir, ast, pt)
     }
     val ordered =
@@ -522,15 +577,17 @@ object SiddhiQL extends Serializable {
     }
   }
 
-  private def loadTable(spark: SparkSession, dir: String,
-                        name: String): DataFrame =
-    if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
-    else Tables.table(spark, dir, name)
+  private def loadTable(spark: SparkSession, dir: String, name: String,
+                        env: Map[String, DataFrame]): DataFrame =
+    env.getOrElse(name,
+      if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
+      else Tables.table(spark, dir, name))
 
   private def compileJoin(spark: SparkSession, dir: String, ast: Ast,
-                          j: JoinStream): DataFrame = {
+                          j: JoinStream,
+                          env: Map[String, DataFrame]): DataFrame = {
     def side(ss: SingleStream, a: Option[String]): DataFrame = {
-      val b0 = loadTable(spark, dir, ss.table)
+      val b0 = loadTable(spark, dir, ss.table, env)
       val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
       a.fold(b1)(b1.alias)
     }
@@ -540,8 +597,9 @@ object SiddhiQL extends Serializable {
   }
 
   private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
-                            s: SingleStream): DataFrame = {
-    val base0 = loadTable(spark, dir, s.table)
+                            s: SingleStream,
+                            env: Map[String, DataFrame]): DataFrame = {
+    val base0 = loadTable(spark, dir, s.table, env)
     val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
     val items = itemsOf(ast)
     def aggCols = items.collect { case (it, a, true) =>

@@ -45,6 +45,21 @@ object SqlGate {
         |group by user_id
         |order by event_id
         |insert into sliding""".stripMargin),
+    "sql_app_chained" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'hot')
+        |from events[value > 100]
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotEvents;
+        |
+        |@info(name = 'perUserMinute')
+        |from HotEvents#window.timeBatch(1 min)
+        |select user_id, count() as n, math:round(sum(value), 2) as total
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into PerUserMinute""".stripMargin)("perUserMinute")),
     "sql_join_group" -> q(
       """from customer as c join nation as n
         |  on c.c_nationkey == n.n_nationkey
@@ -114,6 +129,12 @@ object SqlGate {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // the chained app folds to: filter feeds the per-minute aggregation
+    "sql_app_chained" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE value > 100
+        |GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
     "sql_join_group" ->
       """SELECT n.n_name, count(*) AS n_cust,
         |  round(sum(c.c_acctbal), 2) AS bal

@@ -106,6 +106,30 @@ class SiddhiQlSpec extends AnyFunSuite {
       .contains("windows on join sides"))
   }
 
+  test("compileApp: chained queries optimize as ONE Catalyst tree — " +
+       "stage-1's filter reaches the parquet scan of stage 2's plan") {
+    val app = SiddhiQL.compileApp(spark, sf,
+      """@info(name = 'hot')
+        |from events[value > 100]
+        |select event_id, ts_ns, user_id, value
+        |insert into Hot;
+        |
+        |@info(name = 'agg')
+        |from Hot
+        |select user_id, count() as n
+        |group by user_id order by user_id
+        |insert into Out""".stripMargin)
+    assert(app.keySet == Set("hot", "agg"))
+    val plan = app("agg").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("value"),
+      s"stage-1 filter did not reach the scan:\n$plan")
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("value") > 100)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(app("agg").collect().toSeq == direct)
+  }
+
   test("pattern clause ≡ Patterns DSL over the same condition") {
     import scala.concurrent.duration._
     import spark.implicits._
