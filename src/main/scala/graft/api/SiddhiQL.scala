@@ -373,6 +373,19 @@ object SiddhiQL extends Serializable {
       case (None, "distinctcount") => s"count(DISTINCT ${a.head})"
       case (None, "ifthenelse") => s"if(${a.mkString(", ")})"
       case (None, "coalesce") => std("coalesce")
+      case (None, "convert") =>
+        // convert(x, 'double') — the reference's cast; type name travels
+        // as a string literal, so strip the quotes the renderer added
+        val t = a(1).stripPrefix("'").stripSuffix("'").toLowerCase match {
+          case "int" => "int"
+          case "long" => "bigint"
+          case "float" => "float"
+          case "double" => "double"
+          case "string" => "string"
+          case "bool" => "boolean"
+          case other => fail(s"convert: unknown type '$other'")
+        }
+        s"cast(${a(0)} as $t)"
       case (Some("str"), n @ ("upper" | "lower" | "length" | "trim" |
                               "concat")) => std(n)
       case (Some("str"), "contains") => s"(instr(${a(0)}, ${a(1)}) > 0)"

@@ -62,6 +62,24 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  test("time(T) sliding window, uppercase keywords, convert()") {
+    // keywords are case-insensitive; time window = RANGE frame on ts_ns
+    val viaSql = compile(
+      """FROM events#window.time(10 min)
+        |SELECT event_id, convert(user_id, 'string') as uid,
+        |  math:round(sum(value), 2) AS s10m
+        |GROUP BY user_id ORDER BY event_id LIMIT 50""".stripMargin)
+      .collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id").cast("string").as("uid"),
+        expr("round(sum(value) over (partition by user_id order by ts_ns" +
+          " range between 600000000000 preceding and current row), 2)")
+          .as("s10m"))
+      .orderBy("event_id").limit(50).collect().toSeq
+    assert(viaSql == direct)
+    assert(viaSql.nonEmpty)
+  }
+
   test("diagnostics name the problem") {
     def msg(q: String): String =
       intercept[IllegalArgumentException](compile(q)).getMessage
