@@ -71,7 +71,7 @@ object SiddhiQL extends Serializable {
   private final case class Ast(stream: StreamClause, select: List[SelItem],
       groupBy: List[String], having: Option[Expr],
       orderBy: List[(String, Boolean)], limit: Option[Long],
-      insertInto: Option[String])
+      offset: Option[Long], insertInto: Option[String])
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
@@ -340,13 +340,14 @@ object SiddhiQL extends Serializable {
         o.result()
       } else Nil
       val lim = if (tryKw("limit")) Some(intLit()) else None
+      val off = if (tryKw("offset")) Some(intLit()) else None
       val ins = if (tryKw("insert")) { eatKw("into"); Some(ident()) }
                 else None
       peek match {
         case TEof => ()
         case t => fail(s"trailing input at $t")
       }
-      Ast(stream, sel, grp, hav, ord, lim, ins)
+      Ast(stream, sel, grp, hav, ord, lim, off, ins)
     }
   }
 
@@ -538,7 +539,10 @@ object SiddhiQL extends Serializable {
       else selected.orderBy(ast.orderBy.map { case (c, asc) =>
         if (asc) col(c).asc else col(c).desc
       }: _*)
-    ast.limit.fold(ordered)(n => ordered.limit(n.toInt))
+    // Siddhi's limit/offset: offset skips M output rows, limit caps what
+    // follows (Spark's offset/limit compose in that order)
+    val off = ast.offset.fold(ordered)(m => ordered.offset(m.toInt))
+    ast.limit.fold(off)(n => off.limit(n.toInt))
   }
 
   private def alias(it: SelItem, i: Int): String = it.alias.getOrElse(

@@ -112,7 +112,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Relational.queries ++ Windows.queries ++ Aggregates.queries ++
         Functions.queries ++ Cep.queries ++ Similarity.queries ++
         TextAnalysis.queries ++ Multimodal.queries ++ Sketches.queries ++
-        Ops.queries ++ Extras.queries ++ Ml.queries
+        Ops.queries ++ Extras.queries ++ Ml.queries ++ SqlGate.queries
     val offenders = batchQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = plan(fn(spark, sf))

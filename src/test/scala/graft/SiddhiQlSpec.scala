@@ -80,6 +80,13 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("limit + offset skip then cap the ordered output") {
+    val viaSql = compile(
+      "from events select event_id order by event_id limit 5 offset 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(10L, 11L, 12L, 13L, 14L))
+  }
+
   test("diagnostics name the problem") {
     def msg(q: String): String =
       intercept[IllegalArgumentException](compile(q)).getMessage
