@@ -347,7 +347,31 @@ object TextAnalysis {
     res
   }
 
+  /** corpus_sample_mix: deterministic weighted MIXTURE SAMPLING — the
+    * step that turns a filtered corpus into a training mix with
+    * per-source weights. Each document draws a stable pseudo-uniform in
+    * [0,1000) from md5(doc_id) (reproducible across engines and runs —
+    * no RNG state, no seed coordination across 1000 executors) and is
+    * kept iff the draw clears its source's per-mille rate (derived here
+    * from the source id; a real mix passes a weights map). One scan +
+    * one tiny per-source aggregate. */
+  def sampleMix(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("draw",
+        expr("conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "% 1000"))
+      .withColumn("rate_pm",
+        lit(250) + lit(50) * (expr("cast(substr(source, 4) as int)") % 10))
+      .withColumn("kept", col("draw") < col("rate_pm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        max("rate_pm").cast("long").as("rate_pm"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "corpus_sample_mix"  -> (sampleMix _),
     "text_lm_perplexity" -> (lmPerplexity _),
     "text_repetition"    -> (repetition _),
     "text_pii_redact"    -> (piiRedact _),
@@ -365,6 +389,20 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "corpus_sample_mix" ->
+      """WITH m AS (
+        |  SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 1000 AS draw,
+        |    250 + 50 * (CAST(substr(source, 4) AS INT) % 10) AS rate_pm
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN draw < rate_pm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(max(rate_pm) AS BIGINT) AS rate_pm,
+        |  CAST(sum(CASE WHEN draw < rate_pm THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "text_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
         |  FROM documents),
