@@ -62,7 +62,7 @@ object SiddhiQL extends Serializable {
       rightAlias: Option[String], on: Expr) extends StreamClause
   private sealed trait PatStep
   private final case class PatCond(binding: String, table: String,
-      cond: Expr) extends PatStep
+      cond: Expr, quant: Option[(Int, Int)] = None) extends PatStep
   private final case class PatAbsent(table: String, cond: Expr,
       forNs: Long) extends PatStep
   private final case class PatternStream(every: Boolean,
@@ -279,7 +279,12 @@ object SiddhiQL extends Serializable {
           } else {
             val b = ident(); eatSym("="); val tbl = ident()
             eatSym("["); val cond = expr(); eatSym("]")
-            PatCond(b, tbl, cond)
+            // count quantifier `<m:n>` on the condition
+            val quant = if (trySym("<")) {
+              val m = intLit(); eatSym(":"); val n = intLit(); eatSym(">")
+              Some((m.toInt, n.toInt))
+            } else None
+            PatCond(b, tbl, cond, quant)
           }
         val steps = List.newBuilder[PatStep]
         steps += step()
@@ -705,7 +710,7 @@ object SiddhiQL extends Serializable {
       fail("group by / having do not apply to pattern clauses")
     pt.steps.foreach { st =>
       val tbl = st match {
-        case PatCond(_, t, _) => t
+        case PatCond(_, t, _, _) => t
         case PatAbsent(t, _, _) => t
       }
       if (!tbl.equalsIgnoreCase("events"))
@@ -722,17 +727,20 @@ object SiddhiQL extends Serializable {
           s"references, got '${sqlOf(it.e)}'")
       }
     }
-    val bindings = pt.steps.collect { case PatCond(b, _, _) => b }.toSet
+    val bindings = pt.steps.collect { case PatCond(b, _, _, _) => b }.toSet
     sel.foreach { case (bn, _, _) =>
       if (!bindings(bn)) fail(s"select references unknown binding '$bn'")
     }
     var b = pt.steps.head match {
-      case PatCond(bn, _, cond) => Patterns.begin(bn)(evalPred(cond))
+      case PatCond(bn, _, cond, q) =>
+        val b0 = Patterns.begin(bn)(evalPred(cond))
+        q.fold(b0) { case (m, n) => b0.times(m, n) }
       case _: PatAbsent => fail("unreachable: head checked above")
     }
     pt.steps.tail.zipWithIndex.foreach {
-      case (PatCond(bn, _, cond), _) =>
+      case (PatCond(bn, _, cond, q), _) =>
         b = b.followedBy(bn)(evalPred(cond))
+        q.foreach { case (m, n) => b = b.times(m, n) }
       case (PatAbsent(_, cond, forNs), i) =>
         b = b.notFor(s"__not$i",
           scala.concurrent.duration.Duration.fromNanos(forNs))(

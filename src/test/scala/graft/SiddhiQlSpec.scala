@@ -155,6 +155,25 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(app("agg").collect().toSeq == direct)
   }
 
+  test("pattern count quantifier <m:n> ≡ Patterns DSL times(m, n)") {
+    import spark.implicits._
+    val viaSql = compile(
+      """from every e1=events[event_type == 'click']<2:2>
+        |  -> e2=events[event_type == 'purchase']
+        |select e1.event_id as first_click, e2.event_id as purchase_id
+        |order by first_click, purchase_id""".stripMargin)
+      .collect().toSeq
+    val viaDsl = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "click").times(2, 2)
+      .followedBy("e2")((e, _) => e.eventType == "purchase")
+      .select[(Long, Long)](spark, sf) { b =>
+        (b("e1").head.eventId, b("e2").head.eventId)
+      }.toDF("first_click", "purchase_id")
+      .orderBy("first_click", "purchase_id").collect().toSeq
+    assert(viaSql == viaDsl)
+    assert(viaSql.nonEmpty)
+  }
+
   test("pattern clause ≡ Patterns DSL over the same condition") {
     import scala.concurrent.duration._
     import spark.implicits._
