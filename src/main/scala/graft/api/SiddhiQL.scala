@@ -68,10 +68,22 @@ object SiddhiQL extends Serializable {
   private final case class PatternStream(every: Boolean,
       steps: List[PatStep], withinNs: Option[Long]) extends StreamClause
 
+  /** Query output action: plain stream insert, or one of the reference's
+    * stream→table DML forms (`update … on`, `update or insert into … on`,
+    * `delete … on`). */
+  private sealed trait Action { def target: String }
+  private final case class InsertInto(target: String) extends Action
+  private final case class UpdateTable(target: String,
+      set: List[(String, Expr)], on: Expr) extends Action
+  private final case class UpsertTable(target: String,
+      set: List[(String, Expr)], on: Expr) extends Action
+  private final case class DeleteTable(target: String, on: Expr)
+      extends Action
+
   private final case class Ast(stream: StreamClause, select: List[SelItem],
       groupBy: List[String], having: Option[Expr],
       orderBy: List[(String, Boolean)], limit: Option[Long],
-      offset: Option[Long], insertInto: Option[String])
+      offset: Option[Long], action: Option[Action])
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
@@ -346,13 +358,43 @@ object SiddhiQL extends Serializable {
       } else Nil
       val lim = if (tryKw("limit")) Some(intLit()) else None
       val off = if (tryKw("offset")) Some(intLit()) else None
-      val ins = if (tryKw("insert")) { eatKw("into"); Some(ident()) }
-                else None
+      // `set T.col = expr, ...` — optional in both update forms; without
+      // it every output attribute updates its same-named table column
+      def setClause(target: String): List[(String, Expr)] =
+        if (!tryKw("set")) Nil
+        else {
+          val out = List.newBuilder[(String, Expr)]
+          def one(): (String, Expr) = {
+            val t = ident(); eatSym("."); val c = ident()
+            if (!t.equalsIgnoreCase(target))
+              fail(s"set target '$t.$c' must be qualified by the " +
+                s"updated table '$target'")
+            eatSym("=")
+            (c, expr())
+          }
+          out += one()
+          while (trySym(",")) out += one()
+          out.result()
+        }
+      val act: Option[Action] =
+        if (tryKw("insert")) { eatKw("into"); Some(InsertInto(ident())) }
+        else if (tryKw("delete")) {
+          val t = ident(); eatKw("on"); Some(DeleteTable(t, expr()))
+        } else if (tryKw("update")) {
+          if (tryKw("or")) {
+            eatKw("insert"); eatKw("into")
+            val t = ident(); val st = setClause(t); eatKw("on")
+            Some(UpsertTable(t, st, expr()))
+          } else {
+            val t = ident(); val st = setClause(t); eatKw("on")
+            Some(UpdateTable(t, st, expr()))
+          }
+        } else None
       peek match {
         case TEof => ()
         case t => fail(s"trailing input at $t")
       }
-      Ast(stream, sel, grp, hav, ord, lim, off, ins)
+      Ast(stream, sel, grp, hav, ord, lim, off, act)
     }
   }
 
@@ -402,18 +444,21 @@ object SiddhiQL extends Serializable {
     }
   }
 
-  private def sqlOf(e: Expr): String = e match {
-    case Num(t) => t
-    case Str(v) => "'" + v.replace("'", "''") + "'"
-    case Ref(parts) => parts.mkString(".")
-    case Not(x) => s"(NOT ${sqlOf(x)})"
-    case Neg(x) => s"(- ${sqlOf(x)})"
-    case Bin(op, l, r) =>
-      val o = op match { case "==" => "="; case x => x }
-      s"(${sqlOf(l)} $o ${sqlOf(r)})"
-    case Call(ns, name, args) =>
-      renderCall(ns, name, args.length, args.map(sqlOf))
-  }
+  private def sqlOfWith(e: Expr, ref: List[String] => String): String =
+    e match {
+      case Num(t) => t
+      case Str(v) => "'" + v.replace("'", "''") + "'"
+      case Ref(parts) => ref(parts)
+      case Not(x) => s"(NOT ${sqlOfWith(x, ref)})"
+      case Neg(x) => s"(- ${sqlOfWith(x, ref)})"
+      case Bin(op, l, r) =>
+        val o = op match { case "==" => "="; case x => x }
+        s"(${sqlOfWith(l, ref)} $o ${sqlOfWith(r, ref)})"
+      case Call(ns, name, args) =>
+        renderCall(ns, name, args.length, args.map(sqlOfWith(_, ref)))
+    }
+
+  private def sqlOf(e: Expr): String = sqlOfWith(e, _.mkString("."))
 
   // ---------- pattern predicate interpreter ----------
   private def field(e: Cep.Ev, name: String): Any = name match {
@@ -504,6 +549,7 @@ object SiddhiQL extends Serializable {
       out.result().map(_.trim).filter(_.nonEmpty)
     }
     var env = Map.empty[String, DataFrame]
+    var tableDefs = Map.empty[String, StructType]
     var results = Map.empty[String, DataFrame]
     var i = 0
     stmts.foreach { stmt =>
@@ -514,18 +560,228 @@ object SiddhiQL extends Serializable {
         m.map(g => (Some(g.group(1)), g.group(2))).getOrElse((None, stmt))
       }
       val head = body.split("\\s+", 2).headOption.getOrElse("")
-      if (head.equalsIgnoreCase("define")) () // schemas come from parquet
-      else if (head.equalsIgnoreCase("from")) {
-        val ast = new P(lex(body)).query()
-        val df = compileAst(spark, dir, ast, env)
-        val key = name.orElse(ast.insertInto).getOrElse {
-          i += 1; s"q$i"
+      if (head.equalsIgnoreCase("define")) {
+        // `define table T (col type, ...)` declares mutable state the DML
+        // forms target; `define stream` stays a no-op (schemas come from
+        // parquet)
+        val p = new P(lex(body))
+        p.eatKw("define")
+        if (p.tryKw("table")) {
+          val tname = p.ident()
+          p.eatSym("(")
+          val fields = List.newBuilder[StructField]
+          def one(): StructField = {
+            val c = p.ident()
+            StructField(c, typeOf(p.ident()))
+          }
+          fields += one()
+          while (p.trySym(",")) fields += one()
+          p.eatSym(")")
+          val schema = StructType(fields.result())
+          tableDefs += tname -> schema
+          env += tname -> spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         }
-        ast.insertInto.foreach(t => env += t -> df)
-        results += key -> df
+      } else if (head.equalsIgnoreCase("from")) {
+        val ast = new P(lex(body)).query()
+        val dml = ast.action.filter {
+          case InsertInto(t) => tableDefs.contains(t)
+          case _             => true
+        }
+        dml match {
+          case Some(act) =>
+            val schema = tableDefs.getOrElse(act.target, fail(
+              s"'${act.target}' is not a defined table — add " +
+                s"`define table ${act.target}(...)` before the DML query"))
+            val next =
+              applyDml(spark, dir, ast, act, schema, env(act.target), env)
+            env += act.target -> next
+            val key = name
+              .orElse(Some(act.target).filterNot(results.contains))
+              .getOrElse { i += 1; s"q$i" }
+            results += key -> next
+          case None =>
+            val df = compileAst(spark, dir, ast, env)
+            val key = name.orElse(ast.action.map(_.target)).getOrElse {
+              i += 1; s"q$i"
+            }
+            ast.action.foreach(a => env += a.target -> df)
+            results += key -> df
+        }
       } else fail(s"unsupported statement: '${stmt.take(40)}...'")
     }
     results
+  }
+
+  private def typeOf(t: String): DataType = t.toLowerCase match {
+    case "int"    => IntegerType
+    case "long"   => LongType
+    case "float"  => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "bool"   => BooleanType
+    case other => fail(s"define table: unknown type '$other'")
+  }
+
+  /** One stream→table DML statement under batch-replay semantics: the
+    * source replays in event order (`ts_ns, event_id`), so per key the
+    * FIRST event is the row an upsert would have inserted and the LAST
+    * event carries the values the final update applied. That collapses
+    * the whole replay into one `groupBy(key).agg(min_by, max_by, count)`
+    * plus one keyed join against the table state — one shuffle on the
+    * table key regardless of stream size, no per-event loop anywhere
+    * (the 100 TB shape; a 1000-executor MERGE looks exactly like this).
+    *
+    * v1 restrictions (fail fast, named): single un-joined source, plain
+    * filtered projection (no window/group/order), `on` must be a
+    * conjunction of `Table.col == <stream expr>` equalities, and `set`
+    * right-hand sides reference the stream's output attributes only —
+    * `set T.n = T.n + 1`-style table folds are NOT last-event-wins
+    * collapsible and stay on the engine's micro-batch upsert path
+    * (graft.engine.Streaming.tableUpsert). */
+  private def applyDml(spark: SparkSession, dir: String, ast: Ast,
+      act: Action, schema: StructType, table: DataFrame,
+      env: Map[String, DataFrame]): DataFrame = {
+    val s = ast.stream match {
+      case ss: SingleStream => ss
+      case _ => fail("table DML (v1) requires a single un-joined source " +
+        "stream")
+    }
+    if (s.window.nonEmpty || ast.groupBy.nonEmpty || ast.having.nonEmpty ||
+        ast.orderBy.nonEmpty || ast.limit.nonEmpty || ast.offset.nonEmpty)
+      fail("table DML (v1) supports `from S[filter] select ...` only " +
+        "(no window / group by / order / limit)")
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns") ||
+        !base0.columns.contains("event_id"))
+      fail(s"table DML needs 'ts_ns' and 'event_id' on '${s.table}' to " +
+        "define replay order")
+    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val items = itemsOf(ast)
+    items.foreach { case (_, a, isAgg) =>
+      if (isAgg) fail(s"table DML (v1) select cannot aggregate ('$a')")
+    }
+    val outCols = items.map(_._2)
+    val sel = base.select(items.map { case (it, a, _) =>
+      expr(sqlOf(it.e)).as(a)
+    } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
+
+    // `on` → List[(table column, sql over the select output)]
+    def keyEqs(on: Expr, t: String): List[(String, String)] = {
+      def rhsSql(e: Expr): String = sqlOfWith(e, {
+        case tn :: _ if tn.equalsIgnoreCase(t) =>
+          fail(s"'on' comparison value may not reference table '$t' " +
+            "columns on both sides")
+        case parts => parts.mkString(".")
+      })
+      on match {
+        case Bin("and", l, r) => keyEqs(l, t) ++ keyEqs(r, t)
+        case Bin("==", Ref(tn :: c :: Nil), rhs)
+            if tn.equalsIgnoreCase(t) => List((c, rhsSql(rhs)))
+        case Bin("==", lhs, Ref(tn :: c :: Nil))
+            if tn.equalsIgnoreCase(t) => List((c, rhsSql(lhs)))
+        case other => fail("table DML 'on' must be a conjunction of " +
+          s"$t.<col> == <stream expr> equalities, got '${sqlOf(other)}'")
+      }
+    }
+
+    // set RHS over the per-key LAST update event's output row
+    def lastSql(e: Expr, t: String): String = sqlOfWith(e, {
+      case c :: Nil if outCols.contains(c) => s"__last.$c"
+      case tn :: c :: Nil if tn.equalsIgnoreCase(t) =>
+        fail(s"set RHS may reference the stream's output attributes only " +
+          s"— '$t.$c' table folds are not batch-replay collapsible (use " +
+          "the engine's micro-batch upsert for accumulators)")
+      case parts => fail(s"set RHS reference '${parts.mkString(".")}' is " +
+        "not a select output attribute")
+    })
+
+    def requireCovers(form: String): Unit = {
+      val missing = schema.fieldNames.filterNot(outCols.contains)
+      if (missing.nonEmpty)
+        fail(s"$form: select output must cover every table column " +
+          s"(missing: ${missing.mkString(", ")})")
+    }
+
+    /** Shared update/upsert merge; `insertMissing` = upsert. */
+    def merge(t: String, set: List[(String, Expr)], on: Expr,
+              insertMissing: Boolean): DataFrame = {
+      val keys = keyEqs(on, t)
+      val keyCols = keys.map(_._1).toSet
+      keyCols.foreach { c =>
+        if (!schema.fieldNames.contains(c))
+          fail(s"'on' references unknown table column '$t.$c'")
+      }
+      if (insertMissing) requireCovers(s"update or insert into $t")
+      val eff: Map[String, String] =
+        if (set.nonEmpty) set.map { case (c, e) =>
+          if (!schema.fieldNames.contains(c))
+            fail(s"set targets unknown table column '$t.$c'")
+          c -> lastSql(e, t)
+        }.toMap
+        else schema.fieldNames.toList
+          .filter(c => outCols.contains(c) && !keyCols(c))
+          .map(c => c -> s"__last.$c").toMap
+      val row = struct(outCols.map(col): _*)
+      val uAgg = sel
+        .select(keys.zipWithIndex.map { case ((_, rhs), i) =>
+          expr(rhs).as(s"__k$i")
+        } :+ row.as("__row") :+ col("__g_ord"): _*)
+        .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
+        .agg(min_by(col("__row"), col("__g_ord")).as("__first"),
+          max_by(col("__row"), col("__g_ord")).as("__last"),
+          count(lit(1)).as("__n"))
+        .withColumn("__has_u", lit(true))
+      val tt = table.withColumn("__has_t", lit(true))
+      val cond = keys.zipWithIndex.map { case ((tc, _), i) =>
+        tt(tc) === uAgg(s"__k$i")
+      }.reduce(_ && _)
+      val joined = tt.join(uAgg, cond,
+        if (insertMissing) "full_outer" else "left_outer")
+      val out = schema.fields.map { f =>
+        val c = f.name
+        val hasT = col("__has_t").isNotNull
+        val hasU = col("__has_u").isNotNull
+        val v: Column =
+          if (keyCols(c)) {
+            val i = keys.indexWhere(_._1 == c)
+            coalesce(col(c), col(s"__k$i"))
+          } else eff.get(c) match {
+            case Some(sqlLast) if insertMissing =>
+              // matched, or inserted-then-updated (≥2 events): last
+              // update wins; single inserting event: the insert row
+              when(hasT && hasU, expr(sqlLast))
+                .when(!hasT && hasU && col("__n") > 1, expr(sqlLast))
+                .when(!hasT && hasU, col(s"__first.$c"))
+                .otherwise(col(c))
+            case Some(sqlLast) =>
+              when(hasU, expr(sqlLast)).otherwise(col(c))
+            case None if insertMissing =>
+              when(hasT, col(c)).otherwise(col(s"__first.$c"))
+            case None => col(c)
+          }
+        v.cast(f.dataType).as(c)
+      }
+      joined.select(out.toSeq: _*)
+    }
+
+    act match {
+      case InsertInto(t) =>
+        requireCovers(s"insert into $t")
+        table.unionByName(sel.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+      case DeleteTable(t, on) =>
+        val keys = keyEqs(on, t)
+        val kdf = sel.select(keys.zipWithIndex.map { case ((_, rhs), i) =>
+          expr(rhs).as(s"__k$i")
+        }: _*).distinct()
+        val cond = keys.zipWithIndex.map { case ((tc, _), i) =>
+          table(tc) === kdf(s"__k$i")
+        }.reduce(_ && _)
+        table.join(kdf, cond, "left_anti")
+      case UpdateTable(t, set, on) => merge(t, set, on, insertMissing = false)
+      case UpsertTable(t, set, on) => merge(t, set, on, insertMissing = true)
+    }
   }
 
   private def compileOne(spark: SparkSession, dir: String, query: String,
@@ -534,6 +790,11 @@ object SiddhiQL extends Serializable {
 
   private def compileAst(spark: SparkSession, dir: String, ast: Ast,
                          env: Map[String, DataFrame]): DataFrame = {
+    ast.action.foreach {
+      case _: InsertInto => ()
+      case a => fail(s"table DML targeting '${a.target}' needs an app " +
+        "context: use compileApp with a `define table` declaration")
+    }
     val selected = ast.stream match {
       case s: SingleStream   => compileSingle(spark, dir, ast, s, env)
       case j: JoinStream     => compileJoin(spark, dir, ast, j, env)

@@ -76,6 +76,65 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // stream→table DML: `update or insert into … on` — per-key
+    // last-event-wins MERGE, read back by an on-demand table query
+    "sql_table_upsert" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserState (user_id long, last_value double,
+        |  last_type string);
+        |
+        |@info(name = 'track')
+        |from events[value > 50.0]
+        |select user_id, value as last_value, event_type as last_type
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from UserState
+        |select user_id, last_value, last_type
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // seed by whole-row upsert, then `update … set … on` — only users
+    // already in the table take the bonus; others stay at the seed row
+    "sql_table_update" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Totals (user_id long, base double, bonus double);
+        |
+        |@info(name = 'seed')
+        |from events[event_type == 'signup']
+        |select user_id, value as base, 0.0 as bonus
+        |update or insert into Totals on Totals.user_id == user_id;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'purchase']
+        |select user_id, value as bonus
+        |update Totals set Totals.bonus = bonus * 2.0
+        |on Totals.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Totals
+        |select user_id, math:round(base, 2) as base,
+        |  math:round(bonus, 2) as bonus
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // `delete … on` — rows whose key matches any delete event vanish
+    "sql_table_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Active (user_id long, last_value double);
+        |
+        |@info(name = 'seed')
+        |from events
+        |select user_id, value as last_value
+        |update or insert into Active on Active.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Active on Active.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Active
+        |select user_id, last_value
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
     "sql_pattern_seq" -> q(
       """from every e1=events[event_type == 'error']
         |  -> e2=events[event_type == 'purchase' and value > e1.value]
@@ -150,6 +209,41 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // upsert replay collapses to last-event-per-key
+    "sql_table_upsert" ->
+      """SELECT user_id, value AS last_value, event_type AS last_type
+        |FROM (SELECT user_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE value > 50.0) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // seed = last signup per user; bump updates only seeded users
+    "sql_table_update" ->
+      """WITH seed AS (
+        |  SELECT user_id, value AS base FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') s WHERE rn = 1),
+        |bump AS (
+        |  SELECT user_id, value AS pv FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') p WHERE rn = 1)
+        |SELECT s.user_id, round(s.base, 2) AS base,
+        |  round(coalesce(b.pv * 2.0, 0.0), 2) AS bonus
+        |FROM seed s LEFT JOIN bump b ON s.user_id = b.user_id
+        |ORDER BY s.user_id""".stripMargin,
+    // delete removes every key a purge event named
+    "sql_table_delete" ->
+      """WITH last AS (
+        |  SELECT user_id, value AS last_value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) e WHERE rn = 1)
+        |SELECT user_id, last_value FROM last
+        |WHERE user_id NOT IN (SELECT user_id FROM events
+        |  WHERE event_type = 'error' AND value > 150.0)
+        |ORDER BY user_id""".stripMargin,
     // greedy first-match: each error takes the FIRST later purchase with
     // a larger value, within 5 min (inclusive deadline, NFA semantics)
     "sql_pattern_seq" ->

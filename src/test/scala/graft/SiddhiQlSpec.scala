@@ -192,4 +192,85 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(viaSql == viaDsl)
     assert(viaSql.nonEmpty)
   }
+
+  test("table DML: upsert replay ≡ direct last-event-per-key MERGE") {
+    val viaSql = SiddhiQL.compileApp(spark, sf,
+      """define table T (user_id long, last_value double);
+        |from events[value > 100.0]
+        |select user_id, value as last_value
+        |update or insert into T on T.user_id == user_id;
+        |@info(name = 'read')
+        |from T select user_id, last_value order by user_id
+        |insert into Out""".stripMargin)("read").collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("value") > 100.0)
+      .groupBy("user_id")
+      .agg(max_by(col("value"),
+        struct(col("ts_ns"), col("event_id"))).as("last_value"))
+      .orderBy("user_id").collect().toSeq
+    assert(viaSql == direct)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("table DML: single-event key inserts the row, later events " +
+       "apply the set clause (replay order, not set-everywhere)") {
+    // a key whose ONLY matching event inserts must keep its inserted
+    // value — the set expression applies to UPDATES only
+    val out = SiddhiQL.compileApp(spark, sf,
+      """define table T (user_id long, v double);
+        |from events
+        |select user_id, value as v
+        |update or insert into T set T.v = v + 1000.0
+        |on T.user_id == user_id;
+        |@info(name = 'read')
+        |from T select user_id, v order by user_id
+        |insert into Out""".stripMargin)("read")
+    import spark.implicits._
+    val got = out.as[(Long, Double)].collect().toMap
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("ts_ns"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._4))
+      val expect =
+        if (sorted.length == 1) sorted.head._2          // insert only
+        else sorted.last._2 + 1000.0                    // last update wins
+      assert(got(u) == expect, s"user $u")
+    }
+  }
+
+  test("table DML diagnostics name the problem") {
+    def appMsg(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    // DML against an undeclared table
+    assert(appMsg(
+      "from events select user_id delete Nope on Nope.user_id == user_id")
+      .contains("not a defined table"))
+    // non-equi `on` condition
+    assert(appMsg(
+      """define table T (user_id long, v double);
+        |from events select user_id, value as v
+        |update or insert into T on T.user_id > user_id""".stripMargin)
+      .contains("conjunction"))
+    // set RHS referencing table state (a fold, not last-event-wins)
+    assert(appMsg(
+      """define table T (user_id long, v double);
+        |from events select user_id, value as v
+        |update or insert into T set T.v = T.v + 1.0
+        |on T.user_id == user_id""".stripMargin)
+      .contains("not batch-replay collapsible"))
+    // upsert select must cover the table schema
+    assert(appMsg(
+      """define table T (user_id long, v double, missing string);
+        |from events select user_id, value as v
+        |update or insert into T on T.user_id == user_id""".stripMargin)
+      .contains("must cover every table column"))
+    // DML outside an app context
+    assert(intercept[IllegalArgumentException](compile(
+      "from events select user_id delete T on T.user_id == user_id"))
+      .getMessage.contains("needs an app context"))
+  }
 }
