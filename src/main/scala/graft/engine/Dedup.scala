@@ -483,52 +483,93 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  /** dedup_components: near-dup CLUSTERS — connected components over the
-    * LSH dup-pair graph, so each group of transitively-linked documents
-    * gets one canonical keeper (min doc_id) instead of a bag of pairs.
+  /** Distributed connected-components kernel: min-label propagation with
+    * POINTER JUMPING. Input is a symmetric `(src, dst)` edge list; output
+    * is `(node, lab)` where `lab` = the component's minimum node id, plus
+    * the number of rounds the fixpoint took.
     *
-    * Execution: iterative min-label propagation over the edge list
-    * (labels ⊳ edges join + min-aggregate per round, converging in
-    * O(diameter) rounds — the standard distributed CC shape; large-star/
-    * small-star halves rounds at extreme scale but the join kernel is the
-    * same). Edge lists are localCheckpoint'd so per-round lineage stays
-    * flat. Deterministic: labels are min doc ids. */
-  def components(s: SparkSession, d: String): DataFrame = {
-    val (banded, pairsDf) = minhashLshPlanned(s, d)
-    val base = pairsDf.select(col("d1"), col("d2")).localCheckpoint()
-    banded.unpersist()
-    val edges = base
-      .unionByName(base.select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint()
-    // convergence via the label-sum invariant: min-label propagation is
-    // monotone non-increasing per node, so the total label sum strictly
-    // decreases on every changing round and the fixpoint is exactly
-    // "sum unchanged" — one cheap aggregate per round instead of a
-    // prop⋈labels diff join (decimal(38,0) so node-id sums can't wrap
-    // at any corpus size)
+    * Each round does two keyed joins:
+    *   1. neighbor step — every node takes the min label over itself and
+    *      its neighbors (the classic propagation hop);
+    *   2. jump step — every node follows its own label pointer once more:
+    *      `lab := min(lab, lab(lab))` (path doubling).
+    * The jump is what turns O(diameter) rounds into O(log diameter): a
+    * chain of length k converges in ~log₂k rounds because label pointers
+    * double their reach every round, the same reason pointer-jumping PRAM
+    * CC is logarithmic. At 100 TB this is the difference between a
+    * 10-round job and a 10,000-round job on chain-shaped near-dup
+    * clusters; per round the work stays two shuffles on node ids (the
+    * jump's probe side has duplicate keys but unique build keys — output
+    * size equals input size, no blow-up).
+    *
+    * Convergence via the label-sum invariant: labels are monotone
+    * non-increasing per node, so the total strictly decreases on every
+    * changing round and "sum unchanged" IS the fixpoint — one O(1)-row
+    * aggregate per round instead of a diff join (decimal(38,0) so node-id
+    * sums can't wrap at any corpus size). At the fixpoint, symmetric
+    * edges force equal labels across every edge, and the minimum node of
+    * a component labels itself, so the shared label is exactly the
+    * component min. Deterministic at any parallelism.
+    * `localCheckpoint` keeps per-round lineage flat. */
+  def ccLabels(edges0: DataFrame): (DataFrame, Int) = {
+    val base = edges0.toDF("src", "dst").localCheckpoint()
+    val nodes = base.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    // self-loops fold "keep your own label" into the neighbor join, so a
+    // round is ONE join + ONE aggregate (no per-round union)
+    val edges = base.unionByName(
+      nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
     def labSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
     var prevSum = labSum(labels)
     var changed = true
+    var rounds = 0
     while (changed) {
-      val viaEdges = edges.join(labels, col("dst") === col("node"))
+      val prop = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("lab"))
-      val prop = viaEdges.unionByName(labels.select("node", "lab"))
         .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
-      val s = labSum(prop)
+      val jumped = prop.as("a")
+        .join(prop.select(col("node").as("jn"), col("lab").as("jlab")),
+          col("a.lab") === col("jn"), "left_outer")
+        .select(col("a.node").as("node"),
+          least(col("a.lab"), coalesce(col("jlab"), col("a.lab")))
+            .as("lab"))
+        .localCheckpoint()
+      val s = labSum(jumped)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
-      labels = prop
+      labels = jumped
+      rounds += 1
     }
+    (labels, rounds)
+  }
+
+  /** dedup_components: near-dup CLUSTERS — connected components over the
+    * LSH dup-pair graph, so each group of transitively-linked documents
+    * gets one canonical keeper (min doc_id) instead of a bag of pairs.
+    * The fixpoint kernel is [[ccLabels]] (pointer-jumped min-label
+    * propagation, O(log diameter) rounds). */
+  def componentsWithRounds(s: SparkSession, d: String): (DataFrame, Int) = {
+    val (banded, pairsDf) = minhashLshPlanned(s, d)
+    val base = pairsDf.select(col("d1"), col("d2")).localCheckpoint()
+    banded.unpersist()
+    val edges = base
+      .unionByName(base.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst")
+    val (labels, rounds) = ccLabels(edges)
     val sizes = labels.groupBy("lab").agg(count(lit(1)).as("component_size"))
-    labels.join(sizes, "lab")
+    val out = labels.join(sizes, "lab")
       .select(col("node").as("doc_id"), col("lab").as("component_id"),
         col("component_size"))
       .orderBy("doc_id")
+    (out, rounds)
   }
+
+  def components(s: SparkSession, d: String): DataFrame =
+    componentsWithRounds(s, d)._1
 
   /** dedup_keeper_filter: the end of the dedup pipeline — the corpus
     * AFTER near-dup removal: every document not in any dup component, plus

@@ -281,6 +281,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     banded.unpersist()
   }
 
+  test("ccLabels: pointer jumping makes a 512-chain converge in " +
+       "O(log d) rounds, not O(d)") {
+    import spark.implicits._
+    val n = 512
+    // chain 0-1-2-…-511 (worst-case diameter) plus a disjoint triangle
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val sym = (chain ++ tri).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val (labels, rounds) = Dedup.ccLabels(sym)
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size == n + 3)
+    assert((0 until n).forall(i => lab(i.toLong) == 0L),
+      "chain must collapse to label 0")
+    assert(Seq(1000L, 1001L, 1002L).forall(lab(_) == 1000L))
+    // plain propagation needs ~511 rounds here; the jump step doubles
+    // pointer reach every round → ~log₂(512)+detection ≈ 10
+    assert(rounds <= 13, s"$rounds rounds on a 512-chain — pointer " +
+      "jumping is not engaging (O(d) regression)")
+  }
+
   test("dedup_embedding_nn: distributed block cogroup, no driver matrix") {
     import org.apache.spark.sql.functions._
     val df = Dedup.embeddingNn(spark, sf)

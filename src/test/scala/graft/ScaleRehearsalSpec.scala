@@ -177,6 +177,41 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x connected components: replica-isolated, rep-0 exact, " +
+       "round-count and task bounds hold") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val (baseRows, baseRounds) = {
+      val (df, r) = Dedup.componentsWithRounds(spark, baseSf)
+      (df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .toSet, r)
+    }
+    val l = new MaxTask
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val (df10, rounds10) = Dedup.componentsWithRounds(spark, dir10)
+    val rows = df10.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(l)
+    val maxTask = l.maxMs / 1e3
+    info(f"dedup_components 10x: ${rows.length} rows, $rounds10 rounds " +
+      f"(base $baseRounds), wall $wall%.1fs, max task $maxTask%.1fs")
+    // no cross-replica edges exist (shingle-disjoint ciphers), so every
+    // component stays inside its replica
+    assert(rows.forall(r => r.getLong(0) / off == r.getLong(1) / off),
+      "a component spans replicas — impossible without cross-replica edges")
+    // replica 0 is the sf0.1 corpus verbatim: identical components
+    val rep0 = rows.filter(_.getLong(0) < off)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep0 == baseRows, "replica-0 components differ from sf0.1")
+    // pointer jumping: rounds grow with log(diameter), so 10 replicas of
+    // the same cluster shapes may cost at most ~the base round count
+    // (+2 slack for borderline LSH re-draws changing a cluster shape)
+    assert(rounds10 <= baseRounds + 2,
+      s"$rounds10 rounds at 10x vs $baseRounds base — round count is " +
+        "scaling with data, not diameter")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   /** 10× corpus for the token-level round-4 ops: replica k>0 renames
     * every token t → "r<k>_<t>" — a bijection per replica (preserves all
     * within-replica token equalities, hence paragraph structure and
