@@ -80,10 +80,16 @@ object SiddhiQL extends Serializable {
   private final case class DeleteTable(target: String, on: Expr)
       extends Action
 
+  /** `output first|last|all every <T>` / `every <N> events` /
+    * `output snapshot every <T>` — exactly one of timeNs/count is set
+    * (snapshot is time-only). */
+  private final case class Rate(mode: String, timeNs: Option[Long],
+      count: Option[Long])
+
   private final case class Ast(stream: StreamClause, select: List[SelItem],
       groupBy: List[String], having: Option[Expr],
       orderBy: List[(String, Boolean)], limit: Option[Long],
-      offset: Option[Long], action: Option[Action])
+      offset: Option[Long], rate: Option[Rate], action: Option[Action])
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
@@ -344,6 +350,32 @@ object SiddhiQL extends Serializable {
         g.result()
       } else Nil
       val hav = if (tryKw("having")) Some(expr()) else None
+      def rateClause(): Option[Rate] = if (tryKw("output")) {
+        val mode = ident().toLowerCase
+        if (!Set("first", "last", "all", "snapshot")(mode))
+          fail(s"output rate mode must be first|last|all|snapshot, " +
+            s"got '$mode'")
+        eatKw("every")
+        val v = intLit()
+        val unit = ident().toLowerCase
+        if (unit == "events" || unit == "event") {
+          if (mode == "snapshot")
+            fail("output snapshot is time-based: `every N sec/min`")
+          Some(Rate(mode, None, Some(v)))
+        } else {
+          val ns = unit match {
+            case "ms" | "millisecond" | "milliseconds" => 1000000L
+            case "sec" | "second" | "seconds"          => 1000000000L
+            case "min" | "minute" | "minutes"          => 60L * 1000000000L
+            case "hour" | "hours"                      => 3600L * 1000000000L
+            case u => fail(s"unknown time unit '$u' in output clause")
+          }
+          Some(Rate(mode, Some(v * ns), None))
+        }
+      } else None
+      // `output ...` sits after `having` in the reference grammar; the
+      // order/limit extensions may precede or follow it
+      val rate0 = rateClause()
       val ord = if (tryKw("order")) {
         eatKw("by")
         val o = List.newBuilder[(String, Boolean)]
@@ -358,6 +390,7 @@ object SiddhiQL extends Serializable {
       } else Nil
       val lim = if (tryKw("limit")) Some(intLit()) else None
       val off = if (tryKw("offset")) Some(intLit()) else None
+      val rate = rate0.orElse(rateClause())
       // `set T.col = expr, ...` — optional in both update forms; without
       // it every output attribute updates its same-named table column
       def setClause(target: String): List[(String, Expr)] =
@@ -394,7 +427,7 @@ object SiddhiQL extends Serializable {
         case TEof => ()
         case t => fail(s"trailing input at $t")
       }
-      Ast(stream, sel, grp, hav, ord, lim, off, act)
+      Ast(stream, sel, grp, hav, ord, lim, off, rate, act)
     }
   }
 
@@ -648,9 +681,10 @@ object SiddhiQL extends Serializable {
         "stream")
     }
     if (s.window.nonEmpty || ast.groupBy.nonEmpty || ast.having.nonEmpty ||
-        ast.orderBy.nonEmpty || ast.limit.nonEmpty || ast.offset.nonEmpty)
+        ast.orderBy.nonEmpty || ast.limit.nonEmpty || ast.offset.nonEmpty ||
+        ast.rate.nonEmpty)
       fail("table DML (v1) supports `from S[filter] select ...` only " +
-        "(no window / group by / order / limit)")
+        "(no window / group by / order / limit / output rate)")
     val base0 = loadTable(spark, dir, s.table, env)
     if (!base0.columns.contains("ts_ns") ||
         !base0.columns.contains("event_id"))
@@ -795,10 +829,15 @@ object SiddhiQL extends Serializable {
       case a => fail(s"table DML targeting '${a.target}' needs an app " +
         "context: use compileApp with a `define table` declaration")
     }
-    val selected = ast.stream match {
-      case s: SingleStream   => compileSingle(spark, dir, ast, s, env)
-      case j: JoinStream     => compileJoin(spark, dir, ast, j, env)
-      case pt: PatternStream => compilePattern(spark, dir, ast, pt)
+    val selected = (ast.rate, ast.stream) match {
+      case (Some(r), s: SingleStream) =>
+        compileRateLimited(spark, dir, ast, s, r, env)
+      case (Some(_), _) =>
+        fail("output rate limiting (v1) requires a single un-joined " +
+          "source stream")
+      case (None, s: SingleStream)   => compileSingle(spark, dir, ast, s, env)
+      case (None, j: JoinStream)     => compileJoin(spark, dir, ast, j, env)
+      case (None, pt: PatternStream) => compilePattern(spark, dir, ast, pt)
     }
     val ordered =
       if (ast.orderBy.isEmpty) selected
@@ -962,6 +1001,94 @@ object SiddhiQL extends Serializable {
         case other => fail(s"unsupported window '$other' (supported: " +
           "timeBatch, lengthBatch, session, length, time)")
       }
+    }
+  }
+
+  /** Output rate limiting under batch replay (SURVEY §2.7; engine twins:
+    * graft.engine.Ops.rateLimit / rateLimitEvents / rateLimitSnapshot).
+    *
+    *   - `output first|last every T`   → per time-interval first/last row
+    *     (row_number over the interval, pruned to 1 — one shuffle on the
+    *     interval id, fully parallel across intervals);
+    *   - `output first|last every N events` → per-chunk-of-N first/last
+    *     in global arrival order (inherently sequential, same caveat as
+    *     `lengthBatch` — the reference's single-threaded emission order);
+    *   - `output all every ...`        → identity under batch replay (the
+    *     buffered batches concatenate to exactly the input);
+    *   - `output snapshot every T`     → the latest row as of every
+    *     interval end across the stream's span, gaps carrying the prior
+    *     snapshot forward (emitted with a leading `w_end_ms`, the same
+    *     implicit-column convention as timeBatch's `w_start_ms`).
+    *
+    * v1: plain filtered projections only — windows/aggregations combine
+    * with rate limiting in ways batch replay can't reproduce faithfully,
+    * so they fail fast rather than mis-compile. */
+  private def compileRateLimited(spark: SparkSession, dir: String, ast: Ast,
+      s: SingleStream, rate: Rate,
+      env: Map[String, DataFrame]): DataFrame = {
+    if (s.window.nonEmpty || ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("output rate limiting (v1) applies to plain `from S[filter] " +
+        "select ...` queries (no window / group by / having)")
+    val items = itemsOf(ast)
+    items.foreach { case (_, a, isAgg) =>
+      if (isAgg) fail(s"output rate limiting (v1) select cannot " +
+        s"aggregate ('$a')")
+    }
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns") ||
+        !base0.columns.contains("event_id"))
+      fail(s"output rate limiting needs 'ts_ns' and 'event_id' on " +
+        s"'${s.table}' to define emission order")
+    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val outCols = items.map(_._2)
+    def proj(df: DataFrame): DataFrame =
+      df.select(items.map { case (it, a, _) =>
+        expr(sqlOf(it.e)).as(a)
+      }: _*)
+    val ordAsc = "ts_ns, event_id"
+    val ordDesc = "ts_ns desc, event_id desc"
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => proj(base) // replayed batches ≡ the input
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val ord = if (m == "first") ordAsc else ordDesc
+        proj(base
+          .withColumn("__rn", expr(s"row_number() over (partition by " +
+            s"ts_ns div ${t}L order by $ord)"))
+          .where(col("__rn") === 1))
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        val pick = if (m == "first") "min" else "max"
+        proj(base
+          .withColumn("__rn",
+            expr(s"row_number() over (order by $ordAsc)"))
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")))
+      case ("snapshot", Some(t), None) =>
+        val ivMs = t / 1000000L
+        val rows = base.select(items.map { case (it, a, _) =>
+          expr(sqlOf(it.e)).as(a)
+        } :+ expr(s"ts_ns div ${t}L").as("__iv")
+          :+ struct(col("ts_ns"), col("event_id")).as("__ord"): _*)
+        val lastPer = rows.groupBy("__iv")
+          .agg(max_by(struct(outCols.map(col): _*), col("__ord"))
+            .as("__row"))
+        val ticks = lastPer
+          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("__iv")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // gap intervals carry the previous snapshot forward; snapshot
+        // cardinality is one row per interval, so the single-task global
+        // window is O(span/T), not O(events)
+        val filled = ticks.join(lastPer, Seq("__iv"), "left_outer")
+          .select(col("__iv") +: outCols.map(c =>
+            last(col(s"__row.$c"), ignoreNulls = true).over(w).as(c)): _*)
+        filled.select(
+          ((col("__iv") + 1) * ivMs).as("w_end_ms") +:
+            outCols.map(col): _*)
+      case _ => fail("unreachable: rate clause validated at parse")
     }
   }
 

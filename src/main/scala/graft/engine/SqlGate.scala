@@ -76,6 +76,21 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // output rate limiting: per-minute LAST event (time-based limiter)
+    "sql_rate_limit" -> q(
+      """from events[event_type == 'click']
+        |select event_id, user_id, value
+        |output last every 1 min
+        |order by event_id
+        |insert into Limited""".stripMargin),
+    // snapshot mode: latest value as of every 10-min interval end,
+    // gap intervals carrying the previous snapshot forward
+    "sql_rate_snapshot" -> q(
+      """from events
+        |select value as v
+        |output snapshot every 10 min
+        |order by w_end_ms
+        |insert into Snap""".stripMargin),
     // stream→table DML: `update or insert into … on` — per-key
     // last-event-wins MERGE, read back by an on-demand table query
     "sql_table_upsert" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -209,6 +224,29 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // per-minute last click
+    "sql_rate_limit" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY epoch_ms(ts) // 60000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click') t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // latest value per 10-min interval end, gap-filled forward
+    "sql_rate_snapshot" ->
+      """WITH ranked AS (
+        |  SELECT value, epoch_ms(ts) // 600000 AS iv,
+        |    row_number() OVER (PARTITION BY epoch_ms(ts) // 600000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |lastv AS (SELECT iv, value FROM ranked WHERE rn = 1),
+        |bounds AS (SELECT min(iv) AS lo, max(iv) AS hi FROM lastv),
+        |ticks AS (SELECT unnest(range(lo, hi + 1)) AS iv FROM bounds)
+        |SELECT (t.iv + 1) * 600000 AS w_end_ms,
+        |  last_value(l.value IGNORE NULLS) OVER (ORDER BY t.iv
+        |    ROWS UNBOUNDED PRECEDING) AS v
+        |FROM ticks t LEFT JOIN lastv l ON l.iv = t.iv
+        |ORDER BY w_end_ms""".stripMargin,
     // upsert replay collapses to last-event-per-key
     "sql_table_upsert" ->
       """SELECT user_id, value AS last_value, event_type AS last_type

@@ -241,6 +241,57 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("output rate limiting: first-per-interval ≡ direct row_number") {
+    val viaSql = compile(
+      """from events[value > 100.0]
+        |select event_id, user_id
+        |output first every 2 min
+        |order by event_id""".stripMargin).collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("value") > 100.0)
+      .withColumn("rn", expr("row_number() over (partition by " +
+        "ts_ns div 120000000000 order by ts_ns, event_id)"))
+      .where(col("rn") === 1)
+      .select("event_id", "user_id")
+      .orderBy("event_id").collect().toSeq
+    assert(viaSql == direct)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("output rate limiting: count-based last-of-chunk and all-mode") {
+    // last of every 5 events in global arrival order
+    val lastOf5 = compile(
+      """from events
+        |select event_id
+        |output last every 5 events
+        |order by event_id""".stripMargin).collect().map(_.getLong(0))
+    val ordered = engine.Tables.events(spark, sf)
+      .orderBy("ts_ns", "event_id").select("event_id")
+      .collect().map(_.getLong(0))
+    val expect = ordered.grouped(5).map(_.last).toArray.sorted
+    assert(lastOf5.toSeq == expect.toSeq)
+    // `output all` under batch replay is the identity
+    val all = compile(
+      """from events
+        |select event_id
+        |output all every 1 min
+        |order by event_id""".stripMargin).count()
+    assert(all == engine.Tables.events(spark, sf).count())
+  }
+
+  test("output rate limiting diagnostics") {
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    assert(msg("from events select count() as n output first every 1 min")
+      .contains("cannot aggregate"))
+    assert(msg("from events select event_id output snapshot every 3 events")
+      .contains("snapshot is time-based"))
+    assert(msg("from events select event_id output sometimes every 1 min")
+      .contains("first|last|all|snapshot"))
+    assert(msg("from events#window.length(5) select event_id " +
+      "output first every 1 min").contains("no window"))
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
