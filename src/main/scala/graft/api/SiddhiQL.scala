@@ -56,7 +56,8 @@ object SiddhiQL extends Serializable {
   private final case class WindowSpec(name: String, args: List[Long])
   private sealed trait StreamClause
   private final case class SingleStream(table: String, filter: Option[Expr],
-      window: Option[WindowSpec]) extends StreamClause
+      window: Option[WindowSpec], aggWithin: Option[(Expr, Expr)] = None,
+      aggPer: Option[String] = None) extends StreamClause
   private final case class JoinStream(left: SingleStream,
       leftAlias: Option[String], joinType: String, right: SingleStream,
       rightAlias: Option[String], on: Expr) extends StreamClause
@@ -317,7 +318,17 @@ object SiddhiQL extends Serializable {
             val e = expr(); eatSym("]"); Some(e)
           } else None
           val win = if (isSym("#")) Some(windowSpec()) else None
-          (SingleStream(tbl, filt, win), a)
+          // aggregation read: `within lo, hi per 'grain'` (Siddhi's
+          // incremental-aggregation query clause)
+          val aw = if (tryKw("within")) {
+            val lo = expr(); eatSym(","); val hi = expr(); Some((lo, hi))
+          } else None
+          val ap = if (tryKw("per")) Some(advance() match {
+            case TStr(g) => g
+            case TId(g)  => g
+            case t => fail(s"per expects a grain name, got $t")
+          }) else None
+          (SingleStream(tbl, filt, win, aw, ap), a)
         }
         val (l, la) = single()
         val jt =
@@ -583,6 +594,7 @@ object SiddhiQL extends Serializable {
     }
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
+    var aggDefs = Map.empty[String, AggDef]
     var results = Map.empty[String, DataFrame]
     var i = 0
     stmts.foreach { stmt =>
@@ -614,6 +626,44 @@ object SiddhiQL extends Serializable {
           tableDefs += tname -> schema
           env += tname -> spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        } else if (p.tryKw("aggregation")) {
+          // define aggregation A from S[f] select ... group by ...
+          //   aggregate by ts every sec ... day
+          val aname = p.ident()
+          p.eatKw("from")
+          val tbl = p.ident()
+          val filt = if (p.trySym("[")) {
+            val e = p.expr(); p.eatSym("]"); Some(e)
+          } else None
+          p.eatKw("select")
+          val sel = p.selItems()
+          val grp = if (p.tryKw("group")) {
+            p.eatKw("by")
+            val g = List.newBuilder[String]
+            g += p.ident()
+            while (p.trySym(",")) g += p.ident()
+            g.result()
+          } else Nil
+          p.eatKw("aggregate"); p.eatKw("by")
+          val tsAttr = p.ident()
+          p.eatKw("every")
+          val g1 = grainKey(p.ident())
+          val grains: List[String] =
+            if (p.trySym(".")) { // `sec ... day` range over the ladder
+              p.eatSym("."); p.eatSym(".")
+              val g2 = grainKey(p.ident())
+              val names = grainLadder.map(_._1)
+              val (i1, i2) = (names.indexOf(g1), names.indexOf(g2))
+              if (i1 > i2) fail(s"grain range '$g1 ... $g2' is inverted")
+              names.slice(i1, i2 + 1)
+            } else {
+              val gs = List.newBuilder[String]
+              gs += g1
+              while (p.trySym(",")) gs += grainKey(p.ident())
+              val names = grainLadder.map(_._1)
+              gs.result().distinct.sortBy(names.indexOf)
+            }
+          aggDefs += aname -> AggDef(tbl, filt, sel, grp, tsAttr, grains)
         }
       } else if (head.equalsIgnoreCase("from")) {
         val ast = new P(lex(body)).query()
@@ -634,7 +684,7 @@ object SiddhiQL extends Serializable {
               .getOrElse { i += 1; s"q$i" }
             results += key -> next
           case None =>
-            val df = compileAst(spark, dir, ast, env)
+            val df = compileAst(spark, dir, ast, env, aggDefs)
             val key = name.orElse(ast.action.map(_.target)).getOrElse {
               i += 1; s"q$i"
             }
@@ -645,6 +695,27 @@ object SiddhiQL extends Serializable {
     }
     results
   }
+
+  // ---------- incremental aggregation (define aggregation + within/per) --
+  /** Grain ladder, finest first (`sec ... day` ranges expand over this). */
+  private val grainLadder = List("sec" -> 1000L, "min" -> 60000L,
+    "hour" -> 3600000L, "day" -> 86400000L)
+  private def grainKey(g: String): String = g.toLowerCase match {
+    case "sec" | "second" | "seconds" => "sec"
+    case "min" | "minute" | "minutes" => "min"
+    case "hour" | "hours"             => "hour"
+    case "day" | "days"               => "day"
+    case other => fail(s"unknown aggregation grain '$other' " +
+      "(sec|min|hour|day)")
+  }
+  private def grainMsOf(g: String): Long =
+    grainLadder.find(_._1 == g).get._2
+
+  /** A parsed `define aggregation`: the stored-select shape plus the
+    * grain range it maintains. */
+  private final case class AggDef(source: String, filter: Option[Expr],
+      select: List[SelItem], groupBy: List[String], tsAttr: String,
+      grains: List[String])
 
   private def typeOf(t: String): DataType = t.toLowerCase match {
     case "int"    => IntegerType
@@ -823,7 +894,9 @@ object SiddhiQL extends Serializable {
     compileAst(spark, dir, new P(lex(query)).query(), env)
 
   private def compileAst(spark: SparkSession, dir: String, ast: Ast,
-                         env: Map[String, DataFrame]): DataFrame = {
+                         env: Map[String, DataFrame],
+                         aggDefs: Map[String, AggDef] = Map.empty
+                        ): DataFrame = {
     ast.action.foreach {
       case _: InsertInto => ()
       case a => fail(s"table DML targeting '${a.target}' needs an app " +
@@ -835,7 +908,13 @@ object SiddhiQL extends Serializable {
       case (Some(_), _) =>
         fail("output rate limiting (v1) requires a single un-joined " +
           "source stream")
-      case (None, s: SingleStream)   => compileSingle(spark, dir, ast, s, env)
+      case (None, s: SingleStream) if aggDefs.contains(s.table) =>
+        compileAggQuery(spark, dir, ast, s, aggDefs(s.table), env)
+      case (None, s: SingleStream) =>
+        if (s.aggWithin.nonEmpty || s.aggPer.nonEmpty)
+          fail(s"within/per reads require `define aggregation " +
+            s"${s.table}` in an app context (compileApp)")
+        compileSingle(spark, dir, ast, s, env)
       case (None, j: JoinStream)     => compileJoin(spark, dir, ast, j, env)
       case (None, pt: PatternStream) => compilePattern(spark, dir, ast, pt)
     }
@@ -909,6 +988,8 @@ object SiddhiQL extends Serializable {
                           j: JoinStream,
                           env: Map[String, DataFrame]): DataFrame = {
     def side(ss: SingleStream, a: Option[String]): DataFrame = {
+      if (ss.aggWithin.nonEmpty || ss.aggPer.nonEmpty)
+        fail("within/per aggregation reads cannot be join sides (v1)")
       val b0 = loadTable(spark, dir, ss.table, env)
       val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
       a.fold(b1)(b1.alias)
@@ -1002,6 +1083,135 @@ object SiddhiQL extends Serializable {
           "timeBatch, lengthBatch, session, length, time)")
       }
     }
+  }
+
+  /** An aggregation read (`from A within lo, hi per 'grain' select …`)
+    * compiled as the Siddhi incremental-aggregation CASCADE (engine twin:
+    * graft.engine.Aggregates.incrementalAgg / incrementalCascade): the
+    * FINEST defined grain is the stored partial table (sum/count/min/max
+    * partials — avg is stored as sum+count, never averaged early), and
+    * the requested `per` grain is a rollup OF THOSE PARTIALS, never a
+    * re-scan at the coarse grain. The `within` range is pushed down to
+    * the source scan as a row-level time filter (grain-aligned, so
+    * parquet min/max pruning applies) — at 100 TB a `within 1 day` read
+    * touches one day of row groups, not the corpus. */
+  private def compileAggQuery(spark: SparkSession, dir: String, ast: Ast,
+      s: SingleStream, adef: AggDef,
+      env: Map[String, DataFrame]): DataFrame = {
+    val per = grainKey(s.aggPer.getOrElse(
+      fail(s"reading aggregation '${s.table}' needs `per '<grain>'`")))
+    if (!adef.grains.contains(per))
+      fail(s"per '$per' is outside the defined grain set " +
+        s"(${adef.grains.mkString(" ... ")})")
+    val (loE, hiE) = s.aggWithin.getOrElse(
+      fail(s"reading aggregation '${s.table}' needs `within lo, hi`"))
+    def boundMs(e: Expr): Long = e match {
+      case Num(t) => t.toLong
+      case Str(v) => java.time.LocalDateTime.parse(v,
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail("within bound must be an epoch-ms number or " +
+        s"'yyyy-MM-dd HH:mm:ss' literal, got '${sqlOf(other)}'")
+    }
+    val (lo, hi) = (boundMs(loE), boundMs(hiE))
+    if (hi <= lo) fail(s"within range is empty: $lo ... $hi")
+    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("an aggregation read is a projection over stored attributes " +
+        "(no group by / having — grouping happened at definition time)")
+    if (s.filter.nonEmpty || s.window.nonEmpty)
+      fail("an aggregation read takes no filter/window (v1)")
+
+    val src0 = loadTable(spark, dir, adef.source, env)
+    if (!src0.columns.contains(adef.tsAttr))
+      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
+        s"column of '${adef.source}' (nanosecond epoch expected)")
+    val src = adef.filter.fold(src0)(f => src0.where(expr(sqlOf(f))))
+    val finestMs = grainMsOf(adef.grains.head)
+    val perMs = grainMsOf(per)
+    val keys = adef.groupBy
+    // partial / combine / final column triples per defined select item
+    val partials = List.newBuilder[Column]
+    val combines = List.newBuilder[Column]
+    val finals = List.newBuilder[(String, Column)]
+    adef.select.zipWithIndex.foreach { case (it, i) =>
+      val a = alias(it, i)
+      it.e match {
+        case Ref(k :: Nil) if keys.contains(k) => () // group key
+        case Call(None, fn, args) =>
+          def argSql = sqlOf(args.head)
+          fn.toLowerCase match {
+            case "sum" =>
+              partials += expr(s"sum($argSql)").as(s"__p_$a")
+              combines += sum(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "count" =>
+              partials += (if (args.isEmpty) count(lit(1)).as(s"__p_$a")
+                           else expr(s"count($argSql)").as(s"__p_$a"))
+              combines += sum(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "min" =>
+              partials += expr(s"min($argSql)").as(s"__p_$a")
+              combines += min(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "max" =>
+              partials += expr(s"max($argSql)").as(s"__p_$a")
+              combines += max(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "avg" => // stored as sum+count, finalized at read grain
+              partials += expr(s"sum($argSql)").as(s"__ps_$a")
+              partials += expr(s"count($argSql)").as(s"__pc_$a")
+              combines += sum(col(s"__ps_$a")).as(s"__s_$a")
+              combines += sum(col(s"__pc_$a")).as(s"__c_$a")
+              finals += a -> (col(s"__s_$a") / col(s"__c_$a")).as(a)
+            case other => fail(s"aggregation definitions support " +
+              s"sum/count/min/max/avg (v1), got '$other'")
+          }
+        case _ => fail(s"aggregation select item '${sqlOf(it.e)}' must " +
+          "be a group key or an aggregate call")
+      }
+    }
+    val pCols = partials.result()
+    if (pCols.isEmpty) fail("aggregation definition has no aggregates")
+    // push the within range to the scan: a per-grain bucket B survives
+    // iff lo <= B < hi; its rows have ts in [B, B + per), so the row
+    // bound is [ceil(lo/per)*per, (floor((hi-1)/per)+1)*per) — aligned,
+    // exact, and pushdown-visible
+    val rowLoNs = ((lo + perMs - 1) / perMs) * perMs * 1000000L
+    val rowHiNs = (((hi - 1) / perMs) + 1) * perMs * 1000000L
+    val ts = adef.tsAttr
+    val grainTable = src
+      .where(col(ts) >= rowLoNs && col(ts) < rowHiNs)
+      .withColumn("__b",
+        expr(s"($ts div ${finestMs * 1000000L}L) * ${finestMs}L"))
+      .groupBy(col("__b") +: keys.map(col): _*)
+      .agg(pCols.head, pCols.tail: _*)
+    val cCols = combines.result()
+    val fMap = finals.result().toMap
+    val rolled = grainTable
+      .withColumn("__bp", expr(s"(__b div ${perMs}L) * ${perMs}L"))
+      .groupBy(col("__bp") +: keys.map(col): _*)
+      .agg(cCols.head, cCols.tail: _*)
+      .withColumnRenamed("__bp", "bucket_start_ms")
+      .where(col("bucket_start_ms") >= lo && col("bucket_start_ms") < hi)
+    // finalize derived aggregates (avg = sum/count), keep keys
+    val stored = rolled.select(col("bucket_start_ms") +:
+      (keys.map(col) ++ adef.select.zipWithIndex.map { case (it, i) =>
+        val a = alias(it, i)
+        it.e match {
+          case Ref(k :: Nil) if keys.contains(k) => col(k)
+          case _ => fMap(a)
+        }
+      }): _*)
+    // the read's select is a projection over bucket_start_ms + stored attrs
+    val items = itemsOf(ast)
+    items.foreach { case (_, a, isAgg) =>
+      if (isAgg) fail("an aggregation read selects stored attributes " +
+        s"(no re-aggregation, v1): '$a'")
+    }
+    stored.select(col("bucket_start_ms") +: items.map { case (it, a, _) =>
+      expr(sqlOf(it.e)).as(a)
+    }: _*)
   }
 
   /** Output rate limiting under batch replay (SURVEY §2.7; engine twins:

@@ -76,6 +76,38 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // define aggregation + within/per: sec-grain partials rolled up to
+    // the requested grain (incremental-aggregation cascade), range-pruned
+    "sql_incremental_agg" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define aggregation EvAgg
+        |from events
+        |select user_id, sum(value) as total, count() as cnt,
+        |  avg(value) as avg_v, max(value) as mx
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |
+        |@info(name = 'read')
+        |from EvAgg
+        |within '2024-01-02 00:00:00', '2024-01-05 00:00:00'
+        |per 'hours'
+        |select user_id, math:round(total, 2) as total, cnt, mx
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin)("read")),
+    // same definition read at the day grain (the grain CASCADE: day rows
+    // roll up from the identical sec partials)
+    "sql_incremental_agg_days" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define aggregation EvAgg
+        |from events[event_type == 'purchase']
+        |select sum(value) as total, count() as cnt
+        |aggregate by ts_ns every min, hour, day;
+        |
+        |@info(name = 'read')
+        |from EvAgg
+        |within 1704153600000, 1704672000000
+        |per 'days'
+        |select math:round(total, 2) as total, cnt
+        |order by bucket_start_ms
+        |insert into Out""".stripMargin)("read")),
     // output rate limiting: per-minute LAST event (time-based limiter)
     "sql_rate_limit" -> q(
       """from events[event_type == 'click']
@@ -224,6 +256,21 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // hour buckets inside [Jan 2, Jan 5), per user
+    "sql_incremental_agg" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, round(sum(value), 2) AS total, count(*) AS cnt,
+        |  max(value) AS mx
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
+    // day buckets inside [Jan 2, Jan 8), purchases only
+    "sql_incremental_agg_days" ->
+      """SELECT epoch_ms(ts) // 86400000 * 86400000 AS bucket_start_ms,
+        |  round(sum(value), 2) AS total, count(*) AS cnt
+        |FROM events WHERE event_type = 'purchase'
+        |  AND epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704672000000
+        |GROUP BY 1 ORDER BY bucket_start_ms""".stripMargin,
     // per-minute last click
     "sql_rate_limit" ->
       """SELECT event_id, user_id, value FROM (

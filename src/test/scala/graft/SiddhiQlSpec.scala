@@ -292,6 +292,69 @@ class SiddhiQlSpec extends AnyFunSuite {
       "output first every 1 min").contains("no window"))
   }
 
+  test("define aggregation: avg finalizes as rolled-up sum/count and " +
+       "day grain ≡ direct day aggregation") {
+    val app =
+      """define aggregation A
+        |from events
+        |select user_id, avg(value) as avg_v, count() as cnt
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |@info(name = 'read')
+        |from A
+        |within 1704153600000, 1704240000000
+        |per 'days'
+        |select user_id, avg_v, cnt
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin
+    val got = SiddhiQL.compileApp(spark, sf, app)("read").collect()
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("ts_ns") >= 1704153600000L * 1000000L &&
+        col("ts_ns") < 1704240000000L * 1000000L)
+      .groupBy(expr("ts_ns div 86400000000000 * 86400000")
+        .as("bucket_start_ms"), col("user_id"))
+      .agg(avg("value").as("avg_v"), count(lit(1)).as("cnt"))
+      .orderBy("bucket_start_ms", "user_id").collect()
+    assert(got.length == direct.length && got.nonEmpty)
+    got.zip(direct).foreach { case (g, d) =>
+      assert(g.getLong(0) == d.getLong(0) && g.getLong(1) == d.getLong(1))
+      // cascade avg = sum-of-partial-sums / sum-of-partial-counts: equal
+      // to the direct avg up to summation order
+      assert(math.abs(g.getDouble(2) - d.getDouble(2)) < 1e-9)
+      assert(g.getLong(3) == d.getLong(3))
+    }
+  }
+
+  test("define aggregation diagnostics") {
+    def appMsg(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    val defn =
+      """define aggregation A
+        |from events
+        |select sum(value) as t
+        |aggregate by ts_ns every min ... hour;
+        |""".stripMargin
+    // per outside the defined grain range
+    assert(appMsg(defn +
+      "from A within 0, 1 per 'days' select t insert into O")
+      .contains("outside the defined grain"))
+    // missing within
+    assert(appMsg(defn + "from A per 'hours' select t insert into O")
+      .contains("needs `within"))
+    // unsupported aggregate in the definition
+    assert(appMsg(
+      """define aggregation B from events
+        |select distinctCount(user_id) as u
+        |aggregate by ts_ns every min;
+        |from B within 0, 1 per 'min' select u insert into O""".stripMargin)
+      .contains("sum/count/min/max/avg"))
+    // within/per without an app-level definition
+    assert(intercept[IllegalArgumentException](compile(
+      "from Nope within 0, 1 per 'hours' select x"))
+      .getMessage.contains("define aggregation"))
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
