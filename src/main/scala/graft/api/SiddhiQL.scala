@@ -183,6 +183,9 @@ object SiddhiQL extends Serializable {
 
     // ---- expressions (precedence: or < and < not < cmp < add < mul) ----
     def expr(): Expr = orExpr()
+    /** One partition-range branch: `and`-level, so the spec's `or`
+      * separates branches instead of being swallowed by the condition. */
+    def rangeExpr(): Expr = andExpr()
     private def orExpr(): Expr = {
       var l = andExpr()
       while (isKw("or")) { advance(); l = Bin("or", l, andExpr()) }
@@ -579,7 +582,9 @@ object SiddhiQL extends Serializable {
     * tree (filters from late stages can reach the scan). */
   def compileApp(spark: SparkSession, dir: String,
                  app: String): Map[String, DataFrame] = {
-    // split on ';' outside string literals
+    // split on ';' outside string literals, then re-join the segments of
+    // `partition with (...) begin q1; q2; end` blocks (their inner ';'
+    // must not split the block statement)
     val stmts = {
       val out = List.newBuilder[String]
       val cur = new StringBuilder
@@ -590,7 +595,25 @@ object SiddhiQL extends Serializable {
         case c => cur += c
       }
       out += cur.toString
-      out.result().map(_.trim).filter(_.nonEmpty)
+      val flat = out.result().map(_.trim).filter(_.nonEmpty)
+      val joined = List.newBuilder[String]
+      val block = new StringBuilder
+      var depth = 0
+      def words(s: String, w: String): Int =
+        ("(?i)\\b" + w + "\\b").r.findAllIn(s).length
+      flat.foreach { seg =>
+        val d = words(seg, "begin") - words(seg, "end")
+        if (depth == 0 && d == 0) joined += seg
+        else {
+          if (block.nonEmpty) block.append("; ")
+          block.append(seg)
+          depth += d
+          if (depth == 0) { joined += block.toString; block.clear() }
+          else if (depth < 0) fail("unbalanced begin/end")
+        }
+      }
+      if (depth != 0) fail("partition block missing 'end'")
+      joined.result()
     }
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
@@ -664,6 +687,91 @@ object SiddhiQL extends Serializable {
               gs.result().distinct.sortBy(names.indexOf)
             }
           aggDefs += aname -> AggDef(tbl, filt, sel, grp, tsAttr, grains)
+        }
+      } else if (head.equalsIgnoreCase("partition")) {
+        // partition with (user_id of S) / (cond as 'label' or ... of S)
+        // begin <queries> end — per-key isolated query instances
+        // (SURVEY §1.1; engine twins: graft.engine.Ops.partitionPerKey /
+        // partitionRange). Spark's shuffle IS the partition: the key
+        // prepends to every inner grouping and partitions lengthBatch
+        // chunking, so the reference's per-key instances become ONE
+        // keyed plan — per-key parallel at any executor count (and the
+        // global-lengthBatch single-task caveat disappears inside a
+        // partition: chunks count per key)
+        val m = ("(?is)^partition\\s+with\\s*\\((.*)\\)\\s*" +
+          "begin\\b(.*?)\\bend\\s*$").r.findFirstMatchIn(body)
+          .getOrElse(fail("malformed partition: expected `partition " +
+            "with (<spec> of <stream>) begin <queries> end`"))
+        val (spec, innerBody) = (m.group(1), m.group(2))
+        val sp = new P(lex(spec))
+        val ranges = List.newBuilder[(Expr, String)]
+        var keyAttr: Option[String] = None
+        var done = false
+        while (!done) {
+          val e = sp.rangeExpr()
+          if (sp.tryKw("as")) {
+            val label = sp.advance() match {
+              case TStr(l) => l
+              case t => fail(s"range label must be a string, got $t")
+            }
+            ranges += ((e, label))
+            if (!sp.tryKw("or")) done = true
+          } else {
+            e match {
+              case Ref(attr :: Nil) => keyAttr = Some(attr); done = true
+              case other => fail("partition spec must be `<attr> of S` " +
+                s"or `cond as 'label' or ... of S`, got '${sqlOf(other)}'")
+            }
+          }
+        }
+        sp.eatKw("of")
+        val srcName = sp.ident()
+        val baseDf = loadTable(spark, dir, srcName, env)
+        val (partKey, view) = keyAttr match {
+          case Some(attr) =>
+            if (!baseDf.columns.contains(attr))
+              fail(s"partition attribute '$attr' is not a column of " +
+                s"'$srcName'")
+            (attr, baseDf)
+          case None =>
+            val rs = ranges.result()
+            // first matching range labels the event; unmatched events
+            // leave the partition (Siddhi range-partition semantics)
+            val keyCol = rs.tail.foldLeft(
+              when(expr(sqlOf(rs.head._1)), lit(rs.head._2))) {
+              case (acc, (c, l)) => acc.when(expr(sqlOf(c)), lit(l))
+            }
+            ("partition_key",
+              baseDf.withColumn("partition_key", keyCol)
+                .where(col("partition_key").isNotNull))
+        }
+        val envInner = env + (srcName -> view)
+        innerBody.split(";").map(_.trim).filter(_.nonEmpty).foreach { q =>
+          val (qName, qBody) = {
+            val mm = ("(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'" +
+              "\\s*\\)\\s*(.*)").r.findFirstMatchIn(q)
+            mm.map(g => (Some(g.group(1)), g.group(2))).getOrElse((None, q))
+          }
+          val ast0 = new P(lex(qBody)).query()
+          val ast = ast0.stream match {
+            case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
+              val needsKey = (ss.window.nonEmpty ||
+                ast0.select.exists(it => containsAgg(it.e))) &&
+                !ast0.groupBy.contains(partKey)
+              if (needsKey) ast0.copy(groupBy = partKey :: ast0.groupBy)
+              else ast0
+            case _: SingleStream => fail("partitioned queries read the " +
+              s"partitioned stream '$srcName' (v1)")
+            case _ => fail("partition blocks hold single-stream queries " +
+              "(v1; joins/patterns stay outside)")
+          }
+          val df = compileAst(spark, dir, ast, envInner, aggDefs,
+            partKey = Some(partKey))
+          val key = qName.orElse(ast.action.map(_.target)).getOrElse {
+            i += 1; s"q$i"
+          }
+          ast.action.foreach(a => env += a.target -> df)
+          results += key -> df
         }
       } else if (head.equalsIgnoreCase("from")) {
         val ast = new P(lex(body)).query()
@@ -895,8 +1003,8 @@ object SiddhiQL extends Serializable {
 
   private def compileAst(spark: SparkSession, dir: String, ast: Ast,
                          env: Map[String, DataFrame],
-                         aggDefs: Map[String, AggDef] = Map.empty
-                        ): DataFrame = {
+                         aggDefs: Map[String, AggDef] = Map.empty,
+                         partKey: Option[String] = None): DataFrame = {
     ast.action.foreach {
       case _: InsertInto => ()
       case a => fail(s"table DML targeting '${a.target}' needs an app " +
@@ -914,7 +1022,7 @@ object SiddhiQL extends Serializable {
         if (s.aggWithin.nonEmpty || s.aggPer.nonEmpty)
           fail(s"within/per reads require `define aggregation " +
             s"${s.table}` in an app context (compileApp)")
-        compileSingle(spark, dir, ast, s, env)
+        compileSingle(spark, dir, ast, s, env, partKey)
       case (None, j: JoinStream)     => compileJoin(spark, dir, ast, j, env)
       case (None, pt: PatternStream) => compilePattern(spark, dir, ast, pt)
     }
@@ -1001,7 +1109,8 @@ object SiddhiQL extends Serializable {
 
   private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
                             s: SingleStream,
-                            env: Map[String, DataFrame]): DataFrame = {
+                            env: Map[String, DataFrame],
+                            partKey: Option[String] = None): DataFrame = {
     val base0 = loadTable(spark, dir, s.table, env)
     val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
     val items = itemsOf(ast)
@@ -1052,9 +1161,12 @@ object SiddhiQL extends Serializable {
           grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
         case "lengthbatch" =>
           // global arrival order: inherently sequential (the reference's
-          // single-threaded window) — one-partition window by design
+          // single-threaded window) — one-partition window by design;
+          // inside `partition with`, chunks count per key and the window
+          // parallelizes across keys
+          val pb = partKey.fold("")(k => s"partition by $k ")
           val withC = base.withColumn("chunk_id", expr(
-            s"(row_number() over (order by ts_ns, event_id) - 1) " +
+            s"(row_number() over (${pb}order by ts_ns, event_id) - 1) " +
               s"div ${args.head}"))
           grouped(Seq("chunk_id" -> col("chunk_id")), withC)
         case "session" =>

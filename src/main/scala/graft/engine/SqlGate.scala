@@ -76,6 +76,30 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // keyed partition: lengthBatch chunks count PER USER inside the
+    // partition block (outside one, chunking is global)
+    "sql_partition" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """partition with (user_id of events)
+        |begin
+        |  @info(name = 'perUser')
+        |  from events#window.lengthBatch(10)
+        |  select user_id, math:round(sum(value), 2) as sv, count() as n
+        |  order by user_id, chunk_id
+        |  insert into Out;
+        |end""".stripMargin)("perUser")),
+    // range partition: first matching range labels the event; unmatched
+    // events leave the partition
+    "sql_partition_range" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """partition with (value < 50 as 'low' or value < 150 as 'mid'
+        |  or value >= 150 as 'high' of events)
+        |begin
+        |  @info(name = 'bands')
+        |  from events
+        |  select partition_key, count() as n,
+        |    math:round(sum(value), 2) as sv
+        |  order by partition_key
+        |  insert into Out;
+        |end""".stripMargin)("bands")),
     // define aggregation + within/per: sec-grain partials rolled up to
     // the requested grain (incremental-aggregation cascade), range-pruned
     "sql_incremental_agg" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -256,6 +280,23 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // per-user chunks of 10 in (ts, event_id) order
+    "sql_partition" ->
+      """WITH seq AS (
+        |  SELECT user_id, value,
+        |    (row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - 1) // 10 AS chunk_id
+        |  FROM events)
+        |SELECT chunk_id, user_id, round(sum(value), 2) AS sv,
+        |  count(*) AS n
+        |FROM seq GROUP BY 1, 2 ORDER BY user_id, chunk_id""".stripMargin,
+    // first matching band wins
+    "sql_partition_range" ->
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |    WHEN value < 150 THEN 'mid'
+        |    WHEN value >= 150 THEN 'high' END AS partition_key,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY 1 ORDER BY partition_key""".stripMargin,
     // hour buckets inside [Jan 2, Jan 5), per user
     "sql_incremental_agg" ->
       """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,

@@ -325,6 +325,43 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("partition with: inner sliding window partitions by the key " +
+       "even without an explicit group by") {
+    // inside the partition, #window.length(5) is per-user; outside it,
+    // the same query would need `group by user_id` for that
+    val viaPart = SiddhiQL.compileApp(spark, sf,
+      """partition with (user_id of events)
+        |begin
+        |  @info(name = 'q')
+        |  from events#window.length(5)
+        |  select event_id, math:round(sum(value), 2) as s5
+        |  order by event_id
+        |  insert into Out;
+        |end""".stripMargin)("q").collect().toSeq
+    val viaGroup = compile(
+      """from events#window.length(5)
+        |select event_id, math:round(sum(value), 2) as s5
+        |group by user_id
+        |order by event_id""".stripMargin).collect().toSeq
+    assert(viaPart == viaGroup)
+    assert(viaPart.nonEmpty)
+  }
+
+  test("partition diagnostics") {
+    def appMsg(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    assert(appMsg("partition with (nope of events) begin " +
+      "from events select count() as n insert into O; end")
+      .contains("not a column"))
+    assert(appMsg("partition with (user_id of events) begin " +
+      "from nation select count() as n insert into O; end")
+      .contains("read the partitioned stream"))
+    assert(appMsg("partition with (user_id of events) begin " +
+      "from events select count() as n insert into O")
+      .contains("missing 'end'"))
+  }
+
   test("define aggregation diagnostics") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
