@@ -52,8 +52,14 @@ object SiddhiQL extends Serializable {
   private final case class Not(e: Expr) extends Expr
   private final case class Neg(e: Expr) extends Expr
 
+  /** Indexed event access in pattern selects: `e1[0].value`,
+    * `e1[last].value` (idx None = last; `first` parses as Some(0)). */
+  private final case class IdxRef(binding: String, idx: Option[Int],
+      field: String) extends Expr
+
   private final case class SelItem(e: Expr, alias: Option[String])
-  private final case class WindowSpec(name: String, args: List[Long])
+  private final case class WindowSpec(name: String, args: List[Long],
+      sargs: List[String] = Nil)
   private sealed trait StreamClause
   private final case class SingleStream(table: String, filter: Option[Expr],
       window: Option[WindowSpec], aggWithin: Option[(Expr, Expr)] = None,
@@ -231,11 +237,26 @@ object SiddhiQL extends Serializable {
       case TStr(s) => Str(s)
       case TSym("(") => val e = expr(); eatSym(")"); e
       case TId(name) =>
+        val idxAhead = isSym("[") && (peek2 match {
+          case TNum(s) => !s.contains('.')
+          case TId(x) => x.equalsIgnoreCase("last") ||
+            x.equalsIgnoreCase("first")
+          case _ => false
+        })
         if (trySym(":")) { // namespaced call: str:upper(...)
           val fn = ident(); eatSym("(")
           Call(Some(name.toLowerCase), fn, argList())
         } else if (trySym("(")) {
           Call(None, name, argList())
+        } else if (idxAhead) { // e1[0].value / e1[last].value
+          eatSym("[")
+          val idx = advance() match {
+            case TNum(s) => Some(s.toInt)
+            case TId(x) if x.equalsIgnoreCase("first") => Some(0)
+            case _ => None // last
+          }
+          eatSym("]"); eatSym(".")
+          IdxRef(name, idx, ident())
         } else if (isSym(".")) { // qualified ref e1.value
           val parts = List.newBuilder[String]
           parts += name
@@ -268,19 +289,25 @@ object SiddhiQL extends Serializable {
 
     def windowSpec(): WindowSpec = {
       eatSym("#"); eatKw("window"); eatSym(".")
-      val name = ident()
+      val name0 = ident()
+      val name = // namespaced windows: unique:first, unique:last
+        if (trySym(":")) s"$name0:${ident()}" else name0
       eatSym("(")
       val args = List.newBuilder[Long]
+      val sargs = List.newBuilder[String]
       if (!trySym(")")) {
-        def arg(): Long = peek2 match {
-          case TId(_) => duration() // "1 min" — number followed by unit
-          case _ => intLit()
+        def arg(): Unit = peek match {
+          case TId(_) => sargs += ident() // attribute-name argument
+          case _ => peek2 match {
+            case TId(_) => args += duration() // "1 min" — number + unit
+            case _ => args += intLit()
+          }
         }
-        args += arg()
-        while (trySym(",")) args += arg()
+        arg()
+        while (trySym(",")) arg()
         eatSym(")")
       }
-      WindowSpec(name, args.result())
+      WindowSpec(name, args.result(), sargs.result())
     }
 
     def streamClause(): StreamClause = {
@@ -301,10 +328,12 @@ object SiddhiQL extends Serializable {
           } else {
             val b = ident(); eatSym("="); val tbl = ident()
             eatSym("["); val cond = expr(); eatSym("]")
-            // count quantifier `<m:n>` on the condition
+            // count quantifier `<m:n>` on the condition (`<m:>` = open max)
             val quant = if (trySym("<")) {
-              val m = intLit(); eatSym(":"); val n = intLit(); eatSym(">")
-              Some((m.toInt, n.toInt))
+              val m = intLit(); eatSym(":")
+              val n = if (isSym(">")) Int.MaxValue else intLit().toInt
+              eatSym(">")
+              Some((m.toInt, n))
             } else None
             PatCond(b, tbl, cond, quant)
           }
@@ -493,6 +522,8 @@ object SiddhiQL extends Serializable {
 
   private def sqlOfWith(e: Expr, ref: List[String] => String): String =
     e match {
+      case IdxRef(b, _, f) => fail(s"indexed event access ('$b[...].$f') " +
+        "is a pattern-select construct")
       case Num(t) => t
       case Str(v) => "'" + v.replace("'", "''") + "'"
       case Ref(parts) => ref(parts)
@@ -649,6 +680,22 @@ object SiddhiQL extends Serializable {
           tableDefs += tname -> schema
           env += tname -> spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        } else if (p.tryKw("trigger")) {
+          // `define trigger T at every 10 min` — a tick stream. Batch
+          // replay spans the replayed feed's event-time range (aligned
+          // ticks over [min, max] of events.ts_ns); a deployment would
+          // drive the same plan from wall-clock (engine twin:
+          // graft.engine.Ops.triggerGapfill / a rate source)
+          val tname = p.ident()
+          p.eatKw("at"); p.eatKw("every")
+          val ivNs = p.duration()
+          val ivMs = ivNs / 1000000L
+          val ticks = Tables.events(spark, dir)
+            .agg(expr(s"(min(ts_ns) div ${ivNs}L) * ${ivMs}L").as("__lo"),
+              expr(s"(max(ts_ns) div ${ivNs}L) * ${ivMs}L").as("__hi"))
+            .select(explode(sequence(col("__lo"), col("__hi"),
+              lit(ivMs))).as("tick_ms"))
+          env += tname -> ticks
         } else if (p.tryKw("aggregation")) {
           // define aggregation A from S[f] select ... group by ...
           //   aggregate by ts every sec ... day
@@ -1153,7 +1200,7 @@ object SiddhiQL extends Serializable {
 
     s.window match {
       case None => selectOrAggregate(ast, base, Nil, windowed = false)
-      case Some(WindowSpec(n, args)) => n.toLowerCase match {
+      case Some(WindowSpec(n, args, _)) => n.toLowerCase match {
         case "timebatch" =>
           val tNs = args.head
           val withW = base.withColumn("w_start_ms",
@@ -1191,8 +1238,42 @@ object SiddhiQL extends Serializable {
         case "time" =>
           sliding(s"ts_ns range between ${args.head} " +
             "preceding and current row")
+        case n @ ("unique:first" | "unique:last") =>
+          // dedup retention window: keep the first/last event per
+          // distinct key value (engine twin: Windows uniqueFirst/Last) —
+          // one row_number shuffle on the key, fully parallel
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail(s"$n needs an attribute argument"))
+          if (!base.columns.contains("ts_ns") ||
+              !base.columns.contains("event_id"))
+            fail(s"$n needs 'ts_ns' and 'event_id' to define arrival order")
+          val o = if (n == "unique:first") "ts_ns, event_id"
+                  else "ts_ns desc, event_id desc"
+          val kept = base.withColumn("__rn", expr(
+              s"row_number() over (partition by $attr order by $o)"))
+            .where(col("__rn") === 1).drop("__rn")
+          selectOrAggregate(ast, kept, Nil, windowed = false)
+        case "frequent" =>
+          // frequent(N, attr): retain events whose key is among the N
+          // most frequent. Batch replay computes the EXACT top-N the
+          // Misra–Gries window approximates (engine twin with sketch
+          // bounds: Sketches.frequent); the counts table is tiny, so the
+          // retention join broadcasts
+          val n = args.headOption.getOrElse(
+            fail("frequent needs a count argument")).toInt
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("frequent needs an attribute argument"))
+          val top = base.groupBy(attr)
+            .agg(count(lit(1)).as("__cnt"))
+            .withColumn("__rk", expr(
+              s"row_number() over (order by __cnt desc, $attr)"))
+            .where(col("__rk") <= n)
+            .select(attr)
+          val kept = base.join(broadcast(top), Seq(attr), "left_semi")
+          selectOrAggregate(ast, kept, Nil, windowed = false)
         case other => fail(s"unsupported window '$other' (supported: " +
-          "timeBatch, lengthBatch, session, length, time)")
+          "timeBatch, lengthBatch, session, length, time, unique:first, " +
+          "unique:last, frequent)")
       }
     }
   }
@@ -1428,17 +1509,32 @@ object SiddhiQL extends Serializable {
     }
     if (pt.steps.head.isInstanceOf[PatAbsent])
       fail("a pattern cannot start with an absence")
-    val sel = ast.select.zipWithIndex.map { case (it, i) =>
-      it.e match {
-        case Ref(bn :: f :: Nil) =>
-          val a = it.alias.getOrElse(s"${bn}_$f")
-          (bn, f, a)
-        case _ => fail("pattern select items must be binding.field " +
-          s"references, got '${sqlOf(it.e)}'")
+    // (binding, field, alias, extractor) — extractor picks the bound
+    // event: head for plain refs, position/last for indexed refs (a
+    // quantified binding holds several events); an out-of-range index
+    // yields null, the reference's missing-event semantics
+    val sel: List[(String, String, String, Cep.Bindings => Any)] =
+      ast.select.zipWithIndex.map { case (it, i) =>
+        it.e match {
+          case Ref(bn :: f :: Nil) =>
+            val a = it.alias.getOrElse(s"${bn}_$f")
+            (bn, f, a, (bnd: Cep.Bindings) => field(bnd(bn).head, f))
+          case IdxRef(bn, idx, f) =>
+            val a = it.alias.getOrElse(s"${bn}_$f")
+            (bn, f, a, (bnd: Cep.Bindings) => {
+              val evs = bnd(bn)
+              idx match {
+                case Some(ix) =>
+                  if (ix < evs.size) field(evs(ix), f) else null
+                case None => field(evs.last, f)
+              }
+            })
+          case _ => fail("pattern select items must be binding.field " +
+            s"or binding[i].field references, got '${sqlOf(it.e)}'")
+        }
       }
-    }
     val bindings = pt.steps.collect { case PatCond(b, _, _, _) => b }.toSet
-    sel.foreach { case (bn, _, _) =>
+    sel.foreach { case (bn, _, _, _) =>
       if (!bindings(bn)) fail(s"select references unknown binding '$bn'")
     }
     var b = pt.steps.head match {
@@ -1460,9 +1556,9 @@ object SiddhiQL extends Serializable {
       b = b.within(scala.concurrent.duration.Duration.fromNanos(w))
     }
     if (!pt.every) b = b.firstOnly
-    val out = sel.map { case (_, f, a) => (a, fieldType(f)) }
+    val out = sel.map { case (_, f, a, _) => (a, fieldType(f)) }
     b.selectPlan(spark, dir, out) { bnd =>
-      sel.map { case (bn, f, _) => field(bnd(bn).head, f) }
+      sel.map { case (_, _, _, extract) => extract(bnd) }
     }
   }
 }

@@ -76,6 +76,46 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // indexed event access in pattern selects: e1[0] / e2[last] on the
+    // proven sql_pattern_seq shape (same oracle; multi-event quantifier
+    // indexing is pinned text ≡ DSL in SiddhiQlSpec)
+    "sql_pattern_indexed" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase' and value > e1.value]
+        |  within 5 min
+        |select e1[0].user_id as user_id, e1[0].event_id as start_id,
+        |  e2[last].event_id as next_id, e2[last].value as next_value
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin),
+    // define trigger + unique:last window + chained gap-fill join: ticks
+    // over the stream's span, bucket counts of the per-user LAST events,
+    // zero-filled where no bucket exists
+    "sql_trigger_unique" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define trigger T at every 10 min;
+        |
+        |@info(name = 'lastPerUser')
+        |from events#window.unique:last(user_id)
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into LastPerUser;
+        |
+        |@info(name = 'buckets')
+        |from LastPerUser#window.timeBatch(10 min)
+        |select count() as n
+        |insert into Buckets;
+        |
+        |@info(name = 'gapfill')
+        |from T as t left outer join Buckets as b
+        |  on t.tick_ms == b.w_start_ms
+        |select tick_ms, coalesce(n, convert(0, 'long')) as n
+        |order by tick_ms
+        |insert into Out""".stripMargin)("gapfill")),
+    // frequent(N, attr): events of the 3 most frequent types, re-counted
+    "sql_frequent_window" -> q(
+      """from events#window.frequent(3, event_type)
+        |select event_type, count() as n
+        |group by event_type
+        |order by event_type
+        |insert into Out""".stripMargin),
     // keyed partition: lengthBatch chunks count PER USER inside the
     // partition block (outside one, chunking is global)
     "sql_partition" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -280,6 +320,44 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // same truth as sql_pattern_seq: greedy first later purchase with a
+    // larger value within 5 min (singleton bindings ⇒ [0] ≡ head,
+    // [last] ≡ head)
+    "sql_pattern_indexed" ->
+      """SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.value > e.value
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id, next_id""".stripMargin,
+    // ticks over the event span; buckets of per-user last events
+    "sql_trigger_unique" ->
+      """WITH lastev AS (
+        |  SELECT * FROM (SELECT ts, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) e WHERE rn = 1),
+        |bounds AS (SELECT min(epoch_ms(ts) // 600000) AS lo,
+        |    max(epoch_ms(ts) // 600000) AS hi FROM events),
+        |ticks AS (SELECT unnest(range(lo, hi + 1)) * 600000 AS tick_ms
+        |  FROM bounds),
+        |b AS (SELECT epoch_ms(ts) // 600000 * 600000 AS w, count(*) AS n
+        |  FROM lastev GROUP BY 1)
+        |SELECT t.tick_ms, coalesce(b.n, 0) AS n
+        |FROM ticks t LEFT JOIN b ON b.w = t.tick_ms
+        |ORDER BY t.tick_ms""".stripMargin,
+    // exact top-3 types by frequency (ties broken by type name)
+    "sql_frequent_window" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |top3 AS (SELECT event_type FROM (
+        |  SELECT event_type, row_number() OVER (ORDER BY n DESC,
+        |    event_type) AS rk FROM c) r WHERE rk <= 3)
+        |SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN (SELECT event_type FROM top3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-user chunks of 10 in (ts, event_id) order
     "sql_partition" ->
       """WITH seq AS (

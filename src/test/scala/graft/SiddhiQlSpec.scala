@@ -325,6 +325,46 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed pattern select: e1[0]/e1[last] extract distinct events " +
+       "of a quantified binding, matching the DSL's vector access") {
+    val viaSql = compile(
+      """from every e1=events[event_type == 'click']<2:2>
+        |  -> e2=events[event_type == 'purchase']
+        |select e1[0].event_id as c1, e1[last].event_id as c2,
+        |  e2.event_id as buy
+        |order by c1, buy""".stripMargin).collect().toSeq
+    import spark.implicits._
+    val viaDsl = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "click").times(2, 2)
+      .followedBy("e2")((e, _) => e.eventType == "purchase")
+      .select[(Long, Long, Long)](spark, sf) { b =>
+        (b("e1").head.eventId, b("e1").last.eventId, b("e2").head.eventId)
+      }.toDF("c1", "c2", "buy").orderBy("c1", "buy").collect().toSeq
+    assert(viaSql == viaDsl)
+    assert(viaSql.nonEmpty)
+    // the two indexed positions differ on a 2-event binding
+    assert(viaSql.exists(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("unique:last window ≡ direct keep-last dedup; frequent window " +
+       "retains exact top-N keys") {
+    val viaSql = compile(
+      """from events#window.unique:last(user_id)
+        |select event_id, user_id order by event_id""".stripMargin)
+      .collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .withColumn("rn", expr("row_number() over (partition by user_id " +
+        "order by ts_ns desc, event_id desc)"))
+      .where(col("rn") === 1).select("event_id", "user_id")
+      .orderBy("event_id").collect().toSeq
+    assert(viaSql == direct && viaSql.nonEmpty)
+    val freq = compile(
+      """from events#window.frequent(2, event_type)
+        |select distinctCount(event_type) as k""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(freq == 2L)
+  }
+
   test("partition with: inner sliding window partitions by the key " +
        "even without an explicit group by") {
     // inside the partition, #window.length(5) is per-user; outside it,
