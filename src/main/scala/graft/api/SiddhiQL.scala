@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 
 import graft.engine.{Cep, Tables}
@@ -613,51 +614,13 @@ object SiddhiQL extends Serializable {
     * tree (filters from late stages can reach the scan). */
   def compileApp(spark: SparkSession, dir: String,
                  app: String): Map[String, DataFrame] = {
-    // split on ';' outside string literals, then re-join the segments of
-    // `partition with (...) begin q1; q2; end` blocks (their inner ';'
-    // must not split the block statement)
-    val stmts = {
-      val out = List.newBuilder[String]
-      val cur = new StringBuilder
-      var inStr = false
-      app.foreach {
-        case '\'' => inStr = !inStr; cur += '\''
-        case ';' if !inStr => out += cur.toString; cur.clear()
-        case c => cur += c
-      }
-      out += cur.toString
-      val flat = out.result().map(_.trim).filter(_.nonEmpty)
-      val joined = List.newBuilder[String]
-      val block = new StringBuilder
-      var depth = 0
-      def words(s: String, w: String): Int =
-        ("(?i)\\b" + w + "\\b").r.findAllIn(s).length
-      flat.foreach { seg =>
-        val d = words(seg, "begin") - words(seg, "end")
-        if (depth == 0 && d == 0) joined += seg
-        else {
-          if (block.nonEmpty) block.append("; ")
-          block.append(seg)
-          depth += d
-          if (depth == 0) { joined += block.toString; block.clear() }
-          else if (depth < 0) fail("unbalanced begin/end")
-        }
-      }
-      if (depth != 0) fail("partition block missing 'end'")
-      joined.result()
-    }
+    val stmts = splitStatements(app)
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
     var aggDefs = Map.empty[String, AggDef]
     var results = Map.empty[String, DataFrame]
     var i = 0
-    stmts.foreach { stmt =>
-      val (name, body) = {
-        // optional @info(name = 'x') annotation prefix
-        val m = "(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'\\s*\\)\\s*(.*)"
-          .r.findFirstMatchIn(stmt)
-        m.map(g => (Some(g.group(1)), g.group(2))).getOrElse((None, stmt))
-      }
+    stmts.foreach { case (name, body) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
       if (head.equalsIgnoreCase("define")) {
         // `define table T (col type, ...)` declares mutable state the DML
@@ -846,9 +809,49 @@ object SiddhiQL extends Serializable {
             ast.action.foreach(a => env += a.target -> df)
             results += key -> df
         }
-      } else fail(s"unsupported statement: '${stmt.take(40)}...'")
+      } else fail(s"unsupported statement: '${body.take(40)}...'")
     }
     results
+  }
+
+  /** Split an app into `(optional @info name, statement body)` pairs:
+    * ';' outside string literals separates statements, except inside
+    * `partition with (...) begin q1; q2; end` blocks, whose segments are
+    * re-joined into one statement. */
+  private def splitStatements(app: String): List[(Option[String], String)] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    app.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case ';' if !inStr => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    val flat = out.result().map(_.trim).filter(_.nonEmpty)
+    val joined = List.newBuilder[String]
+    val block = new StringBuilder
+    var depth = 0
+    def words(s: String, w: String): Int =
+      ("(?i)\\b" + w + "\\b").r.findAllIn(s).length
+    flat.foreach { seg =>
+      val d = words(seg, "begin") - words(seg, "end")
+      if (depth == 0 && d == 0) joined += seg
+      else {
+        if (block.nonEmpty) block.append("; ")
+        block.append(seg)
+        depth += d
+        if (depth == 0) { joined += block.toString; block.clear() }
+        else if (depth < 0) fail("unbalanced begin/end")
+      }
+    }
+    if (depth != 0) fail("partition block missing 'end'")
+    joined.result().map { stmt =>
+      val m = "(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'\\s*\\)\\s*(.*)"
+        .r.findFirstMatchIn(stmt)
+      m.map(g => (Some(g.group(1)): Option[String], g.group(2)))
+        .getOrElse((None, stmt))
+    }
   }
 
   // ---------- incremental aggregation (define aggregation + within/per) --
@@ -1495,8 +1498,13 @@ object SiddhiQL extends Serializable {
     }
   }
 
-  private def compilePattern(spark: SparkSession, dir: String, ast: Ast,
-                             pt: PatternStream): DataFrame = {
+  /** Pattern clause → (builder, select extractors, output schema) —
+    * shared by the batch plan path ([[compilePattern]] → selectPlan) and
+    * the live deployment path ([[deployAppOn]] → selectStream). */
+  private def patternParts(ast: Ast, pt: PatternStream)
+      : (Patterns.PatternBuilder,
+         List[(String, String, String, Cep.Bindings => Any)],
+         Seq[(String, DataType)]) = {
     if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
       fail("group by / having do not apply to pattern clauses")
     pt.steps.foreach { st =>
@@ -1557,8 +1565,147 @@ object SiddhiQL extends Serializable {
     }
     if (!pt.every) b = b.firstOnly
     val out = sel.map { case (_, f, a, _) => (a, fieldType(f)) }
+    (b, sel, out)
+  }
+
+  private def compilePattern(spark: SparkSession, dir: String, ast: Ast,
+                             pt: PatternStream): DataFrame = {
+    val (b, sel, out) = patternParts(ast, pt)
     b.selectPlan(spark, dir, out) { bnd =>
       sel.map { case (_, _, _, extract) => extract(bnd) }
     }
+  }
+
+  // ---------- live deployment ----------
+  /** Deploy a compiled app as a LIVE Structured Streaming topology over a
+    * streaming events DataFrame (columns `event_id, ts_ns, user_id,
+    * event_type, value, ts`) — the SiddhiProcess analog: the same text a
+    * batch replay verifies runs as a continuous query. Returns the
+    * UN-STARTED streaming DataFrame of the `out` query plus its required
+    * output mode and requested ordering, so callers pick the sink,
+    * trigger, and checkpoint location (the restart contract lives there).
+    *
+    * Stage support (v1): stateless filter/projection chains (append),
+    * ONE aggregation stage — global or timeBatch — as the final query
+    * (complete mode: tumbling panes re-emit their final state), and
+    * pattern clauses via the per-key NFA re-fold
+    * ([[Patterns.PatternBuilder.selectStream]], append; its quantifier/
+    * absence restrictions and event-time-order precondition apply).
+    * Chaining is plan composition on the streaming Dataset, so Catalyst
+    * still optimizes the whole topology as one incremental query —
+    * exactly the batch path's property, which is why batch replay is a
+    * valid oracle for the deployed result. */
+  def deployAppOn(src: DataFrame, app: String, out: String)
+      : (DataFrame, OutputMode, Seq[Column]) = {
+    val need = Seq("event_id", "ts_ns", "user_id", "event_type", "value")
+    need.foreach { c =>
+      if (!src.columns.contains(c))
+        fail(s"deployAppOn source lacks required column '$c'")
+    }
+    import src.sparkSession.implicits._
+    lazy val evDs = src.select(col("event_id").as("eventId"),
+      col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+      col("event_type").as("eventType"), col("value")).as[Cep.Ev]
+    var env = Map[String, DataFrame]("events" -> src)
+    var statefulStreams = Set.empty[String]
+    var result: Option[(DataFrame, Boolean, Seq[Column])] = None
+    splitStatements(app).foreach { case (name, body) =>
+      val head = body.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("define")) () // schemas from the source
+      else if (head.equalsIgnoreCase("from")) {
+        val ast = new P(lex(body)).query()
+        if (ast.rate.nonEmpty)
+          fail("live deployment (v1) does not rate-limit output")
+        val (df, stateful) = ast.stream match {
+          case s: SingleStream =>
+            if (statefulStreams.contains(s.table))
+              fail(s"live deployment (v1): '${s.table}' is an " +
+                "aggregation output — it must be the app's final sink, " +
+                "not a feed for further stages")
+            val base0 = env.getOrElse(s.table, fail("live deployment " +
+              s"reads declared streams; '${s.table}' is neither the " +
+              "source nor an earlier insert-into target"))
+            val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+            s.window match {
+              case None =>
+                val agg = ast.select.exists(it => containsAgg(it.e))
+                (selectOrAggregate(ast, base, Nil, windowed = false), agg)
+              case Some(WindowSpec(n, args, _))
+                  if n.equalsIgnoreCase("timebatch") =>
+                val tNs = args.head
+                val withW = base.withColumn("w_start_ms",
+                  expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+                (selectOrAggregate(ast, withW,
+                  Seq("w_start_ms" -> col("w_start_ms")),
+                  windowed = true), true)
+              case Some(w) => fail("live deployment (v1) supports " +
+                "stateless stages, timeBatch aggregation, and patterns; " +
+                s"got window '${w.name}'")
+            }
+          case pt: PatternStream =>
+            val (b, sel, outSchema) = patternParts(ast, pt)
+            val schema = StructType(outSchema.map { case (n, t) =>
+              StructField(n, t) })
+            implicit val enc: org.apache.spark.sql.Encoder[
+              org.apache.spark.sql.Row] =
+              org.apache.spark.sql.Encoders.row(schema)
+            (b.selectStream(evDs) { bnd =>
+              org.apache.spark.sql.Row.fromSeq(
+                sel.map { case (_, _, _, extract) => extract(bnd) })
+            }.toDF(), false)
+          case _: JoinStream => fail("live deployment (v1) does not " +
+            "join streams (engine twin: Streaming.streamStreamJoin)")
+        }
+        val key = name.orElse(ast.action.map(_.target))
+        ast.action.foreach {
+          case InsertInto(t) =>
+            if (stateful) statefulStreams += t
+            env += t -> df
+          case a => fail(s"live deployment (v1) cannot run table DML " +
+            s"('${a.target}') — deploy onto the engine's upsert sink")
+        }
+        val ordCols = ast.orderBy.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }
+        if (key.contains(out) || name.contains(out))
+          result = Some((df, stateful, ordCols))
+      } else fail(s"live deployment cannot run: '${body.take(40)}...'")
+    }
+    val (df, stateful, ordCols) = result.getOrElse(
+      fail(s"app has no query named or inserting into '$out'"))
+    (df, if (stateful) OutputMode.Complete() else OutputMode.Append(),
+      ordCols)
+  }
+
+  /** Harness-side deployment: feed the events table through a
+    * MemoryStream in `chunks` micro-batches, run the deployed topology to
+    * completion on a memory sink, return the final (ordered) table —
+    * the live twin the batch-replay oracle checks. */
+  def deployApp(spark: SparkSession, dir: String, app: String, out: String,
+                chunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.engine.Streaming.feedRows(spark, dir)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Cep.Ev]
+    val src = ms.toDF()
+      .select(col("eventId").as("event_id"), col("tsNs").as("ts_ns"),
+        col("userId").as("user_id"), col("eventType").as("event_type"),
+        col("value"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val (df, mode, ordCols) = deployAppOn(src, app, out)
+    val sinkName = s"graft_deploy_$out"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+      val per = math.max(rows.length / chunks, 1)
+      rows.grouped(per).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val t = spark.table(sinkName)
+    if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
   }
 }

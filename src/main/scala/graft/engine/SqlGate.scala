@@ -76,6 +76,26 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // LIVE deployment of a compiled app: the same text sql_app_chained
+    // replays in batch runs here as a real Structured Streaming topology
+    // (MemoryStream micro-batches → filter stage → timeBatch aggregation
+    // in complete mode → memory sink); the DuckDB oracle is the batch
+    // truth — the batch/stream parity gate for the text front-end
+    "sql_app_streaming" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'hot')
+        |from events[value > 120]
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotEvents;
+        |
+        |@info(name = 'perUserMinute')
+        |from HotEvents#window.timeBatch(1 min)
+        |select user_id, count() as n, math:round(sum(value), 2) as total
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into PerUserMinute""".stripMargin, "perUserMinute")),
     // indexed event access in pattern selects: e1[0] / e2[last] on the
     // proven sql_pattern_seq shape (same oracle; multi-event quantifier
     // indexing is pinned text ≡ DSL in SiddhiQlSpec)
@@ -320,6 +340,12 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // the deployed topology must equal the batch truth
+    "sql_app_streaming" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE value > 120
+        |GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
     // same truth as sql_pattern_seq: greedy first later purchase with a
     // larger value within 5 min (singleton bindings ⇒ [0] ≡ head,
     // [last] ≡ head)

@@ -42,6 +42,62 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("deployed SiddhiQL app: pattern NFA state survives a checkpoint " +
+       "restart and the live result equals batch replay") {
+    // deployAppOn: the same pattern TEXT the batch gate verifies runs as
+    // a live flatMapGroupsWithState topology; killing the query between
+    // files and restarting from the checkpoint must restore per-key NFA
+    // state (runs spanning the restart complete correctly) and re-emit
+    // nothing (parquet sink, exactly-once offsets).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dep_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dep_out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_dep_ck")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    val splitTs = all.agg(expr("min(ts) + (max(ts) - min(ts)) div 2"))
+      .collect()(0).getLong(0)
+    all.filter(col("ts") < splitTs).write.parquet(s"$srcDir/f1_a")
+    val appText =
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase' and value > e1.value]
+        |  within 5 min
+        |select e1.event_id as start_id, e2.event_id as next_id
+        |insert into Alerts""".stripMargin
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/f*")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val (df, mode, _) = graft.api.SiddhiQL.deployAppOn(raw, appText,
+        "alerts")
+      val q = df.writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // lifetime 1: some runs stay OPEN in NFA state
+    all.filter(col("ts") >= splitTs).write.parquet(s"$srcDir/f2_b")
+    runOnce() // lifetime 2: restored state completes spanning runs
+    val got = spark.read.parquet(outDir.toString)
+      .orderBy("start_id", "next_id").collect().toSeq
+    val want = graft.api.SiddhiQL.compile(spark, sf,
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase' and value > e1.value]
+        |  within 5 min
+        |select e1.event_id as start_id, e2.event_id as next_id
+        |order by start_id, next_id""".stripMargin).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no reprocessing") {
     // Siddhi's SnapshotService persistence ≡ Structured Streaming
     // checkpointing (SURVEY §2.7): a query killed between batches must
