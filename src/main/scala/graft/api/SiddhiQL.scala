@@ -102,6 +102,25 @@ object SiddhiQL extends Serializable {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
 
+  /** Row bound above which inherently sequential GLOBAL window shapes
+    * (unpartitioned `lengthBatch`, unpartitioned sliding frames, count
+    * rate limiters — all a single-task window sort, the reference's
+    * single-threaded window semantics) refuse to compile. Matching the
+    * reference's semantics is not a license to ship a 100 TB single-task
+    * plan: wrap the query in `partition with (<key> of S)` (or add
+    * `group by`) to shard it, or raise the bound deliberately. */
+  @volatile var maxGlobalWindowRows: Long = 5000000L
+
+  private def guardGlobalWindow(base: DataFrame, what: String): Unit = {
+    val n = base.count()
+    if (n > maxGlobalWindowRows)
+      fail(s"$what compiles to a single-task global window over $n " +
+        s"rows (> maxGlobalWindowRows = $maxGlobalWindowRows): shard it " +
+        "with `partition with (<key> of S)` / `group by`, or raise " +
+        "SiddhiQL.maxGlobalWindowRows if sequential semantics are " +
+        "genuinely required")
+  }
+
   // ---------- lexer ----------
   private sealed trait Tok
   private final case class TId(s: String) extends Tok
@@ -1174,6 +1193,8 @@ object SiddhiQL extends Serializable {
       selectOrAggregate(ast, df, implicitKeys, windowed = true)
 
     def sliding(frame: String): DataFrame = {
+      if (ast.groupBy.isEmpty && partKey.isEmpty)
+        guardGlobalWindow(base, "an unpartitioned sliding window")
       val part = if (ast.groupBy.isEmpty) ""
                  else s"partition by ${ast.groupBy.mkString(", ")} "
       val w = s"(${part}order by $frame)"
@@ -1214,6 +1235,7 @@ object SiddhiQL extends Serializable {
           // single-threaded window) — one-partition window by design;
           // inside `partition with`, chunks count per key and the window
           // parallelizes across keys
+          if (partKey.isEmpty) guardGlobalWindow(base, "lengthBatch")
           val pb = partKey.fold("")(k => s"partition by $k ")
           val withC = base.withColumn("chunk_id", expr(
             s"(row_number() over (${pb}order by ts_ns, event_id) - 1) " +
@@ -1462,6 +1484,7 @@ object SiddhiQL extends Serializable {
             s"ts_ns div ${t}L order by $ord)"))
           .where(col("__rn") === 1))
       case (m @ ("first" | "last"), None, Some(n)) =>
+        guardGlobalWindow(base, s"`output $m every $n events`")
         val pick = if (m == "first") "min" else "max"
         proj(base
           .withColumn("__rn",

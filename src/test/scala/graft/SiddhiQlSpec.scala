@@ -432,6 +432,40 @@ class SiddhiQlSpec extends AnyFunSuite {
       .getMessage.contains("define aggregation"))
   }
 
+  test("global-window guard: unpartitioned lengthBatch/sliding shapes " +
+       "above the row bound refuse to compile; sharded shapes pass") {
+    val prev = SiddhiQL.maxGlobalWindowRows
+    try {
+      SiddhiQL.maxGlobalWindowRows = 10L
+      def msg(q: String): String =
+        intercept[IllegalArgumentException](compile(q).collect())
+          .getMessage
+      assert(msg("from events#window.lengthBatch(100) " +
+        "select max(value) as mx order by chunk_id")
+        .contains("single-task global window"))
+      assert(msg("from events#window.length(5) " +
+        "select event_id, sum(value) as s order by event_id")
+        .contains("single-task global window"))
+      assert(msg("from events select event_id output first every 3 events")
+        .contains("single-task global window"))
+      // the same window inside `partition with` shards per key: no guard
+      val sharded = SiddhiQL.compileApp(spark, sf,
+        """partition with (user_id of events)
+          |begin
+          |  @info(name = 'q')
+          |  from events#window.lengthBatch(10)
+          |  select user_id, count() as n
+          |  order by user_id, chunk_id
+          |  insert into Out;
+          |end""".stripMargin)("q")
+      assert(sharded.count() > 0)
+      // and `group by` shards the sliding frame: no guard
+      assert(compile("from events#window.length(5) " +
+        "select event_id, sum(value) as s group by user_id " +
+        "order by event_id limit 3").count() == 3)
+    } finally SiddhiQL.maxGlobalWindowRows = prev
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
