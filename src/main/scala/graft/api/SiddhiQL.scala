@@ -587,6 +587,15 @@ object SiddhiQL extends Serializable {
       case Ref(bn :: f :: Nil) =>
         field(b.getOrElse(bn, fail(s"unbound pattern ref '$bn'")).head, f)
       case Ref(p) => fail(s"bad reference ${p.mkString(".")}")
+      case IdxRef(bn, idx, f) =>
+        val evs = b.getOrElse(bn, fail(s"unbound pattern ref '$bn'"))
+        idx match {
+          case Some(ix) =>
+            if (ix < evs.size) field(evs(ix), f)
+            else fail(s"$bn[$ix] out of range in a pattern predicate " +
+              s"(${evs.size} events bound)")
+          case None => field(evs.last, f)
+        }
       case Not(x) => !ev(x, cur, b).asInstanceOf[Boolean]
       case Neg(x) => -num(ev(x, cur, b))
       case Bin(op, l, r) =>
