@@ -70,9 +70,13 @@ object SiddhiQL extends Serializable {
       rightAlias: Option[String], on: Expr) extends StreamClause
   private sealed trait PatStep
   private final case class PatCond(binding: String, table: String,
-      cond: Expr, quant: Option[(Int, Int)] = None) extends PatStep
+      cond: Expr, quant: Option[(Int, Int)] = None,
+      strict: Boolean = false) extends PatStep
   private final case class PatAbsent(table: String, cond: Expr,
       forNs: Long) extends PatStep
+  /** Logical pair `e2=S[c] and|or e3=S[c]` (both / either-of). */
+  private final case class PatPair(isAnd: Boolean, b1: String, t1: String,
+      c1: Expr, b2: String, t2: String, c2: Expr) extends PatStep
   private final case class PatternStream(every: Boolean,
       steps: List[PatStep], withinNs: Option[Long]) extends StreamClause
 
@@ -309,6 +313,12 @@ object SiddhiQL extends Serializable {
 
     def windowSpec(): WindowSpec = {
       eatSym("#"); eatKw("window"); eatSym(".")
+      windowNameArgs()
+    }
+
+    /** `<name>(args)` with optional `ns:name` — shared by `#window.`
+      * clauses and `define window` declarations. */
+    def windowNameArgs(): WindowSpec = {
       val name0 = ident()
       val name = // namespaced windows: unique:first, unique:last
         if (trySym(":")) s"$name0:${ident()}" else name0
@@ -357,9 +367,40 @@ object SiddhiQL extends Serializable {
             } else None
             PatCond(b, tbl, cond, quant)
           }
+        // a condition step may extend to a logical pair:
+        // `e2=S[c] and|or e3=S[c]` (both-of / either-of)
+        def stepOrPair(): PatStep = {
+          val first = step()
+          val logical =
+            if (tryKw("and")) Some(true)
+            else if (tryKw("or")) Some(false)
+            else None
+          (logical, first) match {
+            case (None, s) => s
+            case (Some(isAnd), PatCond(b1, t1, c1, None, false)) =>
+              step() match {
+                case PatCond(b2, t2, c2, None, false) =>
+                  PatPair(isAnd, b1, t1, c1, b2, t2, c2)
+                case _ => fail("a logical pair joins two plain " +
+                  "condition steps")
+              }
+            case _ => fail("a logical pair joins two plain condition " +
+              "steps (no quantifiers/absence)")
+          }
+        }
         val steps = List.newBuilder[PatStep]
-        steps += step()
-        while (trySym("->")) steps += step()
+        steps += stepOrPair()
+        var more = true
+        while (more) {
+          if (trySym("->")) steps += stepOrPair()
+          else if (trySym(",")) steps += (stepOrPair() match {
+            // `,` strict-next: the very NEXT event must match
+            case c: PatCond => c.copy(strict = true)
+            case _ => fail("strict-next ',' precedes a plain condition " +
+              "step")
+          })
+          else more = false
+        }
         val w = if (tryKw("within")) Some(duration()) else None
         PatternStream(every, steps.result(), w)
       } else {
@@ -646,6 +687,7 @@ object SiddhiQL extends Serializable {
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
     var aggDefs = Map.empty[String, AggDef]
+    var windowDefs = Map.empty[String, WindowSpec]
     var results = Map.empty[String, DataFrame]
     var i = 0
     stmts.foreach { case (name, body) =>
@@ -671,6 +713,21 @@ object SiddhiQL extends Serializable {
           tableDefs += tname -> schema
           env += tname -> spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        } else if (p.tryKw("window")) {
+          // `define window W (col type, ...) timeBatch(1 min)` — a SHARED
+          // window: queries `insert into W` feed it, any number of later
+          // queries `from W` read THROUGH the same window spec (the
+          // reference's named-window sharing; engine twin:
+          // named_window_shared). Batch replay: the fed rows carry the
+          // spec, each reader compiles as fed-stream#window.spec — plan
+          // composition again, so Catalyst fuses feeder and readers
+          val wname = p.ident()
+          p.eatSym("(")
+          // schema comes from the feeding query; names are declarative
+          var done = false
+          while (!done) { p.ident(); p.ident()
+            if (!p.trySym(",")) { p.eatSym(")"); done = true } }
+          windowDefs += wname -> p.windowNameArgs()
         } else if (p.tryKw("trigger")) {
           // `define trigger T at every 10 min` — a tick stream. Batch
           // replay spans the replayed feed's event-time range (aligned
@@ -830,7 +887,18 @@ object SiddhiQL extends Serializable {
               .getOrElse { i += 1; s"q$i" }
             results += key -> next
           case None =>
-            val df = compileAst(spark, dir, ast, env, aggDefs)
+            // reading a named window compiles as fed-stream#window.spec
+            val ast1 = ast.stream match {
+              case ss: SingleStream if windowDefs.contains(ss.table) &&
+                  ss.window.isEmpty =>
+                if (!env.contains(ss.table))
+                  fail(s"named window '${ss.table}' has not been fed — " +
+                    "add an `insert into ${ss.table}` query first")
+                ast.copy(stream = ss.copy(
+                  window = Some(windowDefs(ss.table))))
+              case _ => ast
+            }
+            val df = compileAst(spark, dir, ast1, env, aggDefs)
             val key = name.orElse(ast.action.map(_.target)).getOrElse {
               i += 1; s"q$i"
             }
@@ -1540,53 +1608,83 @@ object SiddhiQL extends Serializable {
     if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
       fail("group by / having do not apply to pattern clauses")
     pt.steps.foreach { st =>
-      val tbl = st match {
-        case PatCond(_, t, _, _) => t
-        case PatAbsent(t, _, _) => t
+      val tbls = st match {
+        case PatCond(_, t, _, _, _) => Seq(t)
+        case PatAbsent(t, _, _) => Seq(t)
+        case PatPair(_, _, t1, _, _, t2, _) => Seq(t1, t2)
       }
-      if (!tbl.equalsIgnoreCase("events"))
-        fail(s"pattern streams read 'events', got '$tbl'")
+      tbls.foreach { tbl =>
+        if (!tbl.equalsIgnoreCase("events"))
+          fail(s"pattern streams read 'events', got '$tbl'")
+      }
     }
-    if (pt.steps.head.isInstanceOf[PatAbsent])
-      fail("a pattern cannot start with an absence")
-    // (binding, field, alias, extractor) — extractor picks the bound
-    // event: head for plain refs, position/last for indexed refs (a
-    // quantified binding holds several events); an out-of-range index
-    // yields null, the reference's missing-event semantics
+    pt.steps.head match {
+      case _: PatAbsent => fail("a pattern cannot start with an absence")
+      case _: PatPair => fail("a logical pair starts from the second " +
+        "step (v1)")
+      case _: PatCond => ()
+    }
+    val bindings = pt.steps.flatMap {
+      case PatCond(b, _, _, _, _) => Seq(b)
+      case PatPair(_, b1, _, _, b2, _, _) => Seq(b1, b2)
+      case _: PatAbsent => Nil
+    }.toSet
+    // extractor per select item — picks the bound event(s): head for
+    // plain refs, position/last for indexed refs (a quantified binding
+    // holds several events); an UNBOUND declared binding (the untaken
+    // branch of an or-pair) and out-of-range indexes yield null, the
+    // reference's missing-event semantics, so `coalesce(e2.f, e3.f)`
+    // projects whichever branch matched
+    def extractorOf(e: Expr): (Cep.Bindings => Any, DataType, String) =
+      e match {
+        case Ref(bn :: f :: Nil) =>
+          if (!bindings(bn)) fail(s"select references unknown binding " +
+            s"'$bn'")
+          ((bnd: Cep.Bindings) =>
+            bnd.get(bn).map(evs => field(evs.head, f)).orNull,
+            fieldType(f), s"${bn}_$f")
+        case IdxRef(bn, idx, f) =>
+          if (!bindings(bn)) fail(s"select references unknown binding " +
+            s"'$bn'")
+          ((bnd: Cep.Bindings) => bnd.get(bn) match {
+            case None => null
+            case Some(evs) => idx match {
+              case Some(ix) => if (ix < evs.size) field(evs(ix), f)
+                               else null
+              case None => field(evs.last, f)
+            }
+          }, fieldType(f), s"${bn}_$f")
+        case Call(None, n, args)
+            if n.equalsIgnoreCase("coalesce") && args.nonEmpty =>
+          val subs = args.map(extractorOf)
+          ((bnd: Cep.Bindings) =>
+            subs.iterator.map(_._1(bnd)).find(_ != null).orNull,
+            subs.head._2, "coalesce")
+        case other => fail("pattern select items must be binding.field " +
+          "/ binding[i].field references or coalesce(...) of them, " +
+          s"got '${sqlOf(other)}'")
+      }
     val sel: List[(String, String, String, Cep.Bindings => Any)] =
       ast.select.zipWithIndex.map { case (it, i) =>
-        it.e match {
-          case Ref(bn :: f :: Nil) =>
-            val a = it.alias.getOrElse(s"${bn}_$f")
-            (bn, f, a, (bnd: Cep.Bindings) => field(bnd(bn).head, f))
-          case IdxRef(bn, idx, f) =>
-            val a = it.alias.getOrElse(s"${bn}_$f")
-            (bn, f, a, (bnd: Cep.Bindings) => {
-              val evs = bnd(bn)
-              idx match {
-                case Some(ix) =>
-                  if (ix < evs.size) field(evs(ix), f) else null
-                case None => field(evs.last, f)
-              }
-            })
-          case _ => fail("pattern select items must be binding.field " +
-            s"or binding[i].field references, got '${sqlOf(it.e)}'")
-        }
+        val (ex, dt, base) = extractorOf(it.e)
+        val a = it.alias.getOrElse(if (base == "coalesce") s"col$i"
+                                   else base)
+        ("", dtName(dt), a, ex)
       }
-    val bindings = pt.steps.collect { case PatCond(b, _, _, _) => b }.toSet
-    sel.foreach { case (bn, _, _, _) =>
-      if (!bindings(bn)) fail(s"select references unknown binding '$bn'")
-    }
     var b = pt.steps.head match {
-      case PatCond(bn, _, cond, q) =>
+      case PatCond(bn, _, cond, q, _) =>
         val b0 = Patterns.begin(bn)(evalPred(cond))
         q.fold(b0) { case (m, n) => b0.times(m, n) }
-      case _: PatAbsent => fail("unreachable: head checked above")
+      case _ => fail("unreachable: head checked above")
     }
     pt.steps.tail.zipWithIndex.foreach {
-      case (PatCond(bn, _, cond, q), _) =>
-        b = b.followedBy(bn)(evalPred(cond))
+      case (PatCond(bn, _, cond, q, strict), _) =>
+        b = if (strict) b.next(bn)(evalPred(cond))
+            else b.followedBy(bn)(evalPred(cond))
         q.foreach { case (m, n) => b = b.times(m, n) }
+      case (PatPair(isAnd, b1, _, c1, b2, _, c2), _) =>
+        b = if (isAnd) b.both(b1)(evalPred(c1))(b2)(evalPred(c2))
+            else b.either(b1)(evalPred(c1))(b2)(evalPred(c2))
       case (PatAbsent(_, cond, forNs), i) =>
         b = b.notFor(s"__not$i",
           scala.concurrent.duration.Duration.fromNanos(forNs))(
@@ -1596,8 +1694,21 @@ object SiddhiQL extends Serializable {
       b = b.within(scala.concurrent.duration.Duration.fromNanos(w))
     }
     if (!pt.every) b = b.firstOnly
-    val out = sel.map { case (_, f, a, _) => (a, fieldType(f)) }
+    val out = sel.map { case (_, tn, a, _) => (a, typeOfName(tn)) }
     (b, sel, out)
+  }
+
+  private def dtName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case DoubleType => "double"
+    case StringType => "string"
+    case other => fail(s"unsupported pattern output type $other")
+  }
+  private def typeOfName(n: String): DataType = n match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case other => fail(s"unsupported pattern output type '$other'")
   }
 
   private def compilePattern(spark: SparkSession, dir: String, ast: Ast,

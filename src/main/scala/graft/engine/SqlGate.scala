@@ -76,6 +76,41 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // `,` strict-next: the very NEXT event of the user must match
+    "sql_pattern_strict" -> q(
+      """from every e1=events[event_type == 'error'],
+        |  e2=events[event_type == 'purchase']
+        |select e1.user_id as user_id, e1.event_id as first_id,
+        |  e2.event_id as second_id
+        |order by first_id
+        |insert into strictSeq""".stripMargin),
+    // logical or-pair: either branch binds; coalesce projects the taken
+    // branch (the untaken binding is null)
+    "sql_pattern_logical" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |     or e3=events[event_type == 'signup']
+        |  within 5 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  coalesce(e2.event_id, e3.event_id) as next_id,
+        |  coalesce(e2.event_type, e3.event_type) as next_type
+        |order by start_id
+        |insert into orMatches""".stripMargin),
+    // define window: one feeder, readers share the window spec
+    "sql_named_window" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define window HotWin (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(1 min);
+        |
+        |@info(name = 'feed')
+        |from events[value > 100]
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotWin;
+        |
+        |@info(name = 'perMin')
+        |from HotWin
+        |select count() as n, math:round(sum(value), 2) as sv
+        |order by w_start_ms
+        |insert into Out""".stripMargin)("perMin")),
     // LIVE deployment of a compiled app: the same text sql_app_chained
     // replays in batch runs here as a real Structured Streaming topology
     // (MemoryStream micro-batches → filter stage → timeBatch aggregation
@@ -340,6 +375,36 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // errors whose immediately-next event (per user) is a purchase
+    "sql_pattern_strict" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS nxt_type,
+        |    lead(event_id) OVER w AS nxt_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS first_id, nxt_id AS second_id
+        |FROM seq WHERE event_type = 'error' AND nxt_type = 'purchase'
+        |ORDER BY first_id""".stripMargin,
+    // each error takes its FIRST later purchase-or-signup within 5 min
+    "sql_pattern_logical" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |nxt AS (SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'signup'))
+        |SELECT user_id, start_id, next_id, next_type FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, n.event_id AS next_id,
+        |    n.event_type AS next_type,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY n.ts, n.event_id) AS rk
+        |  FROM err e JOIN nxt n ON e.user_id = n.user_id
+        |    AND n.ts > e.ts AND n.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id""".stripMargin,
+    // per-minute buckets of the fed (value > 100) window
+    "sql_named_window" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events WHERE value > 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the deployed topology must equal the batch truth
     "sql_app_streaming" ->
       """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,

@@ -346,6 +346,62 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(viaSql.exists(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("logical and-pair ≡ DSL both(); pair-at-head and bad coalesce " +
+       "diagnostics") {
+    import spark.implicits._
+    val viaSql = compile(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |     and e3=events[event_type == 'signup']
+        |select e1.event_id as start_id, e2.event_id as p_id,
+        |  e3.event_id as s_id
+        |order by start_id, p_id""".stripMargin).collect().toSeq
+    val viaDsl = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .both("e2")((e, _) => e.eventType == "purchase")(
+        "e3")((e, _) => e.eventType == "signup")
+      .select[(Long, Long, Long)](spark, sf) { b =>
+        (b("e1").head.eventId, b("e2").head.eventId, b("e3").head.eventId)
+      }.toDF("start_id", "p_id", "s_id")
+      .orderBy("start_id", "p_id").collect().toSeq
+    assert(viaSql == viaDsl)
+    assert(viaSql.nonEmpty)
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    assert(msg("from every e1=events[value > 0] or e2=events[value < 0] " +
+      "-> e3=events[value > 9] select e1.event_id as a")
+      .contains("starts from the second step"))
+    assert(msg("from every e1=events[value > 0] -> e2=events[value > 0] " +
+      "select coalesce(1, 2) as x")
+      .contains("binding.field"))
+  }
+
+  test("named window: two readers share one definition consistently") {
+    val app =
+      """define window W (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(10 min);
+        |@info(name = 'feed')
+        |from events[event_type == 'click']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into W;
+        |@info(name = 'global')
+        |from W select count() as n order by w_start_ms insert into A;
+        |@info(name = 'perUser')
+        |from W select user_id, count() as n group by user_id
+        |order by w_start_ms, user_id insert into B""".stripMargin
+    val rs = SiddhiQL.compileApp(spark, sf, app)
+    val globalTotal = rs("global").agg(sum("n")).collect()(0).getLong(0)
+    val perUserTotal = rs("perUser").agg(sum("n")).collect()(0).getLong(0)
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("event_type") === "click").count()
+    assert(globalTotal == direct && perUserTotal == direct)
+    // reading an unfed window names the problem
+    assert(intercept[IllegalArgumentException](SiddhiQL.compileApp(spark,
+      sf, """define window W (a long) timeBatch(1 min);
+        |from W select count() as n insert into O""".stripMargin))
+      .getMessage.contains("has not been fed"))
+  }
+
   test("unique:last window ≡ direct keep-last dedup; frequent window " +
        "retains exact top-N keys") {
     val viaSql = compile(
