@@ -328,6 +328,7 @@ object SiddhiQL extends Serializable {
       if (!trySym(")")) {
         def arg(): Unit = peek match {
           case TId(_) => sargs += ident() // attribute-name argument
+          case TStr(s) => advance(); sargs += s // 'asc' / 'desc'
           case _ => peek2 match {
             case TId(_) => args += duration() // "1 min" — number + unit
             case _ => args += intLit()
@@ -572,10 +573,44 @@ object SiddhiQL extends Serializable {
         }
         s"cast(${a(0)} as $t)"
       case (Some("str"), n @ ("upper" | "lower" | "length" | "trim" |
-                              "concat")) => std(n)
+                              "concat" | "reverse" | "repeat")) => std(n)
       case (Some("str"), "contains") => s"(instr(${a(0)}, ${a(1)}) > 0)"
+      // Siddhi str:substr / str:charAt are 0-based [public doc,
+      // unverified]; SQL substring is 1-based
+      case (Some("str"), "substr") =>
+        s"substring(${a(0)}, ${a(1)} + 1, ${a(2)})"
+      case (Some("str"), "charat") =>
+        s"substring(${a(0)}, ${a(1)} + 1, 1)"
+      case (Some("str"), "replaceall") =>
+        s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})"
+      case (Some("str"), "equalsignorecase") =>
+        s"(lower(${a(0)}) = lower(${a(1)}))"
       case (Some("math"), n @ ("abs" | "round" | "sqrt" | "floor" |
-                               "ceil" | "power")) => std(n)
+                               "ceil" | "power" | "exp" | "sin" | "cos" |
+                               "tan" | "log10" | "log2")) => std(n)
+      case (Some("math"), "log") => s"ln(${a(0)})"
+      case (Some("math"), "min") => s"least(${a.mkString(", ")})"
+      case (Some("math"), "max") => s"greatest(${a.mkString(", ")})"
+      case (Some("math"), "signum") => s"sign(${a(0)})"
+      // time:extract('hour', epochMs) — unit names the SQL extractor
+      case (Some("time"), "extract") =>
+        val u = a(0).stripPrefix("'").stripSuffix("'").toLowerCase
+        if (!Set("year", "month", "day", "hour", "minute", "second")(u))
+          fail(s"time:extract: unknown unit '$u'")
+        s"$u(timestamp_millis(cast(${a(1)} as bigint)))"
+      case (Some("json"), "getstring") =>
+        s"get_json_object(${a(0)}, ${a(1)})"
+      case (Some("json"), "getdouble") =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as double)"
+      case (Some("json"), ("getlong" | "getint")) =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as bigint)"
+      // Siddhi regex:* takes (regex, input[, group]) [public doc,
+      // unverified]; find = substring search, matches = whole-string
+      case (Some("regex"), "find") => s"(${a(1)} rlike ${a(0)})"
+      case (Some("regex"), "matches") =>
+        "(" + a(1) + " rlike concat('^(?:', " + a(0) + ", ')$'))"
+      case (Some("regex"), "group") =>
+        s"regexp_extract(${a(1)}, ${a(0)}, ${a(2)})"
       case (nsx, n) =>
         fail(s"unsupported function ${nsx.fold("")(_ + ":")}$n")
     }
@@ -1340,6 +1375,36 @@ object SiddhiQL extends Serializable {
         case "time" =>
           sliding(s"ts_ns range between ${args.head} " +
             "preceding and current row")
+        case "externaltime" =>
+          // sliding time window driven by a NAMED ns-epoch attribute
+          // (engine twin: window_external_time); `time` drives off ts_ns
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("externalTime needs a timestamp attribute argument"))
+          sliding(s"$attr range between ${args.head} " +
+            "preceding and current row")
+        case "externaltimebatch" =>
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("externalTimeBatch needs a timestamp attribute argument"))
+          val tNs = args.head
+          val withW = base.withColumn("w_start_ms",
+            expr(s"($attr div ${tNs}L) * ${tNs / 1000000}L"))
+          grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
+        case "sort" =>
+          // sort(N, attr, 'asc'|'desc'): retain the N first events by
+          // attr order. orderBy(...).limit(N) plans as a DISTRIBUTED
+          // TakeOrdered (per-partition top-N + merge), never a global
+          // sort — the shape that survives 100 TB
+          val n = args.headOption.getOrElse(
+            fail("sort needs a count argument")).toInt
+          val sa = s.window.get.sargs
+          val attr = sa.headOption.getOrElse(
+            fail("sort needs an attribute argument"))
+          val asc = sa.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
+          val ord = if (asc)
+            Seq(col(attr).asc, col("ts_ns").asc, col("event_id").asc)
+          else Seq(col(attr).desc, col("ts_ns").asc, col("event_id").asc)
+          val kept = base.orderBy(ord: _*).limit(n)
+          selectOrAggregate(ast, kept, Nil, windowed = false)
         case n @ ("unique:first" | "unique:last") =>
           // dedup retention window: keep the first/last event per
           // distinct key value (engine twin: Windows uniqueFirst/Last) —
@@ -1374,8 +1439,8 @@ object SiddhiQL extends Serializable {
           val kept = base.join(broadcast(top), Seq(attr), "left_semi")
           selectOrAggregate(ast, kept, Nil, windowed = false)
         case other => fail(s"unsupported window '$other' (supported: " +
-          "timeBatch, lengthBatch, session, length, time, unique:first, " +
-          "unique:last, frequent)")
+          "timeBatch, lengthBatch, session, length, time, externalTime, " +
+          "externalTimeBatch, sort, unique:first, unique:last, frequent)")
       }
     }
   }

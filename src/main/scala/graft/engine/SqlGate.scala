@@ -76,6 +76,30 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // function namespaces: str/math/time/json/regex families compiled to
+    // codegen'd Spark SQL expressions (never UDFs)
+    "sql_functions" -> q(
+      """from events[event_id < 500]
+        |select event_id,
+        |  str:substr(event_type, 0, 3) as t3,
+        |  str:reverse(event_type) as rev,
+        |  str:repeat(str:upper(event_type), 2) as up2,
+        |  str:equalsIgnoreCase(event_type, 'CLICK') as is_click,
+        |  math:min(value, 100.0) as vmin,
+        |  math:max(value, 100.0) as vmax,
+        |  time:extract('hour', ts_ns / 1000000) as hr,
+        |  json:getLong(props, '$.k') as pk,
+        |  regex:group('([a-z]+)', event_type, 1) as g1,
+        |  regex:find('err', event_type) as has_err,
+        |  regex:matches('e.*r', event_type) as full_match
+        |order by event_id
+        |insert into Out""".stripMargin),
+    // sort(N, attr, 'desc'): distributed top-N retention window
+    "sql_sort_window" -> q(
+      """from events#window.sort(5, value, 'desc')
+        |select math:round(sum(value), 2) as sv, count() as n,
+        |  math:round(min(value), 2) as vmin
+        |insert into Out""".stripMargin),
     // `,` strict-next: the very NEXT event of the user must match
     "sql_pattern_strict" -> q(
       """from every e1=events[event_type == 'error'],
@@ -375,6 +399,27 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // function-family parity, 0-based substr shifted to SQL's 1-based
+    "sql_functions" ->
+      """SELECT event_id,
+        |  substring(event_type, 1, 3) AS t3,
+        |  reverse(event_type) AS rev,
+        |  repeat(upper(event_type), 2) AS up2,
+        |  (lower(event_type) = lower('CLICK')) AS is_click,
+        |  least(value, 100.0) AS vmin,
+        |  greatest(value, 100.0) AS vmax,
+        |  hour(ts) AS hr,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS pk,
+        |  regexp_extract(event_type, '([a-z]+)', 1) AS g1,
+        |  regexp_matches(event_type, 'err') AS has_err,
+        |  regexp_matches(event_type, '^(?:e.*r)$') AS full_match
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    // exact top-5 values by (value desc, arrival) — aggregated
+    "sql_sort_window" ->
+      """SELECT round(sum(value), 2) AS sv, count(*) AS n,
+        |  round(min(value), 2) AS vmin
+        |FROM (SELECT value FROM events
+        |  ORDER BY value DESC, ts, event_id LIMIT 5) t""".stripMargin,
     // errors whose immediately-next event (per user) is a purchase
     "sql_pattern_strict" ->
       """WITH seq AS (SELECT user_id, event_id, event_type,

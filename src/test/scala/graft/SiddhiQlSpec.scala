@@ -92,8 +92,8 @@ class SiddhiQlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](compile(q)).getMessage
     assert(msg("from events#window.hopping(3) select count() as n")
       .contains("unsupported window 'hopping'"))
-    assert(msg("from events select str:reverse(event_type) as r")
-      .contains("unsupported function str:reverse"))
+    assert(msg("from events select str:rot13(event_type) as r")
+      .contains("unsupported function str:rot13"))
     assert(msg("from events#window.timeBatch(1 min) select value, " +
       "count() as n").contains("must be a group by column"))
     assert(msg("from events select event_id extra_token")
@@ -374,6 +374,38 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(msg("from every e1=events[value > 0] -> e2=events[value > 0] " +
       "select coalesce(1, 2) as x")
       .contains("binding.field"))
+  }
+
+  test("sort window asc keeps the N smallest; externalTime(ts_ns) ≡ " +
+       "time window; math:log with epsilon") {
+    val bottom3 = compile(
+      """from events#window.sort(3, value)
+        |select math:round(min(value), 2) as lo,
+        |  math:round(max(value), 2) as hi, count() as n""".stripMargin)
+      .collect()(0)
+    val direct = engine.Tables.events(spark, sf)
+      .orderBy(col("value").asc, col("ts_ns").asc, col("event_id").asc)
+      .limit(3).agg(round(min("value"), 2), round(max("value"), 2),
+        count(lit(1))).collect()(0)
+    assert(bottom3 == direct && bottom3.getLong(2) == 3L)
+    val viaExt = compile(
+      """from events#window.externalTime(ts_ns, 10 min)
+        |select event_id, math:round(sum(value), 2) as s
+        |group by user_id order by event_id limit 50""".stripMargin)
+      .collect().toSeq
+    val viaTime = compile(
+      """from events#window.time(10 min)
+        |select event_id, math:round(sum(value), 2) as s
+        |group by user_id order by event_id limit 50""".stripMargin)
+      .collect().toSeq
+    assert(viaExt == viaTime && viaExt.nonEmpty)
+    val lg = compile(
+      "from events[event_id == 0] select math:log(value + 1.0) as lg")
+      .collect()(0).getDouble(0)
+    val want = engine.Tables.events(spark, sf)
+      .where(col("event_id") === 0)
+      .select(log(col("value") + 1.0)).collect()(0).getDouble(0)
+    assert(math.abs(lg - want) < 1e-12)
   }
 
   test("named window: two readers share one definition consistently") {
