@@ -212,6 +212,46 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  /** 10× events fixture for the table-DML rehearsal: replica k offsets
+    * BOTH event_id and user_id by k·10M (disjoint key spaces, identical
+    * timestamps) — per-key last-event-wins is provably per-replica, so
+    * each replica's upsert result must equal the base result id-shifted. */
+  private lazy val evDir10: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_scale10e")
+      .toString
+    val repCol = explode(expr(s"sequence(0, ${reps - 1})")).as("rep")
+    Tables.events(spark, baseSf)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"), repCol)
+      .withColumn("event_id", col("event_id") + col("rep") * off)
+      .withColumn("user_id", col("user_id") + col("rep") * off)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    out
+  }
+
+  test("10x table-DML upsert: keyed MERGE replica-isolated, rep-0 " +
+       "exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val q = SqlGate.queries("sql_table_upsert")
+    val base = q(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"sql_table_upsert 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.length == reps * base.length,
+      s"10x row count ${got.length} != ${reps}x base ${base.length}")
+    // per-key last-event-wins cannot cross disjoint user spaces: every
+    // replica must reproduce the base MERGE result with shifted ids
+    (0 until reps).foreach { k =>
+      val slice = got.filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
+        .map(t => (t._1 - k * off, t._2, t._3)).toSeq
+      assert(slice == base, s"replica $k diverges from the base MERGE")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   /** 10× corpus for the token-level round-4 ops: replica k>0 renames
     * every token t → "r<k>_<t>" — a bijection per replica (preserves all
     * within-replica token equalities, hence paragraph structure and
