@@ -1204,7 +1204,8 @@ object SiddhiQL extends Serializable {
           fail(s"within/per reads require `define aggregation " +
             s"${s.table}` in an app context (compileApp)")
         compileSingle(spark, dir, ast, s, env, partKey)
-      case (None, j: JoinStream)     => compileJoin(spark, dir, ast, j, env)
+      case (None, j: JoinStream) =>
+        compileJoin(spark, dir, ast, j, env, aggDefs)
       case (None, pt: PatternStream) => compilePattern(spark, dir, ast, pt)
     }
     val ordered =
@@ -1275,10 +1276,21 @@ object SiddhiQL extends Serializable {
 
   private def compileJoin(spark: SparkSession, dir: String, ast: Ast,
                           j: JoinStream,
-                          env: Map[String, DataFrame]): DataFrame = {
+                          env: Map[String, DataFrame],
+                          aggDefs: Map[String, AggDef] = Map.empty
+                         ): DataFrame = {
     def side(ss: SingleStream, a: Option[String]): DataFrame = {
+      if (aggDefs.contains(ss.table)) {
+        // `from S join AggTable within … per 'grain'` — the enrichment
+        // join over the grain cascade's stored table (all stored attrs
+        // joinable/selectable); the rolled aggregate is tiny next to the
+        // stream, so Catalyst broadcasts it
+        val stored = aggStored(spark, dir, ss, aggDefs(ss.table), env)
+        return a.fold(stored)(stored.alias)
+      }
       if (ss.aggWithin.nonEmpty || ss.aggPer.nonEmpty)
-        fail("within/per aggregation reads cannot be join sides (v1)")
+        fail(s"within/per requires `define aggregation ${ss.table}` in " +
+          "an app context")
       val b0 = loadTable(spark, dir, ss.table, env)
       val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
       a.fold(b1)(b1.alias)
@@ -1455,7 +1467,11 @@ object SiddhiQL extends Serializable {
     * the source scan as a row-level time filter (grain-aligned, so
     * parquet min/max pruning applies) — at 100 TB a `within 1 day` read
     * touches one day of row groups, not the corpus. */
-  private def compileAggQuery(spark: SparkSession, dir: String, ast: Ast,
+  /** The STORED table of an aggregation read (`bucket_start_ms` + group
+    * keys + defined aliases) at the requested grain and range — used
+    * directly by [[compileAggQuery]] and as a JOIN SIDE (the reference's
+    * `from S join AggTable within … per …` enrichment idiom). */
+  private def aggStored(spark: SparkSession, dir: String,
       s: SingleStream, adef: AggDef,
       env: Map[String, DataFrame]): DataFrame = {
     val per = grainKey(s.aggPer.getOrElse(
@@ -1476,9 +1492,6 @@ object SiddhiQL extends Serializable {
     }
     val (lo, hi) = (boundMs(loE), boundMs(hiE))
     if (hi <= lo) fail(s"within range is empty: $lo ... $hi")
-    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
-      fail("an aggregation read is a projection over stored attributes " +
-        "(no group by / having — grouping happened at definition time)")
     if (s.filter.nonEmpty || s.window.nonEmpty)
       fail("an aggregation read takes no filter/window (v1)")
 
@@ -1555,7 +1568,7 @@ object SiddhiQL extends Serializable {
       .withColumnRenamed("__bp", "bucket_start_ms")
       .where(col("bucket_start_ms") >= lo && col("bucket_start_ms") < hi)
     // finalize derived aggregates (avg = sum/count), keep keys
-    val stored = rolled.select(col("bucket_start_ms") +:
+    rolled.select(col("bucket_start_ms") +:
       (keys.map(col) ++ adef.select.zipWithIndex.map { case (it, i) =>
         val a = alias(it, i)
         it.e match {
@@ -1563,6 +1576,15 @@ object SiddhiQL extends Serializable {
           case _ => fMap(a)
         }
       }): _*)
+  }
+
+  private def compileAggQuery(spark: SparkSession, dir: String, ast: Ast,
+      s: SingleStream, adef: AggDef,
+      env: Map[String, DataFrame]): DataFrame = {
+    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("an aggregation read is a projection over stored attributes " +
+        "(no group by / having — grouping happened at definition time)")
+    val stored = aggStored(spark, dir, s, adef, env)
     // the read's select is a projection over bucket_start_ms + stored attrs
     val items = itemsOf(ast)
     items.foreach { case (_, a, isAgg) =>

@@ -76,6 +76,22 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+    // stream ⋈ aggregation: enrichment join over the grain cascade's
+    // stored table (rolled aggregate broadcasts)
+    "sql_join_aggregation" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define aggregation EvAgg
+        |from events
+        |select user_id, sum(value) as total, count() as cnt
+        |group by user_id
+        |aggregate by ts_ns every min, hour, day;
+        |
+        |@info(name = 'enriched')
+        |from customer as c join EvAgg as a
+        |  within 1704153600000, 1704240000000 per 'days'
+        |  on c.c_custkey == a.user_id
+        |select c_custkey, math:round(a.total, 2) as total, a.cnt as cnt
+        |order by c_custkey
+        |insert into Out""".stripMargin)("enriched")),
     // function namespaces: str/math/time/json/regex families compiled to
     // codegen'd Spark SQL expressions (never UDFs)
     "sql_functions" -> q(
@@ -399,6 +415,18 @@ object SqlGate {
         |    AND p.user_id = e.user_id AND p.ts > e.ts
         |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
         |ORDER BY e.event_id""".stripMargin,
+    // customers enriched with their day-grain event totals (Jan 2)
+    "sql_join_aggregation" ->
+      """WITH agg AS (
+        |  SELECT user_id, round(sum(value), 2) AS total,
+        |    count(*) AS cnt
+        |  FROM events
+        |  WHERE epoch_ms(ts) >= 1704153600000
+        |    AND epoch_ms(ts) < 1704240000000
+        |  GROUP BY 1)
+        |SELECT c.c_custkey, a.total, a.cnt
+        |FROM customer c JOIN agg a ON c.c_custkey = a.user_id
+        |ORDER BY c_custkey""".stripMargin,
     // function-family parity, 0-based substr shifted to SQL's 1-based
     "sql_functions" ->
       """SELECT event_id,
