@@ -876,12 +876,8 @@ object SiddhiQL extends Serializable {
                 .where(col("partition_key").isNotNull))
         }
         val envInner = env + (srcName -> view)
-        innerBody.split(";").map(_.trim).filter(_.nonEmpty).foreach { q =>
-          val (qName, qBody) = {
-            val mm = ("(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'" +
-              "\\s*\\)\\s*(.*)").r.findFirstMatchIn(q)
-            mm.map(g => (Some(g.group(1)), g.group(2))).getOrElse((None, q))
-          }
+        innerBody.split(";").map(_.trim).filter(_.nonEmpty)
+          .flatMap(stripAnnotations).foreach { case (qName, qBody) =>
           val ast0 = new P(lex(qBody)).query()
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
@@ -977,12 +973,56 @@ object SiddhiQL extends Serializable {
       }
     }
     if (depth != 0) fail("partition block missing 'end'")
-    joined.result().map { stmt =>
-      val m = "(?s)^@info\\s*\\(\\s*name\\s*=\\s*'([^']*)'\\s*\\)\\s*(.*)"
-        .r.findFirstMatchIn(stmt)
-      m.map(g => (Some(g.group(1)): Option[String], g.group(2)))
-        .getOrElse((None, stmt))
+    joined.result().flatMap(stripAnnotations).map { case (n, b) => (n, b) }
+  }
+
+  /** Strip leading `@name(...)` / `@ns:name(...)` annotations from a
+    * statement — real reference apps open with `@app:name('…')` and
+    * decorate streams with `@source(type='kafka', @map(type='json'))` /
+    * `@sink(...)` transport config (deployment concerns, documented
+    * delta SURVEY §7.4; nested annotations and quoted strings are
+    * skipped with a balanced scan). `@info(name='x')` is kept as the
+    * query name; an annotation-only statement (e.g. a bare `@app:name`)
+    * dissolves. */
+  private def stripAnnotations(stmt: String)
+      : Option[(Option[String], String)] = {
+    var s = stmt
+    var name: Option[String] = None
+    var go = true
+    while (go) {
+      val m = "(?s)^@\\s*([A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)?)\\s*\\("
+        .r.findFirstMatchIn(s)
+      m match {
+        case None => go = false
+        case Some(mm) =>
+          // balanced-paren scan from the annotation's '(' — respects
+          // single-quoted strings and nested @map(...) annotations
+          var i = mm.end - 1
+          var depth = 0
+          var inStr = false
+          var endAt = -1
+          while (endAt < 0 && i < s.length) {
+            s(i) match {
+              case '\'' => inStr = !inStr
+              case '(' if !inStr => depth += 1
+              case ')' if !inStr =>
+                depth -= 1
+                if (depth == 0) endAt = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (endAt < 0) fail(s"unbalanced annotation: '${s.take(40)}...'")
+          val ann = mm.group(1).toLowerCase
+          if (ann == "info") {
+            val body = s.substring(mm.end, endAt)
+            name = "name\\s*=\\s*'([^']*)'".r.findFirstMatchIn(body)
+              .map(_.group(1)).orElse(name)
+          }
+          s = s.substring(endAt + 1).trim
+      }
     }
+    if (s.isEmpty) None else Some((name, s))
   }
 
   // ---------- incremental aggregation (define aggregation + within/per) --

@@ -408,6 +408,33 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(math.abs(lg - want) < 1e-12)
   }
 
+  test("a realistic annotated app compiles verbatim: @app:name, " +
+       "@source/@sink transport config (incl. nested @map) are " +
+       "tolerated as deployment concerns") {
+    val app =
+      """@app:name('Alert-Processor');
+        |@app:description('errors above threshold per minute');
+        |
+        |@source(type = 'kafka', topic = 'events',
+        |  @map(type = 'json', @attributes(id = '$.id')))
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@sink(type = 'log', prefix = 'ALERT')
+        |@info(name = 'alerts')
+        |from events[event_type == 'error' and value > 150]
+        |select user_id, count() as n
+        |group by user_id
+        |order by user_id
+        |insert into AlertStream""".stripMargin
+    val got = SiddhiQL.compileApp(spark, sf, app)("alerts").collect().toSeq
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("event_type") === "error" && col("value") > 150)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(got == direct && got.nonEmpty)
+  }
+
   test("named window: two readers share one definition consistently") {
     val app =
       """define window W (event_id long, ts_ns long, user_id long,
