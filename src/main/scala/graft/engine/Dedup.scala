@@ -646,7 +646,41 @@ object Dedup {
       .orderBy("para_hash")
   }
 
+  /** corpus_decontaminate: benchmark DECONTAMINATION — flag training
+    * documents sharing any 8-token n-gram with the evaluation/benchmark
+    * set (the standard pre-training hygiene step: eval contamination
+    * inflates benchmark scores, so contaminated docs are dropped or
+    * flagged before training). Here the benchmark set is the synthetic
+    * stand-in `doc_id % 7 == 0`; a real pipeline feeds the actual eval
+    * suites.
+    *
+    * Execution: one scan builds md5'd 8-gram streams for both sides;
+    * the benchmark's DISTINCT gram set broadcasts (an eval suite is
+    * fixed-size — MB-scale against a 100 TB corpus BY DEFINITION, which
+    * is what makes decontamination a broadcast semi-join, not a
+    * shuffle); corpus grams hash-join against it and aggregate per doc.
+    * Like [[paragraphDedup]], grams are md5'd BEFORE any join so the
+    * broadcast and probe carry 32-hex keys, not raw text. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val G = 8
+    val grams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= G)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $G), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $G), ' ')))"))
+        .as("gram"))
+    val bset = grams.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select("gram").distinct()
+    grams.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      .join(broadcast(bset), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_decontaminate" -> (decontaminate _),
     "dedup_paragraph"     -> (paragraphDedup _),
     "dedup_substring"     -> (substringPairs _),
     "dedup_keeper_filter" -> (keeperFilter _),
@@ -663,6 +697,20 @@ object Dedup {
       " i -> substr(text, i, 5)))"
 
   val oracle: Map[String, String] = Map(
+    // DuckDB list slicing is 1-based inclusive: t[i:i+7] = 8 tokens
+    "corpus_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 7),
+        |    i -> md5(array_to_string(t[i:i+7], ' ')))) AS gram
+        |  FROM toks WHERE len(t) >= 8),
+        |bset AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+        |FROM grams g JOIN bset b USING (gram)
+        |WHERE g.doc_id % 7 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
         |  FROM documents),
