@@ -738,6 +738,23 @@ object SiddhiQL extends Serializable {
     val stmts = splitStatements(app)
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
+    // `insert into Out` from MULTIPLE queries is the reference's fan-in:
+    // the named stream carries the UNION of every writer (a
+    // StreamJunction merging publishers). Tables are excluded — their
+    // multi-writer semantics are the keyed MERGE in applyDml.
+    def feed(target: String, df: DataFrame): DataFrame = {
+      val next = env.get(target) match {
+        case Some(prev) if !tableDefs.contains(target) =>
+          if (prev.columns.toSet != df.columns.toSet)
+            fail(s"queries inserting into '$target' disagree on its " +
+              s"schema: [${prev.columns.mkString(", ")}] vs " +
+              s"[${df.columns.mkString(", ")}]")
+          prev.unionByName(df)
+        case _ => df
+      }
+      env += target -> next
+      next
+    }
     var aggDefs = Map.empty[String, AggDef]
     var windowDefs = Map.empty[String, WindowSpec]
     var results = Map.empty[String, DataFrame]
@@ -913,7 +930,7 @@ object SiddhiQL extends Serializable {
           val key = qName.orElse(ast.action.map(_.target)).getOrElse {
             i += 1; s"q$i"
           }
-          ast.action.foreach(a => env += a.target -> df)
+          ast.action.foreach(a => feed(a.target, df))
           results += key -> df
         }
       } else if (head.equalsIgnoreCase("from")) {
@@ -950,7 +967,7 @@ object SiddhiQL extends Serializable {
             val key = name.orElse(ast.action.map(_.target)).getOrElse {
               i += 1; s"q$i"
             }
-            ast.action.foreach(a => env += a.target -> df)
+            ast.action.foreach(a => feed(a.target, df))
             results += key -> df
         }
       } else fail(s"unsupported statement: '${body.take(40)}...'")

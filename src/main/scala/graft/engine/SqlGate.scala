@@ -341,6 +341,30 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // multiple queries inserting into ONE named stream = the reference's
+    // fan-in (StreamJunction merging publishers): the downstream reader
+    // sees the UNION of every writer
+    "sql_multi_writer" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'spikes')
+        |from events[value > 180]
+        |select user_id, 'spike' as reason, value
+        |insert into Alerts;
+        |
+        |@info(name = 'errors')
+        |from events[event_type == 'error']
+        |select user_id, 'error' as reason, value
+        |insert into Alerts;
+        |
+        |@info(name = 'summary')
+        |from Alerts
+        |select user_id, reason, count() as n,
+        |  math:round(sum(value), 2) as total
+        |group by user_id, reason
+        |order by user_id, reason
+        |insert into Out""".stripMargin)("summary")),
     "sql_pattern_seq" -> q(
       """from every e1=events[event_type == 'error']
         |  -> e2=events[event_type == 'purchase' and value > e1.value]
@@ -352,6 +376,19 @@ object SqlGate {
   )
 
   val oracle: Map[String, String] = Map(
+    // fan-in: union of both writers, then the summary aggregation.
+    // An event can satisfy BOTH writers (an 'error' with value > 180)
+    // and must then appear twice — UNION ALL, not UNION
+    "sql_multi_writer" ->
+      """WITH alerts AS (
+        |  SELECT user_id, 'spike' AS reason, value FROM events
+        |  WHERE value > 180
+        |  UNION ALL
+        |  SELECT user_id, 'error' AS reason, value FROM events
+        |  WHERE event_type = 'error')
+        |SELECT user_id, reason, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM alerts GROUP BY 1, 2 ORDER BY user_id, reason""".stripMargin,
     "sql_filter_project" ->
       """SELECT event_id, user_id, value * 2 AS v2 FROM events
         |WHERE value > 120 AND event_type = 'click'

@@ -581,6 +581,26 @@ class SiddhiQlSpec extends AnyFunSuite {
     } finally SiddhiQL.maxGlobalWindowRows = prev
   }
 
+  test("multi-writer fan-in: two inserts into one stream union; " +
+       "schema disagreement is diagnosed") {
+    val outs = SiddhiQL.compileApp(spark, sf,
+      """@info(name = 'a') from events[value > 190]
+        |select user_id, value insert into S;
+        |@info(name = 'b') from events[value < 1]
+        |select user_id, value insert into S;
+        |@info(name = 'n') from S select count() as n
+        |insert into Out""".stripMargin)
+    val (a, b, n) = (outs("a").count(), outs("b").count(),
+      outs("n").collect().head.getLong(0))
+    assert(a > 0 && b > 0 && n == a + b) // reader sees BOTH writers
+    val msg = intercept[IllegalArgumentException](SiddhiQL.compileApp(
+      spark, sf,
+      """from events select user_id insert into S;
+        |from events select user_id, value insert into S""".stripMargin))
+      .getMessage
+    assert(msg.contains("disagree on its schema"))
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
