@@ -36,8 +36,10 @@ import graft.engine.{Cep, Tables}
   * Windows: timeBatch, lengthBatch, session, length, time,
   * externalTime(attr, T), externalTimeBatch(attr, T),
   * sort(N, attr, 'asc'|'desc'), unique:first/last(attr),
-  * frequent(N, attr). Function namespaces: str:, math:, time:, json:,
-  * regex: (rendered to codegen'd SQL, never UDFs).
+  * frequent(N, attr), delay(T), cron('quartz'), timeLength(T, N).
+  * Function namespaces: str:, math:, time:, json:, regex: (rendered to
+  * codegen'd SQL, never UDFs). Multiple queries inserting into one
+  * named stream union (the reference's StreamJunction fan-in).
   *
   * Batch-replay semantics identical to the engine's oracle-gated
   * queries: tumbling windows become group keys (the window identity is
@@ -1342,6 +1344,38 @@ object SiddhiQL extends Serializable {
     }
   }
 
+  /** Quartz cron → a fixed tick interval, for the forms whose marks ARE
+    * epoch-aligned fixed intervals: `0 0/M * * * ?` with M dividing 60
+    * (Quartz resets the 0/M sequence each hour, so M ∤ 60 would drift
+    * from epoch alignment), `0 0 0/H * * ?` with H dividing 24, and
+    * `0 0 * * * ?` (hourly). Sparse calendar fields (day-of-week, month
+    * lists) have no fixed-interval batch-replay equivalent — fail fast. */
+  private def cronIntervalNs(spec: String): Long = {
+    val f = spec.trim.split("\\s+")
+    def every(field: String): Option[Long] =
+      if (field.startsWith("0/") || field.startsWith("*/"))
+        Some(field.drop(2).toLong) else None
+    val ns: Option[Long] =
+      if (f.length == 6 && f(0) == "0" && f(3) == "*" && f(4) == "*")
+        every(f(1)) match {
+          case Some(m) if f(2) == "*" && m > 0 && 60 % m == 0 =>
+            Some(m * 60L * 1000000000L)
+          case None if f(1) == "0" =>
+            every(f(2)) match {
+              case Some(h) if h > 0 && 24 % h == 0 =>
+                Some(h * 3600L * 1000000000L)
+              case None if f(2) == "*" => Some(3600L * 1000000000L)
+              case _ => None
+            }
+          case _ => None
+        }
+      else None
+    ns.getOrElse(fail(s"unsupported cron expression '$spec' — supported" +
+      " forms: '0 0/M * * * ?' (M | 60), '0 0 0/H * * ?' (H | 24), " +
+      "'0 0 * * * ?' (hourly); sparse calendar schedules have no " +
+      "fixed-interval batch-replay equivalent"))
+  }
+
   private def loadTable(spark: SparkSession, dir: String, name: String,
                         env: Map[String, DataFrame]): DataFrame =
     env.getOrElse(name,
@@ -1524,9 +1558,94 @@ object SiddhiQL extends Serializable {
             .select(attr)
           val kept = base.join(broadcast(top), Seq(attr), "left_semi")
           selectOrAggregate(ast, kept, Nil, windowed = false)
+        case "delay" =>
+          // `delay(T)`: events re-timestamped T later (engine twin:
+          // Windows.delay). The shift lands BEFORE select, so a chained
+          // app's downstream window buckets by the delayed time
+          val tNs = args.headOption.getOrElse(
+            fail("delay needs a duration argument"))
+          val shifted0 = base.withColumn("ts_ns", col("ts_ns") + lit(tNs))
+          val shifted =
+            if (base.columns.contains("ts"))
+              shifted0.withColumn("ts",
+                expr(s"timestampadd(MICROSECOND, ${tNs / 1000}L, ts)"))
+            else shifted0
+          selectOrAggregate(ast, shifted, Nil, windowed = false)
+        case "cron" =>
+          // `cron('0 0/15 * * * ?')`: contents emitted on the cron marks
+          // ⇒ aggregation per cron-aligned bucket (engine twin:
+          // Extras.cronWindow)
+          val spec = s.window.get.sargs.headOption.getOrElse(
+            fail("cron needs a quoted Quartz expression argument"))
+          val ivNs = cronIntervalNs(spec)
+          val withW = base.withColumn("cron_tick_ms",
+            expr(s"(ts_ns div ${ivNs}L) * ${ivNs / 1000000}L"))
+          grouped(Seq("cron_tick_ms" -> col("cron_tick_ms")), withW)
+        case "timelength" =>
+          // `timeLength(T, N)`: the window holds the LAST min(N,
+          // #within-T) events (engine twin: Extras.timeLength). The
+          // last-N buffer is a bounded rows frame (collect_list of at
+          // most N tiny structs — scale-safe), and the time bound prunes
+          // INSIDE it via a higher-order filter whose lambda compares
+          // each buffered ts against the current row's; aggregates then
+          // fold the pruned buffer. All codegen'd built-ins, no UDFs.
+          val tNs = args.headOption.getOrElse(
+            fail("timeLength needs a duration argument"))
+          val n = args.drop(1).headOption.getOrElse(
+            fail("timeLength needs a count argument")).toInt
+          if (ast.groupBy.isEmpty && partKey.isEmpty)
+            guardGlobalWindow(base, "an unpartitioned timeLength window")
+          val part = if (ast.groupBy.isEmpty) ""
+                     else s"partition by ${ast.groupBy.mkString(", ")} "
+          def refsIn(e: Expr): List[String] = e match {
+            case Ref(p) => List(p.last)
+            case Call(_, _, as) => as.flatMap(refsIn)
+            case Bin(_, l, r) => refsIn(l) ++ refsIn(r)
+            case Not(x) => refsIn(x)
+            case Neg(x) => refsIn(x)
+            case _ => Nil
+          }
+          val attrs = ("ts_ns" :: items.collect {
+            case (it, _, true) => refsIn(it.e) }.flatten).distinct
+          val fields = attrs.map(a => s"'$a', $a").mkString(", ")
+          val frame = s"(${part}order by ts_ns, event_id " +
+            s"rows between ${n - 1} preceding and current row)"
+          val withWin = base
+            .withColumn("__buf",
+              expr(s"collect_list(named_struct($fields)) over $frame"))
+            .withColumn("__win",
+              expr(s"filter(__buf, s -> s.ts_ns >= ts_ns - ${tNs}L)"))
+          def over(e: Expr): String = e match {
+            case Call(None, "count", Nil) => "cast(size(__win) as bigint)"
+            case Call(None, "sum", List(Ref(p))) =>
+              s"aggregate(__win, cast(0.0 as double), " +
+                s"(a, s) -> a + cast(s.${p.last} as double))"
+            case Call(None, "avg", List(Ref(p))) =>
+              s"(${over(Call(None, "sum", List(Ref(p))))} / size(__win))"
+            case Call(None, "min", List(Ref(p))) =>
+              s"array_min(transform(__win, s -> s.${p.last}))"
+            case Call(None, "max", List(Ref(p))) =>
+              s"array_max(transform(__win, s -> s.${p.last}))"
+            case Call(None, nm, _) if aggNames(nm.toLowerCase) =>
+              fail("timeLength aggregates are count()/sum/avg/min/max " +
+                s"over a column (got '$nm')")
+            case Call(ns2, nm, as2) =>
+              renderCall(ns2, nm, as2.length, as2.map(over))
+            case Bin(op, l, r) =>
+              val o = if (op == "==") "=" else op
+              s"(${over(l)} $o ${over(r)})"
+            case Not(x) => s"(NOT ${over(x)})"
+            case Neg(x) => s"(- ${over(x)})"
+            case otherE => sqlOf(otherE)
+          }
+          if (ast.having.nonEmpty) fail("having needs a tumbling window")
+          withWin.select(items.map { case (it, a, isAgg) =>
+            if (isAgg) expr(over(it.e)).as(a) else expr(sqlOf(it.e)).as(a)
+          }: _*)
         case other => fail(s"unsupported window '$other' (supported: " +
           "timeBatch, lengthBatch, session, length, time, externalTime, " +
-          "externalTimeBatch, sort, unique:first, unique:last, frequent)")
+          "externalTimeBatch, sort, unique:first, unique:last, frequent, " +
+          "delay, cron, timeLength)")
       }
     }
   }

@@ -341,6 +341,37 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // delay window re-timestamps events T later; chained through a named
+    // stream, the downstream timeBatch buckets by the DELAYED time
+    "sql_delay_chained" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'shifted')
+        |from events#window.delay(90 sec)
+        |select user_id, ts_ns, event_id, value
+        |insert into Delayed;
+        |
+        |@info(name = 'perMin')
+        |from Delayed#window.timeBatch(1 min)
+        |select count() as n, math:round(sum(value), 2) as total
+        |order by w_start_ms
+        |insert into Out""".stripMargin)("perMin")),
+    // cron window: emission on the Quartz marks = cron-aligned buckets
+    "sql_cron_window" -> q(
+      """from events#window.cron('0 0/15 * * * ?')
+        |select count() as n, math:round(avg(value), 6) as avg_value
+        |order by cron_tick_ms
+        |insert into Out""".stripMargin),
+    // timeLength(T, N): the last min(N, #within-T) events per key —
+    // general aggregates over the pruned bounded buffer
+    "sql_timelength" -> q(
+      """from events#window.timeLength(2 min, 10)
+        |select event_id, user_id, count() as occ,
+        |  math:round(sum(value), 2) as sv, max(value) as mx
+        |group by user_id
+        |order by event_id
+        |insert into Out""".stripMargin),
     // multiple queries inserting into ONE named stream = the reference's
     // fan-in (StreamJunction merging publishers): the downstream reader
     // sees the UNION of every writer
@@ -376,6 +407,31 @@ object SqlGate {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_delay_chained" ->
+      """SELECT (epoch_ms(ts) + 90000) // 60000 * 60000 AS w_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY w_start_ms""".stripMargin,
+    "sql_cron_window" ->
+      """SELECT epoch_ms(ts) // 900000 * 900000 AS cron_tick_ms,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY cron_tick_ms""".stripMargin,
+    // last-10 rows frame per user, pruned to the trailing 2 minutes by a
+    // list lambda comparing each buffered ts to the current row's
+    "sql_timelength" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tn,
+        |    list(struct_pack(tn := epoch_ns(ts), v := value)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS buf
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    list_filter(buf, s -> s.tn >= tn - 120000000000) AS win
+        |  FROM b)
+        |SELECT event_id, user_id, CAST(len(win) AS BIGINT) AS occ,
+        |  round(list_sum(list_transform(win, s -> s.v)), 2) AS sv,
+        |  list_max(list_transform(win, s -> s.v)) AS mx
+        |FROM w ORDER BY event_id""".stripMargin,
     // fan-in: union of both writers, then the summary aggregation.
     // An event can satisfy BOTH writers (an 'error' with value > 180)
     // and must then appear twice — UNION ALL, not UNION

@@ -601,6 +601,29 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(msg.contains("disagree on its schema"))
   }
 
+  test("delay/cron/timeLength windows: semantics + diagnostics") {
+    // delay shifts event time: min delayed ts = min raw ts + 90 s
+    val shifted = compile("from events#window.delay(90 sec) " +
+      "select min(ts_ns) as lo").collect().head.getLong(0)
+    val raw = engine.Tables.events(spark, sf)
+      .agg(min("ts_ns")).collect().head.getLong(0)
+    assert(shifted == raw + 90L * 1000000000L)
+    // cron accepts only epoch-aligned fixed-interval forms
+    assert(intercept[IllegalArgumentException](compile(
+      "from events#window.cron('0 0/7 * * * ?') select count() as n"))
+      .getMessage.contains("unsupported cron expression"))
+    // timeLength occupancy equals the engine twin's closed form
+    val occ = compile(
+      """from events#window.timeLength(2 min, 10)
+        |select event_id, count() as occ group by user_id
+        |order by event_id""".stripMargin).collect()
+    val twin = engine.Extras.timeLength(spark, sf).collect()
+    assert(occ.length == twin.length)
+    occ.zip(twin).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(2))
+    }
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
