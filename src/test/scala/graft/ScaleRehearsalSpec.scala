@@ -300,6 +300,35 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x decontamination: replica-0 exact, broadcast plan, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val base = Dedup.decontaminate(spark, baseSf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the eval-set probe must stay a broadcast hash join — a fixed-size
+    // eval suite against an arbitrarily large corpus must never shuffle
+    // the corpus grams. (Here the %7 stand-in GROWS with the corpus —
+    // an artifact of the synthetic benchmark set, not of the operator.)
+    val plan = Dedup.decontaminate(spark, dirTag10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"gram probe is not a broadcast join:\n${plan.take(2000)}")
+    val (rows, wall, maxTask) = timed(Dedup.decontaminate(spark, dirTag10))
+    info(f"corpus_decontaminate 10x: ${rows.length} rows, wall " +
+      f"$wall%.1fs, max task $maxTask%.1fs (base ${base.size} rows)")
+    // replica 0 is verbatim and other replicas are vocab-disjoint, so
+    // replica-0 docs match exactly the base benchmark grams: restricting
+    // the 10x result to replica-0 ids reproduces the base result
+    val rep0 = rows.filter(_.getLong(0) < off)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep0 == base,
+      s"replica-0 restriction diverges: ${rep0.size} vs ${base.size} docs")
+    // replicas k>0 flag docs too (tag-renamed benchmark grams still
+    // match their own replica's corpus)
+    assert(rows.length > base.size, "no contamination found beyond rep-0")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x LM perplexity: per-replica scores reproduce base, bounded") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
     val base = TextAnalysis.lmPerplexity(spark, baseSf).collect()
