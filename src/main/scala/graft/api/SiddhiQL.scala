@@ -77,6 +77,11 @@ object SiddhiQL extends Serializable {
   private final case class IdxRef(binding: String, idx: Option[Int],
       field: String) extends Expr
 
+  /** `select *` — expanded to the source's full column list at compile
+    * time (single-stream, join, and DML paths; meaningless in pattern
+    * selects, where sqlOf rejects it naming the clause). */
+  private case object Star extends Expr
+
   private final case class SelItem(e: Expr, alias: Option[String])
   private final case class WindowSpec(name: String, args: List[Long],
       sargs: List[String] = Nil)
@@ -321,9 +326,12 @@ object SiddhiQL extends Serializable {
     def selItems(): List[SelItem] = {
       val items = List.newBuilder[SelItem]
       def one(): SelItem = {
-        val e = expr()
-        val a = if (tryKw("as")) Some(ident()) else None
-        SelItem(e, a)
+        if (trySym("*")) SelItem(Star, None)
+        else {
+          val e = expr()
+          val a = if (tryKw("as")) Some(ident()) else None
+          SelItem(e, a)
+        }
       }
       items += one()
       while (trySym(",")) items += one()
@@ -450,7 +458,15 @@ object SiddhiQL extends Serializable {
             eatKw("left"); eatKw("outer"); eatKw("join"); Some("left_outer")
           } else None
         jt match {
-          case None => l
+          case None =>
+            // store-query condition: `from T on cond select …` (the
+            // reference's on-demand query form against tables, named
+            // windows, and aggregations) — a filter, AND-combined with
+            // any `[bracket]` filter
+            if (tryKw("on")) {
+              val c = expr()
+              l.copy(filter = Some(l.filter.fold(c)(f => Bin("and", f, c))))
+            } else l
           case Some(t) =>
             val (r, ra) = single()
             if (l.window.nonEmpty || r.window.nonEmpty)
@@ -639,6 +655,8 @@ object SiddhiQL extends Serializable {
     e match {
       case IdxRef(b, _, f) => fail(s"indexed event access ('$b[...].$f') " +
         "is a pattern-select construct")
+      case Star => fail("`select *` is supported in single-stream, " +
+        "join, and DML queries only (not in this clause)")
       case Num(t) => t
       case Str(v) => "'" + v.replace("'", "''") + "'"
       case Ref(parts) => ref(parts)
@@ -1127,7 +1145,7 @@ object SiddhiQL extends Serializable {
       fail(s"table DML needs 'ts_ns' and 'event_id' on '${s.table}' to " +
         "define replay order")
     val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
-    val items = itemsOf(ast)
+    val items = itemsOf(expandStar(ast, base0.columns))
     items.foreach { case (_, a, isAgg) =>
       if (isAgg) fail(s"table DML (v1) select cannot aggregate ('$a')")
     }
@@ -1295,6 +1313,16 @@ object SiddhiQL extends Serializable {
     ast.limit.fold(off)(n => off.limit(n.toInt))
   }
 
+  /** Expand `select *` (alone or among other items) to the source's
+    * column list, keeping any explicitly named items around it. */
+  private def expandStar(ast: Ast, cols: Seq[String]): Ast =
+    if (!ast.select.exists(_.e == Star)) ast
+    else ast.copy(select = ast.select.flatMap {
+      case SelItem(Star, Some(_)) => fail("`*` cannot take an alias")
+      case SelItem(Star, None) => cols.map(c => SelItem(Ref(List(c)), None))
+      case it => List(it)
+    })
+
   private def alias(it: SelItem, i: Int): String = it.alias.getOrElse(
     it.e match {
       case Ref(parts) => parts.last
@@ -1405,14 +1433,16 @@ object SiddhiQL extends Serializable {
     }
     val joined = side(j.left, j.leftAlias)
       .join(side(j.right, j.rightAlias), expr(sqlOf(j.on)), j.joinType)
-    selectOrAggregate(ast, joined, Nil, windowed = false)
+    selectOrAggregate(expandStar(ast, joined.columns.distinct), joined,
+      Nil, windowed = false)
   }
 
-  private def compileSingle(spark: SparkSession, dir: String, ast: Ast,
+  private def compileSingle(spark: SparkSession, dir: String, ast0: Ast,
                             s: SingleStream,
                             env: Map[String, DataFrame],
                             partKey: Option[String] = None): DataFrame = {
     val base0 = loadTable(spark, dir, s.table, env)
+    val ast = expandStar(ast0, base0.columns)
     val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
     val items = itemsOf(ast)
     def aggCols = items.collect { case (it, a, true) =>
@@ -2083,7 +2113,21 @@ object SiddhiQL extends Serializable {
         ast.action.foreach {
           case InsertInto(t) =>
             if (stateful) statefulStreams += t
-            env += t -> df
+            // multi-writer fan-in: union, as in compileApp — but a
+            // stateful (Complete-mode) writer cannot merge with another
+            // stream mid-topology
+            env += t -> (env.get(t) match {
+              case Some(prev) =>
+                if (stateful || statefulStreams.contains(t))
+                  fail(s"live deployment (v1): multi-writer stream '$t' " +
+                    "cannot take an aggregated (Complete-mode) writer")
+                if (prev.columns.toSet != df.columns.toSet)
+                  fail(s"queries inserting into '$t' disagree on its " +
+                    s"schema: [${prev.columns.mkString(", ")}] vs " +
+                    s"[${df.columns.mkString(", ")}]")
+                prev.unionByName(df)
+              case None => df
+            })
           case a => fail(s"live deployment (v1) cannot run table DML " +
             s"('${a.target}') — deploy onto the engine's upsert sink")
         }

@@ -341,6 +341,20 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // on-demand store query: `from T on cond select ...` against a
+    // table the app's DML populated (the reference's store-query API)
+    "sql_store_query" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastSeen (user_id long, last_value double);
+        |
+        |from events
+        |select user_id, value as last_value
+        |update or insert into LastSeen on LastSeen.user_id == user_id;
+        |
+        |@info(name = 'hot')
+        |from LastSeen on last_value > 150.0
+        |select user_id, last_value
+        |order by user_id
+        |insert into Out""".stripMargin)("hot")),
     // delay window re-timestamps events T later; chained through a named
     // stream, the downstream timeBatch buckets by the DELAYED time
     "sql_delay_chained" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -407,6 +421,13 @@ object SqlGate {
   )
 
   val oracle: Map[String, String] = Map(
+    // last event per user (replay order), then the on-demand filter
+    "sql_store_query" ->
+      """SELECT user_id, value AS last_value FROM (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND value > 150.0
+        |ORDER BY user_id""".stripMargin,
     "sql_delay_chained" ->
       """SELECT (epoch_ms(ts) + 90000) // 60000 * 60000 AS w_start_ms,
         |  count(*) AS n, round(sum(value), 2) AS total

@@ -624,6 +624,35 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("live deployment of a multi-writer app equals batch replay") {
+    val writers =
+      """@info(name = 'a') from events[value > 190]
+        |select user_id, event_id, value insert into S;
+        |@info(name = 'b') from events[event_type == 'error' and value < 5]
+        |select user_id, event_id, value insert into S;
+        |@info(name = 'c') from S[value >= 0.0]
+        |select user_id, event_id, value insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, writers, "c")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = SiddhiQL.compileApp(spark, sf, writers)("c")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(live.nonEmpty && (live sameElements batch))
+  }
+
+  test("select * expands to the stream's full schema") {
+    val df = compile("from events[value > 195] select * order by event_id")
+    val direct = engine.Tables.events(spark, sf)
+    assert(df.columns.toSeq == direct.columns.toSeq)
+    assert(df.count() ==
+      direct.where(col("value") > 195).count() && df.count() > 0)
+    // `*` + named items compose; `*` in a pattern select is diagnosed
+    assert(compile("from events select *, value * 2 as v2 limit 1")
+      .columns.toSeq == direct.columns.toSeq :+ "v2")
+    assert(intercept[IllegalArgumentException](compile(
+      "from e1=events[value > 0] -> e2=events[value > 0] select *"))
+      .getMessage.contains("select *"))
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
