@@ -1623,6 +1623,10 @@ object SiddhiQL extends Serializable {
             fail("timeLength needs a duration argument"))
           val n = args.drop(1).headOption.getOrElse(
             fail("timeLength needs a count argument")).toInt
+          if (n > 4096)
+            fail(s"timeLength($n) would materialize an $n-struct buffer " +
+              "per output row — for large counts use time()/timeBatch()" +
+              " (the time bound alone) instead")
           if (ast.groupBy.isEmpty && partKey.isEmpty)
             guardGlobalWindow(base, "an unpartitioned timeLength window")
           val part = if (ast.groupBy.isEmpty) ""

@@ -612,6 +612,11 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](compile(
       "from events#window.cron('0 0/7 * * * ?') select count() as n"))
       .getMessage.contains("unsupported cron expression"))
+    // timeLength buffer size is guarded
+    assert(intercept[IllegalArgumentException](compile(
+      "from events#window.timeLength(1 min, 100000) " +
+        "select count() as n group by user_id"))
+      .getMessage.contains("buffer"))
     // timeLength occupancy equals the engine twin's closed form
     val occ = compile(
       """from events#window.timeLength(2 min, 10)
