@@ -82,6 +82,11 @@ object SiddhiQL extends Serializable {
     * selects, where sqlOf rejects it naming the clause). */
   private case object Star extends Expr
 
+  /** `<expr> in TableName` membership filter (SURVEY §2.2: semi-join
+    * semantics) — compiled to a LEFT SEMI join (LEFT ANTI under `not`),
+    * never a row-at-a-time lookup. */
+  private final case class InTable(e: Expr, table: String) extends Expr
+
   private final case class SelItem(e: Expr, alias: Option[String])
   private final case class WindowSpec(name: String, args: List[Long],
       sargs: List[String] = Nil)
@@ -257,7 +262,7 @@ object SiddhiQL extends Serializable {
       peek match {
         case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
           advance(); Bin(op, l, addExpr())
-        case _ => l
+        case _ => if (tryKw("in")) InTable(l, ident()) else l
       }
     }
     private def addExpr(): Expr = {
@@ -657,6 +662,8 @@ object SiddhiQL extends Serializable {
         "is a pattern-select construct")
       case Star => fail("`select *` is supported in single-stream, " +
         "join, and DML queries only (not in this clause)")
+      case InTable(_, t) => fail(s"`in $t` is a stream-filter construct " +
+        "(it compiles to a semi join) — not usable in this clause")
       case Num(t) => t
       case Str(v) => "'" + v.replace("'", "''") + "'"
       case Ref(parts) => ref(parts)
@@ -737,6 +744,9 @@ object SiddhiQL extends Serializable {
         }
       case Call(_, n, _) =>
         fail(s"function '$n' unsupported in pattern predicates")
+      case other =>
+        fail(s"'${other.getClass.getSimpleName}' unsupported in " +
+          "pattern predicates")
     }
     (cur, b) => ev(cond, cur, b).asInstanceOf[Boolean]
   }
@@ -1144,7 +1154,8 @@ object SiddhiQL extends Serializable {
         !base0.columns.contains("event_id"))
       fail(s"table DML needs 'ts_ns' and 'event_id' on '${s.table}' to " +
         "define replay order")
-    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
     val items = itemsOf(expandStar(ast, base0.columns))
     items.foreach { case (_, a, isAgg) =>
       if (isAgg) fail(s"table DML (v1) select cannot aggregate ('$a')")
@@ -1410,6 +1421,51 @@ object SiddhiQL extends Serializable {
       if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
       else Tables.table(spark, dir, name))
 
+  /** Apply a stream filter that may contain `<expr> in Table` membership
+    * conjuncts: each positive conjunct becomes a LEFT SEMI join against
+    * the table (LEFT ANTI under `not`), the residual predicate stays a
+    * WHERE. Key resolution: a same-named table column if the left side
+    * is a bare attribute, else the table's single column. The join side
+    * is distinct'd; the strategy is left to Catalyst/AQE — a small
+    * lookup table broadcasts, a large one shuffles (never a per-row
+    * lookup, never forced into driver memory). */
+  private def applyFilter(spark: SparkSession, dir: String, df: DataFrame,
+      f: Expr, env: Map[String, DataFrame]): DataFrame = {
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => List(x)
+    }
+    def isMem(e: Expr): Boolean = e match {
+      case InTable(_, _) | Not(InTable(_, _)) => true
+      case _ => false
+    }
+    val (mems, rest) = conjuncts(f).partition(isMem)
+    if (mems.isEmpty) return df.where(expr(sqlOf(f)))
+    val withWhere =
+      if (rest.isEmpty) df
+      else df.where(expr(sqlOf(rest.reduceLeft(Bin("and", _, _)))))
+    mems.foldLeft(withWhere) { (cur, m) =>
+      val (neg, it) = m match {
+        case Not(x: InTable) => (true, x)
+        case x: InTable => (false, x)
+        case _ => fail("unreachable membership conjunct")
+      }
+      val tbl = loadTable(spark, dir, it.table, env)
+      val jt = if (neg) "left_anti" else "left_semi"
+      it.e match {
+        case Ref(p :: Nil) if tbl.columns.contains(p) =>
+          cur.join(tbl.select(p).distinct(), Seq(p), jt)
+        case lhs if tbl.columns.length == 1 =>
+          val k = tbl.columns.head
+          cur.join(tbl.select(col(k).as("__in_key")).distinct(),
+            expr(sqlOf(lhs)) === col("__in_key"), jt)
+        case other => fail(s"`in ${it.table}`: '${sqlOf(other)}' has no " +
+          s"same-named column in '${it.table}' and the table is not " +
+          "single-column — name the membership key")
+      }
+    }
+  }
+
   private def compileJoin(spark: SparkSession, dir: String, ast: Ast,
                           j: JoinStream,
                           env: Map[String, DataFrame],
@@ -1428,7 +1484,7 @@ object SiddhiQL extends Serializable {
         fail(s"within/per requires `define aggregation ${ss.table}` in " +
           "an app context")
       val b0 = loadTable(spark, dir, ss.table, env)
-      val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
+      val b1 = ss.filter.fold(b0)(f => applyFilter(spark, dir, b0, f, env))
       a.fold(b1)(b1.alias)
     }
     val joined = side(j.left, j.leftAlias)
@@ -1443,7 +1499,8 @@ object SiddhiQL extends Serializable {
                             partKey: Option[String] = None): DataFrame = {
     val base0 = loadTable(spark, dir, s.table, env)
     val ast = expandStar(ast0, base0.columns)
-    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
     val items = itemsOf(ast)
     def aggCols = items.collect { case (it, a, true) =>
       expr(sqlOf(it.e)).as(a)

@@ -341,6 +341,20 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // `attr in Table` membership filter = LEFT SEMI join (SURVEY §2.2);
+    // the Vips table is itself fed by a DML query in the same app
+    "sql_in_table" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Vips (user_id long);
+        |
+        |from events[value > 195.0]
+        |select user_id
+        |insert into Vips;
+        |
+        |@info(name = 'vip_low')
+        |from events[user_id in Vips and value < 5.0]
+        |select event_id, user_id, value
+        |order by event_id
+        |insert into Out""".stripMargin)("vip_low")),
     // on-demand store query: `from T on cond select ...` against a
     // table the app's DML populated (the reference's store-query API)
     "sql_store_query" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -421,6 +435,11 @@ object SqlGate {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_in_table" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value < 5.0 AND user_id IN (
+        |  SELECT user_id FROM events WHERE value > 195.0)
+        |ORDER BY event_id""".stripMargin,
     // last event per user (replay order), then the on-demand filter
     "sql_store_query" ->
       """SELECT user_id, value AS last_value FROM (

@@ -644,6 +644,34 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("`in Table` membership filters: semi, anti, and diagnostics") {
+    import engine.Tables
+    val ev = Tables.events(spark, sf)
+    // same-named-column membership through the plain-query path
+    val semi = compile(
+      "from events[user_id in events] select event_id order by event_id")
+      .count()
+    assert(semi == ev.count())
+    // anti: `not (... in T)` keeps only non-members of a DML-fed table
+    val vip = ev.where(col("value") > 195).select("user_id").distinct()
+    val antiOk = SiddhiQL.compileApp(spark, sf,
+      """define table Vips (user_id long);
+        |from events[value > 195.0] select user_id insert into Vips;
+        |@info(name = 'rest')
+        |from events[not (user_id in Vips)]
+        |select event_id, user_id insert into Out""".stripMargin)("rest")
+    val expect = ev.join(vip, Seq("user_id"), "left_anti").count()
+    assert(antiOk.count() == expect && expect > 0)
+    // membership inside a pattern predicate is diagnosed (the NFA
+    // evaluates predicates executor-side, so the IAE arrives wrapped)
+    val e = intercept[Exception](compile(
+      "from e1=events[user_id in region] -> e2=events[value > 0] " +
+        "select e1.event_id as a, e2.event_id as b").collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("unsupported in"))
+  }
+
   test("select * expands to the stream's full schema") {
     val df = compile("from events[value > 195] select * order by event_id")
     val direct = engine.Tables.events(spark, sf)
