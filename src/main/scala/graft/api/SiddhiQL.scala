@@ -36,10 +36,13 @@ import graft.engine.{Cep, Tables}
   * Windows: timeBatch, lengthBatch, session, length, time,
   * externalTime(attr, T), externalTimeBatch(attr, T),
   * sort(N, attr, 'asc'|'desc'), unique:first/last(attr),
-  * frequent(N, attr), delay(T), cron('quartz'), timeLength(T, N).
-  * Function namespaces: str:, math:, time:, json:, regex: (rendered to
-  * codegen'd SQL, never UDFs). Multiple queries inserting into one
-  * named stream union (the reference's StreamJunction fan-in).
+  * frequent(N, attr), delay(T), cron('quartz'), timeLength(T, N),
+  * expression('retain-while predicate'). Function namespaces: str:,
+  * math:, time:, json:, regex: (rendered to codegen'd SQL, never
+  * UDFs). Multiple queries inserting into one named stream union (the
+  * reference's StreamJunction fan-in); `select *` expands to the
+  * source schema; `attr in Table` filters compile to semi/anti joins;
+  * `from T on cond` runs the on-demand store-query form.
   *
   * Batch-replay semantics identical to the engine's oracle-gated
   * queries: tumbling windows become group keys (the window identity is
@@ -694,12 +697,14 @@ object SiddhiQL extends Serializable {
     case f => fail(s"unknown event field '$f'")
   }
 
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case x => fail(s"expected number, got $x")
+  }
+
   private def evalPred(cond: Expr): (Cep.Ev, Cep.Bindings) => Boolean = {
-    def num(v: Any): Double = v match {
-      case d: Double => d
-      case l: Long => l.toDouble
-      case x => fail(s"expected number, got $x")
-    }
     def ev(e: Expr, cur: Cep.Ev, b: Cep.Bindings): Any = e match {
       case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
       case Str(v) => v
@@ -1733,10 +1738,126 @@ object SiddhiQL extends Serializable {
           withWin.select(items.map { case (it, a, isAgg) =>
             if (isAgg) expr(over(it.e)).as(a) else expr(sqlOf(it.e)).as(a)
           }: _*)
+        case "expression" =>
+          // retain-while window (engine twin: Extras.expressionWindow):
+          // on each arrival evict from the FRONT until the retention
+          // expression holds again; select aggregates recompute over the
+          // retained buffer (whose size the predicate itself bounds).
+          // A keyed fold — parallel over keys, one exchange.
+          val srcTxt = s.window.get.sargs.headOption.getOrElse(
+            fail("expression window needs a quoted retention expression"))
+          val ret = new P(lex(srcTxt)).expr()
+          val key = (ast.groupBy, partKey) match {
+            case (k :: Nil, _) => k
+            case (Nil, Some(k)) => k
+            case _ => fail("expression window (v1) needs exactly one " +
+              "group by key to partition the fold")
+          }
+          val need = Seq("event_id", "ts_ns", "user_id", "event_type",
+            "value")
+          need.foreach(c => if (!base.columns.contains(c))
+            fail(s"expression window reads event streams; '${s.table}' " +
+              s"lacks '$c'"))
+          def bufEval(e: Expr, buf: scala.collection.Seq[Cep.Ev],
+              cur: Cep.Ev): Any = e match {
+            case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
+            case Str(v) => v
+            case Ref(f :: Nil) => field(cur, f)
+            case Call(None, "count", Nil) => buf.size.toLong
+            case Call(None, n2 @ ("sum" | "avg" | "min" | "max"),
+                List(Ref(f :: Nil))) =>
+              val xs: Seq[Double] =
+                buf.map(ev2 => num(field(ev2, f))).toSeq
+              n2 match {
+                case "sum" => xs.sum
+                case "avg" => xs.sum / xs.size
+                case "min" => xs.min
+                case "max" => xs.max
+              }
+            case Call(Some("math"), "round", List(x, Num(d))) =>
+              val bd = BigDecimal(num(bufEval(x, buf, cur)))
+              bd.setScale(d.toInt, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            case Not(x) => !bufEval(x, buf, cur).asInstanceOf[Boolean]
+            case Neg(x) => -num(bufEval(x, buf, cur))
+            case Bin(op, l, r) => op match {
+              case "and" => bufEval(l, buf, cur).asInstanceOf[Boolean] &&
+                bufEval(r, buf, cur).asInstanceOf[Boolean]
+              case "or" => bufEval(l, buf, cur).asInstanceOf[Boolean] ||
+                bufEval(r, buf, cur).asInstanceOf[Boolean]
+              case "==" => num(bufEval(l, buf, cur)) ==
+                num(bufEval(r, buf, cur))
+              case "!=" => num(bufEval(l, buf, cur)) !=
+                num(bufEval(r, buf, cur))
+              case "<"  => num(bufEval(l, buf, cur)) <
+                num(bufEval(r, buf, cur))
+              case "<=" => num(bufEval(l, buf, cur)) <=
+                num(bufEval(r, buf, cur))
+              case ">"  => num(bufEval(l, buf, cur)) >
+                num(bufEval(r, buf, cur))
+              case ">=" => num(bufEval(l, buf, cur)) >=
+                num(bufEval(r, buf, cur))
+              case "+" => num(bufEval(l, buf, cur)) +
+                num(bufEval(r, buf, cur))
+              case "-" => num(bufEval(l, buf, cur)) -
+                num(bufEval(r, buf, cur))
+              case "*" => num(bufEval(l, buf, cur)) *
+                num(bufEval(r, buf, cur))
+              case "/" => num(bufEval(l, buf, cur)) /
+                num(bufEval(r, buf, cur))
+              case o => fail(s"operator '$o' unsupported in an " +
+                "expression window")
+            }
+            case other2 => fail("unsupported construct in an expression" +
+              s" window: ${other2.getClass.getSimpleName}")
+          }
+          val outTypes: Seq[(String, DataType)] = items.map {
+            case (it, a, isAgg) =>
+              val t: DataType = it.e match {
+                case Call(None, "count", Nil) => LongType
+                case _ if isAgg => DoubleType
+                case Ref(f :: Nil) => f match {
+                  case "event_type" => StringType
+                  case "value" => DoubleType
+                  case _ => LongType
+                }
+                case _ => DoubleType
+              }
+              (a, t)
+          }
+          if (ast.having.nonEmpty) fail("having needs a tumbling window")
+          val schema2 = StructType(outTypes.map { case (n2, t) =>
+            StructField(n2, t) })
+          implicit val enc: org.apache.spark.sql.Encoder[
+            org.apache.spark.sql.Row] =
+            org.apache.spark.sql.Encoders.row(schema2)
+          import org.apache.spark.sql.Encoders
+          val selItems2 = items
+          base.select(col("event_id").as("eventId"),
+              col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+              col("event_type").as("eventType"), col("value"))
+            .as[Cep.Ev](org.apache.spark.sql.Encoders.product[Cep.Ev])
+            .groupByKey(e => String.valueOf(field(e, key)))(Encoders.STRING)
+            .flatMapGroups { (_, it2) =>
+              val buf = scala.collection.mutable.Queue.empty[Cep.Ev]
+              it2.toVector.sortBy(e => (e.tsNs, e.eventId)).iterator
+                .map { e =>
+                  buf.enqueue(e)
+                  var evict = !bufEval(ret, buf, e).asInstanceOf[Boolean]
+                  while (evict) {
+                    buf.dequeue()
+                    evict = buf.nonEmpty &&
+                      !bufEval(ret, buf, e).asInstanceOf[Boolean]
+                  }
+                  org.apache.spark.sql.Row.fromSeq(selItems2.map {
+                    case (it, _, _) => bufEval(it.e, buf, e) })
+                }
+            }(enc)
+            .toDF()
         case other => fail(s"unsupported window '$other' (supported: " +
           "timeBatch, lengthBatch, session, length, time, externalTime, " +
           "externalTimeBatch, sort, unique:first, unique:last, frequent, " +
-          "delay, cron, timeLength)")
+          "delay, cron, timeLength, expression)")
       }
     }
   }

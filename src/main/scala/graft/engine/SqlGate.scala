@@ -341,6 +341,16 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // expression window: retain-while predicate fold. `count() < 7`
+    // retains exactly the last 6 events per key, so the frame is
+    // integer-exact and the DuckDB window oracle reproduces it
+    "sql_expression_window" -> q(
+      """from events#window.expression('count() < 7')
+        |select event_id, user_id, count() as occ,
+        |  math:round(sum(value), 2) as sv
+        |group by user_id
+        |order by event_id
+        |insert into Out""".stripMargin),
     // `attr in Table` membership filter = LEFT SEMI join (SURVEY §2.2);
     // the Vips table is itself fed by a DML query in the same app
     "sql_in_table" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -435,6 +445,13 @@ object SqlGate {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_expression_window" ->
+      """SELECT event_id, user_id, count(*) OVER w AS occ,
+        |  round(sum(value) OVER w, 2) AS sv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "sql_in_table" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value < 5.0 AND user_id IN (

@@ -644,6 +644,30 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("expression window: sum-predicate fold matches the engine twin's " +
+       "occupancy; diagnostics") {
+    // the engine twin evaluates `count() < 10 and sum(cents) < 80000` in
+    // exact integer cents; the text form uses raw double sums — with
+    // 2-decimal inputs the two eviction traces agree unless a window sum
+    // lands exactly on the 800.00 boundary (this dataset has none)
+    val viaText = compile(
+      """from events#window.expression('count() < 10 and
+        |  sum(value) < 800.0')
+        |select event_id, count() as occ
+        |group by user_id
+        |order by event_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val twin = engine.Extras.expressionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(viaText.length == twin.length && viaText.nonEmpty)
+    assert(viaText.toSeq == twin.toSeq)
+    val msg = intercept[IllegalArgumentException](compile(
+      "from events#window.expression('count() < 5') " +
+        "select event_id, count() as occ"))
+      .getMessage
+    assert(msg.contains("group by"))
+  }
+
   test("`in Table` membership filters: semi, anti, and diagnostics") {
     import engine.Tables
     val ev = Tables.events(spark, sf)
