@@ -183,7 +183,54 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim_kmeans_batch: batch Lloyd's k-means over the embedding corpus —
+    * the clustering stage of a semantic-dedup / data-mixing pipeline
+    * (SemDeDup-style: cluster, then dedup or rebalance WITHIN clusters).
+    * k=8, two assignment passes around one centroid update,
+    * deterministic init (the k lowest vec_ids).
+    *
+    * Execution shape = canonical distributed k-means: centroids live on
+    * the driver (k·dim doubles — the ONLY driver state; never the
+    * vectors), broadcast into a literal `transform`/`aggregate` distance
+    * fold (argmin via array_position of array_min → first-minimum
+    * tie-break), and the update is one per-(cluster, dim) avg over a
+    * posexplode — a k·dim-row aggregate per iteration. All sums are
+    * left-to-right folds and centroid components round to 6 decimals
+    * each iteration, so the DuckDB oracle (same folds via list_reduce,
+    * same rounding) reproduces assignments exactly. */
+  def kmeansBatch(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val updates = 1; val dim = 64
+    val e = vecs(s, d)
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    def assigned(): DataFrame = {
+      val lit = cents.map(c => s"array(${c.mkString(",")})")
+        .mkString("array(", ",", ")")
+      e.withColumn("dists", expr(
+          s"transform($lit, c -> aggregate(zip_with(v, c, " +
+            "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x))"))
+        .withColumn("cluster",
+          expr("array_position(dists, array_min(dists)) - 1"))
+    }
+    for (_ <- 1 to updates) {
+      val upd = assigned()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cluster", "i").agg(round(avg("x"), 6).as("cm"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      require(upd.size == k * dim,
+        s"empty cluster (got ${upd.size / dim} of $k) — v1 requires all " +
+          "clusters populated")
+      cents = Array.tabulate(k, dim)((c, i) => upd((c.toLong, i)))
+    }
+    assigned()
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_kmeans_batch" -> (kmeansBatch _),
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_ivf"   -> (topkIvf _),
@@ -215,7 +262,44 @@ object Similarity {
       s"(CASE WHEN ${srpDotSql(k)} >= 0 THEN ${1 << k} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Squared-L2 between list cols as the same left fold the Spark side
+    * uses (`aggregate(zip_with(...))`). */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+       |      i -> ($a[i::INTEGER] - $b[i::INTEGER]) *
+       |           ($a[i::INTEGER] - $b[i::INTEGER]))),
+       |      (x, y) -> x + y)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // two unrolled Lloyd iterations: assign (argmin by the identical
+    // distance fold, ties to the lowest cid) → per-(cluster, dim) avg
+    // rounded to 6 (matching the Spark side's round(avg, 6)) → reassign
+    "sim_kmeans_batch" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    ${l2Sql("e.v", "c.v")} AS dist
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cm ORDER BY i) AS v FROM (
+        |    SELECT a1.cid AS cid, g.i AS i,
+        |      round(avg(e.v[g.i::INTEGER]), 6) AS cm
+        |    FROM a1 JOIN e USING (vec_id)
+        |    CROSS JOIN generate_series(1, 64) AS g(i)
+        |    GROUP BY 1, 2) GROUP BY cid),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |    ${l2Sql("e.v", "c.v")} AS dist
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+        |SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_vec
+        |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin,
     "sim_topk_srp" ->
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
