@@ -198,7 +198,11 @@ object Similarity {
     * left-to-right folds and centroid components round to 6 decimals
     * each iteration, so the DuckDB oracle (same folds via list_reduce,
     * same rounding) reproduces assignments exactly. */
-  def kmeansBatch(s: SparkSession, d: String): DataFrame = {
+  /** The k-means assignment both [[kmeansBatch]] and [[semDedup]] share:
+    * k=8, deterministic init (the k lowest vec_ids), one centroid update,
+    * final reassignment. Returns (vec_id, v, cluster). Driver state is
+    * k·dim doubles only — never the vectors. */
+  private def kmeansAssigned(s: SparkSession, d: String): DataFrame = {
     val k = 8; val updates = 1; val dim = 64
     val e = vecs(s, d)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
@@ -223,13 +227,128 @@ object Similarity {
           "clusters populated")
       cents = Array.tabulate(k, dim)((c, i) => upd((c.toLong, i)))
     }
-    assigned()
+    assigned().select("vec_id", "v", "cluster")
+  }
+
+  def kmeansBatch(s: SparkSession, d: String): DataFrame =
+    kmeansAssigned(s, d)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
       .orderBy("cluster")
+
+  /** sim_semdedup: SemDeDup-style semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540) — the stage AFTER [[kmeansBatch]]'s
+    * clustering: pairwise cosine WITHIN each cluster only, and a document
+    * is removed when a lower-id same-cluster document sits above the
+    * similarity threshold (min-id keeper, the deterministic version of
+    * the paper's keep-one rule). Reports every removed doc with its
+    * lowest-id witness, max witness cosine, and witness count.
+    *
+    * Scale shape: clustering exists precisely to break the corpus-wide
+    * O(n²) into per-cluster O(n_c²) — both pair sides shuffle on the
+    * cluster id (plain equi-join: shuffle hash join, NEVER a broadcast
+    * of the corpus), so each cluster's quadratic work is isolated on its
+    * reducer and clusters parallelize freely. At 100 TB you raise k so
+    * max cluster size stays bounded (the paper's regime) and split or
+    * salt any skewed giant cluster; the threshold τ=0.40 is data-relative
+    * (this synthetic corpus is near-random, max NN cosine ≈ 0.51). */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
+    val asg = kmeansAssigned(s, d)
+    val witnesses = asg.select(col("cluster"),
+      col("vec_id").as("w_id"), col("v").as("wv"))
+    asg.join(witnesses, Seq("cluster"))
+      .filter(col("w_id") < col("vec_id"))
+      .withColumn("cos", cosExpr("v", "wv"))
+      .filter(col("cos") >= 0.40)
+      .groupBy("cluster", "vec_id")
+      .agg(min("w_id").as("witness_id"), max("cos").as("max_cos"),
+        count(lit(1)).as("n_witness"))
+      .orderBy("cluster", "vec_id")
+  }
+
+  /** sim_topk_pq: product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-side scale
+    * lever beyond [[topkQuantized]]'s int8: the 64-dim vector splits into
+    * M=4 16-dim subspaces, each with its own k=8 codebook (deterministic
+    * init = the 8 lowest vec_ids' sub-vectors, one Lloyd update with
+    * round-6 centroids — the [[kmeansAssigned]] recipe per subspace), and
+    * every vector is stored as 4 small codes. Search ranks by L2² between
+    * the query and the candidate's PQ RECONSTRUCTION (concat of its 4
+    * centroids) — asymmetric distance — then reports the exact cosine of
+    * each survivor so the quantization error is visible.
+    *
+    * Scale shape: codebooks are driver state of M·k·(dim/M) doubles
+    * (trained on a sample at 100 TB) broadcast as literals; encoding is
+    * one scan; the search scan touches only codes + reconstruction
+    * literals (64·8 B → M·log₂k bits per vector resident), and top-k is
+    * the same two-phase local/global rank as [[topkBrute]] — no reducer
+    * ever holds more than its scan share. A production variant hoists the
+    * per-query M×k distance table out of the fold; the ranking it yields
+    * is identical. */
+  def topkPq(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expressions.CosineSimilarity.register(s)
+    val m = 4; val k = 8; val sub = 16
+    val e = vecs(s, d)
+    // init: the 8 lowest vec_ids' sub-vectors, per subspace (driver: tiny)
+    val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cents: Array[Array[Array[Double]]] = // [m][c][i]
+      Array.tabulate(m, k, sub)((mm, c, i) => init(c)(mm * sub + i))
+    def centsLit(mm: Int): String = cents(mm)
+      .map(c => s"array(${c.mkString(",")})").mkString("array(", ",", ")")
+    def encoded(): DataFrame = (0 until m).foldLeft(e) { (df, mm) =>
+      df.withColumn(s"code$mm", expr(
+        s"array_position(transform(${centsLit(mm)}, c -> " +
+          s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
+          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)), " +
+        s"array_min(transform(${centsLit(mm)}, c -> " +
+          s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
+          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)))) - 1"))
+    }
+    // one Lloyd update per subspace, all in ONE aggregate: explode each
+    // (subspace, code, dim, x) and avg — k·m·sub rows back to the driver
+    val exploded = (0 until m).map { mm =>
+      encoded().select(lit(mm).as("m"), col(s"code$mm").as("code"),
+        posexplode(expr(s"slice(v, ${mm * sub + 1}, $sub)")).as(Seq("i", "x")))
+    }.reduce(_ union _)
+    val upd = exploded.groupBy("m", "code", "i")
+      .agg(round(avg("x"), 6).as("cm")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    require(upd.size == m * k * sub,
+      s"empty PQ cluster (got ${upd.size} of ${m * k * sub} cells) — " +
+        "v1 requires all subspace clusters populated")
+    cents = Array.tabulate(m, k, sub)((mm, c, i) => upd((mm, c.toLong, i)))
+    // final encoding + reconstruction = concat of the 4 chosen centroids
+    val codes = encoded().withColumn("rv", expr(
+      (0 until m).map(mm => s"element_at(${centsLit(mm)}, " +
+        s"cast(code$mm as int) + 1)").mkString("concat(", ", ", ")")))
+      .select("vec_id", "v", "rv")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        "round(aggregate(zip_with(qv, rv, (a, b) -> (a - b) * (a - b)), " +
+          "0d, (acc, x) -> acc + x), 6)"))
+      .withColumn("cos_exact", cosExpr("qv", "v"))
+      .select("q_id", "vec_id", "adc", "cos_exact")
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", expr("row_number() over (partition by q_id, pid " +
+        "order by adc, vec_id)"))
+      .filter(col("lrk") <= 10)
+    local
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by adc, vec_id)"))
+      .filter(col("rk") <= 10)
+      .select("q_id", "rk", "vec_id", "adc", "cos_exact")
+      .orderBy("q_id", "rk")
   }
 
   val queries: Map[String, Q] = Map(
+    "sim_topk_pq" -> (topkPq _),
+    "sim_semdedup" -> (semDedup _),
     "sim_kmeans_batch" -> (kmeansBatch _),
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_brute" -> (topkBrute _),
@@ -270,36 +389,108 @@ object Similarity {
        |           ($a[i::INTEGER] - $b[i::INTEGER]))),
        |      (x, y) -> x + y)""".stripMargin
 
+  // two unrolled Lloyd iterations shared by the kmeans/semdedup oracles:
+  // assign (argmin by the identical distance fold, ties to the lowest cid)
+  // → per-(cluster, dim) avg rounded to 6 (matching the Spark side's
+  // round(avg, 6)) → reassign
+  private val kmeansCte: String =
+    s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |    ${l2Sql("e.v", "c.v")} AS dist
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT cid, list(cm ORDER BY i) AS v FROM (
+      |    SELECT a1.cid AS cid, g.i AS i,
+      |      round(avg(e.v[g.i::INTEGER]), 6) AS cm
+      |    FROM a1 JOIN e USING (vec_id)
+      |    CROSS JOIN generate_series(1, 64) AS g(i)
+      |    GROUP BY 1, 2) GROUP BY cid),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |    ${l2Sql("e.v", "c.v")} AS dist
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** Per-subspace PQ pipeline CTEs (offset o = m·16): init codebook from
+    * the 8 lowest vec_ids' sub-vectors → assign → round-6 avg update →
+    * re-assign → join each vector's code back to its centroid list. Same
+    * left-to-right folds and first-minimum tie-break as [[topkPq]]. */
+  private def pqSubCte(mm: Int): String = {
+    val o = mm * 16
+    def l2sub(a: String, cv: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+         |      i -> ($a[(i + $o)::INTEGER] - $cv[i::INTEGER]) *
+         |           ($a[(i + $o)::INTEGER] - $cv[i::INTEGER]))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""i$mm AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(range(1, 17), i -> v[(i + $o)::INTEGER]) AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |a$mm AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${l2sub("e.v", "c.cv")}, c.cid) AS rn
+       |    FROM e CROSS JOIN i$mm c) WHERE rn = 1),
+       |c$mm AS (SELECT cid, list(cm ORDER BY i) AS cv FROM (
+       |    SELECT a.cid AS cid, g.i AS i,
+       |      round(avg(e.v[(g.i + $o)::INTEGER]), 6) AS cm
+       |    FROM a$mm a JOIN e USING (vec_id)
+       |    CROSS JOIN generate_series(1, 16) AS g(i)
+       |    GROUP BY 1, 2) GROUP BY cid),
+       |r$mm AS (SELECT vec_id, cv FROM (
+       |    SELECT e.vec_id, c.cv, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${l2sub("e.v", "c.cv")}, c.cid) AS rn
+       |    FROM e CROSS JOIN c$mm c) WHERE rn = 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    // two unrolled Lloyd iterations: assign (argmin by the identical
-    // distance fold, ties to the lowest cid) → per-(cluster, dim) avg
-    // rounded to 6 (matching the Spark side's round(avg, 6)) → reassign
-    "sim_kmeans_batch" ->
+    // PQ: 4 independent 16-dim codebooks; candidates ranked by L2² between
+    // the query and the candidate's reconstruction (concat of its 4
+    // centroids); exact cosine reported beside
+    "sim_topk_pq" ->
       s"""WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-        |d1 AS (SELECT e.vec_id, c.cid,
-        |    ${l2Sql("e.v", "c.v")} AS dist
-        |  FROM e CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT cid, list(cm ORDER BY i) AS v FROM (
-        |    SELECT a1.cid AS cid, g.i AS i,
-        |      round(avg(e.v[g.i::INTEGER]), 6) AS cm
-        |    FROM a1 JOIN e USING (vec_id)
-        |    CROSS JOIN generate_series(1, 64) AS g(i)
-        |    GROUP BY 1, 2) GROUP BY cid),
-        |d2 AS (SELECT e.vec_id, c.cid,
-        |    ${l2Sql("e.v", "c.v")} AS dist
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |${(0 until 4).map(pqSubCte).mkString(",\n")},
+        |rec AS (SELECT e.vec_id, e.v,
+        |    list_concat(list_concat(r0.cv, r1.cv),
+        |      list_concat(r2.cv, r3.cv)) AS rv
+        |  FROM e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
+        |    JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65),
+        |        i -> (q.v[i::INTEGER] - c.rv[i::INTEGER]) *
+        |             (q.v[i::INTEGER] - c.rv[i::INTEGER]))),
+        |      (x, y) -> x + y), 6) AS adc,
+        |    ${cosSql("q.v", "c.v")} AS cos_exact
+        |  FROM e q JOIN rec c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, vec_id, adc, cos_exact, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, adc, cos_exact FROM r WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+    "sim_kmeans_batch" ->
+      s"""$kmeansCte
         |SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_vec
         |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin,
+    // within-cluster pairwise cosine (identical fold + round-6), removed =
+    // has a lower-id same-cluster witness at cos >= 0.40; min-id witness
+    "sim_semdedup" ->
+      s"""$kmeansCte,
+        |asg AS (SELECT a2.vec_id, a2.cid AS cluster, e.v
+        |  FROM a2 JOIN e USING (vec_id)),
+        |pr AS (SELECT x.cluster, x.vec_id, y.vec_id AS w_id,
+        |    ${cosSql("x.v", "y.v")} AS cos
+        |  FROM asg x JOIN asg y
+        |    ON y.cluster = x.cluster AND y.vec_id < x.vec_id)
+        |SELECT cluster, vec_id, min(w_id) AS witness_id,
+        |  max(cos) AS max_cos, count(*) AS n_witness
+        |FROM pr WHERE cos >= 0.40
+        |GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin,
     "sim_topk_srp" ->
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -457,6 +457,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_semdedup: removals independently witnessed, keepers survive") {
+    import org.apache.spark.sql.functions._
+    val rem = Similarity.semDedup(spark, sf).collect()
+    assert(rem.nonEmpty)
+    rem.foreach { r =>
+      assert(r.getAs[Long]("witness_id") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("max_cos") >= 0.40)
+      assert(r.getAs[Long]("n_witness") >= 1L)
+    }
+    // each cluster's lowest id can have no lower-id witness → never removed
+    val clusterMins = Similarity.kmeansBatch(spark, sf).collect()
+      .map(_.getAs[Long]("min_vec")).toSet
+    val removedIds = rem.map(_.getAs[Long]("vec_id")).toSet
+    assert(clusterMins.intersect(removedIds).isEmpty)
+    // witness pairs re-verified OUTSIDE the semdedup plan: raw embeddings
+    // join, cosine recomputed — every (vec_id, witness_id) pair is a real
+    // above-threshold neighbour, not an artifact of the cluster pipeline
+    engine.expressions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = spark.createDataFrame(
+        java.util.Arrays.asList(rem.map(r => org.apache.spark.sql.Row(
+          r.getAs[Long]("vec_id"), r.getAs[Long]("witness_id"))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+      .join(e, col("a") === col("vec_id")).withColumnRenamed("v", "va")
+      .drop("vec_id")
+      .join(e, col("b") === col("vec_id")).withColumnRenamed("v", "vb")
+      .withColumn("c", expr("round(cosine_sim(va, vb), 6)"))
+    assert(pairs.filter(col("c") < 0.40).count() == 0)
+  }
+
+  test("sim_topk_pq: ADC ranking well-formed, exact cosines honest, " +
+    "recall vs brute") {
+    val pq = Similarity.topkPq(spark, sf).collect()
+    assert(pq.length == 50) // 5 queries x top-10
+    pq.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val byRk = rows.sortBy(_.getAs[Int]("rk"))
+      // ADC non-decreasing with rank; no self; no duplicate candidates
+      assert(byRk.map(_.getAs[Double]("adc")).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(!byRk.exists(_.getAs[Long]("vec_id") == q))
+      assert(byRk.map(_.getAs[Long]("vec_id")).distinct.length == 10)
+    }
+    // exact-cosine column re-verified against brute's independent scan
+    val brute = Similarity.topkBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_exact")))
+    }
+    // recall@10 vs the exact scan — deterministic on this corpus; floor
+    // guards against a broken codebook/assignment (random ≈ 10/500)
+    val recall = pq.count { r =>
+      brute.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    } / 50.0
+    info(f"sim_topk_pq recall@10 vs brute = $recall%.2f")
+    assert(recall >= 0.2)
+  }
+
   test("cep batch matches equal streaming flatMapGroupsWithState matches") {
     val batch = Cep.seqFollowedBy(spark, sf).collect().toSeq
     val stream = Streaming.cepSeq(spark, sf).collect().toSeq
