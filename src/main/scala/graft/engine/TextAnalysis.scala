@@ -370,7 +370,70 @@ object TextAnalysis {
         sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
       .orderBy("source")
 
+  /** corpus_shard_shuffle: deterministic global shuffle + N-way sharding
+    * — the step that turns a filtered corpus into training shards whose
+    * order is reproducible across engines, runs, and executor counts.
+    * Every doc gets a stable shuffle key md5(doc_id); shard = 48-bit
+    * key-int % 8; within a shard docs are ordered by the hex key. The
+    * result pins the FULL permutation per shard: n_docs, token total,
+    * the first/last docs in shuffle order, and an order-sensitive
+    * checksum Σ position·doc_id that any reordering breaks.
+    *
+    * Scale shape: shard assignment is one hash — the only shuffle is the
+    * repartition-by-shard that the within-shard sort rides on (no global
+    * sort, no terasort: training order only needs to be deterministic
+    * WITHIN a shard, and shards are hash-balanced by construction). */
+  def shardShuffle(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("key", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        expr("cast(conv(substr(key, 1, 15), 16, 10) as bigint) % 8"))
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("pos", expr(
+        "row_number() over (partition by shard order by key)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        sum(col("pos") * col("doc_id")).as("order_sig"))
+      .orderBy("shard")
+
+  /** corpus_pack_chunks: token-budget sequence packing (the concat-and-
+    * chunk step that turns shuffled documents into fixed-size training
+    * sequences): within each [[shardShuffle]] shard, docs concatenate in
+    * shuffle-key order and a doc starts chunk ⌊tokens-before/2048⌋ —
+    * greedy boundary assignment, so chunks overflow by at most one doc
+    * (real pipelines split the straddling doc; the chunk MAP is what
+    * matters and is what's pinned). Emits per (shard, chunk): doc count,
+    * token count, start offset, and the order checksum.
+    *
+    * Scale shape: the running total is a per-shard window cumsum — the
+    * sequential dependency training-order packing genuinely has — but
+    * shards parallelize freely, which is exactly how a 1000-worker writer
+    * packs: one ordered stream per output shard. */
+  def packChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("key", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        expr("cast(conv(substr(key, 1, 15), 16, 10) as bigint) % 8"))
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("pos", expr(
+        "row_number() over (partition by shard order by key)"))
+      .withColumn("before", expr(
+        "coalesce(sum(tok) over (partition by shard order by key " +
+          "rows between unbounded preceding and 1 preceding), 0L)"))
+      .withColumn("chunk", expr("cast(floor(before / 2048) as bigint)"))
+      .groupBy("shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        min("before").as("start_tok"),
+        sum(col("pos") * col("doc_id")).as("order_sig"))
+      .orderBy("shard", "chunk")
+
   val queries: Map[String, Q] = Map(
+    "corpus_shard_shuffle" -> (shardShuffle _),
+    "corpus_pack_chunks"   -> (packChunks _),
     "corpus_sample_mix"  -> (sampleMix _),
     "text_lm_perplexity" -> (lmPerplexity _),
     "text_repetition"    -> (repetition _),
@@ -389,6 +452,37 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // same md5 shard + hex-key order; order_sig pins the permutation
+    "corpus_shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR) AS key,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 8 AS shard,
+        |    len(str_split(text, ' '))::BIGINT AS tok
+        |  FROM documents),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY shard
+        |    ORDER BY key) AS pos FROM k)
+        |SELECT shard, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+        |  min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+        |  sum(pos * doc_id)::BIGINT AS order_sig
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "corpus_pack_chunks" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR) AS key,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 8 AS shard,
+        |    len(str_split(text, ' '))::BIGINT AS tok
+        |  FROM documents),
+        |p AS (SELECT *,
+        |    row_number() OVER (PARTITION BY shard ORDER BY key) AS pos,
+        |    COALESCE(sum(tok) OVER (PARTITION BY shard ORDER BY key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS before
+        |  FROM k)
+        |SELECT shard, CAST(floor(before / 2048) AS BIGINT) AS chunk,
+        |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+        |  min(before) AS start_tok, sum(pos * doc_id)::BIGINT AS order_sig
+        |FROM p GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin,
     "corpus_sample_mix" ->
       """WITH m AS (
         |  SELECT source, doc_id,

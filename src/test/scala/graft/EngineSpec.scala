@@ -521,6 +521,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2)
   }
 
+  test("corpus_shard_shuffle / corpus_pack_chunks: shards partition the " +
+    "corpus, chunks tile each shard's token stream") {
+    val shards = TextAnalysis.shardShuffle(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == total)
+    // hash sharding balances: no shard above 2x the mean
+    val counts = shards.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= 2 * total / counts.length)
+    val chunks = TextAnalysis.packChunks(spark, sf).collect()
+    chunks.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val byChunk = rows.sortBy(_.getAs[Long]("chunk"))
+      // chunk ids contiguous from 0; doc/token totals re-tile the shard
+      assert(byChunk.map(_.getAs[Long]("chunk")).toSeq ==
+        (0L until byChunk.length))
+      val srow = shards.find(_.getAs[Long]("shard") == sh).get
+      assert(byChunk.map(_.getAs[Long]("n_docs")).sum ==
+        srow.getAs[Long]("n_docs"))
+      assert(byChunk.map(_.getAs[Long]("n_tokens")).sum ==
+        srow.getAs[Long]("n_tokens"))
+      // greedy boundary: every chunk starts inside its own budget window
+      byChunk.foreach { c =>
+        val (ck, st) = (c.getAs[Long]("chunk"), c.getAs[Long]("start_tok"))
+        assert(st >= 2048 * ck && st < 2048 * (ck + 1))
+      }
+    }
+  }
+
   test("cep batch matches equal streaming flatMapGroupsWithState matches") {
     val batch = Cep.seqFollowedBy(spark, sf).collect().toSeq
     val stream = Streaming.cepSeq(spark, sf).collect().toSeq
