@@ -593,6 +593,188 @@ object SiddhiQL extends Serializable {
     case _ => false
   }
 
+  // ---------- script functions (define function) ----------
+  /** `define function f[javascript] return <type> { return <expr>; }` —
+    * the reference's script UDFs (`SI:core/function/Script.java` +
+    * `EXT:siddhi-script-js` [public repo paths, unverified]). Instead of
+    * embedding a JS engine we compile the single-`return` JS EXPRESSION
+    * subset natively to Catalyst SQL: arguments are `data[i]`; operators
+    * `+ - * / %`, comparisons (`== != === !== < <= > >=`), `&& || !`,
+    * the ternary `c ? a : b`, parentheses, number/string literals (both
+    * quote styles), and `Math.*` calls. In a STRING-returning function
+    * `+` is JS concatenation (the canonical Siddhi JS example). The body
+    * INLINES into the calling query's plan as `cast(<expr> as <type>)`
+    * — whole-stage codegen'd, no script engine at any row, and Catalyst
+    * can optimize through it (a filter over a script fn still prunes).
+    * Functions may call earlier-defined functions; cycles are diagnosed
+    * by a depth guard at render time. */
+  private final case class ScriptFn(name: String, argc: Int, body: Expr,
+      sqlType: String)
+  private var scriptFns: Map[String, ScriptFn] = Map.empty
+  private var scriptDepth: Int = 0
+
+  private def jsLex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_' || c == '$') {
+        val j = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_' ||
+          src(i) == '$')) i += 1
+        out += TId(src.substring(j, i))
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        out += TNum(src.substring(j, i))
+      } else if (c == '\'' || c == '"') {
+        val q = c
+        val j = i + 1
+        i += 1
+        while (i < n && src(i) != q) i += 1
+        if (i >= n) fail("define function: unterminated string in body")
+        out += TStr(src.substring(j, i)); i += 1
+      } else {
+        val three = if (i + 2 < n) src.substring(i, i + 3) else ""
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (three == "===") { out += TSym("=="); i += 3 }
+        else if (three == "!==") { out += TSym("!="); i += 3 }
+        else if (Set("==", "!=", "<=", ">=", "&&", "||")(two)) {
+          out += TSym(two); i += 2
+        } else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  /** Recursive-descent parser for the JS expression subset → [[Expr]]
+    * (ternary lowers to ifThenElse, && || ! to and/or/not, `Math.pow` /
+    * `Math.sign` to their math: names — everything else math: validates). */
+  private final class JsP(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def advance(): Tok = { val t = toks(p); p += 1; t }
+    private def eat(sym: String): Unit = advance() match {
+      case TSym(s) if s == sym => ()
+      case t => fail(s"define function: expected '$sym', got $t in body")
+    }
+    def done: Boolean = peek == TEof
+    def ternary(): Expr = {
+      val c = or()
+      if (peek == TSym("?")) {
+        advance()
+        val a = ternary(); eat(":"); val b = ternary()
+        Call(None, "ifThenElse", List(c, a, b))
+      } else c
+    }
+    private def or(): Expr = {
+      var l = and()
+      while (peek == TSym("||")) { advance(); l = Bin("or", l, and()) }
+      l
+    }
+    private def and(): Expr = {
+      var l = cmp()
+      while (peek == TSym("&&")) { advance(); l = Bin("and", l, cmp()) }
+      l
+    }
+    private def cmp(): Expr = {
+      val l = add()
+      peek match {
+        case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
+          advance(); Bin(op, l, add())
+        case _ => l
+      }
+    }
+    private def add(): Expr = {
+      var l = mul()
+      var go = true
+      while (go) peek match {
+        case TSym(op @ ("+" | "-")) => advance(); l = Bin(op, l, mul())
+        case _ => go = false
+      }
+      l
+    }
+    private def mul(): Expr = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case TSym(op @ ("*" | "/" | "%")) =>
+          advance(); l = Bin(op, l, unary())
+        case _ => go = false
+      }
+      l
+    }
+    private def unary(): Expr = peek match {
+      case TSym("-") => advance(); Neg(unary())
+      case TSym("!") => advance(); Not(unary())
+      case _ => primary()
+    }
+    private def args(): List[Expr] = {
+      eat("(")
+      if (peek == TSym(")")) { advance(); return Nil }
+      val as = List.newBuilder[Expr]
+      as += ternary()
+      while (peek == TSym(",")) { advance(); as += ternary() }
+      eat(")")
+      as.result()
+    }
+    private def primary(): Expr = advance() match {
+      case TNum(s) => Num(s)
+      case TStr(s) => Str(s)
+      case TSym("(") => val e = ternary(); eat(")"); e
+      case TId("data") =>
+        eat("[")
+        val ix = advance() match {
+          case TNum(s) if !s.contains('.') => s.toInt
+          case t => fail(s"define function: data[<int>] expected, got $t")
+        }
+        eat("]")
+        Ref(List(s"__data_$ix"))
+      case TId("Math") =>
+        eat(".")
+        val fn = advance() match {
+          case TId(f) => f
+          case t => fail(s"define function: Math.<fn> expected, got $t")
+        }
+        val mapped = fn match {
+          case "pow" => "power"
+          case "sign" => "signum"
+          case other => other
+        }
+        Call(Some("math"), mapped, args())
+      case TId(other) if peek == TSym("(") =>
+        // a call to another (earlier-defined) script function
+        Call(None, other, args())
+      case t => fail(s"define function: unsupported body construct $t — " +
+        "the JS-expression subset is data[i], literals, + - * / %, " +
+        "comparisons, && || !, ?:, Math.*, and earlier-defined functions")
+    }
+  }
+
+  private def maxDataIdx(e: Expr): Int = e match {
+    case Ref(List(d)) if d.startsWith("__data_") => d.substring(7).toInt
+    case Bin(_, l, r) => math.max(maxDataIdx(l), maxDataIdx(r))
+    case Not(x) => maxDataIdx(x)
+    case Neg(x) => maxDataIdx(x)
+    case Call(_, _, as) =>
+      as.foldLeft(-1)((m, a) => math.max(m, maxDataIdx(a)))
+    case _ => -1
+  }
+
+  /** JS `+` means concatenation when the function returns string. */
+  private def plusToConcat(e: Expr): Expr = e match {
+    case Bin("+", l, r) =>
+      Call(None, "__concat", List(plusToConcat(l), plusToConcat(r)))
+    case Bin(op, l, r) => Bin(op, plusToConcat(l), plusToConcat(r))
+    case Not(x) => Not(plusToConcat(x))
+    case Neg(x) => Neg(plusToConcat(x))
+    case Call(ns, n, as) => Call(ns, n, as.map(plusToConcat))
+    case other => other
+  }
+
   private def renderCall(ns: Option[String], name: String,
                          argc: Int, a: List[String]): String = {
     def std(n: String) = s"$n(${a.mkString(", ")})"
@@ -654,6 +836,25 @@ object SiddhiQL extends Serializable {
         "(" + a(1) + " rlike concat('^(?:', " + a(0) + ", ')$'))"
       case (Some("regex"), "group") =>
         s"regexp_extract(${a(1)}, ${a(0)}, ${a(2)})"
+      case (None, "__concat") => std("concat")
+      case (None, n) if scriptFns.contains(n) =>
+        val f = scriptFns(n)
+        if (argc != f.argc)
+          fail(s"function '${f.name}' takes ${f.argc} argument(s), " +
+            s"got $argc")
+        if (scriptDepth > 16)
+          fail(s"function '${f.name}': recursive script functions are " +
+            "unsupported (call cycle detected)")
+        scriptDepth += 1
+        try {
+          val bodySql = sqlOfWith(f.body, {
+            case List(d) if d.startsWith("__data_") =>
+              s"(${a(d.substring(7).toInt)})"
+            case other => fail(s"unknown identifier " +
+              s"'${other.mkString(".")}' in function '${f.name}' body")
+          })
+          s"cast(($bodySql) as ${f.sqlType})"
+        } finally scriptDepth -= 1
       case (nsx, n) =>
         fail(s"unsupported function ${nsx.fold("")(_ + ":")}$n")
     }
@@ -757,8 +958,10 @@ object SiddhiQL extends Serializable {
   }
 
   // ---------- compiler ----------
-  def compile(spark: SparkSession, dir: String, query: String): DataFrame =
+  def compile(spark: SparkSession, dir: String, query: String): DataFrame = {
+    scriptFns = Map.empty // single queries can't define functions
     compileOne(spark, dir, query, Map.empty)
+  }
 
   /** Compile a whole Siddhi APP: `define stream ...;` declarations plus
     * `@info(name='q') from ... insert into Out;` queries, where later
@@ -771,6 +974,7 @@ object SiddhiQL extends Serializable {
   def compileApp(spark: SparkSession, dir: String,
                  app: String): Map[String, DataFrame] = {
     val stmts = splitStatements(app)
+    scriptFns = Map.empty // defs are per-app, registered in textual order
     var env = Map.empty[String, DataFrame]
     var tableDefs = Map.empty[String, StructType]
     // `insert into Out` from MULTIPLE queries is the reference's fan-in:
@@ -848,6 +1052,39 @@ object SiddhiQL extends Serializable {
             .select(explode(sequence(col("__lo"), col("__hi"),
               lit(ivMs))).as("tick_ms"))
           env += tname -> ticks
+        } else if (p.tryKw("function")) {
+          // define function f[javascript] return <type> { return <e>; }
+          // — compiled natively (ScriptFn scaladoc above); the [lang]
+          // tag is accepted as-written since no script engine runs
+          val m = ("(?is)^define\\s+function\\s+([A-Za-z_]\\w*)\\s*\\[" +
+            "\\s*([A-Za-z]+)\\s*\\]\\s*return\\s+([A-Za-z]+)\\s*\\{(.*)" +
+            "\\}\\s*$").r.findFirstMatchIn(body).getOrElse(fail(
+              "malformed define function: expected `define function " +
+                "<name>[<lang>] return <type> { return <expr>; }`"))
+          val (fname, rtype, fbody) = (m.group(1), m.group(3), m.group(4))
+          val rm = "(?is)^\\s*return\\b(.*?);?\\s*$".r
+            .findFirstMatchIn(fbody).getOrElse(fail(
+              s"define function '$fname': only single-`return <expr>;` " +
+                "bodies compile (the JS-expression subset; " +
+                "multi-statement scripts are out of scope)"))
+          val sqlType = rtype.toLowerCase match {
+            case "int" => "int"
+            case "long" => "bigint"
+            case "float" => "float"
+            case "double" => "double"
+            case "string" => "string"
+            case "bool" => "boolean"
+            case other =>
+              fail(s"define function: unknown return type '$other'")
+          }
+          val jp = new JsP(jsLex(rm.group(1)))
+          var bodyExpr = jp.ternary()
+          if (!jp.done)
+            fail(s"define function '$fname': trailing tokens after the " +
+              "return expression")
+          if (sqlType == "string") bodyExpr = plusToConcat(bodyExpr)
+          scriptFns += fname.toLowerCase ->
+            ScriptFn(fname, maxDataIdx(bodyExpr) + 1, bodyExpr, sqlType)
         } else if (p.tryKw("aggregation")) {
           // define aggregation A from S[f] select ... group by ...
           //   aggregate by ts every sec ... day
@@ -1018,9 +1255,15 @@ object SiddhiQL extends Serializable {
     val out = List.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
+    var inDq = false // JS double-quoted strings inside function bodies
+    var brace = 0    // `define function ... { return ...; }` bodies
     app.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ';' if !inStr => out += cur.toString; cur.clear()
+      case '\'' if !inDq => inStr = !inStr; cur += '\''
+      case '"' if !inStr => inDq = !inDq; cur += '"'
+      case '{' if !inStr && !inDq => brace += 1; cur += '{'
+      case '}' if !inStr && !inDq => brace -= 1; cur += '}'
+      case ';' if !inStr && !inDq && brace == 0 =>
+        out += cur.toString; cur.clear()
       case c => cur += c
     }
     out += cur.toString

@@ -353,6 +353,26 @@ object SqlGate {
         |insert into Out""".stripMargin),
     // `attr in Table` membership filter = LEFT SEMI join (SURVEY §2.2);
     // the Vips table is itself fed by a DML query in the same app
+    // script UDFs: define function bodies (JS-expression subset) compile
+    // natively and INLINE into the query plan — incl. a function calling
+    // an earlier-defined one and JS string concatenation via `+`
+    "sql_script_udf" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define function pct[javascript] return double {
+        |  return data[0] / 100.0;
+        |};
+        |define function taxed[javascript] return double {
+        |  return data[0] * (1 + pct(data[1]));
+        |};
+        |define function sizeTag[javascript] return string {
+        |  return data[0] + "-" + (data[1] > 200000 ? "big" : "small");
+        |};
+        |
+        |@info(name = 'priced')
+        |from orders[o_totalprice > 150000.0]
+        |select o_orderkey, taxed(o_totalprice, 7) as taxed_price,
+        |  sizeTag(o_orderstatus, o_totalprice) as tag
+        |order by o_orderkey
+        |insert into Out""".stripMargin)("priced")),
     "sql_in_table" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Vips (user_id long);
         |
@@ -457,6 +477,15 @@ object SqlGate {
         |WHERE value < 5.0 AND user_id IN (
         |  SELECT user_id FROM events WHERE value > 195.0)
         |ORDER BY event_id""".stripMargin,
+    "sql_script_udf" ->
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice * (1 + CAST(7 / 100.0 AS DOUBLE))
+        |    AS DOUBLE) AS taxed_price,
+        |  CAST(o_orderstatus || '-' ||
+        |    (CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END)
+        |    AS VARCHAR) AS tag
+        |FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
     // last event per user (replay order), then the on-demand filter
     "sql_store_query" ->
       """SELECT user_id, value AS last_value FROM (

@@ -710,6 +710,56 @@ class SiddhiQlSpec extends AnyFunSuite {
       .getMessage.contains("select *"))
   }
 
+  test("define function: JS-subset bodies compile, inline, and equal " +
+    "the direct API; diagnostics name the problem") {
+    val out = SiddhiQL.compileApp(spark, sf,
+      """define function clamp[javascript] return double {
+        |  return data[0] > data[1] ? data[1] : data[0];
+        |};
+        |define function score[javascript] return double {
+        |  return Math.sqrt(clamp(data[0], 180.0)) * 10;
+        |};
+        |
+        |@info(name = 'q')
+        |from events[value > 100.0]
+        |select event_id, score(value) as s
+        |order by event_id
+        |insert into Out""".stripMargin)("q")
+    val direct = engine.Tables.events(spark, sf)
+      .where(col("value") > 100.0)
+      .select(col("event_id"),
+        (sqrt(least(col("value"), lit(180.0))) * 10).as("s"))
+      .orderBy("event_id")
+    assert(out.collect().toSeq == direct.collect().toSeq)
+    assert(out.count() > 0)
+    // inlined, not a black box: the filter still reaches the parquet scan
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(value), " +
+      "GreaterThan(value,100.0)]"))
+
+    def appMsg(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    // multi-statement bodies are out of the compiled subset
+    assert(appMsg("define function f[javascript] return int { " +
+      "var x = 1; return x; }").contains("single-`return"))
+    // unsupported construct named
+    assert(appMsg("define function f[javascript] return int { " +
+      "return foo.bar(data[0]); }").contains("unsupported body construct"))
+    // arity mismatch caught at the call site
+    assert(appMsg("define function f[javascript] return int { " +
+      "return data[0] + data[1]; };\n" +
+      "from events select f(value) as x insert into O")
+      .contains("takes 2 argument(s)"))
+    // mutual recursion diagnosed, not a stack overflow
+    assert(appMsg("define function a[javascript] return int { " +
+      "return b(data[0]); };\n" +
+      "define function b[javascript] return int { " +
+      "return a(data[0]); };\n" +
+      "from events select a(value) as x insert into O")
+      .contains("recursive script functions"))
+  }
+
   test("table DML diagnostics name the problem") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
