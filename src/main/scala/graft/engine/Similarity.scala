@@ -202,7 +202,7 @@ object Similarity {
     * k=8, deterministic init (the k lowest vec_ids), one centroid update,
     * final reassignment. Returns (vec_id, v, cluster). Driver state is
     * k·dim doubles only — never the vectors. */
-  private def kmeansAssigned(s: SparkSession, d: String): DataFrame = {
+  private[graft] def kmeansAssigned(s: SparkSession, d: String): DataFrame = {
     val k = 8; val updates = 1; val dim = 64
     val e = vecs(s, d)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)

@@ -368,4 +368,39 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"SRP near-dup recall $recall below floor at 10x")
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
+
+  test("10x semdedup: clusters partition the corpus, co-clustered " +
+    "near-dup twins all removed, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the fixture's replicas are ±0.1% multiplicative-noise twins of
+    // their base vector (cosine ≈ 0.9999) — the exact population
+    // SemDeDup exists to remove
+    val asg = Similarity.kmeansAssigned(spark, dir10)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.size == 20000)
+    assert(asg.values.toSet.size == 8, "k=8 clusters all populated")
+    val (rows, wall, maxTask) = timed(Similarity.semDedup(spark, dir10))
+    info(f"sim_semdedup 10x: ${rows.length} removals, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    val removed = rows.map(_.getAs[Long]("vec_id")).toSet
+    rows.foreach { r =>
+      assert(r.getAs[Long]("witness_id") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("max_cos") >= 0.40)
+    }
+    // every twin that lands in its base's cluster MUST be removed (its
+    // base is a lower-id witness at cosine ≈ 1); co-cluster rate itself
+    // stays high because ±0.1% noise barely moves a vector
+    val twins = asg.keys.filter(_ >= off).toSeq
+    val coClustered = twins.filter(t => asg.get(t % off).exists(_ == asg(t)))
+    val coRate = coClustered.size.toDouble / twins.size
+    info(f"co-clustered twin rate: $coRate%.3f")
+    assert(coRate >= 0.8, s"twin co-cluster rate $coRate — clustering drift")
+    val missed = coClustered.filterNot(removed)
+    assert(missed.isEmpty,
+      s"${missed.size} co-clustered twins survived semdedup (e.g. " +
+        s"${missed.take(3).mkString(", ")})")
+    assert(maxTask < 180, s"straggler task of $maxTask s — a cluster " +
+      "collapsed onto one reducer beyond its quadratic share")
+  }
 }
