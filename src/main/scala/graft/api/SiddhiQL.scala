@@ -810,6 +810,15 @@ object SiddhiQL extends Serializable {
         s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})"
       case (Some("str"), "equalsignorecase") =>
         s"(lower(${a(0)}) = lower(${a(1)}))"
+      // str:split(src, splitter, index) returns the index-th piece,
+      // 0-based [public doc, unverified]
+      case (Some("str"), "split") => // NULL when the piece doesn't exist
+        s"try_element_at(split(${a(0)}, ${a(1)}), ${a(2)} + 1)"
+      case (Some("str"), "strcmp") =>
+        s"(case when ${a(0)} < ${a(1)} then -1 " +
+          s"when ${a(0)} = ${a(1)} then 0 else 1 end)"
+      case (Some("str"), "hex") => s"lower(hex(${a(0)}))"
+      case (Some("str"), "unhex") => s"cast(unhex(${a(0)}) as string)"
       case (Some("math"), n @ ("abs" | "round" | "sqrt" | "floor" |
                                "ceil" | "power" | "exp" | "sin" | "cos" |
                                "tan" | "log10" | "log2")) => std(n)
@@ -817,12 +826,54 @@ object SiddhiQL extends Serializable {
       case (Some("math"), "min") => s"least(${a.mkString(", ")})"
       case (Some("math"), "max") => s"greatest(${a.mkString(", ")})"
       case (Some("math"), "signum") => s"sign(${a(0)})"
+      case (Some("math"), "cbrt") => std("cbrt")
+      case (Some("math"), "todegrees") => s"degrees(${a(0)})"
+      case (Some("math"), "toradians") => s"radians(${a(0)})"
+      case (Some("math"), "pi") => "pi()"
+      case (Some("math"), "e") => "e()"
+      case (Some("math"), "parseint") => s"cast(${a(0)} as int)"
+      case (Some("math"), "parselong") => s"cast(${a(0)} as bigint)"
+      case (Some("math"), "parsefloat") => s"cast(${a(0)} as float)"
+      case (Some("math"), "parsedouble") => s"cast(${a(0)} as double)"
+      case (Some("math"), "isnan") => s"isnan(${a(0)})"
+      case (Some("math"), "isinfinite") =>
+        s"(abs(${a(0)}) = double('Infinity'))"
       // time:extract('hour', epochMs) — unit names the SQL extractor
       case (Some("time"), "extract") =>
         val u = a(0).stripPrefix("'").stripSuffix("'").toLowerCase
         if (!Set("year", "month", "day", "hour", "minute", "second")(u))
           fail(s"time:extract: unknown unit '$u'")
         s"$u(timestamp_millis(cast(${a(1)} as bigint)))"
+      // time:dateFormat(epochMs, 'pattern') — Java pattern letters shared
+      // by Siddhi and Spark for the common y/M/d/H/m/s forms
+      case (Some("time"), "dateformat") =>
+        s"date_format(timestamp_millis(cast(${a(0)} as bigint)), ${a(1)})"
+      // time:dateAdd(epochMs, amount, 'unit') / dateSub — fixed-width
+      // units compile to epoch arithmetic; calendar units (month/year)
+      // are diagnosed (they need a calendar, not a factor)
+      case (Some("time"), n @ ("dateadd" | "datesub")) =>
+        val u = a(2).stripPrefix("'").stripSuffix("'").toLowerCase
+        val factor = u match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case other => fail(s"time:$n: unit '$other' unsupported " +
+            "(fixed-width units second/minute/hour/day compile to epoch " +
+            "arithmetic; month/year need calendar semantics)")
+        }
+        val sign = if (n == "dateadd") "+" else "-"
+        s"(cast(${a(0)} as bigint) $sign (${a(1)}) * $factor)"
+      // time:dateDiff(epochMs1, epochMs2) → whole days between
+      case (Some("time"), "datediff") =>
+        s"((cast(${a(0)} as bigint) - cast(${a(1)} as bigint)) " +
+          "div 86400000)"
+      case (Some("time"), "dayofweek") =>
+        s"date_format(timestamp_millis(cast(${a(0)} as bigint)), 'EEEE')"
+      case (Some("json"), "isexists") =>
+        s"(get_json_object(${a(0)}, ${a(1)}) is not null)"
+      case (Some("json"), "getbool") =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as boolean)"
       case (Some("json"), "getstring") =>
         s"get_json_object(${a(0)}, ${a(1)})"
       case (Some("json"), "getdouble") =>

@@ -169,6 +169,34 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
+  /** `timeseries:outlier` (siddhi-execution-timeseries, the family's
+    * other member next to [[timeseriesRegress]]) — flag events whose
+    * residual from the per-key OLS fit exceeds 2 population standard
+    * deviations of that key's residuals. Two window passes over the SAME
+    * partitioning (user_id): Catalyst plans ONE exchange and chains both
+    * Window operators on it — fit moments first, residual stddev second
+    * — so millions of per-key models cost a single shuffle at 100 TB. */
+  def timeseriesOutlier(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    events(s, d)
+      .withColumn("x",
+        ((col("ts_ns") - lit(1704067200000000000L)) / lit(1e9))
+          .cast("double"))
+      .withColumn("slope",
+        covar_pop(col("x"), col("value")).over(w) /
+          var_pop(col("x")).over(w))
+      .withColumn("resid",
+        col("value") -
+          (avg("value").over(w) + col("slope") *
+            (col("x") - avg("x").over(w))))
+      .withColumn("sd", stddev_pop(col("resid")).over(w))
+      .filter(round(abs(col("resid")), 6) > round(col("sd") * 2, 6))
+      .select(col("event_id"), col("user_id"),
+        round(col("resid"), 6).as("residual"),
+        round(col("sd") * 2, 6).as("threshold"))
+      .orderBy("event_id")
+  }
+
   /** Grouping-sets upgrade (ABSENT in Siddhi — SURVEY §2.4 free upgrade):
     * CUBE over (event_type, value band) with grouping_id disambiguating
     * the NULL-as-ALL rows. One pass, partial-aggregated per grouping set. */
@@ -186,6 +214,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "agg_rollup_cube"     -> (rollupCube _),
     "agg_timeseries_regress" -> (timeseriesRegress _),
+    "agg_timeseries_outlier" -> (timeseriesOutlier _),
     "agg_basic"            -> (aggBasic _),
     "agg_distinctcount"    -> (distinctCount _),
     "agg_stddev"           -> (stddevPop _),
@@ -209,6 +238,26 @@ object Aggregates {
         |  FROM events)
         |GROUP BY CUBE(event_type, band)
         |ORDER BY gid, etype, band""".stripMargin,
+    // same per-key fit; residual recomputed pointwise; flag at 2 sigma
+    // (round-6 on both comparison sides, matching the Spark filter)
+    "agg_timeseries_outlier" ->
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    (epoch_ns(ts) - 1704067200000000000) / 1e9 AS x
+        |  FROM events),
+        |f AS (SELECT *,
+        |    covar_pop(x, value) OVER w / var_pop(x) OVER w AS slope,
+        |    avg(value) OVER w AS my, avg(x) OVER w AS mx
+        |  FROM b WINDOW w AS (PARTITION BY user_id)),
+        |r AS (SELECT event_id, user_id,
+        |    value - (my + slope * (x - mx)) AS resid
+        |  FROM f),
+        |z AS (SELECT event_id, user_id, resid,
+        |    stddev_pop(resid) OVER (PARTITION BY user_id) AS sd
+        |  FROM r)
+        |SELECT event_id, user_id, round(resid, 6) AS residual,
+        |  round(sd * 2, 6) AS threshold
+        |FROM z WHERE round(abs(resid), 6) > round(sd * 2, 6)
+        |ORDER BY event_id""".stripMargin,
     "agg_timeseries_regress" ->
       """SELECT user_id,
         |  round(covar_pop((epoch_ns(ts) - 1704067200000000000) / 1e9, value) /

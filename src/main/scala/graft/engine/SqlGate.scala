@@ -110,6 +110,25 @@ object SqlGate {
         |  regex:matches('e.*r', event_type) as full_match
         |order by event_id
         |insert into Out""".stripMargin),
+    // round-6 additions to the function surface: str:split/strcmp/hex,
+    // math:cbrt/toDegrees/parse*/pi, time:dateFormat/dateAdd/dateDiff/
+    // dayOfWeek — epoch arithmetic and Java-pattern formatting parity
+    "sql_functions2" -> q(
+      """from events[event_id < 300]
+        |select event_id,
+        |  str:split(event_type, 'i', 1) as piece,
+        |  str:strcmp(event_type, 'click') as cmp,
+        |  str:hex(str:substr(event_type, 0, 2)) as hx,
+        |  math:round(math:cbrt(value), 6) as cb,
+        |  math:toDegrees(value / 100.0) as deg,
+        |  math:parseDouble('2.5') as pd,
+        |  math:round(math:pi() * 1000000, 0) as pim,
+        |  time:dateFormat(ts_ns / 1000000, 'yyyy-MM-dd HH') as fmt,
+        |  time:dateAdd(ts_ns / 1000000, 2, 'hour') as plus2h,
+        |  time:dateDiff(ts_ns / 1000000, 1704067200000) as days_since,
+        |  time:dayOfWeek(ts_ns / 1000000) as dow
+        |order by event_id
+        |insert into Out""".stripMargin),
     // sort(N, attr, 'desc'): distributed top-N retention window
     "sql_sort_window" -> q(
       """from events#window.sort(5, value, 'desc')
@@ -477,6 +496,28 @@ object SqlGate {
         |WHERE value < 5.0 AND user_id IN (
         |  SELECT user_id FROM events WHERE value > 195.0)
         |ORDER BY event_id""".stripMargin,
+    // ms mirrors Spark's ANSI `ts_ns / 1000000`: integral `/` is EXACT
+    // decimal division there, and the bigint cast truncates — for
+    // positive ns that is integer division (DuckDB `//`; a double
+    // division here would drift at ns magnitude, beyond 2^53)
+    "sql_functions2" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ms
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id,
+        |  str_split(event_type, 'i')[2] AS piece,
+        |  (CASE WHEN event_type < 'click' THEN -1
+        |        WHEN event_type = 'click' THEN 0 ELSE 1 END) AS cmp,
+        |  lower(hex(substring(event_type, 1, 2))) AS hx,
+        |  round(cbrt(value), 6) AS cb,
+        |  degrees(value / 100.0) AS deg,
+        |  CAST('2.5' AS DOUBLE) AS pd,
+        |  round(pi() * 1000000, 0) AS pim,
+        |  strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H') AS fmt,
+        |  ms + 2 * 3600000 AS plus2h,
+        |  (ms - 1704067200000) // 86400000 AS days_since,
+        |  dayname(make_timestamp(ms * 1000)) AS dow
+        |FROM b ORDER BY event_id""".stripMargin,
     "sql_script_udf" ->
       """SELECT o_orderkey,
         |  CAST(o_totalprice * (1 + CAST(7 / 100.0 AS DOUBLE))

@@ -107,7 +107,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vector to the broadcast centroid set).
     val nestedLoopByDesign =
       Set("join_theta", "sim_topk_brute", "sim_topk_ivf",
-        "sim_topk_quantized") // quantized exact scan: query side broadcast
+        "sim_topk_quantized", // quantized exact scan: query side broadcast
+        "sim_topk_pq") // ADC scan: codes stream against broadcast queries
     val batchQueries =
       Relational.queries ++ Windows.queries ++ Aggregates.queries ++
         Functions.queries ++ Cep.queries ++ Similarity.queries ++
@@ -519,6 +520,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } / 50.0
     info(f"sim_topk_pq recall@10 vs brute = $recall%.2f")
     assert(recall >= 0.2)
+  }
+
+  test("agg_timeseries_outlier: fit and residual-stddev windows share " +
+    "ONE hash exchange; flags are honest z-scores") {
+    val df = Aggregates.timeseriesOutlier(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the OLS-fit window and the residual-stddev window both partition
+    // by user_id — Catalyst must reuse a single hashpartitioning
+    // exchange (the orderBy adds its own range exchange; no more)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("residual")) >=
+        r.getAs[Double]("threshold"))
+    }
   }
 
   test("corpus_shard_shuffle / corpus_pack_chunks: shards partition the " +
