@@ -870,6 +870,36 @@ object SiddhiQL extends Serializable {
           "div 86400000)"
       case (Some("time"), "dayofweek") =>
         s"date_format(timestamp_millis(cast(${a(0)} as bigint)), 'EEEE')"
+      // list:/map: families — constructed collections + accessors; gets
+      // are try_element_at (NULL on missing, matching Siddhi's null)
+      case (Some("list"), "create") => s"array(${a.mkString(", ")})"
+      case (Some("list"), "size") => s"size(${a(0)})"
+      case (Some("list"), "contains") =>
+        s"array_contains(${a(0)}, ${a(1)})"
+      case (Some("list"), "get") =>
+        s"try_element_at(${a(0)}, ${a(1)} + 1)"
+      case (Some("list"), "sort") => s"array_sort(${a(0)})"
+      case (Some("list"), "distinct") => s"array_distinct(${a(0)})"
+      case (Some("list"), "isempty") => s"(size(${a(0)}) = 0)"
+      case (Some("map"), "create") => s"map(${a.mkString(", ")})"
+      case (Some("map"), "get") => s"try_element_at(${a(0)}, ${a(1)})"
+      case (Some("map"), "containskey") =>
+        s"map_contains_key(${a(0)}, ${a(1)})"
+      case (Some("map"), "size") => s"size(${a(0)})"
+      case (Some("map"), "keys") => s"array_sort(map_keys(${a(0)}))"
+      case (Some("map"), "values") => s"array_sort(map_values(${a(0)}))"
+      // instanceOfX — schema-static in Spark; typeof() answers it
+      case (None, n) if n.startsWith("instanceof") && argc == 1 =>
+        val t = n.stripPrefix("instanceof") match {
+          case "boolean" => "boolean"
+          case "double" => "double"
+          case "float" => "float"
+          case "integer" => "int"
+          case "long" => "bigint"
+          case "string" => "string"
+          case other => fail(s"unknown instanceOf type '$other'")
+        }
+        s"(typeof(${a(0)}) = '$t')"
       case (Some("json"), "isexists") =>
         s"(get_json_object(${a(0)}, ${a(1)}) is not null)"
       case (Some("json"), "getbool") =>

@@ -245,10 +245,11 @@ object Similarity {
     * lowest-id witness, max witness cosine, and witness count.
     *
     * Scale shape: clustering exists precisely to break the corpus-wide
-    * O(n²) into per-cluster O(n_c²) — both pair sides shuffle on the
-    * cluster id (plain equi-join: shuffle hash join, NEVER a broadcast
-    * of the corpus), so each cluster's quadratic work is isolated on its
-    * reducer and clusters parallelize freely. At 100 TB you raise k so
+    * O(n²) into per-cluster O(n_c²) — the pair stage is a plain EQUI
+    * join on the cluster id (strategy left to Catalyst/AQE: broadcast at
+    * toy SF, shuffle-on-cluster at scale; never a cross join), so each
+    * cluster's quadratic work is isolated on its reducer and clusters
+    * parallelize freely. At 100 TB you raise k so
     * max cluster size stays bounded (the paper's regime) and split or
     * salt any skewed giant cluster; the threshold τ=0.40 is data-relative
     * (this synthetic corpus is near-random, max NN cosine ≈ 0.51). */

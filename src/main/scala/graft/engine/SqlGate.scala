@@ -129,6 +129,23 @@ object SqlGate {
         |  time:dayOfWeek(ts_ns / 1000000) as dow
         |order by event_id
         |insert into Out""".stripMargin),
+    // list:/map: collection families + instanceOfX type predicates
+    "sql_collections" -> q(
+      """from events[event_id < 200]
+        |select event_id,
+        |  list:get(list:sort(list:create(value, 100.0, 55.5)), 0) as lo,
+        |  list:contains(list:create(event_type, 'click'), 'click')
+        |    as has_click,
+        |  list:size(list:distinct(list:create(1, 2, 2, 3))) as nd,
+        |  map:get(map:create('a', value, 'b', 0.0), 'a') as ma,
+        |  map:containsKey(map:create('a', 1, 'b', 2), 'c') as has_c,
+        |  map:keys(map:create('x', 1, 'y', 2)) as ks,
+        |  instanceOfDouble(value) as is_d,
+        |  instanceOfString(event_type) as is_s,
+        |  instanceOfLong(event_id) as is_l,
+        |  instanceOfDouble(event_type) as not_d
+        |order by event_id
+        |insert into Out""".stripMargin),
     // sort(N, attr, 'desc'): distributed top-N retention window
     "sql_sort_window" -> q(
       """from events#window.sort(5, value, 'desc')
@@ -518,6 +535,17 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_collections" ->
+      """SELECT event_id,
+        |  list_sort([value, 100.0, 55.5])[1] AS lo,
+        |  list_contains([event_type, 'click'], 'click') AS has_click,
+        |  CAST(len(list_distinct([1, 2, 2, 3])) AS INT) AS nd,
+        |  value AS ma,
+        |  FALSE AS has_c,
+        |  list_sort(map_keys(map(['x', 'y'], [1, 2]))) AS ks,
+        |  TRUE AS is_d, TRUE AS is_s, TRUE AS is_l, FALSE AS not_d
+        |FROM events WHERE event_id < 200
+        |ORDER BY event_id""".stripMargin,
     "sql_script_udf" ->
       """SELECT o_orderkey,
         |  CAST(o_totalprice * (1 + CAST(7 / 100.0 AS DOUBLE))
