@@ -754,6 +754,42 @@ object SiddhiQL extends Serializable {
     }
   }
 
+  /** Parse + register one `define function f[lang] return <type>
+    * { return <expr>; }` statement (compiled natively — ScriptFn
+    * scaladoc; the [lang] tag is accepted as-written since no script
+    * engine runs). Shared by compileApp and the live deployAppOn path. */
+  private def registerScriptFn(body: String): Unit = {
+    val m = ("(?is)^define\\s+function\\s+([A-Za-z_]\\w*)\\s*\\[" +
+      "\\s*([A-Za-z]+)\\s*\\]\\s*return\\s+([A-Za-z]+)\\s*\\{(.*)" +
+      "\\}\\s*$").r.findFirstMatchIn(body).getOrElse(fail(
+        "malformed define function: expected `define function " +
+          "<name>[<lang>] return <type> { return <expr>; }`"))
+    val (fname, rtype, fbody) = (m.group(1), m.group(3), m.group(4))
+    val rm = "(?is)^\\s*return\\b(.*?);?\\s*$".r
+      .findFirstMatchIn(fbody).getOrElse(fail(
+        s"define function '$fname': only single-`return <expr>;` " +
+          "bodies compile (the JS-expression subset; " +
+          "multi-statement scripts are out of scope)"))
+    val sqlType = rtype.toLowerCase match {
+      case "int" => "int"
+      case "long" => "bigint"
+      case "float" => "float"
+      case "double" => "double"
+      case "string" => "string"
+      case "bool" => "boolean"
+      case other =>
+        fail(s"define function: unknown return type '$other'")
+    }
+    val jp = new JsP(jsLex(rm.group(1)))
+    var bodyExpr = jp.ternary()
+    if (!jp.done)
+      fail(s"define function '$fname': trailing tokens after the " +
+        "return expression")
+    if (sqlType == "string") bodyExpr = plusToConcat(bodyExpr)
+    scriptFns += fname.toLowerCase ->
+      ScriptFn(fname, maxDataIdx(bodyExpr) + 1, bodyExpr, sqlType)
+  }
+
   private def maxDataIdx(e: Expr): Int = e match {
     case Ref(List(d)) if d.startsWith("__data_") => d.substring(7).toInt
     case Bin(_, l, r) => math.max(maxDataIdx(l), maxDataIdx(r))
@@ -1134,38 +1170,7 @@ object SiddhiQL extends Serializable {
               lit(ivMs))).as("tick_ms"))
           env += tname -> ticks
         } else if (p.tryKw("function")) {
-          // define function f[javascript] return <type> { return <e>; }
-          // — compiled natively (ScriptFn scaladoc above); the [lang]
-          // tag is accepted as-written since no script engine runs
-          val m = ("(?is)^define\\s+function\\s+([A-Za-z_]\\w*)\\s*\\[" +
-            "\\s*([A-Za-z]+)\\s*\\]\\s*return\\s+([A-Za-z]+)\\s*\\{(.*)" +
-            "\\}\\s*$").r.findFirstMatchIn(body).getOrElse(fail(
-              "malformed define function: expected `define function " +
-                "<name>[<lang>] return <type> { return <expr>; }`"))
-          val (fname, rtype, fbody) = (m.group(1), m.group(3), m.group(4))
-          val rm = "(?is)^\\s*return\\b(.*?);?\\s*$".r
-            .findFirstMatchIn(fbody).getOrElse(fail(
-              s"define function '$fname': only single-`return <expr>;` " +
-                "bodies compile (the JS-expression subset; " +
-                "multi-statement scripts are out of scope)"))
-          val sqlType = rtype.toLowerCase match {
-            case "int" => "int"
-            case "long" => "bigint"
-            case "float" => "float"
-            case "double" => "double"
-            case "string" => "string"
-            case "bool" => "boolean"
-            case other =>
-              fail(s"define function: unknown return type '$other'")
-          }
-          val jp = new JsP(jsLex(rm.group(1)))
-          var bodyExpr = jp.ternary()
-          if (!jp.done)
-            fail(s"define function '$fname': trailing tokens after the " +
-              "return expression")
-          if (sqlType == "string") bodyExpr = plusToConcat(bodyExpr)
-          scriptFns += fname.toLowerCase ->
-            ScriptFn(fname, maxDataIdx(bodyExpr) + 1, bodyExpr, sqlType)
+          registerScriptFn(body)
         } else if (p.tryKw("aggregation")) {
           // define aggregation A from S[f] select ... group by ...
           //   aggregate by ts every sec ... day
@@ -2568,9 +2573,16 @@ object SiddhiQL extends Serializable {
     var env = Map[String, DataFrame]("events" -> src)
     var statefulStreams = Set.empty[String]
     var result: Option[(DataFrame, Boolean, Seq[Column])] = None
+    scriptFns = Map.empty // live apps carry their own defines
     splitStatements(app).foreach { case (name, body) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
-      if (head.equalsIgnoreCase("define")) () // schemas from the source
+      if (head.equalsIgnoreCase("define")) {
+        // stream schemas come from the source; function defines compile
+        // (they inline into the incremental plan like any expression)
+        if (body.split("\\s+", 3).lift(1).exists(
+            _.equalsIgnoreCase("function")))
+          registerScriptFn(body)
+      }
       else if (head.equalsIgnoreCase("from")) {
         val ast = new P(lex(body)).query()
         if (ast.rate.nonEmpty)

@@ -644,6 +644,20 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("live deployment with a script function equals batch replay") {
+    val app =
+      """define function boost[javascript] return double {
+        |  return data[0] > 100 ? data[0] * 1.5 : data[0];
+        |};
+        |@info(name = 'q') from events[value > 50]
+        |select user_id, event_id, boost(value) as bv insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, app, "q")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = SiddhiQL.compileApp(spark, sf, app)("q")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(live.nonEmpty && (live sameElements batch))
+  }
+
   test("expression window: sum-predicate fold matches the engine twin's " +
        "occupancy; diagnostics") {
     // the engine twin evaluates `count() < 10 and sum(cents) < 80000` in
