@@ -906,6 +906,33 @@ object SiddhiQL extends Serializable {
           "div 86400000)"
       case (Some("time"), "dayofweek") =>
         s"date_format(timestamp_millis(cast(${a(0)} as bigint)), 'EEEE')"
+      // geo:distance(lat1, lon1, lat2, lon2) — haversine meters [public
+      // doc, unverified re: unit]; pure trig, codegen'd
+      case (Some("geo"), "distance") =>
+        s"(2.0d * 6371000.0d * asin(sqrt(" +
+          s"pow(sin(radians(${a(2)} - ${a(0)}) / 2), 2) + " +
+          s"cos(radians(${a(0)})) * cos(radians(${a(2)})) * " +
+          s"pow(sin(radians(${a(3)} - ${a(1)}) / 2), 2))))"
+      // unitconversion: — the extension is a factor table; plain
+      // literal-factor arithmetic (representatives; same factors as the
+      // engine's fn_unitconvert)
+      case (Some("unitconversion"), n) =>
+        val factor: Option[String] = n match {
+          case "kmtom" => Some("* 1000.0d")
+          case "mtokm" => Some("/ 1000.0d")
+          case "kmtomi" => Some("* 0.621371192d")
+          case "kgtog" => Some("* 1000.0d")
+          case "kgtolb" => Some("* 2.20462262d")
+          case "htoms" => Some("* 3600000.0d")
+          case "mintos" => Some("* 60.0d")
+          case "ctof" => None
+          case other => fail(s"unitconversion:$other unsupported (add " +
+            "its factor to the table)")
+        }
+        factor match {
+          case Some(f) => s"(${a(0)} $f)"
+          case None => s"(${a(0)} * 9.0d / 5.0d + 32.0d)"
+        }
       // list:/map: families — constructed collections + accessors; gets
       // are try_element_at (NULL on missing, matching Siddhi's null)
       case (Some("list"), "create") => s"array(${a.mkString(", ")})"

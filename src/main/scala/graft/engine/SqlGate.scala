@@ -129,6 +129,19 @@ object SqlGate {
         |  time:dayOfWeek(ts_ns / 1000000) as dow
         |order by event_id
         |insert into Out""".stripMargin),
+    // geo:distance haversine + unitconversion: factor table
+    "sql_geo_units" -> q(
+      """from events[event_id < 250]
+        |select event_id,
+        |  math:round(geo:distance(user_id % 170 - 85.0,
+        |    event_id % 350 - 175.0, user_id % 170 - 83.5,
+        |    event_id % 350 - 173.0), 1) as dist_m,
+        |  math:round(unitconversion:kmTomi(value), 6) as mi,
+        |  math:round(unitconversion:cTof(value), 6) as f,
+        |  math:round(unitconversion:kgTolb(value), 6) as lb,
+        |  math:round(unitconversion:minTos(value), 6) as sec
+        |order by event_id
+        |insert into Out""".stripMargin),
     // list:/map: collection families + instanceOfX type predicates
     "sql_collections" -> q(
       """from events[event_id < 200]
@@ -534,6 +547,22 @@ object SqlGate {
         |  ms + 2 * 3600000 AS plus2h,
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
+        |FROM b ORDER BY event_id""".stripMargin,
+    "sql_geo_units" ->
+      """WITH b AS (SELECT event_id,
+        |    user_id % 170 - 85.0 AS lat1, event_id % 350 - 175.0 AS lon1,
+        |    user_id % 170 - 83.5 AS lat2, event_id % 350 - 173.0 AS lon2,
+        |    value
+        |  FROM events WHERE event_id < 250)
+        |SELECT event_id,
+        |  round(2.0 * 6371000.0 * asin(sqrt(
+        |    pow(sin(radians(lat2 - lat1) / 2), 2) +
+        |    cos(radians(lat1)) * cos(radians(lat2)) *
+        |    pow(sin(radians(lon2 - lon1) / 2), 2))), 1) AS dist_m,
+        |  round(value * 0.621371192, 6) AS mi,
+        |  round(value * 9.0 / 5.0 + 32.0, 6) AS f,
+        |  round(value * 2.20462262, 6) AS lb,
+        |  round(value * 60.0, 6) AS sec
         |FROM b ORDER BY event_id""".stripMargin,
     "sql_collections" ->
       """SELECT event_id,
