@@ -23,8 +23,9 @@ object Bench {
     "agg_rollup_cube", "cep_pattern_exec", "cep_seq_followed_by",
     "corpus_pipeline", "dedup_components", "dedup_embedding_nn",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "join_asof",
-    "join_multiway", "ml_kmeans_online", "sim_topk_brute",
-    "sim_topk_ivf", "sim_topk_srp", "sketch_countmin",
+    "join_multiway", "ml_kmeans_online", "sim_semdedup",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_topk_srp",
+    "sketch_countmin", "corpus_shard_shuffle",
     "stream_cep_absence_tws", "stream_custom_source",
     "stream_file_source", "stream_stream_join", "stream_table_upsert",
     "text_tfidf", "text_langid", "window_session", "window_sort_topk",

@@ -477,8 +477,9 @@ object SiddhiQL extends Serializable {
             } else l
           case Some(t) =>
             val (r, ra) = single()
-            if (l.window.nonEmpty || r.window.nonEmpty)
-              fail("windows on join sides are not supported (v1)")
+            // windowed join sides are allowed for time(T) on BOTH sides
+            // (the stream#window ⋈ stream#window form) — compileJoin
+            // validates the combination
             eatKw("on")
             JoinStream(l, la, t, r, ra, expr())
         }
@@ -1848,8 +1849,45 @@ object SiddhiQL extends Serializable {
       val b1 = ss.filter.fold(b0)(f => applyFilter(spark, dir, b0, f, env))
       a.fold(b1)(b1.alias)
     }
-    val joined = side(j.left, j.leftAlias)
-      .join(side(j.right, j.rightAlias), expr(sqlOf(j.on)), j.joinType)
+    val joined = (j.left.window, j.right.window) match {
+      case (None, None) =>
+        side(j.left, j.leftAlias)
+          .join(side(j.right, j.rightAlias), expr(sqlOf(j.on)), j.joinType)
+      case (Some(WindowSpec(ln, largs, _)), Some(WindowSpec(rn, rargs, _)))
+          if ln.equalsIgnoreCase("time") && rn.equalsIgnoreCase("time") =>
+        // stream#window.time(Tl) ⋈ stream#window.time(Tr): a pair (l, r)
+        // matches when each event lies within the OTHER side's window —
+        // when l arrives, r must still be retained (0 ≤ tl-tr ≤ Tr), or
+        // vice versa (0 ≤ tr-tl ≤ Tl); the union is the symmetric band
+        // tl-tr ∈ [-Tl, Tr]. Compiled as the on-condition AND the band —
+        // with an equality conjunct the plan is a shuffled equi join
+        // with a range residual (the watermarked stream-stream join's
+        // batch twin), never a nested loop, so we REQUIRE one.
+        def hasEqui(e: Expr): Boolean = e match {
+          case Bin("and", a, b) => hasEqui(a) || hasEqui(b)
+          case Bin("==", _, _) => true
+          case _ => false
+        }
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure time-band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.time(...) join S as b...`) to " +
+          "qualify their timestamps"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.time(...) join S as b...`) to " +
+          "qualify their timestamps"))
+        val band = s"($la.ts_ns - $ra.ts_ns) " +
+          s"between ${-largs.head}L and ${rargs.head}L"
+        side(j.left.copy(window = None), j.leftAlias)
+          .join(side(j.right.copy(window = None), j.rightAlias),
+            expr(s"(${sqlOf(j.on)}) and $band"), j.joinType)
+      case _ =>
+        fail("join sides support #window.time(T) on BOTH sides (the " +
+          "stream-stream windowed join); other join-side window types " +
+          "are not supported (v1)")
+    }
     selectOrAggregate(expandStar(ast, joined.columns.distinct), joined,
       Nil, windowed = false)
   }

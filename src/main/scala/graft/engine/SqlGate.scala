@@ -129,6 +129,18 @@ object SqlGate {
         |  time:dayOfWeek(ts_ns / 1000000) as dow
         |order by event_id
         |insert into Out""".stripMargin),
+    // stream#window.time ⋈ stream#window.time: the symmetric time-band
+    // pair semantics (each event within the other's window), equi key
+    // required so the plan shards on it
+    "sql_join_window" -> q(
+      """from events as a#window.time(1 min)
+        |  join events as b#window.time(2 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
     // geo:distance haversine + unitconversion: factor table
     "sql_geo_units" -> q(
       """from events[event_id < 250]
@@ -548,6 +560,15 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_join_window" ->
+      """SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |  a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'error'
+        | AND b.event_type = 'purchase'
+        | AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |     BETWEEN -60000000000 AND 120000000000
+        |ORDER BY err_id, buy_id""".stripMargin,
     "sql_geo_units" ->
       """WITH b AS (SELECT event_id,
         |    user_id % 170 - 85.0 AS lat1, event_id % 350 - 175.0 AS lon1,

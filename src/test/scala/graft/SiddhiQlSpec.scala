@@ -644,6 +644,39 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("windowed stream-stream join: equi-sharded band plan, " +
+    "diagnostics name the problem") {
+    val df = compile(
+      """from events as a#window.time(1 min)
+        |  join events as b#window.time(1 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin)
+    // the equality key shards the band join: a real equi join (SMJ or
+    // SHJ) with the time band as residual — never a nested loop
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"band join degenerated:\n$p")
+    assert(df.count() > 0)
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    assert(msg("""from events as a#window.time(1 min)
+      |  join events as b#window.time(1 min)
+      |  on a.value > b.value
+      |select a.event_id as x insert into O""".stripMargin)
+      .contains("equality conjunct"))
+    assert(msg("""from events#window.time(1 min)
+      |  join events as b#window.time(1 min)
+      |  on user_id == b.user_id
+      |select b.event_id as x insert into O""".stripMargin)
+      .contains("aliases"))
+    assert(msg("""from events as a#window.length(5)
+      |  join events as b#window.time(1 min)
+      |  on a.user_id == b.user_id
+      |select a.event_id as x insert into O""".stripMargin)
+      .contains("BOTH sides"))
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
