@@ -99,7 +99,8 @@ object SiddhiQL extends Serializable {
       aggPer: Option[String] = None) extends StreamClause
   private final case class JoinStream(left: SingleStream,
       leftAlias: Option[String], joinType: String, right: SingleStream,
-      rightAlias: Option[String], on: Expr) extends StreamClause
+      rightAlias: Option[String], on: Expr,
+      unidirectional: Boolean = false) extends StreamClause
   private sealed trait PatStep
   private final case class PatCond(binding: String, table: String,
       cond: Expr, quant: Option[(Int, Int)] = None,
@@ -460,11 +461,16 @@ object SiddhiQL extends Serializable {
           (SingleStream(tbl, filt, win, aw, ap), a)
         }
         val (l, la) = single()
+        // `unidirectional` on the LEFT side: only left arrivals trigger
+        // the join (the right side just holds its window)
+        val unidir = tryKw("unidirectional")
         val jt =
           if (tryKw("join")) Some("inner")
           else if (isKw("left")) {
             eatKw("left"); eatKw("outer"); eatKw("join"); Some("left_outer")
           } else None
+        if (unidir && jt.isEmpty)
+          fail("`unidirectional` must precede `join`")
         jt match {
           case None =>
             // store-query condition: `from T on cond select …` (the
@@ -481,7 +487,7 @@ object SiddhiQL extends Serializable {
             // (the stream#window ⋈ stream#window form) — compileJoin
             // validates the combination
             eatKw("on")
-            JoinStream(l, la, t, r, ra, expr())
+            JoinStream(l, la, t, r, ra, expr(), unidirectional = unidir)
         }
       }
     }
@@ -1878,8 +1884,13 @@ object SiddhiQL extends Serializable {
         val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
           "aliases (`from S as a#window.time(...) join S as b...`) to " +
           "qualify their timestamps"))
-        val band = s"($la.ts_ns - $ra.ts_ns) " +
-          s"between ${-largs.head}L and ${rargs.head}L"
+        // unidirectional: only LEFT arrivals trigger, so the band keeps
+        // just the "r already retained when l arrives" direction
+        val band =
+          if (j.unidirectional)
+            s"($la.ts_ns - $ra.ts_ns) between 0L and ${rargs.head}L"
+          else s"($la.ts_ns - $ra.ts_ns) " +
+            s"between ${-largs.head}L and ${rargs.head}L"
         side(j.left.copy(window = None), j.leftAlias)
           .join(side(j.right.copy(window = None), j.rightAlias),
             expr(s"(${sqlOf(j.on)}) and $band"), j.joinType)

@@ -141,6 +141,17 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // unidirectional: only left arrivals trigger — the band keeps one
+    // direction (purchases look BACK at errors in the 5-min window)
+    "sql_join_unidirectional" -> q(
+      """from events as a#window.time(1 min) unidirectional
+        |  join events as b#window.time(5 min)
+        |  on a.user_id == b.user_id and a.event_type == 'purchase'
+        |     and b.event_type == 'error'
+        |select a.event_id as buy_id, b.event_id as err_id,
+        |  a.user_id as user_id
+        |order by buy_id, err_id
+        |insert into Out""".stripMargin),
     // geo:distance haversine + unitconversion: factor table
     "sql_geo_units" -> q(
       """from events[event_id < 250]
@@ -560,6 +571,14 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_join_unidirectional" ->
+      """SELECT a.event_id AS buy_id, b.event_id AS err_id,
+        |  a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'purchase'
+        | AND b.event_type = 'error'
+        | AND epoch_ns(a.ts) - epoch_ns(b.ts) BETWEEN 0 AND 300000000000
+        |ORDER BY buy_id, err_id""".stripMargin,
     "sql_join_window" ->
       """SELECT a.event_id AS err_id, b.event_id AS buy_id,
         |  a.user_id AS user_id
