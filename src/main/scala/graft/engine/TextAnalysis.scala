@@ -431,7 +431,28 @@ object TextAnalysis {
         sum(col("pos") * col("doc_id")).as("order_sig"))
       .orderBy("shard", "chunk")
 
+  /** corpus_sample_stratified: deterministic stratified sampling with a
+    * per-stratum cap — the data-mixing step that takes AT MOST n docs
+    * per (lang, source) stratum, chosen by a stable md5 order (no RNG,
+    * no seed coordination: every executor count and every rerun selects
+    * the SAME documents, and kept_id_sum pins the exact selection).
+    * One shuffle on the stratum key; the per-stratum rank is a window
+    * whose partitioning the following aggregation reuses. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("key", md5(concat_ws(":", col("lang"), col("source"),
+        col("doc_id").cast("string"))))
+      .withColumn("rk", expr(
+        "row_number() over (partition by lang, source order by key)"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= 25, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= 25, col("doc_id"))).as("kept_id_sum"),
+        min_by(col("doc_id"), col("rk")).as("first_doc"))
+      .orderBy("lang", "source")
+
   val queries: Map[String, Q] = Map(
+    "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_shard_shuffle" -> (shardShuffle _),
     "corpus_pack_chunks"   -> (packChunks _),
     "corpus_sample_mix"  -> (sampleMix _),
@@ -452,6 +473,17 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "corpus_sample_stratified" ->
+      """WITH r AS (SELECT lang, source, doc_id, row_number() OVER (
+        |    PARTITION BY lang, source
+        |    ORDER BY md5(lang || ':' || source || ':' || doc_id::VARCHAR)
+        |  ) AS rk
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_total,
+        |  sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN rk <= 25 THEN doc_id END)::BIGINT AS kept_id_sum,
+        |  min_by(doc_id, rk) AS first_doc
+        |FROM r GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // same md5 shard + hex-key order; order_sig pins the permutation
     "corpus_shard_shuffle" ->
       """WITH k AS (
