@@ -126,9 +126,11 @@ class SiddhiQlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](compile(q)).getMessage
     assert(msg("from not events[value > 0] for 5 min " +
       "select e1.user_id as u").contains("cannot start with an absence"))
+    // a one-sided non-time join window is outside the supported
+    // stream-stream form and names the bound
     assert(msg("from events#window.length(5) join nation as n " +
       "on user_id == n_nationkey select count() as n")
-      .contains("windows on join sides"))
+      .contains("BOTH sides"))
   }
 
   test("compileApp: chained queries optimize as ONE Catalyst tree — " +
