@@ -483,11 +483,23 @@ object SiddhiQL extends Serializable {
             } else l
           case Some(t) =>
             val (r, ra) = single()
+            // `unidirectional` AFTER the right side: only right arrivals
+            // trigger — compiled by swapping sides so the triggering
+            // stream is always the left of the band
+            val rUnidir = tryKw("unidirectional")
+            if (unidir && rUnidir)
+              fail("`unidirectional` may mark only one join side")
             // windowed join sides are allowed for time(T) on BOTH sides
             // (the stream#window ⋈ stream#window form) — compileJoin
             // validates the combination
             eatKw("on")
-            JoinStream(l, la, t, r, ra, expr(), unidirectional = unidir)
+            val on = expr()
+            if (rUnidir) {
+              if (t != "inner")
+                fail("right-side `unidirectional` supports inner joins " +
+                  "(v1) — outer direction would flip under the swap")
+              JoinStream(r, ra, t, l, la, on, unidirectional = true)
+            } else JoinStream(l, la, t, r, ra, on, unidirectional = unidir)
         }
       }
     }

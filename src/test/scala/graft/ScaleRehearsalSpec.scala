@@ -369,6 +369,38 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x shard shuffle + packing: shards balance, chunks tile, " +
+    "one exchange each, bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    val (shards, wall1, maxTask1) =
+      timed(TextAnalysis.shardShuffle(spark, dir10))
+    info(f"corpus_shard_shuffle 10x: wall $wall1%.1fs, " +
+      f"max task $maxTask1%.1fs")
+    val counts = shards.map(_.getAs[Long]("n_docs"))
+    assert(counts.sum == 50000)
+    // hash balance must hold at 10x exactly as at base
+    assert(counts.max <= 2 * 50000 / counts.length,
+      s"shard skew at 10x: ${counts.mkString(",")}")
+    val (chunks, wall2, maxTask2) =
+      timed(TextAnalysis.packChunks(spark, dir10))
+    info(f"corpus_pack_chunks 10x: ${chunks.length} chunks, " +
+      f"wall $wall2%.1fs, max task $maxTask2%.1fs")
+    chunks.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val byChunk = rows.sortBy(_.getAs[Long]("chunk"))
+      assert(byChunk.map(_.getAs[Long]("chunk")).toSeq ==
+        (0L until byChunk.length), s"chunk gap in shard $sh")
+      val srow = shards.find(_.getAs[Long]("shard") == sh).get
+      assert(byChunk.map(_.getAs[Long]("n_docs")).sum ==
+        srow.getAs[Long]("n_docs"))
+      assert(byChunk.map(_.getAs[Long]("n_tokens")).sum ==
+        srow.getAs[Long]("n_tokens"))
+    }
+    // the per-shard cumsum is the one sequential step — it must not
+    // concentrate: no task may exceed a shard's linear share by much
+    assert(maxTask1 < 60 && maxTask2 < 60,
+      s"packing straggler ($maxTask1%.1f / $maxTask2%.1f s)")
+  }
+
   test("10x semdedup: clusters partition the corpus, co-clustered " +
     "near-dup twins all removed, bounded") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -677,6 +677,25 @@ class SiddhiQlSpec extends AnyFunSuite {
       |  on a.user_id == b.user_id
       |select a.event_id as x insert into O""".stripMargin)
       .contains("BOTH sides"))
+    // right-side `unidirectional` == the explicitly swapped left form
+    val viaRight = compile(
+      """from events as a#window.time(2 min)
+        |  join events as b#window.time(5 min) unidirectional
+        |  on a.user_id == b.user_id and b.event_type == 'error'
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin).collect().toSeq
+    val viaSwapped = compile(
+      """from events as b#window.time(5 min) unidirectional
+        |  join events as a#window.time(2 min)
+        |  on a.user_id == b.user_id and b.event_type == 'error'
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin).collect().toSeq
+    assert(viaRight.nonEmpty && viaRight == viaSwapped)
+    assert(msg("""from events as a#window.time(1 min)
+      |  left outer join events as b#window.time(1 min) unidirectional
+      |  on a.user_id == b.user_id
+      |select a.event_id as x insert into O""".stripMargin)
+      .contains("inner joins"))
   }
 
   test("live deployment with a script function equals batch replay") {
