@@ -1704,6 +1704,15 @@ object SiddhiQL extends Serializable {
     ast.limit.fold(off)(n => off.limit(n.toInt))
   }
 
+  /** An AND-chain contains at least one equality — the key a windowed
+    * band join shards on (a pure time-band join would be a nested loop
+    * at scale). */
+  private def hasEqui(e: Expr): Boolean = e match {
+    case Bin("and", a, b) => hasEqui(a) || hasEqui(b)
+    case Bin("==", _, _) => true
+    case _ => false
+  }
+
   /** Expand `select *` (alone or among other items) to the source's
     * column list, keeping any explicitly named items around it. */
   private def expandStar(ast: Ast, cols: Seq[String]): Ast =
@@ -1881,11 +1890,6 @@ object SiddhiQL extends Serializable {
         // with an equality conjunct the plan is a shuffled equi join
         // with a range residual (the watermarked stream-stream join's
         // batch twin), never a nested loop, so we REQUIRE one.
-        def hasEqui(e: Expr): Boolean = e match {
-          case Bin("and", a, b) => hasEqui(a) || hasEqui(b)
-          case Bin("==", _, _) => true
-          case _ => false
-        }
         if (!hasEqui(j.on))
           fail("a windowed stream-stream join needs an equality conjunct " +
             "in its on-clause (the join key that shards the band join; " +
@@ -2712,8 +2716,70 @@ object SiddhiQL extends Serializable {
               org.apache.spark.sql.Row.fromSeq(
                 sel.map { case (_, _, _, extract) => extract(bnd) })
             }.toDF(), false)
-          case _: JoinStream => fail("live deployment (v1) does not " +
-            "join streams (engine twin: Streaming.streamStreamJoin)")
+          case j: JoinStream => (j.left.window, j.right.window) match {
+            // windowed stream-stream join deployed LIVE: Spark's
+            // watermarked interval join — the band [-Tl, Tr] becomes
+            // the event-time range condition Structured Streaming uses
+            // to size and EVICT both sides' join state (the engine twin
+            // Streaming.streamStreamJoin's exact machinery)
+            case (Some(WindowSpec(ln, largs, _)),
+                  Some(WindowSpec(rn, rargs, _)))
+                if ln.equalsIgnoreCase("time") &&
+                   rn.equalsIgnoreCase("time") =>
+              if (!hasEqui(j.on))
+                fail("a windowed stream-stream join needs an equality " +
+                  "conjunct in its on-clause")
+              if (j.joinType != "inner")
+                fail("live windowed joins are inner (v1)")
+              if (ast.select.exists(it => containsAgg(it.e)) ||
+                  ast.groupBy.nonEmpty)
+                fail("live windowed joins project columns (v1) — " +
+                  "aggregation above a live join is not deployed")
+              val la = j.leftAlias.getOrElse(fail("windowed join sides " +
+                "need aliases to qualify their timestamps"))
+              val ra = j.rightAlias.getOrElse(fail("windowed join sides " +
+                "need aliases to qualify their timestamps"))
+              def sideDf(ss: SingleStream, alias: String): DataFrame = {
+                if (statefulStreams.contains(ss.table))
+                  fail(s"live deployment (v1): '${ss.table}' is an " +
+                    "aggregation output — it cannot feed a join")
+                val b0 = env.getOrElse(ss.table, fail("live deployment " +
+                  s"reads declared streams; '${ss.table}' is neither " +
+                  "the source nor an earlier insert-into target"))
+                val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
+                if (!b1.columns.contains("ts"))
+                  fail(s"join side '${ss.table}' lost its 'ts' column — " +
+                    "live windowed joins need the event-time column")
+                val renamed = b1.columns.foldLeft(b1)((d, c) =>
+                  d.withColumnRenamed(c, s"${alias}_$c"))
+                renamed.withWatermark(s"${alias}_ts", "1 minute")
+              }
+              def qual(parts: List[String]): String = parts match {
+                case q :: f :: Nil => s"${q}_$f"
+                case f :: Nil => fail(s"qualify '$f' with its side's " +
+                  "alias in a windowed join")
+                case other => fail(s"bad reference ${other.mkString(".")}")
+              }
+              val cond = sqlOfWith(j.on, qual)
+              val (lo, hi) =
+                if (j.unidirectional) (0L, rargs.head)
+                else (-largs.head, rargs.head)
+              // tl - tr ∈ [lo, hi]  ⇔  r_ts ∈ [l_ts - hi, l_ts - lo]
+              def ivl(ns: Long): String =
+                s"interval ${math.abs(ns / 1000000L)} milliseconds"
+              val band =
+                s"${ra}_ts >= ${la}_ts - ${ivl(hi)} and " +
+                  s"${ra}_ts ${if (lo <= 0) "<=" else "<="} ${la}_ts " +
+                  s"${if (lo <= 0) "+" else "-"} ${ivl(lo)}"
+              val joined = sideDf(j.left.copy(window = None), la)
+                .join(sideDf(j.right.copy(window = None), ra),
+                  expr(s"($cond) and ($band)"), "inner")
+              (joined.select(itemsOf(ast).map { case (it, a2, _) =>
+                expr(sqlOfWith(it.e, qual)).as(a2) }: _*), false)
+            case _ => fail("live deployment joins need #window.time(T) " +
+              "on both sides (the watermarked stream-stream join); " +
+              "other join forms are not deployed (v1)")
+          }
         }
         val key = name.orElse(ast.action.map(_.target))
         ast.action.foreach {

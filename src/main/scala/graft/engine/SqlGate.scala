@@ -141,6 +141,17 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // the windowed stream-stream join deployed LIVE (watermarked
+    // interval join; batch band semantics are the oracle)
+    "sql_app_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(1 min)
+        |  join events as b[event_type == 'purchase']#window.time(5 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "pairs")),
     // unidirectional: only left arrivals trigger — the band keeps one
     // direction (purchases look BACK at errors in the 5-min window)
     "sql_join_unidirectional" -> q(
@@ -571,6 +582,15 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_join_live" ->
+      """SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |  a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'error'
+        | AND b.event_type = 'purchase'
+        | AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |     BETWEEN -60000000000 AND 300000000000
+        |ORDER BY err_id, buy_id""".stripMargin,
     "sql_join_unidirectional" ->
       """SELECT a.event_id AS buy_id, b.event_id AS err_id,
         |  a.user_id AS user_id
