@@ -2677,8 +2677,8 @@ object SiddhiQL extends Serializable {
       }
       else if (head.equalsIgnoreCase("from")) {
         val ast = new P(lex(body)).query()
-        if (ast.rate.nonEmpty)
-          fail("live deployment (v1) does not rate-limit output")
+        if (ast.rate.nonEmpty && !ast.stream.isInstanceOf[SingleStream])
+          fail("live deployment rate-limits single-stream stages (v1)")
         val (df, stateful) = ast.stream match {
           case s: SingleStream =>
             if (statefulStreams.contains(s.table))
@@ -2692,9 +2692,35 @@ object SiddhiQL extends Serializable {
             s.window match {
               case None =>
                 val agg = ast.select.exists(it => containsAgg(it.e))
-                (selectOrAggregate(ast, base, Nil, windowed = false), agg)
+                // `output first every T` LIVE: streaming dropDuplicates
+                // on the interval id — the first event of each interval
+                // emits AS IT ARRIVES; the watermark evicts interval
+                // state once the interval has passed (bounded state at
+                // any runtime length; engine twin:
+                // Streaming.rateLimitFirst)
+                val rated = ast.rate match {
+                  case None => base
+                  case Some(Rate("first", Some(tNs), None)) =>
+                    if (agg) fail("live rate limiting applies to " +
+                      "stateless stages (v1)")
+                    if (!base.columns.contains("ts"))
+                      fail("live rate limiting needs the event-time " +
+                        "column 'ts'")
+                    base.withWatermark("ts", "1 minute")
+                      .withColumn("__w",
+                        expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+                      .dropDuplicates("__w")
+                      .drop("__w")
+                  case Some(r) => fail("live deployment (v1) supports " +
+                    s"`output first every <time>`; got mode '${r.mode}'" +
+                    r.count.fold("")(_ => " with an event count"))
+                }
+                (selectOrAggregate(ast, rated, Nil, windowed = false), agg)
               case Some(WindowSpec(n, args, _))
                   if n.equalsIgnoreCase("timebatch") =>
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a timeBatch aggregation")
                 val tNs = args.head
                 val withW = base.withColumn("w_start_ms",
                   expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))

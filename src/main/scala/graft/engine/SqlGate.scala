@@ -141,6 +141,15 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // `output first every T` deployed LIVE: streaming dropDuplicates on
+    // the interval id, watermark-evicted state
+    "sql_app_rate_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'first_per_min')
+        |from events[value > 100.0]
+        |select event_id, user_id, value
+        |order by event_id
+        |output first every 1 min
+        |insert into Out""".stripMargin, "first_per_min")),
     // the windowed stream-stream join deployed LIVE (watermarked
     // interval join; batch band semantics are the oracle)
     "sql_app_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -582,6 +591,15 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    // first filtered event of each 1-min interval in replay order
+    "sql_app_rate_live" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value, row_number() OVER (
+        |    PARTITION BY epoch_ns(ts) // 60000000000
+        |    ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events WHERE value > 100.0)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
     "sql_app_join_live" ->
       """SELECT a.event_id AS err_id, b.event_id AS buy_id,
         |  a.user_id AS user_id
