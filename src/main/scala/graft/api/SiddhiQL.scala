@@ -2727,9 +2727,40 @@ object SiddhiQL extends Serializable {
                 (selectOrAggregate(ast, withW,
                   Seq("w_start_ms" -> col("w_start_ms")),
                   windowed = true), true)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("session") =>
+                // live session aggregation: built-in session_window in
+                // Complete mode (engine twin: Streaming.session); output
+                // columns mirror the batch text compile exactly
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a session aggregation")
+                val items = itemsOf(ast)
+                val aggCols = items.collect { case (it, a2, true) =>
+                  expr(sqlOf(it.e)).as(a2) }
+                if (aggCols.isEmpty) fail("session window needs an " +
+                  "aggregate")
+                items.collect { case (it, _, false) => it }.foreach {
+                  it => it.e match {
+                    case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+                    case _ => fail("non-aggregate select item must be " +
+                      "grouped")
+                  }
+                }
+                val sw = session_window(col("ts"),
+                  s"${args2.head / 1000000} milliseconds")
+                val agged = base.groupBy(sw +: ast.groupBy.map(col): _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                val hav = ast.having.fold(agged)(h =>
+                  agged.where(expr(sqlOf(h))))
+                (hav.select(
+                  unix_millis(col("session_window.start"))
+                    .as("w_start_ms") +:
+                  unix_millis(col("session_window.end")).as("w_end_ms") +:
+                  items.map { case (_, a2, _) => col(a2) }: _*), true)
               case Some(w) => fail("live deployment (v1) supports " +
-                "stateless stages, timeBatch aggregation, and patterns; " +
-                s"got window '${w.name}'")
+                "stateless stages, timeBatch/session aggregation, and " +
+                s"patterns; got window '${w.name}'")
             }
           case pt: PatternStream =>
             val (b, sel, outSchema) = patternParts(ast, pt)

@@ -150,6 +150,15 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // session aggregation deployed LIVE: built-in session_window in
+    // Complete mode; the batch session CTE oracle is the truth
+    "sql_app_session_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'sess')
+        |from events#window.session(2 min)
+        |select user_id, count() as n, math:round(sum(value), 2) as total
+        |group by user_id
+        |order by user_id, w_start_ms
+        |insert into Out""".stripMargin, "sess")),
     // the windowed stream-stream join deployed LIVE (watermarked
     // interval join; batch band semantics are the oracle)
     "sql_app_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -591,6 +600,23 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_session_live" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 120000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, value, ms, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ms
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT min(ms) AS w_start_ms, max(ms) + 120000 AS w_end_ms,
+        |  user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, w_start_ms""".stripMargin,
     // first filtered event of each 1-min interval in replay order
     "sql_app_rate_live" ->
       """SELECT event_id, user_id, value FROM (
