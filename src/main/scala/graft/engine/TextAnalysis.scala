@@ -451,7 +451,43 @@ object TextAnalysis {
         min_by(col("doc_id"), col("rk")).as("first_doc"))
       .orderBy("lang", "source")
 
+  /** corpus_sample_temperature: temperature-weighted source rebalancing
+    * (the multilingual/domain α-sampling standard, α = 0.5): retained
+    * counts end up ∝ n_s^α via the per-doc keep probability
+    * p_s = sqrt(n_min / n_s) — the n_min-referenced form needs NO
+    * cross-source sum, so both engines compute bit-identical
+    * probabilities (sqrt and division are correctly-rounded IEEE ops on
+    * exact integer inputs; a normalization Σ n_s^α would fold in
+    * engine-dependent order). Thresholds floor to per-million and match
+    * against the doc's md5 draw — deterministic at any executor count.
+    *
+    * Scale shape: pass 1 is a tiny per-source count aggregate; the
+    * global n_min folds over THAT (|sources| rows, never the corpus);
+    * rates broadcast back onto the scan for the filter pass. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val nMin = counts.agg(min("n_total").as("n_min"))
+    val rates = counts.crossJoin(nMin)
+      .withColumn("thr_pm", expr(
+        "cast(floor(sqrt(cast(n_min as double) / " +
+          "cast(n_total as double)) * 1000000) as bigint)"))
+      .select("source", "n_total", "thr_pm")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("draw", expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 1000000"))
+      .groupBy("source")
+      .agg(max("n_total").as("n_total"), max("thr_pm").as("thr_pm"),
+        sum(when(col("draw") < col("thr_pm"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("draw") < col("thr_pm"), col("doc_id")))
+          .as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_sample_temperature" -> (sampleTemperature _),
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_shard_shuffle" -> (shardShuffle _),
     "corpus_pack_chunks"   -> (packChunks _),
@@ -473,6 +509,23 @@ object TextAnalysis {
   private val stopInSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "corpus_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_total
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, n_total,
+        |    CAST(floor(sqrt((SELECT min(n_total) FROM c)::DOUBLE /
+        |      n_total::DOUBLE) * 1000000) AS BIGINT) AS thr_pm
+        |  FROM c)
+        |SELECT d.source, max(r.n_total) AS n_total,
+        |  max(r.thr_pm) AS thr_pm,
+        |  sum(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR),
+        |      1, 15)) AS BIGINT) % 1000000 < r.thr_pm
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR),
+        |      1, 15)) AS BIGINT) % 1000000 < r.thr_pm
+        |    THEN d.doc_id END)::BIGINT AS kept_id_sum
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "corpus_sample_stratified" ->
       """WITH r AS (SELECT lang, source, doc_id, row_number() OVER (
         |    PARTITION BY lang, source
