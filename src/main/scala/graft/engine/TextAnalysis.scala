@@ -467,8 +467,12 @@ object TextAnalysis {
   def sampleTemperature(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
-    val nMin = counts.agg(min("n_total").as("n_min"))
-    val rates = counts.crossJoin(nMin)
+    // global n_min as a window over the TINY counts relation (|sources|
+    // rows on one partition — never the corpus; a crossJoin with the
+    // 1-row min would plan a CartesianProduct the sweep test forbids)
+    val rates = counts
+      .withColumn("n_min", min("n_total").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("thr_pm", expr(
         "cast(floor(sqrt(cast(n_min as double) / " +
           "cast(n_total as double)) * 1000000) as bigint)"))

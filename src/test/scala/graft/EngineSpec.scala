@@ -95,6 +95,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"queries missing an oracle: ${(queries -- oracles) -- rowsOnly}")
     assert((oracles -- queries).isEmpty,
       s"orphan oracle SQL entries: ${oracles -- queries}")
+    // a typo'd Bench headline name would silently drop from the compact
+    // line instead of erroring
+    assert((Bench.headline.toSet -- queries).isEmpty,
+      s"Bench headline names not in the registry: " +
+        s"${Bench.headline.toSet -- queries}")
   }
 
   test("plan sweep: no batch query plans a cartesian product") {
