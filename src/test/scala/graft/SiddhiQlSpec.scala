@@ -712,6 +712,34 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("live deployment diagnostics name each v1 bound") {
+    def msg(app: String, out: String = "q"): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.deployApp(spark, sf, app, out)).getMessage
+    // rate modes beyond first+time
+    assert(msg("@info(name='q') from events select event_id " +
+      "output last every 1 min insert into O").contains("first every"))
+    // rate above a session aggregation
+    assert(msg("@info(name='q') from events#window.session(2 min) " +
+      "select user_id, count() as n group by user_id " +
+      "output first every 1 min insert into O")
+      .contains("stateless stages"))
+    // non-time join windows live
+    assert(msg("@info(name='q') from events as a#window.length(5) " +
+      "join events as b#window.time(1 min) on a.user_id == b.user_id " +
+      "select a.event_id as x insert into O")
+      .contains("window.time"))
+    // aggregation above a live join
+    assert(msg("@info(name='q') from events as a#window.time(1 min) " +
+      "join events as b#window.time(1 min) on a.user_id == b.user_id " +
+      "select count() as n insert into O")
+      .contains("project columns"))
+    // table DML live
+    assert(msg("@info(name='q') from events select user_id, value " +
+      "as last_value update or insert into T on T.user_id == user_id")
+      .contains("upsert sink"))
+  }
+
   test("expression window: sum-predicate fold matches the engine twin's " +
        "occupancy; diagnostics") {
     // the engine twin evaluates `count() < 10 and sum(cents) < 80000` in
