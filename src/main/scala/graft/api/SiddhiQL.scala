@@ -1704,6 +1704,68 @@ object SiddhiQL extends Serializable {
     ast.limit.fold(off)(n => off.limit(n.toInt))
   }
 
+  /** Evaluate a select/retention expression over a buffered window of
+    * events: aggregates fold over `buf`, plain refs read the CURRENT
+    * event. Shared by the batch expression window and the live length
+    * window — the per-key buffered-fold interpreter. */
+  private def bufEval(e: Expr, buf: scala.collection.Seq[Cep.Ev],
+      cur: Cep.Ev): Any = e match {
+    case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
+    case Str(v) => v
+    case Ref(f :: Nil) => field(cur, f)
+    case Call(None, "count", Nil) => buf.size.toLong
+    case Call(None, n2 @ ("sum" | "avg" | "min" | "max"),
+        List(Ref(f :: Nil))) =>
+      val xs: Seq[Double] = buf.map(ev2 => num(field(ev2, f))).toSeq
+      n2 match {
+        case "sum" => xs.sum
+        case "avg" => xs.sum / xs.size
+        case "min" => xs.min
+        case "max" => xs.max
+      }
+    case Call(Some("math"), "round", List(x, Num(d))) =>
+      BigDecimal(num(bufEval(x, buf, cur)))
+        .setScale(d.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble
+    case Not(x) => !bufEval(x, buf, cur).asInstanceOf[Boolean]
+    case Neg(x) => -num(bufEval(x, buf, cur))
+    case Bin(op, l, r) => op match {
+      case "and" => bufEval(l, buf, cur).asInstanceOf[Boolean] &&
+        bufEval(r, buf, cur).asInstanceOf[Boolean]
+      case "or" => bufEval(l, buf, cur).asInstanceOf[Boolean] ||
+        bufEval(r, buf, cur).asInstanceOf[Boolean]
+      case "==" => num(bufEval(l, buf, cur)) == num(bufEval(r, buf, cur))
+      case "!=" => num(bufEval(l, buf, cur)) != num(bufEval(r, buf, cur))
+      case "<"  => num(bufEval(l, buf, cur)) < num(bufEval(r, buf, cur))
+      case "<=" => num(bufEval(l, buf, cur)) <= num(bufEval(r, buf, cur))
+      case ">"  => num(bufEval(l, buf, cur)) > num(bufEval(r, buf, cur))
+      case ">=" => num(bufEval(l, buf, cur)) >= num(bufEval(r, buf, cur))
+      case "+" => num(bufEval(l, buf, cur)) + num(bufEval(r, buf, cur))
+      case "-" => num(bufEval(l, buf, cur)) - num(bufEval(r, buf, cur))
+      case "*" => num(bufEval(l, buf, cur)) * num(bufEval(r, buf, cur))
+      case "/" => num(bufEval(l, buf, cur)) / num(bufEval(r, buf, cur))
+      case o => fail(s"operator '$o' unsupported in a buffered window")
+    }
+    case other2 => fail("unsupported construct in a buffered window: " +
+      other2.getClass.getSimpleName)
+  }
+
+  /** Output schema of a buffered-fold select list (what [[bufEval]]
+    * actually returns per item). */
+  private def evOutTypes(items: Seq[(SelItem, String, Boolean)])
+      : Seq[(String, DataType)] = items.map { case (it, a, isAgg) =>
+    val t: DataType = it.e match {
+      case Call(None, "count", Nil) => LongType
+      case _ if isAgg => DoubleType
+      case Ref(f :: Nil) => f match {
+        case "event_type" => StringType
+        case "value" => DoubleType
+        case _ => LongType
+      }
+      case _ => DoubleType
+    }
+    (a, t)
+  }
+
   /** An AND-chain contains at least one equality — the key a windowed
     * band join shards on (a pure time-band join would be a nested loop
     * at scale). */
@@ -2179,73 +2241,7 @@ object SiddhiQL extends Serializable {
           need.foreach(c => if (!base.columns.contains(c))
             fail(s"expression window reads event streams; '${s.table}' " +
               s"lacks '$c'"))
-          def bufEval(e: Expr, buf: scala.collection.Seq[Cep.Ev],
-              cur: Cep.Ev): Any = e match {
-            case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
-            case Str(v) => v
-            case Ref(f :: Nil) => field(cur, f)
-            case Call(None, "count", Nil) => buf.size.toLong
-            case Call(None, n2 @ ("sum" | "avg" | "min" | "max"),
-                List(Ref(f :: Nil))) =>
-              val xs: Seq[Double] =
-                buf.map(ev2 => num(field(ev2, f))).toSeq
-              n2 match {
-                case "sum" => xs.sum
-                case "avg" => xs.sum / xs.size
-                case "min" => xs.min
-                case "max" => xs.max
-              }
-            case Call(Some("math"), "round", List(x, Num(d))) =>
-              val bd = BigDecimal(num(bufEval(x, buf, cur)))
-              bd.setScale(d.toInt, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble
-            case Not(x) => !bufEval(x, buf, cur).asInstanceOf[Boolean]
-            case Neg(x) => -num(bufEval(x, buf, cur))
-            case Bin(op, l, r) => op match {
-              case "and" => bufEval(l, buf, cur).asInstanceOf[Boolean] &&
-                bufEval(r, buf, cur).asInstanceOf[Boolean]
-              case "or" => bufEval(l, buf, cur).asInstanceOf[Boolean] ||
-                bufEval(r, buf, cur).asInstanceOf[Boolean]
-              case "==" => num(bufEval(l, buf, cur)) ==
-                num(bufEval(r, buf, cur))
-              case "!=" => num(bufEval(l, buf, cur)) !=
-                num(bufEval(r, buf, cur))
-              case "<"  => num(bufEval(l, buf, cur)) <
-                num(bufEval(r, buf, cur))
-              case "<=" => num(bufEval(l, buf, cur)) <=
-                num(bufEval(r, buf, cur))
-              case ">"  => num(bufEval(l, buf, cur)) >
-                num(bufEval(r, buf, cur))
-              case ">=" => num(bufEval(l, buf, cur)) >=
-                num(bufEval(r, buf, cur))
-              case "+" => num(bufEval(l, buf, cur)) +
-                num(bufEval(r, buf, cur))
-              case "-" => num(bufEval(l, buf, cur)) -
-                num(bufEval(r, buf, cur))
-              case "*" => num(bufEval(l, buf, cur)) *
-                num(bufEval(r, buf, cur))
-              case "/" => num(bufEval(l, buf, cur)) /
-                num(bufEval(r, buf, cur))
-              case o => fail(s"operator '$o' unsupported in an " +
-                "expression window")
-            }
-            case other2 => fail("unsupported construct in an expression" +
-              s" window: ${other2.getClass.getSimpleName}")
-          }
-          val outTypes: Seq[(String, DataType)] = items.map {
-            case (it, a, isAgg) =>
-              val t: DataType = it.e match {
-                case Call(None, "count", Nil) => LongType
-                case _ if isAgg => DoubleType
-                case Ref(f :: Nil) => f match {
-                  case "event_type" => StringType
-                  case "value" => DoubleType
-                  case _ => LongType
-                }
-                case _ => DoubleType
-              }
-              (a, t)
-          }
+          val outTypes: Seq[(String, DataType)] = evOutTypes(items)
           if (ast.having.nonEmpty) fail("having needs a tumbling window")
           val schema2 = StructType(outTypes.map { case (n2, t) =>
             StructField(n2, t) })
@@ -2727,6 +2723,60 @@ object SiddhiQL extends Serializable {
                 (selectOrAggregate(ast, withW,
                   Seq("w_start_ms" -> col("w_start_ms")),
                   windowed = true), true)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("length") =>
+                // live per-key sliding length window: a
+                // flatMapGroupsWithState ring of the last N events per
+                // key, select items re-evaluated over the ring on every
+                // arrival ([[bufEval]] — the same interpreter the batch
+                // expression window folds with; engine twin:
+                // Streaming.lengthSliding). State is N events per key,
+                // forever-bounded.
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a length window")
+                val nRing = args2.head.toInt
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live length window (v1) needs exactly " +
+                    "one group by key to partition the per-key ring")
+                }
+                val need2 = Seq("event_id", "ts_ns", "user_id",
+                  "event_type", "value")
+                need2.foreach(c => if (!base.columns.contains(c))
+                  fail(s"live length window reads event streams; " +
+                    s"'${s.table}' lacks '$c'"))
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var ring = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          ring = (ring :+ e).takeRight(nRing)
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, ring, e) })
+                        }
+                      st.update(ring)
+                      out.iterator
+                  }
+                (folded.toDF(), false)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("session") =>
                 // live session aggregation: built-in session_window in

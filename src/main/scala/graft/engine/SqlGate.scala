@@ -150,6 +150,16 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // per-key sliding length window deployed LIVE: fMGWS ring of the
+    // last 20 events per user, aggregates re-evaluated per arrival
+    "sql_app_length_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'sl')
+        |from events#window.length(20)
+        |select event_id, user_id, math:round(sum(value), 2) as s20,
+        |  count() as n20
+        |group by user_id
+        |order by event_id
+        |insert into Out""".stripMargin, "sl")),
     // session aggregation deployed LIVE: built-in session_window in
     // Complete mode; the batch session CTE oracle is the truth
     "sql_app_session_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -600,6 +610,13 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_length_live" ->
+      """SELECT event_id, user_id, round(sum(value) OVER w, 2) AS s20,
+        |  count(*) OVER w AS n20
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "sql_app_session_live" ->
       """WITH marked AS (
         |  SELECT user_id, value, epoch_ms(ts) AS ms,
