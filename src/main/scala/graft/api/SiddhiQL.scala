@@ -2723,6 +2723,29 @@ object SiddhiQL extends Serializable {
                 (selectOrAggregate(ast, withW,
                   Seq("w_start_ms" -> col("w_start_ms")),
                   windowed = true), true)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("unique:first") =>
+                // live unique:first = streaming dropDuplicates on the
+                // key (engine twin: Streaming.dedupKeys) — the first
+                // event per distinct key emits as it arrives; later
+                // duplicates are suppressed by keyed state
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a unique window")
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("live unique:first projects columns (v1)")
+                val attr = sargs2.headOption.getOrElse(
+                  fail("unique:first needs an attribute argument"))
+                if (!base.columns.contains(attr))
+                  fail(s"unique:first key '$attr' is not a column")
+                (selectOrAggregate(ast, base.dropDuplicates(attr), Nil,
+                  windowed = false), false)
+              case Some(WindowSpec(n2, _, _))
+                  if n2.equalsIgnoreCase("unique:last") =>
+                fail("live unique:last would retract emitted rows " +
+                  "(keep-LAST needs update mode) — deploy unique:first, " +
+                  "or run unique:last in batch replay")
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("length") =>
                 // live per-key sliding length window: a

@@ -150,6 +150,13 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // unique:first deployed LIVE: streaming dropDuplicates on the key
+    "sql_app_unique_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'u')
+        |from events#window.unique:first(user_id)
+        |select event_id, user_id, value
+        |order by event_id
+        |insert into Out""".stripMargin, "u")),
     // per-key sliding length window deployed LIVE: fMGWS ring of the
     // last 20 events per user, aggregates re-evaluated per arrival
     "sql_app_length_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -610,6 +617,13 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    // first event per user in replay order
+    "sql_app_unique_live" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "sql_app_length_live" ->
       """SELECT event_id, user_id, round(sum(value) OVER w, 2) AS s20,
         |  count(*) OVER w AS n20
