@@ -181,7 +181,7 @@ object SqlGate {
     "sql_app_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'pairs')
         |from events as a[event_type == 'error']#window.time(1 min)
-        |  join events as b[event_type == 'purchase']#window.time(5 min)
+        |  join events as b[event_type == 'purchase']#window.time(2 min)
         |  on a.user_id == b.user_id
         |select a.event_id as err_id, b.event_id as buy_id,
         |  a.user_id as user_id
@@ -664,7 +664,7 @@ object SqlGate {
         |  ON a.user_id = b.user_id AND a.event_type = 'error'
         | AND b.event_type = 'purchase'
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |     BETWEEN -60000000000 AND 300000000000
+        |     BETWEEN -60000000000 AND 120000000000
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_join_unidirectional" ->
       """SELECT a.event_id AS buy_id, b.event_id AS err_id,
