@@ -2741,6 +2741,61 @@ object SiddhiQL extends Serializable {
                   fail(s"unique:first key '$attr' is not a column")
                 (selectOrAggregate(ast, base.dropDuplicates(attr), Nil,
                   windowed = false), false)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("expression") =>
+                // live retain-while window: the batch fold's eviction
+                // rule running inside flatMapGroupsWithState — on each
+                // arrival evict from the FRONT until the retention
+                // predicate holds, re-evaluate select items over the
+                // retained buffer ([[bufEval]] again); buffer size is
+                // bounded by the predicate itself
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above an expression window")
+                val retTxt = sargs2.headOption.getOrElse(
+                  fail("expression window needs a quoted retention " +
+                    "expression"))
+                val ret = new P(lex(retTxt)).expr()
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live expression window (v1) needs " +
+                    "exactly one group by key to partition the fold")
+                }
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var buf = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          buf = buf :+ e
+                          while (buf.nonEmpty &&
+                              !bufEval(ret, buf, e)
+                                .asInstanceOf[Boolean])
+                            buf = buf.tail
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, buf, e) })
+                        }
+                      st.update(buf)
+                      out.iterator
+                  }
+                (folded.toDF(), false)
               case Some(WindowSpec(n2, _, _))
                   if n2.equalsIgnoreCase("unique:last") =>
                 fail("live unique:last would retract emitted rows " +

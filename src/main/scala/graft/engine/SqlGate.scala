@@ -150,6 +150,15 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // retain-while window deployed LIVE: fMGWS front-eviction fold
+    "sql_app_expression_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'x')
+        |from events#window.expression('count() < 7')
+        |select event_id, user_id, count() as occ,
+        |  math:round(sum(value), 2) as sv
+        |group by user_id
+        |order by event_id
+        |insert into Out""".stripMargin, "x")),
     // unique:first deployed LIVE: streaming dropDuplicates on the key
     "sql_app_unique_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'u')
@@ -617,6 +626,14 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    // count()<7 retain-while = the exact last-6 frame per user
+    "sql_app_expression_live" ->
+      """SELECT event_id, user_id, count(*) OVER w AS occ,
+        |  round(sum(value) OVER w, 2) AS sv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // first event per user in replay order
     "sql_app_unique_live" ->
       """SELECT event_id, user_id, value FROM (
