@@ -2796,6 +2796,55 @@ object SiddhiQL extends Serializable {
                       out.iterator
                   }
                 (folded.toDF(), false)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("timelength") =>
+                // live timeLength(T, N): per-key ring of the last N
+                // events; select items evaluate over the subset still
+                // within T of the current event (same inclusive bound as
+                // the batch compile) — state is ≤ N events per key
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a timeLength window")
+                val tNs2 = args2.head
+                val nCap = args2(1).toInt
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live timeLength window (v1) needs " +
+                    "exactly one group by key to partition the ring")
+                }
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var ring = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          ring = (ring :+ e).takeRight(nCap)
+                          val win = ring.filter(
+                            _.tsNs >= e.tsNs - tNs2)
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, win, e) })
+                        }
+                      st.update(ring)
+                      out.iterator
+                  }
+                (folded.toDF(), false)
               case Some(WindowSpec(n2, _, _))
                   if n2.equalsIgnoreCase("unique:last") =>
                 fail("live unique:last would retract emitted rows " +

@@ -150,6 +150,15 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // timeLength deployed LIVE: per-key last-N ring time-pruned per event
+    "sql_app_timelength_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'tl')
+        |from events#window.timeLength(2 min, 10)
+        |select event_id, user_id, count() as occ,
+        |  math:round(sum(value), 2) as sv, max(value) as mx
+        |group by user_id
+        |order by event_id
+        |insert into Out""".stripMargin, "tl")),
     // retain-while window deployed LIVE: fMGWS front-eviction fold
     "sql_app_expression_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'x')
@@ -626,6 +635,21 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_timelength_live" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tn,
+        |    list(struct_pack(tn := epoch_ns(ts), v := value)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS buf
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    list_filter(buf, s -> s.tn >= tn - 120000000000) AS win
+        |  FROM b)
+        |SELECT event_id, user_id, CAST(len(win) AS BIGINT) AS occ,
+        |  round(list_sum(list_transform(win, s -> s.v)), 2) AS sv,
+        |  list_max(list_transform(win, s -> s.v)) AS mx
+        |FROM w ORDER BY event_id""".stripMargin,
     // count()<7 retain-while = the exact last-6 frame per user
     "sql_app_expression_live" ->
       """SELECT event_id, user_id, count(*) OVER w AS occ,
