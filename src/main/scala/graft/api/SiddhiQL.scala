@@ -2797,6 +2797,20 @@ object SiddhiQL extends Serializable {
                   }
                 (folded.toDF(), false)
               case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("delay") =>
+                // delay(T) live: the same stateless re-timestamp the
+                // batch compile uses — downstream stages (incl. further
+                // live windows) bucket by the delayed time
+                val tNs2 = args2.headOption.getOrElse(
+                  fail("delay needs a duration argument"))
+                val shifted = base
+                  .withColumn("ts_ns", col("ts_ns") + lit(tNs2))
+                  .withColumn("ts", expr(
+                    s"timestampadd(MICROSECOND, ${tNs2 / 1000}L, ts)"))
+                val agg2 = ast.select.exists(it => containsAgg(it.e))
+                (selectOrAggregate(ast, shifted, Nil,
+                  windowed = false), agg2)
+              case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("timelength") =>
                 // live timeLength(T, N): per-key ring of the last N
                 // events; select items evaluate over the subset still

@@ -150,6 +150,19 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // delay chained into a live timeBatch: downstream buckets by the
+    // DELAYED time, live
+    "sql_app_delay_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'd')
+        |from events#window.delay(90 sec)
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into Delayed;
+        |
+        |@info(name = 'agg')
+        |from Delayed#window.timeBatch(1 min)
+        |select count() as n, math:round(sum(value), 2) as total
+        |order by w_start_ms
+        |insert into Out""".stripMargin, "agg")),
     // timeLength deployed LIVE: per-key last-N ring time-pruned per event
     "sql_app_timelength_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'tl')
@@ -635,6 +648,10 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_delay_live" ->
+      """SELECT (epoch_ms(ts) + 90000) // 60000 * 60000 AS w_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY w_start_ms""".stripMargin,
     "sql_app_timelength_live" ->
       """WITH b AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS tn,
