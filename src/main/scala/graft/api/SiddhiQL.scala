@@ -2796,6 +2796,22 @@ object SiddhiQL extends Serializable {
                       out.iterator
                   }
                 (folded.toDF(), false)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("cron") =>
+                // cron live: the epoch-aligned fixed-interval Quartz
+                // forms ARE a cron-aligned timeBatch — same Complete-
+                // mode bucket aggregation, bucket keyed cron_tick_ms
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a cron aggregation")
+                val spec = sargs2.headOption.getOrElse(
+                  fail("cron needs a quoted Quartz expression argument"))
+                val ivNs = cronIntervalNs(spec)
+                val withW = base.withColumn("cron_tick_ms",
+                  expr(s"(ts_ns div ${ivNs}L) * ${ivNs / 1000000}L"))
+                (selectOrAggregate(ast, withW,
+                  Seq("cron_tick_ms" -> col("cron_tick_ms")),
+                  windowed = true), true)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("delay") =>
                 // delay(T) live: the same stateless re-timestamp the

@@ -150,6 +150,13 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // cron window deployed LIVE: cron-aligned Complete-mode buckets
+    "sql_app_cron_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'c')
+        |from events#window.cron('0 0/15 * * * ?')
+        |select count() as n, math:round(avg(value), 6) as avg_value
+        |order by cron_tick_ms
+        |insert into Out""".stripMargin, "c")),
     // delay chained into a live timeBatch: downstream buckets by the
     // DELAYED time, live
     "sql_app_delay_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -648,6 +655,10 @@ object SqlGate {
         |  (ms - 1704067200000) // 86400000 AS days_since,
         |  dayname(make_timestamp(ms * 1000)) AS dow
         |FROM b ORDER BY event_id""".stripMargin,
+    "sql_app_cron_live" ->
+      """SELECT epoch_ms(ts) // 900000 * 900000 AS cron_tick_ms,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY cron_tick_ms""".stripMargin,
     "sql_app_delay_live" ->
       """SELECT (epoch_ms(ts) + 90000) // 60000 * 60000 AS w_start_ms,
         |  count(*) AS n, round(sum(value), 2) AS total
