@@ -25,8 +25,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # The DRIVER's comparator sort_values-es object columns and
+            # dies on ndarrays ("unhashable type"). Mirror that contract:
+            # a top-level array/map/struct column is a gate FAILURE here
+            # too (round-6 lesson: tuple-izing masked a driver red).
+            head = df[c].dropna().head(50)
+            if head.apply(lambda v: isinstance(v, (list, np.ndarray, dict))).any():
+                raise RuntimeError(
+                    f"UNSORTABLE column '{c}': top-level array/map/struct "
+                    "breaks the driver comparator — project a scalar "
+                    "(e.g. array_join) instead")
     return df
 
 

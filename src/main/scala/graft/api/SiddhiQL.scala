@@ -961,6 +961,10 @@ object SiddhiQL extends Serializable {
       case (Some("list"), "get") =>
         s"try_element_at(${a(0)}, ${a(1)} + 1)"
       case (Some("list"), "sort") => s"array_sort(${a(0)})"
+      // list:join(list, sep): flatten a collection to a scalar string —
+      // the registry-safe projection for collection results (the driver's
+      // comparator sorts rows with pandas, which cannot sort raw arrays)
+      case (Some("list"), "join") => s"array_join(${a(0)}, ${a(1)})"
       case (Some("list"), "distinct") => s"array_distinct(${a(0)})"
       case (Some("list"), "isempty") => s"(size(${a(0)}) = 0)"
       case (Some("map"), "create") => s"map(${a.mkString(", ")})"

@@ -259,7 +259,7 @@ object SqlGate {
         |  list:size(list:distinct(list:create(1, 2, 2, 3))) as nd,
         |  map:get(map:create('a', value, 'b', 0.0), 'a') as ma,
         |  map:containsKey(map:create('a', 1, 'b', 2), 'c') as has_c,
-        |  map:keys(map:create('x', 1, 'y', 2)) as ks,
+        |  list:join(map:keys(map:create('x', 1, 'y', 2)), ',') as ks,
         |  instanceOfDouble(value) as is_d,
         |  instanceOfString(event_type) as is_s,
         |  instanceOfLong(event_id) as is_l,
@@ -775,7 +775,8 @@ object SqlGate {
         |  CAST(len(list_distinct([1, 2, 2, 3])) AS INT) AS nd,
         |  value AS ma,
         |  FALSE AS has_c,
-        |  list_sort(map_keys(map(['x', 'y'], [1, 2]))) AS ks,
+        |  array_to_string(list_sort(map_keys(map(['x', 'y'], [1, 2]))), ',')
+        |    AS ks,
         |  TRUE AS is_d, TRUE AS is_s, TRUE AS is_l, FALSE AS not_d
         |FROM events WHERE event_id < 200
         |ORDER BY event_id""".stripMargin,

@@ -63,10 +63,36 @@ object Streaming {
         .as[Ev].orderBy("tsNs", "eventId").collect()
     })
 
+  /** Watermark-flush sentinel region. Append-mode windowed aggregations
+    * only emit a window once the watermark passes its end; a finite
+    * replay therefore needs events BEYOND the last real window to flush
+    * it. Sentinels live at 2100-01-01 (far above any fixture), and every
+    * windowed pipeline drops `ts >= FlushCutoff` RIGHT ABOVE its
+    * watermark node — the predicate references the event-time column, so
+    * Catalyst keeps it above EventTimeWatermark and the sentinel still
+    * advances the watermark before being discarded. */
+  val FlushNs: Long = 4102444800000000000L // 2100-01-01T00:00:00Z, ns
+  private val FlushCutoffUs: Long = 3786912000000000L // 2090-01-01, µs
+  def flushCutoff: org.apache.spark.sql.Column =
+    timestamp_micros(lit(FlushCutoffUs))
+
+  /** Watermark + sentinel guard for Append-mode windowed aggregation:
+    * event-time watermark on `ts`, then the flush-sentinel drop (above
+    * the watermark node — see [[FlushNs]]). The 1-minute delay is the
+    * late-data contract; at any runtime length state is evicted once the
+    * watermark passes a window's end — the bounded-state Append design
+    * (vs Complete mode's keep-every-bucket-forever). */
+  def flushGuard(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 minute").filter(col("ts") < flushCutoff)
+
   /** Feed the events table through a MemoryStream in `chunks` micro-batches
-    * (time-ordered), apply `build`, run to completion, return the sink. */
+    * (time-ordered), apply `build`, run to completion, return the sink.
+    * `flush = true` appends two watermark-flush sentinels (each its own
+    * micro-batch) after the real rows so Append-mode windows close — the
+    * builder must wrap its watermark in [[flushGuard]] so the sentinels
+    * never reach the aggregation itself. */
   def runStream(spark: SparkSession, dir: String, name: String,
-                mode: OutputMode, chunks: Int = 2)
+                mode: OutputMode, chunks: Int = 2, flush: Boolean = false)
                (build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -84,6 +110,14 @@ object Streaming {
         .start()
       val per = math.max(rows.length / chunks, 1)
       rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
+      if (flush) (0 to 1).foreach { k =>
+        // two sentinel batches: the first advances the watermark past
+        // every real window, the second runs a batch UNDER that advanced
+        // watermark so all remaining state emits and evicts
+        ms.addData(Seq(Ev(Long.MaxValue - 1 + k,
+          FlushNs + k * 3600000000000L, -1L, "__flush", 0.0)))
+        q.processAllAvailable()
+      }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
@@ -93,10 +127,14 @@ object Streaming {
     ds.withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
 
   /** stream_timebatch_sum: the flagship tumbling window, executed
-    * incrementally (complete mode emits the final state of every pane). */
+    * incrementally in APPEND mode — each pane emits exactly once when the
+    * watermark passes its end, and its state row is evicted (bounded
+    * state at any runtime length; Complete mode would keep and re-emit
+    * every pane forever). */
   def timeBatchSum(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "stream_timebatch_sum", OutputMode.Complete()) { ds =>
-      withTs(ds)
+    runStream(s, d, "stream_timebatch_sum", OutputMode.Append(),
+        flush = true) { ds =>
+      flushGuard(withTs(ds))
         .groupBy(window(col("ts"), "1 minute"))
         .agg(round(sum("value"), 2).as("sum_value"),
           count(lit(1)).as("cnt"))
@@ -104,10 +142,13 @@ object Streaming {
           col("sum_value"), col("cnt"))
     }.orderBy("w_start_ms")
 
-  /** stream_session: built-in session_window, streaming. */
+  /** stream_session: built-in session_window in APPEND mode — a session
+    * emits (merged, final) once the watermark passes its close, then its
+    * state is dropped. */
   def session(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "stream_session", OutputMode.Complete()) { ds =>
-      withTs(ds)
+    runStream(s, d, "stream_session", OutputMode.Append(),
+        flush = true) { ds =>
+      flushGuard(withTs(ds))
         .groupBy(session_window(col("ts"), "10 minutes"), col("userId"))
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))
@@ -661,17 +702,21 @@ object Streaming {
 
   /** stream_rate_limit: `output first every 1 min` LIVE — streaming
     * dropDuplicates on (user, minute) emits exactly the first event of
-    * each key-interval as it arrives; watermark lets the engine drop
-    * interval state once the minute has passed (bounded state at any
-    * runtime length). */
+    * each key-interval as it arrives. The interval id is a TIMESTAMP
+    * event-time column carrying the watermark and part of the dedup key:
+    * Spark only evicts streaming-dedup state when the watermarked
+    * event-time column is among the keys, so a derived LONG id would
+    * accumulate state forever (ADVICE r6) — this way a minute's state is
+    * dropped once the watermark passes its start. */
   def rateLimitFirst(s: SparkSession, d: String): DataFrame =
     runStream(s, d, "stream_rate_limit", OutputMode.Append()) { ds =>
       withTs(ds)
-        .withWatermark("ts", "1 minute")
-        .withColumn("w_start_ms",
-          (expr("tsNs div 60000000000") * 60000L))
-        .dropDuplicates("userId", "w_start_ms")
-        .select(col("userId").as("user_id"), col("w_start_ms"),
+        .withColumn("__w",
+          timestamp_millis(expr("tsNs div 60000000000") * 60000L))
+        .withWatermark("__w", "1 minute")
+        .dropDuplicates("userId", "__w")
+        .select(col("userId").as("user_id"),
+          unix_millis(col("__w")).as("w_start_ms"),
           col("eventId").as("first_id"))
     }.orderBy("user_id", "w_start_ms")
 

@@ -102,6 +102,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${Bench.headline.toSet -- queries}")
   }
 
+  test("registry hygiene: driver-comparator sortability — no top-level " +
+       "array/map/struct columns, no duplicate column names") {
+    // The driver's pandas comparator sorts rows by every column; a raw
+    // array/map/struct column raises "unhashable type" and reds the gate
+    // (round-6 sql_collections). Enforce scalar-only schemas for every
+    // registry query — collections must be array_join'd / to_json'd.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, sf).schema
+        val bad = schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+        val dups = schema.fieldNames.groupBy(identity).collect {
+          case (n, occ) if occ.length > 1 => n
+        }
+        if (bad.nonEmpty || dups.nonEmpty)
+          Some(s"$name -> nonscalar=[${bad.mkString(", ")}] " +
+            s"dupCols=[${dups.mkString(", ")}]")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"driver-unsortable registry schemas:\n${offenders.mkString("\n")}")
+  }
+
   test("plan sweep: no batch query plans a cartesian product") {
     // systematic 100 TB guard across the whole registry: an accidental
     // CartesianProduct (or unintended nested-loop join) in ANY batch
