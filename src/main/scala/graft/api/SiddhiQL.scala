@@ -1270,34 +1270,7 @@ object SiddhiQL extends Serializable {
         // keyed plan — per-key parallel at any executor count (and the
         // global-lengthBatch single-task caveat disappears inside a
         // partition: chunks count per key)
-        val m = ("(?is)^partition\\s+with\\s*\\((.*)\\)\\s*" +
-          "begin\\b(.*?)\\bend\\s*$").r.findFirstMatchIn(body)
-          .getOrElse(fail("malformed partition: expected `partition " +
-            "with (<spec> of <stream>) begin <queries> end`"))
-        val (spec, innerBody) = (m.group(1), m.group(2))
-        val sp = new P(lex(spec))
-        val ranges = List.newBuilder[(Expr, String)]
-        var keyAttr: Option[String] = None
-        var done = false
-        while (!done) {
-          val e = sp.rangeExpr()
-          if (sp.tryKw("as")) {
-            val label = sp.advance() match {
-              case TStr(l) => l
-              case t => fail(s"range label must be a string, got $t")
-            }
-            ranges += ((e, label))
-            if (!sp.tryKw("or")) done = true
-          } else {
-            e match {
-              case Ref(attr :: Nil) => keyAttr = Some(attr); done = true
-              case other => fail("partition spec must be `<attr> of S` " +
-                s"or `cond as 'label' or ... of S`, got '${sqlOf(other)}'")
-            }
-          }
-        }
-        sp.eatKw("of")
-        val srcName = sp.ident()
+        val (innerBody, keyAttr, rs, srcName) = parsePartition(body)
         val baseDf = loadTable(spark, dir, srcName, env)
         val (partKey, view) = keyAttr match {
           case Some(attr) =>
@@ -1306,7 +1279,6 @@ object SiddhiQL extends Serializable {
                 s"'$srcName'")
             (attr, baseDf)
           case None =>
-            val rs = ranges.result()
             // first matching range labels the event; unmatched events
             // leave the partition (Siddhi range-partition semantics)
             val keyCol = rs.tail.foldLeft(
@@ -1804,7 +1776,8 @@ object SiddhiQL extends Serializable {
   /** Grouped aggregation over `df` (plus any window-derived implicit
     * keys), or a plain projection when no item aggregates. */
   private def selectOrAggregate(ast: Ast, df: DataFrame,
-      implicitKeys: Seq[(String, Column)], windowed: Boolean): DataFrame = {
+      implicitKeys: Seq[(String, Column)], windowed: Boolean,
+      carry: Seq[Column] = Nil): DataFrame = {
     val items = itemsOf(ast)
     val aggCols = items.collect { case (it, a, true) =>
       expr(sqlOf(it.e)).as(a)
@@ -1814,7 +1787,7 @@ object SiddhiQL extends Serializable {
       if (ast.having.nonEmpty) fail("having needs an aggregation")
       df.select(items.map { case (it, a, _) =>
         expr(sqlOf(it.e)).as(a)
-      }: _*)
+      } ++ carry: _*)
     } else {
       items.collect { case (it, _, false) => it }.foreach { it =>
         it.e match {
@@ -2638,57 +2611,251 @@ object SiddhiQL extends Serializable {
     * event_type, value, ts`) — the SiddhiProcess analog: the same text a
     * batch replay verifies runs as a continuous query. Returns the
     * UN-STARTED streaming DataFrame of the `out` query plus its required
-    * output mode and requested ordering, so callers pick the sink,
+    * output mode, requested ordering, and whether the caller must feed
+    * watermark-flush sentinels ([[graft.engine.Streaming.FlushNs]]) so a
+    * FINITE replay closes the last windows — callers pick the sink,
     * trigger, and checkpoint location (the restart contract lives there).
     *
     * Stage support (v1): stateless filter/projection chains (append),
-    * ONE aggregation stage — global or timeBatch — as the final query
-    * (complete mode: tumbling panes re-emit their final state), and
-    * pattern clauses via the per-key NFA re-fold
-    * ([[Patterns.PatternBuilder.selectStream]], append; its quantifier/
-    * absence restrictions and event-time-order precondition apply).
-    * Chaining is plan composition on the streaming Dataset, so Catalyst
-    * still optimizes the whole topology as one incremental query —
-    * exactly the batch path's property, which is why batch replay is a
-    * valid oracle for the deployed result. */
+    * ONE aggregation stage as the final query — global (complete mode)
+    * or windowed timeBatch/cron/session (APPEND mode: the source-level
+    * event-time watermark lets every pane emit exactly once when the
+    * watermark passes its end, and its state row is EVICTED — bounded
+    * state on a long-running stream, vs Complete mode's
+    * keep-every-bucket-forever) — and pattern clauses via the per-key
+    * NFA re-fold ([[Patterns.PatternBuilder.selectStream]], append; its
+    * quantifier/absence restrictions and event-time-order precondition
+    * apply). Chaining is plan composition on the streaming Dataset, so
+    * Catalyst still optimizes the whole topology as one incremental
+    * query — exactly the batch path's property, which is why batch
+    * replay is a valid oracle for the deployed result.
+    *
+    * Watermark design: ONE `withWatermark("ts", "1 minute")` node sits
+    * at the SOURCE, above nothing — so every event (and every flush
+    * sentinel) reaches it before any user filter. User filters are
+    * OR-extended with the sentinel region (`f OR ts >= flushCutoff`):
+    * the predicate then references the event-time column, which stops
+    * Catalyst's pushdown from moving it below the watermark node and
+    * dropping a sentinel before it advances the watermark. Stateful
+    * stages drop the sentinels themselves right above their
+    * aggregation (`ts < flushCutoff`), and stateless stages carry the
+    * watermarked `ts` (+ `ts_ns`) through their projections so a
+    * downstream window can still bucket and evict by event time.
+    *
+    * Table DML stages deploy through [[deployApp]] (a `foreachBatch`
+    * keyed MERGE cannot be expressed as one unstarted DataFrame) —
+    * this entry fails fast on them. */
   def deployAppOn(src: DataFrame, app: String, out: String)
-      : (DataFrame, OutputMode, Seq[Column]) = {
+      : (DataFrame, OutputMode, Seq[Column], Boolean) = {
+    val (stages, dml) = deployStages(src, app, out)
+    dml.foreach { case (_, act, _, _, _) =>
+      fail(s"live deployment of table DML ('${act.target}') runs " +
+        "through deployApp (foreachBatch keyed MERGE) — deployAppOn " +
+        "returns a single unstarted DataFrame and cannot express a " +
+        "mutable table sink")
+    }
+    val (df, kind, ordCols) = stages.getOrElse(
+      fail(s"app has no query named or inserting into '$out'"))
+    (df,
+      if (kind == 1) OutputMode.Complete() else OutputMode.Append(),
+      ordCols, kind == 2)
+  }
+
+  /** `define table T (col type, ...)` → its schema, None otherwise. */
+  private def parseTableDef(body: String): Option[(String, StructType)] = {
+    val p = new P(lex(body))
+    p.eatKw("define")
+    if (!p.tryKw("table")) None
+    else {
+      val tname = p.ident()
+      p.eatSym("(")
+      val fields = List.newBuilder[StructField]
+      def one(): StructField = {
+        val c = p.ident(); StructField(c, typeOf(p.ident()))
+      }
+      fields += one()
+      while (p.trySym(",")) fields += one()
+      p.eatSym(")")
+      Some(tname -> StructType(fields.result()))
+    }
+  }
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** `partition with (<spec>) begin <queries> end` → (inner query text,
+    * keyed attribute OR range branches, partitioned stream name).
+    * Shared by the batch compile and the live deployment. */
+  private def parsePartition(body: String)
+      : (String, Option[String], List[(Expr, String)], String) = {
+    val m = ("(?is)^partition\\s+with\\s*\\((.*)\\)\\s*" +
+      "begin\\b(.*?)\\bend\\s*$").r.findFirstMatchIn(body)
+      .getOrElse(fail("malformed partition: expected `partition " +
+        "with (<spec> of <stream>) begin <queries> end`"))
+    val (spec, innerBody) = (m.group(1), m.group(2))
+    val sp = new P(lex(spec))
+    val ranges = List.newBuilder[(Expr, String)]
+    var keyAttr: Option[String] = None
+    var done = false
+    while (!done) {
+      val e = sp.rangeExpr()
+      if (sp.tryKw("as")) {
+        val label = sp.advance() match {
+          case TStr(l) => l
+          case t => fail(s"range label must be a string, got $t")
+        }
+        ranges += ((e, label))
+        if (!sp.tryKw("or")) done = true
+      } else {
+        e match {
+          case Ref(attr :: Nil) => keyAttr = Some(attr); done = true
+          case other => fail("partition spec must be `<attr> of S` " +
+            s"or `cond as 'label' or ... of S`, got '${sqlOf(other)}'")
+        }
+      }
+    }
+    sp.eatKw("of")
+    val srcName = sp.ident()
+    (innerBody, keyAttr, ranges.result(), srcName)
+  }
+
+  /** Stage compiler shared by [[deployAppOn]] and [[deployApp]]:
+    * returns the `out` query's streaming DataFrame (with its stage
+    * kind 0=stateless / 1=complete-agg / 2=windowed-append-agg and
+    * ordering), or — when `out` names a table-DML statement — the DML
+    * spec (ast, action, table schema, feeding stream name + its
+    * streaming DataFrame) for the caller's foreachBatch merge. */
+  private def deployStages(src: DataFrame, app: String, out: String)
+      : (Option[(DataFrame, Int, Seq[Column])],
+         Option[(Ast, Action, StructType, String, DataFrame)]) = {
     val need = Seq("event_id", "ts_ns", "user_id", "event_type", "value")
     need.foreach { c =>
       if (!src.columns.contains(c))
         fail(s"deployAppOn source lacks required column '$c'")
     }
     import src.sparkSession.implicits._
+    import graft.engine.Streaming
     lazy val evDs = src.select(col("event_id").as("eventId"),
       col("ts_ns").as("tsNs"), col("user_id").as("userId"),
       col("event_type").as("eventType"), col("value")).as[Cep.Ev]
-    var env = Map[String, DataFrame]("events" -> src)
+    // per-stage state behavior when deployed (see scaladoc)
+    val KStateless = 0; val KComplete = 1; val KWindowAgg = 2
+    val srcTs =
+      if (src.columns.contains("ts")) src
+      else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    var env = Map[String, DataFrame](
+      "events" -> srcTs.withWatermark("ts", "1 minute"))
     var statefulStreams = Set.empty[String]
-    var result: Option[(DataFrame, Boolean, Seq[Column])] = None
-    scriptFns = Map.empty // live apps carry their own defines
-    splitStatements(app).foreach { case (name, body) =>
-      val head = body.split("\\s+", 2).headOption.getOrElse("")
-      if (head.equalsIgnoreCase("define")) {
-        // stream schemas come from the source; function defines compile
-        // (they inline into the incremental plan like any expression)
-        if (body.split("\\s+", 3).lift(1).exists(
-            _.equalsIgnoreCase("function")))
-          registerScriptFn(body)
+    var tableDefs = Map.empty[String, StructType]
+    var result: Option[(DataFrame, Int, Seq[Column])] = None
+    var dmlResult: Option[(Ast, Action, StructType, String, DataFrame)] =
+      None
+    // `f OR ts >= flushCutoff`: keeps the user predicate above the
+    // source watermark node (it now references the event-time column)
+    // and lets flush sentinels through; real rows (ts < cutoff) see
+    // exactly the original predicate, null semantics included
+    def liveWhere(df: DataFrame, f: Expr): DataFrame =
+      if (df.columns.contains("ts"))
+        df.where(expr(sqlOf(f)) || col("ts") >= Streaming.flushCutoff)
+      else df.where(expr(sqlOf(f)))
+    // Epoch-aligned tumbling aggregation deployed in APPEND mode: group
+    // by the built-in `window()` over the source-watermarked event-time
+    // column, so every pane emits exactly once when the watermark
+    // passes its end and its state row is EVICTED (engine twin:
+    // Streaming.timeBatchSum). The guard drops flush sentinels right
+    // above the watermark node — the predicate references `ts`, so
+    // pushdown keeps it there. `window()` floors to epoch-aligned
+    // buckets, matching the batch compile's `(ts_ns div T) * T` for the
+    // non-negative timestamps the event-time contract requires.
+    def windowedAgg(ast: Ast, base: DataFrame, keyName: String,
+        ivNs: Long): DataFrame = {
+      if (!base.columns.contains("ts"))
+        fail("a live windowed aggregation needs the event-time column " +
+          "'ts'")
+      val items = itemsOf(ast)
+      val aggCols = items.collect { case (it, a, true) =>
+        expr(sqlOf(it.e)).as(a) }
+      if (aggCols.isEmpty) fail("a windowed query needs an aggregate " +
+        "select")
+      items.collect { case (it, _, false) => it }.foreach { it =>
+        it.e match {
+          case Ref(parts) if ast.groupBy.contains(parts.last) => ()
+          case _ => fail(s"non-aggregate select item '${sqlOf(it.e)}' " +
+            "must be a group by column")
+        }
       }
-      else if (head.equalsIgnoreCase("from")) {
-        val ast = new P(lex(body)).query()
+      val guarded = base.filter(col("ts") < Streaming.flushCutoff)
+      val w = window(col("ts"), s"${ivNs / 1000} microseconds")
+      val agged = guarded.groupBy(w +: ast.groupBy.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+      hav.select(unix_millis(col("window.start")).as(keyName) +:
+        items.map { case (it, a, isAgg) =>
+          if (isAgg) col(a)
+          else it.e match { case Ref(parts) => col(parts.last).as(a)
+                            case _ => col(a) } }: _*)
+    }
+    // one `from ...` stage: compiles onto the live topology, updating
+    // env / statefulStreams / result / dmlResult. `view` is the stage's
+    // read environment (a partition block overrides its stream with the
+    // keyed/labeled view); `partKey` marks partition-block queries.
+    def runStage(name: Option[String], ast: Ast,
+        view: Map[String, DataFrame], partKey: Option[String]): Unit = {
         if (ast.rate.nonEmpty && !ast.stream.isInstanceOf[SingleStream])
           fail("live deployment rate-limits single-stream stages (v1)")
-        val (df, stateful) = ast.stream match {
+        val dmlAct = ast.action.filter {
+          case InsertInto(t) => tableDefs.contains(t)
+          case _             => true
+        }
+        if (dmlAct.nonEmpty) {
+          if (partKey.nonEmpty)
+            fail("table DML inside a partition block is not deployed " +
+              "(v1) — batch replay diagnoses it the same way")
+          // table DML deployed LIVE: captured here, executed by
+          // deployApp as a per-micro-batch keyed MERGE over the
+          // accumulated table (engine twin: Streaming.tableUpsert).
+          // Statement-at-once batch semantics survive the micro-batch
+          // split because applyDml's merge is a per-key fold: set RHS
+          // may reference the triggering event only (enforced there),
+          // so last-update-wins composes across batches.
+          val act = dmlAct.get
+          val schema = tableDefs.getOrElse(act.target, fail(
+            s"'${act.target}' is not a defined table — add " +
+              s"`define table ${act.target}(...)` before the DML query"))
+          val srcName = ast.stream match {
+            case ss: SingleStream => ss.table
+            case _ => fail("table DML (v1) requires a single un-joined " +
+              "source stream")
+          }
+          if (statefulStreams.contains(srcName))
+            fail(s"live deployment (v1): '$srcName' is an aggregation " +
+              "output — it cannot feed table DML")
+          val feed = view.getOrElse(srcName, fail("live deployment " +
+            s"reads declared streams; '$srcName' is neither the " +
+            "source nor an earlier insert-into target"))
+          // build the merge plan NOW over empty frames so a bad app
+          // fails at deploy time, not at the first trigger
+          applyDml(feed.sparkSession, "", ast, act, schema,
+            emptyOf(feed.sparkSession, schema),
+            Map(srcName -> emptyOf(feed.sparkSession, feed.schema)))
+          // live reads of a DML-maintained table are v1-diagnosed via
+          // the aggregation-output path
+          statefulStreams += act.target
+          if (name.contains(out) || act.target == out)
+            dmlResult = Some((ast, act, schema, srcName, feed))
+        } else {
+        var carriedNow: Seq[String] = Nil
+        val (df, kind) = ast.stream match {
           case s: SingleStream =>
             if (statefulStreams.contains(s.table))
               fail(s"live deployment (v1): '${s.table}' is an " +
                 "aggregation output — it must be the app's final sink, " +
                 "not a feed for further stages")
-            val base0 = env.getOrElse(s.table, fail("live deployment " +
+            val base0 = view.getOrElse(s.table, fail("live deployment " +
               s"reads declared streams; '${s.table}' is neither the " +
               "source nor an earlier insert-into target"))
-            val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+            val base = s.filter.fold(base0)(f => liveWhere(base0, f))
             s.window match {
               case None =>
                 val agg = ast.select.exists(it => containsAgg(it.e))
@@ -2706,27 +2873,51 @@ object SiddhiQL extends Serializable {
                     if (!base.columns.contains("ts"))
                       fail("live rate limiting needs the event-time " +
                         "column 'ts'")
-                    base.withWatermark("ts", "1 minute")
-                      .withColumn("__w",
-                        expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+                    // the interval id is a TIMESTAMP event-time column
+                    // carrying the watermark tag AND serving as the
+                    // dedup key: Spark only evicts streaming-dedup state
+                    // when a watermarked column is among the keys, so a
+                    // derived LONG id would accumulate state forever
+                    // (engine twin: Streaming.rateLimitFirst). The tag
+                    // is attached as metadata — a second withWatermark
+                    // NODE below the source one would be a disallowed
+                    // redefinition; the watermark VALUE still comes from
+                    // the source node, and __w <= ts so eviction is
+                    // sound (an interval's state drops once the
+                    // watermark passes its start).
+                    val mdw = new MetadataBuilder()
+                      .putLong("spark.watermarkDelayMs", 60000L).build()
+                    base.select(col("*"),
+                        timestamp_millis(
+                          expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+                          .as("__w", mdw))
                       .dropDuplicates("__w")
                       .drop("__w")
                   case Some(r) => fail("live deployment (v1) supports " +
                     s"`output first every <time>`; got mode '${r.mode}'" +
                     r.count.fold("")(_ => " with an event count"))
                 }
-                (selectOrAggregate(ast, rated, Nil, windowed = false), agg)
+                // carry the watermarked event-time columns through the
+                // projection (dropped again if this stage is the sink)
+                // so a downstream window can bucket and evict by them
+                val carryCols =
+                  if (agg) Nil
+                  else {
+                    val aliases = itemsOf(ast).map(_._2).toSet
+                    Seq("ts", "ts_ns").filter(c =>
+                      rated.columns.contains(c) && !aliases.contains(c))
+                  }
+                carriedNow = carryCols
+                (selectOrAggregate(ast, rated, Nil, windowed = false,
+                  carry = carryCols.map(col)),
+                  if (agg) KComplete else KStateless)
               case Some(WindowSpec(n, args, _))
                   if n.equalsIgnoreCase("timebatch") =>
                 if (ast.rate.nonEmpty)
                   fail("live rate limiting applies to stateless stages " +
                     "(v1) — not above a timeBatch aggregation")
-                val tNs = args.head
-                val withW = base.withColumn("w_start_ms",
-                  expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
-                (selectOrAggregate(ast, withW,
-                  Seq("w_start_ms" -> col("w_start_ms")),
-                  windowed = true), true)
+                (windowedAgg(ast, base, "w_start_ms", args.head),
+                  KWindowAgg)
               case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("unique:first") =>
                 // live unique:first = streaming dropDuplicates on the
@@ -2743,8 +2934,11 @@ object SiddhiQL extends Serializable {
                   fail("unique:first needs an attribute argument"))
                 if (!base.columns.contains(attr))
                   fail(s"unique:first key '$attr' is not a column")
+                // keyed dedup state is held forever BY CONTRACT —
+                // unique:first must remember every key it has seen, so
+                // state is bounded by the key domain, not the watermark
                 (selectOrAggregate(ast, base.dropDuplicates(attr), Nil,
-                  windowed = false), false)
+                  windowed = false), KStateless)
               case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("expression") =>
                 // live retain-while window: the batch fold's eviction
@@ -2799,37 +2993,52 @@ object SiddhiQL extends Serializable {
                       st.update(buf)
                       out.iterator
                   }
-                (folded.toDF(), false)
+                (folded.toDF(), KStateless)
               case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("cron") =>
                 // cron live: the epoch-aligned fixed-interval Quartz
-                // forms ARE a cron-aligned timeBatch — same Complete-
-                // mode bucket aggregation, bucket keyed cron_tick_ms
+                // forms ARE a cron-aligned timeBatch — same Append-mode
+                // watermark-evicted buckets, keyed cron_tick_ms
                 if (ast.rate.nonEmpty)
                   fail("live rate limiting applies to stateless stages " +
                     "(v1) — not above a cron aggregation")
                 val spec = sargs2.headOption.getOrElse(
                   fail("cron needs a quoted Quartz expression argument"))
-                val ivNs = cronIntervalNs(spec)
-                val withW = base.withColumn("cron_tick_ms",
-                  expr(s"(ts_ns div ${ivNs}L) * ${ivNs / 1000000}L"))
-                (selectOrAggregate(ast, withW,
-                  Seq("cron_tick_ms" -> col("cron_tick_ms")),
-                  windowed = true), true)
+                (windowedAgg(ast, base, "cron_tick_ms",
+                  cronIntervalNs(spec)), KWindowAgg)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("delay") =>
                 // delay(T) live: the same stateless re-timestamp the
                 // batch compile uses — downstream stages (incl. further
-                // live windows) bucket by the delayed time
+                // live windows) bucket by the delayed time. The shifted
+                // `ts` is a NEW attribute, so the source watermark tag
+                // would be lost: re-attach the delay metadata
+                // explicitly so a downstream Append aggregation still
+                // sees a watermarked event-time column (the watermark
+                // VALUE keeps coming from the source node — shifted
+                // windows simply close `T` later, which is the point of
+                // a delay).
                 val tNs2 = args2.headOption.getOrElse(
                   fail("delay needs a duration argument"))
-                val shifted = base
-                  .withColumn("ts_ns", col("ts_ns") + lit(tNs2))
-                  .withColumn("ts", expr(
-                    s"timestampadd(MICROSECOND, ${tNs2 / 1000}L, ts)"))
+                val md = new MetadataBuilder()
+                  .putLong("spark.watermarkDelayMs", 60000L).build()
+                val others = base.columns
+                  .filterNot(c => c == "ts" || c == "ts_ns").map(col)
+                val shifted = base.select(others ++ Seq(
+                  (col("ts_ns") + lit(tNs2)).as("ts_ns"),
+                  expr(s"timestampadd(MICROSECOND, ${tNs2 / 1000}L, ts)")
+                    .as("ts", md)): _*)
                 val agg2 = ast.select.exists(it => containsAgg(it.e))
-                (selectOrAggregate(ast, shifted, Nil,
-                  windowed = false), agg2)
+                val carry2 =
+                  if (agg2) Nil
+                  else {
+                    val aliases = itemsOf(ast).map(_._2).toSet
+                    Seq("ts", "ts_ns").filterNot(aliases.contains)
+                  }
+                carriedNow = carry2
+                (selectOrAggregate(ast, shifted, Nil, windowed = false,
+                  carry = carry2.map(col)),
+                  if (agg2) KComplete else KStateless)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("timelength") =>
                 // live timeLength(T, N): per-key ring of the last N
@@ -2878,7 +3087,7 @@ object SiddhiQL extends Serializable {
                       st.update(ring)
                       out.iterator
                   }
-                (folded.toDF(), false)
+                (folded.toDF(), KStateless)
               case Some(WindowSpec(n2, _, _))
                   if n2.equalsIgnoreCase("unique:last") =>
                 fail("live unique:last would retract emitted rows " +
@@ -2937,11 +3146,13 @@ object SiddhiQL extends Serializable {
                       st.update(ring)
                       out.iterator
                   }
-                (folded.toDF(), false)
+                (folded.toDF(), KStateless)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("session") =>
                 // live session aggregation: built-in session_window in
-                // Complete mode (engine twin: Streaming.session); output
+                // APPEND mode (engine twin: Streaming.session) — a
+                // session emits (merged, final) once the watermark
+                // passes its close, then its state is dropped; output
                 // columns mirror the batch text compile exactly
                 if (ast.rate.nonEmpty)
                   fail("live rate limiting applies to stateless stages " +
@@ -2960,7 +3171,9 @@ object SiddhiQL extends Serializable {
                 }
                 val sw = session_window(col("ts"),
                   s"${args2.head / 1000000} milliseconds")
-                val agged = base.groupBy(sw +: ast.groupBy.map(col): _*)
+                val agged = base
+                  .filter(col("ts") < Streaming.flushCutoff)
+                  .groupBy(sw +: ast.groupBy.map(col): _*)
                   .agg(aggCols.head, aggCols.tail: _*)
                 val hav = ast.having.fold(agged)(h =>
                   agged.where(expr(sqlOf(h))))
@@ -2968,7 +3181,8 @@ object SiddhiQL extends Serializable {
                   unix_millis(col("session_window.start"))
                     .as("w_start_ms") +:
                   unix_millis(col("session_window.end")).as("w_end_ms") +:
-                  items.map { case (_, a2, _) => col(a2) }: _*), true)
+                  items.map { case (_, a2, _) => col(a2) }: _*),
+                  KWindowAgg)
               case Some(w) => fail("live deployment (v1) supports " +
                 "stateless stages, timeBatch/session aggregation, and " +
                 s"patterns; got window '${w.name}'")
@@ -2983,7 +3197,7 @@ object SiddhiQL extends Serializable {
             (b.selectStream(evDs) { bnd =>
               org.apache.spark.sql.Row.fromSeq(
                 sel.map { case (_, _, _, extract) => extract(bnd) })
-            }.toDF(), false)
+            }.toDF(), KStateless)
           case j: JoinStream => (j.left.window, j.right.window) match {
             // windowed stream-stream join deployed LIVE: Spark's
             // watermarked interval join — the band [-Tl, Tr] becomes
@@ -3011,16 +3225,20 @@ object SiddhiQL extends Serializable {
                 if (statefulStreams.contains(ss.table))
                   fail(s"live deployment (v1): '${ss.table}' is an " +
                     "aggregation output — it cannot feed a join")
-                val b0 = env.getOrElse(ss.table, fail("live deployment " +
+                val b0 = view.getOrElse(ss.table, fail("live deployment " +
                   s"reads declared streams; '${ss.table}' is neither " +
                   "the source nor an earlier insert-into target"))
-                val b1 = ss.filter.fold(b0)(f => b0.where(expr(sqlOf(f))))
+                val b1 = ss.filter.fold(b0)(f => liveWhere(b0, f))
                 if (!b1.columns.contains("ts"))
                   fail(s"join side '${ss.table}' lost its 'ts' column — " +
                     "live windowed joins need the event-time column")
-                val renamed = b1.columns.foldLeft(b1)((d, c) =>
+                // the source watermark tag propagates through the
+                // rename (`alias_ts` keeps the -T60000ms annotation), so
+                // re-declaring it here would be a disallowed watermark
+                // redefinition — the interval join's state eviction
+                // keys off the inherited tag
+                b1.columns.foldLeft(b1)((d, c) =>
                   d.withColumnRenamed(c, s"${alias}_$c"))
-                renamed.withWatermark(s"${alias}_ts", "1 minute")
               }
               def qual(parts: List[String]): String = parts match {
                 case q :: f :: Nil => s"${q}_$f"
@@ -3043,7 +3261,7 @@ object SiddhiQL extends Serializable {
                 .join(sideDf(j.right.copy(window = None), ra),
                   expr(s"($cond) and ($band)"), "inner")
               (joined.select(itemsOf(ast).map { case (it, a2, _) =>
-                expr(sqlOfWith(it.e, qual)).as(a2) }: _*), false)
+                expr(sqlOfWith(it.e, qual)).as(a2) }: _*), KStateless)
             case _ => fail("live deployment joins need #window.time(T) " +
               "on both sides (the watermarked stream-stream join); " +
               "other join forms are not deployed (v1)")
@@ -3052,15 +3270,15 @@ object SiddhiQL extends Serializable {
         val key = name.orElse(ast.action.map(_.target))
         ast.action.foreach {
           case InsertInto(t) =>
-            if (stateful) statefulStreams += t
-            // multi-writer fan-in: union, as in compileApp — but a
-            // stateful (Complete-mode) writer cannot merge with another
-            // stream mid-topology
+            if (kind != KStateless) statefulStreams += t
+            // multi-writer fan-in: union, as in compileApp — but an
+            // aggregated writer cannot merge with another stream
+            // mid-topology
             env += t -> (env.get(t) match {
               case Some(prev) =>
-                if (stateful || statefulStreams.contains(t))
+                if (kind != KStateless || statefulStreams.contains(t))
                   fail(s"live deployment (v1): multi-writer stream '$t' " +
-                    "cannot take an aggregated (Complete-mode) writer")
+                    "cannot take an aggregated writer")
                 if (prev.columns.toSet != df.columns.toSet)
                   fail(s"queries inserting into '$t' disagree on its " +
                     s"schema: [${prev.columns.mkString(", ")}] vs " +
@@ -3074,13 +3292,82 @@ object SiddhiQL extends Serializable {
         val ordCols = ast.orderBy.map { case (c, asc) =>
           if (asc) col(c).asc else col(c).desc }
         if (key.contains(out) || name.contains(out))
-          result = Some((df, stateful, ordCols))
-      } else fail(s"live deployment cannot run: '${body.take(40)}...'")
+          // the sink never shows the carried event-time helper columns
+          result = Some((
+            if (carriedNow.nonEmpty) df.drop(carriedNow: _*) else df,
+            kind, ordCols))
+        } // end non-DML stage
     }
-    val (df, stateful, ordCols) = result.getOrElse(
-      fail(s"app has no query named or inserting into '$out'"))
-    (df, if (stateful) OutputMode.Complete() else OutputMode.Append(),
-      ordCols)
+    scriptFns = Map.empty // live apps carry their own defines
+    splitStatements(app).foreach { case (name, body) =>
+      val head = body.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("define")) {
+        // stream schemas come from the source; function defines compile
+        // (they inline into the incremental plan like any expression);
+        // table defines declare the mutable state live DML targets
+        val defKind = body.split("\\s+", 3).lift(1).map(_.toLowerCase)
+        if (defKind.contains("function")) registerScriptFn(body)
+        else if (defKind.contains("table"))
+          parseTableDef(body).foreach { case (t, sch) =>
+            tableDefs += t -> sch }
+      }
+      else if (head.equalsIgnoreCase("partition")) {
+        // partition with (<spec> of S) begin ... end deployed LIVE:
+        // Spark's shuffle IS the partition (the batch compile's
+        // property holds unchanged on the incremental plan) — the key
+        // prepends to every inner grouping, so the reference's per-key
+        // query instances become ONE keyed streaming plan, per-key
+        // parallel at any executor count
+        val (innerBody, keyAttr, ranges, srcName) = parsePartition(body)
+        if (statefulStreams.contains(srcName))
+          fail(s"live deployment (v1): '$srcName' is an aggregation " +
+            "output — it cannot feed a partition block")
+        val baseDf = env.getOrElse(srcName, fail("live deployment " +
+          s"reads declared streams; '$srcName' is neither the source " +
+          "nor an earlier insert-into target"))
+        val (partKey, view) = keyAttr match {
+          case Some(attr) =>
+            if (!baseDf.columns.contains(attr))
+              fail(s"partition attribute '$attr' is not a column of " +
+                s"'$srcName'")
+            (attr, baseDf)
+          case None =>
+            // first matching range labels the event; unmatched events
+            // leave the partition. The OR keeps the label filter above
+            // the source watermark node so flush sentinels (which may
+            // match no range) still advance the watermark.
+            val keyCol = ranges.tail.foldLeft(
+              when(expr(sqlOf(ranges.head._1)), lit(ranges.head._2))) {
+              case (acc, (c, l)) => acc.when(expr(sqlOf(c)), lit(l))
+            }
+            ("partition_key",
+              baseDf.withColumn("partition_key", keyCol)
+                .where(col("partition_key").isNotNull ||
+                  col("ts") >= Streaming.flushCutoff))
+        }
+        innerBody.split(";").map(_.trim).filter(_.nonEmpty)
+          .flatMap(stripAnnotations).foreach { case (qName, qBody) =>
+          val ast0 = new P(lex(qBody)).query()
+          val ast = ast0.stream match {
+            case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
+              val needsKey = (ss.window.nonEmpty ||
+                ast0.select.exists(it => containsAgg(it.e))) &&
+                !ast0.groupBy.contains(partKey)
+              if (needsKey) ast0.copy(groupBy = partKey :: ast0.groupBy)
+              else ast0
+            case _: SingleStream => fail("partitioned queries read the " +
+              s"partitioned stream '$srcName' (v1)")
+            case _ => fail("partition blocks hold single-stream queries " +
+              "(v1; joins/patterns stay outside)")
+          }
+          runStage(qName, ast, env + (srcName -> view), Some(partKey))
+        }
+      }
+      else if (head.equalsIgnoreCase("from"))
+        runStage(name, new P(lex(body)).query(), env, None)
+      else fail(s"live deployment cannot run: '${body.take(40)}...'")
+    }
+    (result, dmlResult)
   }
 
   /** Harness-side deployment: feed the events table through a
@@ -3099,20 +3386,64 @@ object SiddhiQL extends Serializable {
         col("userId").as("user_id"), col("eventType").as("event_type"),
         col("value"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    val (df, mode, ordCols) = deployAppOn(src, app, out)
-    val sinkName = s"graft_deploy_$out"
+    val (stages, dmlOpt) = deployStages(src, app, out)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = df.writeStream.format("memory").queryName(sinkName)
-        .outputMode(mode).start()
       val per = math.max(rows.length / chunks, 1)
-      rows.grouped(per).foreach { g =>
-        ms.addData(g.toSeq); q.processAllAvailable()
+      dmlOpt match {
+        case Some((ast, act, schema, srcName, feed)) =>
+          // table DML LIVE: every micro-batch MERGEs into the
+          // accumulated table via the same applyDml the batch replay
+          // uses — parquet generations materialize the table between
+          // triggers (engine twin: Streaming.tableUpsert), so lineage
+          // stays one-batch deep and a restart resumes from the last
+          // generation
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_live_dml").toString
+          var gen = 0
+          val q = feed.writeStream.outputMode("append")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val acc = if (gen == 0) emptyOf(sp, schema)
+                        else sp.read.parquet(s"$tmp/gen$gen")
+              applyDml(sp, dir, ast, act, schema, acc,
+                  Map(srcName -> batch))
+                .write.mode("overwrite").parquet(s"$tmp/gen${gen + 1}")
+              gen += 1
+            }.start()
+          rows.grouped(per).foreach { g =>
+            ms.addData(g.toSeq); q.processAllAvailable()
+          }
+          q.stop()
+          if (gen == 0) emptyOf(spark, schema)
+          else spark.read.parquet(s"$tmp/gen$gen")
+        case None =>
+          val (df, kind, ordCols) = stages.getOrElse(
+            fail(s"app has no query named or inserting into '$out'"))
+          val mode = if (kind == 1) OutputMode.Complete()
+                     else OutputMode.Append()
+          val sinkName = s"graft_deploy_$out"
+          val q = df.writeStream.format("memory").queryName(sinkName)
+            .outputMode(mode).start()
+          rows.grouped(per).foreach { g =>
+            ms.addData(g.toSeq); q.processAllAvailable()
+          }
+          if (kind == 2) (0 to 1).foreach { k =>
+            // two watermark-flush sentinel batches (engine twin:
+            // Streaming.runStream): the first advances the watermark
+            // past every real window, the second runs a batch UNDER
+            // that advanced watermark so all remaining state emits and
+            // evicts
+            ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
+              graft.engine.Streaming.FlushNs + k * 3600000000000L,
+              -1L, "__flush", 0.0)))
+            q.processAllAvailable()
+          }
+          q.stop()
+          val t = spark.table(sinkName)
+          if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
       }
-      q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val t = spark.table(sinkName)
-    if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
   }
 }

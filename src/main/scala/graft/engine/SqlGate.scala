@@ -225,6 +225,51 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin, "pairs")),
+    // keyed partition deployed LIVE: the key prepends to the inner
+    // timeBatch grouping — the reference's per-key query instances run
+    // as ONE keyed Append-mode streaming aggregation
+    "sql_app_partition_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """partition with (user_id of events)
+        |begin
+        |  @info(name = 'perUser')
+        |  from events#window.timeBatch(1 min)
+        |  select user_id, count() as n, math:round(sum(value), 2) as sv
+        |  order by w_start_ms, user_id
+        |  insert into Out;
+        |end""".stripMargin, "perUser")),
+    // range partition deployed LIVE: label column + running per-band
+    // aggregate (Complete mode — band cardinality bounds the state)
+    "sql_app_partition_range_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """partition with (value < 50 as 'low' or value < 150 as 'mid'
+        |  or value >= 150 as 'high' of events)
+        |begin
+        |  @info(name = 'bands')
+        |  from events
+        |  select partition_key, count() as n,
+        |    math:round(sum(value), 2) as sv
+        |  order by partition_key
+        |  insert into Out;
+        |end""".stripMargin, "bands")),
+    // table DML deployed LIVE: a stream stage feeds `update or insert`,
+    // executed as a per-micro-batch keyed MERGE over parquet
+    // generations (foreachBatch); the batch statement-at-once replay is
+    // the oracle — the reference's enrichment loop running live
+    "sql_app_table_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserState (user_id long, last_value double,
+        |  last_type string);
+        |
+        |@info(name = 'hot')
+        |from events[value > 50.0]
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotEvents;
+        |
+        |@info(name = 'track')
+        |from HotEvents
+        |select user_id, value as last_value, event_type as last_type
+        |update or insert into UserState on UserState.user_id == user_id"""
+        .stripMargin, "track").orderBy("user_id")),
     // unidirectional: only left arrivals trigger — the band keeps one
     // direction (purchases look BACK at errors in the 5-min window)
     "sql_join_unidirectional" -> q(
@@ -1059,6 +1104,27 @@ object SqlGate {
         |    ROWS UNBOUNDED PRECEDING) AS v
         |FROM ticks t LEFT JOIN lastv l ON l.iv = t.iv
         |ORDER BY w_end_ms""".stripMargin,
+    // live keyed partition ≡ per-user minute buckets over all events
+    "sql_app_partition_live" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id"""
+        .stripMargin,
+    // live range partition ≡ the batch range-partition truth
+    "sql_app_partition_range_live" ->
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |    WHEN value < 150 THEN 'mid'
+        |    WHEN value >= 150 THEN 'high' END AS partition_key,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY 1 ORDER BY partition_key""".stripMargin,
+    // live upsert ≡ batch upsert ≡ last-event-per-key
+    "sql_app_table_live" ->
+      """SELECT user_id, value AS last_value, event_type AS last_type
+        |FROM (SELECT user_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE value > 50.0) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // upsert replay collapses to last-event-per-key
     "sql_table_upsert" ->
       """SELECT user_id, value AS last_value, event_type AS last_type

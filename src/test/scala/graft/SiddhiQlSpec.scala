@@ -734,10 +734,19 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select count() as n insert into O")
       .contains("project columns"))
-    // table DML live
+    // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
-      .contains("upsert sink"))
+      .contains("not a defined table"))
+    // deployAppOn (unstarted-DataFrame contract) cannot express the
+    // foreachBatch table sink — deployApp runs it (sql_app_table_live)
+    val dmlApp = "define table T (user_id long, last_value double);\n" +
+      "@info(name='q') from events select user_id, value as last_value " +
+      "update or insert into T on T.user_id == user_id"
+    val raw = engine.Tables.events(spark, sf)
+    val err = intercept[IllegalArgumentException](
+      SiddhiQL.deployAppOn(raw, dmlApp, "q")).getMessage
+    assert(err.contains("deployApp"))
   }
 
   test("expression window: sum-predicate fold matches the engine twin's " +

@@ -74,7 +74,7 @@ class StreamingSourceSpec extends AnyFunSuite {
         .parquet(s"$srcDir/f*")
         .withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      val (df, mode, _) = graft.api.SiddhiQL.deployAppOn(raw, appText,
+      val (df, mode, _, _) = graft.api.SiddhiQL.deployAppOn(raw, appText,
         "alerts")
       val q = df.writeStream
         .option("checkpointLocation", ckptDir.toString)
@@ -324,5 +324,56 @@ class StreamingSourceSpec extends AnyFunSuite {
         new java.util.HashMap[String, String]())
     }
     assert(direct.getMessage.contains("fixed schema"))
+  }
+
+  test("live Append deployment holds BOUNDED state: aggregation state " +
+       "rows are evicted at the watermark horizon, not kept per-bucket") {
+    // The scale contract of the Append-mode live design: a deployed
+    // timeBatch aggregation must NOT retain one state row per tumbling
+    // pane forever (Complete mode's behavior). Feed 120 one-minute
+    // windows in time-ordered micro-batches and read the state-operator
+    // metrics after each trigger: with the source watermark evicting
+    // closed panes, the in-flight state stays within a few windows of
+    // the watermark horizon while the sink keeps ACCUMULATING emitted
+    // panes — bounded state, unbounded output, the long-running-stream
+    // requirement.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[engine.Cep.Ev]
+    val src = ms.toDF()
+      .select(col("eventId").as("event_id"), col("tsNs").as("ts_ns"),
+        col("userId").as("user_id"), col("eventType").as("event_type"),
+        col("value"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val app =
+      """@info(name = 'm')
+        |from events#window.timeBatch(1 min)
+        |select count() as n, math:round(sum(value), 2) as total
+        |insert into Out""".stripMargin
+    val (df, mode, _, needsFlush) =
+      graft.api.SiddhiQL.deployAppOn(src, app, "m")
+    assert(mode == org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(needsFlush)
+    val q = df.writeStream.format("memory").queryName("bounded_state")
+      .outputMode(mode).start()
+    // 10 events per minute for 120 minutes, one micro-batch per 10 min
+    val evs = (0 until 1200).map { i =>
+      engine.Cep.Ev(i.toLong, i * 6000000000L, i % 7L, "e", 1.0)
+    }
+    var maxState = 0L
+    evs.grouped(100).foreach { g =>
+      ms.addData(g); q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxState = math.max(maxState, p.stateOperators(0).numRowsTotal)
+    }
+    q.stop()
+    // 120 panes processed; Complete mode would hold >= 110 state rows
+    // by the last trigger. The watermark design keeps only the panes
+    // the 1-minute horizon hasn't closed (plus the in-flight batch).
+    assert(maxState <= 15, s"state grew unbounded: $maxState rows")
+    assert(spark.table("bounded_state").count() >= 100,
+      "closed panes must have been emitted to the sink")
   }
 }
