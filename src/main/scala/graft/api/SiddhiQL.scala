@@ -2648,11 +2648,11 @@ object SiddhiQL extends Serializable {
   def deployAppOn(src: DataFrame, app: String, out: String)
       : (DataFrame, OutputMode, Seq[Column], Boolean) = {
     val (stages, dml) = deployStages(src, app, out)
-    dml.foreach { case (_, act, _, _, _) =>
-      fail(s"live deployment of table DML ('${act.target}') runs " +
-        "through deployApp (foreachBatch keyed MERGE) — deployAppOn " +
-        "returns a single unstarted DataFrame and cannot express a " +
-        "mutable table sink")
+    dml.foreach { _ =>
+      fail("live deployment of this stage (table DML / unique:last / " +
+        "sort / frequent) runs through deployApp (a foreachBatch keyed " +
+        "fold) — deployAppOn returns a single unstarted DataFrame and " +
+        "cannot express a folded sink")
     }
     val (df, kind, ordCols) = stages.getOrElse(
       fail(s"app has no query named or inserting into '$out'"))
@@ -2683,6 +2683,20 @@ object SiddhiQL extends Serializable {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** A live stage whose semantics are a per-micro-batch keyed FOLD
+    * rather than one incremental Spark plan: table DML (keyed MERGE),
+    * `unique:last` (keep-last upsert), `sort(N)` (running top-N),
+    * `frequent(N)` (per-key algebraic components). [[deployApp]] runs
+    * `fold(spark, dir, acc, batch)` in `foreachBatch` over parquet
+    * generations (acc stays one-batch-lineage deep and survives a
+    * restart), then `finish(spark, acc)` shapes the final table. State
+    * is bounded by contract: the table/unique key domain, N rows, or
+    * the key domain's component rows. */
+  private final case class LiveFold(feed: DataFrame, schema: StructType,
+      fold: (SparkSession, String, DataFrame, DataFrame) => DataFrame,
+      finish: (SparkSession, DataFrame) => DataFrame,
+      ordCols: Seq[Column])
 
   /** `partition with (<spec>) begin <queries> end` → (inner query text,
     * keyed attribute OR range branches, partitioned stream name).
@@ -2727,8 +2741,7 @@ object SiddhiQL extends Serializable {
     * spec (ast, action, table schema, feeding stream name + its
     * streaming DataFrame) for the caller's foreachBatch merge. */
   private def deployStages(src: DataFrame, app: String, out: String)
-      : (Option[(DataFrame, Int, Seq[Column])],
-         Option[(Ast, Action, StructType, String, DataFrame)]) = {
+      : (Option[(DataFrame, Int, Seq[Column])], Option[LiveFold]) = {
     val need = Seq("event_id", "ts_ns", "user_id", "event_type", "value")
     need.foreach { c =>
       if (!src.columns.contains(c))
@@ -2741,6 +2754,7 @@ object SiddhiQL extends Serializable {
       col("event_type").as("eventType"), col("value")).as[Cep.Ev]
     // per-stage state behavior when deployed (see scaladoc)
     val KStateless = 0; val KComplete = 1; val KWindowAgg = 2
+    val KFold = 3 // handled via foldResult; no streaming sink of its own
     val srcTs =
       if (src.columns.contains("ts")) src
       else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -2749,8 +2763,7 @@ object SiddhiQL extends Serializable {
     var statefulStreams = Set.empty[String]
     var tableDefs = Map.empty[String, StructType]
     var result: Option[(DataFrame, Int, Seq[Column])] = None
-    var dmlResult: Option[(Ast, Action, StructType, String, DataFrame)] =
-      None
+    var foldResult: Option[LiveFold] = None
     // `f OR ts >= flushCutoff`: keeps the user predicate above the
     // source watermark node (it now references the event-time column)
     // and lets flush sentinels through; real rows (ts < cutoff) see
@@ -2843,7 +2856,11 @@ object SiddhiQL extends Serializable {
           // the aggregation-output path
           statefulStreams += act.target
           if (name.contains(out) || act.target == out)
-            dmlResult = Some((ast, act, schema, srcName, feed))
+            foldResult = Some(LiveFold(feed, schema,
+              (sp, d2, acc, batch) =>
+                applyDml(sp, d2, ast, act, schema, acc,
+                  Map(srcName -> batch)),
+              (_, acc) => acc, Nil))
         } else {
         var carriedNow: Seq[String] = Nil
         val (df, kind) = ast.stream match {
@@ -3088,11 +3105,169 @@ object SiddhiQL extends Serializable {
                       out.iterator
                   }
                 (folded.toDF(), KStateless)
-              case Some(WindowSpec(n2, _, _))
+              case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("unique:last") =>
-                fail("live unique:last would retract emitted rows " +
-                  "(keep-LAST needs update mode) — deploy unique:first, " +
-                  "or run unique:last in batch replay")
+                // live unique:last: keep-LAST per key — the emitted-row
+                // retraction (Update-mode semantics) Spark sinks can't
+                // express becomes a per-micro-batch keyed fold: each
+                // batch's rows merge into one state row per distinct
+                // key (the unique-window contract bounds state by the
+                // key domain, exactly like unique:first's dedup state)
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a unique window")
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("live unique:last projects columns (v1)")
+                val attr = sargs2.headOption.getOrElse(
+                  fail("unique:last needs an attribute argument"))
+                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live unique:last needs column '$c'"))
+                val items = itemsOf(ast)
+                def selLast(df: DataFrame): DataFrame =
+                  df.select(items.map { case (it, a, _) =>
+                    expr(sqlOf(it.e)).as(a) } ++ Seq(
+                    col(attr).as("__ukey"), col("ts_ns").as("__uord_ts"),
+                    col("event_id").as("__uord_id")): _*)
+                val schemaU = selLast(base).schema
+                val helperCols = Seq("__ukey", "__uord_ts", "__uord_id")
+                val keyU = name.orElse(ast.action.map(_.target))
+                if (keyU.contains(out) || name.contains(out))
+                  foldResult = Some(LiveFold(base, schemaU,
+                    (_, _, acc, batch) =>
+                      acc.unionByName(selLast(batch))
+                        .withColumn("__rn", expr("row_number() over " +
+                          "(partition by __ukey order by __uord_ts " +
+                          "desc, __uord_id desc)"))
+                        .where(col("__rn") === 1).drop("__rn"),
+                    (_, acc) => acc.drop(helperCols: _*),
+                    ast.orderBy.map { case (c, asc) =>
+                      if (asc) col(c).asc else col(c).desc }))
+                (emptyOf(base.sparkSession, schemaU), KFold)
+              case Some(WindowSpec(n2, args2, sargs2))
+                  if n2.equalsIgnoreCase("sort") =>
+                // live sort(N, attr, dir): running top-N retention —
+                // per micro-batch the kept set folds as
+                // topN(kept ∪ batch); N full rows of state, composable
+                // across any batch split because top-N is associative.
+                // Select items (usually aggregates) evaluate over the
+                // FINAL kept set, the batch compile's semantics.
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a sort window")
+                val nKeep = args2.headOption.getOrElse(
+                  fail("sort needs a count argument")).toInt
+                val attr = sargs2.headOption.getOrElse(
+                  fail("sort needs an attribute argument"))
+                val asc =
+                  sargs2.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
+                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live sort window needs column '$c'"))
+                val ordS =
+                  if (asc) Seq(col(attr).asc, col("ts_ns").asc,
+                    col("event_id").asc)
+                  else Seq(col(attr).desc, col("ts_ns").asc,
+                    col("event_id").asc)
+                val astS = ast
+                val keyS = name.orElse(ast.action.map(_.target))
+                if (keyS.contains(out) || name.contains(out))
+                  foldResult = Some(LiveFold(base, base.schema,
+                    (_, _, acc, batch) =>
+                      acc.unionByName(
+                          batch.select(acc.columns.map(col): _*))
+                        .orderBy(ordS: _*).limit(nKeep),
+                    (_, acc) => selectOrAggregate(astS, acc, Nil,
+                      windowed = false),
+                    astS.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc }))
+                (emptyOf(base.sparkSession, base.schema), KFold)
+              case Some(WindowSpec(n2, args2, sargs2))
+                  if n2.equalsIgnoreCase("frequent") =>
+                // live frequent(N, attr): per-key ALGEBRAIC components
+                // (count/sum/min/max fold componentwise across batches;
+                // state = one component row per distinct key), with the
+                // top-N-by-frequency retention applied at read time —
+                // the batch compile's exact-count truth, incrementally
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a frequent window")
+                if (ast.having.nonEmpty)
+                  fail("live frequent window (v1) has no having clause")
+                val nKeep = args2.headOption.getOrElse(
+                  fail("frequent needs a count argument")).toInt
+                val attr = sargs2.headOption.getOrElse(
+                  fail("frequent needs an attribute argument"))
+                if (ast.groupBy != List(attr))
+                  fail("live frequent window (v1) groups by its " +
+                    s"attribute ('group by $attr')")
+                if (!base.columns.contains(attr))
+                  fail(s"live frequent window needs column '$attr'")
+                val items = itemsOf(ast)
+                // per select item: (component aggregate, merge of the
+                // two sides' components, output projection)
+                val comps: Seq[(String, Column, Column)] =
+                  items.zipWithIndex.flatMap {
+                    case ((it, a, false), _) => it.e match {
+                      case Ref(parts) if parts.last == attr => Nil
+                      case _ => fail("live frequent window (v1) " +
+                        s"non-aggregate item '$a' must be the attribute")
+                    }
+                    case ((it, a, true), i) =>
+                      val cn = s"__c$i"
+                      def tu(c: String) = (coalesce(col(s"t.$c"), lit(0))
+                        + coalesce(col(s"u.$c"), lit(0))).as(c)
+                      it.e match {
+                        case Call(None, "count", Nil) =>
+                          Seq((cn, count(lit(1)).as(cn), tu(cn)))
+                        case Call(None, "sum", arg :: Nil) =>
+                          Seq((cn, sum(expr(sqlOf(arg))).as(cn), tu(cn)))
+                        case Call(None, "min", arg :: Nil) =>
+                          Seq((cn, min(expr(sqlOf(arg))).as(cn),
+                            least(col(s"t.$cn"), col(s"u.$cn")).as(cn)))
+                        case Call(None, "max", arg :: Nil) =>
+                          Seq((cn, max(expr(sqlOf(arg))).as(cn),
+                            greatest(col(s"t.$cn"), col(s"u.$cn"))
+                              .as(cn)))
+                        case _ => fail("live frequent window (v1) " +
+                          "supports bare count()/sum(x)/min(x)/max(x) " +
+                          s"aggregates; got '${sqlOf(it.e)}'")
+                      }
+                  }
+                def partialOf(df: DataFrame): DataFrame =
+                  df.groupBy(col(attr)).agg(count(lit(1)).as("__cnt"),
+                    comps.map(_._2): _*)
+                val schemaF = partialOf(base).schema
+                val keyF = name.orElse(ast.action.map(_.target))
+                if (keyF.contains(out) || name.contains(out))
+                  foldResult = Some(LiveFold(base, schemaF,
+                    (_, _, acc, batch) => {
+                      val u = partialOf(batch)
+                      acc.as("t").join(u.as("u"),
+                          col(s"t.$attr") === col(s"u.$attr"),
+                          "full_outer")
+                        .select(coalesce(col(s"u.$attr"),
+                            col(s"t.$attr")).as(attr) +:
+                          (coalesce(col("t.__cnt"), lit(0L)) +
+                            coalesce(col("u.__cnt"), lit(0L)))
+                            .as("__cnt") +:
+                          comps.map(_._3): _*)
+                    },
+                    (_, acc) => acc
+                      .withColumn("__rk", expr("row_number() over " +
+                        s"(order by __cnt desc, $attr)"))
+                      .where(col("__rk") <= nKeep)
+                      .select(items.map { case (it, a, isAgg) =>
+                        if (!isAgg) col(attr).as(a)
+                        else {
+                          val i = items.indexWhere(_._2 == a)
+                          col(s"__c$i").as(a)
+                        }
+                      }: _*),
+                    ast.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc }))
+                (emptyOf(base.sparkSession, schemaF), KFold)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("length") =>
                 // live per-key sliding length window: a
@@ -3291,7 +3466,7 @@ object SiddhiQL extends Serializable {
         }
         val ordCols = ast.orderBy.map { case (c, asc) =>
           if (asc) col(c).asc else col(c).desc }
-        if (key.contains(out) || name.contains(out))
+        if (kind != KFold && (key.contains(out) || name.contains(out)))
           // the sink never shows the carried event-time helper columns
           result = Some((
             if (carriedNow.nonEmpty) df.drop(carriedNow: _*) else df,
@@ -3367,7 +3542,7 @@ object SiddhiQL extends Serializable {
         runStage(name, new P(lex(body)).query(), env, None)
       else fail(s"live deployment cannot run: '${body.take(40)}...'")
     }
-    (result, dmlResult)
+    (result, foldResult)
   }
 
   /** Harness-side deployment: feed the events table through a
@@ -3392,23 +3567,22 @@ object SiddhiQL extends Serializable {
     try {
       val per = math.max(rows.length / chunks, 1)
       dmlOpt match {
-        case Some((ast, act, schema, srcName, feed)) =>
-          // table DML LIVE: every micro-batch MERGEs into the
-          // accumulated table via the same applyDml the batch replay
-          // uses — parquet generations materialize the table between
+        case Some(lf) =>
+          // folded stage LIVE (table DML / unique:last / sort /
+          // frequent): every micro-batch folds into the accumulated
+          // state — parquet generations materialize it between
           // triggers (engine twin: Streaming.tableUpsert), so lineage
           // stays one-batch deep and a restart resumes from the last
           // generation
           val tmp = java.nio.file.Files
-            .createTempDirectory("graft_live_dml").toString
+            .createTempDirectory("graft_live_fold").toString
           var gen = 0
-          val q = feed.writeStream.outputMode("append")
+          val q = lf.feed.writeStream.outputMode("append")
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
-              val acc = if (gen == 0) emptyOf(sp, schema)
+              val acc = if (gen == 0) emptyOf(sp, lf.schema)
                         else sp.read.parquet(s"$tmp/gen$gen")
-              applyDml(sp, dir, ast, act, schema, acc,
-                  Map(srcName -> batch))
+              lf.fold(sp, dir, acc, batch)
                 .write.mode("overwrite").parquet(s"$tmp/gen${gen + 1}")
               gen += 1
             }.start()
@@ -3416,8 +3590,10 @@ object SiddhiQL extends Serializable {
             ms.addData(g.toSeq); q.processAllAvailable()
           }
           q.stop()
-          if (gen == 0) emptyOf(spark, schema)
-          else spark.read.parquet(s"$tmp/gen$gen")
+          val acc = if (gen == 0) emptyOf(spark, lf.schema)
+                    else spark.read.parquet(s"$tmp/gen$gen")
+          val fin = lf.finish(spark, acc)
+          if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
         case None =>
           val (df, kind, ordCols) = stages.getOrElse(
             fail(s"app has no query named or inserting into '$out'"))

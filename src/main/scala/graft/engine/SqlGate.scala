@@ -225,6 +225,31 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin, "pairs")),
+    // unique:last deployed LIVE: keep-LAST per key as a foreachBatch
+    // keyed fold (Update-mode semantics without sink retraction)
+    "sql_app_uniquelast_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'u')
+        |from events#window.unique:last(user_id)
+        |select event_id, user_id, value
+        |order by user_id
+        |insert into Out""".stripMargin, "u")),
+    // sort window deployed LIVE: running top-N retention fold (N rows
+    // of state), aggregates evaluated over the final kept set
+    "sql_app_sort_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'sk')
+        |from events#window.sort(5, value, 'desc')
+        |select math:round(sum(value), 2) as sv, count() as n,
+        |  math:round(min(value), 2) as vmin
+        |insert into Out""".stripMargin, "sk")),
+    // frequent window deployed LIVE: per-key algebraic components fold
+    // componentwise; top-N-by-count retention applied at read time
+    "sql_app_frequent_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'fq')
+        |from events#window.frequent(3, event_type)
+        |select event_type, count() as n
+        |group by event_type
+        |order by event_type
+        |insert into Out""".stripMargin, "fq")),
     // keyed partition deployed LIVE: the key prepends to the inner
     // timeBatch grouping — the reference's per-key query instances run
     // as ONE keyed Append-mode streaming aggregation
@@ -1104,6 +1129,28 @@ object SqlGate {
         |    ROWS UNBOUNDED PRECEDING) AS v
         |FROM ticks t LEFT JOIN lastv l ON l.iv = t.iv
         |ORDER BY w_end_ms""".stripMargin,
+    // live unique:last ≡ last event per user
+    "sql_app_uniquelast_live" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // live sort ≡ exact top-5 values by (value desc, arrival)
+    "sql_app_sort_live" ->
+      """SELECT round(sum(value), 2) AS sv, count(*) AS n,
+        |  round(min(value), 2) AS vmin
+        |FROM (SELECT value FROM events
+        |  ORDER BY value DESC, ts, event_id LIMIT 5) t""".stripMargin,
+    // live frequent ≡ exact top-3 types by frequency, re-counted
+    "sql_app_frequent_live" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |top3 AS (SELECT event_type FROM (
+        |  SELECT event_type, row_number() OVER (ORDER BY n DESC,
+        |    event_type) AS rk FROM c) r WHERE rk <= 3)
+        |SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN (SELECT event_type FROM top3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // live keyed partition ≡ per-user minute buckets over all events
     "sql_app_partition_live" ->
       """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
