@@ -629,8 +629,23 @@ object SiddhiQL extends Serializable {
     * by a depth guard at render time. */
   private final case class ScriptFn(name: String, argc: Int, body: Expr,
       sqlType: String)
-  private var scriptFns: Map[String, ScriptFn] = Map.empty
-  private var scriptDepth: Int = 0
+  // Per-THREAD script-function registry: each compile/compileApp/
+  // deployApp entry resets its own thread's registry, so concurrent
+  // compilations (parallel test suites, two sessions sharing the
+  // object) can no longer cross-contaminate or drop definitions
+  // mid-compile. Fold closures that re-render SQL on a streaming
+  // micro-batch thread capture a snapshot and restore it there.
+  private val scriptFnsTL = new ThreadLocal[Map[String, ScriptFn]] {
+    override def initialValue: Map[String, ScriptFn] = Map.empty
+  }
+  private val scriptDepthTL = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+  private def scriptFns: Map[String, ScriptFn] = scriptFnsTL.get
+  private def scriptFns_=(m: Map[String, ScriptFn]): Unit =
+    scriptFnsTL.set(m)
+  private def scriptDepth: Int = scriptDepthTL.get
+  private def scriptDepth_=(v: Int): Unit = scriptDepthTL.set(v)
 
   private def jsLex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -866,9 +881,12 @@ object SiddhiQL extends Serializable {
       case (Some("str"), "equalsignorecase") =>
         s"(lower(${a(0)}) = lower(${a(1)}))"
       // str:split(src, splitter, index) returns the index-th piece,
-      // 0-based [public doc, unverified]
+      // 0-based [public doc, unverified]. The splitter is a LITERAL
+      // string (Siddhi and the DuckDB oracle both split literally);
+      // Spark's split() is regex, so quote it with \Q...\E at runtime
       case (Some("str"), "split") => // NULL when the piece doesn't exist
-        s"try_element_at(split(${a(0)}, ${a(1)}), ${a(2)} + 1)"
+        s"try_element_at(split(${a(0)}, " +
+          s"concat('\\\\Q', ${a(1)}, '\\\\E')), ${a(2)} + 1)"
       case (Some("str"), "strcmp") =>
         s"(case when ${a(0)} < ${a(1)} then -1 " +
           s"when ${a(0)} = ${a(1)} then 0 else 1 end)"
@@ -919,10 +937,13 @@ object SiddhiQL extends Serializable {
         }
         val sign = if (n == "dateadd") "+" else "-"
         s"(cast(${a(0)} as bigint) $sign (${a(1)}) * $factor)"
-      // time:dateDiff(epochMs1, epochMs2) → whole days between
+      // time:dateDiff(epochMs1, epochMs2) → whole days between, FLOOR
+      // semantics (a negative difference of part of a day is -1 day,
+      // matching DuckDB's `//`; Spark's `div` truncates toward zero)
       case (Some("time"), "datediff") =>
-        s"((cast(${a(0)} as bigint) - cast(${a(1)} as bigint)) " +
-          "div 86400000)"
+        val d = s"(cast(${a(0)} as bigint) - cast(${a(1)} as bigint))"
+        s"(($d div 86400000) + " +
+          s"(case when ($d % 86400000) < 0 then -1 else 0 end))"
       case (Some("time"), "dayofweek") =>
         s"date_format(timestamp_millis(cast(${a(0)} as bigint)), 'EEEE')"
       // geo:distance(lat1, lon1, lat2, lon2) — haversine meters [public
@@ -2855,12 +2876,16 @@ object SiddhiQL extends Serializable {
           // live reads of a DML-maintained table are v1-diagnosed via
           // the aggregation-output path
           statefulStreams += act.target
-          if (name.contains(out) || act.target == out)
+          if (name.contains(out) || act.target == out) {
+            val fnsSnap = scriptFns // restore on the micro-batch thread
             foldResult = Some(LiveFold(feed, schema,
-              (sp, d2, acc, batch) =>
+              (sp, d2, acc, batch) => {
+                scriptFns = fnsSnap
                 applyDml(sp, d2, ast, act, schema, acc,
-                  Map(srcName -> batch)),
+                  Map(srcName -> batch))
+              },
               (_, acc) => acc, Nil))
+          }
         } else {
         var carriedNow: Seq[String] = Nil
         val (df, kind) = ast.stream match {
@@ -3133,10 +3158,11 @@ object SiddhiQL extends Serializable {
                 val schemaU = selLast(base).schema
                 val helperCols = Seq("__ukey", "__uord_ts", "__uord_id")
                 val keyU = name.orElse(ast.action.map(_.target))
+                val fnsSnap = scriptFns // for the micro-batch thread
                 if (keyU.contains(out) || name.contains(out))
                   foldResult = Some(LiveFold(base, schemaU,
                     (_, _, acc, batch) =>
-                      acc.unionByName(selLast(batch))
+                      { scriptFns = fnsSnap; acc }.unionByName(selLast(batch))
                         .withColumn("__rn", expr("row_number() over " +
                           "(partition by __ukey order by __uord_ts " +
                           "desc, __uord_id desc)"))

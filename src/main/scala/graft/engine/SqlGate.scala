@@ -120,7 +120,7 @@ object SqlGate {
         |  str:strcmp(event_type, 'click') as cmp,
         |  str:hex(str:substr(event_type, 0, 2)) as hx,
         |  math:round(math:cbrt(value), 6) as cb,
-        |  math:toDegrees(value / 100.0) as deg,
+        |  math:round(math:toDegrees(value / 100.0), 6) as deg,
         |  math:parseDouble('2.5') as pd,
         |  math:round(math:pi() * 1000000, 0) as pim,
         |  time:dateFormat(ts_ns / 1000000, 'yyyy-MM-dd HH') as fmt,
@@ -717,7 +717,7 @@ object SqlGate {
         |        WHEN event_type = 'click' THEN 0 ELSE 1 END) AS cmp,
         |  lower(hex(substring(event_type, 1, 2))) AS hx,
         |  round(cbrt(value), 6) AS cb,
-        |  degrees(value / 100.0) AS deg,
+        |  round(degrees(value / 100.0), 6) AS deg,
         |  CAST('2.5' AS DOUBLE) AS pd,
         |  round(pi() * 1000000, 0) AS pim,
         |  strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H') AS fmt,

@@ -15,6 +15,22 @@ class SiddhiQlSpec extends AnyFunSuite {
 
   private def compile(q: String) = SiddhiQL.compile(spark, sf, q)
 
+  test("str:split splits LITERALLY (regex metachars quoted); " +
+       "time:dateDiff floors negative spans") {
+    val r = compile("from events[event_id < 3] select event_id, " +
+      "str:split('a.b.c', '.', 1) as piece, " +
+      "time:dateDiff(0, 43200000) as dneg, " +
+      "time:dateDiff(86400000, 0) as dpos order by event_id").collect()
+    assert(r.nonEmpty)
+    // regex split on '.' would shatter into empty strings; literal
+    // split yields the middle piece
+    assert(r.forall(_.getString(1) == "b"))
+    // -12h is floor'ed to -1 day (DuckDB `//` parity), not truncated
+    // to 0; +1 day stays 1
+    assert(r.forall(_.getLong(2) == -1L))
+    assert(r.forall(_.getLong(3) == 1L))
+  }
+
   test("filter+projection compiles to the same result as the direct API") {
     val viaSql = compile(
       """from events[value > 140 and event_type == 'view']
