@@ -274,19 +274,19 @@ object Similarity {
     * M=4 16-dim subspaces, each with its own k=8 codebook (deterministic
     * init = the 8 lowest vec_ids' sub-vectors, one Lloyd update with
     * round-6 centroids — the [[kmeansAssigned]] recipe per subspace), and
-    * every vector is stored as 4 small codes. Search ranks by L2² between
-    * the query and the candidate's PQ RECONSTRUCTION (concat of its 4
-    * centroids) — asymmetric distance — then reports the exact cosine of
-    * each survivor so the quantization error is visible.
+    * every vector is stored as 4 small codes. Search ranks by ASYMMETRIC
+    * distance: each query precomputes its M×k table of sub-L2²s against
+    * every codebook centroid ONCE (on the broadcast side — 32 doubles
+    * per query), and a candidate's distance is 4 table lookups + 3 adds,
+    * never a 64-dim fold per pair; the exact cosine of each survivor is
+    * reported beside so the quantization error is visible.
     *
     * Scale shape: codebooks are driver state of M·k·(dim/M) doubles
     * (trained on a sample at 100 TB) broadcast as literals; encoding is
-    * one scan; the search scan touches only codes + reconstruction
-    * literals (64·8 B → M·log₂k bits per vector resident), and top-k is
-    * the same two-phase local/global rank as [[topkBrute]] — no reducer
-    * ever holds more than its scan share. A production variant hoists the
-    * per-query M×k distance table out of the fold; the ranking it yields
-    * is identical. */
+    * one scan; the search scan touches only the M·log₂k-bit codes plus
+    * the broadcast distance tables, and top-k is the same two-phase
+    * local/global rank as [[topkBrute]] — no reducer ever holds more
+    * than its scan share. */
   def topkPq(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
     val m = 4; val k = 8; val sub = 16
@@ -307,12 +307,16 @@ object Similarity {
           s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
           "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)))) - 1"))
     }
-    // one Lloyd update per subspace, all in ONE aggregate: explode each
-    // (subspace, code, dim, x) and avg — k·m·sub rows back to the driver
-    val exploded = (0 until m).map { mm =>
-      encoded().select(lit(mm).as("m"), col(s"code$mm").as("code"),
-        posexplode(expr(s"slice(v, ${mm * sub + 1}, $sub)")).as(Seq("i", "x")))
-    }.reduce(_ union _)
+    // one Lloyd update per subspace, all in ONE aggregate over ONE scan:
+    // each row explodes to its (subspace, code, dim, x) cells — a
+    // 4-union of re-encoded scans would recompute (and re-codegen) the
+    // codebook-literal encoder four times for the same answer
+    val exploded = encoded()
+      .select(explode(array((0 until m).map(mm => struct(
+        lit(mm).as("m"), col(s"code$mm").as("code"),
+        expr(s"slice(v, ${mm * sub + 1}, $sub)").as("xs"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.code").as("code"),
+        posexplode(col("s.xs")).as(Seq("i", "x")))
     val upd = exploded.groupBy("m", "code", "i")
       .agg(round(avg("x"), 6).as("cm")).collect()
       .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
@@ -321,17 +325,24 @@ object Similarity {
       s"empty PQ cluster (got ${upd.size} of ${m * k * sub} cells) — " +
         "v1 requires all subspace clusters populated")
     cents = Array.tabulate(m, k, sub)((mm, c, i) => upd((mm, c.toLong, i)))
-    // final encoding + reconstruction = concat of the 4 chosen centroids
-    val codes = encoded().withColumn("rv", expr(
-      (0 until m).map(mm => s"element_at(${centsLit(mm)}, " +
-        s"cast(code$mm as int) + 1)").mkString("concat(", ", ", ")")))
-      .select("vec_id", "v", "rv")
+    // final encoding: only the M small codes flow into the search scan
+    val codes = encoded().select(col("vec_id") +: col("v") +:
+      (0 until m).map(mm => col(s"code$mm")): _*)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("adc", expr(
-        "round(aggregate(zip_with(qv, rv, (a, b) -> (a - b) * (a - b)), " +
-          "0d, (acc, x) -> acc + x), 6)"))
+    // HOISTED per-query M×k distance table (PQ's ADC table): computed
+    // once per query row on the broadcast side, so a candidate costs 4
+    // lookups + 3 adds instead of a 64-dim fold
+    val qdt = (0 until m).foldLeft(queries) { (df, mm) =>
+      df.withColumn(s"dt$mm", expr(
+        s"transform(${centsLit(mm)}, c -> " +
+          s"aggregate(zip_with(slice(qv, ${mm * sub + 1}, $sub), c, " +
+          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x))"))
+    }
+    val adcSum = (0 until m).map(mm =>
+      s"element_at(dt$mm, cast(code$mm as int) + 1)").mkString(" + ")
+    val scored = codes.join(broadcast(qdt), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr(s"round($adcSum, 6)"))
       .withColumn("cos_exact", cosExpr("qv", "v"))
       .select("q_id", "vec_id", "adc", "cos_exact")
     val local = scored
@@ -463,11 +474,12 @@ object Similarity {
         |  FROM e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
         |    JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)),
         |scored AS (SELECT q.vec_id AS q_id, c.vec_id,
-        |    round(list_reduce(list_prepend(0.0::DOUBLE,
-        |      list_transform(range(1, 65),
+        |    round(${(0 until 4).map(mm =>
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(${mm * 16 + 1}, ${mm * 16 + 17}),
         |        i -> (q.v[i::INTEGER] - c.rv[i::INTEGER]) *
         |             (q.v[i::INTEGER] - c.rv[i::INTEGER]))),
-        |      (x, y) -> x + y), 6) AS adc,
+        |      (x, y) -> x + y)""").mkString(" +\n        |    ")}, 6) AS adc,
         |    ${cosSql("q.v", "c.v")} AS cos_exact
         |  FROM e q JOIN rec c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
         |r AS (SELECT q_id, vec_id, adc, cos_exact, row_number() OVER (
