@@ -37,15 +37,27 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 
-  /** The stream table. `ts` becomes TimestampType (µs, floor-truncated from
-    * ns); `ts_ns` keeps the raw nanosecond epoch for exact arithmetic.
+  /** The stream table. `ts` becomes TimestampType (µs); `ts_ns` keeps the
+    * nanosecond epoch as a long for exact integral arithmetic (ns epochs
+    * exceed the 53-bit double mantissa, so no double round-trips anywhere).
     * Matches DuckDB semantics: `epoch_ms(ts)` there == `unix_millis(ts)`
-    * here (both floor positive epochs).
-    */
+    * here and `epoch_ns(ts)` there == `ts_ns` here (both floor positive
+    * epochs).
+    *
+    * Handles both fixture generations: TIMESTAMP(MICROS) files (read as
+    * TIMESTAMP_NTZ — reinterpreted in the UTC session zone, the driver
+    * contract) and TIMESTAMP(NANOS)/raw-long files (read as LongType via
+    * `nanosAsLong`). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 }

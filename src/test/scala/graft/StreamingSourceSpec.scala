@@ -11,14 +11,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSourceSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** The events fixture in raw-long shape (`ts` = ns epoch long) — staged
+    * through [[graft.engine.Tables.events]] so the tests are agnostic to
+    * the fixture's on-disk timestamp encoding (µs TIMESTAMP vs ns-as-long;
+    * the driver regenerated the fixtures as TIMESTAMP(MICROS) in round 7). */
+  private def rawEvents: org.apache.spark.sql.DataFrame =
+    graft.engine.Tables.events(spark, sf)
+      .drop("ts").withColumnRenamed("ts_ns", "ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
   test("parquet directory stream: windowed agg equals batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stage the events table alone in a directory (file sources stream
     // whole directories)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
+    rawEvents.write.mode("overwrite").parquet(dir.toString)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -57,7 +64,7 @@ class StreamingSourceSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    val all = rawEvents
     val splitTs = all.agg(expr("min(ts) + (max(ts) - min(ts)) div 2"))
       .collect()(0).getLong(0)
     all.filter(col("ts") < splitTs).write.parquet(s"$srcDir/f1_a")
@@ -111,7 +118,7 @@ class StreamingSourceSpec extends AnyFunSuite {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // stage the source as two files fed in two separate query lifetimes
-    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    val all = rawEvents
     all.filter(col("event_id") % 2 === 0).write
       .parquet(s"$srcDir/part_a")
     def runOnce(): Unit = {
@@ -148,7 +155,7 @@ class StreamingSourceSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val all = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    val all = rawEvents
     // split mid-minute so at least one window spans both lifetimes
     val splitTs = all.agg(expr("min(ts) + (max(ts) - min(ts)) div 2"))
       .collect()(0).getLong(0)
