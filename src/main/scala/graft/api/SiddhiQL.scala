@@ -3417,7 +3417,10 @@ object SiddhiQL extends Serializable {
               if (ast.select.exists(it => containsAgg(it.e)) ||
                   ast.groupBy.nonEmpty)
                 fail("live windowed joins project columns (v1) — " +
-                  "aggregation above a live join is not deployed")
+                  "aggregate the join output in a downstream " +
+                  "#window.timeBatch stage (insert the join into a " +
+                  "named stream, then aggregate that stream: Spark's " +
+                  "chained-stateful-operator path)")
               val la = j.leftAlias.getOrElse(fail("windowed join sides " +
                 "need aliases to qualify their timestamps"))
               val ra = j.rightAlias.getOrElse(fail("windowed join sides " +
@@ -3461,8 +3464,20 @@ object SiddhiQL extends Serializable {
               val joined = sideDf(j.left.copy(window = None), la)
                 .join(sideDf(j.right.copy(window = None), ra),
                   expr(s"($cond) and ($band)"), "inner")
+              // carry the LEFT side's watermarked event-time columns
+              // through the projection (dropped again if this join is
+              // the sink) so a downstream Append-mode window stage can
+              // bucket and evict by them — Spark's chained
+              // stateful-operator path (interval join → time-window
+              // aggregation); the alias metadata keeps the watermark tag
+              val aliases = itemsOf(ast).map(_._2).toSet
+              val carry = Seq("ts", "ts_ns").filter(c =>
+                joined.columns.contains(s"${la}_$c") &&
+                  !aliases.contains(c))
+              carriedNow = carry
               (joined.select(itemsOf(ast).map { case (it, a2, _) =>
-                expr(sqlOfWith(it.e, qual)).as(a2) }: _*), KStateless)
+                expr(sqlOfWith(it.e, qual)).as(a2) } ++
+                carry.map(c => col(s"${la}_$c").as(c)): _*), KStateless)
             case _ => fail("live deployment joins need #window.time(T) " +
               "on both sides (the watermarked stream-stream join); " +
               "other join forms are not deployed (v1)")

@@ -225,6 +225,25 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin, "pairs")),
+    // aggregation above a live join: the watermarked interval join's
+    // pairs (carrying the left side's event time) aggregated in a
+    // downstream Append-mode tumbling window — Spark's
+    // chained-stateful-operator path: join state evicted by the
+    // [-Tl, Tr] band, window state evicted by the watermark
+    "sql_app_join_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(1 min)
+        |  join events as b[event_type == 'purchase']#window.time(2 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, b.value as value, a.ts_ns as ts_ns
+        |insert into Pairs;
+        |
+        |@info(name = 'agg')
+        |from Pairs#window.timeBatch(1 min)
+        |select user_id, count() as n, math:round(sum(value), 2) as total
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into Out""".stripMargin, "agg")),
     // unique:last deployed LIVE: keep-LAST per key as a foreachBatch
     // keyed fold (Update-mode semantics without sink retraction)
     "sql_app_uniquelast_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -805,6 +824,18 @@ object SqlGate {
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
         |     BETWEEN -60000000000 AND 120000000000
         |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_app_join_agg_live" ->
+      """WITH pairs AS (
+        |  SELECT a.user_id AS user_id, b.value AS value, a.ts AS ats
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -60000000000 AND 120000000000)
+        |SELECT epoch_ms(ats) // 60000 * 60000 AS w_start_ms, user_id,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY w_start_ms, user_id""".stripMargin,
     "sql_join_unidirectional" ->
       """SELECT a.event_id AS buy_id, b.event_id AS err_id,
         |  a.user_id AS user_id
