@@ -131,10 +131,15 @@ object SqlGate {
         |insert into Out""".stripMargin),
     // stream#window.time ⋈ stream#window.time: the symmetric time-band
     // pair semantics (each event within the other's window), equi key
-    // required so the plan shards on it
+    // required so the plan shards on it. 10-min windows: the error ×
+    // purchase same-user co-occurrence is sparse in the fixtures, so a
+    // narrower band yields ZERO pairs at the sf0.01 gate scale and the
+    // comparison passes vacuously (ADVICE r7) — 10 min gives pairs at
+    // sf0.001 (1) and sf0.01 (14), so the band arithmetic is actually
+    // exercised.
     "sql_join_window" -> q(
-      """from events as a#window.time(1 min)
-        |  join events as b#window.time(2 min)
+      """from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
         |  on a.user_id == b.user_id and a.event_type == 'error'
         |     and b.event_type == 'purchase'
         |select a.event_id as err_id, b.event_id as buy_id,
@@ -215,11 +220,12 @@ object SqlGate {
         |order by user_id, w_start_ms
         |insert into Out""".stripMargin, "sess")),
     // the windowed stream-stream join deployed LIVE (watermarked
-    // interval join; batch band semantics are the oracle)
+    // interval join; batch band semantics are the oracle). 10-min
+    // windows so the gate is non-vacuous at sf0.001/sf0.01 (ADVICE r7).
     "sql_app_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'pairs')
-        |from events as a[event_type == 'error']#window.time(1 min)
-        |  join events as b[event_type == 'purchase']#window.time(2 min)
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
         |  on a.user_id == b.user_id
         |select a.event_id as err_id, b.event_id as buy_id,
         |  a.user_id as user_id
@@ -232,8 +238,8 @@ object SqlGate {
     // [-Tl, Tr] band, window state evicted by the watermark
     "sql_app_join_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'pairs')
-        |from events as a[event_type == 'error']#window.time(1 min)
-        |  join events as b[event_type == 'purchase']#window.time(2 min)
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
         |  on a.user_id == b.user_id
         |select a.user_id as user_id, b.value as value, a.ts_ns as ts_ns
         |insert into Pairs;
@@ -822,7 +828,7 @@ object SqlGate {
         |  ON a.user_id = b.user_id AND a.event_type = 'error'
         | AND b.event_type = 'purchase'
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |     BETWEEN -60000000000 AND 120000000000
+        |     BETWEEN -600000000000 AND 600000000000
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_app_join_agg_live" ->
       """WITH pairs AS (
@@ -831,7 +837,7 @@ object SqlGate {
         |    ON a.user_id = b.user_id AND a.event_type = 'error'
         |   AND b.event_type = 'purchase'
         |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |       BETWEEN -60000000000 AND 120000000000)
+        |       BETWEEN -600000000000 AND 600000000000)
         |SELECT epoch_ms(ats) // 60000 * 60000 AS w_start_ms, user_id,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM pairs GROUP BY 1, 2
@@ -851,7 +857,7 @@ object SqlGate {
         |  ON a.user_id = b.user_id AND a.event_type = 'error'
         | AND b.event_type = 'purchase'
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |     BETWEEN -60000000000 AND 120000000000
+        |     BETWEEN -600000000000 AND 600000000000
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_geo_units" ->
       """WITH b AS (SELECT event_id,

@@ -50,6 +50,12 @@ object Tables {
     * `nanosAsLong`). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // MICROS-generation fixtures decode as TIMESTAMP_NTZ and the cast to
+    // TimestampType reinterprets in the SESSION zone — the ts/ts_ns
+    // contract (epoch_ms/epoch_ns parity with the DuckDB oracle) is only
+    // well-defined under UTC, so the loader enforces it itself rather
+    // than trusting every caller's JVM/session configuration (ADVICE r7)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -714,6 +714,42 @@ class SiddhiQlSpec extends AnyFunSuite {
       .contains("inner joins"))
   }
 
+  test("live join→agg chained topology is NON-EMPTY at test scale and " +
+       "equals batch replay (vacuous-pass guard, ADVICE r7)") {
+    // the sql_app_join_agg_live gate shape: 10-min windows are what make
+    // the error × purchase pairing non-empty in the sparse fixtures — a
+    // narrower band passes the driver comparison on 0 == 0 rows and the
+    // chained-stateful-operator semantics go unexercised
+    val app =
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, b.value as value, a.ts_ns as ts_ns
+        |insert into Pairs;
+        |
+        |@info(name = 'agg')
+        |from Pairs#window.timeBatch(1 min)
+        |select user_id, count() as n, math:round(sum(value), 2) as total
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, app, "agg")
+      .collect().map(_.toSeq)
+    val batch = SiddhiQL.compileApp(spark, sf, app)("agg")
+      .collect().map(_.toSeq)
+    assert(live.nonEmpty, "join-agg gate shape returned 0 rows at test " +
+      "scale — the driver gate would pass vacuously")
+    assert(live sameElements batch)
+    // the bare join stage (sql_app_join_live's shape) gets the same
+    // non-vacuous + live==batch guard
+    val livePairs = SiddhiQL.deployApp(spark, sf, app, "pairs")
+      .orderBy("ts_ns", "user_id", "value").collect().map(_.toSeq)
+    val batchPairs = SiddhiQL.compileApp(spark, sf, app)("pairs")
+      .orderBy("ts_ns", "user_id", "value").collect().map(_.toSeq)
+    assert(livePairs.nonEmpty && (livePairs sameElements batchPairs))
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
