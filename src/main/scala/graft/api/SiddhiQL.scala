@@ -1185,6 +1185,10 @@ object SiddhiQL extends Serializable {
     var aggDefs = Map.empty[String, AggDef]
     var windowDefs = Map.empty[String, WindowSpec]
     var results = Map.empty[String, DataFrame]
+    // DML writers per table, for the per-event enrichment-join route —
+    // the batch twin of the live fold's dmlInfos
+    var dmlWriters = Map.empty[String, List[(Ast, Action, StructType,
+      String)]]
     var i = 0
     stmts.foreach { case (name, body) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
@@ -1348,6 +1352,13 @@ object SiddhiQL extends Serializable {
             val next =
               applyDml(spark, dir, ast, act, schema, env(act.target), env)
             env += act.target -> next
+            ast.stream match {
+              case ss: SingleStream =>
+                dmlWriters += act.target ->
+                  (dmlWriters.getOrElse(act.target, Nil)
+                    :+ ((ast, act, schema, ss.table)))
+              case _ => () // applyDml already failed non-single streams
+            }
             val key = name
               .orElse(Some(act.target).filterNot(results.contains))
               .getOrElse { i += 1; s"q$i" }
@@ -1364,7 +1375,34 @@ object SiddhiQL extends Serializable {
                   window = Some(windowDefs(ss.table))))
               case _ => ast
             }
-            val df = compileAst(spark, dir, ast1, env, aggDefs)
+            val df = ast1.stream match {
+              // joining a DML-maintained table = the per-event
+              // enrichment join (the event sees the table as of its
+              // own stream position, not the end-of-replay state) —
+              // the same construction the live fold runs per batch,
+              // called once here with an empty seed over the whole
+              // replay
+              case j2: JoinStream
+                  if dmlWriters.contains(j2.right.table) ||
+                     dmlWriters.contains(j2.left.table) =>
+                if (dmlWriters.contains(j2.left.table))
+                  fail("live enrichment joins put the maintained " +
+                    "table on the RIGHT side (v1) — swap the join " +
+                    "sides")
+                val ws = dmlWriters(j2.right.table)
+                if (ws.length > 1)
+                  fail("live enrichment joins read a table with ONE " +
+                    s"DML writer (v1); '${j2.right.table}' has " +
+                    s"${ws.length}")
+                val enr = enrichCompile(spark, dir, ast1, j2, ws.head,
+                  emptyOf(spark, ws.head._3), env)
+                val ordered =
+                  if (ast1.orderBy.isEmpty) enr
+                  else enr.orderBy(ast1.orderBy.map { case (c, asc) =>
+                    if (asc) col(c).asc else col(c).desc }: _*)
+                ordered
+              case _ => compileAst(spark, dir, ast1, env, aggDefs)
+            }
             val key = name.orElse(ast.action.map(_.target)).getOrElse {
               i += 1; s"q$i"
             }
@@ -1513,6 +1551,186 @@ object SiddhiQL extends Serializable {
     * `set T.n = T.n + 1`-style table folds are NOT last-event-wins
     * collapsible and stay on the engine's micro-batch upsert path
     * (graft.engine.Streaming.tableUpsert). */
+  /** A table-DML / enrichment-join `on` clause → List[(table column,
+    * sql over the stream side)]: a conjunction of `T.col == <expr>`
+    * equalities where the non-table side may not reference `T`.
+    * `qual` renders the stream-side references (the enrichment join
+    * strips its stream alias with it; DML keeps plain dotted paths). */
+  private def keyEqsOf(on: Expr, t: String,
+      qual: List[String] => String = _.mkString(".")
+      ): List[(String, String)] = {
+    def rhsSql(e: Expr): String = sqlOfWith(e, {
+      case tn :: _ if tn.equalsIgnoreCase(t) =>
+        fail(s"'on' comparison value may not reference table '$t' " +
+          "columns on both sides")
+      case parts => qual(parts)
+    })
+    on match {
+      case Bin("and", l, r) => keyEqsOf(l, t, qual) ++ keyEqsOf(r, t, qual)
+      case Bin("==", Ref(tn :: c :: Nil), rhs)
+          if tn.equalsIgnoreCase(t) => List((c, rhsSql(rhs)))
+      case Bin("==", lhs, Ref(tn :: c :: Nil))
+          if tn.equalsIgnoreCase(t) => List((c, rhsSql(lhs)))
+      case other => fail("table DML 'on' must be a conjunction of " +
+        s"$t.<col> == <stream expr> equalities, got '${sqlOf(other)}'")
+    }
+  }
+
+  /** The per-event ENRICHMENT JOIN: `from S join T on T.k == k
+    * select ...` where `T` is a table maintained by a sibling
+    * `update or insert` DML stage. Siddhi processes events one at a
+    * time, so the join sees the table AS OF each event's position in
+    * the stream (the event's own update is visible — the DML stage is
+    * declared first). Compiled as ONE keyed window pass: update rows,
+    * accumulated state seeds (ordered before everything), and arriving
+    * events union into a per-key timeline ordered by (ts_ns, event_id,
+    * updates-before-events); `last(state, ignoreNulls)` over the
+    * running frame fills each event's as-of row. One shuffle on the
+    * table key — state and events co-partition, no per-event lookups,
+    * no broadcast of unbounded state. Because the construction never
+    * references batch boundaries, the SAME code serves both channels:
+    * the live fold calls it per micro-batch with the accumulated table
+    * as `accTable`, and the batch replay calls it once with an empty
+    * seed over the whole-replay environment — chunking-invariance by
+    * construction. */
+  private def enrichCompile(sp: SparkSession, dir: String, ast: Ast,
+      j: JoinStream, dmlInfo: (Ast, Action, StructType, String),
+      accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
+    val (dAst, dAct, dSchema, dSrc) = dmlInfo
+    val tSide = j.right; val sSide = j.left
+    val tName = tSide.table
+    if (j.unidirectional)
+      fail("live enrichment joins are already one-directional " +
+        "(events trigger, the table holds state) — drop " +
+        "`unidirectional`")
+    if (tSide.window.nonEmpty || tSide.filter.nonEmpty)
+      fail("live enrichment joins read the whole maintained table " +
+        s"'$tName' (v1) — no window/filter on the table side")
+    if (sSide.window.nonEmpty)
+      fail("live enrichment joins are per-event lookups (v1) — no " +
+        "window on the stream side")
+    if (ast.select.exists(it => containsAgg(it.e)) ||
+        ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("live enrichment joins project columns (v1) — aggregate " +
+        "in a downstream stage")
+    if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+      fail("live enrichment joins have no limit/offset (v1)")
+    val dOn = dAct match {
+      case UpsertTable(_, set, on) =>
+        if (set.nonEmpty)
+          fail("live enrichment joins read a table maintained by " +
+            "`update or insert` with an IMPLICIT set (v1) — move the " +
+            "expression into the DML select list")
+        on
+      case a2 => fail("live enrichment joins read a table maintained " +
+        s"by `update or insert` (v1); '$tName' takes " +
+        s"'${a2.getClass.getSimpleName}'")
+    }
+    val joinKind = j.joinType match {
+      case "inner" | "left_outer" => j.joinType
+      case other => fail("live enrichment joins are inner or left " +
+        s"outer (v1), got '$other'")
+    }
+    val sName = sSide.table
+    val tAlias = j.rightAlias.getOrElse(tName)
+    val sAlias = j.leftAlias.getOrElse(sName)
+    val dmlKeys = keyEqsOf(dOn, tName)
+    // join-key stream refs evaluate over the FLAT event columns —
+    // strip the stream alias
+    val joinKeys = keyEqsOf(j.on, tName, {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        c
+      case parts => parts.mkString(".")
+    })
+    val keyOrder = dmlKeys.map(_._1).distinct.sorted
+    if (joinKeys.map(_._1).distinct.sorted != keyOrder)
+      fail("live enrichment joins match on the SAME table columns " +
+        s"the DML keys on (${keyOrder.mkString(", ")}); the join " +
+        s"uses (${joinKeys.map(_._1).distinct.sorted.mkString(", ")})")
+    val tCols = dSchema.fieldNames.toSet
+    val items = itemsOf(ast)
+    // U = the DML feed's update rows (its select output) in arrival
+    // order — the same projection applyDml folds
+    val uBase0 = loadTable(sp, dir, dSrc, env)
+    val uBase = dAst.stream match {
+      case ss: SingleStream => ss.filter.fold(uBase0)(f =>
+        applyFilter(sp, dir, uBase0, f, env))
+      case _ => uBase0 // unreachable: DML is single-stream
+    }
+    val uItems = itemsOf(expandStar(dAst, uBase0.columns))
+    val uSel = uBase.select(uItems.map { case (it, a2, _) =>
+      expr(sqlOf(it.e)).as(a2) } :+
+      struct(col("ts_ns"), col("event_id")).as("__ord"): _*)
+    val updC = struct(dSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val updType = StructType(dSchema.fields)
+    def keyC(exprs: Seq[String]): Column =
+      struct(keyOrder.zip(exprs).map { case (kc, ex) =>
+        expr(ex).as(s"__k_$kc") }: _*)
+    val eBase0 = loadTable(sp, dir, sName, env)
+    val eBase = sSide.filter.fold(eBase0)(f =>
+      applyFilter(sp, dir, eBase0, f, env))
+    Seq("ts_ns", "event_id").foreach(c =>
+      if (!eBase.columns.contains(c))
+        fail(s"live enrichment joins need '$c' on the stream side; " +
+          s"'$sName' lost it — select it through"))
+    val evtC = struct(eBase.columns.toSeq.map(col): _*)
+    val evtType = StructType(eBase.schema.fields)
+    val uTag = uSel.select(
+      keyC(keyOrder.map(c => dmlKeys.find(_._1 == c).get._2))
+        .as("__key"),
+      col("__ord"), updC.as("__upd"))
+    // accumulated state seeds sort before every batch row
+    val accTag = accTable.select(
+      keyC(keyOrder).as("__key"),
+      struct(lit(Long.MinValue).as("ts_ns"),
+        lit(Long.MinValue).as("event_id")).as("__ord"),
+      updC.as("__upd"))
+    val uAll = uTag.unionByName(accTag)
+      .withColumn("__isE", lit(false))
+      .withColumn("__evt", lit(null).cast(evtType))
+    val eTag = eBase.select(
+      keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
+        .as("__key"),
+      struct(col("ts_ns"), col("event_id")).as("__ord"),
+      lit(null).cast(updType).as("__upd"),
+      lit(true).as("__isE"), evtC.as("__evt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key")
+      .orderBy(col("__ord"), col("__isE"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val filled = uAll.unionByName(eTag)
+      .withColumn("__state",
+        last(col("__upd"), ignoreNulls = true).over(w))
+      .where(col("__isE"))
+    val kept =
+      if (joinKind == "inner") filled.where(col("__state").isNotNull)
+      else filled
+    def qual(parts: List[String]): String = parts match {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(tName) =>
+        if (!tCols.contains(c))
+          fail(s"'$c' is not a column of table '$tName'")
+        s"__state.$c"
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        s"__evt.$c"
+      case c :: Nil =>
+        val inT = tCols.contains(c)
+        val inS = eBase.columns.contains(c)
+        if (inT && inS) fail(s"'$c' is ambiguous — qualify it with " +
+          s"'$tAlias.' or '$sAlias.'")
+        else if (inT) s"__state.$c"
+        else s"__evt.$c"
+      case other => fail(s"bad reference ${other.mkString(".")}")
+    }
+    kept.select(items.map { case (it, a2, _) =>
+      expr(sqlOfWith(it.e, qual)).as(a2) }: _*)
+  }
+
   private def applyDml(spark: SparkSession, dir: String, ast: Ast,
       act: Action, schema: StructType, table: DataFrame,
       env: Map[String, DataFrame]): DataFrame = {
@@ -1542,24 +1760,8 @@ object SiddhiQL extends Serializable {
       expr(sqlOf(it.e)).as(a)
     } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
 
-    // `on` → List[(table column, sql over the select output)]
-    def keyEqs(on: Expr, t: String): List[(String, String)] = {
-      def rhsSql(e: Expr): String = sqlOfWith(e, {
-        case tn :: _ if tn.equalsIgnoreCase(t) =>
-          fail(s"'on' comparison value may not reference table '$t' " +
-            "columns on both sides")
-        case parts => parts.mkString(".")
-      })
-      on match {
-        case Bin("and", l, r) => keyEqs(l, t) ++ keyEqs(r, t)
-        case Bin("==", Ref(tn :: c :: Nil), rhs)
-            if tn.equalsIgnoreCase(t) => List((c, rhsSql(rhs)))
-        case Bin("==", lhs, Ref(tn :: c :: Nil))
-            if tn.equalsIgnoreCase(t) => List((c, rhsSql(lhs)))
-        case other => fail("table DML 'on' must be a conjunction of " +
-          s"$t.<col> == <stream expr> equalities, got '${sqlOf(other)}'")
-      }
-    }
+    def keyEqs(on: Expr, t: String): List[(String, String)] =
+      keyEqsOf(on, t)
 
     // set RHS over the per-key LAST update event's output row
     def lastSql(e: Expr, t: String): String = sqlOfWith(e, {
@@ -2708,16 +2910,33 @@ object SiddhiQL extends Serializable {
   /** A live stage whose semantics are a per-micro-batch keyed FOLD
     * rather than one incremental Spark plan: table DML (keyed MERGE),
     * `unique:last` (keep-last upsert), `sort(N)` (running top-N),
-    * `frequent(N)` (per-key algebraic components). [[deployApp]] runs
-    * `fold(spark, dir, acc, batch)` in `foreachBatch` over parquet
-    * generations (acc stays one-batch-lineage deep and survives a
-    * restart), then `finish(spark, acc)` shapes the final table. State
-    * is bounded by contract: the table/unique key domain, N rows, or
-    * the key domain's component rows. */
-  private final case class LiveFold(feed: DataFrame, schema: StructType,
+    * `frequent(N)` (per-key algebraic components), and the enrichment
+    * join reading a DML-maintained table. [[deployApp]] runs
+    * `fold(spark, dir, states, batch)` in `foreachBatch` over parquet
+    * generations — one NAMED state per entry in `schemas`, so a fold
+    * can carry several pieces of state (the maintained table AND the
+    * accumulated enrichment output) — then `finish(spark, states)`
+    * shapes the final table. Each state stays one-batch-lineage deep
+    * and survives a restart. State is bounded by contract: the
+    * table/unique key domain, N rows, or the key domain's component
+    * rows (the enrichment OUTPUT accumulation mirrors a sink, not
+    * operator state). */
+  private final case class LiveFold(feed: DataFrame,
+      schemas: Seq[(String, StructType)],
+      fold: (SparkSession, String, Map[String, DataFrame], DataFrame)
+        => Map[String, DataFrame],
+      finish: (SparkSession, Map[String, DataFrame]) => DataFrame,
+      ordCols: Seq[Column])
+
+  /** The one-state [[LiveFold]] shape every pre-enrichment fold stage
+    * uses (table DML, unique:last, sort, frequent). */
+  private def singleFold(feed: DataFrame, schema: StructType,
       fold: (SparkSession, String, DataFrame, DataFrame) => DataFrame,
       finish: (SparkSession, DataFrame) => DataFrame,
-      ordCols: Seq[Column])
+      ordCols: Seq[Column]): LiveFold =
+    LiveFold(feed, Seq("state" -> schema),
+      (sp, d, st, b) => Map("state" -> fold(sp, d, st("state"), b)),
+      (sp, st) => finish(sp, st("state")), ordCols)
 
   /** `partition with (<spec>) begin <queries> end` → (inner query text,
     * keyed attribute OR range branches, partitioned stream name).
@@ -2785,6 +3004,32 @@ object SiddhiQL extends Serializable {
     var tableDefs = Map.empty[String, StructType]
     var result: Option[(DataFrame, Int, Seq[Column])] = None
     var foldResult: Option[LiveFold] = None
+    // (ast, action, table schema, feeding stream) per DML writer, keyed
+    // by target table — the enrichment-join compiler reads these
+    var dmlInfos = Map.empty[String, List[(Ast, Action, StructType,
+      String)]]
+    // stateless insert-into stages in textual order, re-compilable
+    // against a BATCH env — the fold channel derives its feeds from the
+    // raw source through these (so one foreachBatch serves stages that
+    // need several derived feeds: the DML's and the enrichment's)
+    var statelessAsts = List.empty[(String, Ast)]
+    // Batch twin of the stateless stage environment: re-derives every
+    // stateless derived stream from one micro-batch of the SOURCE via
+    // the batch compiler (stateless plans are chunking-invariant, so
+    // the derived batch rows ARE the derived stream's rows for that
+    // trigger). Plan construction only — nothing executes until used.
+    def batchEnv(sp: SparkSession, d2: String, rawBatch: DataFrame,
+        defs: List[(String, Ast)]): Map[String, DataFrame] = {
+      var benv = Map[String, DataFrame]("events" -> rawBatch)
+      defs.foreach { case (t, a) =>
+        val df = compileAst(sp, d2, a, benv)
+        benv += t -> (benv.get(t) match {
+          case Some(prev) => prev.unionByName(df)
+          case None => df
+        })
+      }
+      benv
+    }
     // `f OR ts >= flushCutoff`: keeps the user predicate above the
     // source watermark node (it now references the event-time column)
     // and lets flush sentinels through; real rows (ts < cutoff) see
@@ -2873,12 +3118,16 @@ object SiddhiQL extends Serializable {
           applyDml(feed.sparkSession, "", ast, act, schema,
             emptyOf(feed.sparkSession, schema),
             Map(srcName -> emptyOf(feed.sparkSession, feed.schema)))
-          // live reads of a DML-maintained table are v1-diagnosed via
-          // the aggregation-output path
+          // reads of a DML-maintained table deploy through the
+          // enrichment-join fold (the JoinStream branch below); any
+          // other read shape is diagnosed via the aggregation-output
+          // path
           statefulStreams += act.target
+          dmlInfos += act.target -> (dmlInfos.getOrElse(act.target, Nil)
+            :+ ((ast, act, schema, srcName)))
           if (name.contains(out) || act.target == out) {
             val fnsSnap = scriptFns // restore on the micro-batch thread
-            foldResult = Some(LiveFold(feed, schema,
+            foldResult = Some(singleFold(feed, schema,
               (sp, d2, acc, batch) => {
                 scriptFns = fnsSnap
                 applyDml(sp, d2, ast, act, schema, acc,
@@ -3160,7 +3409,7 @@ object SiddhiQL extends Serializable {
                 val keyU = name.orElse(ast.action.map(_.target))
                 val fnsSnap = scriptFns // for the micro-batch thread
                 if (keyU.contains(out) || name.contains(out))
-                  foldResult = Some(LiveFold(base, schemaU,
+                  foldResult = Some(singleFold(base, schemaU,
                     (_, _, acc, batch) =>
                       { scriptFns = fnsSnap; acc }.unionByName(selLast(batch))
                         .withColumn("__rn", expr("row_number() over " +
@@ -3199,7 +3448,7 @@ object SiddhiQL extends Serializable {
                 val astS = ast
                 val keyS = name.orElse(ast.action.map(_.target))
                 if (keyS.contains(out) || name.contains(out))
-                  foldResult = Some(LiveFold(base, base.schema,
+                  foldResult = Some(singleFold(base, base.schema,
                     (_, _, acc, batch) =>
                       acc.unionByName(
                           batch.select(acc.columns.map(col): _*))
@@ -3267,7 +3516,7 @@ object SiddhiQL extends Serializable {
                 val schemaF = partialOf(base).schema
                 val keyF = name.orElse(ast.action.map(_.target))
                 if (keyF.contains(out) || name.contains(out))
-                  foldResult = Some(LiveFold(base, schemaF,
+                  foldResult = Some(singleFold(base, schemaF,
                     (_, _, acc, batch) => {
                       val u = partialOf(batch)
                       acc.as("t").join(u.as("u"),
@@ -3399,6 +3648,97 @@ object SiddhiQL extends Serializable {
               org.apache.spark.sql.Row.fromSeq(
                 sel.map { case (_, _, _, extract) => extract(bnd) })
             }.toDF(), KStateless)
+          // ENRICHMENT JOIN deployed LIVE: a query joins the table a
+          // sibling DML stage maintains — the reference's canonical
+          // enrichment loop (a stream updates UserState, a sibling
+          // query enriches against it). Semantics are PER-EVENT: an
+          // event sees the table as of its own position in the stream
+          // (definition order makes an event's own update visible:
+          // `<=` on the (ts_ns, event_id) arrival order), which makes
+          // the live result independent of micro-batch boundaries —
+          // the batch asof oracle and the live run agree for ANY
+          // chunking. Runs in the foreachBatch fold channel: per
+          // trigger the maintained table folds first, then the batch's
+          // events fill their enrichment state from (accumulated
+          // generations ∪ same-batch updates at-or-before them) in ONE
+          // keyed window pass — a single shuffle on the table key,
+          // exactly the partitioning a 100× scale-up wants (state and
+          // events co-partition; no per-event lookups, no broadcast of
+          // unbounded state).
+          case j: JoinStream
+              if dmlInfos.contains(j.left.table) ||
+                 dmlInfos.contains(j.right.table) =>
+            if (partKey.nonEmpty)
+              fail("enrichment joins inside a partition block are not " +
+                "deployed (v1)")
+            if (dmlInfos.contains(j.left.table))
+              fail("live enrichment joins put the maintained table on " +
+                "the RIGHT side (v1) — swap the join sides")
+            if (j.unidirectional)
+              fail("live enrichment joins are already one-directional " +
+                "(events trigger, the table holds state) — drop " +
+                "`unidirectional`")
+            val tSide = j.right; val sSide = j.left
+            val tName = tSide.table
+            if (tSide.window.nonEmpty || tSide.filter.nonEmpty)
+              fail("live enrichment joins read the whole maintained " +
+                s"table '$tName' (v1) — no window/filter on the table " +
+                "side")
+            if (sSide.window.nonEmpty)
+              fail("live enrichment joins are per-event lookups (v1) — " +
+                "no window on the stream side")
+            if (ast.select.exists(it => containsAgg(it.e)) ||
+                ast.groupBy.nonEmpty || ast.having.nonEmpty)
+              fail("live enrichment joins project columns (v1) — " +
+                "aggregate in a downstream stage")
+            if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+              fail("live enrichment joins have no limit/offset (v1)")
+            val writers = dmlInfos(tName)
+            if (writers.length > 1)
+              fail("live enrichment joins read a table with ONE DML " +
+                s"writer (v1); '$tName' has ${writers.length}")
+            val dmlInfo = writers.head
+            val (dAst, dAct, dSchema, dSrc) = dmlInfo
+            val sName = sSide.table
+            if (statefulStreams.contains(sName))
+              fail(s"live deployment (v1): '$sName' is an aggregation " +
+                "output — it cannot feed an enrichment join")
+            val derivable = Set("events") ++ statelessAsts.map(_._1)
+            Seq(sName, dSrc).foreach { n2 =>
+              if (!derivable.contains(n2))
+                fail(s"live enrichment joins derive their feeds from " +
+                  s"the source through stateless stages; '$n2' is not " +
+                  "(windowed/rate-limited/joined stages cannot be " +
+                  "re-derived per batch)")
+            }
+            val statelessSnap = statelessAsts
+            // fail fast at deploy time + learn the output schema
+            val sp0 = src.sparkSession
+            val proto = enrichCompile(sp0, "", ast, j, dmlInfo,
+              emptyOf(sp0, dSchema),
+              batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                statelessSnap))
+            val keyE = name.orElse(ast.action.map(_.target))
+            if (keyE.contains(out) || name.contains(out)) {
+              val fnsSnap = scriptFns
+              foldResult = Some(LiveFold(srcTs,
+                Seq(tName -> dSchema, "__out" -> proto.schema),
+                (sp, d2, acc, batch) => {
+                  scriptFns = fnsSnap
+                  val benv = batchEnv(sp, d2, batch, statelessSnap)
+                  Map(
+                    tName -> applyDml(sp, d2, dAst, dAct, dSchema,
+                      acc(tName), benv),
+                    "__out" -> acc("__out").unionByName(
+                      enrichCompile(sp, d2, ast, j, dmlInfo,
+                        acc(tName), benv)))
+                },
+                (_, acc) => acc("__out"),
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }))
+            }
+            (emptyOf(sp0, proto.schema), KFold)
+
           case j: JoinStream => (j.left.window, j.right.window) match {
             // windowed stream-stream join deployed LIVE: Spark's
             // watermarked interval join — the band [-Tl, Tr] becomes
@@ -3487,6 +3827,18 @@ object SiddhiQL extends Serializable {
         ast.action.foreach {
           case InsertInto(t) =>
             if (kind != KStateless) statefulStreams += t
+            // only genuinely chunking-invariant stages are
+            // batch-re-derivable (plain filter/projection): windowed,
+            // rate-limited, joined, and fMGWS stages all carry state
+            // across triggers, so re-deriving them per BATCH would
+            // diverge from their streaming semantics — a fold feed
+            // through one is diagnosed instead
+            else if (partKey.isEmpty && ast.rate.isEmpty &&
+                (ast.stream match {
+                  case ss: SingleStream => ss.window.isEmpty
+                  case _ => false
+                }))
+              statelessAsts :+= (t -> ast)
             // multi-writer fan-in: union, as in compileApp — but an
             // aggregated writer cannot merge with another stream
             // mid-topology
@@ -3618,22 +3970,26 @@ object SiddhiQL extends Serializable {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft_live_fold").toString
           var gen = 0
+          def statesAt(sp: SparkSession, g: Int): Map[String, DataFrame] =
+            lf.schemas.map { case (n, sch) =>
+              n -> (if (g == 0) emptyOf(sp, sch)
+                    else sp.read.parquet(s"$tmp/gen$g/$n"))
+            }.toMap
           val q = lf.feed.writeStream.outputMode("append")
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
-              val acc = if (gen == 0) emptyOf(sp, lf.schema)
-                        else sp.read.parquet(s"$tmp/gen$gen")
-              lf.fold(sp, dir, acc, batch)
-                .write.mode("overwrite").parquet(s"$tmp/gen${gen + 1}")
+              val next = lf.fold(sp, dir, statesAt(sp, gen), batch)
+              lf.schemas.foreach { case (n, _) =>
+                next(n).write.mode("overwrite")
+                  .parquet(s"$tmp/gen${gen + 1}/$n")
+              }
               gen += 1
             }.start()
           rows.grouped(per).foreach { g =>
             ms.addData(g.toSeq); q.processAllAvailable()
           }
           q.stop()
-          val acc = if (gen == 0) emptyOf(spark, lf.schema)
-                    else spark.read.parquet(s"$tmp/gen$gen")
-          val fin = lf.finish(spark, acc)
+          val fin = lf.finish(spark, statesAt(spark, gen))
           if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
         case None =>
           val (df, kind, ordCols) = stages.getOrElse(

@@ -320,6 +320,30 @@ object SqlGate {
         |select user_id, value as last_value, event_type as last_type
         |update or insert into UserState on UserState.user_id == user_id"""
         .stripMargin, "track").orderBy("user_id")),
+    // the CLOSED enrichment loop deployed LIVE: one stage maintains
+    // UserState by keyed MERGE, a sibling query JOINS that table —
+    // per-event as-of semantics (each purchase sees the state written
+    // by updates at-or-before it in the stream), identical under any
+    // micro-batch chunking; the DuckDB ASOF oracle is the truth
+    "sql_app_enrich_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserState (user_id long, last_value double,
+        |  last_type string);
+        |
+        |@info(name = 'track')
+        |from events[event_type != 'purchase']
+        |select user_id, value as last_value, event_type as last_type
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'enrich')
+        |from events as e[event_type == 'purchase'] join UserState
+        |  on UserState.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  UserState.last_value as prev_value,
+        |  UserState.last_type as prev_type, e.value as value
+        |order by event_id
+        |insert into Out""".stripMargin, "enrich")),
     // unidirectional: only left arrivals trigger — the band keeps one
     // direction (purchases look BACK at errors in the 5-min window)
     "sql_join_unidirectional" -> q(
@@ -842,6 +866,22 @@ object SqlGate {
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM pairs GROUP BY 1, 2
         |ORDER BY w_start_ms, user_id""".stripMargin,
+    // per-event as-of: each purchase joins the LATEST earlier update
+    // of its user (an event's own update would be visible — disjoint
+    // event types here, so <= and < coincide)
+    "sql_app_enrich_live" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ns(ts) AS uts, value AS last_value,
+        |    event_type AS last_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ets, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, u.last_value AS prev_value,
+        |  u.last_type AS prev_type, e.value
+        |FROM e ASOF JOIN u
+        |  ON e.user_id = u.user_id AND u.uts <= e.ets
+        |ORDER BY event_id""".stripMargin,
     "sql_join_unidirectional" ->
       """SELECT a.event_id AS buy_id, b.event_id AS err_id,
         |  a.user_id AS user_id

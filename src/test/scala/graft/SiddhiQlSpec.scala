@@ -750,6 +750,68 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(livePairs.nonEmpty && (livePairs sameElements batchPairs))
   }
 
+  test("live enrichment join (stream ⋈ DML-maintained table): " +
+       "per-event as-of, live == batch, chunking-invariant") {
+    val app =
+      """define table UserState (user_id long, last_value double,
+        |  last_type string);
+        |
+        |@info(name = 'track')
+        |from events[event_type != 'purchase']
+        |select user_id, value as last_value, event_type as last_type
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'enrich')
+        |from events as e[event_type == 'purchase'] join UserState
+        |  on UserState.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  UserState.last_value as prev_value,
+        |  UserState.last_type as prev_type, e.value as value
+        |order by event_id
+        |insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, app, "enrich")
+      .collect().map(_.toSeq)
+    val batch = SiddhiQL.compileApp(spark, sf, app)("enrich")
+      .collect().map(_.toSeq)
+    assert(live.nonEmpty && (live sameElements batch))
+    // a different micro-batch split must not change the result —
+    // per-event semantics never reference batch boundaries
+    val live7 = SiddhiQL.deployApp(spark, sf, app, "enrich", chunks = 7)
+      .collect().map(_.toSeq)
+    assert(live7 sameElements live)
+    // independent truth for one user: the last pre-purchase update
+    val ev = engine.Tables.events(spark, sf)
+      .select("event_id", "ts_ns", "user_id", "event_type", "value")
+      .collect().sortBy(r => r.getLong(1))
+    val firstBuy = ev.find(_.getString(3) == "purchase").get
+    val expectPrev = ev.filter(r =>
+      r.getLong(2) == firstBuy.getLong(2) &&
+      r.getString(3) != "purchase" &&
+      r.getLong(1) <= firstBuy.getLong(1)).lastOption
+    val got = live.find(_.head == firstBuy.getLong(0))
+    expectPrev match {
+      case Some(u) =>
+        assert(got.exists(r => r(2) == u.getDouble(4) &&
+          r(3) == u.getString(3)))
+      case None => assert(got.isEmpty) // inner join: no state yet
+    }
+    // left outer keeps state-less purchases with null enrichment
+    val outer = SiddhiQL.deployApp(spark, sf, app.replace(
+      "join UserState", "left outer join UserState"), "enrich")
+      .collect()
+    assert(outer.length >= live.length)
+    assert(outer.filter(_.isNullAt(2)).forall(r =>
+      !live.exists(_.head == r.getLong(0))))
+    // diagnostics name the v1 bounds
+    def msg(a: String): String = intercept[IllegalArgumentException](
+      SiddhiQL.deployApp(spark, sf, a, "enrich")).getMessage
+    assert(msg(app.replace("join UserState",
+      "#window.time(1 min) join UserState"))
+      .contains("per-event lookups"))
+    assert(msg(app.replace("select e.event_id as event_id,",
+      "select count() as n,")).contains("project columns"))
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
