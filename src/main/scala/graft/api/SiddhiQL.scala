@@ -2907,6 +2907,50 @@ object SiddhiQL extends Serializable {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** How a [[LiveFold]] state is materialized between triggers.
+    *
+    *  - [[FullState]]: the fold rewrites the WHOLE state every
+    *    micro-batch. Reserved for states tiny by contract (sort(N)'s
+    *    N rows) where rewrite cost is O(N), not O(data).
+    *  - [[AppendState]]: the state only ever grows; the fold returns
+    *    the batch's DELTA rows and the runner appends them as a new
+    *    generation file. Per-trigger write cost is O(batch) by
+    *    construction; reading the state unions the generation files.
+    *  - [[KeyedState]]: the fold is a per-key merge on `keys`. The
+    *    state parquet is hash-bucketed on those keys; each trigger the
+    *    runner computes the buckets the batch touches (`batchKeys`
+    *    projects the batch's key values, cast to the state key types
+    *    so both sides hash identically), hands the fold ONLY those
+    *    buckets' rows, and rewrites only those buckets. Per-trigger
+    *    write cost is O(batch-touched buckets), not O(state) — the
+    *    form that survives a keyed table with millions of keys at
+    *    100 TB scale (bucket count rises with the key domain via
+    *    `graft.live.stateBuckets`). */
+  private sealed trait StateMode
+  private case object FullState extends StateMode
+  private case object AppendState extends StateMode
+
+  /** Test probe: when set, [[deployApp]]'s fold runner records
+    * (generation, state name, rows written) for KEYED states so a
+    * spec can assert per-trigger write cost tracks the batch's keys,
+    * not the accumulated state size. */
+  private[graft] var foldWriteProbe
+      : Option[scala.collection.mutable.Buffer[(Int, String, Long)]] =
+    None
+  private final case class KeyedState(keys: Seq[String],
+      batchKeys: (SparkSession, String, DataFrame) => DataFrame)
+    extends StateMode
+
+  /** A [[LiveFold]] state as the fold sees it: `slice` is what the
+    * fold may MERGE INTO and must return the replacement of (the
+    * touched buckets for [[KeyedState]], the whole state for
+    * [[FullState]], empty for [[AppendState]] — append folds return
+    * their delta); `full` lazily reads the entire accumulated state
+    * for folds that must JOIN against it (the enrichment join reads
+    * the whole maintained table even when only a few keys changed). */
+  private final case class LiveState(slice: DataFrame,
+      full: () => DataFrame)
+
   /** A live stage whose semantics are a per-micro-batch keyed FOLD
     * rather than one incremental Spark plan: table DML (keyed MERGE),
     * `unique:last` (keep-last upsert), `sort(N)` (running top-N),
@@ -2917,25 +2961,65 @@ object SiddhiQL extends Serializable {
     * can carry several pieces of state (the maintained table AND the
     * accumulated enrichment output) — then `finish(spark, states)`
     * shapes the final table. Each state stays one-batch-lineage deep
-    * and survives a restart. State is bounded by contract: the
+    * and survives a restart, and its storage/rewrite granularity is
+    * its [[StateMode]]. State is bounded by contract: the
     * table/unique key domain, N rows, or the key domain's component
     * rows (the enrichment OUTPUT accumulation mirrors a sink, not
     * operator state). */
   private final case class LiveFold(feed: DataFrame,
-      schemas: Seq[(String, StructType)],
-      fold: (SparkSession, String, Map[String, DataFrame], DataFrame)
+      schemas: Seq[(String, StructType, StateMode)],
+      fold: (SparkSession, String, Map[String, LiveState], DataFrame)
         => Map[String, DataFrame],
       finish: (SparkSession, Map[String, DataFrame]) => DataFrame,
       ordCols: Seq[Column])
+
+  /** [[StateMode]] of a DML-maintained table state: insert-only DML
+    * appends (the fold's output IS the batch delta when folded into an
+    * empty slice), keyed DML (delete/update/upsert) bucket-merges on
+    * its `on` key columns. The batch-key probe replays the DML stage's
+    * filter+select over the batch and projects the `on` RHS
+    * expressions CAST to the table key types, so batch rows and state
+    * rows hash into the same buckets. */
+  private def dmlStateMode(ast: Ast, act: Action, schema: StructType,
+      srcName: String, fnsSnap: Map[String, ScriptFn],
+      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
+      : StateMode = {
+    val onOpt = act match {
+      case _: InsertInto           => None
+      case UpdateTable(_, _, on)   => Some(on)
+      case UpsertTable(_, _, on)   => Some(on)
+      case DeleteTable(_, on)      => Some(on)
+    }
+    onOpt match {
+      case None => AppendState
+      case Some(on) =>
+        val keys = keyEqsOf(on, act.target)
+        KeyedState(keys.map(_._1), (sp, d2, batch) => {
+          scriptFns = fnsSnap
+          val env = envOf(sp, d2, batch)
+          val base0 = loadTable(sp, d2, srcName, env)
+          val base = (ast.stream match {
+            case ss: SingleStream => ss.filter
+            case _                => None
+          }).fold(base0)(f => applyFilter(sp, d2, base0, f, env))
+          val items = itemsOf(expandStar(ast, base0.columns))
+          val seld = base.select(items.map { case (it, a, _) =>
+            expr(sqlOf(it.e)).as(a) }: _*)
+          seld.select(keys.map { case (tc, rhs) =>
+            expr(rhs).cast(schema(tc).dataType).as(tc) }: _*)
+        })
+    }
+  }
 
   /** The one-state [[LiveFold]] shape every pre-enrichment fold stage
     * uses (table DML, unique:last, sort, frequent). */
   private def singleFold(feed: DataFrame, schema: StructType,
       fold: (SparkSession, String, DataFrame, DataFrame) => DataFrame,
       finish: (SparkSession, DataFrame) => DataFrame,
-      ordCols: Seq[Column]): LiveFold =
-    LiveFold(feed, Seq("state" -> schema),
-      (sp, d, st, b) => Map("state" -> fold(sp, d, st("state"), b)),
+      ordCols: Seq[Column],
+      mode: StateMode = FullState): LiveFold =
+    LiveFold(feed, Seq(("state", schema, mode)),
+      (sp, d, st, b) => Map("state" -> fold(sp, d, st("state").slice, b)),
       (sp, st) => finish(sp, st("state")), ordCols)
 
   /** `partition with (<spec>) begin <queries> end` → (inner query text,
@@ -3133,7 +3217,12 @@ object SiddhiQL extends Serializable {
                 applyDml(sp, d2, ast, act, schema, acc,
                   Map(srcName -> batch))
               },
-              (_, acc) => acc, Nil))
+              (_, acc) => acc, Nil,
+              // insert-only DML appends generation deltas; keyed DML
+              // bucket-merges — per-trigger write cost O(batch), not
+              // O(accumulated table)
+              dmlStateMode(ast, act, schema, srcName, fnsSnap,
+                (_, _, batch) => Map(srcName -> batch))))
           }
         } else {
         var carriedNow: Seq[String] = Nil
@@ -3148,6 +3237,103 @@ object SiddhiQL extends Serializable {
               "source nor an earlier insert-into target"))
             val base = s.filter.fold(base0)(f => liveWhere(base0, f))
             s.window match {
+              case None if ast.rate.exists(r => r.mode == "last" &&
+                  r.timeNs.nonEmpty && r.count.isEmpty) &&
+                  !ast.select.exists(it => containsAgg(it.e)) =>
+                // `output last every T` LIVE: an interval's LAST event
+                // is only known when the interval closes — an
+                // Append-mode time-window aggregation:
+                // max_by(projected row, (ts_ns, event_id)) per
+                // window(ts, T); the watermark emits and EVICTS each
+                // interval once it has passed (bounded state; batch
+                // twin: compileRateLimited's first|last arm, engine
+                // twin: Ops.rateLimit's last_id)
+                if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+                  fail("output rate limiting (v1) applies to plain " +
+                    "`from S[filter] select ...` (no group by / having)")
+                Seq("ts", "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live rate limiting needs column '$c'"))
+                val tNs = ast.rate.get.timeNs.get
+                val items = itemsOf(ast)
+                val rowC = struct(items.map { case (it, a, _) =>
+                  expr(sqlOf(it.e)).as(a) }: _*)
+                val lastDf = base
+                  .filter(col("ts") < Streaming.flushCutoff)
+                  .groupBy(window(col("ts"),
+                    s"${tNs / 1000} microseconds"))
+                  .agg(max_by(rowC,
+                    struct(col("ts_ns"), col("event_id"))).as("__row"))
+                  .select(col("__row.*"))
+                (lastDf, KWindowAgg)
+              case None if ast.rate.exists(r => r.mode == "snapshot" &&
+                  r.timeNs.nonEmpty && r.count.isEmpty) &&
+                  !ast.select.exists(it => containsAgg(it.e)) =>
+                // `output snapshot every T` LIVE: the latest projected
+                // row as of each interval end, gap intervals carrying
+                // the previous snapshot forward (batch twin:
+                // compileRateLimited's snapshot arm; engine twin:
+                // Ops.rateLimitSnapshot). The per-interval keep-latest
+                // is a keyed fold on the interval id — bucketed
+                // generations rewrite only the intervals the batch
+                // touches — and the gap fill runs once at finish over
+                // the O(span/T) snapshot rows.
+                if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+                  fail("output rate limiting (v1) applies to plain " +
+                    "`from S[filter] select ...` (no group by / having)")
+                Seq("ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live rate limiting needs column '$c'"))
+                val tNs = ast.rate.get.timeNs.get
+                val ivMs = tNs / 1000000L
+                val items = itemsOf(ast)
+                val outCols = items.map(_._2)
+                def partialSnap(df: DataFrame): DataFrame =
+                  df.select(items.map { case (it, a, _) =>
+                      expr(sqlOf(it.e)).as(a) } :+
+                      expr(s"ts_ns div ${tNs}L").as("__iv") :+
+                      struct(col("ts_ns"), col("event_id")).as("__ord")
+                      : _*)
+                    .groupBy("__iv")
+                    .agg(max_by(struct(outCols.map(col): _*),
+                      col("__ord")).as("__row"),
+                      max(col("__ord")).as("__ord"))
+                val schemaS = partialSnap(base).schema
+                val keyR = name.orElse(ast.action.map(_.target))
+                val fnsSnapR = scriptFns
+                if (keyR.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(base, schemaS,
+                    (_, _, acc, batch) => {
+                      scriptFns = fnsSnapR
+                      acc.unionByName(partialSnap(batch))
+                        .groupBy("__iv")
+                        .agg(max_by(col("__row"), col("__ord"))
+                          .as("__row"), max(col("__ord")).as("__ord"))
+                    },
+                    (_, acc) => {
+                      val ticks = acc
+                        .agg(min("__iv").as("__lo"),
+                          max("__iv").as("__hi"))
+                        .where(col("__lo").isNotNull)
+                        .select(explode(sequence(col("__lo"),
+                          col("__hi"))).as("__iv"))
+                      val w = org.apache.spark.sql.expressions.Window
+                        .orderBy("__iv")
+                        .rowsBetween(org.apache.spark.sql.expressions
+                          .Window.unboundedPreceding, 0)
+                      ticks.join(acc, Seq("__iv"), "left_outer")
+                        .select(col("__iv") +: outCols.map(c =>
+                          last(col(s"__row.$c"), ignoreNulls = true)
+                            .over(w).as(c)): _*)
+                        .select(((col("__iv") + 1) * ivMs)
+                          .as("w_end_ms") +: outCols.map(col): _*)
+                    },
+                    ast.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc },
+                    KeyedState(Seq("__iv"), (_, _, batch) =>
+                      batch.select(expr(s"ts_ns div ${tNs}L")
+                        .as("__iv")))))
+                (emptyOf(base.sparkSession, schemaS), KFold)
               case None =>
                 val agg = ast.select.exists(it => containsAgg(it.e))
                 // `output first every T` LIVE: streaming dropDuplicates
@@ -3155,12 +3341,15 @@ object SiddhiQL extends Serializable {
                 // emits AS IT ARRIVES; the watermark evicts interval
                 // state once the interval has passed (bounded state at
                 // any runtime length; engine twin:
-                // Streaming.rateLimitFirst)
+                // Streaming.rateLimitFirst). `output all every T` only
+                // batches EMISSION, never content — deployed as the
+                // pass-through it is.
                 val rated = ast.rate match {
                   case None => base
+                  case Some(_) if agg => fail("live rate limiting " +
+                    "applies to stateless stages (v1)")
+                  case Some(Rate("all", _, _)) => base
                   case Some(Rate("first", Some(tNs), None)) =>
-                    if (agg) fail("live rate limiting applies to " +
-                      "stateless stages (v1)")
                     if (!base.columns.contains("ts"))
                       fail("live rate limiting needs the event-time " +
                         "column 'ts'")
@@ -3185,7 +3374,8 @@ object SiddhiQL extends Serializable {
                       .dropDuplicates("__w")
                       .drop("__w")
                   case Some(r) => fail("live deployment (v1) supports " +
-                    s"`output first every <time>`; got mode '${r.mode}'" +
+                    "time-based `output first|last|all|snapshot every " +
+                    s"<time>`; got mode '${r.mode}'" +
                     r.count.fold("")(_ => " with an event count"))
                 }
                 // carry the watermarked event-time columns through the
@@ -3418,7 +3608,13 @@ object SiddhiQL extends Serializable {
                         .where(col("__rn") === 1).drop("__rn"),
                     (_, acc) => acc.drop(helperCols: _*),
                     ast.orderBy.map { case (c, asc) =>
-                      if (asc) col(c).asc else col(c).desc }))
+                      if (asc) col(c).asc else col(c).desc },
+                    // keep-last is a per-__ukey merge: only buckets
+                    // the batch's keys hash into are read and rewritten
+                    KeyedState(Seq("__ukey"), (_, _, batch) =>
+                      batch.select(col(attr)
+                        .cast(schemaU("__ukey").dataType)
+                        .as("__ukey")))))
                 (emptyOf(base.sparkSession, schemaU), KFold)
               case Some(WindowSpec(n2, args2, sargs2))
                   if n2.equalsIgnoreCase("sort") =>
@@ -3541,7 +3737,12 @@ object SiddhiQL extends Serializable {
                         }
                       }: _*),
                     ast.orderBy.map { case (c, a2) =>
-                      if (a2) col(c).asc else col(c).desc }))
+                      if (a2) col(c).asc else col(c).desc },
+                    // component rows merge per attr value: only the
+                    // batch's attr buckets are read and rewritten
+                    KeyedState(Seq(attr), (_, _, batch) =>
+                      batch.select(col(attr)
+                        .cast(schemaF(attr).dataType).as(attr)))))
                 (emptyOf(base.sparkSession, schemaF), KFold)
               case Some(WindowSpec(n2, args2, _))
                   if n2.equalsIgnoreCase("length") =>
@@ -3721,17 +3922,26 @@ object SiddhiQL extends Serializable {
             val keyE = name.orElse(ast.action.map(_.target))
             if (keyE.contains(out) || name.contains(out)) {
               val fnsSnap = scriptFns
+              // the maintained table bucket-merges on its DML keys
+              // (write cost O(batch-touched buckets)); the enrichment
+              // OUTPUT is a sink-like accumulation — each trigger
+              // appends its delta generation, never rewriting history
+              val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
+                fnsSnap, (sp, d2, batch) =>
+                  batchEnv(sp, d2, batch, statelessSnap))
               foldResult = Some(LiveFold(srcTs,
-                Seq(tName -> dSchema, "__out" -> proto.schema),
+                Seq((tName, dSchema, tMode),
+                    ("__out", proto.schema, AppendState)),
                 (sp, d2, acc, batch) => {
                   scriptFns = fnsSnap
                   val benv = batchEnv(sp, d2, batch, statelessSnap)
                   Map(
                     tName -> applyDml(sp, d2, dAst, dAct, dSchema,
-                      acc(tName), benv),
-                    "__out" -> acc("__out").unionByName(
-                      enrichCompile(sp, d2, ast, j, dmlInfo,
-                        acc(tName), benv)))
+                      acc(tName).slice, benv),
+                    // the join reads the WHOLE pre-batch table (events
+                    // may reference keys this batch didn't update)
+                    "__out" -> enrichCompile(sp, d2, ast, j, dmlInfo,
+                      acc(tName).full(), benv))
                 },
                 (_, acc) => acc("__out"),
                 ast.orderBy.map { case (c2, asc) =>
@@ -3962,34 +4172,112 @@ object SiddhiQL extends Serializable {
       dmlOpt match {
         case Some(lf) =>
           // folded stage LIVE (table DML / unique:last / sort /
-          // frequent): every micro-batch folds into the accumulated
-          // state — parquet generations materialize it between
-          // triggers (engine twin: Streaming.tableUpsert), so lineage
-          // stays one-batch deep and a restart resumes from the last
-          // generation
+          // frequent / enrichment): every micro-batch folds into the
+          // accumulated state — parquet generations materialize it
+          // between triggers (engine twin: Streaming.tableUpsert), so
+          // lineage stays one-batch deep and a restart resumes from
+          // the last generations. Generations are written at each
+          // state's [[StateMode]] granularity: KEYED states are
+          // hash-bucketed and only the buckets the batch touches are
+          // read into the fold and rewritten (per-trigger write cost
+          // O(batch-touched buckets), not O(state)); APPEND states
+          // write the batch delta only; FULL states (tiny by
+          // contract) rewrite whole.
           val tmp = java.nio.file.Files
             .createTempDirectory("graft_live_fold").toString
+          val nBuckets = spark.conf.getOption("graft.live.stateBuckets")
+            .map(_.toInt).getOrElse(16)
           var gen = 0
-          def statesAt(sp: SparkSession, g: Int): Map[String, DataFrame] =
-            lf.schemas.map { case (n, sch) =>
-              n -> (if (g == 0) emptyOf(sp, sch)
-                    else sp.read.parquet(s"$tmp/gen$g/$n"))
-            }.toMap
+          // (state, bucket) -> generation holding that bucket's latest
+          // rows; bucket -1 = the whole state (FullState). AppendState
+          // keeps every generation that wrote a delta.
+          val latest = scala.collection.mutable.Map.empty[(String, Int),
+            Int]
+          val appendGens = scala.collection.mutable.Map
+            .empty[String, List[Int]].withDefaultValue(Nil)
+          val schemaOf = lf.schemas.map { case (n, s2, _) => n -> s2 }
+            .toMap
+          def path(n: String, g: Int, b: Int): String =
+            s"$tmp/gen$g/$n" + (if (b >= 0) s"/__b=$b" else "")
+          def hasFiles(p: String): Boolean = {
+            val f = new java.io.File(p)
+            f.exists && f.listFiles != null &&
+              f.listFiles.exists(_.getName.endsWith(".parquet"))
+          }
+          def bucketCol(keys: Seq[String]): Column = {
+            val h = hash(keys.map(col): _*)
+            (h % nBuckets + lit(nBuckets)) % nBuckets
+          }
+          def readPaths(sp: SparkSession, n: String, ps: Seq[String])
+              : DataFrame = {
+            val live = ps.filter(hasFiles)
+            if (live.isEmpty) emptyOf(sp, schemaOf(n))
+            else sp.read.schema(schemaOf(n)).parquet(live: _*)
+          }
+          def fullState(sp: SparkSession, n: String, m: StateMode)
+              : DataFrame = m match {
+            case FullState => readPaths(sp, n,
+              latest.get((n, -1)).map(g => path(n, g, -1)).toSeq)
+            case AppendState => readPaths(sp, n,
+              appendGens(n).map(g => path(n, g, -1)))
+            case KeyedState(_, _) => readPaths(sp, n,
+              (0 until nBuckets).flatMap(b =>
+                latest.get((n, b)).map(g => path(n, g, b))))
+          }
+          def allStates(sp: SparkSession): Map[String, DataFrame] =
+            lf.schemas.map { case (n, _, m) =>
+              n -> fullState(sp, n, m) }.toMap
           val q = lf.feed.writeStream.outputMode("append")
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
-              val next = lf.fold(sp, dir, statesAt(sp, gen), batch)
-              lf.schemas.foreach { case (n, _) =>
-                next(n).write.mode("overwrite")
-                  .parquet(s"$tmp/gen${gen + 1}/$n")
-              }
-              gen += 1
+              // buckets each keyed state's merge can touch — from the
+              // batch's key values, before the fold reads any state
+              val touched: Map[String, Seq[Int]] =
+                lf.schemas.collect {
+                  case (n, _, KeyedState(keys, batchKeys)) =>
+                    n -> batchKeys(sp, dir, batch)
+                      .select(bucketCol(keys).cast("int").as("__b"))
+                      .distinct().collect().map(_.getInt(0)).toSeq
+                }.toMap
+              val states = lf.schemas.map { case (n, sch, m) =>
+                n -> LiveState(
+                  m match {
+                    case FullState => fullState(sp, n, m)
+                    case AppendState => emptyOf(sp, sch)
+                    case KeyedState(_, _) => readPaths(sp, n,
+                      touched(n).flatMap(b =>
+                        latest.get((n, b)).map(g => path(n, g, b))))
+                  },
+                  () => fullState(sp, n, m))
+              }.toMap
+              val next = lf.fold(sp, dir, states, batch)
+              val g1 = gen + 1
+              lf.schemas.foreach { case (n, _, m) => m match {
+                case FullState =>
+                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
+                  latest((n, -1)) = g1
+                case AppendState =>
+                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
+                  appendGens(n) = appendGens(n) :+ g1
+                case KeyedState(keys, _) =>
+                  // the fold is a per-key merge, so its output holds
+                  // exactly the touched buckets' new content; untouched
+                  // buckets keep their prior generation untouched
+                  next(n).withColumn("__b", bucketCol(keys))
+                    .repartition(math.max(touched(n).size, 1),
+                      col("__b"))
+                    .write.mode("overwrite").partitionBy("__b")
+                    .parquet(s"$tmp/gen$g1/$n")
+                  touched(n).foreach(b => latest((n, b)) = g1)
+                  foldWriteProbe.foreach(_ += ((g1, n, next(n).count())))
+              }}
+              gen = g1
             }.start()
           rows.grouped(per).foreach { g =>
             ms.addData(g.toSeq); q.processAllAvailable()
           }
           q.stop()
-          val fin = lf.finish(spark, statesAt(spark, gen))
+          val fin = lf.finish(spark, allStates(spark))
           if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
         case None =>
           val (df, kind, ordCols) = stages.getOrElse(

@@ -155,6 +155,34 @@ object SqlGate {
         |order by event_id
         |output first every 1 min
         |insert into Out""".stripMargin, "first_per_min")),
+    // `output last every T` deployed LIVE: an Append-mode time-window
+    // max_by — each interval's last event emits when the watermark
+    // closes the interval (state evicted per window)
+    "sql_app_rate_last_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'last_per_min')
+        |from events[value > 100.0]
+        |select event_id, user_id, value
+        |order by event_id
+        |output last every 1 min
+        |insert into Out""".stripMargin, "last_per_min")),
+    // `output all every T` deployed LIVE: emission batching only —
+    // content is the pass-through stream
+    "sql_app_rate_all_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'all_per_min')
+        |from events[value > 150.0]
+        |select event_id, user_id, value
+        |order by event_id
+        |output all every 1 min
+        |insert into Out""".stripMargin, "all_per_min")),
+    // `output snapshot every T` deployed LIVE: per-interval keep-latest
+    // keyed fold (bucketed generations) + one gap-fill pass at finish
+    "sql_app_rate_snapshot_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'snap')
+        |from events
+        |select value as v
+        |output snapshot every 10 min
+        |order by w_end_ms
+        |insert into Out""".stripMargin, "snap")),
     // cron window deployed LIVE: cron-aligned Complete-mode buckets
     "sql_app_cron_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'c')
@@ -845,6 +873,35 @@ object SqlGate {
         |  FROM events WHERE value > 100.0)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+    // last filtered event of each 1-min interval in replay order
+    "sql_app_rate_last_live" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value, row_number() OVER (
+        |    PARTITION BY epoch_ns(ts) // 60000000000
+        |    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE value > 100.0)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    // `output all` batches emission, never content
+    "sql_app_rate_all_live" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 150.0 ORDER BY event_id""".stripMargin,
+    // latest value per 10-min interval end, gap-filled forward
+    // (the live fold of the sql_rate_snapshot shape)
+    "sql_app_rate_snapshot_live" ->
+      """WITH ranked AS (
+        |  SELECT value, epoch_ns(ts) // 600000000000 AS iv,
+        |    row_number() OVER (PARTITION BY epoch_ns(ts) // 600000000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |lastv AS (SELECT iv, value FROM ranked WHERE rn = 1),
+        |bounds AS (SELECT min(iv) AS lo, max(iv) AS hi FROM lastv),
+        |ticks AS (SELECT unnest(range(lo, hi + 1)) AS iv FROM bounds)
+        |SELECT (t.iv + 1) * 600000 AS w_end_ms,
+        |  last_value(l.value IGNORE NULLS) OVER (ORDER BY t.iv
+        |    ROWS UNBOUNDED PRECEDING) AS v
+        |FROM ticks t LEFT JOIN lastv l ON l.iv = t.iv
+        |ORDER BY w_end_ms""".stripMargin,
     "sql_app_join_live" ->
       """SELECT a.event_id AS err_id, b.event_id AS buy_id,
         |  a.user_id AS user_id
