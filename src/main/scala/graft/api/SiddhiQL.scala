@@ -468,6 +468,12 @@ object SiddhiQL extends Serializable {
           if (tryKw("join")) Some("inner")
           else if (isKw("left")) {
             eatKw("left"); eatKw("outer"); eatKw("join"); Some("left_outer")
+          } else if (isKw("right")) {
+            eatKw("right"); eatKw("outer"); eatKw("join")
+            Some("right_outer")
+          } else if (isKw("full")) {
+            eatKw("full"); eatKw("outer"); eatKw("join")
+            Some("full_outer")
           } else None
         if (unidir && jt.isEmpty)
           fail("`unidirectional` must precede `join`")
@@ -2015,7 +2021,10 @@ object SiddhiQL extends Serializable {
       items.collect { case (it, _, false) => it }.foreach { it =>
         it.e match {
           // a bare or stream-qualified column that is a group key
-          case Ref(parts) if ast.groupBy.contains(parts.last) => ()
+          // (the key may have been rewritten to its qualified form by
+          // the join path's ambiguity resolution)
+          case Ref(parts) if ast.groupBy.contains(parts.last) ||
+              ast.groupBy.contains(parts.mkString(".")) => ()
           case _ => fail(s"non-aggregate select item " +
             s"'${sqlOf(it.e)}' must be a group by column")
         }
@@ -2177,8 +2186,20 @@ object SiddhiQL extends Serializable {
           "stream-stream windowed join); other join-side window types " +
           "are not supported (v1)")
     }
-    selectOrAggregate(expandStar(ast, joined.columns.distinct), joined,
-      Nil, windowed = false)
+    // a group key whose select item is a SIDE-QUALIFIED ref (a.user_id
+    // as user_id … group by user_id) must group by the qualified
+    // column — the bare name is ambiguous when both join sides carry
+    // it (the self-join shape); post-aggregation the key column is
+    // single-part again, so downstream resolution is unchanged
+    val expanded = expandStar(ast, joined.columns.distinct)
+    val astG = expanded.copy(groupBy = expanded.groupBy.map { g =>
+      itemsOf(expanded).collectFirst {
+        case (it, a, false) if a == g => it.e } match {
+        case Some(Ref(parts)) if parts.length > 1 => parts.mkString(".")
+        case _ => g
+      }
+    })
+    selectOrAggregate(astG, joined, Nil, windowed = false)
   }
 
   private def compileSingle(spark: SparkSession, dir: String, ast0: Ast,
@@ -2879,8 +2900,14 @@ object SiddhiQL extends Serializable {
     }
     val (df, kind, ordCols) = stages.getOrElse(
       fail(s"app has no query named or inserting into '$out'"))
-    (df,
-      if (kind == 1) OutputMode.Complete() else OutputMode.Append(),
+    // kind 4 (Update-mode global agg): the caller's sink receives only
+    // the groups each trigger changed and is expected to upsert them
+    // keyed on the group columns — __ukey is the runner's internal
+    // collapse handle, not part of the user-facing schema
+    (if (kind == 4) df.drop("__ukey") else df,
+      if (kind == 1) OutputMode.Complete()
+      else if (kind == 4) OutputMode.Update()
+      else OutputMode.Append(),
       ordCols, kind == 2)
   }
 
@@ -2937,6 +2964,13 @@ object SiddhiQL extends Serializable {
   private[graft] var foldWriteProbe
       : Option[scala.collection.mutable.Buffer[(Int, String, Long)]] =
     None
+
+  /** Test probe: when set, [[deployApp]]'s Update-mode collapse
+    * records each trigger's emitted-row count so a spec can assert
+    * per-trigger sink volume tracks the batch's changed groups, not
+    * the total group count. */
+  private[graft] var updateEmitProbe
+      : Option[scala.collection.mutable.Buffer[Long]] = None
   private final case class KeyedState(keys: Seq[String],
       batchKeys: (SparkSession, String, DataFrame) => DataFrame)
     extends StateMode
@@ -3079,6 +3113,7 @@ object SiddhiQL extends Serializable {
     // per-stage state behavior when deployed (see scaladoc)
     val KStateless = 0; val KComplete = 1; val KWindowAgg = 2
     val KFold = 3 // handled via foldResult; no streaming sink of its own
+    val KUpdate = 4 // global agg in Update mode → keyed upsert collapse
     val srcTs =
       if (src.columns.contains("ts")) src
       else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -3389,9 +3424,29 @@ object SiddhiQL extends Serializable {
                       rated.columns.contains(c) && !aliases.contains(c))
                   }
                 carriedNow = carryCols
-                (selectOrAggregate(ast, rated, Nil, windowed = false,
-                  carry = carryCols.map(col)),
-                  if (agg) KComplete else KStateless)
+                val outDf = selectOrAggregate(ast, rated, Nil,
+                  windowed = false, carry = carryCols.map(col))
+                if (!agg) (outDf, KStateless)
+                else {
+                  // live global (unwindowed) aggregation runs UPDATE
+                  // mode: each trigger emits only the groups the batch
+                  // changed — sink volume O(batch keys) per trigger,
+                  // not O(all groups) as Complete-mode re-emission
+                  // would be. The runner collapses the emissions into
+                  // a keyed upsert (last write per group wins), the
+                  // scale-safe shape of the reference's ever-updating
+                  // aggregate. `__ukey` carries the group identity to
+                  // the collapse and is dropped at the sink; when the
+                  // group key is not projected there is no upsert
+                  // identity, so the stage keeps bounded-state
+                  // Complete re-emission.
+                  if (ast.groupBy.isEmpty)
+                    (outDf.withColumn("__ukey", lit(0L)), KUpdate)
+                  else if (ast.groupBy.forall(outDf.columns.contains))
+                    (outDf.withColumn("__ukey",
+                      struct(ast.groupBy.map(col): _*)), KUpdate)
+                  else (outDf, KComplete)
+                }
               case Some(WindowSpec(n, args, _))
                   if n.equalsIgnoreCase("timebatch") =>
                 if (ast.rate.nonEmpty)
@@ -3962,15 +4017,20 @@ object SiddhiQL extends Serializable {
               if (!hasEqui(j.on))
                 fail("a windowed stream-stream join needs an equality " +
                   "conjunct in its on-clause")
-              if (j.joinType != "inner")
-                fail("live windowed joins are inner (v1)")
-              if (ast.select.exists(it => containsAgg(it.e)) ||
-                  ast.groupBy.nonEmpty)
-                fail("live windowed joins project columns (v1) — " +
-                  "aggregate the join output in a downstream " +
-                  "#window.timeBatch stage (insert the join into a " +
-                  "named stream, then aggregate that stream: Spark's " +
-                  "chained-stateful-operator path)")
+              // outer directions ride the SAME watermarked interval
+              // join: Spark emits the null-padded side once the
+              // watermark passes the band (state eviction doubles as
+              // the no-match proof), so outer needs the flush-sentinel
+              // Append channel (KWindowAgg) where inner emits matches
+              // as they arrive (KStateless)
+              val jType = j.joinType match {
+                case "inner" | "left_outer" | "right_outer" |
+                     "full_outer" => j.joinType
+                case other => fail("live windowed joins are inner or " +
+                  s"left/right/full outer (v1), got '$other'")
+              }
+              val joinAgg = ast.select.exists(it => containsAgg(it.e)) ||
+                ast.groupBy.nonEmpty
               val la = j.leftAlias.getOrElse(fail("windowed join sides " +
                 "need aliases to qualify their timestamps"))
               val ra = j.rightAlias.getOrElse(fail("windowed join sides " +
@@ -3986,12 +4046,19 @@ object SiddhiQL extends Serializable {
                 if (!b1.columns.contains("ts"))
                   fail(s"join side '${ss.table}' lost its 'ts' column — " +
                     "live windowed joins need the event-time column")
+                // flush sentinels ride through every liveWhere filter
+                // (OR-extended) to keep advancing the watermark; drop
+                // them HERE, above the source watermark node, so they
+                // never enter the join — an outer join would otherwise
+                // pair each sentinel with itself across the two sides
+                val b2 = b1.filter(
+                  col("ts") < graft.engine.Streaming.flushCutoff)
                 // the source watermark tag propagates through the
                 // rename (`alias_ts` keeps the -T60000ms annotation), so
                 // re-declaring it here would be a disallowed watermark
                 // redefinition — the interval join's state eviction
                 // keys off the inherited tag
-                b1.columns.foldLeft(b1)((d, c) =>
+                b2.columns.foldLeft(b2)((d, c) =>
                   d.withColumnRenamed(c, s"${alias}_$c"))
               }
               def qual(parts: List[String]): String = parts match {
@@ -4013,21 +4080,168 @@ object SiddhiQL extends Serializable {
                   s"${if (lo <= 0) "+" else "-"} ${ivl(lo)}"
               val joined = sideDf(j.left.copy(window = None), la)
                 .join(sideDf(j.right.copy(window = None), ra),
-                  expr(s"($cond) and ($band)"), "inner")
-              // carry the LEFT side's watermarked event-time columns
-              // through the projection (dropped again if this join is
-              // the sink) so a downstream Append-mode window stage can
-              // bucket and evict by them — Spark's chained
+                  expr(s"($cond) and ($band)"), jType)
+              if (joinAgg) {
+                // ONE-STAGE windowed-join aggregation: `join … select
+                // agg(...) group by …` compiles to the watermarked
+                // interval join feeding a per-micro-batch ALGEBRAIC
+                // keyed fold (count/sum/min/max/avg partials merged
+                // componentwise across triggers — state is one
+                // component row per group, per-trigger write cost
+                // O(batch-touched buckets)). The batch twin is the
+                // global aggregation over all band pairs, so the fold
+                // equals batch replay under any chunking. Spark itself
+                // cannot chain an unwindowed Update-mode aggregation
+                // above a stream-stream join, which is exactly why
+                // this runs through the fold channel; a time-windowed
+                // aggregation above a join stays the chained
+                // stateful-operator form (insert into a named stream,
+                // then #window.timeBatch it).
+                if (jType != "inner")
+                  fail("aggregation above an OUTER live windowed join " +
+                    "is not deployed (v1) — null-padded rows only " +
+                    "materialize at watermark expiry, after the fold; " +
+                    "use an inner join or the chained two-query form")
+                if (ast.having.nonEmpty)
+                  fail("live join aggregation (v1) has no having clause")
+                if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+                  fail("live join aggregation (v1) has no limit/offset")
+                val items = itemsOf(ast)
+                val keyItems = items.filter(!_._3)
+                val keyAliases = keyItems.map(_._2)
+                if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                  fail("live join aggregation (v1) groups by exactly " +
+                    "the aliases of its non-aggregate select items " +
+                    s"(non-aggregate [${keyAliases.mkString(", ")}], " +
+                    s"group by [${ast.groupBy.mkString(", ")}])")
+                // (component name, agg fn, argument) per aggregate
+                // sub-call; the select item's scalar wrapper is
+                // re-evaluated at finish over the merged components
+                val comps = scala.collection.mutable.Buffer
+                  .empty[(String, String, Option[Expr])]
+                def rw(e: Expr): Expr = e match {
+                  case Call(None, n, args0)
+                      if aggNames(n.toLowerCase) =>
+                    val base = s"__g${comps.length}"
+                    n.toLowerCase match {
+                      case "count" | "sum" | "min" | "max" =>
+                        comps += ((base, n.toLowerCase, args0.headOption))
+                        Ref(List(base))
+                      case "avg" =>
+                        comps += ((base, "avg", args0.headOption))
+                        Bin("/", Ref(List(base + "s")),
+                          Ref(List(base + "n")))
+                      case other2 => fail("live join aggregation (v1) " +
+                        "supports count/sum/min/max/avg aggregates; " +
+                        s"got '$other2'")
+                    }
+                  case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                  case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                  case Not(x) => Not(rw(x))
+                  case Neg(x) => Neg(rw(x))
+                  case other2 => other2
+                }
+                val finals: Seq[(String, Expr)] = items.map {
+                  case (it, a2, isAgg) =>
+                    a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+                }
+                comps.foreach { case (_, n, argO) =>
+                  if (n != "count" && argO.isEmpty)
+                    fail(s"$n(...) needs an argument")
+                }
+                // a group-by-less aggregate folds under one constant
+                // key (single component row of state)
+                val keys =
+                  if (keyAliases.isEmpty) Seq("__k") else keyAliases
+                val feed0 = joined.select(keyItems.map {
+                  case (it, a2, _) =>
+                    expr(sqlOfWith(it.e, qual)).as(a2) } ++
+                  comps.toSeq.flatMap { case (base, _, argO) =>
+                    argO.map(arg => expr(sqlOfWith(arg, qual))
+                      .as(s"${base}_x")).toSeq }: _*)
+                val feed = if (keyAliases.isEmpty)
+                  feed0.withColumn("__k", lit(0L)) else feed0
+                def partialOf(df: DataFrame): DataFrame = {
+                  val aggs: Seq[Column] = comps.toSeq.flatMap {
+                    case (base, n, argO) =>
+                      val a0 = argO.map(_ => col(s"${base}_x"))
+                      n match {
+                        case "count" =>
+                          Seq(a0.fold(count(lit(1)))(count).as(base))
+                        case "sum" => Seq(sum(a0.get).as(base))
+                        case "min" => Seq(min(a0.get).as(base))
+                        case "max" => Seq(max(a0.get).as(base))
+                        case "avg" => Seq(sum(a0.get).as(base + "s"),
+                          count(a0.get).as(base + "n"))
+                      }
+                  }
+                  df.groupBy(keys.map(col): _*)
+                    .agg(aggs.head, aggs.tail: _*)
+                }
+                def mergeComp(base: String, n: String): Seq[Column] = {
+                  def add(c: String) =
+                    (coalesce(col(s"t.$c"), lit(0)) +
+                      coalesce(col(s"u.$c"), lit(0))).as(c)
+                  n match {
+                    case "count" => Seq(add(base))
+                    case "sum" => Seq(add(base))
+                    case "min" => Seq(least(col(s"t.$base"),
+                      col(s"u.$base")).as(base))
+                    case "max" => Seq(greatest(col(s"t.$base"),
+                      col(s"u.$base")).as(base))
+                    case "avg" => Seq(add(base + "s"), add(base + "n"))
+                  }
+                }
+                val schemaJ = partialOf(feed).schema
+                val keyJ = name.orElse(ast.action.map(_.target))
+                if (keyJ.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(feed, schemaJ,
+                    (_, _, acc, batch) => {
+                      val u = partialOf(batch)
+                      acc.as("t").join(u.as("u"),
+                          keys.map(k =>
+                            col(s"t.$k") === col(s"u.$k"))
+                            .reduce(_ && _), "full_outer")
+                        .select(keys.map(k => coalesce(col(s"u.$k"),
+                            col(s"t.$k")).as(k)) ++
+                          comps.toSeq.flatMap { case (b2, n, _) =>
+                            mergeComp(b2, n) }: _*)
+                    },
+                    (_, acc) => acc.select(finals.map {
+                      case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                    ast.orderBy.map { case (c2, asc) =>
+                      if (asc) col(c2).asc else col(c2).desc },
+                    KeyedState(keys, (_, _, batch) =>
+                      batch.select(keys.map(col): _*))))
+                carriedNow = Nil
+                (emptyOf(joined.sparkSession, schemaJ), KFold)
+              } else {
+              // carry the non-nullable side's watermarked event-time
+              // columns through the projection (dropped again if this
+              // join is the sink) so a downstream Append-mode window
+              // stage can bucket and evict by them — Spark's chained
               // stateful-operator path (interval join → time-window
-              // aggregation); the alias metadata keeps the watermark tag
+              // aggregation); the alias metadata keeps the watermark
+              // tag. full outer has no never-null side, so nothing
+              // carries (a downstream window stage diagnoses the
+              // missing 'ts' itself).
+              val carrySide = jType match {
+                case "inner" | "left_outer" => Some(la)
+                case "right_outer" => Some(ra)
+                case _ => None
+              }
               val aliases = itemsOf(ast).map(_._2).toSet
-              val carry = Seq("ts", "ts_ns").filter(c =>
-                joined.columns.contains(s"${la}_$c") &&
-                  !aliases.contains(c))
+              val carry = carrySide.fold(Seq.empty[String])(s0 =>
+                Seq("ts", "ts_ns").filter(c =>
+                  joined.columns.contains(s"${s0}_$c") &&
+                    !aliases.contains(c)))
               carriedNow = carry
               (joined.select(itemsOf(ast).map { case (it, a2, _) =>
                 expr(sqlOfWith(it.e, qual)).as(a2) } ++
-                carry.map(c => col(s"${la}_$c").as(c)): _*), KStateless)
+                carry.map(c =>
+                  col(s"${carrySide.get}_$c").as(c)): _*),
+                if (jType == "inner") KStateless else KWindowAgg)
+              }
             case _ => fail("live deployment joins need #window.time(T) " +
               "on both sides (the watermarked stream-stream join); " +
               "other join forms are not deployed (v1)")
@@ -4282,6 +4496,32 @@ object SiddhiQL extends Serializable {
         case None =>
           val (df, kind, ordCols) = stages.getOrElse(
             fail(s"app has no query named or inserting into '$out'"))
+          if (kind == 4) {
+            // UPDATE-mode global aggregation: the stream emits only
+            // the groups each trigger changed; this collapse is the
+            // keyed upsert sink (last write per __ukey wins) a
+            // production deployment points at an external store —
+            // driver memory here is O(groups), the same bound the
+            // memory sink pays, but per-trigger SINK VOLUME is
+            // O(changed groups), the property that survives scale
+            val keyIdx = df.columns.indexOf("__ukey")
+            val m = scala.collection.mutable.LinkedHashMap
+              .empty[Any, org.apache.spark.sql.Row]
+            val q = df.writeStream.outputMode("update")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val got = batch.collect()
+                updateEmitProbe.foreach(_ += got.length.toLong)
+                got.foreach(r => m(r.get(keyIdx)) = r)
+              }.start()
+            rows.grouped(per).foreach { g =>
+              ms.addData(g.toSeq); q.processAllAvailable()
+            }
+            q.stop()
+            val lst = new java.util.ArrayList[org.apache.spark.sql.Row]()
+            m.values.foreach(lst.add)
+            val t = spark.createDataFrame(lst, df.schema).drop("__ukey")
+            return (if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t)
+          }
           val mode = if (kind == 1) OutputMode.Complete()
                      else OutputMode.Append()
           val sinkName = s"graft_deploy_$out"

@@ -278,6 +278,63 @@ object SqlGate {
         |group by user_id
         |order by w_start_ms, user_id
         |insert into Out""".stripMargin, "agg")),
+    // ONE-STAGE windowed-join aggregation deployed LIVE: `join …
+    // select agg(...) group by …` in a single query — compiled to the
+    // interval join feeding an algebraic keyed fold (count/sum/min/
+    // max/avg partials merged componentwise per group across
+    // triggers); the batch global aggregation over all band pairs is
+    // the oracle
+    "sql_app_join_agg1_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(sum(b.value), 2) as total,
+        |  math:round(avg(b.value), 2) as avg_v,
+        |  math:round(min(b.value), 2) as vmin,
+        |  math:round(max(b.value), 2) as vmax
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
+    // LEFT OUTER windowed join deployed LIVE: the same watermarked
+    // interval join — Spark emits the null-padded left row once the
+    // watermark proves no right match can still arrive in the band
+    // (state eviction doubles as the no-match proof); the band-model
+    // batch left join is the oracle
+    "sql_app_join_outer_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "pairs")),
+    // FULL OUTER windowed join deployed LIVE: both sides null-pad at
+    // watermark expiry — unmatched errors AND unmatched purchases
+    "sql_app_join_full_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  full outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "pairs")),
+    // global (unwindowed) aggregation deployed LIVE in UPDATE mode:
+    // each trigger emits only the groups the batch changed; the
+    // runner's keyed upsert collapse (last write per group wins) is
+    // the sink — per-trigger sink volume O(changed groups), asserted
+    // bounded in StreamingSourceSpec
+    "sql_app_agg_update_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'totals')
+        |from events[value > 50.0]
+        |select user_id, count() as n, math:round(sum(value), 2) as sv
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "totals")),
     // unique:last deployed LIVE: keep-LAST per key as a foreachBatch
     // keyed fold (Update-mode semantics without sink retraction)
     "sql_app_uniquelast_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -923,6 +980,41 @@ object SqlGate {
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM pairs GROUP BY 1, 2
         |ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_app_join_agg1_live" ->
+      """WITH pairs AS (
+        |  SELECT a.user_id AS user_id, b.value AS v
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000)
+        |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total,
+        |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
+        |  round(max(v), 2) AS vmax
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_app_join_outer_live" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |  a.user_id AS user_id
+        |FROM a LEFT JOIN b
+        |  ON a.user_id = b.user_id
+        | AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |     BETWEEN -600000000000 AND 600000000000
+        |ORDER BY err_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin,
+    "sql_app_join_full_live" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a FULL JOIN b
+        |  ON a.user_id = b.user_id
+        | AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |     BETWEEN -600000000000 AND 600000000000
+        |ORDER BY err_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin,
+    "sql_app_agg_update_live" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events WHERE value > 50.0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // per-event as-of: each purchase joins the LATEST earlier update
     // of its user (an event's own update would be visible — disjoint
     // event types here, so <= and < coincide)

@@ -1086,4 +1086,102 @@ class SiddhiQlSpec extends AnyFunSuite {
       "from events select user_id delete T on T.user_id == user_id"))
       .getMessage.contains("needs an app context"))
   }
+
+  test("live outer windowed joins (left/right/full) equal batch " +
+       "replay and actually null-pad (non-vacuous)") {
+    def pairsApp(jt: String) =
+      s"""@info(name = 'pairs')
+         |from events as a[event_type == 'error']#window.time(10 min)
+         |  $jt
+         |  events as b[event_type == 'purchase']#window.time(10 min)
+         |  on a.user_id == b.user_id
+         |select a.event_id as err_id, b.event_id as buy_id
+         |order by err_id, buy_id
+         |insert into Out""".stripMargin
+    val inner = SiddhiQL.deployApp(spark, sf, pairsApp("join"), "pairs")
+      .collect()
+    def check(jt: String): Array[org.apache.spark.sql.Row] = {
+      val live = SiddhiQL.deployApp(spark, sf, pairsApp(jt), "pairs")
+        .collect()
+      val batch = SiddhiQL.compileApp(spark, sf, pairsApp(jt))("pairs")
+        .orderBy(col("err_id").asc, col("buy_id").asc).collect()
+      assert(live.map(_.toSeq) sameElements batch.map(_.toSeq),
+        s"$jt: live != batch replay")
+      live
+    }
+    val left = check("left outer join")
+    val right = check("right outer join")
+    val full = check("full outer join")
+    // non-vacuous: each outer direction adds null-padded rows beyond
+    // the inner matches — a watermark that never fired would leave
+    // them out and the comparison above would still pass on 0 == 0
+    assert(left.count(_.isNullAt(1)) > 0, "left outer padded nothing")
+    assert(right.count(_.isNullAt(0)) > 0, "right outer padded nothing")
+    assert(full.length ==
+      inner.length + left.count(_.isNullAt(1)) +
+        right.count(_.isNullAt(0)),
+      "full outer != inner + left-only + right-only")
+  }
+
+  test("live global aggregation runs UPDATE mode: per-trigger sink " +
+       "volume tracks the batch's groups, not the total group count") {
+    // group by event_id (unique per event): each micro-batch changes
+    // only its own groups, so Update mode emits ~batch-size rows per
+    // trigger; Complete mode would re-emit the whole cumulative table
+    // (final trigger = total rows) and trip the bound below
+    val app =
+      """@info(name = 'g')
+        |from events
+        |select event_id, count() as n
+        |group by event_id
+        |order by event_id
+        |insert into Out""".stripMargin
+    val probe = scala.collection.mutable.Buffer.empty[Long]
+    SiddhiQL.updateEmitProbe = Some(probe)
+    try {
+      val live = SiddhiQL.deployApp(spark, sf, app, "g", chunks = 10)
+        .collect()
+      val total = live.length.toLong
+      assert(total > 0 && probe.nonEmpty)
+      assert(probe.sum >= total, "every group must be emitted at least once")
+      val per = math.ceil(total / 10.0).toLong
+      assert(probe.max <= 2 * per,
+        s"a trigger emitted ${probe.max} rows for a ~$per-row batch — " +
+          "Complete-mode re-emission, not Update mode")
+      val batch = SiddhiQL.compileApp(spark, sf, app)("g").collect()
+      assert(live.map(_.toSeq) sameElements batch.map(_.toSeq))
+    } finally SiddhiQL.updateEmitProbe = None
+  }
+
+  test("one-stage windowed-join aggregation compiles to the algebraic " +
+       "fold: live == batch replay, == the chained two-query form") {
+    val oneStage =
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(sum(b.value), 2) as total,
+        |  math:round(avg(b.value), 2) as avg_v
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, oneStage, "agg")
+      .collect().map(_.toSeq)
+    assert(live.nonEmpty, "one-stage join-agg empty at test scale — " +
+      "the gate would pass vacuously")
+    val batch = SiddhiQL.compileApp(spark, sf, oneStage)("agg")
+      .collect().map(_.toSeq)
+    assert(live sameElements batch, "live fold != batch replay")
+    // chunking-invariance: a different micro-batch split folds to the
+    // same components
+    val live7 = SiddhiQL.deployApp(spark, sf, oneStage, "agg",
+      chunks = 7).collect().map(_.toSeq)
+    assert(live7 sameElements batch)
+    // outer + aggregate is diagnosed, not silently mis-folded
+    val m = intercept[IllegalArgumentException](SiddhiQL.deployApp(
+      spark, sf, oneStage.replace("\n  join", "\n  left outer join"),
+      "agg")).getMessage
+    assert(m.contains("OUTER"))
+  }
 }
