@@ -298,28 +298,39 @@ object Similarity {
       Array.tabulate(m, k, sub)((mm, c, i) => init(c)(mm * sub + i))
     def centsLit(mm: Int): String = cents(mm)
       .map(c => s"array(${c.mkString(",")})").mkString("array(", ",", ")")
+    // the per-subspace distance vector materializes ONCE as a real
+    // column (`__d`) and the code is its argmin — inlining the
+    // transform into both array_position args would double the
+    // codebook-literal expression, and at M=4 subspaces × 2 encode
+    // passes that literal bulk is what the optimizer and codegen
+    // chew on, not the 64-dim arithmetic
     def encoded(): DataFrame = (0 until m).foldLeft(e) { (df, mm) =>
-      df.withColumn(s"code$mm", expr(
-        s"array_position(transform(${centsLit(mm)}, c -> " +
-          s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
-          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)), " +
-        s"array_min(transform(${centsLit(mm)}, c -> " +
-          s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
-          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)))) - 1"))
+      df.withColumn(s"__d$mm", expr(
+          s"transform(${centsLit(mm)}, c -> " +
+            s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
+            "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x))"))
+        .withColumn(s"code$mm",
+          expr(s"array_position(__d$mm, array_min(__d$mm)) - 1"))
+        .drop(s"__d$mm")
     }
-    // one Lloyd update per subspace, all in ONE aggregate over ONE scan:
-    // each row explodes to its (subspace, code, dim, x) cells — a
-    // 4-union of re-encoded scans would recompute (and re-codegen) the
-    // codebook-literal encoder four times for the same answer
+    // one Lloyd update per subspace, all in ONE aggregate over ONE
+    // scan: each row explodes to its M (subspace, code, sub-vector)
+    // cells — 4 rows per vector, with the 16 per-dimension means as 16
+    // aggregate columns (a per-dimension posexplode would cost 64 rows
+    // per vector for the same answer; a 4-union of re-encoded scans
+    // would re-codegen the codebook-literal encoder four times)
     val exploded = encoded()
       .select(explode(array((0 until m).map(mm => struct(
         lit(mm).as("m"), col(s"code$mm").as("code"),
         expr(s"slice(v, ${mm * sub + 1}, $sub)").as("xs"))): _*)).as("s"))
       .select(col("s.m").as("m"), col("s.code").as("code"),
-        posexplode(col("s.xs")).as(Seq("i", "x")))
-    val upd = exploded.groupBy("m", "code", "i")
-      .agg(round(avg("x"), 6).as("cm")).collect()
-      .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+        col("s.xs").as("xs"))
+    val dimAggs = (0 until sub).map(i =>
+      round(avg(expr(s"xs[$i]")), 6).as(s"c$i"))
+    val upd = exploded.groupBy("m", "code")
+      .agg(dimAggs.head, dimAggs.tail: _*).collect()
+      .flatMap(r => (0 until sub).map(i =>
+        ((r.getInt(0), r.getLong(1), i), r.getDouble(2 + i))))
       .toMap
     require(upd.size == m * k * sub,
       s"empty PQ cluster (got ${upd.size} of ${m * k * sub} cells) — " +
@@ -341,19 +352,33 @@ object Similarity {
     }
     val adcSum = (0 until m).map(mm =>
       s"element_at(dt$mm, cast(code$mm as int) + 1)").mkString(" + ")
-    val scored = codes.join(broadcast(qdt), col("vec_id") =!= col("q_id"))
+    // the ranking scan touches ONLY the M codes and the broadcast ADC
+    // tables — no 64-dim vector rides through the candidate join or
+    // the two top-k shuffles (PQ's whole point at scale: the corpus
+    // vectors stay in cold storage during search)
+    val scored = codes.drop("v")
+      .join(broadcast(qdt.drop("qv")), col("vec_id") =!= col("q_id"))
       .withColumn("adc", expr(s"round($adcSum, 6)"))
-      .withColumn("cos_exact", cosExpr("qv", "v"))
-      .select("q_id", "vec_id", "adc", "cos_exact")
+      .select("q_id", "vec_id", "adc")
     val local = scored
       .withColumn("pid", spark_partition_id())
       .withColumn("lrk", expr("row_number() over (partition by q_id, pid " +
         "order by adc, vec_id)"))
       .filter(col("lrk") <= 10)
-    local
+    val ranked = local
       .withColumn("rk", expr("row_number() over (partition by q_id " +
         "order by adc, vec_id)"))
       .filter(col("rk") <= 10)
+      .select("q_id", "rk", "vec_id", "adc")
+    // exact cosine ONLY for the k·|queries| winners (50 rows): the
+    // winner set (with its query vectors) BROADCASTS against one
+    // corpus scan to fetch candidate vectors — the quantization error
+    // stays visible in the output without an exact 64-dim fold per
+    // candidate
+    e.withColumnRenamed("vec_id", "__cand")
+      .join(broadcast(ranked.join(broadcast(queries), Seq("q_id"))),
+        col("__cand") === col("vec_id"))
+      .withColumn("cos_exact", cosExpr("qv", "v"))
       .select("q_id", "rk", "vec_id", "adc", "cos_exact")
       .orderBy("q_id", "rk")
   }
