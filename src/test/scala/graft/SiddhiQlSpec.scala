@@ -918,11 +918,12 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select a.event_id as x insert into O")
       .contains("window.time"))
-    // aggregation above a live join
+    // aggregation above a live join now deploys through the algebraic
+    // fold — only NON-algebraic aggregates stay diagnosed
     assert(msg("@info(name='q') from events as a#window.time(1 min) " +
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
-      "select count() as n insert into O")
-      .contains("project columns"))
+      "select distinctCount(b.value) as n insert into O")
+      .contains("count/sum/min/max/avg"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
