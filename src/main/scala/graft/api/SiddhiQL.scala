@@ -442,7 +442,8 @@ object SiddhiQL extends Serializable {
         PatternStream(every, steps.result(), w)
       } else {
         def single(): (SingleStream, Option[String]) = {
-          val tbl = ident()
+          // `from !S` reads S's fault stream (@OnError(action='STREAM'))
+          val tbl = if (trySym("!")) "!" + ident() else ident()
           val a = if (tryKw("as")) Some(ident()) else None
           val filt = if (trySym("[")) {
             val e = expr(); eatSym("]"); Some(e)
@@ -1195,8 +1196,63 @@ object SiddhiQL extends Serializable {
     // the batch twin of the live fold's dmlInfos
     var dmlWriters = Map.empty[String, List[(Ast, Action, StructType,
       String)]]
+    // @OnError(action='STREAM') prepass: an annotated stream S gets a
+    // fault twin `!S` BEFORE any query compiles. v1 fault class =
+    // integer divide/modulo by zero (Siddhi's runtime-exception routing
+    // re-expressed as the routing predicate the expressions imply —
+    // engine twin: Ops.faultStream's validation-predicate union): every
+    // query reading S contributes the zero-divisor conditions of its
+    // filter/select/having expressions; rows matching any condition
+    // route to !S with _error, and S's own readers see only the clean
+    // complement (an erroring event produces no main output).
+    val onErrStreams = stmts.collect { case (_, b, true) =>
+      val p0 = new P(lex(b))
+      p0.eatKw("define")
+      if (!p0.tryKw("stream"))
+        fail("@OnError annotates a `define stream` (v1)")
+      p0.ident()
+    }
+    onErrStreams.foreach { sN =>
+      val base = loadTable(spark, dir, sN, env)
+      def divisors(e: Expr): List[Expr] = e match {
+        case Bin(op, l, r) if op == "/" || op == "%" =>
+          r :: divisors(l) ::: divisors(r)
+        case Bin(_, l, r) => divisors(l) ::: divisors(r)
+        case Not(x) => divisors(x)
+        case Neg(x) => divisors(x)
+        case Call(_, _, args) => args.flatMap(divisors)
+        case _ => Nil
+      }
+      val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
+        if (!b.split("\\s+", 2).headOption.exists(
+            _.equalsIgnoreCase("from"))) Nil
+        else scala.util.Try {
+          val ast = new P(lex(b)).query()
+          ast.stream match {
+            case ss: SingleStream if ss.table == sN =>
+              (ss.filter.toList ++ ast.select.map(_.e) ++
+                ast.having.toList).flatMap(divisors)
+            case _ => Nil
+          }
+        }.getOrElse(Nil)
+      }.map(sqlOf).distinct.flatMap { rTxt =>
+        scala.util.Try {
+          val c = expr(rTxt)
+          base.select(c).schema.head.dataType match {
+            case LongType | IntegerType | ShortType | ByteType =>
+              Some(c === 0)
+            case _ => None // double division never faults (IEEE inf)
+          }
+        }.toOption.flatten
+      }
+      val faultAny = coalesce(
+        conds.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+      env += ("!" + sN) -> base.filter(faultAny)
+        .withColumn("_error", lit("divide_by_zero"))
+      env += sN -> base.filter(!faultAny)
+    }
     var i = 0
-    stmts.foreach { case (name, body) =>
+    stmts.foreach { case (name, body, _) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
       if (head.equalsIgnoreCase("define")) {
         // `define table T (col type, ...)` declares mutable state the DML
@@ -1322,7 +1378,7 @@ object SiddhiQL extends Serializable {
         }
         val envInner = env + (srcName -> view)
         innerBody.split(";").map(_.trim).filter(_.nonEmpty)
-          .flatMap(stripAnnotations).foreach { case (qName, qBody) =>
+          .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
           val ast0 = new P(lex(qBody)).query()
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
@@ -1424,7 +1480,8 @@ object SiddhiQL extends Serializable {
     * ';' outside string literals separates statements, except inside
     * `partition with (...) begin q1; q2; end` blocks, whose segments are
     * re-joined into one statement. */
-  private def splitStatements(app: String): List[(Option[String], String)] = {
+  private def splitStatements(app: String)
+      : List[(Option[String], String, Boolean)] = {
     val out = List.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
@@ -1458,7 +1515,7 @@ object SiddhiQL extends Serializable {
       }
     }
     if (depth != 0) fail("partition block missing 'end'")
-    joined.result().flatMap(stripAnnotations).map { case (n, b) => (n, b) }
+    joined.result().flatMap(stripAnnotations)
   }
 
   /** Strip leading `@name(...)` / `@ns:name(...)` annotations from a
@@ -1470,9 +1527,10 @@ object SiddhiQL extends Serializable {
     * query name; an annotation-only statement (e.g. a bare `@app:name`)
     * dissolves. */
   private def stripAnnotations(stmt: String)
-      : Option[(Option[String], String)] = {
+      : Option[(Option[String], String, Boolean)] = {
     var s = stmt
     var name: Option[String] = None
+    var onErr = false
     var go = true
     while (go) {
       val m = "(?s)^@\\s*([A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)?)\\s*\\("
@@ -1504,10 +1562,20 @@ object SiddhiQL extends Serializable {
             name = "name\\s*=\\s*'([^']*)'".r.findFirstMatchIn(body)
               .map(_.group(1)).orElse(name)
           }
+          if (ann == "onerror") {
+            // `@OnError(action='STREAM')` — the annotated stream gets a
+            // fault twin readable as `from !S` (other actions are sink
+            // retry policy, out of engine scope)
+            val body = s.substring(mm.end, endAt)
+            if ("(?i)action\\s*=\\s*'STREAM'".r.findFirstIn(body).isEmpty)
+              fail("@OnError supports action='STREAM' (v1); got " +
+                s"'@OnError($body)'")
+            onErr = true
+          }
           s = s.substring(endAt + 1).trim
       }
     }
-    if (s.isEmpty) None else Some((name, s))
+    if (s.isEmpty) None else Some((name, s, onErr))
   }
 
   // ---------- incremental aggregation (define aggregation + within/per) --
@@ -2078,7 +2146,11 @@ object SiddhiQL extends Serializable {
   private def loadTable(spark: SparkSession, dir: String, name: String,
                         env: Map[String, DataFrame]): DataFrame =
     env.getOrElse(name,
-      if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
+      if (name.startsWith("!"))
+        fail(s"fault stream '$name' needs an app context with " +
+          s"`@OnError(action='STREAM') define stream ${name.drop(1)} " +
+          "(...)`")
+      else if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
       else Tables.table(spark, dir, name))
 
   /** Apply a stream filter that may contain `<expr> in Table` membership
@@ -4291,7 +4363,11 @@ object SiddhiQL extends Serializable {
         } // end non-DML stage
     }
     scriptFns = Map.empty // live apps carry their own defines
-    splitStatements(app).foreach { case (name, body) =>
+    splitStatements(app).foreach { case (name, body, onErr) =>
+      if (onErr)
+        fail("@OnError live deployment (v1): the fault-stream contract " +
+          "is covered by batch replay (compileApp); deploy the clean " +
+          "stream and route faults in a separate app")
       val head = body.split("\\s+", 2).headOption.getOrElse("")
       if (head.equalsIgnoreCase("define")) {
         // stream schemas come from the source; function defines compile
@@ -4338,7 +4414,7 @@ object SiddhiQL extends Serializable {
                   col("ts") >= Streaming.flushCutoff))
         }
         innerBody.split(";").map(_.trim).filter(_.nonEmpty)
-          .flatMap(stripAnnotations).foreach { case (qName, qBody) =>
+          .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
           val ast0 = new P(lex(qBody)).query()
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
@@ -4380,7 +4456,28 @@ object SiddhiQL extends Serializable {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     val (stages, dmlOpt) = deployStages(src, app, out)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // the flush design is DATA-batch driven (sentinels advance the
+    // watermark, the batch after them emits under it), so Spark's
+    // extra no-data micro-batch per watermark advance only doubles the
+    // per-trigger checkpoint cost of a finite replay — a long-running
+    // deployment would leave it on for idle-stream timer progress
+    val prevNd = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
+    // HARNESS scratch: streaming checkpoints (offsets/commits/state
+    // deltas, fsync'd once per trigger) go to RAM-backed storage when
+    // the platform offers it — the replay loop's bottleneck is the
+    // per-trigger checkpoint round trip, not operator work, and a
+    // REAL deployment points this at durable storage instead
+    val shm = new java.io.File("/dev/shm")
+    val ckptRoot = java.nio.file.Files.createTempDirectory(
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")),
+      "graft_ckpt")
+    def ckpt(tag: String): String = s"$ckptRoot/$tag"
     try {
       val per = math.max(rows.length / chunks, 1)
       dmlOpt match {
@@ -4442,6 +4539,7 @@ object SiddhiQL extends Serializable {
             lf.schemas.map { case (n, _, m) =>
               n -> fullState(sp, n, m) }.toMap
           val q = lf.feed.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt("fold"))
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
               // buckets each keyed state's merge can touch — from the
@@ -4508,6 +4606,7 @@ object SiddhiQL extends Serializable {
             val m = scala.collection.mutable.LinkedHashMap
               .empty[Any, org.apache.spark.sql.Row]
             val q = df.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt("update"))
               .foreachBatch { (batch: DataFrame, _: Long) =>
                 val got = batch.collect()
                 updateEmitProbe.foreach(_ += got.length.toLong)
@@ -4526,6 +4625,7 @@ object SiddhiQL extends Serializable {
                      else OutputMode.Append()
           val sinkName = s"graft_deploy_$out"
           val q = df.writeStream.format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt("sink"))
             .outputMode(mode).start()
           rows.grouped(per).foreach { g =>
             ms.addData(g.toSeq); q.processAllAvailable()
@@ -4545,6 +4645,18 @@ object SiddhiQL extends Serializable {
           val t = spark.table(sinkName)
           if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      scala.util.Try {
+        import scala.reflect.io.Directory
+        new Directory(ckptRoot.toFile).deleteRecursively()
+      }
+    }
   }
 }

@@ -278,6 +278,36 @@ object SqlGate {
         |group by user_id
         |order by w_start_ms, user_id
         |insert into Out""".stripMargin, "agg")),
+    // @OnError(action='STREAM'): the annotated stream's fault twin is
+    // readable as `from !events` — v1 fault class = integer divide/
+    // modulo by zero, derived from the app's own expressions; clean
+    // readers see only the complement (engine twin: Ops.faultStream)
+    "sql_onerror_fault" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """@OnError(action='STREAM')
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'ok')
+        |from events
+        |select event_id, event_id % (user_id % 3) as r
+        |order by event_id
+        |insert into Out;
+        |
+        |@info(name = 'faults')
+        |from !events
+        |select event_id, _error
+        |order by event_id
+        |insert into Faults""".stripMargin)("faults")),
+    "sql_onerror_clean" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """@OnError(action='STREAM')
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'ok')
+        |from events
+        |select event_id, event_id % (user_id % 3) as r
+        |order by event_id
+        |insert into Out""".stripMargin)("ok")),
     // ONE-STAGE windowed-join aggregation deployed LIVE: `join …
     // select agg(...) group by …` in a single query — compiled to the
     // interval join feeding an algebraic keyed fold (count/sum/min/
@@ -286,8 +316,8 @@ object SqlGate {
     // the oracle
     "sql_app_join_agg1_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'agg')
-        |from events as a[event_type == 'error']#window.time(10 min)
-        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |from events as a[event_type == 'error']#window.time(5 min)
+        |  join events as b[event_type == 'purchase']#window.time(5 min)
         |  on a.user_id == b.user_id
         |select a.user_id as user_id, count() as n,
         |  math:round(sum(b.value), 2) as total,
@@ -304,9 +334,9 @@ object SqlGate {
     // batch left join is the oracle
     "sql_app_join_outer_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'pairs')
-        |from events as a[event_type == 'error']#window.time(10 min)
+        |from events as a[event_type == 'error']#window.time(2 min)
         |  left outer join
-        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  events as b[event_type == 'purchase']#window.time(2 min)
         |  on a.user_id == b.user_id
         |select a.event_id as err_id, b.event_id as buy_id,
         |  a.user_id as user_id
@@ -316,9 +346,9 @@ object SqlGate {
     // watermark expiry — unmatched errors AND unmatched purchases
     "sql_app_join_full_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'pairs')
-        |from events as a[event_type == 'error']#window.time(10 min)
+        |from events as a[event_type == 'error']#window.time(2 min)
         |  full outer join
-        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  events as b[event_type == 'purchase']#window.time(2 min)
         |  on a.user_id == b.user_id
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
@@ -980,6 +1010,12 @@ object SqlGate {
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM pairs GROUP BY 1, 2
         |ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_onerror_fault" ->
+      """SELECT event_id, 'divide_by_zero' AS _error FROM events
+        |WHERE user_id % 3 = 0 ORDER BY event_id""".stripMargin,
+    "sql_onerror_clean" ->
+      """SELECT event_id, event_id % (user_id % 3) AS r FROM events
+        |WHERE user_id % 3 <> 0 ORDER BY event_id""".stripMargin,
     "sql_app_join_agg1_live" ->
       """WITH pairs AS (
         |  SELECT a.user_id AS user_id, b.value AS v
@@ -987,7 +1023,7 @@ object SqlGate {
         |    ON a.user_id = b.user_id AND a.event_type = 'error'
         |   AND b.event_type = 'purchase'
         |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |       BETWEEN -600000000000 AND 600000000000)
+        |       BETWEEN -300000000000 AND 300000000000)
         |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total,
         |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
         |  round(max(v), 2) AS vmax
@@ -1000,7 +1036,7 @@ object SqlGate {
         |FROM a LEFT JOIN b
         |  ON a.user_id = b.user_id
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |     BETWEEN -600000000000 AND 600000000000
+        |     BETWEEN -120000000000 AND 120000000000
         |ORDER BY err_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin,
     "sql_app_join_full_live" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
@@ -1009,7 +1045,7 @@ object SqlGate {
         |FROM a FULL JOIN b
         |  ON a.user_id = b.user_id
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
-        |     BETWEEN -600000000000 AND 600000000000
+        |     BETWEEN -120000000000 AND 120000000000
         |ORDER BY err_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin,
     "sql_app_agg_update_live" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv

@@ -104,6 +104,13 @@ object Streaming {
     // (a real deployment sizes this to the cluster, not per query)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // sentinel flushing is DATA-batch driven, so the extra no-data
+    // micro-batch Spark schedules per watermark advance only doubles a
+    // finite replay's per-trigger checkpoint cost (see deployApp)
+    val prevNd = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
     try {
       val q = build(ms.toDS())
         .writeStream.format("memory").queryName(name).outputMode(mode)
@@ -119,7 +126,15 @@ object Streaming {
         q.processAllAvailable()
       }
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(name)
   }
 

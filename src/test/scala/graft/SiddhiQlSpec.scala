@@ -1185,4 +1185,44 @@ class SiddhiQlSpec extends AnyFunSuite {
       "agg")).getMessage
     assert(m.contains("OUTER"))
   }
+
+  test("@OnError(action='STREAM'): !S carries the zero-divisor faults, " +
+       "clean readers see the exact complement; diagnostics") {
+    val app =
+      """@OnError(action='STREAM')
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'ok')
+        |from events
+        |select event_id, event_id % (user_id % 3) as r
+        |order by event_id
+        |insert into Out;
+        |
+        |@info(name = 'faults')
+        |from !events
+        |select event_id, _error
+        |order by event_id
+        |insert into Faults""".stripMargin
+    val res = SiddhiQL.compileApp(spark, sf, app)
+    val ok = res("ok").collect()
+    val faults = res("faults").collect()
+    val total = engine.Tables.events(spark, sf).count()
+    assert(faults.nonEmpty, "no faulted rows at test scale — vacuous")
+    assert(ok.nonEmpty)
+    assert(ok.length + faults.length == total,
+      "fault twin and clean stream must partition the source exactly")
+    assert(faults.forall(_.getString(1) == "divide_by_zero"))
+    // clean rows never carry a zero divisor
+    assert(ok.forall(r => !r.isNullAt(1)))
+    // live deployment is diagnosed, not silently mis-routed
+    assert(intercept[IllegalArgumentException](
+      SiddhiQL.deployApp(spark, sf, app, "faults")).getMessage
+      .contains("@OnError live"))
+    // `from !S` without the annotation is diagnosed
+    assert(intercept[IllegalArgumentException](
+      SiddhiQL.compileApp(spark, sf,
+        "@info(name='q') from !events select event_id insert into F"))
+      .getMessage.contains("@OnError"))
+  }
 }
