@@ -4471,12 +4471,8 @@ object SiddhiQL extends Serializable {
     // the platform offers it — the replay loop's bottleneck is the
     // per-trigger checkpoint round trip, not operator work, and a
     // REAL deployment points this at durable storage instead
-    val shm = new java.io.File("/dev/shm")
-    val ckptRoot = java.nio.file.Files.createTempDirectory(
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp")),
-      "graft_ckpt")
+    val ckptRoot = java.nio.file.Paths.get(
+      graft.engine.Streaming.scratchDir("graft_ckpt"))
     def ckpt(tag: String): String = s"$ckptRoot/$tag"
     try {
       val per = math.max(rows.length / chunks, 1)
@@ -4494,8 +4490,7 @@ object SiddhiQL extends Serializable {
           // O(batch-touched buckets), not O(state)); APPEND states
           // write the batch delta only; FULL states (tiny by
           // contract) rewrite whole.
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_live_fold").toString
+          val tmp = graft.engine.Streaming.scratchDir("graft_live_fold")
           val nBuckets = spark.conf.getOption("graft.live.stateBuckets")
             .map(_.toInt).getOrElse(16)
           var gen = 0

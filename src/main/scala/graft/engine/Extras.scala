@@ -78,8 +78,7 @@ object Extras {
     * makes 100 TB reads prunable (a consumer filtering one event_type
     * touches one subdirectory, not the full corpus). */
   def partitionedSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_part_sink").toString
+    val tmp = Streaming.scratchDir("graft_part_sink")
     events(s, d).select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     s.read.parquet(tmp).groupBy("event_type")

@@ -72,6 +72,19 @@ object Streaming {
     * Catalyst keeps it above EventTimeWatermark and the sentinel still
     * advances the watermark before being discarded. */
   val FlushNs: Long = 4102444800000000000L // 2100-01-01T00:00:00Z, ns
+
+  /** HARNESS scratch dir: RAM-backed when the platform offers it (the
+    * finite-replay harness's per-trigger parquet/checkpoint round trips
+    * are fsync-bound on disk; a real deployment points state at durable
+    * storage instead). */
+  def scratchDir(tag: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    java.nio.file.Files.createTempDirectory(
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")),
+      tag).toString
+  }
   private val FlushCutoffUs: Long = 3786912000000000L // 2090-01-01, µs
   def flushCutoff: org.apache.spark.sql.Column =
     timestamp_micros(lit(FlushCutoffUs))
@@ -240,8 +253,7 @@ object Streaming {
     import s.implicits._
     implicit val sq = s.sqlContext
     val rows = feedRows(s, d)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_upsert").toString
+    val tmp = scratchDir("graft_upsert")
     var gen = 0
     val ms = MemoryStream[Ev]
     val q = ms.toDS().writeStream.outputMode("update")
@@ -668,8 +680,7 @@ object Streaming {
     val dir = stagedFeedCache.getOrElseUpdate(d, {
       import s.implicits._
       val rows = feedRows(s, d)
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_file_src").toString
+      val staged = scratchDir("graft_file_src")
       rows.grouped(math.max(rows.length / 3, 1)).foreach { g =>
         s.createDataset(g.toSeq).coalesce(1)
           .write.mode("append").parquet(staged)
