@@ -2253,10 +2253,79 @@ object SiddhiQL extends Serializable {
         side(j.left.copy(window = None), j.leftAlias)
           .join(side(j.right.copy(window = None), j.rightAlias),
             expr(s"(${sqlOf(j.on)}) and $band"), j.joinType)
+      case (Some(WindowSpec(ln, largs, _)), Some(WindowSpec(rn, rargs, _)))
+          if ln.equalsIgnoreCase("length") &&
+             rn.equalsIgnoreCase("length") =>
+        // stream#window.length(Nl) ⋈ stream#window.length(Nr): a pair
+        // (l, r) matches at the LATER event's arrival, when the earlier
+        // one is still among the last N retained on its side. Count
+        // windows are arrival-RANK bands: give each side a global
+        // arrival sequence (__seq) and each event the count of the
+        // OTHER side's arrivals before it (__cnt, one running-sum pass
+        // over the interleaved marks); then "r still retained when l
+        // arrives" is the integer band  seqB(r) > cntB(l) − Nr  — the
+        // count twin of the time join's [-Tl, Tr] band, compiled the
+        // same way: a shuffled EQUI join on the required key with the
+        // band as residual. The global sequence is the inherently
+        // sequential part of Siddhi's length-window semantics, so both
+        // sides ride the guarded single-task window (shard bigger
+        // streams with `partition with`, as the guard says).
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.length(...) join S as b...`) " +
+          "to qualify their columns"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.length(...) join S as b...`) " +
+          "to qualify their columns"))
+        val nL = largs.head; val nR = rargs.head
+        def seqd(ss: SingleStream, tag: String): DataFrame = {
+          val df = side(ss.copy(window = None), None)
+          Seq("ts_ns", "event_id").foreach(c =>
+            if (!df.columns.contains(c))
+              fail(s"length-window join sides need '$c' for arrival " +
+                s"order; '${ss.table}' lost it"))
+          guardGlobalWindow(df, "a length-window join side")
+          df.withColumn(s"__seq$tag", expr(
+            "row_number() over (order by ts_ns, event_id)"))
+        }
+        val aSeq = seqd(j.left, "A")
+        val bSeq = seqd(j.right, "B")
+        val marks = aSeq.select(col("ts_ns"), col("event_id"),
+            lit(0L).as("__isB"))
+          .unionByName(bSeq.select(col("ts_ns"), col("event_id"),
+            lit(1L).as("__isB")))
+          .withColumn("__cumB", expr("sum(__isB) over (order by ts_ns, " +
+            "event_id rows between unbounded preceding and current row)"))
+          .withColumn("__cumA", expr("sum(1 - __isB) over (order by " +
+            "ts_ns, event_id rows between unbounded preceding and " +
+            "current row)"))
+        val aCnt = marks.filter(col("__isB") === 0)
+          .select(col("event_id").as("__aid"), col("__cumB").as("__cntB"))
+        val bCnt = marks.filter(col("__isB") === 1)
+          .select(col("event_id").as("__bid"), col("__cumA").as("__cntA"))
+        val aFull = aSeq.join(aCnt, aSeq("event_id") === col("__aid"))
+          .drop("__aid").alias(la)
+        val bFull = bSeq.join(bCnt, bSeq("event_id") === col("__bid"))
+          .drop("__bid").alias(ra)
+        def before(x: String, y: String): String =
+          s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +
+            s"$x.event_id < $y.event_id))"
+        val dir1 = s"(${before(ra, la)} and $ra.__seqB > " +
+          s"$la.__cntB - ${nR}L)"
+        val dir2 = s"(${before(la, ra)} and $la.__seqA > " +
+          s"$ra.__cntA - ${nL}L)"
+        val band2 = if (j.unidirectional) dir1 else s"($dir1 or $dir2)"
+        aFull.join(bFull, expr(s"(${sqlOf(j.on)}) and $band2"),
+            j.joinType)
+          .drop("__seqA", "__seqB", "__cntA", "__cntB")
       case _ =>
-        fail("join sides support #window.time(T) on BOTH sides (the " +
-          "stream-stream windowed join); other join-side window types " +
-          "are not supported (v1)")
+        fail("join sides support #window.time(T) on BOTH sides, or " +
+          "#window.length(N) on BOTH sides (the stream-stream windowed " +
+          "joins); mixed or other join-side window types are not " +
+          "supported (v1)")
     }
     // a group key whose select item is a SIDE-QUALIFIED ref (a.user_id
     // as user_id … group by user_id) must group by the qualified

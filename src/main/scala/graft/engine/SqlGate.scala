@@ -278,6 +278,17 @@ object SqlGate {
         |group by user_id
         |order by w_start_ms, user_id
         |insert into Out""".stripMargin, "agg")),
+    // COUNT-window stream-stream join: length(N) on both sides — the
+    // arrival-rank band (seqB > cntB − Nr at the later event's
+    // arrival), compiled like the time join: shuffled equi join on the
+    // key with the integer band as residual
+    "sql_join_length_window" -> q(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.length(80)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
     // @OnError(action='STREAM'): the annotated stream's fault twin is
     // readable as `from !events` — v1 fault class = integer divide/
     // modulo by zero, derived from the app's own expressions; clean
@@ -1010,6 +1021,26 @@ object SqlGate {
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM pairs GROUP BY 1, 2
         |ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_join_length_window" ->
+      """WITH a AS (SELECT *, row_number() OVER (ORDER BY epoch_ns(ts),
+        |    event_id) AS seq FROM events WHERE event_type = 'error'),
+        |b AS (SELECT *, row_number() OVER (ORDER BY epoch_ns(ts),
+        |    event_id) AS seq FROM events WHERE event_type = 'purchase'),
+        |am AS (SELECT a.event_id, (SELECT count(*) FROM b
+        |  WHERE (epoch_ns(b.ts), b.event_id)
+        |      < (epoch_ns(a.ts), a.event_id)) AS cntb FROM a),
+        |bm AS (SELECT b.event_id, (SELECT count(*) FROM a
+        |  WHERE (epoch_ns(a.ts), a.event_id)
+        |      < (epoch_ns(b.ts), b.event_id)) AS cnta FROM b)
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a JOIN am ON am.event_id = a.event_id
+        |JOIN b ON a.user_id = b.user_id
+        |JOIN bm ON bm.event_id = b.event_id
+        |WHERE (((epoch_ns(b.ts), b.event_id)
+        |          < (epoch_ns(a.ts), a.event_id) AND b.seq > am.cntb - 80)
+        |   OR ((epoch_ns(a.ts), a.event_id)
+        |          < (epoch_ns(b.ts), b.event_id) AND a.seq > bm.cnta - 50))
+        |ORDER BY err_id, buy_id""".stripMargin,
     "sql_onerror_fault" ->
       """SELECT event_id, 'divide_by_zero' AS _error FROM events
         |WHERE user_id % 3 = 0 ORDER BY event_id""".stripMargin,

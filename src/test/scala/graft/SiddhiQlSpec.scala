@@ -1225,4 +1225,39 @@ class SiddhiQlSpec extends AnyFunSuite {
         "@info(name='q') from !events select event_id insert into F"))
       .getMessage.contains("@OnError"))
   }
+
+  test("length-window stream-stream join: equi-sharded rank band " +
+       "(no nested loop), unidirectional keeps the trigger direction") {
+    val both = compile(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.length(80)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin)
+    val p = both.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"rank-band join degenerated:\n$p")
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    // unidirectional (left triggers): exactly the pairs where the
+    // PURCHASE was already retained when the error arrived — a strict
+    // subset of the bidirectional result
+    val uni = compile(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  unidirectional
+        |  join events as b[event_type == 'purchase']#window.length(80)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin).collect()
+    assert(uni.nonEmpty && uni.length < rows.length)
+    val all = rows.map(_.toSeq).toSet
+    assert(uni.map(_.toSeq).forall(all.contains))
+    // mixed window types stay diagnosed
+    assert(intercept[IllegalArgumentException](compile(
+      """from events as a#window.length(5)
+        |  join events as b#window.time(1 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x insert into O""".stripMargin))
+      .getMessage.contains("BOTH sides"))
+  }
 }
