@@ -2321,10 +2321,83 @@ object SiddhiQL extends Serializable {
         aFull.join(bFull, expr(s"(${sqlOf(j.on)}) and $band2"),
             j.joinType)
           .drop("__seqA", "__seqB", "__cntA", "__cntB")
+      case (Some(lw), Some(rw))
+          if Seq(lw, rw).forall(w => w.name.equalsIgnoreCase("time") ||
+              w.name.equalsIgnoreCase("length")) =>
+        // MIXED time × length join sides: each direction applies the
+        // EARLIER side's own retention rule at the later event's
+        // arrival — the time side contributes its [0, T] event-time
+        // band, the length side its arrival-rank band (seq > cnt − N).
+        // Arrival order (ties included) is (ts_ns, event_id), so every
+        // pair belongs to exactly one direction.
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases to qualify their columns"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases to qualify their columns"))
+        def isLen(w: WindowSpec) = w.name.equalsIgnoreCase("length")
+        def sided(ss: SingleStream, w: WindowSpec, tag: String)
+            : DataFrame = {
+          val df = side(ss.copy(window = None), None)
+          Seq("ts_ns", "event_id").foreach(c =>
+            if (!df.columns.contains(c))
+              fail(s"windowed join sides need '$c' for arrival order; " +
+                s"'${ss.table}' lost it"))
+          if (isLen(w)) {
+            guardGlobalWindow(df, "a length-window join side")
+            df.withColumn(s"__seq$tag", expr(
+              "row_number() over (order by ts_ns, event_id)"))
+          } else df
+        }
+        val aS = sided(j.left, lw, "A")
+        val bS = sided(j.right, rw, "B")
+        // arrival counts of the LENGTH side(s), seen by the other side
+        def marksOf(me: DataFrame, other: DataFrame): DataFrame =
+          me.select(col("ts_ns"), col("event_id"), lit(0L).as("__o"))
+            .unionByName(other.select(col("ts_ns"), col("event_id"),
+              lit(1L).as("__o")))
+            .withColumn("__cnt", expr("sum(__o) over (order by ts_ns, " +
+              "event_id rows between unbounded preceding and current " +
+              "row)"))
+            .filter(col("__o") === 0)
+            .select(col("event_id").as("__mid"), col("__cnt"))
+        val aF0 = if (isLen(rw)) {
+          val m = marksOf(aS, bS)
+            .withColumnRenamed("__cnt", "__cntB")
+          aS.join(m, aS("event_id") === col("__mid")).drop("__mid")
+        } else aS
+        val bF0 = if (isLen(lw)) {
+          val m = marksOf(bS, aS)
+            .withColumnRenamed("__cnt", "__cntA")
+          bS.join(m, bS("event_id") === col("__mid")).drop("__mid")
+        } else bS
+        val aF = aF0.alias(la); val bF = bF0.alias(ra)
+        def beforeM(x: String, y: String): String =
+          s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +
+            s"$x.event_id < $y.event_id))"
+        // direction "l later": r retained per the RIGHT side's rule
+        val dir1 =
+          if (isLen(rw))
+            s"(${beforeM(ra, la)} and $ra.__seqB > " +
+              s"$la.__cntB - ${rw.args.head}L)"
+          else s"(${beforeM(ra, la)} and " +
+            s"$la.ts_ns - $ra.ts_ns <= ${rw.args.head}L)"
+        val dir2 =
+          if (isLen(lw))
+            s"(${beforeM(la, ra)} and $la.__seqA > " +
+              s"$ra.__cntA - ${lw.args.head}L)"
+          else s"(${beforeM(la, ra)} and " +
+            s"$ra.ts_ns - $la.ts_ns <= ${lw.args.head}L)"
+        val bandM = if (j.unidirectional) dir1 else s"($dir1 or $dir2)"
+        aF.join(bF, expr(s"(${sqlOf(j.on)}) and $bandM"), j.joinType)
+          .drop("__seqA", "__seqB", "__cntA", "__cntB")
       case _ =>
-        fail("join sides support #window.time(T) on BOTH sides, or " +
-          "#window.length(N) on BOTH sides (the stream-stream windowed " +
-          "joins); mixed or other join-side window types are not " +
+        fail("join sides support #window.time(T) / #window.length(N) " +
+          "on BOTH sides, in any combination (the stream-stream " +
+          "windowed joins); other join-side window types are not " +
           "supported (v1)")
     }
     // a group key whose select item is a SIDE-QUALIFIED ref (a.user_id

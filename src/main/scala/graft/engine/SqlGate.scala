@@ -289,6 +289,16 @@ object SqlGate {
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // MIXED window sides: each direction applies the EARLIER side's
+    // own retention rule — the time side its [0, T] band, the length
+    // side its arrival-rank band
+    "sql_join_mixed_window" -> q(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
     // @OnError(action='STREAM'): the annotated stream's fault twin is
     // readable as `from !events` — v1 fault class = integer divide/
     // modulo by zero, derived from the app's own expressions; clean
@@ -1040,6 +1050,23 @@ object SqlGate {
         |          < (epoch_ns(a.ts), a.event_id) AND b.seq > am.cntb - 80)
         |   OR ((epoch_ns(a.ts), a.event_id)
         |          < (epoch_ns(b.ts), b.event_id) AND a.seq > bm.cnta - 50))
+        |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_join_mixed_window" ->
+      """WITH a AS (SELECT *, row_number() OVER (ORDER BY epoch_ns(ts),
+        |    event_id) AS seq FROM events WHERE event_type = 'error'),
+        |b AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |bm AS (SELECT b.event_id, (SELECT count(*) FROM a
+        |  WHERE (epoch_ns(a.ts), a.event_id)
+        |      < (epoch_ns(b.ts), b.event_id)) AS cnta FROM b)
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |JOIN bm ON bm.event_id = b.event_id
+        |WHERE (((epoch_ns(b.ts), b.event_id)
+        |          < (epoch_ns(a.ts), a.event_id)
+        |        AND epoch_ns(a.ts) - epoch_ns(b.ts) <= 600000000000)
+        |   OR ((epoch_ns(a.ts), a.event_id)
+        |          < (epoch_ns(b.ts), b.event_id)
+        |        AND a.seq > bm.cnta - 50))
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_onerror_fault" ->
       """SELECT event_id, 'divide_by_zero' AS _error FROM events

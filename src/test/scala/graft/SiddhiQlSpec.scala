@@ -688,7 +688,7 @@ class SiddhiQlSpec extends AnyFunSuite {
       |  on user_id == b.user_id
       |select b.event_id as x insert into O""".stripMargin)
       .contains("aliases"))
-    assert(msg("""from events as a#window.length(5)
+    assert(msg("""from events as a#window.session(2 min)
       |  join events as b#window.time(1 min)
       |  on a.user_id == b.user_id
       |select a.event_id as x insert into O""".stripMargin)
@@ -1252,12 +1252,35 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(uni.nonEmpty && uni.length < rows.length)
     val all = rows.map(_.toSeq).toSet
     assert(uni.map(_.toSeq).forall(all.contains))
-    // mixed window types stay diagnosed
-    assert(intercept[IllegalArgumentException](compile(
-      """from events as a#window.length(5)
-        |  join events as b#window.time(1 min)
+    // MIXED time x length sides compile too: each direction applies
+    // the earlier side's own retention rule
+    val mixed = compile(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
         |  on a.user_id == b.user_id
-        |select a.event_id as x insert into O""".stripMargin))
-      .getMessage.contains("BOTH sides"))
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin)
+    val pm = mixed.queryExecution.executedPlan.toString
+    assert(!pm.contains("BroadcastNestedLoopJoin") &&
+      !pm.contains("CartesianProduct"))
+    val mrows = mixed.collect()
+    assert(mrows.nonEmpty)
+    // direction check: pairs where the error is LATER obey b's TIME
+    // retention; the time-time and length-length twins bound the sets
+    val timeBoth = compile(
+      """from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin).collect().map(_.toSeq).toSet
+    val lenBoth = compile(
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.length(50)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin).collect().map(_.toSeq).toSet
+    assert(mrows.map(_.toSeq).forall(r =>
+      timeBoth.contains(r) || lenBoth.contains(r)),
+      "mixed join emitted a pair neither retention rule justifies")
   }
 }
