@@ -435,4 +435,32 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 180, s"straggler task of $maxTask s — a cluster " +
       "collapsed onto one reducer beyond its quadratic share")
   }
+
+  test("10x one-stage live join-agg fold: replica-isolated algebraic " +
+       "merge, rep-0 exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-8 fold channel: watermarked interval join feeding a
+    // per-micro-batch keyed merge of count/sum/min/max/avg partials.
+    // Replica user spaces are disjoint, so band pairs never cross
+    // replicas and every replica's per-user aggregate must reproduce
+    // the base result with shifted ids — the algebraic merge is
+    // provably key-local.
+    val q = SqlGate.queries("sql_app_join_agg1_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"join_agg1 10x: ${rows.length} groups, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} groups)")
+    assert(rows.length == reps * base.length,
+      s"10x group count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r.head.asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => (r.head.asInstanceOf[Long] - k * off) +: r.tail)
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base algebraic fold")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
 }
