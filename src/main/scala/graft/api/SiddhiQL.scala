@@ -1213,43 +1213,10 @@ object SiddhiQL extends Serializable {
       p0.ident()
     }
     onErrStreams.foreach { sN =>
-      val base = loadTable(spark, dir, sN, env)
-      def divisors(e: Expr): List[Expr] = e match {
-        case Bin(op, l, r) if op == "/" || op == "%" =>
-          r :: divisors(l) ::: divisors(r)
-        case Bin(_, l, r) => divisors(l) ::: divisors(r)
-        case Not(x) => divisors(x)
-        case Neg(x) => divisors(x)
-        case Call(_, _, args) => args.flatMap(divisors)
-        case _ => Nil
-      }
-      val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
-        if (!b.split("\\s+", 2).headOption.exists(
-            _.equalsIgnoreCase("from"))) Nil
-        else scala.util.Try {
-          val ast = new P(lex(b)).query()
-          ast.stream match {
-            case ss: SingleStream if ss.table == sN =>
-              (ss.filter.toList ++ ast.select.map(_.e) ++
-                ast.having.toList).flatMap(divisors)
-            case _ => Nil
-          }
-        }.getOrElse(Nil)
-      }.map(sqlOf).distinct.flatMap { rTxt =>
-        scala.util.Try {
-          val c = expr(rTxt)
-          base.select(c).schema.head.dataType match {
-            case LongType | IntegerType | ShortType | ByteType =>
-              Some(c === 0)
-            case _ => None // double division never faults (IEEE inf)
-          }
-        }.toOption.flatten
-      }
-      val faultAny = coalesce(
-        conds.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
-      env += ("!" + sN) -> base.filter(faultAny)
-        .withColumn("_error", lit("divide_by_zero"))
-      env += sN -> base.filter(!faultAny)
+      val (fault, clean) =
+        onErrorSplit(loadTable(spark, dir, sN, env), stmts, sN)
+      env += ("!" + sN) -> fault
+      env += sN -> clean
     }
     var i = 0
     stmts.foreach { case (name, body, _) =>
@@ -2141,6 +2108,58 @@ object SiddhiQL extends Serializable {
       " forms: '0 0/M * * * ?' (M | 60), '0 0 0/H * * ?' (H | 24), " +
       "'0 0 * * * ?' (hourly); sparse calendar schedules have no " +
       "fixed-interval batch-replay equivalent"))
+  }
+
+
+  /** `@OnError(action='STREAM')` split for stream `sN`: (fault twin,
+    * clean view). v1 fault class = integer divide/modulo by zero,
+    * derived from the zero-divisor conditions implied by every query
+    * reading `sN` in the app (engine twin: Ops.faultStream's
+    * validation-predicate union). Rows matching any condition route to
+    * `!sN` with `_error`; clean readers see the exact complement (an
+    * erroring event produces no main output). Shared by the batch
+    * replay and the live deployment — the split is stateless, so the
+    * SAME filters compose onto either a batch or a streaming source
+    * (flush sentinels dropped by the clean filter have already
+    * advanced the watermark at the source node). */
+  private def onErrorSplit(base: DataFrame,
+      stmts: List[(Option[String], String, Boolean)], sN: String)
+      : (DataFrame, DataFrame) = {
+    def divisors(e: Expr): List[Expr] = e match {
+      case Bin(op, l, r) if op == "/" || op == "%" =>
+        r :: divisors(l) ::: divisors(r)
+      case Bin(_, l, r) => divisors(l) ::: divisors(r)
+      case Not(x) => divisors(x)
+      case Neg(x) => divisors(x)
+      case Call(_, _, args) => args.flatMap(divisors)
+      case _ => Nil
+    }
+    val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
+      if (!b.split("\\s+", 2).headOption.exists(
+          _.equalsIgnoreCase("from"))) Nil
+      else scala.util.Try {
+        val ast = new P(lex(b)).query()
+        ast.stream match {
+          case ss: SingleStream if ss.table == sN =>
+            (ss.filter.toList ++ ast.select.map(_.e) ++
+              ast.having.toList).flatMap(divisors)
+          case _ => Nil
+        }
+      }.getOrElse(Nil)
+    }.map(sqlOf).distinct.flatMap { rTxt =>
+      scala.util.Try {
+        val c = expr(rTxt)
+        base.select(c).schema.head.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            Some(c === 0)
+          case _ => None // double division never faults (IEEE inf)
+        }
+      }.toOption.flatten
+    }
+    val faultAny = coalesce(
+      conds.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+    (base.filter(faultAny).withColumn("_error", lit("divide_by_zero")),
+      base.filter(!faultAny))
   }
 
   private def loadTable(spark: SparkSession, dir: String, name: String,
@@ -4505,11 +4524,26 @@ object SiddhiQL extends Serializable {
         } // end non-DML stage
     }
     scriptFns = Map.empty // live apps carry their own defines
-    splitStatements(app).foreach { case (name, body, onErr) =>
-      if (onErr)
-        fail("@OnError live deployment (v1): the fault-stream contract " +
-          "is covered by batch replay (compileApp); deploy the clean " +
-          "stream and route faults in a separate app")
+    val liveStmts = splitStatements(app)
+    // @OnError(action='STREAM') deploys LIVE too: the fault/clean
+    // split is a stateless pair of filters over the watermarked
+    // source, so it composes onto the incremental plan exactly as it
+    // does onto the batch replay (onErrorSplit) — `!S` and S's clean
+    // view go into the read environment before any stage compiles
+    liveStmts.collect { case (_, b, true) =>
+      val p0 = new P(lex(b))
+      p0.eatKw("define")
+      if (!p0.tryKw("stream"))
+        fail("@OnError annotates a `define stream` (v1)")
+      p0.ident()
+    }.foreach { sN =>
+      val baseDf = env.getOrElse(sN, fail("@OnError live deployment " +
+        s"annotates the source stream; '$sN' is not declared"))
+      val (fault, clean) = onErrorSplit(baseDf, liveStmts, sN)
+      env += ("!" + sN) -> fault
+      env += sN -> clean
+    }
+    liveStmts.foreach { case (name, body, _) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
       if (head.equalsIgnoreCase("define")) {
         // stream schemas come from the source; function defines compile

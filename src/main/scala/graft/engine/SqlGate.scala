@@ -319,6 +319,24 @@ object SqlGate {
         |select event_id, _error
         |order by event_id
         |insert into Faults""".stripMargin)("faults")),
+    // the same @OnError app deployed LIVE (stateless split over the
+    // watermarked source; batch replay is the oracle)
+    "sql_app_onerror_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@OnError(action='STREAM')
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'ok')
+        |from events
+        |select event_id, event_id % (user_id % 3) as r
+        |order by event_id
+        |insert into Out;
+        |
+        |@info(name = 'faults')
+        |from !events
+        |select event_id, _error
+        |order by event_id
+        |insert into Faults""".stripMargin, "faults")),
     "sql_onerror_clean" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """@OnError(action='STREAM')
         |define stream events (event_id long, ts_ns long, user_id long,
@@ -1069,6 +1087,9 @@ object SqlGate {
         |        AND a.seq > bm.cnta - 50))
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_onerror_fault" ->
+      """SELECT event_id, 'divide_by_zero' AS _error FROM events
+        |WHERE user_id % 3 = 0 ORDER BY event_id""".stripMargin,
+    "sql_app_onerror_live" ->
       """SELECT event_id, 'divide_by_zero' AS _error FROM events
         |WHERE user_id % 3 = 0 ORDER BY event_id""".stripMargin,
     "sql_onerror_clean" ->

@@ -1215,10 +1215,14 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(faults.forall(_.getString(1) == "divide_by_zero"))
     // clean rows never carry a zero divisor
     assert(ok.forall(r => !r.isNullAt(1)))
-    // live deployment is diagnosed, not silently mis-routed
-    assert(intercept[IllegalArgumentException](
-      SiddhiQL.deployApp(spark, sf, app, "faults")).getMessage
-      .contains("@OnError live"))
+    // LIVE deployment routes identically: the split is stateless
+    // filters over the watermarked source
+    val liveF = SiddhiQL.deployApp(spark, sf, app, "faults")
+      .collect().map(_.toSeq)
+    assert(liveF sameElements faults.map(_.toSeq))
+    val liveOk = SiddhiQL.deployApp(spark, sf, app, "ok")
+      .collect().map(_.toSeq)
+    assert(liveOk sameElements ok.map(_.toSeq))
     // `from !S` without the annotation is diagnosed
     assert(intercept[IllegalArgumentException](
       SiddhiQL.compileApp(spark, sf,
