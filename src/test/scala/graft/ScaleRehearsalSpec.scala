@@ -463,4 +463,34 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     }
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
+
+  test("10x live outer interval join: live == batch replay at 1M " +
+       "events, replica-isolated null-pads, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-8 outer channel: null-pads emit when the watermark
+    // proves no in-band match can still arrive. At 10x the watermark
+    // machinery must reach the same no-match proofs the batch left
+    // join states directly — any premature eviction or sentinel leak
+    // shows up as a diff.
+    val app =
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.time(2 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(2 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin
+    val (rows, wall, maxTask) = timed(
+      graft.api.SiddhiQL.deployApp(spark, evDir10, app, "pairs"))
+    val live = rows.map(_.toSeq)
+    info(f"outer join 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    val batch = graft.api.SiddhiQL.compileApp(spark, evDir10, app)("pairs")
+      .collect().map(_.toSeq)
+    assert(live.length == batch.length && (live sameElements batch),
+      "live outer join diverges from batch replay at 10x")
+    assert(rows.count(_.isNullAt(1)) > 0, "no null-pads at 10x — vacuous")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
 }
