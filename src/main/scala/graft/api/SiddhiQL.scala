@@ -3602,6 +3602,79 @@ object SiddhiQL extends Serializable {
                       batch.select(expr(s"ts_ns div ${tNs}L")
                         .as("__iv")))))
                 (emptyOf(base.sparkSession, schemaS), KFold)
+              case None
+                  if ast.rate.exists(r =>
+                    r.count.nonEmpty &&
+                      (r.mode == "first" || r.mode == "last")) =>
+                // COUNT-based `output first|last every N events` LIVE:
+                // chunk boundaries are GLOBAL arrival ranks (the batch
+                // twin's guarded single-sequence semantics), so the
+                // stage folds per micro-batch against one counter row —
+                // state = the counter + the pending chunk-tail; output
+                // is append-only (emitted rows with their rank). `last`
+                // additionally emits the trailing partial chunk's tail
+                // at finish, exactly as the batch twin's max-rank pick
+                // does.
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("output rate limiting (v1) select cannot " +
+                    "aggregate")
+                if (partKey.nonEmpty)
+                  fail("count-based rate limiting inside a partition " +
+                    "block is not deployed (v1)")
+                val rC = ast.rate.get
+                val mR = rC.mode; val nEv = rC.count.get
+                val itemsR = itemsOf(ast)
+                Seq("ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"output rate limiting needs '$c' on the " +
+                      "stream to define emission order"))
+                def projR(df: DataFrame): DataFrame =
+                  df.select(itemsR.map { case (it, a2, _) =>
+                    expr(sqlOf(it.e)).as(a2) } :+ col("__rn"): _*)
+                val outSchema =
+                  projR(base.withColumn("__rn", lit(0L))).schema
+                val cntSchema = StructType(Seq(
+                  StructField("n_seen", LongType)))
+                val pendSchema = StructType(
+                  base.schema.fields :+ StructField("__rn", LongType))
+                val keyR = name.orElse(ast.action.map(_.target))
+                if (keyR.contains(out) || name.contains(out))
+                  foldResult = Some(LiveFold(base,
+                    Seq(("cnt", cntSchema, FullState),
+                      ("out", outSchema, AppendState),
+                      ("pend", pendSchema, FullState)),
+                    (sp, _, st, batch0) => {
+                      val prior = st("cnt").slice.collect()
+                        .headOption.map(_.getLong(0)).getOrElse(0L)
+                      val batch = batch0.withColumn("__rn",
+                        expr("row_number() over (order by ts_ns, " +
+                          "event_id)") + lit(prior))
+                      val bc = batch.count()
+                      val kept =
+                        if (mR == "first")
+                          batch.filter((col("__rn") - 1) % nEv === 0)
+                        else batch.filter(col("__rn") % nEv === 0)
+                      Map(
+                        "cnt" -> sp.sql(
+                          s"select ${prior + bc}L as n_seen"),
+                        "out" -> projR(kept),
+                        "pend" -> (if (bc > 0)
+                          batch.orderBy(col("__rn").desc).limit(1)
+                        else st("pend").slice))
+                    },
+                    (_, st) => {
+                      val total = st("cnt").collect()
+                        .headOption.map(_.getLong(0)).getOrElse(0L)
+                      val fin =
+                        if (mR == "last" && total % nEv != 0)
+                          st("out").unionByName(projR(st("pend")))
+                        else st("out")
+                      fin.orderBy("__rn").drop("__rn")
+                    },
+                    ast.orderBy.map { case (c2, a2) =>
+                      if (a2) col(c2).asc else col(c2).desc }))
+                (emptyOf(base.sparkSession, outSchema), KFold)
               case None =>
                 val agg = ast.select.exists(it => containsAgg(it.e))
                 // `output first every T` LIVE: streaming dropDuplicates

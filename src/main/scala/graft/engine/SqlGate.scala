@@ -289,6 +289,30 @@ object SqlGate {
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // COUNT-based output rate limiting: global arrival-rank chunks of
+    // N (text batch form), and the SAME text deployed LIVE through the
+    // fold channel (one counter row + append-only emissions; `last`
+    // emits the trailing partial chunk's tail at finish)
+    "sql_rate_count" -> q(
+      """from events[value > 100.0]
+        |select event_id, user_id
+        |order by event_id
+        |output first every 5 events
+        |insert into Out""".stripMargin),
+    "sql_app_rate_count_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'fifth')
+        |from events[value > 100.0]
+        |select event_id, user_id
+        |order by event_id
+        |output first every 5 events
+        |insert into Out""".stripMargin, "fifth")),
+    "sql_app_rate_count_last_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'tails')
+        |from events[value > 100.0]
+        |select event_id, user_id
+        |order by event_id
+        |output last every 5 events
+        |insert into Out""".stripMargin, "tails")),
     // MIXED window sides: each direction applies the EARLIER side's
     // own retention rule — the time side its [0, T] band, the length
     // side its arrival-rank band
@@ -1069,6 +1093,25 @@ object SqlGate {
         |   OR ((epoch_ns(a.ts), a.event_id)
         |          < (epoch_ns(b.ts), b.event_id) AND a.seq > bm.cnta - 50))
         |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_rate_count" ->
+      """WITH f AS (SELECT event_id, user_id, row_number()
+        |  OVER (ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events WHERE value > 100.0)
+        |SELECT event_id, user_id FROM f
+        |WHERE (rn - 1) % 5 = 0 ORDER BY event_id""".stripMargin,
+    "sql_app_rate_count_live" ->
+      """WITH f AS (SELECT event_id, user_id, row_number()
+        |  OVER (ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events WHERE value > 100.0)
+        |SELECT event_id, user_id FROM f
+        |WHERE (rn - 1) % 5 = 0 ORDER BY event_id""".stripMargin,
+    "sql_app_rate_count_last_live" ->
+      """WITH f AS (SELECT event_id, user_id, row_number()
+        |  OVER (ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events WHERE value > 100.0)
+        |SELECT event_id, user_id FROM f
+        |WHERE rn % 5 = 0 OR rn = (SELECT max(rn) FROM f)
+        |ORDER BY event_id""".stripMargin,
     "sql_join_mixed_window" ->
       """WITH a AS (SELECT *, row_number() OVER (ORDER BY epoch_ns(ts),
         |    event_id) AS seq FROM events WHERE event_type = 'error'),

@@ -903,11 +903,12 @@ class SiddhiQlSpec extends AnyFunSuite {
     def msg(app: String, out: String = "q"): String =
       intercept[IllegalArgumentException](
         SiddhiQL.deployApp(spark, sf, app, out)).getMessage
-    // count-based rate modes stay batch-only (time-based
-    // first/last/all/snapshot all deploy live now)
+    // count-based first/last deploy live through the fold channel
+    // now, and count-based `all` is the pass-through it is; a
+    // count-based snapshot has no meaning and is named at parse
     assert(msg("@info(name='q') from events select event_id " +
-      "output first every 3 events insert into O")
-      .contains("event count"))
+      "output snapshot every 3 events insert into O")
+      .contains("time-based"))
     // rate above a session aggregation
     assert(msg("@info(name='q') from events#window.session(2 min) " +
       "select user_id, count() as n group by user_id " +
