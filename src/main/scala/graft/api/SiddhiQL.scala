@@ -3634,38 +3634,38 @@ object SiddhiQL extends Serializable {
                     expr(sqlOf(it.e)).as(a2) } :+ col("__rn"): _*)
                 val outSchema =
                   projR(base.withColumn("__rn", lit(0L))).schema
-                val cntSchema = StructType(Seq(
-                  StructField("n_seen", LongType)))
                 val pendSchema = StructType(
                   base.schema.fields :+ StructField("__rn", LongType))
                 val keyR = name.orElse(ast.action.map(_.target))
+                // state = the pending chunk-tail row only: its __rn IS
+                // the running arrival count (the rank of the last
+                // filtered arrival), so no separate counter row exists
                 if (keyR.contains(out) || name.contains(out))
                   foldResult = Some(LiveFold(base,
-                    Seq(("cnt", cntSchema, FullState),
-                      ("out", outSchema, AppendState),
+                    Seq(("out", outSchema, AppendState),
                       ("pend", pendSchema, FullState)),
-                    (sp, _, st, batch0) => {
-                      val prior = st("cnt").slice.collect()
-                        .headOption.map(_.getLong(0)).getOrElse(0L)
+                    (_, _, st, batch0) => {
+                      val prior = st("pend").slice.collect()
+                        .headOption.map(_.getAs[Long]("__rn"))
+                        .getOrElse(0L)
                       val batch = batch0.withColumn("__rn",
                         expr("row_number() over (order by ts_ns, " +
                           "event_id)") + lit(prior))
-                      val bc = batch.count()
                       val kept =
                         if (mR == "first")
                           batch.filter((col("__rn") - 1) % nEv === 0)
                         else batch.filter(col("__rn") % nEv === 0)
                       Map(
-                        "cnt" -> sp.sql(
-                          s"select ${prior + bc}L as n_seen"),
                         "out" -> projR(kept),
-                        "pend" -> (if (bc > 0)
-                          batch.orderBy(col("__rn").desc).limit(1)
-                        else st("pend").slice))
+                        "pend" -> batch.orderBy(col("__rn").desc)
+                          .limit(1).unionByName(
+                            st("pend").slice.limit(1))
+                          .orderBy(col("__rn").desc).limit(1))
                     },
                     (_, st) => {
-                      val total = st("cnt").collect()
-                        .headOption.map(_.getLong(0)).getOrElse(0L)
+                      val total = st("pend").collect()
+                        .headOption.map(_.getAs[Long]("__rn"))
+                        .getOrElse(0L)
                       val fin =
                         if (mR == "last" && total % nEv != 0)
                           st("out").unionByName(projR(st("pend")))
