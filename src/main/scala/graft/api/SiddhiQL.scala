@@ -3354,6 +3354,7 @@ object SiddhiQL extends Serializable {
       "events" -> srcTs.withWatermark("ts", "1 minute"))
     var statefulStreams = Set.empty[String]
     var tableDefs = Map.empty[String, StructType]
+    var liveWindowDefs = Map.empty[String, WindowSpec]
     var result: Option[(DataFrame, Int, Seq[Column])] = None
     var foldResult: Option[LiveFold] = None
     // (ast, action, table schema, feeding stream) per DML writer, keyed
@@ -3431,8 +3432,20 @@ object SiddhiQL extends Serializable {
     // env / statefulStreams / result / dmlResult. `view` is the stage's
     // read environment (a partition block overrides its stream with the
     // keyed/labeled view); `partKey` marks partition-block queries.
-    def runStage(name: Option[String], ast: Ast,
+    def runStage(name: Option[String], ast0L: Ast,
         view: Map[String, DataFrame], partKey: Option[String]): Unit = {
+        // reading a defined window compiles as fed-stream#spec (the
+        // batch replay's named-window sharing, on the incremental plan)
+        val ast = ast0L.stream match {
+          case ss: SingleStream if liveWindowDefs.contains(ss.table) &&
+              ss.window.isEmpty =>
+            if (!env.contains(ss.table))
+              fail(s"named window '${ss.table}' has not been fed — " +
+                s"add an `insert into ${ss.table}` query first")
+            ast0L.copy(stream = ss.copy(
+              window = Some(liveWindowDefs(ss.table))))
+          case _ => ast0L
+        }
         if (ast.rate.nonEmpty && !ast.stream.isInstanceOf[SingleStream])
           fail("live deployment rate-limits single-stream stages (v1)")
         val dmlAct = ast.action.filter {
@@ -4627,6 +4640,23 @@ object SiddhiQL extends Serializable {
         else if (defKind.contains("table"))
           parseTableDef(body).foreach { case (t, sch) =>
             tableDefs += t -> sch }
+        else if (defKind.contains("window")) {
+          // `define window W (cols) spec` deployed LIVE: readers
+          // compile as fed-stream#spec, exactly like the batch replay
+          // — silently reading W as a plain stream would miscompile
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("window")
+          val wname = p2.ident()
+          p2.eatSym("(")
+          var done2 = false
+          while (!done2) { p2.ident(); p2.ident()
+            if (!p2.trySym(",")) { p2.eatSym(")"); done2 = true } }
+          liveWindowDefs += wname -> p2.windowNameArgs()
+        }
+        else if (defKind.contains("aggregation") ||
+                 defKind.contains("trigger"))
+          fail(s"live deployment (v1) does not deploy `define " +
+            s"${defKind.get}` — batch replay (compileApp) covers it")
       }
       else if (head.equalsIgnoreCase("partition")) {
         // partition with (<spec> of S) begin ... end deployed LIVE:

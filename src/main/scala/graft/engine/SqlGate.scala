@@ -604,6 +604,22 @@ object SqlGate {
         |select count() as n, math:round(sum(value), 2) as sv
         |order by w_start_ms
         |insert into Out""".stripMargin)("perMin")),
+    // named-window sharing deployed LIVE: the same define-window app,
+    // readers compiled as fed-stream#spec on the incremental plan
+    "sql_app_window_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define window HotWin (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(1 min);
+        |
+        |@info(name = 'feed')
+        |from events[value > 100]
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotWin;
+        |
+        |@info(name = 'perMin')
+        |from HotWin
+        |select count() as n, math:round(sum(value), 2) as sv
+        |order by w_start_ms
+        |insert into Out""".stripMargin, "perMin")),
     // LIVE deployment of a compiled app: the same text sql_app_chained
     // replays in batch runs here as a real Structured Streaming topology
     // (MemoryStream micro-batches → filter stage → timeBatch aggregation
@@ -1410,6 +1426,11 @@ object SqlGate {
         |WHERE rk = 1 ORDER BY start_id""".stripMargin,
     // per-minute buckets of the fed (value > 100) window
     "sql_named_window" ->
+      """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events WHERE value > 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_app_window_live" ->
       """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms,
         |  count(*) AS n, round(sum(value), 2) AS sv
         |FROM events WHERE value > 100

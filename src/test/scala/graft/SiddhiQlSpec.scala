@@ -925,6 +925,11 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select distinctCount(b.value) as n insert into O")
       .contains("count/sum/min/max/avg"))
+    // define aggregation / trigger are batch-replay surfaces
+    assert(msg("define aggregation A from events select user_id, " +
+      "sum(value) as t group by user_id aggregate by ts_ns every min;\n" +
+      "@info(name='q') from events select event_id insert into O")
+      .contains("define aggregation"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
