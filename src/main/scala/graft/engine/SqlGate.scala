@@ -930,7 +930,18 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as start_id,
         |  e2.event_id as next_id, e2.value as next_value
         |order by start_id, next_id
-        |insert into alerts""".stripMargin)
+        |insert into alerts""".stripMargin),
+    // the SAME pattern text deployed LIVE: the per-key NFA re-fold over
+    // micro-batches; the batch recursive-state-machine oracle is truth
+    "sql_app_pattern_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase' and value > e1.value]
+        |  within 5 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id, e2.value as next_value
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin, "alerts"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1614,6 +1625,17 @@ object SqlGate {
         |ORDER BY user_id""".stripMargin,
     // greedy first-match: each error takes the FIRST later purchase with
     // a larger value, within 5 min (inclusive deadline, NFA semantics)
+    "sql_app_pattern_live" ->
+      """SELECT user_id, start_id, next_id, next_value FROM (
+        |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
+        |    p.value AS next_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts, p.event_id) AS rk
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.value > e.value
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
+        |WHERE rk = 1 ORDER BY start_id, next_id""".stripMargin,
     "sql_pattern_seq" ->
       """SELECT user_id, start_id, next_id, next_value FROM (
         |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
