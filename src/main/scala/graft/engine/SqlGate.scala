@@ -76,6 +76,7 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as event_id
         |order by event_id
         |insert into silentErrors""".stripMargin),
+
     // stream ⋈ aggregation: enrichment join over the grain cascade's
     // stored table (rolled aggregate broadcasts)
     "sql_join_aggregation" -> ((s, d) => SiddhiQL.compileApp(s, d,

@@ -925,6 +925,16 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select distinctCount(b.value) as n insert into O")
       .contains("count/sum/min/max/avg"))
+    // live text ABSENCE patterns name the timeout-based route (the
+    // re-fold finalizes at events; absence needs timers — engine
+    // twins: Streaming.cepAbsence/cepAbsenceTws)
+    assert(intercept[IllegalArgumentException](SiddhiQL.deployApp(
+      spark, sf,
+      "@info(name='q') from every e1=events[event_type == 'error'] " +
+        "-> not events[event_type == 'purchase' and " +
+        "user_id == e1.user_id] for 5 min " +
+        "select e1.event_id as event_id insert into O", "q"))
+      .getMessage.contains("timeout-based"))
     // define aggregation / trigger are batch-replay surfaces
     assert(msg("define aggregation A from events select user_id, " +
       "sum(value) as t group by user_id aggregate by ts_ns every min;\n" +
