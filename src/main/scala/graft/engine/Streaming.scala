@@ -79,11 +79,28 @@ object Streaming {
     * storage instead). */
   def scratchDir(tag: String): String = {
     val shm = new java.io.File("/dev/shm")
-    java.nio.file.Files.createTempDirectory(
+    val p = java.nio.file.Files.createTempDirectory(
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp")),
-      tag).toString
+      tag)
+    scratchDirs.add(p.toString)
+    p.toString
+  }
+
+  // scratch lives for the process (lazily-evaluated results read state
+  // generations after their query returns), then a shutdown hook
+  // reclaims it — RAM-backed dirs would otherwise outlive the JVM
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    scratchDirs.forEach { d =>
+      scala.util.Try {
+        new scala.reflect.io.Directory(new java.io.File(d))
+          .deleteRecursively()
+      }
+      ()
+    }
   }
   private val FlushCutoffUs: Long = 3786912000000000L // 2090-01-01, µs
   def flushCutoff: org.apache.spark.sql.Column =
