@@ -2342,13 +2342,17 @@ object SiddhiQL extends Serializable {
           .drop("__seqA", "__seqB", "__cntA", "__cntB")
       case (Some(lw), Some(rw))
           if Seq(lw, rw).forall(w => w.name.equalsIgnoreCase("time") ||
-              w.name.equalsIgnoreCase("length")) =>
-        // MIXED time × length join sides: each direction applies the
+              w.name.equalsIgnoreCase("length") ||
+              w.name.equalsIgnoreCase("timebatch")) =>
+        // MIXED / timeBatch join sides: each direction applies the
         // EARLIER side's own retention rule at the later event's
-        // arrival — the time side contributes its [0, T] event-time
-        // band, the length side its arrival-rank band (seq > cnt − N).
-        // Arrival order (ties included) is (ts_ns, event_id), so every
-        // pair belongs to exactly one direction.
+        // arrival — time contributes its [0, T] event-time band,
+        // length its arrival-rank band (seq > cnt − N), and timeBatch
+        // its tumbling-bucket co-membership (the chunk window holds
+        // exactly the current bucket's events, flushed at the
+        // boundary: floor(earlier/T) == floor(later/T)). Arrival order
+        // (ties included) is (ts_ns, event_id), so every pair belongs
+        // to exactly one direction.
         if (!hasEqui(j.on))
           fail("a windowed stream-stream join needs an equality conjunct " +
             "in its on-clause (the join key that shards the band join; " +
@@ -2398,18 +2402,18 @@ object SiddhiQL extends Serializable {
           s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +
             s"$x.event_id < $y.event_id))"
         // direction "l later": r retained per the RIGHT side's rule
-        val dir1 =
-          if (isLen(rw))
-            s"(${beforeM(ra, la)} and $ra.__seqB > " +
-              s"$la.__cntB - ${rw.args.head}L)"
-          else s"(${beforeM(ra, la)} and " +
-            s"$la.ts_ns - $ra.ts_ns <= ${rw.args.head}L)"
-        val dir2 =
-          if (isLen(lw))
-            s"(${beforeM(la, ra)} and $la.__seqA > " +
-              s"$ra.__cntA - ${lw.args.head}L)"
-          else s"(${beforeM(la, ra)} and " +
-            s"$ra.ts_ns - $la.ts_ns <= ${lw.args.head}L)"
+        def retain(later: String, earlier: String, w: WindowSpec,
+            seqC: String, cntC: String): String =
+          if (w.name.equalsIgnoreCase("length"))
+            s"$earlier.$seqC > $later.$cntC - ${w.args.head}L"
+          else if (w.name.equalsIgnoreCase("timebatch"))
+            s"($earlier.ts_ns div ${w.args.head}L) = " +
+              s"($later.ts_ns div ${w.args.head}L)"
+          else s"$later.ts_ns - $earlier.ts_ns <= ${w.args.head}L"
+        val dir1 = s"(${beforeM(ra, la)} and " +
+          s"${retain(la, ra, rw, "__seqB", "__cntB")})"
+        val dir2 = s"(${beforeM(la, ra)} and " +
+          s"${retain(ra, la, lw, "__seqA", "__cntA")})"
         val bandM = if (j.unidirectional) dir1 else s"($dir1 or $dir2)"
         aF.join(bF, expr(s"(${sqlOf(j.on)}) and $bandM"), j.joinType)
           .drop("__seqA", "__seqB", "__cntA", "__cntB")

@@ -1303,4 +1303,26 @@ class SiddhiQlSpec extends AnyFunSuite {
       timeBoth.contains(r) || lenBoth.contains(r)),
       "mixed join emitted a pair neither retention rule justifies")
   }
+
+  test("count-based rate live fold is chunking-invariant and equals " +
+       "the batch rank semantics") {
+    def app(mode: String) =
+      s"""@info(name = 'q')
+         |from events[value > 100.0]
+         |select event_id, user_id
+         |order by event_id
+         |output $mode every 5 events
+         |insert into Out""".stripMargin
+    for (m <- Seq("first", "last")) {
+      val batch = SiddhiQL.compileApp(spark, sf, app(m))("q")
+        .collect().map(_.toSeq)
+      val live4 = SiddhiQL.deployApp(spark, sf, app(m), "q")
+        .collect().map(_.toSeq)
+      val live7 = SiddhiQL.deployApp(spark, sf, app(m), "q", chunks = 7)
+        .collect().map(_.toSeq)
+      assert(batch.nonEmpty)
+      assert(live4 sameElements batch, s"$m: live(4) != batch")
+      assert(live7 sameElements batch, s"$m: live(7) != batch")
+    }
+  }
 }
