@@ -2343,7 +2343,8 @@ object SiddhiQL extends Serializable {
       case (Some(lw), Some(rw))
           if Seq(lw, rw).forall(w => w.name.equalsIgnoreCase("time") ||
               w.name.equalsIgnoreCase("length") ||
-              w.name.equalsIgnoreCase("timebatch")) =>
+              w.name.equalsIgnoreCase("timebatch") ||
+              w.name.equalsIgnoreCase("lengthbatch")) =>
         // MIXED / timeBatch join sides: each direction applies the
         // EARLIER side's own retention rule at the later event's
         // arrival — time contributes its [0, T] event-time band,
@@ -2361,7 +2362,12 @@ object SiddhiQL extends Serializable {
           "aliases to qualify their columns"))
         val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
           "aliases to qualify their columns"))
-        def isLen(w: WindowSpec) = w.name.equalsIgnoreCase("length")
+        // length AND lengthBatch sides need the arrival rank/count
+        // helpers; lengthBatch's chunk = arrivals since the last flush
+        // (ranks above the last full multiple of N)
+        def isLen(w: WindowSpec) =
+          w.name.equalsIgnoreCase("length") ||
+            w.name.equalsIgnoreCase("lengthbatch")
         def sided(ss: SingleStream, w: WindowSpec, tag: String)
             : DataFrame = {
           val df = side(ss.copy(window = None), None)
@@ -2406,6 +2412,9 @@ object SiddhiQL extends Serializable {
             seqC: String, cntC: String): String =
           if (w.name.equalsIgnoreCase("length"))
             s"$earlier.$seqC > $later.$cntC - ${w.args.head}L"
+          else if (w.name.equalsIgnoreCase("lengthbatch"))
+            s"$earlier.$seqC > " +
+              s"($later.$cntC div ${w.args.head}L) * ${w.args.head}L"
           else if (w.name.equalsIgnoreCase("timebatch"))
             s"($earlier.ts_ns div ${w.args.head}L) = " +
               s"($later.ts_ns div ${w.args.head}L)"

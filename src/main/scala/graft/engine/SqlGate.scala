@@ -299,6 +299,15 @@ object SqlGate {
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // lengthBatch join side mixed with a time side: the chunk holds
+    // arrivals since its last flush (ranks above the last multiple of N)
+    "sql_join_lengthbatch_window" -> q(
+      """from events as a[event_type == 'error']#window.time(10 min)
+        |  join events as b[event_type == 'purchase']#window.lengthBatch(40)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
     // COUNT-based output rate limiting: global arrival-rank chunks of
     // N (text batch form), and the SAME text deployed LIVE through the
     // fold channel (one counter row + append-only emissions; `last`
@@ -1129,6 +1138,23 @@ object SqlGate {
         |          < (epoch_ns(a.ts), a.event_id) AND b.seq > am.cntb - 80)
         |   OR ((epoch_ns(a.ts), a.event_id)
         |          < (epoch_ns(b.ts), b.event_id) AND a.seq > bm.cnta - 50))
+        |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_join_lengthbatch_window" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT *, row_number() OVER (ORDER BY epoch_ns(ts),
+        |    event_id) AS seq FROM events WHERE event_type = 'purchase'),
+        |am AS (SELECT a.event_id, (SELECT count(*) FROM b
+        |  WHERE (epoch_ns(b.ts), b.event_id)
+        |      < (epoch_ns(a.ts), a.event_id)) AS cntb FROM a)
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a JOIN am ON am.event_id = a.event_id
+        |JOIN b ON a.user_id = b.user_id
+        |WHERE (((epoch_ns(b.ts), b.event_id)
+        |          < (epoch_ns(a.ts), a.event_id)
+        |        AND b.seq > (am.cntb // 40) * 40)
+        |   OR ((epoch_ns(a.ts), a.event_id)
+        |          < (epoch_ns(b.ts), b.event_id)
+        |        AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 600000000000))
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_join_timebatch_window" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
