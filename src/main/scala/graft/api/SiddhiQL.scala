@@ -4344,8 +4344,13 @@ object SiddhiQL extends Serializable {
             // Streaming.streamStreamJoin's exact machinery)
             case (Some(WindowSpec(ln, largs, _)),
                   Some(WindowSpec(rn, rargs, _)))
-                if ln.equalsIgnoreCase("time") &&
-                   rn.equalsIgnoreCase("time") =>
+                if Seq(ln, rn).forall(n2 =>
+                  n2.equalsIgnoreCase("time") ||
+                    n2.equalsIgnoreCase("timebatch")) =>
+              // timeBatch sides ride the SAME watermarked interval
+              // join: bucket co-membership implies |Δts| < T, so the
+              // [-T, T] hull is the eviction band Spark needs and the
+              // bucket rule refines it as a residual conjunct
               if (!hasEqui(j.on))
                 fail("a windowed stream-stream join needs an equality " +
                   "conjunct in its on-clause")
@@ -4400,8 +4405,13 @@ object SiddhiQL extends Serializable {
                 case other => fail(s"bad reference ${other.mkString(".")}")
               }
               val cond = sqlOfWith(j.on, qual)
+              val isTb = (n2: String) => n2.equalsIgnoreCase("timebatch")
+              val anyTb = isTb(ln) || isTb(rn)
               val (lo, hi) =
-                if (j.unidirectional) (0L, rargs.head)
+                if (anyTb) {
+                  val h = math.max(largs.head, rargs.head)
+                  if (j.unidirectional) (0L, h) else (-h, h)
+                } else if (j.unidirectional) (0L, rargs.head)
                 else (-largs.head, rargs.head)
               // tl - tr ∈ [lo, hi]  ⇔  r_ts ∈ [l_ts - hi, l_ts - lo]
               def ivl(ns: Long): String =
@@ -4410,9 +4420,39 @@ object SiddhiQL extends Serializable {
                 s"${ra}_ts >= ${la}_ts - ${ivl(hi)} and " +
                   s"${ra}_ts ${if (lo <= 0) "<=" else "<="} ${la}_ts " +
                   s"${if (lo <= 0) "+" else "-"} ${ivl(lo)}"
-              val joined = sideDf(j.left.copy(window = None), la)
-                .join(sideDf(j.right.copy(window = None), ra),
-                  expr(s"($cond) and ($band)"), jType)
+              val aSide = sideDf(j.left.copy(window = None), la)
+              val bSide = sideDf(j.right.copy(window = None), ra)
+              // per-direction retention residual when a side is a
+              // tumbling chunk: the EARLIER side's rule applies at the
+              // later event's arrival (arrival order = (ts_ns,
+              // event_id), so every pair belongs to one direction)
+              val resid =
+                if (!anyTb) ""
+                else {
+                  Seq((la, aSide), (ra, bSide)).foreach { case (al, df2) =>
+                    Seq("ts_ns", "event_id").foreach(c =>
+                      if (!df2.columns.contains(s"${al}_$c"))
+                        fail(s"timeBatch join sides need '$c' for " +
+                          s"arrival order; side '$al' lost it"))
+                  }
+                  def beforeL(x: String, y: String) =
+                    s"(${x}_ts_ns < ${y}_ts_ns or (${x}_ts_ns = " +
+                      s"${y}_ts_ns and ${x}_event_id < ${y}_event_id))"
+                  def ret(later: String, earlier: String, n2: String,
+                      t: Long) =
+                    if (isTb(n2))
+                      s"(${earlier}_ts_ns div ${t}L) = " +
+                        s"(${later}_ts_ns div ${t}L)"
+                    else s"${later}_ts_ns - ${earlier}_ts_ns <= ${t}L"
+                  val d1 = s"(${beforeL(ra, la)} and " +
+                    s"${ret(la, ra, rn, rargs.head)})"
+                  val d2 = s"(${beforeL(la, ra)} and " +
+                    s"${ret(ra, la, ln, largs.head)})"
+                  " and (" +
+                    (if (j.unidirectional) d1 else s"$d1 or $d2") + ")"
+                }
+              val joined = aSide
+                .join(bSide, expr(s"($cond) and ($band)$resid"), jType)
               if (joinAgg) {
                 // ONE-STAGE windowed-join aggregation: `join … select
                 // agg(...) group by …` compiles to the watermarked
@@ -4575,8 +4615,9 @@ object SiddhiQL extends Serializable {
                 if (jType == "inner") KStateless else KWindowAgg)
               }
             case _ => fail("live deployment joins need #window.time(T) " +
-              "on both sides (the watermarked stream-stream join); " +
-              "other join forms are not deployed (v1)")
+              "or #window.timeBatch(T) on both sides (the watermarked " +
+              "stream-stream join); count-window join sides need the " +
+              "global arrival rank and are batch-replay surfaces (v1)")
           }
         }
         val key = name.orElse(ast.action.map(_.target))

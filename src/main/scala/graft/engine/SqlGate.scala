@@ -308,6 +308,16 @@ object SqlGate {
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // timeBatch join sides deployed LIVE: same interval join, bucket
+    // co-membership as residual over the [-T, T] eviction hull
+    "sql_app_join_timebatch_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'pairs')
+        |from events as a[event_type == 'error']#window.timeBatch(10 min)
+        |  join events as b[event_type == 'purchase']#window.timeBatch(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "pairs")),
     // COUNT-based output rate limiting: global arrival-rank chunks of
     // N (text batch form), and the SAME text deployed LIVE through the
     // fold channel (one counter row + append-only emissions; `last`
@@ -1155,6 +1165,14 @@ object SqlGate {
         |   OR ((epoch_ns(a.ts), a.event_id)
         |          < (epoch_ns(b.ts), b.event_id)
         |        AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 600000000000))
+        |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_app_join_timebatch_live" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE epoch_ns(a.ts) // 600000000000
+        |    = epoch_ns(b.ts) // 600000000000
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_join_timebatch_window" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
