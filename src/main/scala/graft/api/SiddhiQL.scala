@@ -2115,13 +2115,24 @@ object SiddhiQL extends Serializable {
     * clean view). v1 fault class = integer divide/modulo by zero,
     * derived from the zero-divisor conditions implied by every query
     * reading `sN` in the app (engine twin: Ops.faultStream's
-    * validation-predicate union). Rows matching any condition route to
-    * `!sN` with `_error`; clean readers see the exact complement (an
-    * erroring event produces no main output). Shared by the batch
-    * replay and the live deployment — the split is stateless, so the
-    * SAME filters compose onto either a batch or a streaming source
-    * (flush sentinels dropped by the clean filter have already
-    * advanced the watermark at the source node). */
+    * validation-predicate union) — single-stream queries, partition
+    * blocks over `sN` (inner queries + range-label conditions), and
+    * the `sN` side of joins / pattern steps (side-local expressions
+    * only: a divisor referencing the OTHER join side cannot be
+    * evaluated per-`sN`-event, so it contributes nothing — the pair
+    * fault routes with the erroring event, out of v1 scope). Stream
+    * names match case-insensitively, like the rest of the compiler.
+    * Rows matching any condition route to `!sN` with `_error`; clean
+    * readers see the exact complement (an erroring event produces no
+    * main output). Shared by the batch replay and the live deployment:
+    * both split filters are OR-extended with the flush-sentinel region
+    * (`ts >= flushCutoff`) so they stay above the source watermark
+    * node and sentinels reach BOTH branches — a stateful live reader
+    * of `!sN` (or of the clean view when a divisor happens to be zero
+    * on the sentinel's synthetic values) still sees the watermark
+    * advance; stateful operators drop sentinels right above
+    * themselves, and the batch replay has no `ts` in that region so
+    * the extension is the identity there. */
   private def onErrorSplit(base: DataFrame,
       stmts: List[(Option[String], String, Boolean)], sN: String)
       : (DataFrame, DataFrame) = {
@@ -2134,18 +2145,93 @@ object SiddhiQL extends Serializable {
       case Call(_, _, args) => args.flatMap(divisors)
       case _ => Nil
     }
-    val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
-      if (!b.split("\\s+", 2).headOption.exists(
-          _.equalsIgnoreCase("from"))) Nil
-      else scala.util.Try {
-        val ast = new P(lex(b)).query()
-        ast.stream match {
-          case ss: SingleStream if ss.table == sN =>
-            (ss.filter.toList ++ ast.select.map(_.e) ++
-              ast.having.toList).flatMap(divisors)
+    def isSn(t: String): Boolean = t.equalsIgnoreCase(sN)
+    // Rewrite a divisor to `sN`-local form: refs qualified by an `sN`
+    // alias/binding drop the qualifier; refs qualified by another
+    // stream's alias make the divisor non-local → None (dropped).
+    def localize(e: Expr, snQ: Set[String], otherQ: Set[String])
+        : Option[Expr] = e match {
+      case Ref(q :: c :: Nil) if snQ.exists(_.equalsIgnoreCase(q)) =>
+        Some(Ref(c :: Nil))
+      case Ref(q :: _) if otherQ.exists(_.equalsIgnoreCase(q)) => None
+      case Ref(_) | Num(_) | Str(_) => Some(e)
+      case Bin(op, l, r) => for { a <- localize(l, snQ, otherQ)
+                                  b <- localize(r, snQ, otherQ) }
+                            yield Bin(op, a, b)
+      case Not(x) => localize(x, snQ, otherQ).map(Not)
+      case Neg(x) => localize(x, snQ, otherQ).map(Neg)
+      case Call(ns, n, as) =>
+        val ls = as.map(localize(_, snQ, otherQ))
+        if (ls.forall(_.nonEmpty)) Some(Call(ns, n, ls.map(_.get)))
+        else None
+      case _ => None
+    }
+    def fromAst(ast: Ast): List[Expr] = ast.stream match {
+      case ss: SingleStream if isSn(ss.table) =>
+        (ss.filter.toList ++ ast.select.map(_.e) ++
+          ast.having.toList).flatMap(divisors)
+      case j: JoinStream if isSn(j.left.table) || isSn(j.right.table) =>
+        val sides = List(j.left -> j.leftAlias, j.right -> j.rightAlias)
+        val snQ = sides.collect { case (s, a) if isSn(s.table) =>
+          a.getOrElse(s.table) }.toSet
+        val otherQ = sides.collect { case (s, a) if !isSn(s.table) =>
+          a.getOrElse(s.table) }.toSet
+        val local = sides.collect { case (s, _) if isSn(s.table) =>
+          s.filter.toList }.flatten.flatMap(divisors)
+        val shared = (j.on :: ast.select.map(_.e) ++ ast.having.toList)
+          .flatMap(divisors)
+        local ::: shared.flatMap(localize(_, snQ, otherQ))
+      case p: PatternStream =>
+        val snBind = p.steps.flatMap {
+          case PatCond(b2, t, _, _, _) if isSn(t) => List(b2)
+          case PatPair(_, b1, t1, _, b2, t2, _) =>
+            (if (isSn(t1)) List(b1) else Nil) :::
+              (if (isSn(t2)) List(b2) else Nil)
+          case _ => Nil
+        }.toSet
+        val otherBind = p.steps.flatMap {
+          case PatCond(b2, t, _, _, _) if !isSn(t) => List(b2)
+          case PatPair(_, b1, t1, _, b2, t2, _) =>
+            (if (!isSn(t1)) List(b1) else Nil) :::
+              (if (!isSn(t2)) List(b2) else Nil)
+          case _ => Nil
+        }.toSet
+        val stepLocal = p.steps.flatMap {
+          case PatCond(_, t, c, _, _) if isSn(t) => divisors(c)
+          case PatAbsent(t, c, _) if isSn(t) => divisors(c)
+          case PatPair(_, _, t1, c1, _, t2, c2) =>
+            (if (isSn(t1)) divisors(c1) else Nil) :::
+              (if (isSn(t2)) divisors(c2) else Nil)
           case _ => Nil
         }
+        if (snBind.isEmpty && stepLocal.isEmpty) Nil
+        else stepLocal.flatMap(localize(_, snBind, otherBind)) :::
+          (ast.select.map(_.e) ++ ast.having.toList).flatMap(divisors)
+            .flatMap(localize(_, snBind, otherBind))
+      case _ => Nil
+    }
+    val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
+      val head = b.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("from"))
+        scala.util.Try(fromAst(new P(lex(b)).query())).getOrElse(Nil)
+      else if (head.equalsIgnoreCase("partition")) scala.util.Try {
+        val (innerBody, _, ranges, srcName) = parsePartition(b)
+        if (!isSn(srcName)) Nil
+        else ranges.map(_._1).flatMap(divisors) :::
+          innerBody.split(";").map(_.trim).filter(_.nonEmpty).toList
+            .flatMap(stripAnnotations).flatMap { case (_, qb, _) =>
+              scala.util.Try {
+                val a = new P(lex(qb)).query()
+                a.stream match {
+                  case ss: SingleStream if isSn(ss.table) ||
+                      ss.table.equalsIgnoreCase(srcName) => fromAst(
+                    a.copy(stream = ss.copy(table = sN)))
+                  case _ => fromAst(a)
+                }
+              }.getOrElse(Nil)
+            }
       }.getOrElse(Nil)
+      else Nil
     }.map(sqlOf).distinct.flatMap { rTxt =>
       scala.util.Try {
         val c = expr(rTxt)
@@ -2158,13 +2244,31 @@ object SiddhiQL extends Serializable {
     }
     val faultAny = coalesce(
       conds.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
-    (base.filter(faultAny).withColumn("_error", lit("divide_by_zero")),
-      base.filter(!faultAny))
+    // both branches keep the sentinel region (no-op for batch replay —
+    // real data never reaches ts >= flushCutoff)
+    val sentinel: Column =
+      if (base.columns.contains("ts"))
+        col("ts") >= graft.engine.Streaming.flushCutoff
+      else lit(false)
+    (base.filter(faultAny || sentinel)
+       .withColumn("_error", when(sentinel, lit(null).cast("string"))
+         .otherwise(lit("divide_by_zero"))),
+      base.filter(!faultAny || sentinel))
   }
+
+  /** Env lookup matching the compiler's case-insensitive stream-name
+    * semantics: exact key first (the common case, free), then a
+    * case-insensitive scan — so `from Events` reads the same declared
+    * view (e.g. an @OnError clean split) as `from events` instead of
+    * silently falling through to the raw table. */
+  private def envLookup(env: Map[String, DataFrame], name: String)
+      : Option[DataFrame] =
+    env.get(name).orElse(env.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v })
 
   private def loadTable(spark: SparkSession, dir: String, name: String,
                         env: Map[String, DataFrame]): DataFrame =
-    env.getOrElse(name,
+    envLookup(env, name).getOrElse(
       if (name.startsWith("!"))
         fail(s"fault stream '$name' needs an app context with " +
           s"`@OnError(action='STREAM') define stream ${name.drop(1)} " +
@@ -2316,11 +2420,18 @@ object SiddhiQL extends Serializable {
             lit(0L).as("__isB"))
           .unionByName(bSeq.select(col("ts_ns"), col("event_id"),
             lit(1L).as("__isB")))
+          // __isB is the deterministic tie-breaker for an event that
+          // appears on BOTH sides of a self-join (identical (ts_ns,
+          // event_id) marks): each cumulative window sorts the READING
+          // side's mark first, so an event's own twin never counts as
+          // an other-side arrival "before" it — matching the strict
+          // `before()` order, under which a self-pair never joins
           .withColumn("__cumB", expr("sum(__isB) over (order by ts_ns, " +
-            "event_id rows between unbounded preceding and current row)"))
-          .withColumn("__cumA", expr("sum(1 - __isB) over (order by " +
-            "ts_ns, event_id rows between unbounded preceding and " +
+            "event_id, __isB rows between unbounded preceding and " +
             "current row)"))
+          .withColumn("__cumA", expr("sum(1 - __isB) over (order by " +
+            "ts_ns, event_id, __isB desc rows between unbounded " +
+            "preceding and current row)"))
         val aCnt = marks.filter(col("__isB") === 0)
           .select(col("event_id").as("__aid"), col("__cumB").as("__cntB"))
         val bCnt = marks.filter(col("__isB") === 1)
@@ -2388,9 +2499,13 @@ object SiddhiQL extends Serializable {
           me.select(col("ts_ns"), col("event_id"), lit(0L).as("__o"))
             .unionByName(other.select(col("ts_ns"), col("event_id"),
               lit(1L).as("__o")))
+            // __o tie-break: the reading side's own mark (__o=0) sorts
+            // first at identical (ts_ns, event_id), so a self-join
+            // twin never counts as an other-side arrival "before" it
+            // (deterministic; matches beforeM's strict order)
             .withColumn("__cnt", expr("sum(__o) over (order by ts_ns, " +
-              "event_id rows between unbounded preceding and current " +
-              "row)"))
+              "event_id, __o rows between unbounded preceding and " +
+              "current row)"))
             .filter(col("__o") === 0)
             .select(col("event_id").as("__mid"), col("__cnt"))
         val aF0 = if (isLen(rw)) {
@@ -3488,7 +3603,7 @@ object SiddhiQL extends Serializable {
           if (statefulStreams.contains(srcName))
             fail(s"live deployment (v1): '$srcName' is an aggregation " +
               "output — it cannot feed table DML")
-          val feed = view.getOrElse(srcName, fail("live deployment " +
+          val feed = envLookup(view, srcName).getOrElse(fail("live deployment " +
             s"reads declared streams; '$srcName' is neither the " +
             "source nor an earlier insert-into target"))
           // build the merge plan NOW over empty frames so a bad app
@@ -3526,7 +3641,7 @@ object SiddhiQL extends Serializable {
               fail(s"live deployment (v1): '${s.table}' is an " +
                 "aggregation output — it must be the app's final sink, " +
                 "not a feed for further stages")
-            val base0 = view.getOrElse(s.table, fail("live deployment " +
+            val base0 = envLookup(view, s.table).getOrElse(fail("live deployment " +
               s"reads declared streams; '${s.table}' is neither the " +
               "source nor an earlier insert-into target"))
             val base = s.filter.fold(base0)(f => liveWhere(base0, f))
@@ -4376,7 +4491,7 @@ object SiddhiQL extends Serializable {
                 if (statefulStreams.contains(ss.table))
                   fail(s"live deployment (v1): '${ss.table}' is an " +
                     "aggregation output — it cannot feed a join")
-                val b0 = view.getOrElse(ss.table, fail("live deployment " +
+                val b0 = envLookup(view, ss.table).getOrElse(fail("live deployment " +
                   s"reads declared streams; '${ss.table}' is neither " +
                   "the source nor an earlier insert-into target"))
                 val b1 = ss.filter.fold(b0)(f => liveWhere(b0, f))
@@ -4554,14 +4669,26 @@ object SiddhiQL extends Serializable {
                   def add(c: String) =
                     (coalesce(col(s"t.$c"), lit(0)) +
                       coalesce(col(s"u.$c"), lit(0))).as(c)
+                  // sum partials preserve SQL null semantics: a partial
+                  // is null iff its values were all null, and the merge
+                  // must stay null in that case (coalescing both sides
+                  // to 0 would turn sum(all-null) into 0, diverging
+                  // from the batch oracle); least/greatest already skip
+                  // single-side nulls and return null only if both are
+                  def addSum(c: String) =
+                    when(col(s"t.$c").isNull && col(s"u.$c").isNull,
+                      lit(null))
+                      .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+                        coalesce(col(s"u.$c"), lit(0))).as(c)
                   n match {
                     case "count" => Seq(add(base))
-                    case "sum" => Seq(add(base))
+                    case "sum" => Seq(addSum(base))
                     case "min" => Seq(least(col(s"t.$base"),
                       col(s"u.$base")).as(base))
                     case "max" => Seq(greatest(col(s"t.$base"),
                       col(s"u.$base")).as(base))
-                    case "avg" => Seq(add(base + "s"), add(base + "n"))
+                    case "avg" => Seq(addSum(base + "s"),
+                      add(base + "n"))
                   }
                 }
                 val schemaJ = partialOf(feed).schema
@@ -4570,9 +4697,12 @@ object SiddhiQL extends Serializable {
                   foldResult = Some(singleFold(feed, schemaJ,
                     (_, _, acc, batch) => {
                       val u = partialOf(batch)
+                      // <=> so a null group key merges with itself
+                      // across triggers instead of spawning a fresh
+                      // null-key group per batch
                       acc.as("t").join(u.as("u"),
                           keys.map(k =>
-                            col(s"t.$k") === col(s"u.$k"))
+                            col(s"t.$k") <=> col(s"u.$k"))
                             .reduce(_ && _), "full_outer")
                         .select(keys.map(k => coalesce(col(s"u.$k"),
                             col(s"t.$k")).as(k)) ++
@@ -4677,7 +4807,7 @@ object SiddhiQL extends Serializable {
         fail("@OnError annotates a `define stream` (v1)")
       p0.ident()
     }.foreach { sN =>
-      val baseDf = env.getOrElse(sN, fail("@OnError live deployment " +
+      val baseDf = envLookup(env, sN).getOrElse(fail("@OnError live deployment " +
         s"annotates the source stream; '$sN' is not declared"))
       val (fault, clean) = onErrorSplit(baseDf, liveStmts, sN)
       env += ("!" + sN) -> fault
@@ -4723,7 +4853,7 @@ object SiddhiQL extends Serializable {
         if (statefulStreams.contains(srcName))
           fail(s"live deployment (v1): '$srcName' is an aggregation " +
             "output — it cannot feed a partition block")
-        val baseDf = env.getOrElse(srcName, fail("live deployment " +
+        val baseDf = envLookup(env, srcName).getOrElse(fail("live deployment " +
           s"reads declared streams; '$srcName' is neither the source " +
           "nor an earlier insert-into target"))
         val (partKey, view) = keyAttr match {
