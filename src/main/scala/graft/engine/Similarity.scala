@@ -2,6 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+  StructField, StructType}
 
 /** Similarity search over the embedding column (beyond-reference ops;
   * builder brief + SURVEY.md §7.3 step 9).
@@ -290,65 +292,140 @@ object Similarity {
   def topkPq(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
     val m = 4; val k = 8; val sub = 16
-    val e = vecs(s, d)
-    // init: the 8 lowest vec_ids' sub-vectors, per subspace (driver: tiny)
-    val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    // harness: the train pass, the encode pass, the query fetch and the
+    // re-rank fetch are ~6 logical scans of one small parquet — persist
+    // collapses them onto one in-memory columnar read. At 100 TB the
+    // shape differs by design: the codebooks train on a SAMPLE and the
+    // encode pass is the one full corpus scan (see Scaladoc).
+    val e = vecs(s, d).persist()
+    // init: the 8 lowest vec_ids' sub-vectors, per subspace (driver:
+    // tiny). The SAME collect serves the query set — every vector with
+    // vec_id < 5 is by definition among the k=8 lowest ids, so one job
+    // fetches both instead of two
+    val low: Array[(Long, Seq[Double])] = e.orderBy("vec_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val init: Array[Array[Double]] = low.map(_._2.toArray)
+    val qRows: Array[(Long, Seq[Double])] = low.filter(_._1 < 5)
     var cents: Array[Array[Array[Double]]] = // [m][c][i]
       Array.tabulate(m, k, sub)((mm, c, i) => init(c)(mm * sub + i))
-    def centsLit(mm: Int): String = cents(mm)
-      .map(c => s"array(${c.mkString(",")})").mkString("array(", ",", ")")
-    // the per-subspace distance vector materializes ONCE as a real
-    // column (`__d`) and the code is its argmin — inlining the
-    // transform into both array_position args would double the
-    // codebook-literal expression, and at M=4 subspaces × 2 encode
-    // passes that literal bulk is what the optimizer and codegen
-    // chew on, not the 64-dim arithmetic
-    def encoded(): DataFrame = (0 until m).foldLeft(e) { (df, mm) =>
-      df.withColumn(s"__d$mm", expr(
-          s"transform(${centsLit(mm)}, c -> " +
-            s"aggregate(zip_with(slice(v, ${mm * sub + 1}, $sub), c, " +
-            "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x))"))
-        .withColumn(s"code$mm",
-          expr(s"array_position(__d$mm, array_min(__d$mm)) - 1"))
-        .drop(s"__d$mm")
+    // Per-subspace squared L2 between a sub-slice of `v` and a centroid,
+    // folded in ascending dimension order — the SAME accumulation order
+    // as the SQL `aggregate(zip_with(...), 0d, (acc,x) -> acc+x)` fold
+    // the DuckDB oracle mirrors, so distances (and hence argmins and
+    // ADC sums) are bit-identical across all three formulations.
+    def subL2(v: Seq[Double], cent: Array[Double], off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < cent.length) {
+        val dlt = v(off + i) - cent(i); acc += dlt * dlt; i += 1
+      }
+      acc
     }
-    // one Lloyd update per subspace, all in ONE aggregate over ONE
-    // scan: each row explodes to its M (subspace, code, sub-vector)
-    // cells — 4 rows per vector, with the 16 per-dimension means as 16
-    // aggregate columns (a per-dimension posexplode would cost 64 rows
-    // per vector for the same answer; a 4-union of re-encoded scans
-    // would re-codegen the codebook-literal encoder four times)
-    val exploded = encoded()
-      .select(explode(array((0 until m).map(mm => struct(
-        lit(mm).as("m"), col(s"code$mm").as("code"),
-        expr(s"slice(v, ${mm * sub + 1}, $sub)").as("xs"))): _*)).as("s"))
-      .select(col("s.m").as("m"), col("s.code").as("code"),
-        col("s.xs").as("xs"))
-    val dimAggs = (0 until sub).map(i =>
-      round(avg(expr(s"xs[$i]")), 6).as(s"c$i"))
-    val upd = exploded.groupBy("m", "code")
-      .agg(dimAggs.head, dimAggs.tail: _*).collect()
-      .flatMap(r => (0 until sub).map(i =>
-        ((r.getInt(0), r.getLong(1), i), r.getDouble(2 + i))))
-      .toMap
-    require(upd.size == m * k * sub,
-      s"empty PQ cluster (got ${upd.size} of ${m * k * sub} cells) — " +
-        "v1 requires all subspace clusters populated")
-    cents = Array.tabulate(m, k, sub)((mm, c, i) => upd((mm, c.toLong, i)))
+    // Encoding is a TYPED kernel (mapPartitions-class codec, like the
+    // multimodal batch kernels): the codebook rides the task closure as
+    // plain arrays instead of a 512-double literal expression tree.
+    // Two encode passes × M subspaces of literal codebooks was the
+    // dominant plan-compile/codegen cost of this query — the arithmetic
+    // itself is trivial. Argmin = FIRST minimal centroid (strict <),
+    // matching `array_position(d, array_min(d)) - 1`.
+    def encoded(): DataFrame = {
+      val cb = cents.map(_.map(_.clone)) // snapshot of the var
+      import s.implicits._
+      e.select(col("vec_id").as("_1"), col("v").as("_2"))
+        .as[(Long, Seq[Double])].map { case (id, v) =>
+          val codes: Seq[Long] = Array.tabulate(m) { mm =>
+            var best = 0L; var bestD = Double.MaxValue; var c = 0
+            while (c < cb(mm).length) {
+              val dd = subL2(v, cb(mm)(c), mm * sub)
+              if (dd < bestD) { bestD = dd; best = c.toLong }
+              c += 1
+            }
+            best
+          }.toSeq
+          (id, v, codes)
+        }.toDF("vec_id", "v", "codes")
+        .select(col("vec_id") :: col("v") ::
+          (0 until m).map(mm => col("codes")(mm).as(s"code$mm")).toList: _*)
+    }
+    // one Lloyd update per subspace, in ONE scan with NO shuffle: each
+    // partition folds its rows into the m·k per-cell (sum-vector, count)
+    // partials inside the SAME typed kernel that assigns codes, and the
+    // driver merges the tiny partials (m·k·(sub+1) doubles per
+    // partition — the classic map-side-combine k-means update). The
+    // per-cell mean is rounded exactly as `round(avg(_), 6)` would be;
+    // FP summation order differs per partitioning but round-6 absorbs
+    // it, the same tolerance the DuckDB oracle already rides on.
+    val partials = {
+      val cb = cents.map(_.map(_.clone)) // snapshot
+      import s.implicits._
+      e.select(col("v").as("_1")).as[Seq[Double]].mapPartitions { it =>
+        val sums = Array.fill(m, k)(new Array[Double](sub))
+        val cnts = Array.fill(m, k)(0L)
+        it.foreach { v =>
+          var mm = 0
+          while (mm < m) {
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < k) {
+              val dd = subL2(v, cb(mm)(c), mm * sub)
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < sub) {
+              sums(mm)(best)(i) += v(mm * sub + i); i += 1
+            }
+            cnts(mm)(best) += 1L
+            mm += 1
+          }
+        }
+        Iterator.tabulate(m * k) { j =>
+          (j / k, j % k, sums(j / k)(j % k).toSeq, cnts(j / k)(j % k))
+        }
+      }.collect()
+    }
+    val cellSum = Array.fill(m, k)(new Array[Double](sub))
+    val cellCnt = Array.fill(m, k)(0L)
+    partials.foreach { case (mm, c, s2, n2) =>
+      var i = 0
+      while (i < sub) { cellSum(mm)(c)(i) += s2(i); i += 1 }
+      cellCnt(mm)(c) += n2
+    }
+    require(cellCnt.flatten.forall(_ > 0L),
+      "empty PQ cluster — v1 requires all subspace clusters populated")
+    // Spark round(x, 6) semantics: BigDecimal of the double's decimal
+    // string representation, HALF_UP
+    def r6(x: Double): Double = new java.math.BigDecimal(
+      java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    cents = Array.tabulate(m, k, sub)((mm, c, i) =>
+      r6(cellSum(mm)(c)(i) / cellCnt(mm)(c).toDouble))
     // final encoding: only the M small codes flow into the search scan
     val codes = encoded().select(col("vec_id") +: col("v") +:
       (0 until m).map(mm => col(s"code$mm")): _*)
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // HOISTED per-query M×k distance table (PQ's ADC table): computed
-    // once per query row on the broadcast side, so a candidate costs 4
-    // lookups + 3 adds instead of a 64-dim fold
-    val qdt = (0 until m).foldLeft(queries) { (df, mm) =>
-      df.withColumn(s"dt$mm", expr(
-        s"transform(${centsLit(mm)}, c -> " +
-          s"aggregate(zip_with(slice(qv, ${mm * sub + 1}, $sub), c, " +
-          "(a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x))"))
+    // the query set is tiny BY DEFINITION (a search request, already
+    // fetched by the init collect above), so the per-query M×k ADC
+    // tables (PQ's asymmetric-distance tables) are computed right on
+    // the driver — 32 doubles per query, shipped as a LOCAL relation
+    // that broadcasts, so a candidate costs 4 lookups + 3 adds instead
+    // of a 64-dim fold
+    val queries = {
+      val lst = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      qRows.foreach { case (id, v) =>
+        lst.add(org.apache.spark.sql.Row(id, v)) }
+      s.createDataFrame(lst, StructType(Seq(
+        StructField("q_id", LongType, nullable = false),
+        StructField("qv", ArrayType(DoubleType), nullable = false))))
+    }
+    val qdt = {
+      val lst = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      qRows.foreach { case (id, v) =>
+        lst.add(org.apache.spark.sql.Row(
+          id +: (0 until m).map(mm =>
+            cents(mm).map(c => subL2(v, c, mm * sub)).toSeq): _*))
+      }
+      s.createDataFrame(lst, StructType(
+        StructField("q_id", LongType, nullable = false) +:
+          (0 until m).map(mm => StructField(s"dt$mm",
+            ArrayType(DoubleType), nullable = false))))
     }
     val adcSum = (0 until m).map(mm =>
       s"element_at(dt$mm, cast(code$mm as int) + 1)").mkString(" + ")
@@ -357,28 +434,38 @@ object Similarity {
     // the two top-k shuffles (PQ's whole point at scale: the corpus
     // vectors stay in cold storage during search)
     val scored = codes.drop("v")
-      .join(broadcast(qdt.drop("qv")), col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdt), col("vec_id") =!= col("q_id"))
       .withColumn("adc", expr(s"round($adcSum, 6)"))
       .select("q_id", "vec_id", "adc")
+    // A 12-bit code distance is honest but coarse, so the shippable ANN
+    // shape is ADC-prune → exact re-rank: keep a P=100 candidate pool
+    // per query by ADC (a constant — ~0.0001% of a 100 TB corpus),
+    // fetch ONLY those vectors, and rank the final top-10 by the exact
+    // cosine. The pool cut is the same two-phase local/global rank as
+    // [[topkBrute]]; ADC stays in the output so the quantization error
+    // is visible next to the exact score.
+    val pool = 100
     val local = scored
       .withColumn("pid", spark_partition_id())
       .withColumn("lrk", expr("row_number() over (partition by q_id, pid " +
         "order by adc, vec_id)"))
-      .filter(col("lrk") <= 10)
-    val ranked = local
-      .withColumn("rk", expr("row_number() over (partition by q_id " +
+      .filter(col("lrk") <= pool)
+    val cand = local
+      .withColumn("prk", expr("row_number() over (partition by q_id " +
         "order by adc, vec_id)"))
-      .filter(col("rk") <= 10)
-      .select("q_id", "rk", "vec_id", "adc")
-    // exact cosine ONLY for the k·|queries| winners (50 rows): the
-    // winner set (with its query vectors) BROADCASTS against one
-    // corpus scan to fetch candidate vectors — the quantization error
-    // stays visible in the output without an exact 64-dim fold per
-    // candidate
+      .filter(col("prk") <= pool)
+      .select("q_id", "vec_id", "adc")
+    // exact cosine ONLY for the pool·|queries| survivors (500 rows):
+    // the pool (with its query vectors) BROADCASTS against one corpus
+    // scan to fetch candidate vectors — never an exact 64-dim fold for
+    // pruned candidates
     e.withColumnRenamed("vec_id", "__cand")
-      .join(broadcast(ranked.join(broadcast(queries), Seq("q_id"))),
+      .join(broadcast(cand.join(broadcast(queries), Seq("q_id"))),
         col("__cand") === col("vec_id"))
       .withColumn("cos_exact", cosExpr("qv", "v"))
+      .withColumn("rk", expr("row_number() over (partition by q_id " +
+        "order by cos_exact desc, vec_id)"))
+      .filter(col("rk") <= 10)
       .select("q_id", "rk", "vec_id", "adc", "cos_exact")
       .orderBy("q_id", "rk")
   }
@@ -507,8 +594,12 @@ object Similarity {
         |      (x, y) -> x + y)""").mkString(" +\n        |    ")}, 6) AS adc,
         |    ${cosSql("q.v", "c.v")} AS cos_exact
         |  FROM e q JOIN rec c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |pool AS (SELECT q_id, vec_id, adc, cos_exact FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc, vec_id) AS prk FROM scored) WHERE prk <= 100),
         |r AS (SELECT q_id, vec_id, adc, cos_exact, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY adc, vec_id) AS rk FROM scored)
+        |    PARTITION BY q_id ORDER BY cos_exact DESC, vec_id) AS rk
+        |  FROM pool)
         |SELECT q_id, rk, vec_id, adc, cos_exact FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "sim_kmeans_batch" ->

@@ -526,15 +526,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.filter(col("c") < 0.40).count() == 0)
   }
 
-  test("sim_topk_pq: ADC ranking well-formed, exact cosines honest, " +
+  test("sim_topk_pq: re-ranked top-10 well-formed, exact cosines honest, " +
     "recall vs brute") {
     val pq = Similarity.topkPq(spark, sf).collect()
     assert(pq.length == 50) // 5 queries x top-10
     pq.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
       val byRk = rows.sortBy(_.getAs[Int]("rk"))
-      // ADC non-decreasing with rank; no self; no duplicate candidates
-      assert(byRk.map(_.getAs[Double]("adc")).sliding(2)
-        .forall(p => p.length < 2 || p(0) <= p(1)))
+      // final rank is the exact-cosine re-rank of the ADC pool:
+      // cos_exact non-increasing with rank; no self; no duplicates
+      assert(byRk.map(_.getAs[Double]("cos_exact")).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
       assert(!byRk.exists(_.getAs[Long]("vec_id") == q))
       assert(byRk.map(_.getAs[Long]("vec_id")).distinct.length == 10)
     }
@@ -546,13 +547,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
       brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_exact")))
     }
-    // recall@10 vs the exact scan — deterministic on this corpus; floor
-    // guards against a broken codebook/assignment (random ≈ 10/500)
+    // recall@10 vs the exact scan — deterministic on this corpus. The
+    // ADC-prune → exact-re-rank pool (P=100) must make the component
+    // shippable: ≥ 0.8, not just better-than-random
     val recall = pq.count { r =>
       brute.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
     } / 50.0
     info(f"sim_topk_pq recall@10 vs brute = $recall%.2f")
-    assert(recall >= 0.2)
+    assert(recall >= 0.8)
   }
 
   test("agg_timeseries_outlier: fit and residual-stddev windows share " +
