@@ -94,6 +94,67 @@ object Patterns {
     ((all, outs.length), outs.drop(emitted))
   }
 
+  /** Stable identity of a completed run across re-folds: its bound
+    * event ids per step (a run binds the same events in every re-fold
+    * that still contains them), prefixed with the MINIMUM bound ts so
+    * eviction can drop signatures that can no longer be re-derived.
+    * Used by the timed (absence-capable) re-fold, where the emitted-
+    * COUNT watermark is not prefix-stable: a horizon-finalized match
+    * re-appears at a different position once its confirming event
+    * arrives, but its signature never changes. */
+  private[graft] def sigOf(b: Bindings): String = {
+    val minTs = b.valuesIterator.flatten.map(_.tsNs).min
+    minTs.toString + "|" + b.toSeq.sortBy(_._1).map { case (n, evs) =>
+      n + ":" + evs.map(_.eventId).mkString(",") }.mkString(";")
+  }
+  private def sigMinTs(sig: String): Long =
+    sig.takeWhile(_ != '|').toLong
+
+  /** One per-key micro-batch step of the TIMED re-fold (the absence-
+    * capable twin of [[foldStep]]): guard in-order delivery, evict dead
+    * history and unreachable signatures, re-fold with the current
+    * watermark as the confirmation horizon, emit matches whose
+    * signature hasn't been emitted yet, and return the earliest still-
+    * pending absence deadline (the next event-time timer). Pure —
+    * unit-tested directly; `selectStreamTimed` is this inside
+    * `flatMapGroupsWithState` with `EventTimeTimeout`. */
+  private[graft] def foldStepTimed[Out](
+      steps: IndexedSeq[Cep.PStep], withinNs: Option[Long],
+      spawn: Cep.SpawnPolicy, project: Bindings => Out)(
+      key: Long, prev: (Vector[Ev], Vector[String]), batch: Vector[Ev],
+      horizonNs: Long)
+      : ((Vector[Ev], Vector[String]), Vector[Out], Option[Long]) = {
+    val (hist0, sigs0) = prev
+    if (hist0.nonEmpty) {
+      val hMaxTs = hist0.last.tsNs; val hMaxId = hist0.last.eventId
+      batch.find(e => e.tsNs < hMaxTs ||
+          (e.tsNs == hMaxTs && e.eventId < hMaxId)).foreach { late =>
+        throw new IllegalStateException(
+          s"selectStreamTimed key=$key: event (ts=${late.tsNs}, id=" +
+            s"${late.eventId}) arrived after history max (ts=$hMaxTs, " +
+            s"id=$hMaxId) — per-key in-order delivery is a " +
+            "precondition of the prefix-stable re-fold")
+      }
+    }
+    // evict events that can no longer bind any live or future run
+    // (see evictHistory's proof obligations) and signatures whose
+    // earliest bound event was evicted — such a match can never be
+    // re-derived, so its signature is dead weight
+    val (hist1, sigs1) = withinNs match {
+      case Some(w) if spawn == Cep.EveryMatch && hist0.nonEmpty =>
+        val cut = hist0.last.tsNs - w
+        (hist0.dropWhile(_.tsNs < cut), sigs0.filter(sigMinTs(_) >= cut))
+      case _ => (hist0, sigs0)
+    }
+    val all = (hist1 ++ batch).sortBy(e => (e.tsNs, e.eventId))
+    val (tagged, pending) = Cep.runH[(String, Out)](steps, withinNs,
+      spawn, b => (sigOf(b), project(b)), horizonNs)(all.iterator)
+    val seen = sigs1.toSet
+    val fresh = tagged.filterNot { case (sg, _) => seen(sg) }
+    ((all, sigs1 ++ fresh.map(_._1)), fresh.map(_._2),
+      pending.minOption)
+  }
+
   private[graft] def evictHistory[Out](
       steps: IndexedSeq[Cep.PStep], withinNs: Option[Long],
       spawn: Cep.SpawnPolicy, project: Bindings => Out)(
@@ -213,6 +274,65 @@ object Patterns {
               key, state.getOption.getOrElse((Vector.empty[Ev], 0)),
               batch.toVector)
             state.update(st1)
+            outs.iterator
+        }
+    }
+
+    /** Execute over a LIVE watermarked stream WITH absence support: the
+      * same per-key re-fold as [[selectStream]], but the confirmation
+      * horizon is the event-time WATERMARK and `not X for T` deadlines
+      * register event-time timers — a run parked at an absence step
+      * confirms once the watermark passes its deadline (no future event
+      * can violate it), so matches emit without waiting for the key's
+      * next event. The input must carry a `withWatermark` tag on `ts`
+      * (the timer machinery requires it).
+      *
+      * Emitted-match bookkeeping is a signature SET (bound event ids,
+      * [[Patterns.sigOf]]) instead of [[selectStream]]'s emitted-count
+      * watermark: a horizon-finalized match re-appears at a different
+      * fold position once a later event arrives, so a count prefix is
+      * not stable, but its signature is. The set (like the history) is
+      * evicted under `within` + `every`; without `within` it grows with
+      * the key's match count — the documented cost of exact re-fold
+      * semantics. Same per-key in-order precondition as
+      * [[selectStream]]; open final quantifiers (which only an actual
+      * end of stream can close) remain refused. */
+    def selectStreamTimed[Out: Encoder](
+        ds: Dataset[graft.engine.Streaming.EvT])
+        (project: Bindings => Out): Dataset[Out] = {
+      steps.last match {
+        case s: Cep.Single => require(s.min == s.max,
+          "an open final quantifier completes only at end-of-stream; " +
+            "not streamable via re-fold")
+        case _ => ()
+      }
+      import ds.sparkSession.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val st = steps.toIndexedSeq
+      val w = withinNs
+      val sp = spawn
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[(Vector[Ev], Vector[String]), Out](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case (key, batch: Iterator[graft.engine.Streaming.EvT],
+                state: GroupState[(Vector[Ev], Vector[String])]) =>
+            val horizonNs = state.getCurrentWatermarkMs() * 1000000L
+            val evs =
+              if (state.hasTimedOut) Vector.empty[Ev]
+              else batch.map(t => Cep.Ev(t.eventId, t.tsNs, t.userId,
+                t.eventType, t.value)).toVector
+            val (st1, outs, nextDdl) =
+              Patterns.foldStepTimed(st, w, sp, project)(
+                key, state.getOption.getOrElse(
+                  (Vector.empty[Ev], Vector.empty[String])),
+                evs, horizonNs)
+            state.update(st1)
+            // wake when the watermark passes the earliest undecided
+            // absence deadline (ns → ms, +1 so the timer is strictly
+            // past it); with nothing pending the state sleeps until
+            // the key's next event
+            nextDdl.foreach(d =>
+              state.setTimeoutTimestamp(d / 1000000L + 1))
             outs.iterator
         }
     }

@@ -148,6 +148,34 @@ object SiddhiQL extends Serializable {
     * `group by`) to shard it, or raise the bound deliberately. */
   @volatile var maxGlobalWindowRows: Long = 5000000L
 
+  /** Distributed running total of `value` in GLOBAL `sortCols` order —
+    * the scale-safe form of `sum(value) over (order by … rows
+    * unbounded preceding)`: rows range-partition by the sort key, each
+    * partition computes its local running total in parallel, and the
+    * per-partition totals (ONE row per partition) cumsum into offsets
+    * that broadcast back onto the rows. The only order-by-without-
+    * partition window left touches the P-row offset relation, so no
+    * data-sized single-task stage remains; the sort key must be
+    * total (unique) for the result to be deterministic. */
+  private def runningTotal(df: DataFrame, sortCols: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__rpid", spark_partition_id())
+    val w = Window.partitionBy("__rpid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = parted.groupBy("__rpid")
+      .agg(sum(value).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(
+        Window.orderBy("__rpid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rpid").as("__opid"), col("__off"))
+    parted.withColumn("__loc", sum(value).over(w))
+      .join(broadcast(offs), col("__rpid") === col("__opid"))
+      .withColumn(out, col("__loc") + col("__off"))
+      .drop("__rpid", "__opid", "__loc", "__off")
+  }
+
   private def guardGlobalWindow(base: DataFrame, what: String): Unit = {
     val n = base.count()
     if (n > maxGlobalWindowRows)
@@ -1276,43 +1304,8 @@ object SiddhiQL extends Serializable {
         } else if (p.tryKw("function")) {
           registerScriptFn(body)
         } else if (p.tryKw("aggregation")) {
-          // define aggregation A from S[f] select ... group by ...
-          //   aggregate by ts every sec ... day
-          val aname = p.ident()
-          p.eatKw("from")
-          val tbl = p.ident()
-          val filt = if (p.trySym("[")) {
-            val e = p.expr(); p.eatSym("]"); Some(e)
-          } else None
-          p.eatKw("select")
-          val sel = p.selItems()
-          val grp = if (p.tryKw("group")) {
-            p.eatKw("by")
-            val g = List.newBuilder[String]
-            g += p.ident()
-            while (p.trySym(",")) g += p.ident()
-            g.result()
-          } else Nil
-          p.eatKw("aggregate"); p.eatKw("by")
-          val tsAttr = p.ident()
-          p.eatKw("every")
-          val g1 = grainKey(p.ident())
-          val grains: List[String] =
-            if (p.trySym(".")) { // `sec ... day` range over the ladder
-              p.eatSym("."); p.eatSym(".")
-              val g2 = grainKey(p.ident())
-              val names = grainLadder.map(_._1)
-              val (i1, i2) = (names.indexOf(g1), names.indexOf(g2))
-              if (i1 > i2) fail(s"grain range '$g1 ... $g2' is inverted")
-              names.slice(i1, i2 + 1)
-            } else {
-              val gs = List.newBuilder[String]
-              gs += g1
-              while (p.trySym(",")) gs += grainKey(p.ident())
-              val names = grainLadder.map(_._1)
-              gs.result().distinct.sortBy(names.indexOf)
-            }
-          aggDefs += aname -> AggDef(tbl, filt, sel, grp, tsAttr, grains)
+          val (aname, adef) = parseAggDefRest(p)
+          aggDefs += aname -> adef
         }
       } else if (head.equalsIgnoreCase("partition")) {
         // partition with (user_id of S) / (cond as 'label' or ... of S)
@@ -1656,13 +1649,20 @@ object SiddhiQL extends Serializable {
         "in a downstream stage")
     if (ast.limit.nonEmpty || ast.offset.nonEmpty)
       fail("live enrichment joins have no limit/offset (v1)")
-    val dOn = dAct match {
+    // implicit set (last-event-wins) or ALL-accumulator-fold set
+    // (`set T.c = T.c + expr`) — the two per-event-reconstructible
+    // shapes: last-wins reconstructs as a running last() window,
+    // folds as a running sum of per-event deltas
+    val (dOn, dFolds) = dAct match {
       case UpsertTable(_, set, on) =>
-        if (set.nonEmpty)
+        val parsed = set.map { case (c, e) =>
+          (c, foldSetOf(tName, c, e)) }
+        if (parsed.exists(_._2.isEmpty) && set.nonEmpty)
           fail("live enrichment joins read a table maintained by " +
-            "`update or insert` with an IMPLICIT set (v1) — move the " +
-            "expression into the DML select list")
-        on
+            "`update or insert` with an IMPLICIT set or accumulator " +
+            s"folds (`set $tName.c = $tName.c + expr`) (v1) — other " +
+            "set expressions are not per-event reconstructible")
+        (on, parsed.collect { case (c, Some(f)) => c -> f })
       case a2 => fail("live enrichment joins read a table maintained " +
         s"by `update or insert` (v1); '$tName' takes " +
         s"'${a2.getClass.getSimpleName}'")
@@ -1718,35 +1718,87 @@ object SiddhiQL extends Serializable {
           s"'$sName' lost it — select it through"))
     val evtC = struct(eBase.columns.toSeq.map(col): _*)
     val evtType = StructType(eBase.schema.fields)
+    // per-event fold deltas of the DML's update rows (null on event
+    // rows, zero on the accumulated seed — its values already carry
+    // every prior fold)
+    val uOut = uItems.map(_._2)
+    def deltaSql(e: Expr): String = sqlOfWith(e, {
+      case c :: Nil if uOut.contains(c) => c
+      case parts => fail(s"fold delta reference '${parts.mkString(".")}'" +
+        " is not a DML select output attribute")
+    })
+    val fdType = StructType(dFolds.map { case (c, _) =>
+      StructField(c, dSchema(c).dataType) })
+    def fdOf(mk: String => Column): Column =
+      struct(dFolds.map { case (c, (_, d)) =>
+        mk(c).cast(dSchema(c).dataType).as(c) }: _*)
     val uTag = uSel.select(
-      keyC(keyOrder.map(c => dmlKeys.find(_._1 == c).get._2))
-        .as("__key"),
-      col("__ord"), updC.as("__upd"))
+      (Seq(keyC(keyOrder.map(c => dmlKeys.find(_._1 == c).get._2))
+          .as("__key"),
+        col("__ord"), updC.as("__upd")) ++
+        (if (dFolds.isEmpty) Nil else Seq(fdOf(c =>
+          expr(deltaSql(dFolds.find(_._1 == c).get._2._2)))
+          .as("__fd")))): _*)
     // accumulated state seeds sort before every batch row
     val accTag = accTable.select(
-      keyC(keyOrder).as("__key"),
-      struct(lit(Long.MinValue).as("ts_ns"),
-        lit(Long.MinValue).as("event_id")).as("__ord"),
-      updC.as("__upd"))
+      (Seq(keyC(keyOrder).as("__key"),
+        struct(lit(Long.MinValue).as("ts_ns"),
+          lit(Long.MinValue).as("event_id")).as("__ord"),
+        updC.as("__upd")) ++
+        (if (dFolds.isEmpty) Nil
+         else Seq(fdOf(_ => lit(0)).as("__fd")))): _*)
     val uAll = uTag.unionByName(accTag)
       .withColumn("__isE", lit(false))
       .withColumn("__evt", lit(null).cast(evtType))
     val eTag = eBase.select(
-      keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
-        .as("__key"),
-      struct(col("ts_ns"), col("event_id")).as("__ord"),
-      lit(null).cast(updType).as("__upd"),
-      lit(true).as("__isE"), evtC.as("__evt"))
+      (Seq(keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
+          .as("__key"),
+        struct(col("ts_ns"), col("event_id")).as("__ord"),
+        lit(null).cast(updType).as("__upd")) ++
+        (if (dFolds.isEmpty) Nil
+         else Seq(lit(null).cast(fdType).as("__fd"))) ++
+        Seq(lit(true).as("__isE"), evtC.as("__evt"))): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__key")
       .orderBy(col("__ord"), col("__isE"))
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val filled = uAll.unionByName(eTag)
-      .withColumn("__state",
-        last(col("__upd"), ignoreNulls = true).over(w))
-      .where(col("__isE"))
+    val filled =
+      if (dFolds.isEmpty)
+        uAll.unionByName(eTag)
+          .withColumn("__state",
+            last(col("__upd"), ignoreNulls = true).over(w))
+          .where(col("__isE"))
+      else {
+        // fold reconstruction: the first update/seed row fixes the
+        // non-fold values and the fold base; each later update adds
+        // its delta — running sum minus the first row's own delta
+        // (an upsert-INSERT's values ride in its row, not its delta)
+        val foldMap = dFolds.toMap
+        val st0 = uAll.unionByName(eTag)
+          .withColumn("__st0",
+            first(col("__upd"), ignoreNulls = true).over(w))
+        val withCums = dFolds.foldLeft(st0) { case (df, (c, _)) =>
+          df.withColumn(s"__cum_$c", sum(col(s"__fd.$c")).over(w))
+            .withColumn(s"__f0_$c",
+              first(col(s"__fd.$c"), ignoreNulls = true).over(w))
+        }
+        val stateC = struct(dSchema.fields.toSeq.map { f =>
+          val c = f.name
+          (foldMap.get(c) match {
+            case Some(("+", _)) => col(s"__st0.$c") +
+              (col(s"__cum_$c") - col(s"__f0_$c"))
+            case Some((_, _)) => col(s"__st0.$c") -
+              (col(s"__cum_$c") - col(s"__f0_$c"))
+            case None => col(s"__st0.$c")
+          }).cast(f.dataType).as(c)
+        }: _*)
+        withCums.withColumn("__state",
+          when(col("__st0").isNotNull, stateC)
+            .otherwise(lit(null).cast(updType)))
+          .where(col("__isE"))
+      }
     val kept =
       if (joinKind == "inner") filled.where(col("__state").isNotNull)
       else filled
@@ -1770,6 +1822,38 @@ object SiddhiQL extends Serializable {
     }
     kept.select(items.map { case (it, a2, _) =>
       expr(sqlOfWith(it.e, qual)).as(a2) }: _*)
+  }
+
+  /** Does `e` reference a column of table `t` (qualified)? */
+  private def refsTable(e: Expr, t: String): Boolean = e match {
+    case Ref(q :: _ :: Nil) => q.equalsIgnoreCase(t)
+    case Bin(_, l, r) => refsTable(l, t) || refsTable(r, t)
+    case Not(x) => refsTable(x, t)
+    case Neg(x) => refsTable(x, t)
+    case Call(_, _, as) => as.exists(refsTable(_, t))
+    case _ => false
+  }
+
+  /** Accumulator-fold set form: `set T.c = T.c + e` (or `e + T.c`, or
+    * `T.c - e`) with `e` over stream attributes only → Some((op, e)).
+    * These folds ARE batch-replay collapsible because per-key they
+    * compose additively: final = prior ± Σ per-event deltas — one
+    * keyed aggregate, no per-event loop, the same algebra the grain
+    * cascade rides. Anything else (cross-column, multiplicative,
+    * conditional on the table) is order-dependent and stays refused. */
+  private def foldSetOf(t: String, c: String, rhs: Expr)
+      : Option[(String, Expr)] = {
+    def self(e: Expr): Boolean = e match {
+      case Ref(q :: c2 :: Nil) =>
+        q.equalsIgnoreCase(t) && c2.equalsIgnoreCase(c)
+      case _ => false
+    }
+    rhs match {
+      case Bin("+", l, r) if self(l) && !refsTable(r, t) => Some(("+", r))
+      case Bin("+", l, r) if self(r) && !refsTable(l, t) => Some(("+", l))
+      case Bin("-", l, r) if self(l) && !refsTable(r, t) => Some(("-", r))
+      case _ => None
+    }
   }
 
   private def applyDml(spark: SparkSession, dir: String, ast: Ast,
@@ -1809,10 +1893,17 @@ object SiddhiQL extends Serializable {
       case c :: Nil if outCols.contains(c) => s"__last.$c"
       case tn :: c :: Nil if tn.equalsIgnoreCase(t) =>
         fail(s"set RHS may reference the stream's output attributes only " +
-          s"— '$t.$c' table folds are not batch-replay collapsible (use " +
-          "the engine's micro-batch upsert for accumulators)")
+          s"— general '$t.$c' table folds are not batch-replay " +
+          "collapsible (accumulator folds `T.c = T.c + expr` ARE, and " +
+          "collapse algebraically)")
       case parts => fail(s"set RHS reference '${parts.mkString(".")}' is " +
         "not a select output attribute")
+    })
+    // per-event fold contribution expression over the select outputs
+    def streamSql(e: Expr): String = sqlOfWith(e, {
+      case c :: Nil if outCols.contains(c) => c
+      case parts => fail(s"fold delta reference '${parts.mkString(".")}'" +
+        " is not a select output attribute")
     })
 
     def requireCovers(form: String): Unit = {
@@ -1832,24 +1923,40 @@ object SiddhiQL extends Serializable {
           fail(s"'on' references unknown table column '$t.$c'")
       }
       if (insertMissing) requireCovers(s"update or insert into $t")
-      val eff: Map[String, String] =
+      // per set column: Left(lastSql) = last-event-wins expression,
+      // Right((op, deltaSql)) = additive accumulator fold
+      val eff: Map[String, Either[String, (String, String)]] =
         if (set.nonEmpty) set.map { case (c, e) =>
           if (!schema.fieldNames.contains(c))
             fail(s"set targets unknown table column '$t.$c'")
-          c -> lastSql(e, t)
+          c -> (foldSetOf(t, c, e) match {
+            case Some((op, d)) => Right((op, streamSql(d)))
+            case None => Left(lastSql(e, t))
+          })
         }.toMap
         else schema.fieldNames.toList
           .filter(c => outCols.contains(c) && !keyCols(c))
-          .map(c => c -> s"__last.$c").toMap
+          .map(c => c -> Left(s"__last.$c")).toMap
+      val folds: List[(String, (String, String))] = eff.toList.collect {
+        case (c, Right(f)) => c -> f }.sortBy(_._1)
       val row = struct(outCols.map(col): _*)
+      // fold deltas aggregate per key alongside the first/last rows:
+      // Σ delta over all update events, plus the FIRST event's delta
+      // (subtracted when that event is an upsert-INSERT — the insert
+      // row carries its values directly, later events fold on top)
+      val foldAggs: Seq[Column] = folds.flatMap { case (c, _) =>
+        Seq(sum(col(s"__fd_$c")).as(s"__fs_$c"),
+          min_by(col(s"__fd_$c"), col("__g_ord")).as(s"__ffv_$c"))
+      }
       val uAgg = sel
-        .select(keys.zipWithIndex.map { case ((_, rhs), i) =>
+        .select((keys.zipWithIndex.map { case ((_, rhs), i) =>
           expr(rhs).as(s"__k$i")
-        } :+ row.as("__row") :+ col("__g_ord"): _*)
+        } ++ Seq(row.as("__row"), col("__g_ord")) ++
+          folds.map { case (c, (_, d)) => expr(d).as(s"__fd_$c") }): _*)
         .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
         .agg(min_by(col("__row"), col("__g_ord")).as("__first"),
-          max_by(col("__row"), col("__g_ord")).as("__last"),
-          count(lit(1)).as("__n"))
+          (max_by(col("__row"), col("__g_ord")).as("__last") +:
+            count(lit(1)).as("__n") +: foldAggs): _*)
         .withColumn("__has_u", lit(true))
       val tt = table.withColumn("__has_t", lit(true))
       val cond = keys.zipWithIndex.map { case ((tc, _), i) =>
@@ -1866,15 +1973,28 @@ object SiddhiQL extends Serializable {
             val i = keys.indexWhere(_._1 == c)
             coalesce(col(c), col(s"__k$i"))
           } else eff.get(c) match {
-            case Some(sqlLast) if insertMissing =>
+            case Some(Left(sqlLast)) if insertMissing =>
               // matched, or inserted-then-updated (≥2 events): last
               // update wins; single inserting event: the insert row
               when(hasT && hasU, expr(sqlLast))
                 .when(!hasT && hasU && col("__n") > 1, expr(sqlLast))
                 .when(!hasT && hasU, col(s"__first.$c"))
                 .otherwise(col(c))
-            case Some(sqlLast) =>
+            case Some(Left(sqlLast)) =>
               when(hasU, expr(sqlLast)).otherwise(col(c))
+            case Some(Right((op, _))) =>
+              // accumulator fold: matched → prior ± Σ deltas; upsert
+              // insert → first row's value, then ± deltas of the
+              // LATER events (Σ − first's delta)
+              val fs = col(s"__fs_$c"); val ff = col(s"__ffv_$c")
+              def app(b2: Column, d2: Column): Column =
+                if (op == "+") b2 + d2 else b2 - d2
+              if (insertMissing)
+                when(hasT && hasU, app(col(c), fs))
+                  .when(!hasT && hasU,
+                    app(col(s"__first.$c"), fs - ff))
+                  .otherwise(col(c))
+              else when(hasU, app(col(c), fs)).otherwise(col(c))
             case None if insertMissing =>
               when(hasT, col(c)).otherwise(col(s"__first.$c"))
             case None => col(c)
@@ -2404,34 +2524,39 @@ object SiddhiQL extends Serializable {
           "aliases (`from S as a#window.length(...) join S as b...`) " +
           "to qualify their columns"))
         val nL = largs.head; val nR = rargs.head
+        // global arrival ranks/counts via [[runningTotal]] — the
+        // distributed prefix sum, NOT a single-task order-by-all
+        // window (the r8 perf_weak; the guardGlobalWindow refusal is
+        // gone with it): Siddhi's unpartitioned count-window
+        // semantics stay exact, the sequential part shrinks to the
+        // P-row partition-offset cumsum
         def seqd(ss: SingleStream, tag: String): DataFrame = {
           val df = side(ss.copy(window = None), None)
           Seq("ts_ns", "event_id").foreach(c =>
             if (!df.columns.contains(c))
               fail(s"length-window join sides need '$c' for arrival " +
                 s"order; '${ss.table}' lost it"))
-          guardGlobalWindow(df, "a length-window join side")
-          df.withColumn(s"__seq$tag", expr(
-            "row_number() over (order by ts_ns, event_id)"))
+          runningTotal(df, Seq(col("ts_ns"), col("event_id")),
+            lit(1L), s"__seq$tag")
         }
         val aSeq = seqd(j.left, "A")
         val bSeq = seqd(j.right, "B")
-        val marks = aSeq.select(col("ts_ns"), col("event_id"),
+        val marks0 = aSeq.select(col("ts_ns"), col("event_id"),
             lit(0L).as("__isB"))
           .unionByName(bSeq.select(col("ts_ns"), col("event_id"),
             lit(1L).as("__isB")))
-          // __isB is the deterministic tie-breaker for an event that
-          // appears on BOTH sides of a self-join (identical (ts_ns,
-          // event_id) marks): each cumulative window sorts the READING
-          // side's mark first, so an event's own twin never counts as
-          // an other-side arrival "before" it — matching the strict
-          // `before()` order, under which a self-pair never joins
-          .withColumn("__cumB", expr("sum(__isB) over (order by ts_ns, " +
-            "event_id, __isB rows between unbounded preceding and " +
-            "current row)"))
-          .withColumn("__cumA", expr("sum(1 - __isB) over (order by " +
-            "ts_ns, event_id, __isB desc rows between unbounded " +
-            "preceding and current row)"))
+        // __isB is the deterministic tie-breaker for an event that
+        // appears on BOTH sides of a self-join (identical (ts_ns,
+        // event_id) marks): each cumulative total sorts the READING
+        // side's mark first, so an event's own twin never counts as
+        // an other-side arrival "before" it — matching the strict
+        // `before()` order, under which a self-pair never joins
+        val marks = runningTotal(
+          runningTotal(marks0,
+            Seq(col("ts_ns"), col("event_id"), col("__isB")),
+            col("__isB"), "__cumB"),
+          Seq(col("ts_ns"), col("event_id"), col("__isB").desc),
+          lit(1L) - col("__isB"), "__cumA")
         val aCnt = marks.filter(col("__isB") === 0)
           .select(col("event_id").as("__aid"), col("__cumB").as("__cntB"))
         val bCnt = marks.filter(col("__isB") === 1)
@@ -2486,26 +2611,27 @@ object SiddhiQL extends Serializable {
             if (!df.columns.contains(c))
               fail(s"windowed join sides need '$c' for arrival order; " +
                 s"'${ss.table}' lost it"))
-          if (isLen(w)) {
-            guardGlobalWindow(df, "a length-window join side")
-            df.withColumn(s"__seq$tag", expr(
-              "row_number() over (order by ts_ns, event_id)"))
-          } else df
+          if (isLen(w))
+            // distributed prefix rank — see the pure-length case
+            runningTotal(df, Seq(col("ts_ns"), col("event_id")),
+              lit(1L), s"__seq$tag")
+          else df
         }
         val aS = sided(j.left, lw, "A")
         val bS = sided(j.right, rw, "B")
         // arrival counts of the LENGTH side(s), seen by the other side
         def marksOf(me: DataFrame, other: DataFrame): DataFrame =
-          me.select(col("ts_ns"), col("event_id"), lit(0L).as("__o"))
-            .unionByName(other.select(col("ts_ns"), col("event_id"),
-              lit(1L).as("__o")))
-            // __o tie-break: the reading side's own mark (__o=0) sorts
-            // first at identical (ts_ns, event_id), so a self-join
-            // twin never counts as an other-side arrival "before" it
-            // (deterministic; matches beforeM's strict order)
-            .withColumn("__cnt", expr("sum(__o) over (order by ts_ns, " +
-              "event_id, __o rows between unbounded preceding and " +
-              "current row)"))
+          // __o tie-break: the reading side's own mark (__o=0) sorts
+          // first at identical (ts_ns, event_id), so a self-join
+          // twin never counts as an other-side arrival "before" it
+          // (deterministic; matches beforeM's strict order);
+          // distributed prefix sum — see the pure-length case
+          runningTotal(
+            me.select(col("ts_ns"), col("event_id"), lit(0L).as("__o"))
+              .unionByName(other.select(col("ts_ns"), col("event_id"),
+                lit(1L).as("__o"))),
+            Seq(col("ts_ns"), col("event_id"), col("__o")),
+            col("__o"), "__cnt")
             .filter(col("__o") === 0)
             .select(col("event_id").as("__mid"), col("__cnt"))
         val aF0 = if (isLen(rw)) {
@@ -2875,9 +3001,52 @@ object SiddhiQL extends Serializable {
     * keys + defined aliases) at the requested grain and range — used
     * directly by [[compileAggQuery]] and as a JOIN SIDE (the reference's
     * `from S join AggTable within … per …` enrichment idiom). */
-  private def aggStored(spark: SparkSession, dir: String,
-      s: SingleStream, adef: AggDef,
-      env: Map[String, DataFrame]): DataFrame = {
+  /** `define aggregation A from S[f] select ... group by ... aggregate
+    * by ts every sec ... day` — the parser body after `define
+    * aggregation` is consumed (shared by the batch compile and the
+    * live deployment). */
+  private def parseAggDefRest(p: P): (String, AggDef) = {
+    val aname = p.ident()
+    p.eatKw("from")
+    val tbl = p.ident()
+    val filt = if (p.trySym("[")) {
+      val e = p.expr(); p.eatSym("]"); Some(e)
+    } else None
+    p.eatKw("select")
+    val sel = p.selItems()
+    val grp = if (p.tryKw("group")) {
+      p.eatKw("by")
+      val g = List.newBuilder[String]
+      g += p.ident()
+      while (p.trySym(",")) g += p.ident()
+      g.result()
+    } else Nil
+    p.eatKw("aggregate"); p.eatKw("by")
+    val tsAttr = p.ident()
+    p.eatKw("every")
+    val g1 = grainKey(p.ident())
+    val grains: List[String] =
+      if (p.trySym(".")) { // `sec ... day` range over the ladder
+        p.eatSym("."); p.eatSym(".")
+        val g2 = grainKey(p.ident())
+        val names = grainLadder.map(_._1)
+        val (i1, i2) = (names.indexOf(g1), names.indexOf(g2))
+        if (i1 > i2) fail(s"grain range '$g1 ... $g2' is inverted")
+        names.slice(i1, i2 + 1)
+      } else {
+        val gs = List.newBuilder[String]
+        gs += g1
+        while (p.trySym(",")) gs += grainKey(p.ident())
+        val names = grainLadder.map(_._1)
+        gs.result().distinct.sortBy(names.indexOf)
+      }
+    (aname, AggDef(tbl, filt, sel, grp, tsAttr, grains))
+  }
+
+  /** Validate + resolve an aggregation read's `per` grain and `within`
+    * range (shared by the batch read and the live deployment). */
+  private def aggReadSpec(s: SingleStream, adef: AggDef)
+      : (Long, Long, Long) = {
     val per = grainKey(s.aggPer.getOrElse(
       fail(s"reading aggregation '${s.table}' needs `per '<grain>'`")))
     if (!adef.grains.contains(per))
@@ -2898,16 +3067,16 @@ object SiddhiQL extends Serializable {
     if (hi <= lo) fail(s"within range is empty: $lo ... $hi")
     if (s.filter.nonEmpty || s.window.nonEmpty)
       fail("an aggregation read takes no filter/window (v1)")
+    (grainMsOf(per), lo, hi)
+  }
 
-    val src0 = loadTable(spark, dir, adef.source, env)
-    if (!src0.columns.contains(adef.tsAttr))
-      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
-        s"column of '${adef.source}' (nanosecond epoch expected)")
-    val src = adef.filter.fold(src0)(f => src0.where(expr(sqlOf(f))))
-    val finestMs = grainMsOf(adef.grains.head)
-    val perMs = grainMsOf(per)
+  /** Partial / combine / final column triples per defined select item
+    * — the algebraic decomposition that makes the grain cascade (and
+    * the live bucket-merge) correct: partials live at the FINEST
+    * grain, any coarser read (or a later micro-batch) combines them. */
+  private def aggPlanCols(adef: AggDef)
+      : (Seq[Column], Seq[Column], Map[String, Column]) = {
     val keys = adef.groupBy
-    // partial / combine / final column triples per defined select item
     val partials = List.newBuilder[Column]
     val combines = List.newBuilder[Column]
     val finals = List.newBuilder[(String, Column)]
@@ -2950,23 +3119,67 @@ object SiddhiQL extends Serializable {
     }
     val pCols = partials.result()
     if (pCols.isEmpty) fail("aggregation definition has no aggregates")
-    // push the within range to the scan: a per-grain bucket B survives
-    // iff lo <= B < hi; its rows have ts in [B, B + per), so the row
-    // bound is [ceil(lo/per)*per, (floor((hi-1)/per)+1)*per) — aligned,
-    // exact, and pushdown-visible
-    val rowLoNs = ((lo + perMs - 1) / perMs) * perMs * 1000000L
-    val rowHiNs = (((hi - 1) / perMs) + 1) * perMs * 1000000L
+    (pCols, combines.result(), finals.result().toMap)
+  }
+
+  /** Componentwise merge of two finest-grain partial tables aliased
+    * `t` (accumulated state) and `u` (the batch's partials), for the
+    * LIVE fold: sum partials stay null iff both sides are (SQL
+    * sum-over-all-null semantics), counts add with absent-side 0,
+    * min/max take least/greatest (which skip single-side nulls). */
+  private def aggMergeCols(adef: AggDef): Seq[Column] = {
+    def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
+      coalesce(col(s"u.$c"), lit(0))).as(c)
+    def addSum(c: String) =
+      when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
+        .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+          coalesce(col(s"u.$c"), lit(0))).as(c)
+    adef.select.zipWithIndex.flatMap { case (it, i) =>
+      val a = alias(it, i)
+      it.e match {
+        case Ref(k :: Nil) if adef.groupBy.contains(k) => Nil
+        case Call(None, fn, _) => fn.toLowerCase match {
+          case "sum" => Seq(addSum(s"__p_$a"))
+          case "count" => Seq(add(s"__p_$a"))
+          case "min" => Seq(least(col(s"t.__p_$a"),
+            col(s"u.__p_$a")).as(s"__p_$a"))
+          case "max" => Seq(greatest(col(s"t.__p_$a"),
+            col(s"u.__p_$a")).as(s"__p_$a"))
+          case "avg" => Seq(addSum(s"__ps_$a"), add(s"__pc_$a"))
+          case _ => Nil // aggPlanCols already diagnosed
+        }
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Finest-grain partial table of `src` (already schema-checked):
+    * one row per (bucket, group keys) with the partial columns. */
+  private def aggGrainPartial(src0: DataFrame, adef: AggDef,
+      pCols: Seq[Column]): DataFrame = {
+    if (!src0.columns.contains(adef.tsAttr))
+      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
+        s"column of '${adef.source}' (nanosecond epoch expected)")
+    val src = adef.filter.fold(src0)(f => src0.where(expr(sqlOf(f))))
+    val finestMs = grainMsOf(adef.grains.head)
     val ts = adef.tsAttr
-    val grainTable = src
-      .where(col(ts) >= rowLoNs && col(ts) < rowHiNs)
-      .withColumn("__b",
+    // `__gb` (grain bucket), NOT `__b` — the live fold runner uses
+    // `__b` for its hash-bucket parquet partitioning and would
+    // clobber a same-named state column
+    src.withColumn("__gb",
         expr(s"($ts div ${finestMs * 1000000L}L) * ${finestMs}L"))
-      .groupBy(col("__b") +: keys.map(col): _*)
+      .groupBy(col("__gb") +: adef.groupBy.map(col): _*)
       .agg(pCols.head, pCols.tail: _*)
-    val cCols = combines.result()
-    val fMap = finals.result().toMap
+  }
+
+  /** Roll a finest-grain partial table up to the read grain, bound it
+    * by the within range, finalize derived aggregates. */
+  private def aggRollUp(grainTable: DataFrame, adef: AggDef,
+      perMs: Long, lo: Long, hi: Long, cCols: Seq[Column],
+      fMap: Map[String, Column]): DataFrame = {
+    val keys = adef.groupBy
     val rolled = grainTable
-      .withColumn("__bp", expr(s"(__b div ${perMs}L) * ${perMs}L"))
+      .withColumn("__bp", expr(s"(__gb div ${perMs}L) * ${perMs}L"))
       .groupBy(col("__bp") +: keys.map(col): _*)
       .agg(cCols.head, cCols.tail: _*)
       .withColumnRenamed("__bp", "bucket_start_ms")
@@ -2980,6 +3193,27 @@ object SiddhiQL extends Serializable {
           case _ => fMap(a)
         }
       }): _*)
+  }
+
+  private def aggStored(spark: SparkSession, dir: String,
+      s: SingleStream, adef: AggDef,
+      env: Map[String, DataFrame]): DataFrame = {
+    val (perMs, lo, hi) = aggReadSpec(s, adef)
+    val (pCols, cCols, fMap) = aggPlanCols(adef)
+    val src0 = loadTable(spark, dir, adef.source, env)
+    if (!src0.columns.contains(adef.tsAttr))
+      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
+        s"column of '${adef.source}' (nanosecond epoch expected)")
+    // push the within range to the scan: a per-grain bucket B survives
+    // iff lo <= B < hi; its rows have ts in [B, B + per), so the row
+    // bound is [ceil(lo/per)*per, (floor((hi-1)/per)+1)*per) — aligned,
+    // exact, and pushdown-visible
+    val rowLoNs = ((lo + perMs - 1) / perMs) * perMs * 1000000L
+    val rowHiNs = (((hi - 1) / perMs) + 1) * perMs * 1000000L
+    val ranged = src0.where(col(adef.tsAttr) >= rowLoNs &&
+      col(adef.tsAttr) < rowHiNs)
+    val grainTable = aggGrainPartial(ranged, adef, pCols)
+    aggRollUp(grainTable, adef, perMs, lo, hi, cCols, fMap)
   }
 
   private def compileAggQuery(spark: SparkSession, dir: String, ast: Ast,
@@ -3483,6 +3717,8 @@ object SiddhiQL extends Serializable {
     var statefulStreams = Set.empty[String]
     var tableDefs = Map.empty[String, StructType]
     var liveWindowDefs = Map.empty[String, WindowSpec]
+    var liveAggDefs = Map.empty[String, AggDef]
+    var liveTriggerDefs = Map.empty[String, Long] // name -> interval ns
     var result: Option[(DataFrame, Int, Seq[Column])] = None
     var foldResult: Option[LiveFold] = None
     // (ast, action, table schema, feeding stream) per DML writer, keyed
@@ -3636,6 +3872,125 @@ object SiddhiQL extends Serializable {
         } else {
         var carriedNow: Seq[String] = Nil
         val (df, kind) = ast.stream match {
+          // `from AggName within ... per '...'` reading a LIVE
+          // `define aggregation`: the grain cascade compiles onto the
+          // keyed bucket-merge fold channel. State is the FINEST-grain
+          // partial table keyed by (bucket, group keys) — each trigger
+          // computes the batch's partials and merges only the
+          // batch-touched buckets (per-trigger write cost
+          // O(batch-touched buckets), not O(state)); the read's
+          // roll-up / within bound / finalize runs at finish exactly
+          // as the batch path's aggRollUp, which is why the batch
+          // incremental-aggregation oracle is the live gate's truth.
+          // `from T ...` reading a LIVE `define trigger`: tick
+          // generation is event-time-span driven in the replay (the
+          // batch compile's exact rule — aligned interval starts over
+          // [min, max] of the stream's ts_ns), tracked incrementally:
+          // fold state is ONE (lo, hi) row of aligned bucket bounds,
+          // merged per trigger; finish explodes the tick sequence
+          // (O(span/iv) rows) and runs the read query's batch compile
+          // over it — filters/projections/joins against ticks all
+          // compose. A wall-clock deployment swaps the span state for
+          // a rate source; everything above the tick relation is
+          // unchanged.
+          case s: SingleStream if liveTriggerDefs.contains(s.table) =>
+            if (partKey.nonEmpty)
+              fail("a trigger read inside a partition block is not " +
+                "deployed (v1)")
+            val ivNs = liveTriggerDefs(s.table)
+            val ivMs = ivNs / 1000000L
+            val tname = s.table
+            val fnsSnap = scriptFns
+            val sp0 = srcTs.sparkSession
+            val spanSchema = StructType(Seq(
+              StructField("lo", LongType), StructField("hi", LongType)))
+            def ticksOf(acc: DataFrame): DataFrame =
+              acc.select(explode(sequence(col("lo"), col("hi"),
+                lit(ivMs))).as("tick_ms"))
+            // deploy-time validation over an empty tick relation (also
+            // rejects reads of anything besides the trigger — the
+            // finish recompile carries no table directory)
+            val protoT = compileAst(sp0, "", ast,
+              Map(tname -> ticksOf(emptyOf(sp0, spanSchema))))
+            val keyT = name.orElse(ast.action.map(_.target))
+            if (keyT.contains(out) || name.contains(out))
+              foldResult = Some(singleFold(srcTs, spanSchema,
+                (_, _, acc, batch) => {
+                  val b2 = batch.agg(
+                    expr(s"min((ts_ns div ${ivNs}L) * ${ivMs}L)")
+                      .as("lo"),
+                    expr(s"max((ts_ns div ${ivNs}L) * ${ivMs}L)")
+                      .as("hi"))
+                  acc.unionByName(b2)
+                    .agg(min("lo").as("lo"), max("hi").as("hi"))
+                    .where(col("lo").isNotNull)
+                },
+                (sp, acc) => {
+                  scriptFns = fnsSnap
+                  compileAst(sp, "", ast, Map(tname -> ticksOf(acc)))
+                },
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }))
+            carriedNow = Nil
+            (emptyOf(sp0, protoT.schema), KFold)
+          case s: SingleStream if liveAggDefs.contains(s.table) =>
+            if (partKey.nonEmpty)
+              fail("an aggregation read inside a partition block is " +
+                "not deployed (v1)")
+            val adef = liveAggDefs(s.table)
+            val (perMs, lo, hi) = aggReadSpec(s, adef)
+            val (pCols, cCols, fMap) = aggPlanCols(adef)
+            if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+              fail("an aggregation read is a projection over stored " +
+                "attributes (no group by / having)")
+            val items = itemsOf(ast)
+            items.foreach { case (_, a2, isAgg) =>
+              if (isAgg) fail("an aggregation read selects stored " +
+                s"attributes (no re-aggregation, v1): '$a2'")
+            }
+            val fnsSnap = scriptFns
+            def readProj(stored: DataFrame): DataFrame =
+              stored.select(col("bucket_start_ms") +:
+                items.map { case (it, a2, _) =>
+                  expr(sqlOf(it.e)).as(a2) }: _*)
+            val sp0 = srcTs.sparkSession
+            val finestMs = grainMsOf(adef.grains.head)
+            val stateKeys = "__gb" +: adef.groupBy
+            // prototype over an empty frame: deploy-time validation
+            // (schema, filter, read projection) + the state schema
+            val proto = aggGrainPartial(
+              emptyOf(sp0, srcTs.schema), adef, pCols)
+            readProj(aggRollUp(proto, adef, perMs, lo, hi, cCols, fMap))
+            def mergeFold(sp: SparkSession, acc: DataFrame,
+                batch: DataFrame): DataFrame = {
+              scriptFns = fnsSnap
+              val u = aggGrainPartial(batch, adef, pCols)
+              acc.as("t").join(u.as("u"),
+                  stateKeys.map(k2 => col(s"t.$k2") <=> col(s"u.$k2"))
+                    .reduce(_ && _), "full_outer")
+                .select(stateKeys.map(k2 => coalesce(col(s"u.$k2"),
+                    col(s"t.$k2")).as(k2)) ++ aggMergeCols(adef): _*)
+            }
+            val keyA = name.orElse(ast.action.map(_.target))
+            if (keyA.contains(out) || name.contains(out))
+              foldResult = Some(singleFold(srcTs, proto.schema,
+                (sp, _, acc, batch) => mergeFold(sp, acc, batch),
+                (_, acc) => {
+                  scriptFns = fnsSnap
+                  readProj(aggRollUp(acc, adef, perMs, lo, hi,
+                    cCols, fMap))
+                },
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc },
+                KeyedState(stateKeys, (_, _, batch) => {
+                  val f = adef.filter.fold(batch)(ff =>
+                    batch.where(expr(sqlOf(ff))))
+                  f.select(expr(s"(${adef.tsAttr} div " +
+                    s"${finestMs * 1000000L}L) * ${finestMs}L")
+                    .as("__gb") +: adef.groupBy.map(col): _*)
+                })))
+            carriedNow = Nil
+            (emptyOf(sp0, proto.schema), KFold)
           case s: SingleStream =>
             if (statefulStreams.contains(s.table))
               fail(s"live deployment (v1): '${s.table}' is an " +
@@ -4347,10 +4702,33 @@ object SiddhiQL extends Serializable {
             implicit val enc: org.apache.spark.sql.Encoder[
               org.apache.spark.sql.Row] =
               org.apache.spark.sql.Encoders.row(schema)
-            (b.selectStream(evDs) { bnd =>
+            val proj = (bnd: Cep.Bindings) =>
               org.apache.spark.sql.Row.fromSeq(
                 sel.map { case (_, _, _, extract) => extract(bnd) })
-            }.toDF(), KStateless)
+            if (b.steps.exists(_.isInstanceOf[Cep.Absent])) {
+              // ABSENCE-bearing pattern (`not X for T`) deployed LIVE:
+              // the timed re-fold — absence deadlines register
+              // event-time timers against the source watermark, so a
+              // "nothing arrived" match emits when the watermark
+              // passes its deadline, not at a next event that may
+              // never come (engine twins: Streaming.cepAbsence /
+              // cepAbsenceTws). Reads the WATERMARKED declared view
+              // (clean under @OnError); flush sentinels drop here,
+              // above the source watermark node, and KWindowAgg makes
+              // the finite-replay harness feed them so the last
+              // deadlines resolve.
+              val evT = envLookup(view, "events").getOrElse(
+                fail("a live absence pattern reads the watermarked " +
+                  "'events' stream"))
+                .filter(col("ts") < Streaming.flushCutoff)
+                .select(col("event_id").as("eventId"),
+                  col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                  col("event_type").as("eventType"), col("value"),
+                  col("ts"))
+                .as[Streaming.EvT]
+              (b.selectStreamTimed(evT)(proj).toDF(), KWindowAgg)
+            } else
+              (b.selectStream(evDs)(proj).toDF(), KStateless)
           // ENRICHMENT JOIN deployed LIVE: a query joins the table a
           // sibling DML stage maintains — the reference's canonical
           // enrichment loop (a stream updates UserState, a sibling
@@ -4837,10 +5215,31 @@ object SiddhiQL extends Serializable {
             if (!p2.trySym(",")) { p2.eatSym(")"); done2 = true } }
           liveWindowDefs += wname -> p2.windowNameArgs()
         }
-        else if (defKind.contains("aggregation") ||
-                 defKind.contains("trigger"))
-          fail(s"live deployment (v1) does not deploy `define " +
-            s"${defKind.get}` — batch replay (compileApp) covers it")
+        else if (defKind.contains("aggregation")) {
+          // `define aggregation` deployed LIVE: the grain cascade's
+          // finest-grain partial table becomes keyed fold state (see
+          // the aggregation-read case in runStage)
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("aggregation")
+          val (aname, adef) = parseAggDefRest(p2)
+          if (!adef.source.equalsIgnoreCase("events"))
+            fail("a live `define aggregation` (v1) aggregates the " +
+              s"source stream 'events'; got '${adef.source}'")
+          liveAggDefs += aname -> adef
+        }
+        else if (defKind.contains("trigger")) {
+          // `define trigger T at every <iv>` deployed LIVE: the replay
+          // twin of a rate source — tick generation is driven by the
+          // STREAM'S event-time span, tracked incrementally in fold
+          // state (see the trigger-read case in runStage); a real
+          // deployment points the same read at a wall-clock rate
+          // source (engine twin: Ops.triggerGapfill)
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("trigger")
+          val tname = p2.ident()
+          p2.eatKw("at"); p2.eatKw("every")
+          liveTriggerDefs += tname -> p2.duration()
+        }
       }
       else if (head.equalsIgnoreCase("partition")) {
         // partition with (<spec> of S) begin ... end deployed LIVE:

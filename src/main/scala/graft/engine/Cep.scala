@@ -73,7 +73,27 @@ object Cep {
     * over advancement, Siddhi's default). */
   def run[Out](steps: IndexedSeq[PStep], withinNs: Option[Long],
                spawn: SpawnPolicy, project: Bindings => Out)
-              (events: Iterator[Ev]): Iterator[Out] = {
+              (events: Iterator[Ev]): Iterator[Out] =
+    runH(steps, withinNs, spawn, project, Long.MaxValue)(events)
+      ._1.iterator
+
+  /** [[run]] with an explicit event-time HORIZON: end-of-iterator
+    * finalization confirms only absence runs whose deadline lies
+    * strictly BEFORE `horizonNs` — under the watermark contract no
+    * future event can arrive with ts ≤ such a deadline, so the
+    * confirmation is final even though the stream continues. Runs
+    * parked at an absence step with deadline ≥ horizon stay undecided
+    * (a later re-fold with a higher horizon decides them), and their
+    * deadlines return as the second component — the live re-fold's
+    * next event-time timer. An open final count quantifier completes
+    * only at the true end of stream (horizon == Long.MaxValue, the
+    * batch entry's value, which also reproduces [[run]]'s
+    * confirm-everything end-of-stream behavior). */
+  private[graft] def runH[Out](steps: IndexedSeq[PStep],
+               withinNs: Option[Long],
+               spawn: SpawnPolicy, project: Bindings => Out,
+               horizonNs: Long)
+              (events: Iterator[Ev]): (Vector[Out], List[Long]) = {
     var active = List.empty[Run]
     val out = scala.collection.mutable.ArrayBuffer.empty[Out]
 
@@ -174,19 +194,26 @@ object Cep {
         }
       }
     }
-    // end-of-stream: absence steps with no violation are confirmed, and a
-    // final count-quantified Single with its minimum satisfied completes
-    // (e.g. a pattern ending in `A<3:>` — nothing else can close it)
+    // end-of-iterator: absence steps with no violation are confirmed iff
+    // their deadline is decided (strictly before the horizon; at
+    // horizon == MaxValue — the batch end-of-stream — everything is),
+    // and a final count-quantified Single with its minimum satisfied
+    // completes only at the true end of stream (e.g. a pattern ending
+    // in `A<3:>` — nothing else can close it)
+    val pending = List.newBuilder[Long]
     active.foreach { r =>
       steps(r.stepIdx) match {
-        case _: Absent => enter(r, r.stepIdx + 1)
+        case _: Absent =>
+          if (r.absentDeadlineNs < horizonNs) enter(r, r.stepIdx + 1)
+          else pending += r.absentDeadlineNs
         case Single(_, _, min, _, _)
-            if r.count >= min && r.stepIdx == steps.length - 1 =>
+            if horizonNs == Long.MaxValue && r.count >= min &&
+              r.stepIdx == steps.length - 1 =>
           enter(r, r.stepIdx + 1)
         case _ => ()
       }
     }
-    out.iterator
+    (out.toVector, pending.result())
   }
 
   /** Batch entry: shuffle by key, time-sort each group, run the NFA. */

@@ -527,6 +527,50 @@ object SqlGate {
         |select user_id, value as last_value, event_type as last_type
         |update or insert into UserState on UserState.user_id == user_id"""
         .stripMargin, "track").orderBy("user_id")),
+    // accumulator-fold DML: `set T.c = T.c + expr` collapses
+    // algebraically under batch replay (prior ± Σ per-key deltas — one
+    // keyed aggregate, no per-event loop)
+    "sql_table_upsert_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Counter (user_id long, cnt long, total double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt, value as total
+        |update or insert into Counter
+        |  set Counter.cnt = Counter.cnt + 1,
+        |      Counter.total = Counter.total + total
+        |  on Counter.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Counter
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // the counter-table enrichment loop deployed LIVE: the DML stage
+    // FOLDS per-key accumulators, the sibling join sees each event's
+    // as-of fold value (insert row + running deltas) — chunking-
+    // invariant like sql_app_enrich_live
+    "sql_app_enrich_fold_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Counter (user_id long, cnt long, total double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt, value as total
+        |update or insert into Counter
+        |  set Counter.cnt = Counter.cnt + 1,
+        |      Counter.total = Counter.total + total
+        |  on Counter.user_id == user_id;
+        |
+        |@info(name = 'enrich')
+        |from events as e[event_type == 'purchase'] join Counter
+        |  on Counter.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  Counter.cnt as clicks, math:round(Counter.total, 2)
+        |    as click_total
+        |order by event_id
+        |insert into Out""".stripMargin, "enrich")),
     // the CLOSED enrichment loop deployed LIVE: one stage maintains
     // UserState by keyed MERGE, a sibling query JOINS that table —
     // per-event as-of semantics (each purchase sees the state written
@@ -970,6 +1014,50 @@ object SqlGate {
         |select e1.user_id as user_id, e1.event_id as start_id,
         |  e2.event_id as next_id, e2.value as next_value
         |order by start_id, next_id
+        |insert into alerts""".stripMargin, "alerts")),
+    // `define trigger` deployed LIVE: tick generation is event-time-
+    // span driven (the batch compile's rule), tracked incrementally in
+    // ONE (lo, hi) fold-state row; finish explodes the tick sequence
+    // and runs the read query's compile over it
+    "sql_app_trigger_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define trigger T at every 10 min;
+        |
+        |@info(name = 'ticks')
+        |from T[tick_ms % (3600 * 1000) == 0]
+        |select tick_ms, tick_ms / (3600 * 1000) as hour_no
+        |order by tick_ms
+        |insert into Out""".stripMargin, "ticks")),
+    // the SAME define-aggregation app deployed LIVE: finest-grain
+    // partials fold into bucket-keyed state per trigger (write cost
+    // O(batch-touched buckets)); the sibling read rolls the cascade up
+    // at finish — the batch sql_incremental_agg oracle is truth
+    "sql_app_incremental_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define aggregation EvAgg
+        |from events
+        |select user_id, sum(value) as total, count() as cnt,
+        |  avg(value) as avg_v, max(value) as mx
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |
+        |@info(name = 'read')
+        |from EvAgg
+        |within '2024-01-02 00:00:00', '2024-01-05 00:00:00'
+        |per 'hours'
+        |select user_id, math:round(total, 2) as total, cnt, mx
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin, "read")),
+    // `not X for T` deployed LIVE: the flagship "no ACK within T"
+    // absence app — deadlines are EVENT-TIME TIMERS in the timed
+    // re-fold (a match emits when the watermark passes its deadline,
+    // not at a next event that may never come); the NOT EXISTS batch
+    // replay is truth
+    "sql_app_absence_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |select e1.user_id as user_id, e1.event_id as event_id
+        |order by event_id
         |insert into alerts""".stripMargin, "alerts"))
   )
 
@@ -1262,6 +1350,21 @@ object SqlGate {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
         |FROM events WHERE value > 50.0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // folded counter table ≡ per-user click count/sum
+    "sql_table_upsert_fold" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // as-of fold value: clicks strictly before the purchase in
+    // (ts, event_id) arrival order; inner join drops zero-click buys
+    "sql_app_enrich_fold_live" ->
+      """SELECT p.event_id, p.user_id, count(*) AS clicks,
+        |  round(sum(c.value), 2) AS click_total
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND (epoch_ns(c.ts), c.event_id) <
+        |      (epoch_ns(p.ts), p.event_id)
+        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
     // per-event as-of: each purchase joins the LATEST earlier update
     // of its user (an event's own update would be visible — disjoint
     // event types here, so <= and < coincide)
@@ -1685,6 +1788,35 @@ object SqlGate {
         |WHERE user_id NOT IN (SELECT user_id FROM events
         |  WHERE event_type = 'error' AND value > 150.0)
         |ORDER BY user_id""".stripMargin,
+    // live trigger ticks: aligned 10-min interval starts over the
+    // event-time span, filtered to whole hours
+    "sql_app_trigger_live" ->
+      """WITH span AS (SELECT
+        |    min(epoch_ns(ts)) // 600000000000 * 600000 AS lo,
+        |    max(epoch_ns(ts)) // 600000000000 * 600000 AS hi
+        |  FROM events)
+        |SELECT tick_ms, tick_ms / 3600000 AS hour_no FROM (
+        |  SELECT unnest(generate_series(lo, hi, 600000)) AS tick_ms
+        |  FROM span) t
+        |WHERE tick_ms % 3600000 = 0 ORDER BY tick_ms""".stripMargin,
+    // live grain cascade ≡ batch: hour buckets inside [Jan 2, Jan 5)
+    "sql_app_incremental_live" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, round(sum(value), 2) AS total, count(*) AS cnt,
+        |  max(value) AS mx
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
+    // absence: an error with NO same-user purchase in its 5-minute
+    // window (inclusive deadline, NFA semantics — same truth as the
+    // engine twin cep_absence)
+    "sql_app_absence_live" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
     // greedy first-match: each error takes the FIRST later purchase with
     // a larger value, within 5 min (inclusive deadline, NFA semantics)
     "sql_app_pattern_live" ->

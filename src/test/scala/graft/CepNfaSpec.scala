@@ -332,4 +332,82 @@ class CepNfaSpec extends AnyFunSuite {
     assert(kept == Vector(ev(3, 200, "A")))
     assert(wm == 0) // a lone A yields no matches over the kept prefix
   }
+
+  // ---- timed (absence-capable) re-fold: Patterns.foldStepTimed ----
+
+  private val absSteps = IndexedSeq(
+    Single("e1", (e, _) => e.eventType == "A"),
+    Absent("no_b", (e, _) => e.eventType == "B", 300 * SEC)) // 5 min
+  private def aproj(b: Bindings): Long = b("e1").head.eventId
+
+  test("foldStepTimed: absence confirms at the watermark horizon, " +
+       "emits once, re-arms the timer") {
+    type St = (Vector[Ev], Vector[String])
+    var st: St = (Vector.empty, Vector.empty)
+    def fold(batch: Vector[Ev], horizonSec: Long): Vector[Long] = {
+      val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
+        absSteps, None, EveryMatch, aproj)(
+        1L, st, batch, horizonSec * SEC)
+      st = st1; outs
+    }
+    // fold 1: A@0 violated by B@120; horizon 0 → nothing
+    assert(fold(Vector(ev(1, 0, "A"), ev(2, 120, "B")), 0).isEmpty)
+    // fold 2: fresh A@600 (deadline 900); horizon 180 → undecided
+    val (st2, o2, ddl2) = graft.api.Patterns.foldStepTimed(
+      absSteps, None, EveryMatch, aproj)(
+      1L, st, Vector(ev(3, 600, "A")), 180 * SEC)
+    st = st2
+    assert(o2.isEmpty)
+    assert(ddl2.contains(900 * SEC)) // the pending timer
+    // fold 3: no data, watermark past the deadline → the match emits
+    assert(fold(Vector.empty, 901) == Vector(3L))
+    // fold 4: later refold re-derives the same match under a higher
+    // horizon — the signature set suppresses the duplicate; the new A
+    // spawns a fresh pending run
+    val (st4, o4, ddl4) = graft.api.Patterns.foldStepTimed(
+      absSteps, None, EveryMatch, aproj)(
+      1L, st, Vector(ev(4, 1000, "A")), 905 * SEC)
+    st = st4
+    assert(o4.isEmpty)
+    assert(ddl4.contains(1300 * SEC))
+    // fold 5: final flush horizon → only the NEW match emits
+    assert(fold(Vector.empty, 100000) == Vector(4L))
+  }
+
+  test("foldStepTimed: batched fold over random sequences ≡ one-shot " +
+       "batch fold once the horizon passes everything; no duplicates") {
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("A", "B", "C")
+      var t = 0L
+      val evs = (1 to 300).map { i =>
+        t += 1 + rnd.nextInt(120)
+        ev(i.toLong, t, types(rnd.nextInt(3)))
+      }.toVector
+      val oneShot = Cep.run(absSteps, None, EveryMatch, aproj)(
+        evs.iterator).toVector
+      var st: (Vector[Ev], Vector[String]) = (Vector.empty, Vector.empty)
+      val emitted = Vector.newBuilder[Long]
+      var rest = evs
+      var wm = 0L // lagging watermark: max seen ts - 60s
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(25)
+        val (batch, tail) = rest.splitAt(n)
+        val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
+          absSteps, None, EveryMatch, aproj)(1L, st, batch, wm)
+        st = st1
+        emitted ++= outs
+        wm = math.max(wm, batch.last.tsNs - 60 * SEC)
+        rest = tail
+      }
+      // final flush: horizon past every deadline
+      val (_, fin, _) = graft.api.Patterns.foldStepTimed(
+        absSteps, None, EveryMatch, aproj)(
+        1L, st, Vector.empty, Long.MaxValue - 1)
+      emitted ++= fin
+      val got = emitted.result()
+      assert(got.distinct == got, s"seed=$seed: duplicate emissions")
+      assert(got.sorted == oneShot.sorted, s"seed=$seed")
+    }
+  }
 }

@@ -464,6 +464,50 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x enrichment loop: as-of rows replica-exact, fold writes " +
+       "track batch keys, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-8 closed loop (DML maintains UserState, sibling query
+    // joins it as-of per event) at 1M events: replica user spaces are
+    // disjoint, so each replica's enrichment rows must reproduce the
+    // base gate's rows with ids shifted — the keyed window pass is
+    // provably key-local — and the bucketed fold's per-trigger writes
+    // must track the batch's touched keys, not the accumulated table.
+    val q = SqlGate.queries("sql_app_enrich_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    graft.api.SiddhiQL.foldWriteProbe = Some(probe)
+    val (rows, wall, maxTask) =
+      try timed(q(spark, evDir10))
+      finally graft.api.SiddhiQL.foldWriteProbe = None
+    info(f"enrich 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r(1).asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base as-of enrichment")
+    }
+    // fold-write cost: per-trigger writes stay bounded by the touched
+    // key count (≈ the distinct non-purchase users of the 10x corpus),
+    // never O(generations x table)
+    val stateUsers = Tables.events(spark, evDir10)
+      .filter(col("event_type") =!= "purchase")
+      .select("user_id").distinct().count()
+    val tableWrites = probe.filter(_._2 != "__out").map(_._3)
+    assert(tableWrites.nonEmpty, "fold probe saw no generations")
+    assert(tableWrites.forall(_ <= stateUsers),
+      s"per-trigger fold writes exceed the key domain: $tableWrites " +
+        s"vs $stateUsers users")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live outer interval join: live == batch replay at 1M " +
        "events, replica-isolated null-pads, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -676,6 +676,22 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"band join degenerated:\n$p")
     assert(df.count() > 0)
+    // count-window join sides: arrival ranks come from the
+    // DISTRIBUTED prefix sum (range partition + per-partition window
+    // + P-row offset cumsum) — no data-sized global-ordered window
+    // may remain in the plan (windowspecdefinition over ts_ns with no
+    // partition key was the old single-task shape)
+    val dfLen = compile(
+      """from events as a#window.length(20)
+        |  join events as b#window.length(30)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as x, b.event_id as y
+        |order by x, y""".stripMargin)
+    val pLen = dfLen.queryExecution.executedPlan.toString
+    assert(!pLen.contains("windowspecdefinition(ts_ns"),
+      s"global single-task arrival-rank window remains:\n$pLen")
+    assert(dfLen.count() > 0)
     def msg(q: String): String =
       intercept[IllegalArgumentException](compile(q)).getMessage
     assert(msg("""from events as a#window.time(1 min)
@@ -925,21 +941,26 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select distinctCount(b.value) as n insert into O")
       .contains("count/sum/min/max/avg"))
-    // live text ABSENCE patterns name the timeout-based route (the
-    // re-fold finalizes at events; absence needs timers — engine
-    // twins: Streaming.cepAbsence/cepAbsenceTws)
-    assert(intercept[IllegalArgumentException](SiddhiQL.deployApp(
-      spark, sf,
+    // live text ABSENCE patterns deploy through the timed re-fold
+    // (event-time timers; engine twins: Streaming.cepAbsence /
+    // cepAbsenceTws) — the deployed matches equal the batch NOT-EXISTS
+    // truth the cep_absence oracle encodes
+    val liveAbs = SiddhiQL.deployApp(spark, sf,
       "@info(name='q') from every e1=events[event_type == 'error'] " +
         "-> not events[event_type == 'purchase' and " +
         "user_id == e1.user_id] for 5 min " +
-        "select e1.event_id as event_id insert into O", "q"))
-      .getMessage.contains("timeout-based"))
-    // define aggregation / trigger are batch-replay surfaces
-    assert(msg("define aggregation A from events select user_id, " +
-      "sum(value) as t group by user_id aggregate by ts_ns every min;\n" +
+        "select e1.user_id as user_id, e1.event_id as event_id " +
+        "order by event_id insert into O", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchAbs = graft.engine.Cep.absence(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(liveAbs == batchAbs && liveAbs.nonEmpty)
+    // live define aggregation now deploys (sql_app_incremental_live);
+    // the v1 bound is the source: only the app's source stream folds
+    assert(msg("define aggregation A from Foo select " +
+      "sum(value) as t aggregate by ts_ns every min;\n" +
       "@info(name='q') from events select event_id insert into O")
-      .contains("define aggregation"))
+      .contains("source stream 'events'"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
@@ -1085,11 +1106,19 @@ class SiddhiQlSpec extends AnyFunSuite {
         |from events select user_id, value as v
         |update or insert into T on T.user_id > user_id""".stripMargin)
       .contains("conjunction"))
-    // set RHS referencing table state (a fold, not last-event-wins)
+    // additive accumulator folds (`T.v = T.v + e`) now collapse
+    // algebraically (round 9, sql_table_upsert_fold); only
+    // order-dependent table-state RHS (multiplicative, cross-column)
+    // stays refused
+    assert(SiddhiQL.compileApp(spark, sf,
+      """define table T (user_id long, v double);
+        |@info(name = 'q') from events select user_id, value as v
+        |update or insert into T set T.v = T.v + 1.0
+        |on T.user_id == user_id""".stripMargin).nonEmpty)
     assert(appMsg(
       """define table T (user_id long, v double);
         |from events select user_id, value as v
-        |update or insert into T set T.v = T.v + 1.0
+        |update or insert into T set T.v = T.v * 2.0
         |on T.user_id == user_id""".stripMargin)
       .contains("not batch-replay collapsible"))
     // upsert select must cover the table schema
