@@ -2525,45 +2525,74 @@ object SiddhiQL extends Serializable {
           "to qualify their columns"))
         val nL = largs.head; val nR = rargs.head
         // global arrival ranks/counts via [[runningTotal]] — the
-        // distributed prefix sum, NOT a single-task order-by-all
-        // window (the r8 perf_weak; the guardGlobalWindow refusal is
-        // gone with it): Siddhi's unpartitioned count-window
-        // semantics stay exact, the sequential part shrinks to the
-        // P-row partition-offset cumsum
-        def seqd(ss: SingleStream, tag: String): DataFrame = {
+        // All four rank/count quantities come from ONE distributed
+        // prefix-sum pass over the interleaved marks — NOT a
+        // single-task order-by-all window (the r8 perf_weak; the
+        // guardGlobalWindow refusal is gone with it). Rows
+        // range-partition ONCE on (ts_ns, event_id); per partition,
+        // TWO in-partition running sums over the same exchange use
+        // opposite __isB tie orders, so an event that appears on BOTH
+        // sides of a self-join (identical (ts_ns, event_id) marks)
+        // never counts its own twin as an other-side arrival "before"
+        // it — matching the strict `before()` order, under which a
+        // self-pair never joins. Reading each side's own total at its
+        // own mark makes it the arrival RANK (self-inclusive):
+        //   A-mark: __seqA = cumA (desc tie: includes itself),
+        //           __cntB = cumB (asc tie: B twin excluded);
+        //   B-mark: __seqB = cumB (asc tie: includes itself),
+        //           __cntA = cumA (desc tie: A twin excluded).
+        // The partition-offset cumsum touches one row per PARTITION.
+        def sideOf(ss: SingleStream): DataFrame = {
           val df = side(ss.copy(window = None), None)
           Seq("ts_ns", "event_id").foreach(c =>
             if (!df.columns.contains(c))
               fail(s"length-window join sides need '$c' for arrival " +
                 s"order; '${ss.table}' lost it"))
-          runningTotal(df, Seq(col("ts_ns"), col("event_id")),
-            lit(1L), s"__seq$tag")
+          df
         }
-        val aSeq = seqd(j.left, "A")
-        val bSeq = seqd(j.right, "B")
-        val marks0 = aSeq.select(col("ts_ns"), col("event_id"),
-            lit(0L).as("__isB"))
-          .unionByName(bSeq.select(col("ts_ns"), col("event_id"),
-            lit(1L).as("__isB")))
-        // __isB is the deterministic tie-breaker for an event that
-        // appears on BOTH sides of a self-join (identical (ts_ns,
-        // event_id) marks): each cumulative total sorts the READING
-        // side's mark first, so an event's own twin never counts as
-        // an other-side arrival "before" it — matching the strict
-        // `before()` order, under which a self-pair never joins
-        val marks = runningTotal(
-          runningTotal(marks0,
-            Seq(col("ts_ns"), col("event_id"), col("__isB")),
-            col("__isB"), "__cumB"),
-          Seq(col("ts_ns"), col("event_id"), col("__isB").desc),
-          lit(1L) - col("__isB"), "__cumA")
+        val aSide = sideOf(j.left)
+        val bSide = sideOf(j.right)
+        val marks = {
+          import org.apache.spark.sql.expressions.Window
+          val m0 = aSide.select(col("ts_ns"), col("event_id"),
+              lit(0L).as("__isB"))
+            .unionByName(bSide.select(col("ts_ns"), col("event_id"),
+              lit(1L).as("__isB")))
+            .repartitionByRange(col("ts_ns"), col("event_id"))
+            .withColumn("__rpid", spark_partition_id())
+          val wAsc = Window.partitionBy("__rpid")
+            .orderBy(col("ts_ns"), col("event_id"), col("__isB"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wDesc = Window.partitionBy("__rpid")
+            .orderBy(col("ts_ns"), col("event_id"), col("__isB").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val offs = m0.groupBy("__rpid")
+            .agg(sum(col("__isB")).as("__btot"),
+              sum(lit(1L) - col("__isB")).as("__atot"))
+            .withColumn("__boff", coalesce(sum(col("__btot")).over(
+              Window.orderBy("__rpid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .withColumn("__aoff", coalesce(sum(col("__atot")).over(
+              Window.orderBy("__rpid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("__rpid").as("__opid"), col("__boff"),
+              col("__aoff"))
+          m0.withColumn("__cumB", sum(col("__isB")).over(wAsc))
+            .withColumn("__cumA", sum(lit(1L) - col("__isB")).over(wDesc))
+            .join(broadcast(offs), col("__rpid") === col("__opid"))
+            .select(col("event_id"), col("__isB"),
+              (col("__cumB") + col("__boff")).as("__cumB"),
+              (col("__cumA") + col("__aoff")).as("__cumA"))
+        }
         val aCnt = marks.filter(col("__isB") === 0)
-          .select(col("event_id").as("__aid"), col("__cumB").as("__cntB"))
+          .select(col("event_id").as("__aid"),
+            col("__cumA").as("__seqA"), col("__cumB").as("__cntB"))
         val bCnt = marks.filter(col("__isB") === 1)
-          .select(col("event_id").as("__bid"), col("__cumA").as("__cntA"))
-        val aFull = aSeq.join(aCnt, aSeq("event_id") === col("__aid"))
+          .select(col("event_id").as("__bid"),
+            col("__cumB").as("__seqB"), col("__cumA").as("__cntA"))
+        val aFull = aSide.join(aCnt, aSide("event_id") === col("__aid"))
           .drop("__aid").alias(la)
-        val bFull = bSeq.join(bCnt, bSeq("event_id") === col("__bid"))
+        val bFull = bSide.join(bCnt, bSide("event_id") === col("__bid"))
           .drop("__bid").alias(ra)
         def before(x: String, y: String): String =
           s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +

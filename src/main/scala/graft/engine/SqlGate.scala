@@ -643,6 +643,32 @@ object SqlGate {
         |  math:round(min(value), 2) as vmin
         |insert into Out""".stripMargin),
     // `,` strict-next: the very NEXT event of the user must match
+    // MID-pattern absence: `A -> not B for T -> C` — the absence must
+    // be confirmed (T elapses, no violating B) before C can bind, so C
+    // is the FIRST matching event strictly after the deadline (NFA:
+    // the confirming event re-feeds into the next step)
+    "sql_pattern_absence_mid" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |  -> e2=events[event_type == 'click']
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as click_id
+        |order by start_id
+        |insert into Out""".stripMargin),
+    // the SAME mid-absence pattern deployed LIVE through the timed
+    // re-fold: the deadline's event-time timer only wakes bookkeeping —
+    // completion happens at C (an event), so batch and live agree
+    "sql_app_absence_mid_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |  -> e2=events[event_type == 'click']
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as click_id
+        |order by start_id
+        |insert into Out""".stripMargin, "alerts")),
     "sql_pattern_strict" -> q(
       """from every e1=events[event_type == 'error'],
         |  e2=events[event_type == 'purchase']
@@ -1830,6 +1856,41 @@ object SqlGate {
         |    AND p.value > e.value
         |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE) t
         |WHERE rk = 1 ORDER BY start_id, next_id""".stripMargin,
+    // errors with a silent 5-min window, completed by the FIRST click
+    // strictly after the deadline (greedy NFA; deadline inclusive for
+    // violations, exclusive for the confirming next step)
+    "sql_pattern_absence_mid" ->
+      """WITH er AS (SELECT user_id, event_id, epoch_ns(ts) AS ens
+        |  FROM events WHERE event_type = 'error'),
+        |ok AS (SELECT er.* FROM er WHERE NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = er.user_id AND epoch_ns(p.ts) > er.ens
+        |    AND epoch_ns(p.ts) <= er.ens + 300000000000)),
+        |c AS (SELECT o.user_id, o.event_id AS start_id,
+        |    k.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY o.event_id
+        |      ORDER BY epoch_ns(k.ts), k.event_id) AS rk
+        |  FROM ok o JOIN events k ON k.user_id = o.user_id
+        |    AND k.event_type = 'click'
+        |    AND epoch_ns(k.ts) > o.ens + 300000000000)
+        |SELECT user_id, start_id, click_id FROM c WHERE rk = 1
+        |ORDER BY start_id""".stripMargin,
+    "sql_app_absence_mid_live" ->
+      """WITH er AS (SELECT user_id, event_id, epoch_ns(ts) AS ens
+        |  FROM events WHERE event_type = 'error'),
+        |ok AS (SELECT er.* FROM er WHERE NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = er.user_id AND epoch_ns(p.ts) > er.ens
+        |    AND epoch_ns(p.ts) <= er.ens + 300000000000)),
+        |c AS (SELECT o.user_id, o.event_id AS start_id,
+        |    k.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY o.event_id
+        |      ORDER BY epoch_ns(k.ts), k.event_id) AS rk
+        |  FROM ok o JOIN events k ON k.user_id = o.user_id
+        |    AND k.event_type = 'click'
+        |    AND epoch_ns(k.ts) > o.ens + 300000000000)
+        |SELECT user_id, start_id, click_id FROM c WHERE rk = 1
+        |ORDER BY start_id""".stripMargin,
     "sql_pattern_seq" ->
       """SELECT user_id, start_id, next_id, next_value FROM (
         |  SELECT e.user_id, e.event_id AS start_id, p.event_id AS next_id,
