@@ -4797,12 +4797,6 @@ object SiddhiQL extends Serializable {
             if (sSide.window.nonEmpty)
               fail("live enrichment joins are per-event lookups (v1) — " +
                 "no window on the stream side")
-            if (ast.select.exists(it => containsAgg(it.e)) ||
-                ast.groupBy.nonEmpty || ast.having.nonEmpty)
-              fail("live enrichment joins project columns (v1) — " +
-                "aggregate in a downstream stage")
-            if (ast.limit.nonEmpty || ast.offset.nonEmpty)
-              fail("live enrichment joins have no limit/offset (v1)")
             val writers = dmlInfos(tName)
             if (writers.length > 1)
               fail("live enrichment joins read a table with ONE DML " +
@@ -4822,8 +4816,196 @@ object SiddhiQL extends Serializable {
                   "re-derived per batch)")
             }
             val statelessSnap = statelessAsts
-            // fail fast at deploy time + learn the output schema
             val sp0 = src.sparkSession
+            val hasAggE = ast.select.exists(it => containsAgg(it.e)) ||
+              ast.groupBy.nonEmpty
+            if (hasAggE) {
+              // AGGREGATION ABOVE the enrichment join: each batch's
+              // enriched rows compute exactly like the projection
+              // form (same per-event as-of window pass), then fold as
+              // ALGEBRAIC keyed partials — count/sum/min/max/avg
+              // components merged componentwise across triggers (the
+              // join-agg fold recipe; O(batch-touched buckets) state
+              // writes). The batch compile aggregates the identical
+              // as-of rows globally, so it is the oracle under any
+              // chunking.
+              if (ast.having.nonEmpty)
+                fail("live enrichment aggregation (v1) has no having")
+              if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+                fail("live enrichment aggregation (v1) has no " +
+                  "limit/offset")
+              val items = itemsOf(ast)
+              val keyItems = items.filter(!_._3)
+              val keyAliases = keyItems.map(_._2)
+              if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                fail("live enrichment aggregation (v1) groups by " +
+                  "exactly the aliases of its non-aggregate select " +
+                  s"items (non-aggregate [${keyAliases.mkString(", ")}]" +
+                  s", group by [${ast.groupBy.mkString(", ")}])")
+              val comps = scala.collection.mutable.Buffer
+                .empty[(String, String, Option[Expr])]
+              def rw(e: Expr): Expr = e match {
+                case Call(None, n, args0) if aggNames(n.toLowerCase) =>
+                  val base = s"__g${comps.length}"
+                  n.toLowerCase match {
+                    case "count" | "sum" | "min" | "max" =>
+                      comps += ((base, n.toLowerCase, args0.headOption))
+                      Ref(List(base))
+                    case "avg" =>
+                      comps += ((base, "avg", args0.headOption))
+                      Bin("/", Ref(List(base + "s")),
+                        Ref(List(base + "n")))
+                    case other2 => fail("live enrichment aggregation " +
+                      "(v1) supports count/sum/min/max/avg; got " +
+                      s"'$other2'")
+                  }
+                case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                case Not(x) => Not(rw(x))
+                case Neg(x) => Neg(rw(x))
+                case other2 => other2
+              }
+              val finals: Seq[(String, Expr)] = items.map {
+                case (it, a2, isAgg) =>
+                  a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+              }
+              comps.foreach { case (_, n, argO) =>
+                if (n != "count" && argO.isEmpty)
+                  fail(s"$n(...) needs an argument")
+              }
+              if (comps.isEmpty)
+                fail("live enrichment aggregation selects at least " +
+                  "one aggregate")
+              // group keys are STREAM-side expressions (v1): the
+              // touched-bucket probe evaluates them on the raw batch,
+              // before any state is read
+              keyItems.foreach { case (it, _, _) =>
+                if (refsTable(it.e, tName) ||
+                    j.rightAlias.exists(refsTable(it.e, _)))
+                  fail("live enrichment aggregation group keys are " +
+                    "STREAM-side expressions (v1) — a table-side key " +
+                    "needs the projection form + a downstream stage")
+              }
+              val sAliasL = j.leftAlias.getOrElse(sName)
+              def streamKeySql(e: Expr): String = sqlOfWith(e, {
+                case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasL) ||
+                    q2.equalsIgnoreCase(sName) => c
+                case c :: Nil => c
+                case parts => fail("live enrichment aggregation group " +
+                  s"keys are stream-side (v1); got " +
+                  s"'${parts.mkString(".")}'")
+              })
+              val keySqls = keyItems.map { case (it, a2, _) =>
+                (streamKeySql(it.e), a2) }
+              // per-event rows: group-key exprs + aggregate arguments
+              val rowsSel = keyItems.map { case (it, a2, _) =>
+                SelItem(it.e, Some(a2)) } ++
+                comps.toList.flatMap { case (base, _, argO) =>
+                  argO.map(a0 => SelItem(a0, Some(s"${base}_x"))).toList }
+              val astRows = ast.copy(select = rowsSel, groupBy = Nil,
+                having = None, orderBy = Nil, limit = None,
+                offset = None)
+              val keys = if (keyAliases.isEmpty) Seq("__k")
+                         else keyAliases
+              def withK(df: DataFrame): DataFrame =
+                if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
+                else df
+              def partialOf(df: DataFrame): DataFrame = {
+                val aggs: Seq[Column] = comps.toSeq.flatMap {
+                  case (base, n, argO) =>
+                    val a0 = argO.map(_ => col(s"${base}_x"))
+                    n match {
+                      case "count" =>
+                        Seq(a0.fold(count(lit(1)))(count).as(base))
+                      case "sum" => Seq(sum(a0.get).as(base))
+                      case "min" => Seq(min(a0.get).as(base))
+                      case "max" => Seq(max(a0.get).as(base))
+                      case "avg" => Seq(sum(a0.get).as(base + "s"),
+                        count(a0.get).as(base + "n"))
+                    }
+                }
+                df.groupBy(keys.map(col): _*)
+                  .agg(aggs.head, aggs.tail: _*)
+              }
+              def mergeComp(base: String, n: String): Seq[Column] = {
+                def add(c: String) =
+                  (coalesce(col(s"t.$c"), lit(0)) +
+                    coalesce(col(s"u.$c"), lit(0))).as(c)
+                def addSum(c: String) =
+                  when(col(s"t.$c").isNull && col(s"u.$c").isNull,
+                    lit(null))
+                    .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+                      coalesce(col(s"u.$c"), lit(0))).as(c)
+                n match {
+                  case "count" => Seq(add(base))
+                  case "sum" => Seq(addSum(base))
+                  case "min" => Seq(least(col(s"t.$base"),
+                    col(s"u.$base")).as(base))
+                  case "max" => Seq(greatest(col(s"t.$base"),
+                    col(s"u.$base")).as(base))
+                  case "avg" => Seq(addSum(base + "s"), add(base + "n"))
+                }
+              }
+              // deploy-time prototypes (fail fast + schemas)
+              val protoRows = enrichCompile(sp0, "", astRows, j, dmlInfo,
+                emptyOf(sp0, dSchema),
+                batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                  statelessSnap))
+              val schemaA = partialOf(withK(protoRows)).schema
+              val protoOut = emptyOf(sp0, schemaA).select(finals.map {
+                case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+              val keyE2 = name.orElse(ast.action.map(_.target))
+              if (keyE2.contains(out) || name.contains(out)) {
+                val fnsSnap = scriptFns
+                val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
+                  fnsSnap, (sp, d2, batch) =>
+                    batchEnv(sp, d2, batch, statelessSnap))
+                foldResult = Some(LiveFold(srcTs,
+                  Seq((tName, dSchema, tMode),
+                    ("state", schemaA, KeyedState(keys,
+                      (sp, d2, batch) => {
+                        scriptFns = fnsSnap
+                        if (keyAliases.isEmpty)
+                          batch.select(lit(0L).as("__k"))
+                        else {
+                          val benv = batchEnv(sp, d2, batch,
+                            statelessSnap)
+                          val sb0 = envLookup(benv, sName)
+                            .getOrElse(batch)
+                          val sb = sSide.filter.fold(sb0)(f =>
+                            applyFilter(sp, d2, sb0, f, benv))
+                          sb.select(keySqls.map { case (sq, a2) =>
+                            expr(sq).as(a2) }: _*)
+                        }
+                      }))),
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val enriched = enrichCompile(sp, d2, astRows, j,
+                      dmlInfo, acc(tName).full(), benv)
+                    val u = partialOf(withK(enriched))
+                    val merged = acc("state").slice.as("t")
+                      .join(u.as("u"),
+                        keys.map(k2 =>
+                          col(s"t.$k2") <=> col(s"u.$k2"))
+                          .reduce(_ && _), "full_outer")
+                      .select(keys.map(k2 => coalesce(col(s"u.$k2"),
+                          col(s"t.$k2")).as(k2)) ++
+                        comps.toSeq.flatMap { case (b2, n, _) =>
+                          mergeComp(b2, n) }: _*)
+                    Map(
+                      tName -> applyDml(sp, d2, dAst, dAct, dSchema,
+                        acc(tName).slice, benv),
+                      "state" -> merged)
+                  },
+                  (_, acc) => acc("state").select(finals.map {
+                    case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoOut.schema), KFold)
+            } else {
+            // fail fast at deploy time + learn the output schema
             val proto = enrichCompile(sp0, "", ast, j, dmlInfo,
               emptyOf(sp0, dSchema),
               batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
@@ -4857,7 +5039,21 @@ object SiddhiQL extends Serializable {
                   if (asc) col(c2).asc else col(c2).desc }))
             }
             (emptyOf(sp0, proto.schema), KFold)
+            }
 
+          case j: JoinStream
+              if liveAggDefs.contains(j.left.table) ||
+                 liveAggDefs.contains(j.right.table) =>
+            // named bound, not a confusing window diagnostic: the
+            // stream ⋈ aggregation `within … per` join stays a batch
+            // surface (sql_join_aggregation); live reads of the
+            // cascade go through the aggregation-read fold
+            // (sql_app_incremental_live)
+            fail("live deployment (v1) does not join a `define " +
+              "aggregation` table — read it with `from <agg> within " +
+              "… per '…'` (deployed via the keyed fold), or use the " +
+              "batch replay (compileApp) for the stream-aggregation " +
+              "join")
           case j: JoinStream => (j.left.window, j.right.window) match {
             // windowed stream-stream join deployed LIVE: Spark's
             // watermarked interval join — the band [-Tl, Tr] becomes
@@ -5482,29 +5678,65 @@ object SiddhiQL extends Serializable {
             fail(s"app has no query named or inserting into '$out'"))
           if (kind == 4) {
             // UPDATE-mode global aggregation: the stream emits only
-            // the groups each trigger changed; this collapse is the
-            // keyed upsert sink (last write per __ukey wins) a
-            // production deployment points at an external store —
-            // driver memory here is O(groups), the same bound the
-            // memory sink pays, but per-trigger SINK VOLUME is
-            // O(changed groups), the property that survives scale
-            val keyIdx = df.columns.indexOf("__ukey")
-            val m = scala.collection.mutable.LinkedHashMap
-              .empty[Any, org.apache.spark.sql.Row]
+            // the groups each trigger changed; the keyed upsert sink
+            // (last write per __ukey wins) is the SAME hash-bucketed
+            // parquet-generation store the fold runner uses — each
+            // trigger rewrites only the buckets its changed groups
+            // hash into, so BOTH per-trigger sink volume (O(changed
+            // groups)) and per-trigger write cost (O(touched buckets))
+            // survive scale, and nothing accumulates on the driver.
+            val tmpU = graft.engine.Streaming.scratchDir("graft_upd")
+            val nB = spark.conf.getOption("graft.live.stateBuckets")
+              .map(_.toInt).getOrElse(16)
+            val latestU = scala.collection.mutable.Map
+              .empty[Int, Int] // bucket -> generation
+            var genU = 0
+            val schemaU = df.schema
+            def pathU(g: Int, b: Int) = s"$tmpU/gen$g/__b=$b"
+            def bCol: Column =
+              (hash(col("__ukey")) % nB + lit(nB)) % nB
             val q = df.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt("update"))
               .foreachBatch { (batch: DataFrame, _: Long) =>
-                val got = batch.collect()
-                updateEmitProbe.foreach(_ += got.length.toLong)
-                got.foreach(r => m(r.get(keyIdx)) = r)
+                val sp = batch.sparkSession
+                val bt = batch.withColumn("__b", bCol.cast("int"))
+                // persist: the batch feeds the touched-bucket probe,
+                // the anti-join, and the union — one evaluation
+                bt.persist()
+                updateEmitProbe.foreach(_ += bt.count())
+                val touched = bt.select(col("__b")).distinct()
+                  .collect().map(_.getInt(0)).toSeq
+                val prior = {
+                  val ps = touched.flatMap(b =>
+                    latestU.get(b).map(g => pathU(g, b)))
+                    .filter(p => new java.io.File(p).exists)
+                  if (ps.isEmpty)
+                    emptyOf(sp, schemaU).withColumn("__b",
+                      lit(0).cast("int"))
+                  else sp.read.schema(schemaU).parquet(ps: _*)
+                    .withColumn("__b", bCol.cast("int"))
+                }
+                val g1 = genU + 1
+                prior.join(bt.select("__ukey"), Seq("__ukey"),
+                    "left_anti")
+                  .unionByName(bt)
+                  .repartition(math.max(touched.size, 1), col("__b"))
+                  .write.mode("overwrite").partitionBy("__b")
+                  .parquet(s"$tmpU/gen$g1")
+                bt.unpersist()
+                touched.foreach(b => latestU(b) = g1)
+                genU = g1
               }.start()
             rows.grouped(per).foreach { g =>
               ms.addData(g.toSeq); q.processAllAvailable()
             }
             q.stop()
-            val lst = new java.util.ArrayList[org.apache.spark.sql.Row]()
-            m.values.foreach(lst.add)
-            val t = spark.createDataFrame(lst, df.schema).drop("__ukey")
+            val live = latestU.toSeq.map { case (b, g) => pathU(g, b) }
+              .filter(p => new java.io.File(p).exists)
+            val t =
+              (if (live.isEmpty) emptyOf(spark, schemaU)
+               else spark.read.schema(schemaU).parquet(live: _*))
+                .drop("__ukey")
             return (if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t)
           }
           val mode = if (kind == 1) OutputMode.Complete()

@@ -390,6 +390,26 @@ object SqlGate {
         |select event_id, _error
         |order by event_id
         |insert into Faults""".stripMargin, "faults")),
+    // a STATEFUL (windowed) live reader of the @OnError CLEAN stream:
+    // the split filters keep the flush-sentinel region, so the final
+    // windows still close — the r9 watermark-invariant fix end-to-end
+    // (before it, the divisor-zero sentinel path silently dropped the
+    // flush and the last buckets never emitted)
+    "sql_app_onerror_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@OnError(action='STREAM')
+        |define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'ok')
+        |from events
+        |select event_id, event_id % (user_id % 3) as r
+        |insert into Other;
+        |
+        |@info(name = 'sums')
+        |from events#window.timeBatch(1 hour)
+        |select count() as n, math:round(sum(value), 2) as sv
+        |order by w_start_ms
+        |insert into Out""".stripMargin, "sums")),
     "sql_onerror_clean" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """@OnError(action='STREAM')
         |define stream events (event_id long, ts_ns long, user_id long,
@@ -571,6 +591,32 @@ object SqlGate {
         |    as click_total
         |order by event_id
         |insert into Out""".stripMargin, "enrich")),
+    // AGGREGATION above the live enrichment join: per trigger the
+    // enriched as-of rows compute exactly like the projection form,
+    // then fold as algebraic keyed partials — the canonical
+    // enrich-then-aggregate pipeline in ONE live stage
+    "sql_app_enrich_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Counter (user_id long, cnt long, total double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt, value as total
+        |update or insert into Counter
+        |  set Counter.cnt = Counter.cnt + 1,
+        |      Counter.total = Counter.total + total
+        |  on Counter.user_id == user_id;
+        |
+        |@info(name = 'agg')
+        |from events as e[event_type == 'purchase'] join Counter
+        |  on Counter.user_id == e.user_id
+        |select e.user_id as user_id, count() as buys,
+        |  math:round(sum(Counter.total), 2) as clicksum,
+        |  math:round(max(e.value), 2) as maxbuy
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
     // the CLOSED enrichment loop deployed LIVE: one stage maintains
     // UserState by keyed MERGE, a sibling query JOINS that table —
     // per-event as-of semantics (each purchase sees the state written
@@ -1341,6 +1387,14 @@ object SqlGate {
     "sql_onerror_clean" ->
       """SELECT event_id, event_id % (user_id % 3) AS r FROM events
         |WHERE user_id % 3 <> 0 ORDER BY event_id""".stripMargin,
+    // hourly buckets over the CLEAN complement — every bucket must
+    // emit (the sentinel-region invariant keeps the final flush alive
+    // through the @OnError split filters)
+    "sql_app_onerror_agg_live" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS w_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events WHERE user_id % 3 <> 0
+        |GROUP BY 1 ORDER BY w_start_ms""".stripMargin,
     "sql_app_join_agg1_live" ->
       """WITH pairs AS (
         |  SELECT a.user_id AS user_id, b.value AS v
@@ -1376,6 +1430,19 @@ object SqlGate {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
         |FROM events WHERE value > 50.0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // enrich-then-aggregate: per purchase the as-of click total (folded
+    // counter), aggregated per user; inner join drops zero-click buys
+    "sql_app_enrich_agg_live" ->
+      """WITH pc AS (SELECT p.event_id, p.user_id, p.value,
+        |    sum(c.value) AS tot
+        |  FROM events p JOIN events c ON c.user_id = p.user_id
+        |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |    AND (epoch_ns(c.ts), c.event_id) <
+        |        (epoch_ns(p.ts), p.event_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS buys, round(sum(tot), 2) AS clicksum,
+        |  round(max(value), 2) AS maxbuy
+        |FROM pc GROUP BY 1 ORDER BY user_id""".stripMargin,
     // folded counter table ≡ per-user click count/sum
     "sql_table_upsert_fold" ->
       """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total

@@ -508,6 +508,108 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x live define aggregation: grain cascade replica-exact, " +
+       "fold writes bounded, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-9 live cascade: finest-grain partials fold into
+    // bucket-keyed state per trigger; the hour-grain read rolls up at
+    // finish. Replica user spaces are disjoint and timestamps
+    // identical, so each replica's rolled buckets must reproduce the
+    // base gate's rows with user ids shifted.
+    val q = SqlGate.queries("sql_app_incremental_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    graft.api.SiddhiQL.foldWriteProbe = Some(probe)
+    val (rows, wall, maxTask) =
+      try timed(q(spark, evDir10))
+      finally graft.api.SiddhiQL.foldWriteProbe = None
+    info(f"incremental 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r(1).asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head,
+        r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base grain cascade")
+    }
+    // per-trigger fold writes bounded by the touched (bucket, key)
+    // domain — the state is partial rows, never event rows
+    val writes = probe.map(_._3)
+    assert(writes.nonEmpty, "fold probe saw no generations")
+    val sec = Tables.events(spark, evDir10)
+      .selectExpr("(ts_ns div 1000000000) as s", "user_id")
+      .distinct().count()
+    assert(writes.forall(_ <= sec),
+      s"per-trigger partial writes exceed the (sec-bucket, user) " +
+        s"domain: max ${writes.max} vs $sec")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x length-window join: distributed prefix ranks == a direct " +
+       "single-window reference at 1M marks, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-9 distributed arrival ranks: global count-window
+    // retention interleaves ALL replicas (ranks are corpus-global by
+    // Siddhi semantics — replica slicing does NOT apply here), so the
+    // reference is the direct formulation: ONE order-by-all window
+    // over the same 1M rows, which the old code shipped and the
+    // guard refused at scale. Results must match exactly.
+    import org.apache.spark.sql.expressions.Window
+    val q =
+      """from events as a[event_type == 'error']#window.length(50)
+        |  join events as b[event_type == 'purchase']#window.length(80)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin
+    val (rows, wall, maxTask) = timed(
+      graft.api.SiddhiQL.compile(spark, evDir10, q))
+    info(f"length join 10x: ${rows.length} pairs, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    val ev = Tables.events(spark, evDir10)
+    val aS = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("aid"), col("ts_ns").as("ats"),
+        col("user_id").as("au"))
+    val bS = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("bid"), col("ts_ns").as("bts"),
+        col("user_id").as("bu"))
+    val wAll = Window.orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marksRef = aS.select(col("ats").as("ts_ns"),
+        col("aid").as("event_id"), lit(0L).as("isB"))
+      .unionByName(bS.select(col("bts").as("ts_ns"),
+        col("bid").as("event_id"), lit(1L).as("isB")))
+      .withColumn("cumB", sum(col("isB")).over(wAll))
+      .withColumn("cumA", sum(lit(1L) - col("isB")).over(wAll))
+    val aR = marksRef.filter(col("isB") === 0)
+      .select(col("event_id").as("aid"), col("cumA").as("seqA"),
+        col("cumB").as("cntB"))
+    val bR = marksRef.filter(col("isB") === 1)
+      .select(col("event_id").as("bid"), col("cumB").as("seqB"),
+        col("cumA").as("cntA"))
+    val aF = aS.join(aR, "aid")
+    val bF = bS.join(bR, "bid")
+    val expected = aF.join(bF, col("au") === col("bu") &&
+        (((col("bts") < col("ats")) ||
+          (col("bts") === col("ats") && col("bid") < col("aid"))) &&
+          col("seqB") > col("cntB") - 80L ||
+         ((col("ats") < col("bts")) ||
+          (col("ats") === col("bts") && col("aid") < col("bid"))) &&
+          col("seqA") > col("cntA") - 50L))
+      .select(col("aid"), col("bid"))
+      .orderBy("aid", "bid").collect().map(_.toSeq)
+    assert(rows.length == expected.length &&
+      (rows.map(_.toSeq) sameElements expected),
+      s"distributed ranks diverge from the single-window reference " +
+        s"(${rows.length} vs ${expected.length} pairs)")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live outer interval join: live == batch replay at 1M " +
        "events, replica-isolated null-pads, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -824,8 +824,11 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(msg(app.replace("join UserState",
       "#window.time(1 min) join UserState"))
       .contains("per-event lookups"))
+    // aggregation ABOVE the enrichment now deploys (round 9,
+    // sql_app_enrich_agg_live); the v1 bound it names is the group-key
+    // discipline (keys = the non-aggregate select aliases)
     assert(msg(app.replace("select e.event_id as event_id,",
-      "select count() as n,")).contains("project columns"))
+      "select count() as n,")).contains("groups by exactly"))
   }
 
   test("live rate modes last/all/snapshot equal batch replay " +
@@ -961,6 +964,26 @@ class SiddhiQlSpec extends AnyFunSuite {
       "sum(value) as t aggregate by ts_ns every min;\n" +
       "@info(name='q') from events select event_id insert into O")
       .contains("source stream 'events'"))
+    // joining a live define-aggregation table names the read route
+    assert(msg("define aggregation A from events select " +
+      "sum(value) as t aggregate by ts_ns every min;\n" +
+      "@info(name='q') from events as e join A " +
+      "within 0, 9999999999999 per 'minutes' " +
+      "on A.user_id == e.user_id select e.event_id as x insert into O")
+      .contains("does not join"))
+    // enrichment aggregation group keys must be stream-side
+    val enrichAggApp = (key: String) =>
+      "define table T (user_id long, v double);\n" +
+      "@info(name='t') from events[event_type == 'click'] " +
+      "select user_id, value as v " +
+      "update or insert into T on T.user_id == user_id;\n" +
+      "@info(name='q') from events as e[event_type == 'purchase'] " +
+      s"join T on T.user_id == e.user_id select $key, " +
+      "count() as n group by k insert into O"
+    assert(msg(enrichAggApp("T.v as k")).contains("STREAM-side"))
+    // non-algebraic aggregates above the enrichment join are named
+    assert(msg(enrichAggApp("e.user_id as k").replace("count() as n",
+      "distinctCount(e.value) as n")).contains("count/sum/min/max/avg"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
