@@ -136,23 +136,28 @@ object Patterns {
             "precondition of the prefix-stable re-fold")
       }
     }
-    // evict events that can no longer bind any live or future run
-    // (see evictHistory's proof obligations) and signatures whose
-    // earliest bound event was evicted — such a match can never be
-    // re-derived, so its signature is dead weight
-    val (hist1, sigs1) = withinNs match {
-      case Some(w) if spawn == Cep.EveryMatch && hist0.nonEmpty =>
-        val cut = hist0.last.tsNs - w
-        (hist0.dropWhile(_.tsNs < cut), sigs0.filter(sigMinTs(_) >= cut))
-      case _ => (hist0, sigs0)
-    }
-    val all = (hist1 ++ batch).sortBy(e => (e.tsNs, e.eventId))
+    val all = (hist0 ++ batch).sortBy(e => (e.tsNs, e.eventId))
     val (tagged, pending) = Cep.runH[(String, Out)](steps, withinNs,
       spawn, b => (sigOf(b), project(b)), horizonNs)(all.iterator)
-    val seen = sigs1.toSet
+    val seen = sigs0.toSet
     val fresh = tagged.filterNot { case (sg, _) => seen(sg) }
-    ((all, sigs1 ++ fresh.map(_._1)), fresh.map(_._2),
-      pending.minOption)
+    val sigs1 = sigs0 ++ fresh.map(_._1)
+    // evict AFTER emission, and only up to the HORIZON: an event at
+    // ts < cut can no longer be bound (runs bind within [spawn,
+    // spawn+w] and future runs spawn at ≥ the history max), and every
+    // run it spawned was DECIDED by cut + w ≤ horizon — so its matches
+    // were all emitted by this fold. The count-based foldStep can cut
+    // at history-max − w because its matches finalize AT events; an
+    // absence match finalizes at the lagging watermark, so cutting
+    // without the horizon bound could drop a spawn event before any
+    // horizon ever confirmed its match (time-jumping batches).
+    val (hist1, sigs2) = withinNs match {
+      case Some(w) if spawn == Cep.EveryMatch && all.nonEmpty =>
+        val cut = math.min(all.last.tsNs, horizonNs) - w
+        (all.dropWhile(_.tsNs < cut), sigs1.filter(sigMinTs(_) >= cut))
+      case _ => (all, sigs1)
+    }
+    ((hist1, sigs2), fresh.map(_._2), pending.minOption)
   }
 
   private[graft] def evictHistory[Out](

@@ -1637,9 +1637,9 @@ object SiddhiQL extends Serializable {
       fail("live enrichment joins are already one-directional " +
         "(events trigger, the table holds state) — drop " +
         "`unidirectional`")
-    if (tSide.window.nonEmpty || tSide.filter.nonEmpty)
+    if (tSide.window.nonEmpty)
       fail("live enrichment joins read the whole maintained table " +
-        s"'$tName' (v1) — no window/filter on the table side")
+        s"'$tName' (v1) — no window on the table side")
     if (sSide.window.nonEmpty)
       fail("live enrichment joins are per-event lookups (v1) — no " +
         "window on the stream side")
@@ -1799,9 +1799,36 @@ object SiddhiQL extends Serializable {
             .otherwise(lit(null).cast(updType)))
           .where(col("__isE"))
       }
+    // table-side filter `T[cond]`: a state row failing the condition
+    // is NOT an enrichment match at that event — inner drops the
+    // event, left outer null-pads it (per-event semantics: the filter
+    // applies to the AS-OF state, so an event can match while a later
+    // one of the same key doesn't)
+    val stateFiltered = tSide.filter match {
+      case None => filled
+      case Some(f) =>
+        val fSql = sqlOfWith(f, {
+          case q :: c :: Nil if q.equalsIgnoreCase(tAlias) ||
+              q.equalsIgnoreCase(tName) =>
+            if (!tCols.contains(c))
+              fail(s"'$c' is not a column of table '$tName'")
+            s"__state.$c"
+          case c :: Nil =>
+            if (!tCols.contains(c))
+              fail(s"table filter on '$tName' references its columns; " +
+                s"'$c' is not one")
+            s"__state.$c"
+          case parts => fail(s"table filter on '$tName' references " +
+            s"its columns; got '${parts.mkString(".")}'")
+        })
+        filled.withColumn("__state",
+          when(col("__state").isNotNull && expr(fSql), col("__state"))
+            .otherwise(lit(null).cast(updType)))
+    }
     val kept =
-      if (joinKind == "inner") filled.where(col("__state").isNotNull)
-      else filled
+      if (joinKind == "inner")
+        stateFiltered.where(col("__state").isNotNull)
+      else stateFiltered
     def qual(parts: List[String]): String = parts match {
       case q :: c :: Nil
           if q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(tName) =>
@@ -4790,10 +4817,9 @@ object SiddhiQL extends Serializable {
                 "`unidirectional`")
             val tSide = j.right; val sSide = j.left
             val tName = tSide.table
-            if (tSide.window.nonEmpty || tSide.filter.nonEmpty)
+            if (tSide.window.nonEmpty)
               fail("live enrichment joins read the whole maintained " +
-                s"table '$tName' (v1) — no window/filter on the table " +
-                "side")
+                s"table '$tName' (v1) — no window on the table side")
             if (sSide.window.nonEmpty)
               fail("live enrichment joins are per-event lookups (v1) — " +
                 "no window on the stream side")

@@ -617,6 +617,28 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // table-side filter on the live enrichment join: the condition
+    // applies to each event's AS-OF state row — failing state = no
+    // match at that event (inner join drops it)
+    "sql_app_enrich_filtered_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserState (user_id long, last_value double,
+        |  last_type string);
+        |
+        |@info(name = 'track')
+        |from events[event_type != 'purchase']
+        |select user_id, value as last_value, event_type as last_type
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'enrich')
+        |from events as e[event_type == 'purchase']
+        |  join UserState[last_value > 100.0 and last_type == 'click']
+        |  on UserState.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  UserState.last_value as prev_value, e.value as value
+        |order by event_id
+        |insert into Out""".stripMargin, "enrich")),
     // the CLOSED enrichment loop deployed LIVE: one stage maintains
     // UserState by keyed MERGE, a sibling query JOINS that table —
     // per-event as-of semantics (each purchase sees the state written
@@ -1458,6 +1480,28 @@ object SqlGate {
         |  AND (epoch_ns(c.ts), c.event_id) <
         |      (epoch_ns(p.ts), p.event_id)
         |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
+    // as-of state gated by the table filter: the purchase matches only
+    // when its user's LATEST prior update (latest FIRST, filter after —
+    // an ASOF JOIN + WHERE would let DuckDB pick the latest QUALIFYING
+    // update, a different relation) is a click above 100
+    "sql_app_enrich_filtered_live" ->
+      """WITH u AS (
+        |  SELECT event_id AS uid, user_id, epoch_ns(ts) AS uts,
+        |    value AS last_value, event_type AS last_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ets, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.value, u.last_value,
+        |    u.last_type,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY u.uts DESC, u.uid DESC) AS rk
+        |  FROM e JOIN u ON e.user_id = u.user_id AND u.uts <= e.ets)
+        |SELECT event_id, user_id, last_value AS prev_value, value
+        |FROM j WHERE rk = 1 AND last_value > 100.0
+        |  AND last_type = 'click'
+        |ORDER BY event_id""".stripMargin,
     // per-event as-of: each purchase joins the LATEST earlier update
     // of its user (an event's own update would be visible — disjoint
     // event types here, so <= and < coincide)

@@ -374,9 +374,44 @@ class CepNfaSpec extends AnyFunSuite {
     assert(fold(Vector.empty, 100000) == Vector(4L))
   }
 
+  test("foldStepTimed: time-jumping batch with a lagging watermark — " +
+       "event-driven confirmation emits once, eviction waits for the " +
+       "horizon") {
+    // within=10min, absence-for=5min: an error at t=0, then a batch
+    // jumping to t=20min while the WATERMARK still lags at 0. The
+    // jumping event itself confirms the absence (event-driven NFA
+    // path), so the match emits in THAT fold even at horizon 0; later
+    // horizon-driven refolds must not re-emit it, and eviction is
+    // HORIZON-bounded — history survives until the watermark passes,
+    // then shrinks to the (lag + within) band.
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Absent("no_b", (e, _) => e.eventType == "B", 300 * SEC))
+    val w = Some(600 * SEC)
+    var st: (Vector[Ev], Vector[String]) = (Vector.empty, Vector.empty)
+    def fold(batch: Vector[Ev], hSec: Long): Vector[Long] = {
+      val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
+        steps, w, EveryMatch, aproj)(1L, st, batch, hSec * SEC)
+      st = st1; outs
+    }
+    assert(fold(Vector(ev(1, 0, "A")), 0).isEmpty)
+    // the jumping event confirms the pending absence event-driven
+    assert(fold(Vector(ev(2, 1200, "C")), 0) == Vector(1L))
+    // horizon 0 → nothing evicted yet (the watermark hasn't ratified
+    // anything); the emitted signature survives with its events
+    assert(st._1.exists(_.eventId == 1L))
+    // horizon catches up: no duplicate, and eviction proceeds
+    assert(fold(Vector.empty, 301).isEmpty)
+    val (st2, o2, _) = graft.api.Patterns.foldStepTimed(
+      steps, w, EveryMatch, aproj)(1L, st, Vector.empty, 1200 * SEC)
+    assert(o2.isEmpty)
+    assert(st2._1.forall(_.tsNs >= (1200 - 600) * SEC))
+  }
+
   test("foldStepTimed: batched fold over random sequences ≡ one-shot " +
-       "batch fold once the horizon passes everything; no duplicates") {
-    for (seed <- 1 to 25) {
+       "batch fold once the horizon passes everything; no duplicates; " +
+       "with and without `within` eviction") {
+    for (seed <- 1 to 25; within <- Seq(None, Some(900 * SEC))) {
       val rnd = new scala.util.Random(seed)
       val types = Array("A", "B", "C")
       var t = 0L
@@ -384,9 +419,10 @@ class CepNfaSpec extends AnyFunSuite {
         t += 1 + rnd.nextInt(120)
         ev(i.toLong, t, types(rnd.nextInt(3)))
       }.toVector
-      val oneShot = Cep.run(absSteps, None, EveryMatch, aproj)(
+      val oneShot = Cep.run(absSteps, within, EveryMatch, aproj)(
         evs.iterator).toVector
       var st: (Vector[Ev], Vector[String]) = (Vector.empty, Vector.empty)
+      var maxHist = 0
       val emitted = Vector.newBuilder[Long]
       var rest = evs
       var wm = 0L // lagging watermark: max seen ts - 60s
@@ -394,20 +430,26 @@ class CepNfaSpec extends AnyFunSuite {
         val n = 1 + rnd.nextInt(25)
         val (batch, tail) = rest.splitAt(n)
         val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
-          absSteps, None, EveryMatch, aproj)(1L, st, batch, wm)
+          absSteps, within, EveryMatch, aproj)(1L, st, batch, wm)
         st = st1
+        maxHist = math.max(maxHist, st._1.length)
         emitted ++= outs
         wm = math.max(wm, batch.last.tsNs - 60 * SEC)
         rest = tail
       }
       // final flush: horizon past every deadline
       val (_, fin, _) = graft.api.Patterns.foldStepTimed(
-        absSteps, None, EveryMatch, aproj)(
+        absSteps, within, EveryMatch, aproj)(
         1L, st, Vector.empty, Long.MaxValue - 1)
       emitted ++= fin
       val got = emitted.result()
-      assert(got.distinct == got, s"seed=$seed: duplicate emissions")
-      assert(got.sorted == oneShot.sorted, s"seed=$seed")
+      assert(got.distinct == got, s"seed=$seed/$within: duplicates")
+      assert(got.sorted == oneShot.sorted, s"seed=$seed/$within")
+      // under within, the horizon-bounded eviction keeps history near
+      // the (within + watermark-lag) band, far below all 300 events
+      if (within.nonEmpty)
+        assert(maxHist < 120,
+          s"seed=$seed: history grew to $maxHist under eviction")
     }
   }
 }
