@@ -1140,6 +1140,20 @@ object SqlGate {
         |select user_id, math:round(total, 2) as total, cnt, mx
         |order by bucket_start_ms, user_id
         |insert into Out""".stripMargin, "read")),
+    // the absence app WITH a `within` deadline: semantically identical
+    // here (the 5-min absence window closes before the 30-min pattern
+    // deadline), but `within` + `every` arms the timed re-fold's
+    // horizon-bounded EVICTION — per-key history stays in the
+    // (watermark lag + within) band instead of growing with the stream
+    "sql_app_absence_within_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |  within 30 min
+        |select e1.user_id as user_id, e1.event_id as event_id
+        |order by event_id
+        |insert into alerts""".stripMargin, "alerts")),
     // `not X for T` deployed LIVE: the flagship "no ACK within T"
     // absence app — deadlines are EVENT-TIME TIMERS in the timed
     // re-fold (a match emits when the watermark passes its deadline,
@@ -1944,6 +1958,15 @@ object SqlGate {
         |FROM events
         |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
         |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
+    // same truth as sql_app_absence_live: the 5-min absence closes
+    // before the 30-min within, so `within` only arms eviction
+    "sql_app_absence_within_live" ->
+      """SELECT e.user_id, e.event_id
+        |FROM events e WHERE e.event_type = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |    AND p.user_id = e.user_id AND p.ts > e.ts
+        |    AND p.ts <= e.ts + INTERVAL 5 MINUTE)
+        |ORDER BY e.event_id""".stripMargin,
     // absence: an error with NO same-user purchase in its 5-minute
     // window (inclusive deadline, NFA semantics — same truth as the
     // engine twin cep_absence)

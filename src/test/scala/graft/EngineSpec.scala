@@ -451,6 +451,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("absence"))
   }
 
+  test("Patterns DSL: selectStreamTimed ≡ select for an absence " +
+    "pattern with within-eviction, through real event-time timers") {
+    import scala.concurrent.duration._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    // `every error -> not purchase for 5 min within 30 min`: absence
+    // confirmation rides event-time timers; `within` + every arms the
+    // horizon-bounded state eviction
+    val pat = graft.api.Patterns
+      .begin("e1")((e, _) => e.eventType == "error")
+      .notFor("no_p", 5.minutes)((e, _) => e.eventType == "purchase")
+      .within(30.minutes)
+    val streamed = engine.Streaming.runStream(spark, sf,
+      "dsl_stream_cep_timed",
+      org.apache.spark.sql.streaming.OutputMode.Append(), chunks = 3,
+      flush = true) { ds =>
+      pat.selectStreamTimed(
+        ds.withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
+          .withWatermark("ts", "0 seconds")
+          .filter(col("ts") < engine.Streaming.flushCutoff)
+          .as[engine.Streaming.EvT]) { b =>
+        (b("e1").head.userId, b("e1").head.eventId)
+      }.toDF("user_id", "event_id")
+    }.orderBy("event_id")
+    val batch = pat.select[(Long, Long)](spark, sf) { b =>
+      (b("e1").head.userId, b("e1").head.eventId)
+    }.toDF("user_id", "event_id").orderBy("event_id")
+    val got = streamed.collect().toSeq
+    assert(got.nonEmpty && got == batch.collect().toSeq)
+  }
+
   test("dedup_minhash_lsh plans equi-joins, not cartesian products") {
     val p = plan(Dedup.minhashLshPlanned(spark, sf)._2)
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
