@@ -105,6 +105,76 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("deployed timed absence: per-key NFA + timer state survives a " +
+       "checkpoint restart and the live result equals batch replay") {
+    // the round-9 timed re-fold (event-time timers for `not X for T`)
+    // through kill + restart: pending absence runs and their signature
+    // sets live in the state store, so a restart must neither lose a
+    // match whose deadline resolves after the restart nor re-emit one
+    // already written (parquet sink, exactly-once offsets). The final
+    // deadlines resolve via two sentinel files (the standard
+    // watermark-flush pair), one trigger each.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_abs_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_abs_out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_abs_ck")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val all = rawEvents
+    val splitTs = all.agg(expr("min(ts) + (max(ts) - min(ts)) div 2"))
+      .collect()(0).getLong(0)
+    all.filter(col("ts") < splitTs).write.parquet(s"$srcDir/f1_a")
+    val appText =
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |select e1.user_id as user_id, e1.event_id as event_id
+        |insert into Alerts""".stripMargin
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/f*")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val (df, mode, _, needsFlush) = graft.api.SiddhiQL.deployAppOn(
+        raw, appText, "alerts")
+      assert(needsFlush) // the timed stage asks for sentinel flushing
+      val q = df.writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // lifetime 1: pending deadlines stay OPEN in state
+    all.filter(col("ts") >= splitTs).write.parquet(s"$srcDir/f2_b")
+    runOnce() // lifetime 2: restored runs keep folding
+    import spark.implicits._
+    Seq((Long.MaxValue - 2, graft.engine.Streaming.FlushNs, -1L,
+        "__flush", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$srcDir/f3_s1")
+    Seq((Long.MaxValue - 1,
+        graft.engine.Streaming.FlushNs + 3600000000000L, -1L,
+        "__flush", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$srcDir/f4_s2")
+    runOnce() // lifetime 3: sentinels advance the watermark, timers fire
+    val got = spark.read.parquet(outDir.toString)
+      .orderBy("event_id").collect().toSeq
+    val want = graft.api.SiddhiQL.compile(spark, sf,
+      """from every e1=events[event_type == 'error']
+        |  -> not events[event_type == 'purchase' and
+        |     user_id == e1.user_id] for 5 min
+        |select e1.user_id as user_id, e1.event_id as event_id
+        |order by event_id""".stripMargin).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no reprocessing") {
     // Siddhi's SnapshotService persistence ≡ Structured Streaming
     // checkpointing (SURVEY §2.7): a query killed between batches must
