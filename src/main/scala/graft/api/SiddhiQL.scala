@@ -1649,6 +1649,17 @@ object SiddhiQL extends Serializable {
         "in a downstream stage")
     if (ast.limit.nonEmpty || ast.offset.nonEmpty)
       fail("live enrichment joins have no limit/offset (v1)")
+    // the maintaining DML must be PER-EVENT: a windowed-aggregate
+    // writer emits at flush times, so "as-of this event" would need
+    // flush-aligned state reconstruction — read it at finish instead
+    dAst.stream match {
+      case ss: SingleStream if ss.window.nonEmpty =>
+        fail(s"live enrichment joins read a table maintained by " +
+          s"per-event DML (v1) — '$tName' is maintained by a windowed " +
+          "aggregate, which emits at flush times; read it as the " +
+          "app's final output instead")
+      case _ => ()
+    }
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
@@ -1891,11 +1902,10 @@ object SiddhiQL extends Serializable {
       case _ => fail("table DML (v1) requires a single un-joined source " +
         "stream")
     }
-    if (s.window.nonEmpty || ast.groupBy.nonEmpty || ast.having.nonEmpty ||
-        ast.orderBy.nonEmpty || ast.limit.nonEmpty || ast.offset.nonEmpty ||
-        ast.rate.nonEmpty)
-      fail("table DML (v1) supports `from S[filter] select ...` only " +
-        "(no window / group by / order / limit / output rate)")
+    if (ast.having.nonEmpty || ast.orderBy.nonEmpty || ast.limit.nonEmpty ||
+        ast.offset.nonEmpty || ast.rate.nonEmpty)
+      fail("table DML (v1) has no having/order/limit/output rate — the " +
+        "table is keyed state, not a result stream")
     val base0 = loadTable(spark, dir, s.table, env)
     if (!base0.columns.contains("ts_ns") ||
         !base0.columns.contains("event_id"))
@@ -1904,14 +1914,78 @@ object SiddhiQL extends Serializable {
     val base =
       s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
     val items = itemsOf(expandStar(ast, base0.columns))
-    items.foreach { case (_, a, isAgg) =>
-      if (isAgg) fail(s"table DML (v1) select cannot aggregate ('$a')")
-    }
     val outCols = items.map(_._2)
-    val sel = base.select(items.map { case (it, a, _) =>
-      expr(sqlOf(it.e)).as(a)
-    } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
+    // Emission rows in replay order: one row per EVENT for the plain
+    // form, one row per WINDOW-FLUSH × group for the aggregating
+    // timeBatch form (Siddhi's canonical store pattern: windowed
+    // aggregate → `update or insert into T`). Everything downstream —
+    // merge, accumulator folds, delete — is emission-order algebra, so
+    // the two forms share it via `__g_ord`.
+    val sel: DataFrame = s.window match {
+      case None =>
+        if (ast.groupBy.nonEmpty)
+          fail("group by in table DML needs a batch window " +
+            "(#window.timeBatch(T)) to define flush emissions")
+        items.foreach { case (_, a, isAgg) =>
+          if (isAgg) fail(s"aggregating table DML ('$a') needs a batch " +
+            "window (#window.timeBatch(T)) to define flush emissions")
+        }
+        base.select(items.map { case (it, a, _) =>
+          expr(sqlOf(it.e)).as(a)
+        } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
+      case Some(WindowSpec(n, tNs :: _, _))
+          if n.equalsIgnoreCase("timebatch") =>
+        def hasRef(e: Expr): Boolean = e match {
+          case Ref(_) | Star => true
+          case Bin(_, l, r) => hasRef(l) || hasRef(r)
+          case Not(x) => hasRef(x)
+          case Neg(x) => hasRef(x)
+          case Call(_, _, as) => as.exists(hasRef)
+          case InTable(e2, _) => hasRef(e2)
+          case _ => false
+        }
+        items.foreach { case (it, a, isAgg) =>
+          if (!isAgg) it.e match {
+            case Ref(c :: Nil)
+                if ast.groupBy.exists(_.equalsIgnoreCase(c)) => ()
+            case e if !hasRef(e) => () // constant: evaluates per flush
+            case _ => fail("windowed table DML: non-aggregate select " +
+              s"item '$a' must be a group-by attribute or a constant")
+          }
+        }
+        val aggItems = items.collect { case (it, a, true) =>
+          expr(sqlOf(it.e)).as(a) }
+        if (aggItems.isEmpty)
+          fail("windowed table DML needs at least one aggregate select " +
+            "item (drop the window for per-event DML)")
+        val flush = base
+          .withColumn("__bucket", expr(s"ts_ns div ${tNs}L"))
+          .groupBy(col("__bucket") +: ast.groupBy.map(col): _*)
+          .agg(aggItems.head, aggItems.tail: _*)
+        // flushes emit in bucket order; within one flush each group
+        // emits exactly once, so (bucket start, 0) totally orders the
+        // emissions any one merge key sees
+        flush.select(items.map { case (it, a, isAgg) =>
+          (if (isAgg) col(a) else expr(sqlOf(it.e))).as(a)
+        } :+ struct((col("__bucket") * lit(tNs)).cast("long").as("ts_ns"),
+          lit(0L).as("event_id")).as("__g_ord"): _*)
+      case Some(w) =>
+        fail("table DML windows (v1): #window.timeBatch(T) only — " +
+          s"'#window.${w.name}' emissions are not batch-replay " +
+          "collapsible here")
+    }
+    applyEmissions(act, schema, table, sel, outCols)
+  }
 
+  /** Merge EMISSION rows — the select output attributes plus a
+    * `__g_ord` replay-order struct — into `table` per the DML action.
+    * An emission is one event for plain DML and one window-flush ×
+    * group row for the aggregating form; the merge algebra (first/
+    * last row per key + additive accumulator folds) is identical, so
+    * the batch compile and the live windowed fold's finish share it. */
+  private def applyEmissions(act: Action, schema: StructType,
+      table: DataFrame, sel: DataFrame, outCols: Seq[String])
+      : DataFrame = {
     def keyEqs(on: Expr, t: String): List[(String, String)] =
       keyEqsOf(on, t)
 
@@ -3696,6 +3770,123 @@ object SiddhiQL extends Serializable {
     }
   }
 
+  /** LIVE windowed-aggregate table DML (the canonical Siddhi store
+    * pattern — `from S#window.timeBatch(T) select k, agg(x) group by k
+    * update or insert into T`, deployed): fold state is the
+    * per-(window bucket ∪ group keys) algebraic PARTIALS of the flush
+    * aggregates — a bucket that spans micro-batches merges
+    * componentwise (count/sum/min/max/avg), so the fold is
+    * chunking-invariant where a per-batch [[applyDml]] would
+    * double-apply the straddling bucket. finish finalizes the flush
+    * rows (one per bucket × group, `__g_ord` = bucket start) and runs
+    * the SAME emission-order merge as the batch compile
+    * ([[applyEmissions]]), which is why the batch oracle is the live
+    * gate's truth. State size = the flush relation itself (bucket ×
+    * keys — the contract the live grain cascade already carries);
+    * per-trigger write cost O(batch-touched buckets) via KeyedState. */
+  private def windowedDmlFold(feed: DataFrame, ast: Ast, act: Action,
+      schema: StructType, tNs: Long,
+      fnsSnap: Map[String, ScriptFn]): LiveFold = {
+    val ss = ast.stream.asInstanceOf[SingleStream]
+    val items = itemsOf(ast)
+    val outCols = items.map(_._2)
+    val comps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Option[Expr])]
+    def rw(e: Expr): Expr = e match {
+      case Call(None, n, args0) if aggNames(n.toLowerCase) =>
+        val base = s"__p${comps.length}"
+        n.toLowerCase match {
+          case "count" | "sum" | "min" | "max" =>
+            comps += ((base, n.toLowerCase, args0.headOption))
+            Ref(List(base))
+          case "avg" =>
+            comps += ((base, "avg", args0.headOption))
+            Bin("/", Ref(List(base + "s")), Ref(List(base + "n")))
+          case other => fail("live windowed table DML (v1) supports " +
+            s"count/sum/min/max/avg aggregates; got '$other'")
+        }
+      case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+      case Bin(op, l, r) => Bin(op, rw(l), rw(r))
+      case Not(x) => Not(rw(x))
+      case Neg(x) => Neg(rw(x))
+      case other => other
+    }
+    val finals: Seq[(String, Expr)] = items.map { case (it, a, isAgg) =>
+      a -> (if (isAgg) rw(it.e) else it.e)
+    }
+    comps.foreach { case (_, n, argO) =>
+      if (n != "count" && argO.isEmpty) fail(s"$n(...) needs an argument")
+    }
+    val keys = "__wb" +: ast.groupBy
+    def keyedSel(df: DataFrame): DataFrame = {
+      val f = ss.filter.fold(df)(ff => df.where(expr(sqlOf(ff))))
+      f.select(expr(s"ts_ns div ${tNs}L").as("__wb") +:
+        (ast.groupBy.map(col) ++ comps.toSeq.flatMap {
+          case (base, _, argO) =>
+            argO.map(arg => expr(sqlOf(arg)).as(s"${base}_x")).toSeq
+        }): _*)
+    }
+    def partialOf(df: DataFrame): DataFrame = {
+      val aggs: Seq[Column] = comps.toSeq.flatMap { case (base, n, argO) =>
+        val a0 = argO.map(_ => col(s"${base}_x"))
+        n match {
+          case "count" => Seq(a0.fold(count(lit(1)))(count).as(base))
+          case "sum" => Seq(sum(a0.get).as(base))
+          case "min" => Seq(min(a0.get).as(base))
+          case "max" => Seq(max(a0.get).as(base))
+          case "avg" => Seq(sum(a0.get).as(base + "s"),
+            count(a0.get).as(base + "n"))
+        }
+      }
+      keyedSel(df).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // sum partials preserve SQL null semantics (null iff all inputs
+    // null); least/greatest already skip single-side nulls
+    def mergeComp(base: String, n: String): Seq[Column] = {
+      def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
+        coalesce(col(s"u.$c"), lit(0))).as(c)
+      def addSum(c: String) =
+        when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
+          .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+            coalesce(col(s"u.$c"), lit(0))).as(c)
+      n match {
+        case "count" => Seq(add(base))
+        case "sum" => Seq(addSum(base))
+        case "min" => Seq(least(col(s"t.$base"), col(s"u.$base")).as(base))
+        case "max" => Seq(greatest(col(s"t.$base"), col(s"u.$base"))
+          .as(base))
+        case "avg" => Seq(addSum(base + "s"), add(base + "n"))
+      }
+    }
+    val stateSchema =
+      partialOf(emptyOf(feed.sparkSession, feed.schema)).schema
+    singleFold(feed, stateSchema,
+      (sp, _, acc, batch) => {
+        scriptFns = fnsSnap
+        val u = partialOf(batch)
+        // <=> so a null group key merges with itself across triggers
+        acc.as("t").join(u.as("u"),
+            keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _),
+            "full_outer")
+          .select(keys.map(k =>
+            coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
+            comps.toSeq.flatMap { case (b2, n, _) => mergeComp(b2, n) }
+            : _*)
+      },
+      (sp, acc) => {
+        scriptFns = fnsSnap
+        val flush = acc.select(finals.map { case (a, e) =>
+          expr(sqlOf(e)).as(a)
+        } :+ struct((col("__wb") * lit(tNs)).cast("long").as("ts_ns"),
+          lit(0L).as("event_id")).as("__g_ord"): _*)
+        applyEmissions(act, schema, emptyOf(sp, schema), flush, outCols)
+      }, Nil,
+      KeyedState(keys, (sp, _, batch) => {
+        scriptFns = fnsSnap
+        keyedSel(batch).select(keys.map(col): _*)
+      }))
+  }
+
   /** The one-state [[LiveFold]] shape every pre-enrichment fold stage
     * uses (table DML, unique:last, sort, frequent). */
   private def singleFold(feed: DataFrame, schema: StructType,
@@ -3912,18 +4103,33 @@ object SiddhiQL extends Serializable {
             :+ ((ast, act, schema, srcName)))
           if (name.contains(out) || act.target == out) {
             val fnsSnap = scriptFns // restore on the micro-batch thread
-            foldResult = Some(singleFold(feed, schema,
-              (sp, d2, acc, batch) => {
-                scriptFns = fnsSnap
-                applyDml(sp, d2, ast, act, schema, acc,
-                  Map(srcName -> batch))
-              },
-              (_, acc) => acc, Nil,
-              // insert-only DML appends generation deltas; keyed DML
-              // bucket-merges — per-trigger write cost O(batch), not
-              // O(accumulated table)
-              dmlStateMode(ast, act, schema, srcName, fnsSnap,
-                (_, _, batch) => Map(srcName -> batch))))
+            val winSpec = ast.stream match {
+              case ss: SingleStream => ss.window
+              case _ => None
+            }
+            winSpec match {
+              case Some(WindowSpec(_, tNs :: _, _)) =>
+                // windowed-aggregate DML (the Siddhi store pattern)
+                // LIVE: a per-batch applyDml would double-apply a
+                // window bucket that spans two triggers, so the fold
+                // keeps per-(bucket ∪ group keys) algebraic PARTIALS
+                // instead and runs the emission merge once, at finish
+                foldResult = Some(windowedDmlFold(feed, ast, act,
+                  schema, tNs, fnsSnap))
+              case _ =>
+                foldResult = Some(singleFold(feed, schema,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    applyDml(sp, d2, ast, act, schema, acc,
+                      Map(srcName -> batch))
+                  },
+                  (_, acc) => acc, Nil,
+                  // insert-only DML appends generation deltas; keyed
+                  // DML bucket-merges — per-trigger write cost
+                  // O(batch), not O(accumulated table)
+                  dmlStateMode(ast, act, schema, srcName, fnsSnap,
+                    (_, _, batch) => Map(srcName -> batch))))
+            }
           }
         } else {
         var carriedNow: Seq[String] = Nil

@@ -566,6 +566,85 @@ object SqlGate {
         |select user_id, cnt, math:round(total, 2) as total
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // the canonical Siddhi STORE pattern: a windowed aggregate feeds
+    // table DML — each timeBatch flush emits per-group aggregate rows
+    // that merge into the table in flush order. insert-into appends
+    // every flush row; the read re-aggregates the store
+    "sql_table_agg_insert" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Stats (user_id long, cnt long, avg_value double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, avg(value) as avg_value
+        |group by user_id
+        |insert into Stats;
+        |
+        |@info(name = 'read')
+        |from Stats
+        |select user_id, sum(cnt) as total_clicks,
+        |  math:round(max(avg_value), 2) as max_flush_avg
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // update-or-insert from a windowed aggregate: per key the LAST
+    // flush's row wins (the store holds each user's latest window)
+    "sql_table_agg_upsert" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastWin (user_id long, cnt long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |group by user_id
+        |update or insert into LastWin on LastWin.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from LastWin
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // accumulator folds over window FLUSHES: `set T.c = T.c + expr`
+    // composes additively across flush emissions exactly as it does
+    // across events — flushes counts the user's distinct windows,
+    // total folds each flush's sum (first flush inserts, later fold)
+    "sql_table_agg_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Acc (user_id long, flushes long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, convert(1, 'long') as flushes,
+        |  sum(value) as total
+        |group by user_id
+        |update or insert into Acc
+        |  set Acc.flushes = Acc.flushes + 1,
+        |      Acc.total = Acc.total + total
+        |  on Acc.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Acc
+        |select user_id, flushes, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // the STORE pattern deployed LIVE: a windowed aggregate maintains
+    // the table — fold state is per-(bucket, user) algebraic partials
+    // (a bucket spanning triggers merges componentwise instead of
+    // double-applying), flush rows merge at finish in emission order;
+    // the batch sql_table_agg_fold oracle is the truth
+    "sql_app_table_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Acc (user_id long, flushes long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, convert(1, 'long') as flushes,
+        |  sum(value) as total
+        |group by user_id
+        |update or insert into Acc
+        |  set Acc.flushes = Acc.flushes + 1,
+        |      Acc.total = Acc.total + total
+        |  on Acc.user_id == user_id""".stripMargin, "roll")
+      .selectExpr("user_id", "flushes", "round(total, 2) as total")
+      .orderBy("user_id")),
     // the counter-table enrichment loop deployed LIVE: the DML stage
     // FOLDS per-key accumulators, the sibling join sees each event's
     // as-of fold value (insert row + running deltas) — chunking-
@@ -1484,6 +1563,41 @@ object SqlGate {
       """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'click'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // every 10-min flush row appended, then re-aggregated by the read
+    "sql_table_agg_insert" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, avg(value) AS avg_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total_clicks,
+        |  round(max(avg_value), 2) AS max_flush_avg
+        |FROM flush GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // per user the LAST flush's aggregate row wins
+    "sql_table_agg_upsert" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, sum(value) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // live ≡ batch: accumulator folds across window flushes
+    "sql_app_table_agg_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    sum(value) AS fsum
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS flushes, round(sum(fsum), 2) AS total
+        |FROM flush GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // accumulator folds across flushes: flush count + summed flush sums
+    "sql_table_agg_fold" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    sum(value) AS fsum
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS flushes, round(sum(fsum), 2) AS total
+        |FROM flush GROUP BY 1 ORDER BY user_id""".stripMargin,
     // as-of fold value: clicks strictly before the purchase in
     // (ts, event_id) arrival order; inner join drops zero-click buys
     "sql_app_enrich_fold_live" ->

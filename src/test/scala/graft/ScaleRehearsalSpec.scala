@@ -550,6 +550,56 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x windowed store-pattern DML: flush-fold replica-exact, " +
+       "partial writes bounded, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-9 live STORE pattern: per-(bucket, user) algebraic
+    // partials fold per trigger, flush rows merge at finish. Replica
+    // user spaces are disjoint and timestamps identical, so each
+    // replica must reproduce the base gate's rows user-shifted.
+    // `flushes` (the fold counter) compares exactly; `total` within
+    // 0.011 — the 10x run's chunk boundaries split each bucket's
+    // partial sums at different event positions than the base run,
+    // and float addition is not associative, so a rounded cent can
+    // legitimately differ at the x.xx5 boundary.
+    val q = SqlGate.queries("sql_app_table_agg_live")
+    val base = q(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    graft.api.SiddhiQL.foldWriteProbe = Some(probe)
+    val (rows, wall, maxTask) =
+      try timed(q(spark, evDir10))
+      finally graft.api.SiddhiQL.foldWriteProbe = None
+    info(f"store 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until reps).foreach { k =>
+      val slice = got.filter(r => r._1 >= k * off && r._1 < (k + 1) * off)
+        .map(r => (r._1 - k * off, r._2, r._3))
+      assert(slice.length == base.length, s"replica $k row count")
+      slice.zip(base).foreach { case (g, b) =>
+        assert(g._1 == b._1 && g._2 == b._2 &&
+          math.abs(g._3 - b._3) <= 0.011,
+          s"replica $k diverges at user ${b._1}: got $g want $b")
+      }
+    }
+    // per-trigger partial writes bounded by the touched
+    // (10-min-bucket, user) domain — state is flush partials, never
+    // event rows
+    val writes = probe.map(_._3)
+    assert(writes.nonEmpty, "fold probe saw no generations")
+    val dom = Tables.events(spark, evDir10)
+      .filter(col("event_type") === "click")
+      .selectExpr("(ts_ns div 600000000000) as b", "user_id")
+      .distinct().count()
+    assert(writes.forall(_ <= dom),
+      s"per-trigger partial writes exceed the (bucket, user) domain: " +
+        s"max ${writes.max} vs $dom")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x length-window join: distributed prefix ranks == a direct " +
        "single-window reference at 1M marks, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

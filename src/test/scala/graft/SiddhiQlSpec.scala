@@ -1377,4 +1377,65 @@ class SiddhiQlSpec extends AnyFunSuite {
       assert(live7 sameElements batch, s"$m: live(7) != batch")
     }
   }
+
+  test("windowed-aggregate table DML (the store pattern): live fold " +
+       "merges straddling buckets componentwise — chunking-invariant " +
+       "and equal to batch; diagnostics name the bounds") {
+    val dml =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Acc (user_id long, flushes long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, convert(1, 'long') as flushes,
+        |  sum(value) as total
+        |group by user_id
+        |update or insert into Acc
+        |  set Acc.flushes = Acc.flushes + 1,
+        |      Acc.total = Acc.total + total
+        |  on Acc.user_id == user_id""".stripMargin
+    // totals round to 2dp: the live fold adds per-trigger partial sums
+    // in a different order than the batch's one global sum, and float
+    // addition is not associative (the same convention the gates use)
+    val shape = Seq("user_id", "flushes", "round(total, 2) as total")
+    val batch = SiddhiQL.compileApp(spark, sf, dml)("roll")
+      .selectExpr(shape: _*).orderBy("user_id").collect().map(_.toSeq)
+    assert(batch.nonEmpty, "no flush rows at test scale — vacuous")
+    // a 10-min bucket spans several size-based chunks at both splits:
+    // per-batch applyDml would double-count `flushes` per straddle
+    for (c <- Seq(4, 7)) {
+      val live = SiddhiQL.deployApp(spark, sf, dml, "roll", chunks = c)
+        .selectExpr(shape: _*).orderBy("user_id").collect().map(_.toSeq)
+      assert(live sameElements batch, s"live($c) != batch replay")
+    }
+    // flushes == the user's distinct 10-min buckets (insert row is 1,
+    // each later flush folds +1): cross-check against raw Spark
+    val exp = engine.Tables.events(spark, sf)
+      .where(col("event_type") === "click")
+      .select(expr("ts_ns div 600000000000").as("b"), col("user_id"))
+      .distinct().groupBy("user_id").count()
+      .orderBy("user_id").collect().map(_.getLong(1))
+    assert(batch.map(_(1).asInstanceOf[Long]).toSeq == exp.toSeq)
+    // diagnostics: sliding windows have no flush emissions; non-agg
+    // select items must be grouped; a windowed writer can't feed the
+    // per-event enrichment join
+    val m1 = intercept[IllegalArgumentException](SiddhiQL.compileApp(
+      spark, sf, dml.replace("timeBatch(10 min)", "time(10 min)")))
+      .getMessage
+    assert(m1.contains("timeBatch"))
+    val m2 = intercept[IllegalArgumentException](SiddhiQL.compileApp(
+      spark, sf, dml.replace("group by user_id\n", ""))).getMessage
+    assert(m2.contains("group-by"))
+    val m3 = intercept[IllegalArgumentException](SiddhiQL.deployApp(
+      spark, sf, dml +
+        """;
+          |
+          |@info(name = 'enrich')
+          |from events as e[event_type == 'purchase'] join Acc
+          |  on Acc.user_id == e.user_id
+          |select e.event_id as event_id, Acc.total as total
+          |insert into Out""".stripMargin, "enrich")).getMessage
+    assert(m3.contains("windowed"))
+  }
 }
