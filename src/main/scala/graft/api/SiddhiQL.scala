@@ -637,6 +637,18 @@ object SiddhiQL extends Serializable {
   private val aggNames =
     Set("sum", "count", "avg", "min", "max", "distinctcount")
 
+  /** Does the expression reference any stream attribute (vs a pure
+    * constant expression)? */
+  private def refsAttr(e: Expr): Boolean = e match {
+    case Ref(_) | Star => true
+    case Bin(_, l, r) => refsAttr(l) || refsAttr(r)
+    case Not(x) => refsAttr(x)
+    case Neg(x) => refsAttr(x)
+    case Call(_, _, as) => as.exists(refsAttr)
+    case InTable(e2, _) => refsAttr(e2)
+    case _ => false
+  }
+
   private def containsAgg(e: Expr): Boolean = e match {
     case Call(None, n, args) =>
       aggNames(n.toLowerCase) || args.exists(containsAgg)
@@ -1935,20 +1947,11 @@ object SiddhiQL extends Serializable {
         } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
       case Some(WindowSpec(n, tNs :: _, _))
           if n.equalsIgnoreCase("timebatch") =>
-        def hasRef(e: Expr): Boolean = e match {
-          case Ref(_) | Star => true
-          case Bin(_, l, r) => hasRef(l) || hasRef(r)
-          case Not(x) => hasRef(x)
-          case Neg(x) => hasRef(x)
-          case Call(_, _, as) => as.exists(hasRef)
-          case InTable(e2, _) => hasRef(e2)
-          case _ => false
-        }
         items.foreach { case (it, a, isAgg) =>
           if (!isAgg) it.e match {
             case Ref(c :: Nil)
                 if ast.groupBy.exists(_.equalsIgnoreCase(c)) => ()
-            case e if !hasRef(e) => () // constant: evaluates per flush
+            case e if !refsAttr(e) => () // constant: evaluates per flush
             case _ => fail("windowed table DML: non-aggregate select " +
               s"item '$a' must be a group-by attribute or a constant")
           }
@@ -2140,9 +2143,11 @@ object SiddhiQL extends Serializable {
     val selected = (ast.rate, ast.stream) match {
       case (Some(r), s: SingleStream) =>
         compileRateLimited(spark, dir, ast, s, r, env)
+      case (Some(r), jn: JoinStream) =>
+        compileJoin(spark, dir, ast, jn, env, aggDefs, Some(r))
       case (Some(_), _) =>
-        fail("output rate limiting (v1) requires a single un-joined " +
-          "source stream")
+        fail("output rate limiting (v1) applies to single-stream and " +
+          "join queries, not pattern clauses")
       case (None, s: SingleStream) if aggDefs.contains(s.table) =>
         compileAggQuery(spark, dir, ast, s, aggDefs(s.table), env)
       case (None, s: SingleStream) =>
@@ -2545,7 +2550,8 @@ object SiddhiQL extends Serializable {
   private def compileJoin(spark: SparkSession, dir: String, ast: Ast,
                           j: JoinStream,
                           env: Map[String, DataFrame],
-                          aggDefs: Map[String, AggDef] = Map.empty
+                          aggDefs: Map[String, AggDef] = Map.empty,
+                          rate: Option[Rate] = None
                          ): DataFrame = {
     def side(ss: SingleStream, a: Option[String]): DataFrame = {
       if (aggDefs.contains(ss.table)) {
@@ -2816,7 +2822,72 @@ object SiddhiQL extends Serializable {
         case _ => g
       }
     })
-    selectOrAggregate(astG, joined, Nil, windowed = false)
+    rate match {
+      case None => selectOrAggregate(astG, joined, Nil, windowed = false)
+      case Some(r) => rateOverJoin(astG, joined, j, r)
+    }
+  }
+
+  /** Output rate limiting over a JOIN: the rated events are the join's
+    * OUTPUT pairs, each emitted at the instant its LATER side arrived
+    * (an outer join's unmatched row emits at its own arrival —
+    * `greatest` skips the null side). Both sides must be aliased event
+    * streams so the emission order (`emit ts`, left id, right id) is
+    * total. first/last per rate interval partition by the emission
+    * interval — fully parallel; count-based rates need the global
+    * emission rank and ride the guarded single-task window. */
+  private def rateOverJoin(ast: Ast, joined: DataFrame,
+      j: JoinStream, rate: Rate): DataFrame = {
+    if (ast.groupBy.nonEmpty || ast.select.exists(it => containsAgg(it.e)))
+      fail("output rate limiting over a join rates the join's OUTPUT " +
+        "events (v1) — no group by / aggregates (aggregate in a " +
+        "downstream stage)")
+    val (laS, raS) = (j.leftAlias, j.rightAlias) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => fail("output rate limiting over a join needs ALIASED " +
+        "stream sides (v1) to define the pair emission order")
+    }
+    Seq(laS, raS).foreach { a =>
+      Seq("ts_ns", "event_id").foreach { c =>
+        if (scala.util.Try(joined(s"$a.$c")).isFailure)
+          fail(s"output rate limiting over a join needs '$c' on side " +
+            s"'$a' — pair emission order is (later ts, left id, " +
+            "right id)")
+      }
+    }
+    val emitTs = greatest(col(s"$laS.ts_ns"), col(s"$raS.ts_ns"))
+    val df = joined
+      .withColumn("__emit_ts", emitTs)
+      .withColumn("__emit_ord", struct(emitTs.as("t"),
+        coalesce(col(s"$laS.event_id"), lit(-1L)).as("il"),
+        coalesce(col(s"$raS.event_id"), lit(-1L)).as("ir")))
+    def proj(kept: DataFrame): DataFrame =
+      selectOrAggregate(ast, kept.drop("__emit_ts", "__emit_ord"), Nil,
+        windowed = false)
+    import org.apache.spark.sql.expressions.Window
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => proj(df) // replayed batches ≡ the output
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val w = Window.partitionBy(expr(s"__emit_ts div ${t}L"))
+          .orderBy(if (m == "first") col("__emit_ord").asc
+            else col("__emit_ord").desc)
+        proj(df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1))
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        guardGlobalWindow(df, s"`output $m every $n events` over a join")
+        val pick = if (m == "first") "min" else "max"
+        proj(df
+          .withColumn("__rn",
+            row_number().over(Window.orderBy(col("__emit_ord"))))
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")))
+      case ("snapshot", _, _) =>
+        fail("output snapshot over a join (v1): insert the join into a " +
+          "stream and snapshot that stream — a snapshot of pair state " +
+          "has no single emission row")
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
   }
 
   private def compileSingle(spark: SparkSession, dir: String, ast0: Ast,
@@ -3386,13 +3457,22 @@ object SiddhiQL extends Serializable {
   private def compileRateLimited(spark: SparkSession, dir: String, ast: Ast,
       s: SingleStream, rate: Rate,
       env: Map[String, DataFrame]): DataFrame = {
-    if (s.window.nonEmpty || ast.groupBy.nonEmpty || ast.having.nonEmpty)
+    if (ast.having.nonEmpty)
+      fail("output rate limiting (v1) has no having clause")
+    s.window match {
+      case Some(w) =>
+        return compileRateWindowed(spark, dir, ast, s, w, rate, env)
+      case None => ()
+    }
+    if (ast.groupBy.nonEmpty)
       fail("output rate limiting (v1) applies to plain `from S[filter] " +
-        "select ...` queries (no window / group by / having)")
+        "select ...` queries, or to an UNGROUPED windowed aggregation " +
+        "(add #window.timeBatch(T)); grouped rates are not defined")
     val items = itemsOf(ast)
     items.foreach { case (_, a, isAgg) =>
-      if (isAgg) fail(s"output rate limiting (v1) select cannot " +
-        s"aggregate ('$a')")
+      if (isAgg) fail(s"output rate limiting over an aggregate ('$a') " +
+        "needs a batch window (#window.timeBatch(T)) to define flush " +
+        "emissions")
     }
     val base0 = loadTable(spark, dir, s.table, env)
     if (!base0.columns.contains("ts_ns") ||
@@ -3449,6 +3529,92 @@ object SiddhiQL extends Serializable {
         filled.select(
           ((col("__iv") + 1) * ivMs).as("w_end_ms") +:
             outCols.map(col): _*)
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
+  }
+
+  /** Output rate limiting OVER a windowed aggregation: the rated
+    * "events" are the window's FLUSH rows (one per timeBatch bucket —
+    * ungrouped, v1), emitted at the bucket's end (`w_end_ms`).
+    * `first/last every T` keeps one flush row per rate interval
+    * (interval = w_end_ms div T), `every N events` chunks flush rows
+    * by arrival, `snapshot` carries the latest flush across empty
+    * intervals. Flush cardinality is span/Tw, so every rank window
+    * here is O(flushes), never O(events). */
+  private def compileRateWindowed(spark: SparkSession, dir: String,
+      ast: Ast, s: SingleStream, w: WindowSpec, rate: Rate,
+      env: Map[String, DataFrame]): DataFrame = {
+    val twNs = w.name.toLowerCase match {
+      case "timebatch" => w.args.head
+      case other => fail("output rate limiting over a window (v1) " +
+        s"supports #window.timeBatch(T); '#window.$other' emissions " +
+        "are per-event or unordered")
+    }
+    if (ast.groupBy.nonEmpty)
+      fail("output rate limiting over a windowed aggregation (v1) is " +
+        "ungrouped — one flush row per window (shard per-key streams " +
+        "with `partition with`)")
+    val items = itemsOf(ast)
+    items.foreach { case (it, a, isAgg) =>
+      if (!isAgg && refsAttr(it.e))
+        fail(s"rate-limited windowed select item '$a' must aggregate " +
+          "(or be a constant) — the flush row is the emission")
+    }
+    val aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a) }
+    if (aggCols.isEmpty)
+      fail("a rate-limited windowed query needs an aggregate select " +
+        "item (drop the window to rate-limit raw events)")
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns"))
+      fail(s"windowed rate limiting needs 'ts_ns' on '${s.table}'")
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
+    val twMs = twNs / 1000000L
+    val outCols = items.map(_._2)
+    val flush = base
+      .groupBy(expr(s"ts_ns div ${twNs}L").as("__wb"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("__wb") +:
+        ((col("__wb") + 1) * lit(twMs)).as("w_end_ms") +:
+        items.map { case (it, a, isAgg) =>
+          (if (isAgg) col(a) else expr(sqlOf(it.e))).as(a) }: _*)
+    val sel = col("w_end_ms") +: outCols.map(col)
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => flush.select(sel: _*)
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val trMs = t / 1000000L
+        val ord = if (m == "first") "__wb" else "__wb desc"
+        flush.withColumn("__rn", expr("row_number() over (partition " +
+            s"by w_end_ms div ${trMs}L order by $ord)"))
+          .where(col("__rn") === 1).select(sel: _*)
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        val pick = if (m == "first") "min" else "max"
+        flush.withColumn("__rn",
+            expr("row_number() over (order by __wb)"))
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")).select(sel: _*)
+      case ("snapshot", Some(t), None) =>
+        val trMs = t / 1000000L
+        val lastPer = flush
+          .withColumn("__iv", expr(s"w_end_ms div ${trMs}L"))
+          .groupBy("__iv")
+          .agg(max_by(struct(outCols.map(col): _*), col("__wb"))
+            .as("__row"))
+        val ticks = lastPer
+          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
+        val wn = org.apache.spark.sql.expressions.Window.orderBy("__iv")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // gap intervals carry the previous snapshot forward; snapshot
+        // cardinality is one row per interval — O(span/T)
+        ticks.join(lastPer, Seq("__iv"), "left_outer")
+          .select(((col("__iv") + 1) * trMs).as("w_end_ms") +:
+            outCols.map(c =>
+              last(col(s"__row.$c"), ignoreNulls = true).over(wn).as(c))
+            : _*)
       case _ => fail("unreachable: rate clause validated at parse")
     }
   }

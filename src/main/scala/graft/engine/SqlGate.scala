@@ -147,6 +147,19 @@ object SqlGate {
         |  a.user_id as user_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // rate limiting over a JOIN: pairs emit at the later side's
+    // arrival; `last every 10 min` keeps the final pair emission of
+    // each rate interval
+    "sql_rate_join" -> q(
+      """from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |output last every 10 min
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
     // `output first every T` deployed LIVE: streaming dropDuplicates on
     // the interval id, watermark-evicted state
     "sql_app_rate_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -327,6 +340,34 @@ object SqlGate {
         |select event_id, user_id
         |order by event_id
         |output first every 5 events
+        |insert into Out""".stripMargin),
+    // count-based rate over the join's pair emissions: every 4th pair
+    // in (later-arrival, left id, right id) order, taking the first
+    "sql_rate_join_count" -> q(
+      """from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |output first every 4 events
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
+    // rate limiting OVER a windowed aggregation: the rated events are
+    // the 1-min flush rows; `last every 10 min` keeps the final flush
+    // of each rate interval (the monitoring downsample)
+    "sql_rate_window" -> q(
+      """from events[event_type == 'view']#window.timeBatch(1 min)
+        |select math:round(sum(value), 2) as total, count() as n
+        |output last every 10 min
+        |order by w_end_ms
+        |insert into Out""".stripMargin),
+    // count-based over flushes: every 3rd flush row, taking the first
+    "sql_rate_window_count" -> q(
+      """from events[event_type == 'view']#window.timeBatch(1 min)
+        |select math:round(sum(value), 2) as total, count() as n
+        |output first every 3 events
+        |order by w_end_ms
         |insert into Out""".stripMargin),
     "sql_app_rate_count_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'fifth')
@@ -1463,6 +1504,41 @@ object SqlGate {
         |  FROM events WHERE value > 100.0)
         |SELECT event_id, user_id FROM f
         |WHERE (rn - 1) % 5 = 0 ORDER BY event_id""".stripMargin,
+    // every 4th pair emission, first of each chunk
+    "sql_rate_join_count" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |r AS (SELECT *, row_number() OVER (ORDER BY emit, err_id,
+        |  buy_id) AS rn FROM p)
+        |SELECT err_id, buy_id, user_id FROM r
+        |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
+    // last 1-min flush per 10-min rate interval (interval of a flush =
+    // its end ms // rate period)
+    "sql_rate_window" ->
+      """WITH flush AS (
+        |  SELECT epoch_ms(ts) // 60000 AS b, round(sum(value), 2)
+        |    AS total, count(*) AS n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY
+        |  ((b + 1) * 60000) // 600000 ORDER BY b DESC) = 1
+        |ORDER BY w_end_ms""".stripMargin,
+    // every 3rd flush row, first of each chunk
+    "sql_rate_window_count" ->
+      """WITH flush AS (
+        |  SELECT epoch_ms(ts) // 60000 AS b, round(sum(value), 2)
+        |    AS total, count(*) AS n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY b) AS rn FROM flush)
+        |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM r
+        |WHERE (rn - 1) % 3 = 0 ORDER BY w_end_ms""".stripMargin,
     "sql_app_rate_count_live" ->
       """WITH f AS (SELECT event_id, user_id, row_number()
         |  OVER (ORDER BY epoch_ns(ts), event_id) AS rn
@@ -1662,6 +1738,22 @@ object SqlGate {
         | AND b.event_type = 'purchase'
         | AND epoch_ns(a.ts) - epoch_ns(b.ts)
         |     BETWEEN -600000000000 AND 600000000000
+        |ORDER BY err_id, buy_id""".stripMargin,
+    // last pair emission per 10-min interval: emission instant = the
+    // later side's arrival, tie-broken by (left id, right id)
+    "sql_rate_join" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000)
+        |SELECT err_id, buy_id, user_id FROM p
+        |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
+        |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_geo_units" ->
       """WITH b AS (SELECT event_id,

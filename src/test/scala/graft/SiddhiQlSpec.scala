@@ -301,13 +301,14 @@ class SiddhiQlSpec extends AnyFunSuite {
     def msg(q: String): String =
       intercept[IllegalArgumentException](compile(q)).getMessage
     assert(msg("from events select count() as n output first every 1 min")
-      .contains("cannot aggregate"))
+      .contains("needs a batch window"))
     assert(msg("from events select event_id output snapshot every 3 events")
       .contains("snapshot is time-based"))
     assert(msg("from events select event_id output sometimes every 1 min")
       .contains("first|last|all|snapshot"))
+    // a sliding window has no flush emissions to rate-limit
     assert(msg("from events#window.length(5) select event_id " +
-      "output first every 1 min").contains("no window"))
+      "output first every 1 min").contains("timeBatch"))
   }
 
   test("define aggregation: avg finalizes as rolled-up sum/count and " +
@@ -1376,6 +1377,50 @@ class SiddhiQlSpec extends AnyFunSuite {
       assert(live4 sameElements batch, s"$m: live(4) != batch")
       assert(live7 sameElements batch, s"$m: live(7) != batch")
     }
+  }
+
+  test("rate limiting composes with windowed aggregations and joins: " +
+       "flush-row / pair-emission semantics; diagnostics name bounds") {
+    // flush downsample: last 1-min flush per 10-min interval == the
+    // direct Spark computation over bucketed aggregates
+    val r = compile(
+      """from events[event_type == 'view']#window.timeBatch(1 min)
+        |select math:round(sum(value), 2) as total, count() as n
+        |output last every 10 min
+        |order by w_end_ms""".stripMargin).collect()
+    val exp = engine.Tables.events(spark, sf)
+      .where(col("event_type") === "view")
+      .groupBy(expr("ts_ns div 60000000000").as("b"))
+      .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+      .withColumn("rn", expr("row_number() over (partition by " +
+        "((b + 1) * 60000) div 600000 order by b desc)"))
+      .where(col("rn") === 1)
+      .select(expr("(b + 1) * 60000").as("w_end_ms"), col("total"),
+        col("n"))
+      .orderBy("w_end_ms").collect()
+    assert(r.nonEmpty, "no flush rows at test scale — vacuous")
+    assert(r.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq,
+      "rated flush rows diverge from the direct computation")
+    // an aggregate without a window names the fix; grouped windowed
+    // rates and join snapshots are refused by name; a join rate needs
+    // aliased stream sides
+    val m1 = intercept[IllegalArgumentException](compile(
+      "from events select sum(value) as s output last every 1 min"))
+      .getMessage
+    assert(m1.contains("timeBatch"))
+    val m2 = intercept[IllegalArgumentException](compile(
+      """from events#window.timeBatch(1 min)
+        |select user_id, sum(value) as s
+        |group by user_id
+        |output last every 10 min""".stripMargin)).getMessage
+    assert(m2.contains("ungrouped"))
+    val m3 = intercept[IllegalArgumentException](compile(
+      """from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as x, b.event_id as y
+        |output snapshot every 10 min""".stripMargin)).getMessage
+    assert(m3.contains("over a join"))
   }
 
   test("windowed-aggregate table DML (the store pattern): live fold " +
