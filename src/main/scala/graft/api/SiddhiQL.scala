@@ -3570,53 +3570,14 @@ object SiddhiQL extends Serializable {
       fail(s"windowed rate limiting needs 'ts_ns' on '${s.table}'")
     val base =
       s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
-    val twMs = twNs / 1000000L
     val outCols = items.map(_._2)
     val flush = base
       .groupBy(expr(s"ts_ns div ${twNs}L").as("__wb"))
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("__wb") +:
-        ((col("__wb") + 1) * lit(twMs)).as("w_end_ms") +:
         items.map { case (it, a, isAgg) =>
           (if (isAgg) col(a) else expr(sqlOf(it.e))).as(a) }: _*)
-    val sel = col("w_end_ms") +: outCols.map(col)
-    (rate.mode, rate.timeNs, rate.count) match {
-      case ("all", _, _) => flush.select(sel: _*)
-      case (m @ ("first" | "last"), Some(t), None) =>
-        val trMs = t / 1000000L
-        val ord = if (m == "first") "__wb" else "__wb desc"
-        flush.withColumn("__rn", expr("row_number() over (partition " +
-            s"by w_end_ms div ${trMs}L order by $ord)"))
-          .where(col("__rn") === 1).select(sel: _*)
-      case (m @ ("first" | "last"), None, Some(n)) =>
-        val pick = if (m == "first") "min" else "max"
-        flush.withColumn("__rn",
-            expr("row_number() over (order by __wb)"))
-          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
-            s"(__rn - 1) div ${n}L)"))
-          .where(col("__rn") === col("__keep")).select(sel: _*)
-      case ("snapshot", Some(t), None) =>
-        val trMs = t / 1000000L
-        val lastPer = flush
-          .withColumn("__iv", expr(s"w_end_ms div ${trMs}L"))
-          .groupBy("__iv")
-          .agg(max_by(struct(outCols.map(col): _*), col("__wb"))
-            .as("__row"))
-        val ticks = lastPer
-          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
-          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
-        val wn = org.apache.spark.sql.expressions.Window.orderBy("__iv")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        // gap intervals carry the previous snapshot forward; snapshot
-        // cardinality is one row per interval — O(span/T)
-        ticks.join(lastPer, Seq("__iv"), "left_outer")
-          .select(((col("__iv") + 1) * trMs).as("w_end_ms") +:
-            outCols.map(c =>
-              last(col(s"__row.$c"), ignoreNulls = true).over(wn).as(c))
-            : _*)
-      case _ => fail("unreachable: rate clause validated at parse")
-    }
+    rateOverFlushes(flush, outCols, twNs / 1000000L, rate)
   }
 
   /** Pattern clause → (builder, select extractors, output schema) —
@@ -3956,6 +3917,74 @@ object SiddhiQL extends Serializable {
     val ss = ast.stream.asInstanceOf[SingleStream]
     val items = itemsOf(ast)
     val outCols = items.map(_._2)
+    flushPartialFold(feed, ss.filter, ast.groupBy, items, tNs, fnsSnap,
+      Nil, (sp, flush) => {
+        val emis = flush.select(outCols.map(col) :+
+          struct((col("__wb") * lit(tNs)).cast("long").as("ts_ns"),
+            lit(0L).as("event_id")).as("__g_ord"): _*)
+        applyEmissions(act, schema, emptyOf(sp, schema), emis, outCols)
+      })._1
+  }
+
+  /** Rate-mode selection over FLUSH rows (`__wb` bucket + output
+    * attrs) — the tail of [[compileRateWindowed]], shared with the
+    * live flush-fold's finish so live rate-over-window semantics are
+    * the batch code itself. */
+  private def rateOverFlushes(flush0: DataFrame, outCols: Seq[String],
+      twMs: Long, rate: Rate): DataFrame = {
+    val flush = flush0
+      .withColumn("w_end_ms", (col("__wb") + 1) * lit(twMs))
+    val sel = col("w_end_ms") +: outCols.map(col)
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => flush.select(sel: _*)
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val trMs = t / 1000000L
+        val ord = if (m == "first") "__wb" else "__wb desc"
+        flush.withColumn("__rn", expr("row_number() over (partition " +
+            s"by w_end_ms div ${trMs}L order by $ord)"))
+          .where(col("__rn") === 1).select(sel: _*)
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        val pick = if (m == "first") "min" else "max"
+        flush.withColumn("__rn",
+            expr("row_number() over (order by __wb)"))
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")).select(sel: _*)
+      case ("snapshot", Some(t), None) =>
+        val trMs = t / 1000000L
+        val lastPer = flush
+          .withColumn("__iv", expr(s"w_end_ms div ${trMs}L"))
+          .groupBy("__iv")
+          .agg(max_by(struct(outCols.map(col): _*), col("__wb"))
+            .as("__row"))
+        val ticks = lastPer
+          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
+        val wn = org.apache.spark.sql.expressions.Window.orderBy("__iv")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // gap intervals carry the previous snapshot forward; snapshot
+        // cardinality is one row per interval — O(span/T)
+        ticks.join(lastPer, Seq("__iv"), "left_outer")
+          .select(((col("__iv") + 1) * trMs).as("w_end_ms") +:
+            outCols.map(c =>
+              last(col(s"__row.$c"), ignoreNulls = true).over(wn).as(c))
+            : _*)
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
+  }
+
+  /** The shared core of the live windowed folds ([[windowedDmlFold]],
+    * rate-over-window): per-(bucket ∪ group keys) algebraic flush
+    * PARTIALS merged componentwise per trigger; `finish` receives the
+    * finalized flush relation (`__wb` + group keys + output attrs) —
+    * also evaluated over an EMPTY flush at build time, so a bad stage
+    * fails at deploy and the caller gets the result prototype. */
+  private def flushPartialFold(feed: DataFrame, filter: Option[Expr],
+      groupBy: List[String], items: List[(SelItem, String, Boolean)],
+      tNs: Long, fnsSnap: Map[String, ScriptFn], ordCols: Seq[Column],
+      finish: (SparkSession, DataFrame) => DataFrame)
+      : (LiveFold, DataFrame) = {
     val comps = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Option[Expr])]
     def rw(e: Expr): Expr = e match {
@@ -3968,7 +3997,7 @@ object SiddhiQL extends Serializable {
           case "avg" =>
             comps += ((base, "avg", args0.headOption))
             Bin("/", Ref(List(base + "s")), Ref(List(base + "n")))
-          case other => fail("live windowed table DML (v1) supports " +
+          case other => fail("live windowed folds (v1) support " +
             s"count/sum/min/max/avg aggregates; got '$other'")
         }
       case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
@@ -3983,11 +4012,11 @@ object SiddhiQL extends Serializable {
     comps.foreach { case (_, n, argO) =>
       if (n != "count" && argO.isEmpty) fail(s"$n(...) needs an argument")
     }
-    val keys = "__wb" +: ast.groupBy
+    val keys = "__wb" +: groupBy
     def keyedSel(df: DataFrame): DataFrame = {
-      val f = ss.filter.fold(df)(ff => df.where(expr(sqlOf(ff))))
+      val f = filter.fold(df)(ff => df.where(expr(sqlOf(ff))))
       f.select(expr(s"ts_ns div ${tNs}L").as("__wb") +:
-        (ast.groupBy.map(col) ++ comps.toSeq.flatMap {
+        (groupBy.map(col) ++ comps.toSeq.flatMap {
           case (base, _, argO) =>
             argO.map(arg => expr(sqlOf(arg)).as(s"${base}_x")).toSeq
         }): _*)
@@ -4024,9 +4053,16 @@ object SiddhiQL extends Serializable {
         case "avg" => Seq(addSum(base + "s"), add(base + "n"))
       }
     }
-    val stateSchema =
-      partialOf(emptyOf(feed.sparkSession, feed.schema)).schema
-    singleFold(feed, stateSchema,
+    val empty = emptyOf(feed.sparkSession, feed.schema)
+    val stateSchema = partialOf(empty).schema
+    // the finalized flush relation: __wb + output attrs (group keys
+    // appear among the outputs — the select-item checks enforce it)
+    def flushOf(acc: DataFrame): DataFrame =
+      acc.select(col("__wb") +:
+        finals.map { case (a, e) => expr(sqlOf(e)).as(a) }: _*)
+    // deploy-time validation + the caller's result prototype
+    val proto = finish(feed.sparkSession, flushOf(partialOf(empty)))
+    (singleFold(feed, stateSchema,
       (sp, _, acc, batch) => {
         scriptFns = fnsSnap
         val u = partialOf(batch)
@@ -4041,16 +4077,12 @@ object SiddhiQL extends Serializable {
       },
       (sp, acc) => {
         scriptFns = fnsSnap
-        val flush = acc.select(finals.map { case (a, e) =>
-          expr(sqlOf(e)).as(a)
-        } :+ struct((col("__wb") * lit(tNs)).cast("long").as("ts_ns"),
-          lit(0L).as("event_id")).as("__g_ord"): _*)
-        applyEmissions(act, schema, emptyOf(sp, schema), flush, outCols)
-      }, Nil,
+        finish(sp, flushOf(acc))
+      }, ordCols,
       KeyedState(keys, (sp, _, batch) => {
         scriptFns = fnsSnap
         keyedSel(batch).select(keys.map(col): _*)
-      }))
+      })), proto)
   }
 
   /** The one-state [[LiveFold]] shape every pre-enrichment fold stage
@@ -4679,11 +4711,48 @@ object SiddhiQL extends Serializable {
                 }
               case Some(WindowSpec(n, args, _))
                   if n.equalsIgnoreCase("timebatch") =>
-                if (ast.rate.nonEmpty)
-                  fail("live rate limiting applies to stateless stages " +
-                    "(v1) — not above a timeBatch aggregation")
-                (windowedAgg(ast, base, "w_start_ms", args.head),
-                  KWindowAgg)
+                ast.rate match {
+                  case Some(rW) =>
+                    // rate OVER the windowed aggregation LIVE: the
+                    // same fold channel as the store pattern — state
+                    // = per-bucket algebraic flush partials (a bucket
+                    // straddling triggers merges componentwise), and
+                    // finish runs the BATCH rate selection over the
+                    // finalized flushes, so live ≡ batch by
+                    // construction (incl. interval boundaries)
+                    if (partKey.nonEmpty)
+                      fail("windowed rate limiting inside a partition " +
+                        "block is not deployed (v1)")
+                    if (ast.groupBy.nonEmpty)
+                      fail("output rate limiting over a windowed " +
+                        "aggregation (v1) is ungrouped — one flush row " +
+                        "per window")
+                    val itemsW = itemsOf(ast)
+                    itemsW.foreach { case (it, a2, isAgg) =>
+                      if (!isAgg && refsAttr(it.e))
+                        fail(s"rate-limited windowed select item '$a2' " +
+                          "must aggregate (or be a constant)")
+                    }
+                    if (!itemsW.exists(_._3))
+                      fail("a rate-limited windowed query needs an " +
+                        "aggregate select item")
+                    val tNsW = args.head
+                    val fnsSnapW = scriptFns
+                    val (lfW, protoW) = flushPartialFold(base, None,
+                      Nil, itemsW, tNsW, fnsSnapW,
+                      ast.orderBy.map { case (c2, a2) =>
+                        if (a2) col(c2).asc else col(c2).desc },
+                      (_, flush) => rateOverFlushes(flush,
+                        itemsW.map(_._2), tNsW / 1000000L, rW))
+                    val keyW = name.orElse(ast.action.map(_.target))
+                    if (keyW.contains(out) || name.contains(out))
+                      foldResult = Some(lfW)
+                    carriedNow = Nil
+                    (emptyOf(base.sparkSession, protoW.schema), KFold)
+                  case None =>
+                    (windowedAgg(ast, base, "w_start_ms", args.head),
+                      KWindowAgg)
+                }
               case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("unique:first") =>
                 // live unique:first = streaming dropDuplicates on the

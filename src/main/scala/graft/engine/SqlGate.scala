@@ -353,6 +353,16 @@ object SqlGate {
         |output first every 4 events
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // the windowed downsample deployed LIVE: fold state = per-bucket
+    // algebraic flush partials (chunking-invariant), finish runs the
+    // batch rate selection — the batch sql_rate_window oracle is truth
+    "sql_app_rate_window_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'downsample')
+        |from events[event_type == 'view']#window.timeBatch(1 min)
+        |select math:round(sum(value), 2) as total, count() as n
+        |output last every 10 min
+        |order by w_end_ms
+        |insert into Out""".stripMargin, "downsample")),
     // rate limiting OVER a windowed aggregation: the rated events are
     // the 1-min flush rows; `last every 10 min` keeps the final flush
     // of each rate interval (the monitoring downsample)
@@ -1519,6 +1529,16 @@ object SqlGate {
         |  buy_id) AS rn FROM p)
         |SELECT err_id, buy_id, user_id FROM r
         |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
+    // live ≡ batch: last 1-min flush per 10-min rate interval
+    "sql_app_rate_window_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ms(ts) // 60000 AS b, round(sum(value), 2)
+        |    AS total, count(*) AS n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY
+        |  ((b + 1) * 60000) // 600000 ORDER BY b DESC) = 1
+        |ORDER BY w_end_ms""".stripMargin,
     // last 1-min flush per 10-min rate interval (interval of a flush =
     // its end ms // rate period)
     "sql_rate_window" ->

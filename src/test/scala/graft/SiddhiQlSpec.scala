@@ -1401,6 +1401,21 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(r.nonEmpty, "no flush rows at test scale — vacuous")
     assert(r.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq,
       "rated flush rows diverge from the direct computation")
+    // LIVE: the deployed downsample folds flush partials per trigger
+    // and runs the same batch selection at finish — chunking-invariant
+    val app =
+      """@info(name = 'downsample')
+        |from events[event_type == 'view']#window.timeBatch(1 min)
+        |select math:round(sum(value), 2) as total, count() as n
+        |output last every 10 min
+        |order by w_end_ms
+        |insert into Out""".stripMargin
+    for (c <- Seq(4, 7)) {
+      val live = SiddhiQL.deployApp(spark, sf, app, "downsample",
+        chunks = c).collect()
+      assert(live.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq,
+        s"live($c) != batch rate-over-window")
+    }
     // an aggregate without a window names the fix; grouped windowed
     // rates and join snapshots are refused by name; a join rate needs
     // aliased stream sides
