@@ -237,14 +237,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
     // LSH recall vs the exact brute-force top-5 of the same queries:
-    // hamming-1 multiprobe over 6 planes must recover a nontrivial share
+    // H≤2 multiprobe over 6 planes must recover a shippable share
     // (bucketing is similarity-preserving, not random partitioning)
     val brute = Similarity.topkBrute(spark, sf)
       .filter(col("rk") <= 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val got = srp.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & got).size.toDouble / brute.size
-    assert(recall >= 0.2, s"SRP recall $recall vs brute top-5")
+    info(f"sim_topk_srp recall@5 vs brute = $recall%.2f")
+    assert(recall >= 0.6, s"SRP recall $recall vs brute top-5")
+  }
+
+  test("sim_topk_ivf: nprobe-3 probing recalls a shippable share of " +
+       "the brute top-5") {
+    import org.apache.spark.sql.functions._
+    val ivf = Similarity.topkIvf(spark, sf).collect()
+    // the IVF gate's queries are vec_id 1..3
+    val brute = Similarity.topkBrute(spark, sf)
+      .filter(col("rk") <= 5 && col("q_id").between(1, 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"sim_topk_ivf recall@5 vs brute = $recall%.2f")
+    assert(recall >= 0.6, s"IVF recall $recall vs brute top-5")
   }
 
   test("corpus_pipeline emits only canonical keepers of dedup_normalized") {

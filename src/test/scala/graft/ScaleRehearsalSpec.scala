@@ -363,8 +363,9 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & got).size.toDouble / brute.size
     info(f"sim_topk_srp 10x recall vs brute top-5: $recall%.2f")
-    // near-dup twins share SRP signatures with overwhelming probability —
-    // the floor here is strict, unlike the 0.2 generic-neighbour floor
+    // near-dup twins share SRP signatures with overwhelming probability,
+    // so this floor matches the base gate's 0.6 generic floor despite
+    // the 10x harder corpus
     assert(recall >= 0.6, s"SRP near-dup recall $recall below floor at 10x")
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
