@@ -2145,9 +2145,8 @@ object SiddhiQL extends Serializable {
         compileRateLimited(spark, dir, ast, s, r, env)
       case (Some(r), jn: JoinStream) =>
         compileJoin(spark, dir, ast, jn, env, aggDefs, Some(r))
-      case (Some(_), _) =>
-        fail("output rate limiting (v1) applies to single-stream and " +
-          "join queries, not pattern clauses")
+      case (Some(r), pt: PatternStream) =>
+        compilePattern(spark, dir, ast, pt, Some(r))
       case (None, s: SingleStream) if aggDefs.contains(s.table) =>
         compileAggQuery(spark, dir, ast, s, aggDefs(s.table), env)
       case (None, s: SingleStream) =>
@@ -3694,10 +3693,58 @@ object SiddhiQL extends Serializable {
   }
 
   private def compilePattern(spark: SparkSession, dir: String, ast: Ast,
-                             pt: PatternStream): DataFrame = {
+                             pt: PatternStream,
+                             rate: Option[Rate] = None): DataFrame = {
     val (b, sel, out) = patternParts(ast, pt)
-    b.selectPlan(spark, dir, out) { bnd =>
-      sel.map { case (_, _, _, extract) => extract(bnd) }
+    rate match {
+      case None =>
+        b.selectPlan(spark, dir, out) { bnd =>
+          sel.map { case (_, _, _, extract) => extract(bnd) }
+        }
+      case Some(r) =>
+        // rate limiting over a PATTERN: the rated events are the
+        // MATCHES, each emitted at its closing (max-ts) bound event;
+        // matches closed by the same event (one e2 completing several
+        // `every` runs at once) tie-break by SPAWN order — the first
+        // bound event — Siddhi's in-chunk emission order.
+        val out2 = out ++ Seq(("__emit_ns", LongType),
+          ("__sp_ts", LongType), ("__sp_id", LongType))
+        val df = b.selectPlan(spark, dir, out2) { bnd =>
+          val evs = bnd.valuesIterator.flatten.toSeq
+          val sp = evs.minBy(e => (e.tsNs, e.eventId))
+          sel.map { case (_, _, _, extract) => extract(bnd) } ++
+            Seq(evs.map(_.tsNs).max, sp.tsNs, sp.eventId)
+        }
+        val outCols = out.map(_._1)
+        def proj(kept: DataFrame): DataFrame =
+          kept.select(outCols.map(col): _*)
+        import org.apache.spark.sql.expressions.Window
+        val ordAsc = Seq(col("__emit_ns").asc, col("__sp_ts").asc,
+          col("__sp_id").asc)
+        val ordDesc = Seq(col("__emit_ns").desc, col("__sp_ts").desc,
+          col("__sp_id").desc)
+        (r.mode, r.timeNs, r.count) match {
+          case ("all", _, _) => proj(df) // emission batching only
+          case (m @ ("first" | "last"), Some(t), None) =>
+            val w = Window.partitionBy(expr(s"__emit_ns div ${t}L"))
+              .orderBy((if (m == "first") ordAsc else ordDesc): _*)
+            proj(df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1))
+          case (m @ ("first" | "last"), None, Some(n)) =>
+            guardGlobalWindow(df,
+              s"`output $m every $n events` over a pattern")
+            val pick = if (m == "first") "min" else "max"
+            proj(df
+              .withColumn("__rn", row_number().over(
+                Window.orderBy(ordAsc: _*)))
+              .withColumn("__keep", expr(s"$pick(__rn) over (partition " +
+                s"by (__rn - 1) div ${n}L)"))
+              .where(col("__rn") === col("__keep")))
+          case ("snapshot", _, _) =>
+            fail("output snapshot over a pattern (v1): insert the " +
+              "matches into a stream and snapshot that stream")
+          case _ => fail("unreachable: rate clause validated at parse")
+        }
     }
   }
 
