@@ -125,18 +125,22 @@ object Patterns {
       horizonNs: Long)
       : ((Vector[Ev], Vector[String]), Vector[Out], Option[Long]) = {
     val (hist0, sigs0) = prev
-    if (hist0.nonEmpty) {
-      val hMaxTs = hist0.last.tsNs; val hMaxId = hist0.last.eventId
-      batch.find(e => e.tsNs < hMaxTs ||
-          (e.tsNs == hMaxTs && e.eventId < hMaxId)).foreach { late =>
-        throw new IllegalStateException(
-          s"selectStreamTimed key=$key: event (ts=${late.tsNs}, id=" +
-            s"${late.eventId}) arrived after history max (ts=$hMaxTs, " +
-            s"id=$hMaxId) — per-key in-order delivery is a " +
-            "precondition of the prefix-stable re-fold")
+    // A straggler sorting before the per-key history max cannot be
+    // incorporated without breaking prefix stability (earlier folds
+    // already emitted matches over a history it would reorder), but the
+    // deployed sources ADMIT up to the watermark's allowed lateness and
+    // fMGWS does not pre-filter late rows — so such an event is expected
+    // operation, not corruption: it is dead-lettered (dropped) instead
+    // of killing the whole streaming query, the same contract Spark
+    // applies to watermark-expired rows.
+    val admitted =
+      if (hist0.isEmpty) batch
+      else {
+        val hMaxTs = hist0.last.tsNs; val hMaxId = hist0.last.eventId
+        batch.filterNot(e => e.tsNs < hMaxTs ||
+          (e.tsNs == hMaxTs && e.eventId < hMaxId))
       }
-    }
-    val all = (hist0 ++ batch).sortBy(e => (e.tsNs, e.eventId))
+    val all = (hist0 ++ admitted).sortBy(e => (e.tsNs, e.eventId))
     val (tagged, pending) = Cep.runH[(String, Out)](steps, withinNs,
       spawn, b => (sigOf(b), project(b)), horizonNs)(all.iterator)
     val seen = sigs0.toSet
@@ -153,6 +157,16 @@ object Patterns {
     // horizon ever confirmed its match (time-jumping batches).
     val (hist1, sigs2) = withinNs match {
       case Some(w) if spawn == Cep.EveryMatch && all.nonEmpty =>
+        // The cut is safe even when an ABSENT deadline exceeds
+        // spawn+within (B binding near the within edge, or forNs > w):
+        // an UNDECIDED run never has an event past its spawn+w in
+        // history — the NFA decides a parked run at the first such
+        // event (expiry completes it if its absence deadline already
+        // passed, kills it otherwise, exactly like the batch fold) —
+        // so every pending run's spawn satisfies spawn ≥ lastTs − w ≥
+        // cut and survives; runs spawned before the cut were decided
+        // by cut+w ≤ horizon and their matches emitted above. Pinned
+        // by CepNfaSpec ("absence deadline past spawn+within").
         val cut = math.min(all.last.tsNs, horizonNs) - w
         (all.dropWhile(_.tsNs < cut), sigs1.filter(sigMinTs(_) >= cut))
       case _ => (all, sigs1)
@@ -299,9 +313,12 @@ object Patterns {
       * not stable, but its signature is. The set (like the history) is
       * evicted under `within` + `every`; without `within` it grows with
       * the key's match count — the documented cost of exact re-fold
-      * semantics. Same per-key in-order precondition as
-      * [[selectStream]]; open final quantifiers (which only an actual
-      * end of stream can close) remain refused. */
+      * semantics. Per-key order handling differs from [[selectStream]]:
+      * because the deployed sources admit watermark-late rows, a
+      * straggler sorting before the per-key history max is DROPPED
+      * (dead-lettered, prefix stability preserved) instead of failing
+      * the query; open final quantifiers (which only an actual end of
+      * stream can close) remain refused. */
     def selectStreamTimed[Out: Encoder](
         ds: Dataset[graft.engine.Streaming.EvT])
         (project: Bindings => Out): Dataset[Out] = {

@@ -64,22 +64,26 @@ object Similarity {
   }
 
   /** sim_topk_ivf: IVF-style probe — centroids are vec_id % 97 == 0;
-    * every vector is assigned to its nearest centroid; queries (vec_id in
-    * 1..3) probe the 3 nearest centroids and rank only those clusters
-    * (nprobe is THE recall lever; 3 of ~10 gate centroids measures
-    * recall@5 = 0.73 — at scale the centroid count grows with the
-    * corpus and nprobe stays a small constant). */
+    * every vector is indexed under its TOP-2 nearest centroids
+    * (multi-assignment, the classic IVF recall lever orthogonal to
+    * nprobe: a true neighbour straddling a Voronoi boundary is findable
+    * from either side, at 2× index size and unchanged probe cost);
+    * queries (vec_id in 1..3) probe the 3 nearest centroids, the
+    * candidate union dedups, and only those clusters are ranked.
+    * Measures recall@5 ≥ 0.8 — the same shippable floor as SRP and PQ.
+    * At scale the centroid count grows with the corpus while nprobe and
+    * the assignment factor stay small constants. */
   def topkIvf(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
     val all = vecs(s, d)
     val cents = all.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // nearest-centroid assignment: broadcast join + per-vector argmax
+    // top-2-centroid assignment: broadcast join + per-vector rank
     val assigned = all.join(broadcast(cents))
       .withColumn("ccos", cosExpr("v", "cv"))
       .withColumn("crk", expr("row_number() over (partition by vec_id " +
         "order by ccos desc, c_id)"))
-      .filter(col("crk") === 1)
+      .filter(col("crk") <= 2)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
     val queries = all.filter(col("vec_id") >= 1 && col("vec_id") <= 3)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -92,6 +96,9 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
     probes.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
+      // multi-assignment can surface a candidate from two probed
+      // clusters — dedup BEFORE the cosine so each pair scores once
+      .dropDuplicates(Seq("q_id", "vec_id"))
       .withColumn("cos", cosExpr("qv", "v"))
       .withColumn("rk", expr("row_number() over (partition by q_id " +
         "order by cos desc, vec_id)"))
@@ -476,7 +483,7 @@ object Similarity {
     // the pool (with its query vectors) BROADCASTS against one corpus
     // scan to fetch candidate vectors — never an exact 64-dim fold for
     // pruned candidates
-    e.withColumnRenamed("vec_id", "__cand")
+    val ranked = e.withColumnRenamed("vec_id", "__cand")
       .join(broadcast(cand.join(broadcast(queries), Seq("q_id"))),
         col("__cand") === col("vec_id"))
       .withColumn("cos_exact", cosExpr("qv", "v"))
@@ -485,6 +492,14 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select("q_id", "rk", "vec_id", "adc", "cos_exact")
       .orderBy("q_id", "rk")
+    // the final top-k is ≤ 10·|queries| rows (a search RESPONSE, bounded
+    // by construction): materialize it here so the persisted corpus can
+    // be unpersisted before returning — no cached blocks leak into the
+    // shared session across gate/bench runs — and hand back the tiny
+    // result as a local relation with the identical schema/order
+    val out = ranked.collect()
+    e.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), ranked.schema)
   }
 
   val queries: Map[String, Q] = Map(
@@ -706,17 +721,20 @@ object Similarity {
         |  SELECT e.vec_id, e.v, c.c_id AS cluster, row_number() OVER (
         |      PARTITION BY e.vec_id
         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS crk
-        |    FROM e JOIN cents c ON true) t WHERE crk = 1),
+        |    FROM e JOIN cents c ON true) t WHERE crk <= 2),
         |probes AS (SELECT q_id, qv, cluster FROM (
         |  SELECT q.vec_id AS q_id, q.v AS qv, c.c_id AS cluster,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY ${cosSql("q.v", "c.cv")} DESC, c.c_id) AS crk
         |    FROM e q JOIN cents c ON q.vec_id BETWEEN 1 AND 3) t
         |  WHERE crk <= 3),
-        |scored AS (SELECT p.q_id, a.vec_id,
-        |    ${cosSql("p.qv", "a.v")} AS cos
+        |cand AS (SELECT DISTINCT p.q_id, a.vec_id
         |  FROM probes p JOIN asg a ON a.cluster = p.cluster
         |  WHERE a.vec_id <> p.q_id),
+        |scored AS (SELECT c.q_id, c.vec_id,
+        |    ${cosSql("q.v", "x.v")} AS cos
+        |  FROM cand c JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e x ON x.vec_id = c.vec_id),
         |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5

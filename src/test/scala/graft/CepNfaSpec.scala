@@ -408,6 +408,60 @@ class CepNfaSpec extends AnyFunSuite {
     assert(st2._1.forall(_.tsNs >= (1200 - 600) * SEC))
   }
 
+  test("foldStepTimed: absence deadline past spawn+within — the pending " +
+       "run's spawn survives eviction, and the first event past within " +
+       "decides it exactly like the batch fold") {
+    val steps = IndexedSeq(
+      Single("e1", (e, _) => e.eventType == "A"),
+      Single("e2", (e, _) => e.eventType == "B"),
+      Absent("no_c", (e, _) => e.eventType == "C", 300 * SEC))
+    val w = Some(600 * SEC)
+    def prj(b: Bindings): Long = b("e1").head.eventId
+    // batch reference: with B binding at 590 (just inside within=600)
+    // the absence deadline is 890, PAST spawn+within — and an event at
+    // 650 (past within, before the deadline) KILLS the undecided run
+    assert(Cep.run(steps, w, EveryMatch, prj)(Iterator(
+      ev(1, 0, "A"), ev(2, 590, "B"), ev(3, 650, "A"))).isEmpty)
+    var st: (Vector[Ev], Vector[String]) = (Vector.empty, Vector.empty)
+    def fold(batch: Vector[Ev], hSec: Long): Vector[Long] = {
+      val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
+        steps, w, EveryMatch, prj)(1L, st, batch, hSec * SEC)
+      st = st1; outs
+    }
+    assert(fold(Vector(ev(1, 0, "A"), ev(2, 590, "B")), 0).isEmpty)
+    // undecided at horizon 700 (> spawn+within, < deadline): the cut
+    // min(lastTs, horizon) - within must keep the pending run's spawn —
+    // a pending run binds no event past spawn+within, so lastTs (590)
+    // caps the cut below the spawn
+    assert(fold(Vector.empty, 700).isEmpty)
+    assert(st._1.exists(_.eventId == 1L),
+      "pending run's spawn evicted before its absence deadline")
+    // horizon passes the deadline with no C in (590, 890] → emits once
+    assert(fold(Vector.empty, 900) == Vector(1L))
+    // a later in-order event re-folds to the batch kill — the emitted
+    // signature is final: no duplicate, no retraction
+    assert(fold(Vector(ev(3, 650, "A")), 905).isEmpty)
+    assert(fold(Vector.empty, 100000).isEmpty)
+  }
+
+  test("foldStepTimed: watermark-admissible straggler is dead-lettered " +
+       "(dropped), not fatal, and already-folded prefixes stay stable") {
+    var st: (Vector[Ev], Vector[String]) = (Vector.empty, Vector.empty)
+    def fold(batch: Vector[Ev], hSec: Long): Vector[Long] = {
+      val (st1, outs, _) = graft.api.Patterns.foldStepTimed(
+        absSteps, None, EveryMatch, aproj)(1L, st, batch, hSec * SEC)
+      st = st1; outs
+    }
+    // two pending absences: A@0 (deadline 300) and A@200 (deadline 500),
+    // neither decided at horizon 0
+    assert(fold(Vector(ev(1, 0, "A"), ev(2, 200, "A")), 0).isEmpty)
+    // a B@100 straggler sorts before the history max (200): admitted it
+    // would violate run 1 — the fold drops it instead of throwing, so
+    // both matches confirm once the horizon passes the deadlines
+    assert(fold(Vector(ev(3, 100, "B")), 1000).sorted == Vector(1L, 2L))
+    assert(st._1.forall(_.eventId != 3L), "straggler entered history")
+  }
+
   test("foldStepTimed: batched fold over random sequences ≡ one-shot " +
        "batch fold once the horizon passes everything; no duplicates; " +
        "with and without `within` eviction") {

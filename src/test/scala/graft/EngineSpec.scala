@@ -248,8 +248,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"SRP recall $recall vs brute top-5")
   }
 
-  test("sim_topk_ivf: nprobe-3 probing recalls a shippable share of " +
-       "the brute top-5") {
+  test("sim_topk_ivf: nprobe-3 probing with top-2 multi-assignment " +
+       "recalls a shippable share of the brute top-5") {
     import org.apache.spark.sql.functions._
     val ivf = Similarity.topkIvf(spark, sf).collect()
     // the IVF gate's queries are vec_id 1..3
@@ -259,7 +259,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & got).size.toDouble / brute.size
     info(f"sim_topk_ivf recall@5 vs brute = $recall%.2f")
-    assert(recall >= 0.6, s"IVF recall $recall vs brute top-5")
+    assert(recall >= 0.8, s"IVF recall $recall vs brute top-5")
   }
 
   test("corpus_pipeline emits only canonical keepers of dedup_normalized") {
