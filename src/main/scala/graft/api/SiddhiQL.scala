@@ -59,8 +59,10 @@ import graft.engine.{Cep, Tables}
   * of the engine emits (Catalyst sees groupBy/window/join/pattern
   * operators, never an interpreter); the only interpreted code is the
   * pattern-step PREDICATE, which the NFA already takes as a function.
-  * Inherently sequential global-window shapes refuse to compile above
-  * [[maxGlobalWindowRows]] — shard with `partition with` / `group by`.
+  * Global-count shapes (lengthBatch chunks, sliding frames, count-based
+  * output rate) compile through the distributed prefix-sum rank
+  * ([[globalRank]]) and band joins — no single-task data-sized window
+  * anywhere (the r9 guardGlobalWindow fail-fast family is retired).
   */
 object SiddhiQL extends Serializable {
 
@@ -139,15 +141,6 @@ object SiddhiQL extends Serializable {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
 
-  /** Row bound above which inherently sequential GLOBAL window shapes
-    * (unpartitioned `lengthBatch`, unpartitioned sliding frames, count
-    * rate limiters — all a single-task window sort, the reference's
-    * single-threaded window semantics) refuse to compile. Matching the
-    * reference's semantics is not a license to ship a 100 TB single-task
-    * plan: wrap the query in `partition with (<key> of S)` (or add
-    * `group by`) to shard it, or raise the bound deliberately. */
-  @volatile var maxGlobalWindowRows: Long = 5000000L
-
   /** Distributed running total of `value` in GLOBAL `sortCols` order —
     * the scale-safe form of `sum(value) over (order by … rows
     * unbounded preceding)`: rows range-partition by the sort key, each
@@ -176,15 +169,16 @@ object SiddhiQL extends Serializable {
       .drop("__rpid", "__opid", "__loc", "__off")
   }
 
-  private def guardGlobalWindow(base: DataFrame, what: String): Unit = {
-    val n = base.count()
-    if (n > maxGlobalWindowRows)
-      fail(s"$what compiles to a single-task global window over $n " +
-        s"rows (> maxGlobalWindowRows = $maxGlobalWindowRows): shard it " +
-        "with `partition with (<key> of S)` / `group by`, or raise " +
-        "SiddhiQL.maxGlobalWindowRows if sequential semantics are " +
-        "genuinely required")
-  }
+  /** Distributed GLOBAL arrival rank (1-based) in `sortCols` order —
+    * [[runningTotal]] of the constant 1: the scale-safe replacement for
+    * `row_number() over (order by …)` with no partition key. Every
+    * global-count shape (lengthBatch chunks, count-based output rate,
+    * sliding count frames) is a consumer of this rank; the r9
+    * guardGlobalWindow fail-fast family is retired on it. The sort key
+    * must be a total (unique) order for determinism. */
+  private def globalRank(df: DataFrame, sortCols: Seq[Column],
+      out: String): DataFrame =
+    runningTotal(df, sortCols, lit(1L), out)
 
   // ---------- lexer ----------
   private sealed trait Tok
@@ -635,7 +629,7 @@ object SiddhiQL extends Serializable {
 
   // ---------- expression → Spark SQL text ----------
   private val aggNames =
-    Set("sum", "count", "avg", "min", "max", "distinctcount")
+    Set("sum", "count", "avg", "min", "max", "distinctcount", "stddev")
 
   /** Does the expression reference any stream attribute (vs a pure
     * constant expression)? */
@@ -897,8 +891,11 @@ object SiddhiQL extends Serializable {
     def std(n: String) = s"$n(${a.mkString(", ")})"
     (ns.map(_.toLowerCase), name.toLowerCase) match {
       case (None, "count") if argc == 0 => "count(*)"
-      case (None, n) if aggNames(n) && n != "distinctcount" => std(n)
+      case (None, n) if aggNames(n) && n != "distinctcount" &&
+          n != "stddev" => std(n)
       case (None, "distinctcount") => s"count(DISTINCT ${a.head})"
+      // Siddhi stdDev is POPULATION stddev; Spark's bare stddev is sample
+      case (None, "stddev") => s"stddev_pop(${a.head})"
       case (None, "ifthenelse") => s"if(${a.mkString(", ")})"
       case (None, "coalesce") => std("coalesce")
       case (None, "convert") =>
@@ -2873,11 +2870,11 @@ object SiddhiQL extends Serializable {
         proj(df.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1))
       case (m @ ("first" | "last"), None, Some(n)) =>
-        guardGlobalWindow(df, s"`output $m every $n events` over a join")
+        // emission ranks from the distributed prefix sum over the
+        // total emission order (struct sorts lexicographically), then
+        // a chunk-partitioned pick — no global single-task window
         val pick = if (m == "first") "min" else "max"
-        proj(df
-          .withColumn("__rn",
-            row_number().over(Window.orderBy(col("__emit_ord"))))
+        proj(globalRank(df, Seq(col("__emit_ord")), "__rn")
           .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
             s"(__rn - 1) div ${n}L)"))
           .where(col("__rn") === col("__keep")))
@@ -2907,9 +2904,76 @@ object SiddhiQL extends Serializable {
                 df: DataFrame): DataFrame =
       selectOrAggregate(ast, df, implicitKeys, windowed = true)
 
+    /** Distributed sliding frame over the GLOBAL total order (no
+      * group by): anchors and data rows equi-join on a band BUCKET —
+      * every data row duplicates into the (at most two) buckets whose
+      * anchors can need it, the exact frame condition filters inside
+      * the join, and each anchor's frame aggregates via the FoldAlg
+      * components (so the full mergeable algebra, stdDev and
+      * distinctCount included, works on global sliding frames). No
+      * data-sized single-task window remains — the r9
+      * guardGlobalWindow refusal on unpartitioned sliding shapes is
+      * retired. Work is O(2n) join rows, each bucket a frame-width
+      * slice, parallel across buckets. */
+    def slidingBand(lenN: Option[Long], timeNs: Option[Long],
+        timeAttr: String): DataFrame = {
+      if (ast.having.nonEmpty) fail("having needs a tumbling window")
+      val comps = scala.collection.mutable.Buffer
+        .empty[(String, String, Option[Expr])]
+      def rwS(e: Expr): Expr = e match {
+        case Call(None, n2, args0) if aggNames(n2.toLowerCase) =>
+          val b = s"__s${comps.length}"
+          comps += ((b, n2.toLowerCase, args0.headOption))
+          FoldAlg.rewrite(n2.toLowerCase, b)
+        case Call(ns2, n2, as2) => Call(ns2, n2, as2.map(rwS))
+        case Bin(op, l, r) => Bin(op, rwS(l), rwS(r))
+        case Not(x) => Not(rwS(x))
+        case Neg(x) => Neg(rwS(x))
+        case other => other
+      }
+      val finalsS: Seq[(String, Expr)] = items.map { case (it, a, isAgg) =>
+        a -> (if (isAgg) rwS(it.e) else it.e)
+      }
+      comps.foreach { case (_, n2, argO) =>
+        if (n2 != "count" && argO.isEmpty)
+          fail(s"$n2(...) needs an argument")
+      }
+      if (comps.isEmpty)
+        fail("a sliding window selects at least one aggregate")
+      // the anchor key: global arrival rank (unique); rows frames also
+      // consume it as the band coordinate
+      val ranked = globalRank(base, Seq(col("ts_ns"), col("event_id")),
+        "__ark")
+      def bucketOf(rk: String, ts: String): Column = lenN match {
+        case Some(n2) => expr(s"($rk - 1) div ${n2}L")
+        case None => expr(s"$ts div ${timeNs.get}L")
+      }
+      val anchors = ranked.withColumn("__ab", bucketOf("__ark", timeAttr))
+      val data = ranked.select(col("__ark").as("__drk") +:
+        col(timeAttr).as("__dts") +:
+        comps.toSeq.flatMap { case (b, _, argO) =>
+          argO.map(a0 => expr(sqlOf(a0)).as(s"${b}_x")).toSeq }: _*)
+        .withColumn("__db", explode(array(bucketOf("__drk", "__dts"),
+          bucketOf("__drk", "__dts") + lit(1L))))
+      val frameCond = (lenN.map(n2 =>
+          col("__drk") >= col("__ark") - lit(n2 - 1) &&
+            col("__drk") <= col("__ark")).toList ++
+        timeNs.map(t =>
+          col("__dts") >= col(timeAttr) - lit(t) &&
+            col("__dts") <= col(timeAttr)).toList).reduce(_ && _)
+      val aggsS = comps.toSeq.flatMap { case (b, n2, argO) =>
+        FoldAlg.partialCols(n2, b, argO.map(_ => col(s"${b}_x"))) }
+      val agged = anchors.select(col("__ark"), col("__ab"),
+          col(timeAttr))
+        .join(data, col("__ab") === col("__db") && frameCond)
+        .groupBy("__ark").agg(aggsS.head, aggsS.tail: _*)
+        .withColumnRenamed("__ark", "__grk")
+      anchors.join(agged, col("__ark") === col("__grk"))
+        .select(finalsS.map { case (a, e2) =>
+          expr(sqlOf(e2)).as(a) }: _*)
+    }
+
     def sliding(frame: String): DataFrame = {
-      if (ast.groupBy.isEmpty && partKey.isEmpty)
-        guardGlobalWindow(base, "an unpartitioned sliding window")
       val part = if (ast.groupBy.isEmpty) ""
                  else s"partition by ${ast.groupBy.mkString(", ")} "
       val w = s"(${part}order by $frame)"
@@ -2946,15 +3010,21 @@ object SiddhiQL extends Serializable {
             expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
           grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
         case "lengthbatch" =>
-          // global arrival order: inherently sequential (the reference's
-          // single-threaded window) — one-partition window by design;
-          // inside `partition with`, chunks count per key and the window
-          // parallelizes across keys
-          if (partKey.isEmpty) guardGlobalWindow(base, "lengthBatch")
-          val pb = partKey.fold("")(k => s"partition by $k ")
-          val withC = base.withColumn("chunk_id", expr(
-            s"(row_number() over (${pb}order by ts_ns, event_id) - 1) " +
-              s"div ${args.head}"))
+          // inside `partition with`, chunks count per key and the
+          // window parallelizes across keys; the GLOBAL form's arrival
+          // ranks ride the distributed prefix sum (the r9
+          // guardGlobalWindow refusal is gone) — chunking is then a
+          // plain rank consumer, floor(rank/N)
+          val withC = partKey match {
+            case Some(k) => base.withColumn("chunk_id", expr(
+              s"(row_number() over (partition by $k " +
+                s"order by ts_ns, event_id) - 1) div ${args.head}"))
+            case None =>
+              globalRank(base, Seq(col("ts_ns"), col("event_id")), "__rk")
+                .withColumn("chunk_id",
+                  expr(s"(__rk - 1) div ${args.head}"))
+                .drop("__rk")
+          }
           grouped(Seq("chunk_id" -> col("chunk_id")), withC)
         case "session" =>
           val gap = s"${args.head / 1000000} milliseconds"
@@ -2973,17 +3043,23 @@ object SiddhiQL extends Serializable {
             unix_millis(col("session_window.end")).as("w_end_ms") +:
             items.map { case (_, a, _) => col(a) }: _*)
         case "length" =>
-          sliding(s"ts_ns, event_id rows between ${args.head - 1} " +
+          if (ast.groupBy.isEmpty)
+            slidingBand(Some(args.head), None, "ts_ns")
+          else sliding(s"ts_ns, event_id rows between ${args.head - 1} " +
             "preceding and current row")
         case "time" =>
-          sliding(s"ts_ns range between ${args.head} " +
+          if (ast.groupBy.isEmpty)
+            slidingBand(None, Some(args.head), "ts_ns")
+          else sliding(s"ts_ns range between ${args.head} " +
             "preceding and current row")
         case "externaltime" =>
           // sliding time window driven by a NAMED ns-epoch attribute
           // (engine twin: window_external_time); `time` drives off ts_ns
           val attr = s.window.get.sargs.headOption.getOrElse(
             fail("externalTime needs a timestamp attribute argument"))
-          sliding(s"$attr range between ${args.head} " +
+          if (ast.groupBy.isEmpty)
+            slidingBand(None, Some(args.head), attr)
+          else sliding(s"$attr range between ${args.head} " +
             "preceding and current row")
         case "externaltimebatch" =>
           val attr = s.window.get.sargs.headOption.getOrElse(
@@ -3080,10 +3156,11 @@ object SiddhiQL extends Serializable {
             fail(s"timeLength($n) would materialize an $n-struct buffer " +
               "per output row — for large counts use time()/timeBatch()" +
               " (the time bound alone) instead")
-          if (ast.groupBy.isEmpty && partKey.isEmpty)
-            guardGlobalWindow(base, "an unpartitioned timeLength window")
-          val part = if (ast.groupBy.isEmpty) ""
-                     else s"partition by ${ast.groupBy.mkString(", ")} "
+          if (ast.groupBy.isEmpty)
+            // global timeLength = the band join with BOTH bounds:
+            // rank band (last N) ∩ time band (within T)
+            return slidingBand(Some(n.toLong), Some(tNs), "ts_ns")
+          val part = s"partition by ${ast.groupBy.mkString(", ")} "
           def refsIn(e: Expr): List[String] = e match {
             case Ref(p) => List(p.last)
             case Call(_, _, as) => as.flatMap(refsIn)
@@ -3270,6 +3347,100 @@ object SiddhiQL extends Serializable {
     (grainMsOf(per), lo, hi)
   }
 
+  /** The live fold algebra — one (rewrite, partial, merge) component
+    * recipe per MERGEABLE aggregate, shared by every componentwise-
+    * merge channel: the windowed flush folds (windowed table DML,
+    * rate-over-window), the keyed join/enrichment aggregation folds,
+    * and the define-aggregation live grain cascade's two-way state
+    * merge. Extending an aggregate here deploys it on all of them.
+    *
+    *   - count/sum/min/max — one partial column, trivially mergeable
+    *     (sum partials keep SQL null semantics: null iff all inputs
+    *     null; least/greatest skip single-side nulls);
+    *   - avg — (sum, count) components, finalized as s/n;
+    *   - stdDev — Chan/Welford moment components (n, mean, M2) with
+    *     M2 = var_pop·n, merged by the pairwise update rule
+    *     (Chan et al. 1979's parallel-variance merge — numerically
+    *     stable at any merge depth, the property that matters when a
+    *     long-running deployment folds millions of micro-batches);
+    *     finalized as sqrt(M2/n) — POPULATION stddev, Siddhi's
+    *     stdDev;
+    *   - distinctCount — exact value-set partials (collect_set),
+    *     merged by array union, finalized as cardinality. Per-group
+    *     state grows with the distinct-value count — the documented
+    *     cost of the exact form (the approx twin is the HLL-backed
+    *     `sketch_approx_distinct`). */
+  private object FoldAlg {
+    /** Final-stage Expr over the merged partial columns of `base`. */
+    def rewrite(kind: String, base: String): Expr = kind match {
+      case "count" | "sum" | "min" | "max" => Ref(List(base))
+      case "avg" => Bin("/", Ref(List(base + "s")), Ref(List(base + "n")))
+      case "stddev" => Call(Some("math"), "sqrt",
+        List(Bin("/", Ref(List(base + "q")), Ref(List(base + "n")))))
+      case "distinctcount" => // cast: count(DISTINCT) is bigint
+        Call(None, "convert", List(
+          Call(Some("list"), "size", List(Ref(List(base)))), Str("long")))
+    }
+    /** One micro-batch's partial agg columns; `x` is the argument
+      * column (absent only for bare count()). */
+    def partialCols(kind: String, base: String,
+        x: Option[Column]): Seq[Column] = kind match {
+      case "count" => Seq(x.fold(count(lit(1)))(count).as(base))
+      case "sum" => Seq(sum(x.get).as(base))
+      case "min" => Seq(min(x.get).as(base))
+      case "max" => Seq(max(x.get).as(base))
+      case "avg" => Seq(sum(x.get).as(base + "s"),
+        count(x.get).as(base + "n"))
+      case "stddev" => Seq(count(x.get).as(base + "n"),
+        avg(x.get).as(base + "m"),
+        (var_pop(x.get) * count(x.get)).as(base + "q"))
+      case "distinctcount" => Seq(collect_set(x.get).as(base))
+    }
+    /** Componentwise merge of accumulated (`t.*`) and batch (`u.*`)
+      * partials — each output column keeps the partial's name. */
+    def mergeCols(kind: String, base: String): Seq[Column] = {
+      def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
+        coalesce(col(s"u.$c"), lit(0))).as(c)
+      def addSum(c: String) =
+        when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
+          .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+            coalesce(col(s"u.$c"), lit(0))).as(c)
+      kind match {
+        case "count" => Seq(add(base))
+        case "sum" => Seq(addSum(base))
+        case "min" => Seq(least(col(s"t.$base"), col(s"u.$base"))
+          .as(base))
+        case "max" => Seq(greatest(col(s"t.$base"), col(s"u.$base"))
+          .as(base))
+        case "avg" => Seq(addSum(base + "s"), add(base + "n"))
+        case "stddev" =>
+          // Chan pairwise update: n = n₁+n₂; m = m₁ + δ·n₂/n;
+          // M2 = M2₁ + M2₂ + δ²·n₁n₂/n — a single-side-absent merge
+          // degenerates to the present side
+          val nt = coalesce(col(s"t.${base}n"), lit(0L))
+          val nu = coalesce(col(s"u.${base}n"), lit(0L))
+          val n = nt + nu
+          val mt = coalesce(col(s"t.${base}m"), lit(0d))
+          val mu = coalesce(col(s"u.${base}m"), lit(0d))
+          Seq(
+            add(base + "n"),
+            when(n === 0, lit(null))
+              .otherwise(mt + (mu - mt) * nu / n).as(base + "m"),
+            when(n === 0, lit(null))
+              .otherwise(coalesce(col(s"t.${base}q"), lit(0d)) +
+                coalesce(col(s"u.${base}q"), lit(0d)) +
+                when(nt === 0 || nu === 0, lit(0d))
+                  .otherwise(pow(mu - mt, 2) * nt * nu / n))
+              .as(base + "q"))
+        case "distinctcount" =>
+          Seq(when(col(s"t.$base").isNull, col(s"u.$base"))
+            .when(col(s"u.$base").isNull, col(s"t.$base"))
+            .otherwise(array_union(col(s"t.$base"), col(s"u.$base")))
+            .as(base))
+      }
+    }
+  }
+
   /** Partial / combine / final column triples per defined select item
     * — the algebraic decomposition that makes the grain cascade (and
     * the live bucket-merge) correct: partials live at the FINEST
@@ -3310,8 +3481,29 @@ object SiddhiQL extends Serializable {
               combines += sum(col(s"__ps_$a")).as(s"__s_$a")
               combines += sum(col(s"__pc_$a")).as(s"__c_$a")
               finals += a -> (col(s"__s_$a") / col(s"__c_$a")).as(a)
+            case "stddev" => // Chan moments (n, mean, M2) per bucket
+              partials += expr(s"count($argSql)").as(s"__p_${a}n")
+              partials += expr(s"avg($argSql)").as(s"__p_${a}m")
+              partials += expr(s"var_pop($argSql) * count($argSql)")
+                .as(s"__p_${a}q")
+              // rollup across buckets via the moment-sum identity:
+              // M2 = Σ(q + n·m²) − (Σ n·m)² / Σn
+              combines += sum(col(s"__p_${a}n")).as(s"__n_$a")
+              combines += sum(col(s"__p_${a}n") * col(s"__p_${a}m"))
+                .as(s"__s1_$a")
+              combines += sum(col(s"__p_${a}q") + col(s"__p_${a}n") *
+                col(s"__p_${a}m") * col(s"__p_${a}m")).as(s"__s2_$a")
+              finals += a -> when(col(s"__n_$a") === 0, lit(null))
+                .otherwise(sqrt(greatest(lit(0d), (col(s"__s2_$a") -
+                  col(s"__s1_$a") * col(s"__s1_$a") / col(s"__n_$a")) /
+                  col(s"__n_$a")))).as(a)
+            case "distinctcount" => // exact value-set partials
+              partials += expr(s"collect_set($argSql)").as(s"__p_$a")
+              combines += expr("cast(size(array_distinct(flatten(" +
+                s"collect_list(__p_$a)))) as bigint)").as(a)
+              finals += a -> col(a)
             case other => fail(s"aggregation definitions support " +
-              s"sum/count/min/max/avg (v1), got '$other'")
+              s"sum/count/min/max/avg/stdDev/distinctCount, got '$other'")
           }
         case _ => fail(s"aggregation select item '${sqlOf(it.e)}' must " +
           "be a group key or an aggregate call")
@@ -3346,6 +3538,9 @@ object SiddhiQL extends Serializable {
           case "max" => Seq(greatest(col(s"t.__p_$a"),
             col(s"u.__p_$a")).as(s"__p_$a"))
           case "avg" => Seq(addSum(s"__ps_$a"), add(s"__pc_$a"))
+          case "stddev" => FoldAlg.mergeCols("stddev", s"__p_$a")
+          case "distinctcount" =>
+            FoldAlg.mergeCols("distinctcount", s"__p_$a")
           case _ => Nil // aggPlanCols already diagnosed
         }
         case _ => Nil
@@ -3495,11 +3690,11 @@ object SiddhiQL extends Serializable {
             s"ts_ns div ${t}L order by $ord)"))
           .where(col("__rn") === 1))
       case (m @ ("first" | "last"), None, Some(n)) =>
-        guardGlobalWindow(base, s"`output $m every $n events`")
+        // arrival ranks ride the DISTRIBUTED prefix sum; the chunk
+        // pick is a chunk-PARTITIONED window — no data-sized global
+        // single-task stage (the r9 guardGlobalWindow refusal is gone)
         val pick = if (m == "first") "min" else "max"
-        proj(base
-          .withColumn("__rn",
-            expr(s"row_number() over (order by $ordAsc)"))
+        proj(globalRank(base, Seq(col("ts_ns"), col("event_id")), "__rn")
           .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
             s"(__rn - 1) div ${n}L)"))
           .where(col("__rn") === col("__keep")))
@@ -3731,12 +3926,11 @@ object SiddhiQL extends Serializable {
             proj(df.withColumn("__rn", row_number().over(w))
               .where(col("__rn") === 1))
           case (m @ ("first" | "last"), None, Some(n)) =>
-            guardGlobalWindow(df,
-              s"`output $m every $n events` over a pattern")
+            // match-emission ranks from the distributed prefix sum;
+            // chunk-partitioned pick — no global single-task window
             val pick = if (m == "first") "min" else "max"
-            proj(df
-              .withColumn("__rn", row_number().over(
-                Window.orderBy(ordAsc: _*)))
+            proj(globalRank(df, Seq(col("__emit_ns"), col("__sp_ts"),
+                col("__sp_id")), "__rn")
               .withColumn("__keep", expr(s"$pick(__rn) over (partition " +
                 s"by (__rn - 1) div ${n}L)"))
               .where(col("__rn") === col("__keep")))
@@ -3949,7 +4143,7 @@ object SiddhiQL extends Serializable {
     * update or insert into T`, deployed): fold state is the
     * per-(window bucket ∪ group keys) algebraic PARTIALS of the flush
     * aggregates — a bucket that spans micro-batches merges
-    * componentwise (count/sum/min/max/avg), so the fold is
+    * componentwise (the FoldAlg algebra), so the fold is
     * chunking-invariant where a per-batch [[applyDml]] would
     * double-apply the straddling bucket. finish finalizes the flush
     * rows (one per bucket × group, `__g_ord` = bucket start) and runs
@@ -4037,16 +4231,8 @@ object SiddhiQL extends Serializable {
     def rw(e: Expr): Expr = e match {
       case Call(None, n, args0) if aggNames(n.toLowerCase) =>
         val base = s"__p${comps.length}"
-        n.toLowerCase match {
-          case "count" | "sum" | "min" | "max" =>
-            comps += ((base, n.toLowerCase, args0.headOption))
-            Ref(List(base))
-          case "avg" =>
-            comps += ((base, "avg", args0.headOption))
-            Bin("/", Ref(List(base + "s")), Ref(List(base + "n")))
-          case other => fail("live windowed folds (v1) support " +
-            s"count/sum/min/max/avg aggregates; got '$other'")
-        }
+        comps += ((base, n.toLowerCase, args0.headOption))
+        FoldAlg.rewrite(n.toLowerCase, base)
       case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
       case Bin(op, l, r) => Bin(op, rw(l), rw(r))
       case Not(x) => Not(rw(x))
@@ -4070,36 +4256,15 @@ object SiddhiQL extends Serializable {
     }
     def partialOf(df: DataFrame): DataFrame = {
       val aggs: Seq[Column] = comps.toSeq.flatMap { case (base, n, argO) =>
-        val a0 = argO.map(_ => col(s"${base}_x"))
-        n match {
-          case "count" => Seq(a0.fold(count(lit(1)))(count).as(base))
-          case "sum" => Seq(sum(a0.get).as(base))
-          case "min" => Seq(min(a0.get).as(base))
-          case "max" => Seq(max(a0.get).as(base))
-          case "avg" => Seq(sum(a0.get).as(base + "s"),
-            count(a0.get).as(base + "n"))
-        }
+        FoldAlg.partialCols(n, base, argO.map(_ => col(s"${base}_x")))
       }
       keyedSel(df).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
-    // sum partials preserve SQL null semantics (null iff all inputs
-    // null); least/greatest already skip single-side nulls
-    def mergeComp(base: String, n: String): Seq[Column] = {
-      def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
-        coalesce(col(s"u.$c"), lit(0))).as(c)
-      def addSum(c: String) =
-        when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
-          .otherwise(coalesce(col(s"t.$c"), lit(0)) +
-            coalesce(col(s"u.$c"), lit(0))).as(c)
-      n match {
-        case "count" => Seq(add(base))
-        case "sum" => Seq(addSum(base))
-        case "min" => Seq(least(col(s"t.$base"), col(s"u.$base")).as(base))
-        case "max" => Seq(greatest(col(s"t.$base"), col(s"u.$base"))
-          .as(base))
-        case "avg" => Seq(addSum(base + "s"), add(base + "n"))
-      }
-    }
+    // componentwise merge semantics live in FoldAlg (sum partials keep
+    // SQL null semantics; stdDev merges Chan moments; distinctCount
+    // unions value sets)
+    def mergeComp(base: String, n: String): Seq[Column] =
+      FoldAlg.mergeCols(n, base)
     val empty = emptyOf(feed.sparkSession, feed.schema)
     val stateSchema = partialOf(empty).schema
     // the finalized flush relation: __wb + output attrs (group keys
@@ -4302,8 +4467,10 @@ object SiddhiQL extends Serializable {
               window = Some(liveWindowDefs(ss.table))))
           case _ => ast0L
         }
-        if (ast.rate.nonEmpty && !ast.stream.isInstanceOf[SingleStream])
-          fail("live deployment rate-limits single-stream stages (v1)")
+        if (ast.rate.nonEmpty && ast.stream.isInstanceOf[PatternStream])
+          fail("live deployment (v1) does not rate-limit pattern " +
+            "matches — insert the matches into a stream and rate that " +
+            "stream, or use the batch replay (compileApp)")
         val dmlAct = ast.action.filter {
           case InsertInto(t) => tableDefs.contains(t)
           case _             => true
@@ -5333,11 +5500,87 @@ object SiddhiQL extends Serializable {
             val sp0 = src.sparkSession
             val hasAggE = ast.select.exists(it => containsAgg(it.e)) ||
               ast.groupBy.nonEmpty
-            if (hasAggE) {
+            val winWriterTNs: Option[Long] = dAst.stream match {
+              case ss2: SingleStream =>
+                if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
+                  fail(s"windowed DML writer on '$tName' has a " +
+                    "window with no duration")
+                ss2.window.map(_.args.head)
+              case _ => None
+            }
+            if (winWriterTNs.nonEmpty) {
+              // READ-AT-FINISH enrichment of a WINDOWED-aggregate
+              // store (the Siddhi store pattern read back through a
+              // join): flush rows materialize at window flushes and
+              // have no per-event as-of, so — exactly like the batch
+              // compile, where a query joining the table sees the
+              // final flush-merged relation — the live form folds the
+              // windowed DML with the store pattern's per-(bucket ∪
+              // group keys) partial state, APPENDS the stream side's
+              // rows per trigger, and runs the join ONCE at finish
+              // against the finished table. Siddhi-matching semantics:
+              // the table IS its latest flush state.
+              if (hasAggE)
+                fail("live enrichment aggregation over a windowed-" +
+                  "writer table is not deployed (v1) — project the " +
+                  "join, aggregate in a downstream stage")
+              if (ast.having.nonEmpty || ast.limit.nonEmpty ||
+                  ast.offset.nonEmpty)
+                fail("windowed-writer enrichment (v1) has no " +
+                  "having/limit/offset")
+              if (dSrc != "events")
+                fail("windowed-writer enrichment (v1) reads a table " +
+                  s"whose writer consumes the source stream; '$tName' " +
+                  s"is written from derived stream '$dSrc'")
+              val joinKindW = j.joinType match {
+                case "inner" | "left_outer" => j.joinType
+                case other => fail("windowed-writer enrichment joins " +
+                  s"are inner or left outer (v1), got '$other'")
+              }
+              val tAliasW = j.rightAlias.getOrElse(tName)
+              val sAliasW = j.leftAlias.getOrElse(sName)
+              val itemsW = itemsOf(ast)
+              val fnsSnapW = scriptFns
+              def evOf(sp: SparkSession, d2: String,
+                  batch: DataFrame): DataFrame = {
+                scriptFns = fnsSnapW
+                val benv = batchEnv(sp, d2, batch, statelessSnap)
+                val b0 = loadTable(sp, d2, sName, benv)
+                sSide.filter.fold(b0)(f =>
+                  applyFilter(sp, d2, b0, f, benv))
+              }
+              def joinFin(table: DataFrame, evs: DataFrame)
+                  : DataFrame = {
+                scriptFns = fnsSnapW
+                evs.as(sAliasW).join(table.as(tAliasW),
+                    expr(sqlOfWith(j.on, _.mkString("."))), joinKindW)
+                  .select(itemsW.map { case (it, a2, _) =>
+                    expr(sqlOfWith(it.e, _.mkString("."))).as(a2) }: _*)
+              }
+              // deploy-time prototypes: fail fast + output schema
+              val protoEv = evOf(sp0, "", emptyOf(sp0, srcTs.schema))
+              val protoW = joinFin(emptyOf(sp0, dSchema),
+                protoEv.limit(0))
+              val keyW = name.orElse(ast.action.map(_.target))
+              if (keyW.contains(out) || name.contains(out)) {
+                val wf = windowedDmlFold(
+                  emptyOf(sp0, srcTs.schema), dAst, dAct, dSchema,
+                  winWriterTNs.get, fnsSnapW)
+                foldResult = Some(LiveFold(srcTs,
+                  wf.schemas :+ (("__ev", protoEv.schema, AppendState)),
+                  (sp, d2, acc, batch) =>
+                    wf.fold(sp, d2, acc, batch) +
+                      ("__ev" -> evOf(sp, d2, batch)),
+                  (sp, acc) => joinFin(wf.finish(sp, acc), acc("__ev")),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoW.schema), KFold)
+            } else if (hasAggE) {
               // AGGREGATION ABOVE the enrichment join: each batch's
               // enriched rows compute exactly like the projection
               // form (same per-event as-of window pass), then fold as
-              // ALGEBRAIC keyed partials — count/sum/min/max/avg
+              // ALGEBRAIC keyed partials — the FoldAlg algebra
               // components merged componentwise across triggers (the
               // join-agg fold recipe; O(batch-touched buckets) state
               // writes). The batch compile aggregates the identical
@@ -5361,18 +5604,8 @@ object SiddhiQL extends Serializable {
               def rw(e: Expr): Expr = e match {
                 case Call(None, n, args0) if aggNames(n.toLowerCase) =>
                   val base = s"__g${comps.length}"
-                  n.toLowerCase match {
-                    case "count" | "sum" | "min" | "max" =>
-                      comps += ((base, n.toLowerCase, args0.headOption))
-                      Ref(List(base))
-                    case "avg" =>
-                      comps += ((base, "avg", args0.headOption))
-                      Bin("/", Ref(List(base + "s")),
-                        Ref(List(base + "n")))
-                    case other2 => fail("live enrichment aggregation " +
-                      "(v1) supports count/sum/min/max/avg; got " +
-                      s"'$other2'")
-                  }
+                  comps += ((base, n.toLowerCase, args0.headOption))
+                  FoldAlg.rewrite(n.toLowerCase, base)
                 case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
                 case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
                 case Not(x) => Not(rw(x))
@@ -5427,39 +5660,14 @@ object SiddhiQL extends Serializable {
               def partialOf(df: DataFrame): DataFrame = {
                 val aggs: Seq[Column] = comps.toSeq.flatMap {
                   case (base, n, argO) =>
-                    val a0 = argO.map(_ => col(s"${base}_x"))
-                    n match {
-                      case "count" =>
-                        Seq(a0.fold(count(lit(1)))(count).as(base))
-                      case "sum" => Seq(sum(a0.get).as(base))
-                      case "min" => Seq(min(a0.get).as(base))
-                      case "max" => Seq(max(a0.get).as(base))
-                      case "avg" => Seq(sum(a0.get).as(base + "s"),
-                        count(a0.get).as(base + "n"))
-                    }
+                    FoldAlg.partialCols(n, base,
+                      argO.map(_ => col(s"${base}_x")))
                 }
                 df.groupBy(keys.map(col): _*)
                   .agg(aggs.head, aggs.tail: _*)
               }
-              def mergeComp(base: String, n: String): Seq[Column] = {
-                def add(c: String) =
-                  (coalesce(col(s"t.$c"), lit(0)) +
-                    coalesce(col(s"u.$c"), lit(0))).as(c)
-                def addSum(c: String) =
-                  when(col(s"t.$c").isNull && col(s"u.$c").isNull,
-                    lit(null))
-                    .otherwise(coalesce(col(s"t.$c"), lit(0)) +
-                      coalesce(col(s"u.$c"), lit(0))).as(c)
-                n match {
-                  case "count" => Seq(add(base))
-                  case "sum" => Seq(addSum(base))
-                  case "min" => Seq(least(col(s"t.$base"),
-                    col(s"u.$base")).as(base))
-                  case "max" => Seq(greatest(col(s"t.$base"),
-                    col(s"u.$base")).as(base))
-                  case "avg" => Seq(addSum(base + "s"), add(base + "n"))
-                }
-              }
+              def mergeComp(base: String, n: String): Seq[Column] =
+                FoldAlg.mergeCols(n, base)
               // deploy-time prototypes (fail fast + schemas)
               val protoRows = enrichCompile(sp0, "", astRows, j, dmlInfo,
                 emptyOf(sp0, dSchema),
@@ -5685,11 +5893,122 @@ object SiddhiQL extends Serializable {
                 }
               val joined = aSide
                 .join(bSide, expr(s"($cond) and ($band)$resid"), jType)
-              if (joinAgg) {
+              if (ast.rate.nonEmpty && !joinAgg) {
+                // output rate limiting OVER the live windowed join: the
+                // rated events are the pair EMISSIONS — emission
+                // instant greatest(l.ts, r.ts), tie-broken by the side
+                // event ids (the batch rateOverJoin's exact order).
+                // Time modes fold per-interval extreme picks
+                // (KeyedState on the interval — chunking-invariant: a
+                // pair's interval is a function of its own emit ts, so
+                // cross-trigger merges commute); count modes ride the
+                // running pair counter (the single-stream count-rate
+                // fold shape — pair emission is trigger-monotone under
+                // the in-order replay, the same contract that fold
+                // already carries).
+                if (jType != "inner")
+                  fail("live rate limiting over an OUTER join is not " +
+                    "deployed (v1) — null-padded rows only materialize " +
+                    "at watermark expiry, with no pair emission instant")
+                val rJ = ast.rate.get
+                val itemsJ = itemsOf(ast)
+                Seq(la, ra).foreach { al =>
+                  Seq("ts_ns", "event_id").foreach(c =>
+                    if (!joined.columns.contains(s"${al}_$c"))
+                      fail(s"rate over a join needs '$al.$c' to " +
+                        "define pair emission order"))
+                }
+                val emitTs = greatest(col(s"${la}_ts_ns"),
+                  col(s"${ra}_ts_ns"))
+                val ordJ = struct(emitTs.as("t"),
+                  col(s"${la}_event_id").as("il"),
+                  col(s"${ra}_event_id").as("ir"))
+                val outColsJ = itemsJ.map(_._2)
+                val feedJ = joined.select(itemsJ.map { case (it, a2, _) =>
+                  expr(sqlOfWith(it.e, qual)).as(a2) } :+
+                  emitTs.as("__emit_ts") :+ ordJ.as("__emit_ord"): _*)
+                val ordFin = ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }
+                val keyJ2 = name.orElse(ast.action.map(_.target))
+                carriedNow = Nil
+                (rJ.mode, rJ.timeNs, rJ.count) match {
+                  case ("all", _, _) => // emission batching only
+                    (feedJ.drop("__emit_ts", "__emit_ord"), KStateless)
+                  case (m @ ("first" | "last"), Some(t), None) =>
+                    val withIv = feedJ.withColumn("__iv",
+                      expr(s"__emit_ts div ${t}L")).drop("__emit_ts")
+                    val schemaR = withIv.schema
+                    def pickRow(df2: DataFrame): DataFrame = {
+                      val rowS = struct(withIv.columns.map(col): _*)
+                      val pick =
+                        if (m == "first") min_by(rowS, col("__emit_ord"))
+                        else max_by(rowS, col("__emit_ord"))
+                      df2.groupBy("__iv").agg(pick.as("__row"))
+                        .select(withIv.columns.map(c =>
+                          col(s"__row.$c").as(c)): _*)
+                    }
+                    if (keyJ2.contains(out) || name.contains(out))
+                      foldResult = Some(singleFold(withIv, schemaR,
+                        (_, _, acc, batch) =>
+                          pickRow(acc.unionByName(batch)),
+                        (_, acc) => acc.select(outColsJ.map(col): _*),
+                        ordFin,
+                        KeyedState(Seq("__iv"), (_, _, batch) =>
+                          batch.select(col("__iv")))))
+                    (emptyOf(joined.sparkSession, schemaR), KFold)
+                  case (m @ ("first" | "last"), None, Some(nEv)) =>
+                    val rankedSchema = StructType(feedJ
+                      .drop("__emit_ts", "__emit_ord").schema.fields :+
+                      StructField("__rn", LongType))
+                    if (keyJ2.contains(out) || name.contains(out))
+                      foldResult = Some(LiveFold(feedJ,
+                        Seq(("out", rankedSchema, AppendState),
+                          ("pend", rankedSchema, FullState)),
+                        (_, _, st, batch0) => {
+                          val prior = st("pend").slice.collect()
+                            .headOption.map(_.getAs[Long]("__rn"))
+                            .getOrElse(0L)
+                          val batch = batch0.withColumn("__rn",
+                            expr("row_number() over (order by " +
+                              "__emit_ord)") + lit(prior))
+                            .drop("__emit_ts", "__emit_ord")
+                          val kept =
+                            if (m == "first")
+                              batch.filter((col("__rn") - 1) % nEv === 0)
+                            else batch.filter(col("__rn") % nEv === 0)
+                          Map("out" -> kept,
+                            "pend" -> batch.orderBy(col("__rn").desc)
+                              .limit(1).unionByName(
+                                st("pend").slice.limit(1))
+                              .orderBy(col("__rn").desc).limit(1))
+                        },
+                        (_, st) => {
+                          val total = st("pend").collect()
+                            .headOption.map(_.getAs[Long]("__rn"))
+                            .getOrElse(0L)
+                          val fin =
+                            if (m == "last" && total % nEv != 0)
+                              st("out").unionByName(st("pend"))
+                            else st("out")
+                          fin.orderBy("__rn").drop("__rn")
+                        }, ordFin))
+                    (emptyOf(joined.sparkSession, rankedSchema), KFold)
+                  case ("snapshot", _, _) =>
+                    fail("output snapshot over a join (v1): insert the " +
+                      "join into a stream and snapshot that stream — a " +
+                      "snapshot of pair state has no single emission row")
+                  case _ =>
+                    fail("unreachable: rate clause validated at parse")
+                }
+              } else if (joinAgg) {
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting above a join aggregation is " +
+                    "not deployed (v1) — rate the join, aggregate in a " +
+                    "downstream stage")
                 // ONE-STAGE windowed-join aggregation: `join … select
                 // agg(...) group by …` compiles to the watermarked
                 // interval join feeding a per-micro-batch ALGEBRAIC
-                // keyed fold (count/sum/min/max/avg partials merged
+                // keyed fold (FoldAlg algebra partials merged
                 // componentwise across triggers — state is one
                 // component row per group, per-trigger write cost
                 // O(batch-touched buckets)). The batch twin is the
@@ -5727,18 +6046,8 @@ object SiddhiQL extends Serializable {
                   case Call(None, n, args0)
                       if aggNames(n.toLowerCase) =>
                     val base = s"__g${comps.length}"
-                    n.toLowerCase match {
-                      case "count" | "sum" | "min" | "max" =>
-                        comps += ((base, n.toLowerCase, args0.headOption))
-                        Ref(List(base))
-                      case "avg" =>
-                        comps += ((base, "avg", args0.headOption))
-                        Bin("/", Ref(List(base + "s")),
-                          Ref(List(base + "n")))
-                      case other2 => fail("live join aggregation (v1) " +
-                        "supports count/sum/min/max/avg aggregates; " +
-                        s"got '$other2'")
-                    }
+                    comps += ((base, n.toLowerCase, args0.headOption))
+                    FoldAlg.rewrite(n.toLowerCase, base)
                   case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
                   case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
                   case Not(x) => Not(rw(x))
@@ -5768,46 +6077,14 @@ object SiddhiQL extends Serializable {
                 def partialOf(df: DataFrame): DataFrame = {
                   val aggs: Seq[Column] = comps.toSeq.flatMap {
                     case (base, n, argO) =>
-                      val a0 = argO.map(_ => col(s"${base}_x"))
-                      n match {
-                        case "count" =>
-                          Seq(a0.fold(count(lit(1)))(count).as(base))
-                        case "sum" => Seq(sum(a0.get).as(base))
-                        case "min" => Seq(min(a0.get).as(base))
-                        case "max" => Seq(max(a0.get).as(base))
-                        case "avg" => Seq(sum(a0.get).as(base + "s"),
-                          count(a0.get).as(base + "n"))
-                      }
+                      FoldAlg.partialCols(n, base,
+                        argO.map(_ => col(s"${base}_x")))
                   }
                   df.groupBy(keys.map(col): _*)
                     .agg(aggs.head, aggs.tail: _*)
                 }
-                def mergeComp(base: String, n: String): Seq[Column] = {
-                  def add(c: String) =
-                    (coalesce(col(s"t.$c"), lit(0)) +
-                      coalesce(col(s"u.$c"), lit(0))).as(c)
-                  // sum partials preserve SQL null semantics: a partial
-                  // is null iff its values were all null, and the merge
-                  // must stay null in that case (coalescing both sides
-                  // to 0 would turn sum(all-null) into 0, diverging
-                  // from the batch oracle); least/greatest already skip
-                  // single-side nulls and return null only if both are
-                  def addSum(c: String) =
-                    when(col(s"t.$c").isNull && col(s"u.$c").isNull,
-                      lit(null))
-                      .otherwise(coalesce(col(s"t.$c"), lit(0)) +
-                        coalesce(col(s"u.$c"), lit(0))).as(c)
-                  n match {
-                    case "count" => Seq(add(base))
-                    case "sum" => Seq(addSum(base))
-                    case "min" => Seq(least(col(s"t.$base"),
-                      col(s"u.$base")).as(base))
-                    case "max" => Seq(greatest(col(s"t.$base"),
-                      col(s"u.$base")).as(base))
-                    case "avg" => Seq(addSum(base + "s"),
-                      add(base + "n"))
-                  }
-                }
+                def mergeComp(base: String, n: String): Seq[Column] =
+                  FoldAlg.mergeCols(n, base)
                 val schemaJ = partialOf(feed).schema
                 val keyJ = name.orElse(ast.action.map(_.target))
                 if (keyJ.contains(out) || name.contains(out))

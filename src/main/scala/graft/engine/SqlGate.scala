@@ -353,6 +353,34 @@ object SqlGate {
         |output first every 4 events
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // rate OVER the join deployed LIVE: time mode folds a per-interval
+    // extreme pick keyed on the interval (chunking-invariant — a
+    // pair's interval is its own emit instant); the batch
+    // sql_rate_join form is the truth
+    "sql_app_rate_join_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'paced')
+        |from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |output last every 10 min
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "paced")),
+    // count mode deployed LIVE: pair emissions ride the running
+    // counter fold (emission order = greatest ts + side ids)
+    "sql_app_rate_join_count_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'paced')
+        |from events as a#window.time(10 min)
+        |  join events as b#window.time(10 min)
+        |  on a.user_id == b.user_id and a.event_type == 'error'
+        |     and b.event_type == 'purchase'
+        |select a.event_id as err_id, b.event_id as buy_id,
+        |  a.user_id as user_id
+        |output first every 4 events
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "paced")),
     // the windowed downsample deployed LIVE: fold state = per-bucket
     // algebraic flush partials (chunking-invariant), finish runs the
     // batch rate selection — the batch sql_rate_window oracle is truth
@@ -487,6 +515,21 @@ object SqlGate {
         |  math:round(avg(b.value), 2) as avg_v,
         |  math:round(min(b.value), 2) as vmin,
         |  math:round(max(b.value), 2) as vmax
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
+    // the one-stage join aggregation with the EXTENDED algebra:
+    // stdDev folds as Chan moments and distinctCount as value-set
+    // unions per group across triggers — the r9 "algebraic aggregates
+    // only" refusal on the live join fold, deleted
+    "sql_app_join_agg_stats_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(5 min)
+        |  join events as b[event_type == 'purchase']#window.time(5 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(stdDev(b.value), 6) as sd,
+        |  distinctCount(b.event_id) as dp
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
@@ -675,6 +718,66 @@ object SqlGate {
         |select user_id, flushes, math:round(total, 2) as total
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // the windowed store pattern with the EXTENDED fold algebra:
+    // per-window stdDev (Chan moment components) and exact
+    // distinctCount (value-set partials); upsert = last flush wins
+    "sql_table_agg_stats" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table WStats (user_id long, sd double, dv long);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(stdDev(value), 6) as sd,
+        |  distinctCount(event_id) as dv
+        |group by user_id
+        |update or insert into WStats on WStats.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from WStats
+        |select user_id, sd, dv
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // the same stats store pattern deployed LIVE: stdDev folds as
+    // (n, mean, M2) moments and distinctCount as value-set unions in
+    // the per-(bucket, user) flush-partial state — the r9 "algebraic
+    // aggregates only" refusal, deleted
+    "sql_app_table_stats_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table WStats (user_id long, sd double, dv long);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(stdDev(value), 6) as sd,
+        |  distinctCount(event_id) as dv
+        |group by user_id
+        |update or insert into WStats on WStats.user_id == user_id"""
+        .stripMargin, "roll")
+      .selectExpr("user_id", "sd", "dv")
+      .orderBy("user_id")),
+    // a WINDOWED-writer table read back through a JOIN, deployed LIVE:
+    // flush rows have no per-event as-of, so the read-at-finish form
+    // folds the store pattern's partial state, appends the stream
+    // side's rows per trigger, and joins ONCE at finish against the
+    // finished table (Siddhi-matching: the table IS its latest flush);
+    // the oracle reads the final flush relation
+    "sql_app_enrich_window_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table WinStats (user_id long, cnt long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinStats on WinStats.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join WinStats
+        |  on WinStats.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  WinStats.cnt as clicks, WinStats.total as click_total
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     // the STORE pattern deployed LIVE: a windowed aggregate maintains
     // the table — fold state is per-(bucket, user) algebraic partials
     // (a bucket spanning triggers merges componentwise instead of
@@ -1001,6 +1104,25 @@ object SqlGate {
         |  order by partition_key
         |  insert into Out;
         |end""".stripMargin)("bands")),
+    // define aggregation with the EXTENDED fold algebra: stdDev rides
+    // the cascade as Chan (n, mean, M2) moment partials (rolled up via
+    // the moment-sum identity), distinctCount as exact value-set
+    // partials — both mergeable at any grain, like sum/count
+    "sql_incremental_stats" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define aggregation EvStats
+        |from events
+        |select user_id, stdDev(value) as sd,
+        |  distinctCount(event_type) as dt, count() as cnt
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |
+        |@info(name = 'read')
+        |from EvStats
+        |within '2024-01-02 00:00:00', '2024-01-05 00:00:00'
+        |per 'hours'
+        |select user_id, math:round(sd, 6) as sd, dt, cnt
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin)("read")),
     // define aggregation + within/per: sec-grain partials rolled up to
     // the requested grain (incremental-aggregation cascade), range-pruned
     "sql_incremental_agg" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -1255,6 +1377,25 @@ object SqlGate {
     // partials fold into bucket-keyed state per trigger (write cost
     // O(batch-touched buckets)); the sibling read rolls the cascade up
     // at finish — the batch sql_incremental_agg oracle is truth
+    // the stats define-aggregation deployed LIVE: stdDev moments and
+    // distinctCount value sets fold as bucketed KeyedState partials
+    // per trigger — the r9 "algebraic aggregates only" refusal on the
+    // live grain cascade, deleted
+    "sql_app_incremental_stats_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define aggregation EvStats
+        |from events
+        |select user_id, stdDev(value) as sd,
+        |  distinctCount(event_type) as dt, count() as cnt
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |
+        |@info(name = 'read')
+        |from EvStats
+        |within '2024-01-02 00:00:00', '2024-01-05 00:00:00'
+        |per 'hours'
+        |select user_id, math:round(sd, 6) as sd, dt, cnt
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin, "read")),
     "sql_app_incremental_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """define aggregation EvAgg
         |from events
@@ -1529,6 +1670,51 @@ object SqlGate {
         |  buy_id) AS rn FROM p)
         |SELECT err_id, buy_id, user_id FROM r
         |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
+    // read-at-finish: purchases joined against the FINAL flush table
+    // (per user the last 10-min click window's aggregate row)
+    "sql_app_enrich_window_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, round(sum(value), 2) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |fin AS (SELECT user_id, cnt, total FROM flush
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY b DESC) = 1)
+        |SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  f.cnt AS clicks, f.total AS click_total
+        |FROM events e JOIN fin f ON f.user_id = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // live ≡ batch: last pair emission per 10-min interval
+    "sql_app_rate_join_live" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000)
+        |SELECT err_id, buy_id, user_id FROM p
+        |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
+        |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
+        |ORDER BY err_id, buy_id""".stripMargin,
+    // live ≡ batch: every 4th pair emission, first of each chunk
+    "sql_app_rate_join_count_live" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |r AS (SELECT *, row_number() OVER (ORDER BY emit, err_id,
+        |  buy_id) AS rn FROM p)
+        |SELECT err_id, buy_id, user_id FROM r
+        |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
     // live ≡ batch: last 1-min flush per 10-min rate interval
     "sql_app_rate_window_live" ->
       """WITH flush AS (
@@ -1618,6 +1804,18 @@ object SqlGate {
         |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
         |  round(max(v), 2) AS vmax
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // band-pair multiset stddev + distinct purchase ids per user
+    "sql_app_join_agg_stats_live" ->
+      """WITH pairs AS (
+        |  SELECT a.user_id AS user_id, b.value AS v, b.event_id AS bid
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -300000000000 AND 300000000000)
+        |SELECT user_id, count(*) AS n, round(stddev_pop(v), 6) AS sd,
+        |  count(DISTINCT bid) AS dp
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sql_app_join_outer_live" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
         |b AS (SELECT * FROM events WHERE event_type = 'purchase')
@@ -1675,6 +1873,27 @@ object SqlGate {
         |    count(*) AS cnt, sum(value) AS total
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // per user the LAST flush's stddev/distinct-count row wins
+    "sql_table_agg_stats" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    round(stddev_pop(value), 6) AS sd,
+        |    count(DISTINCT event_id) AS dv
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, sd, dv FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "sql_app_table_stats_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    round(stddev_pop(value), 6) AS sd,
+        |    count(DISTINCT event_id) AS dv
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, sd, dv FROM flush
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY b DESC) = 1
         |ORDER BY user_id""".stripMargin,
@@ -2050,6 +2269,23 @@ object SqlGate {
         |  count(*) AS n, round(sum(value), 2) AS sv
         |FROM events GROUP BY 1 ORDER BY partition_key""".stripMargin,
     // hour buckets inside [Jan 2, Jan 5), per user
+    // hour buckets of population stddev + exact distinct type counts —
+    // independent recompute from raw rows (the cascade's moment/set
+    // partials must reproduce the direct aggregation)
+    "sql_incremental_stats" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, round(stddev_pop(value), 6) AS sd,
+        |  count(DISTINCT event_type) AS dt, count(*) AS cnt
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
+    "sql_app_incremental_stats_live" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, round(stddev_pop(value), 6) AS sd,
+        |  count(DISTINCT event_type) AS dt, count(*) AS cnt
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
     "sql_incremental_agg" ->
       """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
         |  user_id, round(sum(value), 2) AS total, count(*) AS cnt,

@@ -509,6 +509,38 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x timed-absence channel: event-time-timer matches " +
+       "replica-exact, eviction-armed, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-9 timed re-fold (fMGWS + EventTimeTimeout): replica
+    // user spaces are disjoint, so each replica's `not purchase for
+    // 5 min` matches must reproduce the base gate's matches with ids
+    // shifted — the per-key NFA is provably key-local. The `within`
+    // variant is the one rehearsed: it arms the horizon-bounded
+    // history+signature eviction, so per-key state stays in the
+    // (watermark lag + within) band at any stream length (the pure
+    // fold's bound is asserted in CepNfaSpec; this run exercises it
+    // through the full deployed topology at 1M events).
+    val q = SqlGate.queries("sql_app_absence_within_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"absence 10x: ${rows.length} matches, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} matches)")
+    assert(rows.length == reps * base.length,
+      s"10x match count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r.head.asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base absence matches")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live define aggregation: grain cascade replica-exact, " +
        "fold writes bounded, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

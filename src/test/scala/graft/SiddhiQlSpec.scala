@@ -553,51 +553,76 @@ class SiddhiQlSpec extends AnyFunSuite {
     // missing within
     assert(appMsg(defn + "from A per 'hours' select t insert into O")
       .contains("needs `within"))
-    // unsupported aggregate in the definition
+    // unsupported (non-mergeable) aggregate in the definition —
+    // stdDev/distinctCount joined the algebra in r10, percentile has
+    // no exact mergeable partial and stays diagnosed
     assert(appMsg(
       """define aggregation B from events
-        |select distinctCount(user_id) as u
+        |select percentile(value) as u
         |aggregate by ts_ns every min;
         |from B within 0, 1 per 'min' select u insert into O""".stripMargin)
-      .contains("sum/count/min/max/avg"))
+      .contains("sum/count/min/max/avg/stdDev/distinctCount"))
     // within/per without an app-level definition
     assert(intercept[IllegalArgumentException](compile(
       "from Nope within 0, 1 per 'hours' select x"))
       .getMessage.contains("define aggregation"))
   }
 
-  test("global-window guard: unpartitioned lengthBatch/sliding shapes " +
-       "above the row bound refuse to compile; sharded shapes pass") {
-    val prev = SiddhiQL.maxGlobalWindowRows
-    try {
-      SiddhiQL.maxGlobalWindowRows = 10L
-      def msg(q: String): String =
-        intercept[IllegalArgumentException](compile(q).collect())
-          .getMessage
-      assert(msg("from events#window.lengthBatch(100) " +
-        "select max(value) as mx order by chunk_id")
-        .contains("single-task global window"))
-      assert(msg("from events#window.length(5) " +
-        "select event_id, sum(value) as s order by event_id")
-        .contains("single-task global window"))
-      assert(msg("from events select event_id output first every 3 events")
-        .contains("single-task global window"))
-      // the same window inside `partition with` shards per key: no guard
-      val sharded = SiddhiQL.compileApp(spark, sf,
-        """partition with (user_id of events)
-          |begin
-          |  @info(name = 'q')
-          |  from events#window.lengthBatch(10)
-          |  select user_id, count() as n
-          |  order by user_id, chunk_id
-          |  insert into Out;
-          |end""".stripMargin)("q")
-      assert(sharded.count() > 0)
-      // and `group by` shards the sliding frame: no guard
-      assert(compile("from events#window.length(5) " +
-        "select event_id, sum(value) as s group by user_id " +
-        "order by event_id limit 3").count() == 3)
-    } finally SiddhiQL.maxGlobalWindowRows = prev
+  test("global-count shapes compile DISTRIBUTED: lengthBatch, sliding " +
+       "frames, timeLength, and count rates ride the prefix-sum rank / " +
+       "band join — no data-sized global-ordered window in any plan") {
+    // each shape was an r9 guardGlobalWindow fail-fast; now the ranks
+    // come from runningTotal (range partition + per-partition window +
+    // P-row offset cumsum) and sliding frames from the band join, so no
+    // windowspecdefinition ordered by raw ts_ns without a partition key
+    // may remain (that was the single-task shape)
+    for (q <- Seq(
+      "from events#window.lengthBatch(100) select max(value) as mx " +
+        "order by chunk_id",
+      "from events#window.length(5) select event_id, sum(value) as s " +
+        "order by event_id",
+      "from events#window.time(2 min) select event_id, count() as n " +
+        "order by event_id",
+      "from events#window.timeLength(2 min, 5) select event_id, " +
+        "count() as n order by event_id",
+      "from events select event_id output first every 3 events",
+      "from events select event_id output last every 3 events")) {
+      val df = compile(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("windowspecdefinition(ts_ns"),
+        s"global single-task window remains in: $q\n$p")
+      assert(df.count() > 0)
+    }
+    // the sliding band join ≡ the partitioned window semantics: the
+    // global length(5) frame recomputed naively per row
+    val got = compile("from events#window.length(5) " +
+      "select event_id, sum(value) as s order by event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val evs = engine.Tables.events(spark, sf)
+      .select("event_id", "ts_ns", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._2, t._1))
+    val naive = evs.zipWithIndex.map { case ((id, _, _), i) =>
+      id -> evs.slice(math.max(0, i - 4), i + 1).map(_._3).sum
+    }.toMap
+    assert(got.size == naive.size)
+    naive.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-6, s"event $id: ${got(id)} vs $s")
+    }
+    // sharded twins still pass through the partitioned window path
+    val sharded = SiddhiQL.compileApp(spark, sf,
+      """partition with (user_id of events)
+        |begin
+        |  @info(name = 'q')
+        |  from events#window.lengthBatch(10)
+        |  select user_id, count() as n
+        |  order by user_id, chunk_id
+        |  insert into Out;
+        |end""".stripMargin)("q")
+    assert(sharded.count() > 0)
+    assert(compile("from events#window.length(5) " +
+      "select event_id, sum(value) as s group by user_id " +
+      "order by event_id limit 3").count() == 3)
   }
 
   test("multi-writer fan-in: two inserts into one stream union; " +
@@ -939,12 +964,15 @@ class SiddhiQlSpec extends AnyFunSuite {
       "join events as b#window.time(1 min) on a.user_id == b.user_id " +
       "select a.event_id as x insert into O")
       .contains("window.time"))
-    // aggregation above a live join now deploys through the algebraic
-    // fold — only NON-algebraic aggregates stay diagnosed
+    // aggregation above a live join deploys through the FoldAlg
+    // algebra (r10: including stdDev/distinctCount — gated by
+    // sql_app_join_agg_stats_live); the remaining v1 bounds stay named
     assert(msg("@info(name='q') from events as a#window.time(1 min) " +
-      "join events as b#window.time(1 min) on a.user_id == b.user_id " +
-      "select distinctCount(b.value) as n insert into O")
-      .contains("count/sum/min/max/avg"))
+      "left outer join events as b#window.time(1 min) " +
+      "on a.user_id == b.user_id " +
+      "select a.user_id as user_id, count() as n group by user_id " +
+      "insert into O")
+      .contains("OUTER live windowed join"))
     // live text ABSENCE patterns deploy through the timed re-fold
     // (event-time timers; engine twins: Streaming.cepAbsence /
     // cepAbsenceTws) — the deployed matches equal the batch NOT-EXISTS
@@ -982,9 +1010,11 @@ class SiddhiQlSpec extends AnyFunSuite {
       s"join T on T.user_id == e.user_id select $key, " +
       "count() as n group by k insert into O"
     assert(msg(enrichAggApp("T.v as k")).contains("STREAM-side"))
-    // non-algebraic aggregates above the enrichment join are named
-    assert(msg(enrichAggApp("e.user_id as k").replace("count() as n",
-      "distinctCount(e.value) as n")).contains("count/sum/min/max/avg"))
+    // enrichment aggregation deploys the full FoldAlg algebra (r10:
+    // stdDev/distinctCount included); the remaining v1 bounds stay named
+    assert(msg(enrichAggApp("e.user_id as k").replace(
+      "group by k insert into O", "group by k having n > 1 insert into O"))
+      .contains("no having"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
@@ -1478,8 +1508,10 @@ class SiddhiQlSpec extends AnyFunSuite {
       .orderBy("user_id").collect().map(_.getLong(1))
     assert(batch.map(_(1).asInstanceOf[Long]).toSeq == exp.toSeq)
     // diagnostics: sliding windows have no flush emissions; non-agg
-    // select items must be grouped; a windowed writer can't feed the
-    // per-event enrichment join
+    // select items must be grouped. (A windowed writer FEEDING an
+    // enrichment join deploys since r10 with read-at-finish semantics
+    // — gated by sql_app_enrich_window_live; the remaining bound is
+    // aggregation above that join.)
     val m1 = intercept[IllegalArgumentException](SiddhiQL.compileApp(
       spark, sf, dml.replace("timeBatch(10 min)", "time(10 min)")))
       .getMessage
@@ -1494,8 +1526,9 @@ class SiddhiQlSpec extends AnyFunSuite {
           |@info(name = 'enrich')
           |from events as e[event_type == 'purchase'] join Acc
           |  on Acc.user_id == e.user_id
-          |select e.event_id as event_id, Acc.total as total
+          |select e.user_id as user_id, count() as n
+          |group by user_id
           |insert into Out""".stripMargin, "enrich")).getMessage
-    assert(m3.contains("windowed"))
+    assert(m3.contains("windowed-writer"))
   }
 }
