@@ -1,0 +1,2822 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.engine.{Cep, Tables}
+
+/** [[SiddhiQL]]'s batch compiler: single queries, joins, patterns,
+  * windows (including the distributed band-join sliding frames), rate
+  * limiting, table DML replay, incremental aggregation (the grain
+  * cascade), and the [[FoldAlg]] mergeable-aggregate algebra shared
+  * with the live channels. Mixed into `object SiddhiQL`. */
+private[api] trait SiddhiQlCompiler extends Serializable {
+  self: SiddhiQlFrontend =>
+  // ---------- compiler ----------
+  def compile(spark: SparkSession, dir: String, query: String): DataFrame = {
+    scriptFns = Map.empty // single queries can't define functions
+    compileOne(spark, dir, query, Map.empty)
+  }
+
+  /** Compile a whole Siddhi APP: `define stream ...;` declarations plus
+    * `@info(name='q') from ... insert into Out;` queries, where later
+    * queries may read earlier outputs BY NAME (`from Out`) — the chained
+    * topology a SiddhiProcess deploys. Returns every named output stream
+    * (query name from @info, else the insert-into target, else `q<i>`).
+    * Chaining is pure plan composition: each stage extends the previous
+    * stage's logical plan, so Catalyst optimizes the WHOLE app as one
+    * tree (filters from late stages can reach the scan). */
+  def compileApp(spark: SparkSession, dir: String,
+                 app: String): Map[String, DataFrame] = {
+    val stmts = splitStatements(app)
+    scriptFns = Map.empty // defs are per-app, registered in textual order
+    var env = Map.empty[String, DataFrame]
+    var tableDefs = Map.empty[String, StructType]
+    // `insert into Out` from MULTIPLE queries is the reference's fan-in:
+    // the named stream carries the UNION of every writer (a
+    // StreamJunction merging publishers). Tables are excluded — their
+    // multi-writer semantics are the keyed MERGE in applyDml.
+    def feed(target: String, df: DataFrame): DataFrame = {
+      val next = env.get(target) match {
+        case Some(prev) if !tableDefs.contains(target) =>
+          if (prev.columns.toSet != df.columns.toSet)
+            fail(s"queries inserting into '$target' disagree on its " +
+              s"schema: [${prev.columns.mkString(", ")}] vs " +
+              s"[${df.columns.mkString(", ")}]")
+          prev.unionByName(df)
+        case _ => df
+      }
+      env += target -> next
+      next
+    }
+    var aggDefs = Map.empty[String, AggDef]
+    var windowDefs = Map.empty[String, WindowSpec]
+    var results = Map.empty[String, DataFrame]
+    // DML writers per table, for the per-event enrichment-join route —
+    // the batch twin of the live fold's dmlInfos
+    var dmlWriters = Map.empty[String, List[(Ast, Action, StructType,
+      String)]]
+    // @OnError(action='STREAM') prepass: an annotated stream S gets a
+    // fault twin `!S` BEFORE any query compiles. v1 fault class =
+    // integer divide/modulo by zero (Siddhi's runtime-exception routing
+    // re-expressed as the routing predicate the expressions imply —
+    // engine twin: Ops.faultStream's validation-predicate union): every
+    // query reading S contributes the zero-divisor conditions of its
+    // filter/select/having expressions; rows matching any condition
+    // route to !S with _error, and S's own readers see only the clean
+    // complement (an erroring event produces no main output).
+    val onErrStreams = stmts.collect { case (_, b, true) =>
+      val p0 = new P(lex(b))
+      p0.eatKw("define")
+      if (!p0.tryKw("stream"))
+        fail("@OnError annotates a `define stream` (v1)")
+      p0.ident()
+    }
+    onErrStreams.foreach { sN =>
+      val (fault, clean) =
+        onErrorSplit(loadTable(spark, dir, sN, env), stmts, sN)
+      env += ("!" + sN) -> fault
+      env += sN -> clean
+    }
+    var i = 0
+    stmts.foreach { case (name, body, _) =>
+      val head = body.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("define")) {
+        // `define table T (col type, ...)` declares mutable state the DML
+        // forms target; `define stream` stays a no-op (schemas come from
+        // parquet)
+        val p = new P(lex(body))
+        p.eatKw("define")
+        if (p.tryKw("table")) {
+          val tname = p.ident()
+          p.eatSym("(")
+          val fields = List.newBuilder[StructField]
+          def one(): StructField = {
+            val c = p.ident()
+            StructField(c, typeOf(p.ident()))
+          }
+          fields += one()
+          while (p.trySym(",")) fields += one()
+          p.eatSym(")")
+          val schema = StructType(fields.result())
+          tableDefs += tname -> schema
+          env += tname -> spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        } else if (p.tryKw("window")) {
+          // `define window W (col type, ...) timeBatch(1 min)` — a SHARED
+          // window: queries `insert into W` feed it, any number of later
+          // queries `from W` read THROUGH the same window spec (the
+          // reference's named-window sharing; engine twin:
+          // named_window_shared). Batch replay: the fed rows carry the
+          // spec, each reader compiles as fed-stream#window.spec — plan
+          // composition again, so Catalyst fuses feeder and readers
+          val wname = p.ident()
+          p.eatSym("(")
+          // schema comes from the feeding query; names are declarative
+          var done = false
+          while (!done) { p.ident(); p.ident()
+            if (!p.trySym(",")) { p.eatSym(")"); done = true } }
+          windowDefs += wname -> p.windowNameArgs()
+        } else if (p.tryKw("trigger")) {
+          // `define trigger T at every 10 min` — a tick stream. Batch
+          // replay spans the replayed feed's event-time range (aligned
+          // ticks over [min, max] of events.ts_ns); a deployment would
+          // drive the same plan from wall-clock (engine twin:
+          // graft.engine.Ops.triggerGapfill / a rate source)
+          val tname = p.ident()
+          p.eatKw("at"); p.eatKw("every")
+          val ivNs = p.duration()
+          val ivMs = ivNs / 1000000L
+          val ticks = Tables.events(spark, dir)
+            .agg(expr(s"(min(ts_ns) div ${ivNs}L) * ${ivMs}L").as("__lo"),
+              expr(s"(max(ts_ns) div ${ivNs}L) * ${ivMs}L").as("__hi"))
+            .select(explode(sequence(col("__lo"), col("__hi"),
+              lit(ivMs))).as("tick_ms"))
+          env += tname -> ticks
+        } else if (p.tryKw("function")) {
+          registerScriptFn(body)
+        } else if (p.tryKw("aggregation")) {
+          val (aname, adef) = parseAggDefRest(p)
+          aggDefs += aname -> adef
+        }
+      } else if (head.equalsIgnoreCase("partition")) {
+        // partition with (user_id of S) / (cond as 'label' or ... of S)
+        // begin <queries> end — per-key isolated query instances
+        // (SURVEY §1.1; engine twins: graft.engine.Ops.partitionPerKey /
+        // partitionRange). Spark's shuffle IS the partition: the key
+        // prepends to every inner grouping and partitions lengthBatch
+        // chunking, so the reference's per-key instances become ONE
+        // keyed plan — per-key parallel at any executor count (and the
+        // global-lengthBatch single-task caveat disappears inside a
+        // partition: chunks count per key)
+        val (innerBody, keyAttr, rs, srcName) = parsePartition(body)
+        val baseDf = loadTable(spark, dir, srcName, env)
+        val (partKey, view) = keyAttr match {
+          case Some(attr) =>
+            if (!baseDf.columns.contains(attr))
+              fail(s"partition attribute '$attr' is not a column of " +
+                s"'$srcName'")
+            (attr, baseDf)
+          case None =>
+            // first matching range labels the event; unmatched events
+            // leave the partition (Siddhi range-partition semantics)
+            val keyCol = rs.tail.foldLeft(
+              when(expr(sqlOf(rs.head._1)), lit(rs.head._2))) {
+              case (acc, (c, l)) => acc.when(expr(sqlOf(c)), lit(l))
+            }
+            ("partition_key",
+              baseDf.withColumn("partition_key", keyCol)
+                .where(col("partition_key").isNotNull))
+        }
+        val envInner = env + (srcName -> view)
+        innerBody.split(";").map(_.trim).filter(_.nonEmpty)
+          .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
+          val ast0 = new P(lex(qBody)).query()
+          val ast = ast0.stream match {
+            case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
+              val needsKey = (ss.window.nonEmpty ||
+                ast0.select.exists(it => containsAgg(it.e))) &&
+                !ast0.groupBy.contains(partKey)
+              if (needsKey) ast0.copy(groupBy = partKey :: ast0.groupBy)
+              else ast0
+            case _: SingleStream => fail("partitioned queries read the " +
+              s"partitioned stream '$srcName' (v1)")
+            case _ => fail("partition blocks hold single-stream queries " +
+              "(v1; joins/patterns stay outside)")
+          }
+          val df = compileAst(spark, dir, ast, envInner, aggDefs,
+            partKey = Some(partKey))
+          val key = qName.orElse(ast.action.map(_.target)).getOrElse {
+            i += 1; s"q$i"
+          }
+          ast.action.foreach(a => feed(a.target, df))
+          results += key -> df
+        }
+      } else if (head.equalsIgnoreCase("from")) {
+        val ast = new P(lex(body)).query()
+        val dml = ast.action.filter {
+          case InsertInto(t) => tableDefs.contains(t)
+          case _             => true
+        }
+        dml match {
+          case Some(act) =>
+            val schema = tableDefs.getOrElse(act.target, fail(
+              s"'${act.target}' is not a defined table — add " +
+                s"`define table ${act.target}(...)` before the DML query"))
+            val next =
+              applyDml(spark, dir, ast, act, schema, env(act.target), env)
+            env += act.target -> next
+            ast.stream match {
+              case ss: SingleStream =>
+                dmlWriters += act.target ->
+                  (dmlWriters.getOrElse(act.target, Nil)
+                    :+ ((ast, act, schema, ss.table)))
+              case _ => () // applyDml already failed non-single streams
+            }
+            val key = name
+              .orElse(Some(act.target).filterNot(results.contains))
+              .getOrElse { i += 1; s"q$i" }
+            results += key -> next
+          case None =>
+            // reading a named window compiles as fed-stream#window.spec
+            val ast1 = ast.stream match {
+              case ss: SingleStream if windowDefs.contains(ss.table) &&
+                  ss.window.isEmpty =>
+                if (!env.contains(ss.table))
+                  fail(s"named window '${ss.table}' has not been fed — " +
+                    "add an `insert into ${ss.table}` query first")
+                ast.copy(stream = ss.copy(
+                  window = Some(windowDefs(ss.table))))
+              case _ => ast
+            }
+            val df = ast1.stream match {
+              // joining a DML-maintained table = the per-event
+              // enrichment join (the event sees the table as of its
+              // own stream position, not the end-of-replay state) —
+              // the same construction the live fold runs per batch,
+              // called once here with an empty seed over the whole
+              // replay
+              case j2: JoinStream
+                  if dmlWriters.contains(j2.right.table) ||
+                     dmlWriters.contains(j2.left.table) =>
+                if (dmlWriters.contains(j2.left.table))
+                  fail("live enrichment joins put the maintained " +
+                    "table on the RIGHT side (v1) — swap the join " +
+                    "sides")
+                val ws = dmlWriters(j2.right.table)
+                if (ws.length > 1)
+                  fail("live enrichment joins read a table with ONE " +
+                    s"DML writer (v1); '${j2.right.table}' has " +
+                    s"${ws.length}")
+                val enr = enrichCompile(spark, dir, ast1, j2, ws.head,
+                  emptyOf(spark, ws.head._3), env)
+                val ordered =
+                  if (ast1.orderBy.isEmpty) enr
+                  else enr.orderBy(ast1.orderBy.map { case (c, asc) =>
+                    if (asc) col(c).asc else col(c).desc }: _*)
+                ordered
+              case _ => compileAst(spark, dir, ast1, env, aggDefs)
+            }
+            val key = name.orElse(ast.action.map(_.target)).getOrElse {
+              i += 1; s"q$i"
+            }
+            ast.action.foreach(a => feed(a.target, df))
+            results += key -> df
+        }
+      } else fail(s"unsupported statement: '${body.take(40)}...'")
+    }
+    results
+  }
+
+  /** Split an app into `(optional @info name, statement body)` pairs:
+    * ';' outside string literals separates statements, except inside
+    * `partition with (...) begin q1; q2; end` blocks, whose segments are
+    * re-joined into one statement. */
+  private[api] def splitStatements(app: String)
+      : List[(Option[String], String, Boolean)] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var inDq = false // JS double-quoted strings inside function bodies
+    var brace = 0    // `define function ... { return ...; }` bodies
+    app.foreach {
+      case '\'' if !inDq => inStr = !inStr; cur += '\''
+      case '"' if !inStr => inDq = !inDq; cur += '"'
+      case '{' if !inStr && !inDq => brace += 1; cur += '{'
+      case '}' if !inStr && !inDq => brace -= 1; cur += '}'
+      case ';' if !inStr && !inDq && brace == 0 =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    val flat = out.result().map(_.trim).filter(_.nonEmpty)
+    val joined = List.newBuilder[String]
+    val block = new StringBuilder
+    var depth = 0
+    def words(s: String, w: String): Int =
+      ("(?i)\\b" + w + "\\b").r.findAllIn(s).length
+    flat.foreach { seg =>
+      val d = words(seg, "begin") - words(seg, "end")
+      if (depth == 0 && d == 0) joined += seg
+      else {
+        if (block.nonEmpty) block.append("; ")
+        block.append(seg)
+        depth += d
+        if (depth == 0) { joined += block.toString; block.clear() }
+        else if (depth < 0) fail("unbalanced begin/end")
+      }
+    }
+    if (depth != 0) fail("partition block missing 'end'")
+    joined.result().flatMap(stripAnnotations)
+  }
+
+  /** Strip leading `@name(...)` / `@ns:name(...)` annotations from a
+    * statement — real reference apps open with `@app:name('…')` and
+    * decorate streams with `@source(type='kafka', @map(type='json'))` /
+    * `@sink(...)` transport config (deployment concerns, documented
+    * delta SURVEY §7.4; nested annotations and quoted strings are
+    * skipped with a balanced scan). `@info(name='x')` is kept as the
+    * query name; an annotation-only statement (e.g. a bare `@app:name`)
+    * dissolves. */
+  private[api] def stripAnnotations(stmt: String)
+      : Option[(Option[String], String, Boolean)] = {
+    var s = stmt
+    var name: Option[String] = None
+    var onErr = false
+    var go = true
+    while (go) {
+      val m = "(?s)^@\\s*([A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)?)\\s*\\("
+        .r.findFirstMatchIn(s)
+      m match {
+        case None => go = false
+        case Some(mm) =>
+          // balanced-paren scan from the annotation's '(' — respects
+          // single-quoted strings and nested @map(...) annotations
+          var i = mm.end - 1
+          var depth = 0
+          var inStr = false
+          var endAt = -1
+          while (endAt < 0 && i < s.length) {
+            s(i) match {
+              case '\'' => inStr = !inStr
+              case '(' if !inStr => depth += 1
+              case ')' if !inStr =>
+                depth -= 1
+                if (depth == 0) endAt = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (endAt < 0) fail(s"unbalanced annotation: '${s.take(40)}...'")
+          val ann = mm.group(1).toLowerCase
+          if (ann == "info") {
+            val body = s.substring(mm.end, endAt)
+            name = "name\\s*=\\s*'([^']*)'".r.findFirstMatchIn(body)
+              .map(_.group(1)).orElse(name)
+          }
+          if (ann == "onerror") {
+            // `@OnError(action='STREAM')` — the annotated stream gets a
+            // fault twin readable as `from !S` (other actions are sink
+            // retry policy, out of engine scope)
+            val body = s.substring(mm.end, endAt)
+            if ("(?i)action\\s*=\\s*'STREAM'".r.findFirstIn(body).isEmpty)
+              fail("@OnError supports action='STREAM' (v1); got " +
+                s"'@OnError($body)'")
+            onErr = true
+          }
+          s = s.substring(endAt + 1).trim
+      }
+    }
+    if (s.isEmpty) None else Some((name, s, onErr))
+  }
+
+  // ---------- incremental aggregation (define aggregation + within/per) --
+  /** Grain ladder, finest first (`sec ... day` ranges expand over this). */
+  private[api] val grainLadder = List("sec" -> 1000L, "min" -> 60000L,
+    "hour" -> 3600000L, "day" -> 86400000L)
+  private[api] def grainKey(g: String): String = g.toLowerCase match {
+    case "sec" | "second" | "seconds" => "sec"
+    case "min" | "minute" | "minutes" => "min"
+    case "hour" | "hours"             => "hour"
+    case "day" | "days"               => "day"
+    case other => fail(s"unknown aggregation grain '$other' " +
+      "(sec|min|hour|day)")
+  }
+  private[api] def grainMsOf(g: String): Long =
+    grainLadder.find(_._1 == g).get._2
+
+  /** A parsed `define aggregation`: the stored-select shape plus the
+    * grain range it maintains. */
+  private[api] final case class AggDef(source: String, filter: Option[Expr],
+      select: List[SelItem], groupBy: List[String], tsAttr: String,
+      grains: List[String])
+
+  private[api] def typeOf(t: String): DataType = t.toLowerCase match {
+    case "int"    => IntegerType
+    case "long"   => LongType
+    case "float"  => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "bool"   => BooleanType
+    case other => fail(s"define table: unknown type '$other'")
+  }
+
+  /** One stream→table DML statement under batch-replay semantics: the
+    * source replays in event order (`ts_ns, event_id`), so per key the
+    * FIRST event is the row an upsert would have inserted and the LAST
+    * event carries the values the final update applied. That collapses
+    * the whole replay into one `groupBy(key).agg(min_by, max_by, count)`
+    * plus one keyed join against the table state — one shuffle on the
+    * table key regardless of stream size, no per-event loop anywhere
+    * (the 100 TB shape; a 1000-executor MERGE looks exactly like this).
+    *
+    * v1 restrictions (fail fast, named): single un-joined source, plain
+    * filtered projection (no window/group/order), `on` must be a
+    * conjunction of `Table.col == <stream expr>` equalities, and `set`
+    * right-hand sides reference the stream's output attributes only —
+    * `set T.n = T.n + 1`-style table folds are NOT last-event-wins
+    * collapsible and stay on the engine's micro-batch upsert path
+    * (graft.engine.Streaming.tableUpsert). */
+  /** A table-DML / enrichment-join `on` clause → List[(table column,
+    * sql over the stream side)]: a conjunction of `T.col == <expr>`
+    * equalities where the non-table side may not reference `T`.
+    * `qual` renders the stream-side references (the enrichment join
+    * strips its stream alias with it; DML keeps plain dotted paths). */
+  private[api] def keyEqsOf(on: Expr, t: String,
+      qual: List[String] => String = _.mkString(".")
+      ): List[(String, String)] = {
+    def rhsSql(e: Expr): String = sqlOfWith(e, {
+      case tn :: _ if tn.equalsIgnoreCase(t) =>
+        fail(s"'on' comparison value may not reference table '$t' " +
+          "columns on both sides")
+      case parts => qual(parts)
+    })
+    on match {
+      case Bin("and", l, r) => keyEqsOf(l, t, qual) ++ keyEqsOf(r, t, qual)
+      case Bin("==", Ref(tn :: c :: Nil), rhs)
+          if tn.equalsIgnoreCase(t) => List((c, rhsSql(rhs)))
+      case Bin("==", lhs, Ref(tn :: c :: Nil))
+          if tn.equalsIgnoreCase(t) => List((c, rhsSql(lhs)))
+      case other => fail("table DML 'on' must be a conjunction of " +
+        s"$t.<col> == <stream expr> equalities, got '${sqlOf(other)}'")
+    }
+  }
+
+  /** The per-event ENRICHMENT JOIN: `from S join T on T.k == k
+    * select ...` where `T` is a table maintained by a sibling
+    * `update or insert` DML stage. Siddhi processes events one at a
+    * time, so the join sees the table AS OF each event's position in
+    * the stream (the event's own update is visible — the DML stage is
+    * declared first). Compiled as ONE keyed window pass: update rows,
+    * accumulated state seeds (ordered before everything), and arriving
+    * events union into a per-key timeline ordered by (ts_ns, event_id,
+    * updates-before-events); `last(state, ignoreNulls)` over the
+    * running frame fills each event's as-of row. One shuffle on the
+    * table key — state and events co-partition, no per-event lookups,
+    * no broadcast of unbounded state. Because the construction never
+    * references batch boundaries, the SAME code serves both channels:
+    * the live fold calls it per micro-batch with the accumulated table
+    * as `accTable`, and the batch replay calls it once with an empty
+    * seed over the whole-replay environment — chunking-invariance by
+    * construction. */
+  private[api] def enrichCompile(sp: SparkSession, dir: String, ast: Ast,
+      j: JoinStream, dmlInfo: (Ast, Action, StructType, String),
+      accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
+    val (dAst, dAct, dSchema, dSrc) = dmlInfo
+    val tSide = j.right; val sSide = j.left
+    val tName = tSide.table
+    if (j.unidirectional)
+      fail("live enrichment joins are already one-directional " +
+        "(events trigger, the table holds state) — drop " +
+        "`unidirectional`")
+    if (tSide.window.nonEmpty)
+      fail("live enrichment joins read the whole maintained table " +
+        s"'$tName' (v1) — no window on the table side")
+    if (sSide.window.nonEmpty)
+      fail("live enrichment joins are per-event lookups (v1) — no " +
+        "window on the stream side")
+    if (ast.select.exists(it => containsAgg(it.e)) ||
+        ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("live enrichment joins project columns (v1) — aggregate " +
+        "in a downstream stage")
+    if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+      fail("live enrichment joins have no limit/offset (v1)")
+    // the maintaining DML must be PER-EVENT: a windowed-aggregate
+    // writer emits at flush times, so "as-of this event" would need
+    // flush-aligned state reconstruction — read it at finish instead
+    dAst.stream match {
+      case ss: SingleStream if ss.window.nonEmpty =>
+        fail(s"live enrichment joins read a table maintained by " +
+          s"per-event DML (v1) — '$tName' is maintained by a windowed " +
+          "aggregate, which emits at flush times; read it as the " +
+          "app's final output instead")
+      case _ => ()
+    }
+    // implicit set (last-event-wins) or ALL-accumulator-fold set
+    // (`set T.c = T.c + expr`) — the two per-event-reconstructible
+    // shapes: last-wins reconstructs as a running last() window,
+    // folds as a running sum of per-event deltas
+    val (dOn, dFolds) = dAct match {
+      case UpsertTable(_, set, on) =>
+        val parsed = set.map { case (c, e) =>
+          (c, foldSetOf(tName, c, e)) }
+        if (parsed.exists(_._2.isEmpty) && set.nonEmpty)
+          fail("live enrichment joins read a table maintained by " +
+            "`update or insert` with an IMPLICIT set or accumulator " +
+            s"folds (`set $tName.c = $tName.c + expr`) (v1) — other " +
+            "set expressions are not per-event reconstructible")
+        (on, parsed.collect { case (c, Some(f)) => c -> f })
+      case a2 => fail("live enrichment joins read a table maintained " +
+        s"by `update or insert` (v1); '$tName' takes " +
+        s"'${a2.getClass.getSimpleName}'")
+    }
+    val joinKind = j.joinType match {
+      case "inner" | "left_outer" => j.joinType
+      case other => fail("live enrichment joins are inner or left " +
+        s"outer (v1), got '$other'")
+    }
+    val sName = sSide.table
+    val tAlias = j.rightAlias.getOrElse(tName)
+    val sAlias = j.leftAlias.getOrElse(sName)
+    val dmlKeys = keyEqsOf(dOn, tName)
+    // join-key stream refs evaluate over the FLAT event columns —
+    // strip the stream alias
+    val joinKeys = keyEqsOf(j.on, tName, {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        c
+      case parts => parts.mkString(".")
+    })
+    val keyOrder = dmlKeys.map(_._1).distinct.sorted
+    if (joinKeys.map(_._1).distinct.sorted != keyOrder)
+      fail("live enrichment joins match on the SAME table columns " +
+        s"the DML keys on (${keyOrder.mkString(", ")}); the join " +
+        s"uses (${joinKeys.map(_._1).distinct.sorted.mkString(", ")})")
+    val tCols = dSchema.fieldNames.toSet
+    val items = itemsOf(ast)
+    // U = the DML feed's update rows (its select output) in arrival
+    // order — the same projection applyDml folds
+    val uBase0 = loadTable(sp, dir, dSrc, env)
+    val uBase = dAst.stream match {
+      case ss: SingleStream => ss.filter.fold(uBase0)(f =>
+        applyFilter(sp, dir, uBase0, f, env))
+      case _ => uBase0 // unreachable: DML is single-stream
+    }
+    val uItems = itemsOf(expandStar(dAst, uBase0.columns))
+    val uSel = uBase.select(uItems.map { case (it, a2, _) =>
+      expr(sqlOf(it.e)).as(a2) } :+
+      struct(col("ts_ns"), col("event_id")).as("__ord"): _*)
+    val updC = struct(dSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val updType = StructType(dSchema.fields)
+    def keyC(exprs: Seq[String]): Column =
+      struct(keyOrder.zip(exprs).map { case (kc, ex) =>
+        expr(ex).as(s"__k_$kc") }: _*)
+    val eBase0 = loadTable(sp, dir, sName, env)
+    val eBase = sSide.filter.fold(eBase0)(f =>
+      applyFilter(sp, dir, eBase0, f, env))
+    Seq("ts_ns", "event_id").foreach(c =>
+      if (!eBase.columns.contains(c))
+        fail(s"live enrichment joins need '$c' on the stream side; " +
+          s"'$sName' lost it — select it through"))
+    val evtC = struct(eBase.columns.toSeq.map(col): _*)
+    val evtType = StructType(eBase.schema.fields)
+    // per-event fold deltas of the DML's update rows (null on event
+    // rows, zero on the accumulated seed — its values already carry
+    // every prior fold)
+    val uOut = uItems.map(_._2)
+    def deltaSql(e: Expr): String = sqlOfWith(e, {
+      case c :: Nil if uOut.contains(c) => c
+      case parts => fail(s"fold delta reference '${parts.mkString(".")}'" +
+        " is not a DML select output attribute")
+    })
+    val fdType = StructType(dFolds.map { case (c, _) =>
+      StructField(c, dSchema(c).dataType) })
+    def fdOf(mk: String => Column): Column =
+      struct(dFolds.map { case (c, (_, d)) =>
+        mk(c).cast(dSchema(c).dataType).as(c) }: _*)
+    val uTag = uSel.select(
+      (Seq(keyC(keyOrder.map(c => dmlKeys.find(_._1 == c).get._2))
+          .as("__key"),
+        col("__ord"), updC.as("__upd")) ++
+        (if (dFolds.isEmpty) Nil else Seq(fdOf(c =>
+          expr(deltaSql(dFolds.find(_._1 == c).get._2._2)))
+          .as("__fd")))): _*)
+    // accumulated state seeds sort before every batch row
+    val accTag = accTable.select(
+      (Seq(keyC(keyOrder).as("__key"),
+        struct(lit(Long.MinValue).as("ts_ns"),
+          lit(Long.MinValue).as("event_id")).as("__ord"),
+        updC.as("__upd")) ++
+        (if (dFolds.isEmpty) Nil
+         else Seq(fdOf(_ => lit(0)).as("__fd")))): _*)
+    val uAll = uTag.unionByName(accTag)
+      .withColumn("__isE", lit(false))
+      .withColumn("__evt", lit(null).cast(evtType))
+    val eTag = eBase.select(
+      (Seq(keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
+          .as("__key"),
+        struct(col("ts_ns"), col("event_id")).as("__ord"),
+        lit(null).cast(updType).as("__upd")) ++
+        (if (dFolds.isEmpty) Nil
+         else Seq(lit(null).cast(fdType).as("__fd"))) ++
+        Seq(lit(true).as("__isE"), evtC.as("__evt"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key")
+      .orderBy(col("__ord"), col("__isE"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val filled =
+      if (dFolds.isEmpty)
+        uAll.unionByName(eTag)
+          .withColumn("__state",
+            last(col("__upd"), ignoreNulls = true).over(w))
+          .where(col("__isE"))
+      else {
+        // fold reconstruction: the first update/seed row fixes the
+        // non-fold values and the fold base; each later update adds
+        // its delta — running sum minus the first row's own delta
+        // (an upsert-INSERT's values ride in its row, not its delta)
+        val foldMap = dFolds.toMap
+        val st0 = uAll.unionByName(eTag)
+          .withColumn("__st0",
+            first(col("__upd"), ignoreNulls = true).over(w))
+        val withCums = dFolds.foldLeft(st0) { case (df, (c, _)) =>
+          df.withColumn(s"__cum_$c", sum(col(s"__fd.$c")).over(w))
+            .withColumn(s"__f0_$c",
+              first(col(s"__fd.$c"), ignoreNulls = true).over(w))
+        }
+        val stateC = struct(dSchema.fields.toSeq.map { f =>
+          val c = f.name
+          (foldMap.get(c) match {
+            case Some(("+", _)) => col(s"__st0.$c") +
+              (col(s"__cum_$c") - col(s"__f0_$c"))
+            case Some((_, _)) => col(s"__st0.$c") -
+              (col(s"__cum_$c") - col(s"__f0_$c"))
+            case None => col(s"__st0.$c")
+          }).cast(f.dataType).as(c)
+        }: _*)
+        withCums.withColumn("__state",
+          when(col("__st0").isNotNull, stateC)
+            .otherwise(lit(null).cast(updType)))
+          .where(col("__isE"))
+      }
+    // table-side filter `T[cond]`: a state row failing the condition
+    // is NOT an enrichment match at that event — inner drops the
+    // event, left outer null-pads it (per-event semantics: the filter
+    // applies to the AS-OF state, so an event can match while a later
+    // one of the same key doesn't)
+    val stateFiltered = tSide.filter match {
+      case None => filled
+      case Some(f) =>
+        val fSql = sqlOfWith(f, {
+          case q :: c :: Nil if q.equalsIgnoreCase(tAlias) ||
+              q.equalsIgnoreCase(tName) =>
+            if (!tCols.contains(c))
+              fail(s"'$c' is not a column of table '$tName'")
+            s"__state.$c"
+          case c :: Nil =>
+            if (!tCols.contains(c))
+              fail(s"table filter on '$tName' references its columns; " +
+                s"'$c' is not one")
+            s"__state.$c"
+          case parts => fail(s"table filter on '$tName' references " +
+            s"its columns; got '${parts.mkString(".")}'")
+        })
+        filled.withColumn("__state",
+          when(col("__state").isNotNull && expr(fSql), col("__state"))
+            .otherwise(lit(null).cast(updType)))
+    }
+    val kept =
+      if (joinKind == "inner")
+        stateFiltered.where(col("__state").isNotNull)
+      else stateFiltered
+    def qual(parts: List[String]): String = parts match {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(tName) =>
+        if (!tCols.contains(c))
+          fail(s"'$c' is not a column of table '$tName'")
+        s"__state.$c"
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        s"__evt.$c"
+      case c :: Nil =>
+        val inT = tCols.contains(c)
+        val inS = eBase.columns.contains(c)
+        if (inT && inS) fail(s"'$c' is ambiguous — qualify it with " +
+          s"'$tAlias.' or '$sAlias.'")
+        else if (inT) s"__state.$c"
+        else s"__evt.$c"
+      case other => fail(s"bad reference ${other.mkString(".")}")
+    }
+    kept.select(items.map { case (it, a2, _) =>
+      expr(sqlOfWith(it.e, qual)).as(a2) }: _*)
+  }
+
+  /** Does `e` reference a column of table `t` (qualified)? */
+  private[api] def refsTable(e: Expr, t: String): Boolean = e match {
+    case Ref(q :: _ :: Nil) => q.equalsIgnoreCase(t)
+    case Bin(_, l, r) => refsTable(l, t) || refsTable(r, t)
+    case Not(x) => refsTable(x, t)
+    case Neg(x) => refsTable(x, t)
+    case Call(_, _, as) => as.exists(refsTable(_, t))
+    case _ => false
+  }
+
+  /** Accumulator-fold set form: `set T.c = T.c + e` (or `e + T.c`, or
+    * `T.c - e`) with `e` over stream attributes only → Some((op, e)).
+    * These folds ARE batch-replay collapsible because per-key they
+    * compose additively: final = prior ± Σ per-event deltas — one
+    * keyed aggregate, no per-event loop, the same algebra the grain
+    * cascade rides. Anything else (cross-column, multiplicative,
+    * conditional on the table) is order-dependent and stays refused. */
+  private[api] def foldSetOf(t: String, c: String, rhs: Expr)
+      : Option[(String, Expr)] = {
+    def self(e: Expr): Boolean = e match {
+      case Ref(q :: c2 :: Nil) =>
+        q.equalsIgnoreCase(t) && c2.equalsIgnoreCase(c)
+      case _ => false
+    }
+    rhs match {
+      case Bin("+", l, r) if self(l) && !refsTable(r, t) => Some(("+", r))
+      case Bin("+", l, r) if self(r) && !refsTable(l, t) => Some(("+", l))
+      case Bin("-", l, r) if self(l) && !refsTable(r, t) => Some(("-", r))
+      case _ => None
+    }
+  }
+
+  private[api] def applyDml(spark: SparkSession, dir: String, ast: Ast,
+      act: Action, schema: StructType, table: DataFrame,
+      env: Map[String, DataFrame]): DataFrame = {
+    val s = ast.stream match {
+      case ss: SingleStream => ss
+      case _ => fail("table DML (v1) requires a single un-joined source " +
+        "stream")
+    }
+    if (ast.having.nonEmpty || ast.orderBy.nonEmpty || ast.limit.nonEmpty ||
+        ast.offset.nonEmpty || ast.rate.nonEmpty)
+      fail("table DML (v1) has no having/order/limit/output rate — the " +
+        "table is keyed state, not a result stream")
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns") ||
+        !base0.columns.contains("event_id"))
+      fail(s"table DML needs 'ts_ns' and 'event_id' on '${s.table}' to " +
+        "define replay order")
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
+    val items = itemsOf(expandStar(ast, base0.columns))
+    val outCols = items.map(_._2)
+    // Emission rows in replay order: one row per EVENT for the plain
+    // form, one row per WINDOW-FLUSH × group for the aggregating
+    // timeBatch form (Siddhi's canonical store pattern: windowed
+    // aggregate → `update or insert into T`). Everything downstream —
+    // merge, accumulator folds, delete — is emission-order algebra, so
+    // the two forms share it via `__g_ord`.
+    val sel: DataFrame = s.window match {
+      case None =>
+        if (ast.groupBy.nonEmpty)
+          fail("group by in table DML needs a batch window " +
+            "(#window.timeBatch(T)) to define flush emissions")
+        items.foreach { case (_, a, isAgg) =>
+          if (isAgg) fail(s"aggregating table DML ('$a') needs a batch " +
+            "window (#window.timeBatch(T)) to define flush emissions")
+        }
+        base.select(items.map { case (it, a, _) =>
+          expr(sqlOf(it.e)).as(a)
+        } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
+      case Some(WindowSpec(n, tNs :: _, _))
+          if n.equalsIgnoreCase("timebatch") =>
+        items.foreach { case (it, a, isAgg) =>
+          if (!isAgg) it.e match {
+            case Ref(c :: Nil)
+                if ast.groupBy.exists(_.equalsIgnoreCase(c)) => ()
+            case e if !refsAttr(e) => () // constant: evaluates per flush
+            case _ => fail("windowed table DML: non-aggregate select " +
+              s"item '$a' must be a group-by attribute or a constant")
+          }
+        }
+        val aggItems = items.collect { case (it, a, true) =>
+          expr(sqlOf(it.e)).as(a) }
+        if (aggItems.isEmpty)
+          fail("windowed table DML needs at least one aggregate select " +
+            "item (drop the window for per-event DML)")
+        val flush = base
+          .withColumn("__bucket", expr(s"ts_ns div ${tNs}L"))
+          .groupBy(col("__bucket") +: ast.groupBy.map(col): _*)
+          .agg(aggItems.head, aggItems.tail: _*)
+        // flushes emit in bucket order; within one flush each group
+        // emits exactly once, so (bucket start, 0) totally orders the
+        // emissions any one merge key sees
+        flush.select(items.map { case (it, a, isAgg) =>
+          (if (isAgg) col(a) else expr(sqlOf(it.e))).as(a)
+        } :+ struct((col("__bucket") * lit(tNs)).cast("long").as("ts_ns"),
+          lit(0L).as("event_id")).as("__g_ord"): _*)
+      case Some(w) =>
+        fail("table DML windows (v1): #window.timeBatch(T) only — " +
+          s"'#window.${w.name}' emissions are not batch-replay " +
+          "collapsible here")
+    }
+    applyEmissions(act, schema, table, sel, outCols)
+  }
+
+  /** Merge EMISSION rows — the select output attributes plus a
+    * `__g_ord` replay-order struct — into `table` per the DML action.
+    * An emission is one event for plain DML and one window-flush ×
+    * group row for the aggregating form; the merge algebra (first/
+    * last row per key + additive accumulator folds) is identical, so
+    * the batch compile and the live windowed fold's finish share it. */
+  private[api] def applyEmissions(act: Action, schema: StructType,
+      table: DataFrame, sel: DataFrame, outCols: Seq[String])
+      : DataFrame = {
+    def keyEqs(on: Expr, t: String): List[(String, String)] =
+      keyEqsOf(on, t)
+
+    // set RHS over the per-key LAST update event's output row
+    def lastSql(e: Expr, t: String): String = sqlOfWith(e, {
+      case c :: Nil if outCols.contains(c) => s"__last.$c"
+      case tn :: c :: Nil if tn.equalsIgnoreCase(t) =>
+        fail(s"set RHS may reference the stream's output attributes only " +
+          s"— general '$t.$c' table folds are not batch-replay " +
+          "collapsible (accumulator folds `T.c = T.c + expr` ARE, and " +
+          "collapse algebraically)")
+      case parts => fail(s"set RHS reference '${parts.mkString(".")}' is " +
+        "not a select output attribute")
+    })
+    // per-event fold contribution expression over the select outputs
+    def streamSql(e: Expr): String = sqlOfWith(e, {
+      case c :: Nil if outCols.contains(c) => c
+      case parts => fail(s"fold delta reference '${parts.mkString(".")}'" +
+        " is not a select output attribute")
+    })
+
+    def requireCovers(form: String): Unit = {
+      val missing = schema.fieldNames.filterNot(outCols.contains)
+      if (missing.nonEmpty)
+        fail(s"$form: select output must cover every table column " +
+          s"(missing: ${missing.mkString(", ")})")
+    }
+
+    /** Shared update/upsert merge; `insertMissing` = upsert. */
+    def merge(t: String, set: List[(String, Expr)], on: Expr,
+              insertMissing: Boolean): DataFrame = {
+      val keys = keyEqs(on, t)
+      val keyCols = keys.map(_._1).toSet
+      keyCols.foreach { c =>
+        if (!schema.fieldNames.contains(c))
+          fail(s"'on' references unknown table column '$t.$c'")
+      }
+      if (insertMissing) requireCovers(s"update or insert into $t")
+      // per set column: Left(lastSql) = last-event-wins expression,
+      // Right((op, deltaSql)) = additive accumulator fold
+      val eff: Map[String, Either[String, (String, String)]] =
+        if (set.nonEmpty) set.map { case (c, e) =>
+          if (!schema.fieldNames.contains(c))
+            fail(s"set targets unknown table column '$t.$c'")
+          c -> (foldSetOf(t, c, e) match {
+            case Some((op, d)) => Right((op, streamSql(d)))
+            case None => Left(lastSql(e, t))
+          })
+        }.toMap
+        else schema.fieldNames.toList
+          .filter(c => outCols.contains(c) && !keyCols(c))
+          .map(c => c -> Left(s"__last.$c")).toMap
+      val folds: List[(String, (String, String))] = eff.toList.collect {
+        case (c, Right(f)) => c -> f }.sortBy(_._1)
+      val row = struct(outCols.map(col): _*)
+      // fold deltas aggregate per key alongside the first/last rows:
+      // Σ delta over all update events, plus the FIRST event's delta
+      // (subtracted when that event is an upsert-INSERT — the insert
+      // row carries its values directly, later events fold on top)
+      val foldAggs: Seq[Column] = folds.flatMap { case (c, _) =>
+        Seq(sum(col(s"__fd_$c")).as(s"__fs_$c"),
+          min_by(col(s"__fd_$c"), col("__g_ord")).as(s"__ffv_$c"))
+      }
+      val uAgg = sel
+        .select((keys.zipWithIndex.map { case ((_, rhs), i) =>
+          expr(rhs).as(s"__k$i")
+        } ++ Seq(row.as("__row"), col("__g_ord")) ++
+          folds.map { case (c, (_, d)) => expr(d).as(s"__fd_$c") }): _*)
+        .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
+        .agg(min_by(col("__row"), col("__g_ord")).as("__first"),
+          (max_by(col("__row"), col("__g_ord")).as("__last") +:
+            count(lit(1)).as("__n") +: foldAggs): _*)
+        .withColumn("__has_u", lit(true))
+      val tt = table.withColumn("__has_t", lit(true))
+      val cond = keys.zipWithIndex.map { case ((tc, _), i) =>
+        tt(tc) === uAgg(s"__k$i")
+      }.reduce(_ && _)
+      val joined = tt.join(uAgg, cond,
+        if (insertMissing) "full_outer" else "left_outer")
+      val out = schema.fields.map { f =>
+        val c = f.name
+        val hasT = col("__has_t").isNotNull
+        val hasU = col("__has_u").isNotNull
+        val v: Column =
+          if (keyCols(c)) {
+            val i = keys.indexWhere(_._1 == c)
+            coalesce(col(c), col(s"__k$i"))
+          } else eff.get(c) match {
+            case Some(Left(sqlLast)) if insertMissing =>
+              // matched, or inserted-then-updated (≥2 events): last
+              // update wins; single inserting event: the insert row
+              when(hasT && hasU, expr(sqlLast))
+                .when(!hasT && hasU && col("__n") > 1, expr(sqlLast))
+                .when(!hasT && hasU, col(s"__first.$c"))
+                .otherwise(col(c))
+            case Some(Left(sqlLast)) =>
+              when(hasU, expr(sqlLast)).otherwise(col(c))
+            case Some(Right((op, _))) =>
+              // accumulator fold: matched → prior ± Σ deltas; upsert
+              // insert → first row's value, then ± deltas of the
+              // LATER events (Σ − first's delta)
+              val fs = col(s"__fs_$c"); val ff = col(s"__ffv_$c")
+              def app(b2: Column, d2: Column): Column =
+                if (op == "+") b2 + d2 else b2 - d2
+              if (insertMissing)
+                when(hasT && hasU, app(col(c), fs))
+                  .when(!hasT && hasU,
+                    app(col(s"__first.$c"), fs - ff))
+                  .otherwise(col(c))
+              else when(hasU, app(col(c), fs)).otherwise(col(c))
+            case None if insertMissing =>
+              when(hasT, col(c)).otherwise(col(s"__first.$c"))
+            case None => col(c)
+          }
+        v.cast(f.dataType).as(c)
+      }
+      joined.select(out.toSeq: _*)
+    }
+
+    act match {
+      case InsertInto(t) =>
+        requireCovers(s"insert into $t")
+        table.unionByName(sel.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+      case DeleteTable(t, on) =>
+        val keys = keyEqs(on, t)
+        val kdf = sel.select(keys.zipWithIndex.map { case ((_, rhs), i) =>
+          expr(rhs).as(s"__k$i")
+        }: _*).distinct()
+        val cond = keys.zipWithIndex.map { case ((tc, _), i) =>
+          table(tc) === kdf(s"__k$i")
+        }.reduce(_ && _)
+        table.join(kdf, cond, "left_anti")
+      case UpdateTable(t, set, on) => merge(t, set, on, insertMissing = false)
+      case UpsertTable(t, set, on) => merge(t, set, on, insertMissing = true)
+    }
+  }
+
+  private[api] def compileOne(spark: SparkSession, dir: String, query: String,
+                         env: Map[String, DataFrame]): DataFrame =
+    compileAst(spark, dir, new P(lex(query)).query(), env)
+
+  private[api] def compileAst(spark: SparkSession, dir: String, ast: Ast,
+                         env: Map[String, DataFrame],
+                         aggDefs: Map[String, AggDef] = Map.empty,
+                         partKey: Option[String] = None): DataFrame = {
+    ast.action.foreach {
+      case _: InsertInto => ()
+      case a => fail(s"table DML targeting '${a.target}' needs an app " +
+        "context: use compileApp with a `define table` declaration")
+    }
+    val selected = (ast.rate, ast.stream) match {
+      case (Some(r), s: SingleStream) =>
+        compileRateLimited(spark, dir, ast, s, r, env)
+      case (Some(r), jn: JoinStream) =>
+        compileJoin(spark, dir, ast, jn, env, aggDefs, Some(r))
+      case (Some(r), pt: PatternStream) =>
+        compilePattern(spark, dir, ast, pt, Some(r))
+      case (None, s: SingleStream) if aggDefs.contains(s.table) =>
+        compileAggQuery(spark, dir, ast, s, aggDefs(s.table), env)
+      case (None, s: SingleStream) =>
+        if (s.aggWithin.nonEmpty || s.aggPer.nonEmpty)
+          fail(s"within/per reads require `define aggregation " +
+            s"${s.table}` in an app context (compileApp)")
+        compileSingle(spark, dir, ast, s, env, partKey)
+      case (None, j: JoinStream) =>
+        compileJoin(spark, dir, ast, j, env, aggDefs)
+      case (None, pt: PatternStream) => compilePattern(spark, dir, ast, pt)
+    }
+    val ordered =
+      if (ast.orderBy.isEmpty) selected
+      else selected.orderBy(ast.orderBy.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc
+      }: _*)
+    // Siddhi's limit/offset: offset skips M output rows, limit caps what
+    // follows (Spark's offset/limit compose in that order)
+    val off = ast.offset.fold(ordered)(m => ordered.offset(m.toInt))
+    ast.limit.fold(off)(n => off.limit(n.toInt))
+  }
+
+  /** Evaluate a select/retention expression over a buffered window of
+    * events: aggregates fold over `buf`, plain refs read the CURRENT
+    * event. Shared by the batch expression window and the live length
+    * window — the per-key buffered-fold interpreter. */
+  private[api] def bufEval(e: Expr, buf: scala.collection.Seq[Cep.Ev],
+      cur: Cep.Ev): Any = e match {
+    case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
+    case Str(v) => v
+    case Ref(f :: Nil) => field(cur, f)
+    case Call(None, "count", Nil) => buf.size.toLong
+    case Call(None, n2 @ ("sum" | "avg" | "min" | "max"),
+        List(Ref(f :: Nil))) =>
+      val xs: Seq[Double] = buf.map(ev2 => num(field(ev2, f))).toSeq
+      n2 match {
+        case "sum" => xs.sum
+        case "avg" => xs.sum / xs.size
+        case "min" => xs.min
+        case "max" => xs.max
+      }
+    case Call(Some("math"), "round", List(x, Num(d))) =>
+      BigDecimal(num(bufEval(x, buf, cur)))
+        .setScale(d.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble
+    case Not(x) => !bufEval(x, buf, cur).asInstanceOf[Boolean]
+    case Neg(x) => -num(bufEval(x, buf, cur))
+    case Bin(op, l, r) => op match {
+      case "and" => bufEval(l, buf, cur).asInstanceOf[Boolean] &&
+        bufEval(r, buf, cur).asInstanceOf[Boolean]
+      case "or" => bufEval(l, buf, cur).asInstanceOf[Boolean] ||
+        bufEval(r, buf, cur).asInstanceOf[Boolean]
+      case "==" => num(bufEval(l, buf, cur)) == num(bufEval(r, buf, cur))
+      case "!=" => num(bufEval(l, buf, cur)) != num(bufEval(r, buf, cur))
+      case "<"  => num(bufEval(l, buf, cur)) < num(bufEval(r, buf, cur))
+      case "<=" => num(bufEval(l, buf, cur)) <= num(bufEval(r, buf, cur))
+      case ">"  => num(bufEval(l, buf, cur)) > num(bufEval(r, buf, cur))
+      case ">=" => num(bufEval(l, buf, cur)) >= num(bufEval(r, buf, cur))
+      case "+" => num(bufEval(l, buf, cur)) + num(bufEval(r, buf, cur))
+      case "-" => num(bufEval(l, buf, cur)) - num(bufEval(r, buf, cur))
+      case "*" => num(bufEval(l, buf, cur)) * num(bufEval(r, buf, cur))
+      case "/" => num(bufEval(l, buf, cur)) / num(bufEval(r, buf, cur))
+      case o => fail(s"operator '$o' unsupported in a buffered window")
+    }
+    case other2 => fail("unsupported construct in a buffered window: " +
+      other2.getClass.getSimpleName)
+  }
+
+  /** Output schema of a buffered-fold select list (what [[bufEval]]
+    * actually returns per item). */
+  private[api] def evOutTypes(items: Seq[(SelItem, String, Boolean)])
+      : Seq[(String, DataType)] = items.map { case (it, a, isAgg) =>
+    val t: DataType = it.e match {
+      case Call(None, "count", Nil) => LongType
+      case _ if isAgg => DoubleType
+      case Ref(f :: Nil) => f match {
+        case "event_type" => StringType
+        case "value" => DoubleType
+        case _ => LongType
+      }
+      case _ => DoubleType
+    }
+    (a, t)
+  }
+
+  /** An AND-chain contains at least one equality — the key a windowed
+    * band join shards on (a pure time-band join would be a nested loop
+    * at scale). */
+  private[api] def hasEqui(e: Expr): Boolean = e match {
+    case Bin("and", a, b) => hasEqui(a) || hasEqui(b)
+    case Bin("==", _, _) => true
+    case _ => false
+  }
+
+  /** Expand `select *` (alone or among other items) to the source's
+    * column list, keeping any explicitly named items around it. */
+  private[api] def expandStar(ast: Ast, cols: Seq[String]): Ast =
+    if (!ast.select.exists(_.e == Star)) ast
+    else ast.copy(select = ast.select.flatMap {
+      case SelItem(Star, Some(_)) => fail("`*` cannot take an alias")
+      case SelItem(Star, None) => cols.map(c => SelItem(Ref(List(c)), None))
+      case it => List(it)
+    })
+
+  private[api] def alias(it: SelItem, i: Int): String = it.alias.getOrElse(
+    it.e match {
+      case Ref(parts) => parts.last
+      case _ => s"col$i"
+    })
+
+  /** Select-item bookkeeping shared by the single-stream, windowed, and
+    * join paths: (item, output alias, is-aggregate). */
+  private[api] def itemsOf(ast: Ast) = ast.select.zipWithIndex.map {
+    case (it, i) => (it, alias(it, i), containsAgg(it.e))
+  }
+
+  /** Grouped aggregation over `df` (plus any window-derived implicit
+    * keys), or a plain projection when no item aggregates. */
+  private[api] def selectOrAggregate(ast: Ast, df: DataFrame,
+      implicitKeys: Seq[(String, Column)], windowed: Boolean,
+      carry: Seq[Column] = Nil): DataFrame = {
+    val items = itemsOf(ast)
+    val aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a)
+    }
+    if (aggCols.isEmpty) {
+      if (windowed) fail("a windowed query needs an aggregate select")
+      if (ast.having.nonEmpty) fail("having needs an aggregation")
+      df.select(items.map { case (it, a, _) =>
+        expr(sqlOf(it.e)).as(a)
+      } ++ carry: _*)
+    } else {
+      items.collect { case (it, _, false) => it }.foreach { it =>
+        it.e match {
+          // a bare or stream-qualified column that is a group key
+          // (the key may have been rewritten to its qualified form by
+          // the join path's ambiguity resolution)
+          case Ref(parts) if ast.groupBy.contains(parts.last) ||
+              ast.groupBy.contains(parts.mkString(".")) => ()
+          case _ => fail(s"non-aggregate select item " +
+            s"'${sqlOf(it.e)}' must be a group by column")
+        }
+      }
+      val keyCols = implicitKeys.map(_._2) ++ ast.groupBy.map(col)
+      val agged = df.groupBy(keyCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val out = implicitKeys.map { case (n, _) => col(n) } ++
+        items.map { case (it, a, isAgg) =>
+          if (isAgg) col(a)
+          else it.e match { case Ref(parts) => col(parts.last).as(a)
+                            case _ => col(a) }
+        }
+      val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+      hav.select(out: _*)
+    }
+  }
+
+  /** Quartz cron → a fixed tick interval, for the forms whose marks ARE
+    * epoch-aligned fixed intervals: `0 0/M * * * ?` with M dividing 60
+    * (Quartz resets the 0/M sequence each hour, so M ∤ 60 would drift
+    * from epoch alignment), `0 0 0/H * * ?` with H dividing 24, and
+    * `0 0 * * * ?` (hourly). Sparse calendar fields (day-of-week, month
+    * lists) have no fixed-interval batch-replay equivalent — fail fast. */
+  private[api] def cronIntervalNs(spec: String): Long = {
+    val f = spec.trim.split("\\s+")
+    def every(field: String): Option[Long] =
+      if (field.startsWith("0/") || field.startsWith("*/"))
+        Some(field.drop(2).toLong) else None
+    val ns: Option[Long] =
+      if (f.length == 6 && f(0) == "0" && f(3) == "*" && f(4) == "*")
+        every(f(1)) match {
+          case Some(m) if f(2) == "*" && m > 0 && 60 % m == 0 =>
+            Some(m * 60L * 1000000000L)
+          case None if f(1) == "0" =>
+            every(f(2)) match {
+              case Some(h) if h > 0 && 24 % h == 0 =>
+                Some(h * 3600L * 1000000000L)
+              case None if f(2) == "*" => Some(3600L * 1000000000L)
+              case _ => None
+            }
+          case _ => None
+        }
+      else None
+    ns.getOrElse(fail(s"unsupported cron expression '$spec' — supported" +
+      " forms: '0 0/M * * * ?' (M | 60), '0 0 0/H * * ?' (H | 24), " +
+      "'0 0 * * * ?' (hourly); sparse calendar schedules have no " +
+      "fixed-interval batch-replay equivalent"))
+  }
+
+
+  /** `@OnError(action='STREAM')` split for stream `sN`: (fault twin,
+    * clean view). v1 fault class = integer divide/modulo by zero,
+    * derived from the zero-divisor conditions implied by every query
+    * reading `sN` in the app (engine twin: Ops.faultStream's
+    * validation-predicate union) — single-stream queries, partition
+    * blocks over `sN` (inner queries + range-label conditions), and
+    * the `sN` side of joins / pattern steps (side-local expressions
+    * only: a divisor referencing the OTHER join side cannot be
+    * evaluated per-`sN`-event, so it contributes nothing — the pair
+    * fault routes with the erroring event, out of v1 scope). Stream
+    * names match case-insensitively, like the rest of the compiler.
+    * Rows matching any condition route to `!sN` with `_error`; clean
+    * readers see the exact complement (an erroring event produces no
+    * main output). Shared by the batch replay and the live deployment:
+    * both split filters are OR-extended with the flush-sentinel region
+    * (`ts >= flushCutoff`) so they stay above the source watermark
+    * node and sentinels reach BOTH branches — a stateful live reader
+    * of `!sN` (or of the clean view when a divisor happens to be zero
+    * on the sentinel's synthetic values) still sees the watermark
+    * advance; stateful operators drop sentinels right above
+    * themselves, and the batch replay has no `ts` in that region so
+    * the extension is the identity there. */
+  private[api] def onErrorSplit(base: DataFrame,
+      stmts: List[(Option[String], String, Boolean)], sN: String)
+      : (DataFrame, DataFrame) = {
+    def divisors(e: Expr): List[Expr] = e match {
+      case Bin(op, l, r) if op == "/" || op == "%" =>
+        r :: divisors(l) ::: divisors(r)
+      case Bin(_, l, r) => divisors(l) ::: divisors(r)
+      case Not(x) => divisors(x)
+      case Neg(x) => divisors(x)
+      case Call(_, _, args) => args.flatMap(divisors)
+      case _ => Nil
+    }
+    def isSn(t: String): Boolean = t.equalsIgnoreCase(sN)
+    // Rewrite a divisor to `sN`-local form: refs qualified by an `sN`
+    // alias/binding drop the qualifier; refs qualified by another
+    // stream's alias make the divisor non-local → None (dropped).
+    def localize(e: Expr, snQ: Set[String], otherQ: Set[String])
+        : Option[Expr] = e match {
+      case Ref(q :: c :: Nil) if snQ.exists(_.equalsIgnoreCase(q)) =>
+        Some(Ref(c :: Nil))
+      case Ref(q :: _) if otherQ.exists(_.equalsIgnoreCase(q)) => None
+      case Ref(_) | Num(_) | Str(_) => Some(e)
+      case Bin(op, l, r) => for { a <- localize(l, snQ, otherQ)
+                                  b <- localize(r, snQ, otherQ) }
+                            yield Bin(op, a, b)
+      case Not(x) => localize(x, snQ, otherQ).map(Not)
+      case Neg(x) => localize(x, snQ, otherQ).map(Neg)
+      case Call(ns, n, as) =>
+        val ls = as.map(localize(_, snQ, otherQ))
+        if (ls.forall(_.nonEmpty)) Some(Call(ns, n, ls.map(_.get)))
+        else None
+      case _ => None
+    }
+    def fromAst(ast: Ast): List[Expr] = ast.stream match {
+      case ss: SingleStream if isSn(ss.table) =>
+        (ss.filter.toList ++ ast.select.map(_.e) ++
+          ast.having.toList).flatMap(divisors)
+      case j: JoinStream if isSn(j.left.table) || isSn(j.right.table) =>
+        val sides = List(j.left -> j.leftAlias, j.right -> j.rightAlias)
+        val snQ = sides.collect { case (s, a) if isSn(s.table) =>
+          a.getOrElse(s.table) }.toSet
+        val otherQ = sides.collect { case (s, a) if !isSn(s.table) =>
+          a.getOrElse(s.table) }.toSet
+        val local = sides.collect { case (s, _) if isSn(s.table) =>
+          s.filter.toList }.flatten.flatMap(divisors)
+        val shared = (j.on :: ast.select.map(_.e) ++ ast.having.toList)
+          .flatMap(divisors)
+        local ::: shared.flatMap(localize(_, snQ, otherQ))
+      case p: PatternStream =>
+        val snBind = p.steps.flatMap {
+          case PatCond(b2, t, _, _, _) if isSn(t) => List(b2)
+          case PatPair(_, b1, t1, _, b2, t2, _) =>
+            (if (isSn(t1)) List(b1) else Nil) :::
+              (if (isSn(t2)) List(b2) else Nil)
+          case _ => Nil
+        }.toSet
+        val otherBind = p.steps.flatMap {
+          case PatCond(b2, t, _, _, _) if !isSn(t) => List(b2)
+          case PatPair(_, b1, t1, _, b2, t2, _) =>
+            (if (!isSn(t1)) List(b1) else Nil) :::
+              (if (!isSn(t2)) List(b2) else Nil)
+          case _ => Nil
+        }.toSet
+        val stepLocal = p.steps.flatMap {
+          case PatCond(_, t, c, _, _) if isSn(t) => divisors(c)
+          case PatAbsent(t, c, _) if isSn(t) => divisors(c)
+          case PatPair(_, _, t1, c1, _, t2, c2) =>
+            (if (isSn(t1)) divisors(c1) else Nil) :::
+              (if (isSn(t2)) divisors(c2) else Nil)
+          case _ => Nil
+        }
+        if (snBind.isEmpty && stepLocal.isEmpty) Nil
+        else stepLocal.flatMap(localize(_, snBind, otherBind)) :::
+          (ast.select.map(_.e) ++ ast.having.toList).flatMap(divisors)
+            .flatMap(localize(_, snBind, otherBind))
+      case _ => Nil
+    }
+    val conds: Seq[Column] = stmts.flatMap { case (_, b, _) =>
+      val head = b.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("from"))
+        scala.util.Try(fromAst(new P(lex(b)).query())).getOrElse(Nil)
+      else if (head.equalsIgnoreCase("partition")) scala.util.Try {
+        val (innerBody, _, ranges, srcName) = parsePartition(b)
+        if (!isSn(srcName)) Nil
+        else ranges.map(_._1).flatMap(divisors) :::
+          innerBody.split(";").map(_.trim).filter(_.nonEmpty).toList
+            .flatMap(stripAnnotations).flatMap { case (_, qb, _) =>
+              scala.util.Try {
+                val a = new P(lex(qb)).query()
+                a.stream match {
+                  case ss: SingleStream if isSn(ss.table) ||
+                      ss.table.equalsIgnoreCase(srcName) => fromAst(
+                    a.copy(stream = ss.copy(table = sN)))
+                  case _ => fromAst(a)
+                }
+              }.getOrElse(Nil)
+            }
+      }.getOrElse(Nil)
+      else Nil
+    }.map(sqlOf).distinct.flatMap { rTxt =>
+      scala.util.Try {
+        val c = expr(rTxt)
+        base.select(c).schema.head.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            Some(c === 0)
+          case _ => None // double division never faults (IEEE inf)
+        }
+      }.toOption.flatten
+    }
+    val faultAny = coalesce(
+      conds.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+    // both branches keep the sentinel region (no-op for batch replay —
+    // real data never reaches ts >= flushCutoff)
+    val sentinel: Column =
+      if (base.columns.contains("ts"))
+        col("ts") >= graft.engine.Streaming.flushCutoff
+      else lit(false)
+    (base.filter(faultAny || sentinel)
+       .withColumn("_error", when(sentinel, lit(null).cast("string"))
+         .otherwise(lit("divide_by_zero"))),
+      base.filter(!faultAny || sentinel))
+  }
+
+  /** Env lookup matching the compiler's case-insensitive stream-name
+    * semantics: exact key first (the common case, free), then a
+    * case-insensitive scan — so `from Events` reads the same declared
+    * view (e.g. an @OnError clean split) as `from events` instead of
+    * silently falling through to the raw table. */
+  private[api] def envLookup(env: Map[String, DataFrame], name: String)
+      : Option[DataFrame] =
+    env.get(name).orElse(env.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v })
+
+  private[api] def loadTable(spark: SparkSession, dir: String, name: String,
+                        env: Map[String, DataFrame]): DataFrame =
+    envLookup(env, name).getOrElse(
+      if (name.startsWith("!"))
+        fail(s"fault stream '$name' needs an app context with " +
+          s"`@OnError(action='STREAM') define stream ${name.drop(1)} " +
+          "(...)`")
+      else if (name.equalsIgnoreCase("events")) Tables.events(spark, dir)
+      else Tables.table(spark, dir, name))
+
+  /** Apply a stream filter that may contain `<expr> in Table` membership
+    * conjuncts: each positive conjunct becomes a LEFT SEMI join against
+    * the table (LEFT ANTI under `not`), the residual predicate stays a
+    * WHERE. Key resolution: a same-named table column if the left side
+    * is a bare attribute, else the table's single column. The join side
+    * is distinct'd; the strategy is left to Catalyst/AQE — a small
+    * lookup table broadcasts, a large one shuffles (never a per-row
+    * lookup, never forced into driver memory). */
+  private[api] def applyFilter(spark: SparkSession, dir: String, df: DataFrame,
+      f: Expr, env: Map[String, DataFrame]): DataFrame = {
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => List(x)
+    }
+    def isMem(e: Expr): Boolean = e match {
+      case InTable(_, _) | Not(InTable(_, _)) => true
+      case _ => false
+    }
+    val (mems, rest) = conjuncts(f).partition(isMem)
+    if (mems.isEmpty) return df.where(expr(sqlOf(f)))
+    val withWhere =
+      if (rest.isEmpty) df
+      else df.where(expr(sqlOf(rest.reduceLeft(Bin("and", _, _)))))
+    mems.foldLeft(withWhere) { (cur, m) =>
+      val (neg, it) = m match {
+        case Not(x: InTable) => (true, x)
+        case x: InTable => (false, x)
+        case _ => fail("unreachable membership conjunct")
+      }
+      val tbl = loadTable(spark, dir, it.table, env)
+      val jt = if (neg) "left_anti" else "left_semi"
+      it.e match {
+        case Ref(p :: Nil) if tbl.columns.contains(p) =>
+          cur.join(tbl.select(p).distinct(), Seq(p), jt)
+        case lhs if tbl.columns.length == 1 =>
+          val k = tbl.columns.head
+          cur.join(tbl.select(col(k).as("__in_key")).distinct(),
+            expr(sqlOf(lhs)) === col("__in_key"), jt)
+        case other => fail(s"`in ${it.table}`: '${sqlOf(other)}' has no " +
+          s"same-named column in '${it.table}' and the table is not " +
+          "single-column — name the membership key")
+      }
+    }
+  }
+
+  private[api] def compileJoin(spark: SparkSession, dir: String, ast: Ast,
+                          j: JoinStream,
+                          env: Map[String, DataFrame],
+                          aggDefs: Map[String, AggDef] = Map.empty,
+                          rate: Option[Rate] = None
+                         ): DataFrame = {
+    def side(ss: SingleStream, a: Option[String]): DataFrame = {
+      if (aggDefs.contains(ss.table)) {
+        // `from S join AggTable within … per 'grain'` — the enrichment
+        // join over the grain cascade's stored table (all stored attrs
+        // joinable/selectable); the rolled aggregate is tiny next to the
+        // stream, so Catalyst broadcasts it
+        val stored = aggStored(spark, dir, ss, aggDefs(ss.table), env)
+        return a.fold(stored)(stored.alias)
+      }
+      if (ss.aggWithin.nonEmpty || ss.aggPer.nonEmpty)
+        fail(s"within/per requires `define aggregation ${ss.table}` in " +
+          "an app context")
+      val b0 = loadTable(spark, dir, ss.table, env)
+      val b1 = ss.filter.fold(b0)(f => applyFilter(spark, dir, b0, f, env))
+      a.fold(b1)(b1.alias)
+    }
+    val joined = (j.left.window, j.right.window) match {
+      case (None, None) =>
+        side(j.left, j.leftAlias)
+          .join(side(j.right, j.rightAlias), expr(sqlOf(j.on)), j.joinType)
+      case (Some(WindowSpec(ln, largs, _)), Some(WindowSpec(rn, rargs, _)))
+          if ln.equalsIgnoreCase("time") && rn.equalsIgnoreCase("time") =>
+        // stream#window.time(Tl) ⋈ stream#window.time(Tr): a pair (l, r)
+        // matches when each event lies within the OTHER side's window —
+        // when l arrives, r must still be retained (0 ≤ tl-tr ≤ Tr), or
+        // vice versa (0 ≤ tr-tl ≤ Tl); the union is the symmetric band
+        // tl-tr ∈ [-Tl, Tr]. Compiled as the on-condition AND the band —
+        // with an equality conjunct the plan is a shuffled equi join
+        // with a range residual (the watermarked stream-stream join's
+        // batch twin), never a nested loop, so we REQUIRE one.
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure time-band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.time(...) join S as b...`) to " +
+          "qualify their timestamps"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.time(...) join S as b...`) to " +
+          "qualify their timestamps"))
+        // unidirectional: only LEFT arrivals trigger, so the band keeps
+        // just the "r already retained when l arrives" direction
+        val band =
+          if (j.unidirectional)
+            s"($la.ts_ns - $ra.ts_ns) between 0L and ${rargs.head}L"
+          else s"($la.ts_ns - $ra.ts_ns) " +
+            s"between ${-largs.head}L and ${rargs.head}L"
+        side(j.left.copy(window = None), j.leftAlias)
+          .join(side(j.right.copy(window = None), j.rightAlias),
+            expr(s"(${sqlOf(j.on)}) and $band"), j.joinType)
+      case (Some(WindowSpec(ln, largs, _)), Some(WindowSpec(rn, rargs, _)))
+          if ln.equalsIgnoreCase("length") &&
+             rn.equalsIgnoreCase("length") =>
+        // stream#window.length(Nl) ⋈ stream#window.length(Nr): a pair
+        // (l, r) matches at the LATER event's arrival, when the earlier
+        // one is still among the last N retained on its side. Count
+        // windows are arrival-RANK bands: give each side a global
+        // arrival sequence (__seq) and each event the count of the
+        // OTHER side's arrivals before it (__cnt, one running-sum pass
+        // over the interleaved marks); then "r still retained when l
+        // arrives" is the integer band  seqB(r) > cntB(l) − Nr  — the
+        // count twin of the time join's [-Tl, Tr] band, compiled the
+        // same way: a shuffled EQUI join on the required key with the
+        // band as residual. The global sequence is the inherently
+        // sequential part of Siddhi's length-window semantics, so both
+        // sides ride the guarded single-task window (shard bigger
+        // streams with `partition with`, as the guard says).
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.length(...) join S as b...`) " +
+          "to qualify their columns"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases (`from S as a#window.length(...) join S as b...`) " +
+          "to qualify their columns"))
+        val nL = largs.head; val nR = rargs.head
+        // global arrival ranks/counts via [[runningTotal]] — the
+        // All four rank/count quantities come from ONE distributed
+        // prefix-sum pass over the interleaved marks — NOT a
+        // single-task order-by-all window (the r8 perf_weak; the
+        // guardGlobalWindow refusal is gone with it). Rows
+        // range-partition ONCE on (ts_ns, event_id); per partition,
+        // TWO in-partition running sums over the same exchange use
+        // opposite __isB tie orders, so an event that appears on BOTH
+        // sides of a self-join (identical (ts_ns, event_id) marks)
+        // never counts its own twin as an other-side arrival "before"
+        // it — matching the strict `before()` order, under which a
+        // self-pair never joins. Reading each side's own total at its
+        // own mark makes it the arrival RANK (self-inclusive):
+        //   A-mark: __seqA = cumA (desc tie: includes itself),
+        //           __cntB = cumB (asc tie: B twin excluded);
+        //   B-mark: __seqB = cumB (asc tie: includes itself),
+        //           __cntA = cumA (desc tie: A twin excluded).
+        // The partition-offset cumsum touches one row per PARTITION.
+        def sideOf(ss: SingleStream): DataFrame = {
+          val df = side(ss.copy(window = None), None)
+          Seq("ts_ns", "event_id").foreach(c =>
+            if (!df.columns.contains(c))
+              fail(s"length-window join sides need '$c' for arrival " +
+                s"order; '${ss.table}' lost it"))
+          df
+        }
+        val aSide = sideOf(j.left)
+        val bSide = sideOf(j.right)
+        val marks = {
+          import org.apache.spark.sql.expressions.Window
+          val m0 = aSide.select(col("ts_ns"), col("event_id"),
+              lit(0L).as("__isB"))
+            .unionByName(bSide.select(col("ts_ns"), col("event_id"),
+              lit(1L).as("__isB")))
+            .repartitionByRange(col("ts_ns"), col("event_id"))
+            .withColumn("__rpid", spark_partition_id())
+          val wAsc = Window.partitionBy("__rpid")
+            .orderBy(col("ts_ns"), col("event_id"), col("__isB"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wDesc = Window.partitionBy("__rpid")
+            .orderBy(col("ts_ns"), col("event_id"), col("__isB").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val offs = m0.groupBy("__rpid")
+            .agg(sum(col("__isB")).as("__btot"),
+              sum(lit(1L) - col("__isB")).as("__atot"))
+            .withColumn("__boff", coalesce(sum(col("__btot")).over(
+              Window.orderBy("__rpid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .withColumn("__aoff", coalesce(sum(col("__atot")).over(
+              Window.orderBy("__rpid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("__rpid").as("__opid"), col("__boff"),
+              col("__aoff"))
+          m0.withColumn("__cumB", sum(col("__isB")).over(wAsc))
+            .withColumn("__cumA", sum(lit(1L) - col("__isB")).over(wDesc))
+            .join(broadcast(offs), col("__rpid") === col("__opid"))
+            .select(col("event_id"), col("__isB"),
+              (col("__cumB") + col("__boff")).as("__cumB"),
+              (col("__cumA") + col("__aoff")).as("__cumA"))
+        }
+        val aCnt = marks.filter(col("__isB") === 0)
+          .select(col("event_id").as("__aid"),
+            col("__cumA").as("__seqA"), col("__cumB").as("__cntB"))
+        val bCnt = marks.filter(col("__isB") === 1)
+          .select(col("event_id").as("__bid"),
+            col("__cumB").as("__seqB"), col("__cumA").as("__cntA"))
+        val aFull = aSide.join(aCnt, aSide("event_id") === col("__aid"))
+          .drop("__aid").alias(la)
+        val bFull = bSide.join(bCnt, bSide("event_id") === col("__bid"))
+          .drop("__bid").alias(ra)
+        def before(x: String, y: String): String =
+          s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +
+            s"$x.event_id < $y.event_id))"
+        val dir1 = s"(${before(ra, la)} and $ra.__seqB > " +
+          s"$la.__cntB - ${nR}L)"
+        val dir2 = s"(${before(la, ra)} and $la.__seqA > " +
+          s"$ra.__cntA - ${nL}L)"
+        val band2 = if (j.unidirectional) dir1 else s"($dir1 or $dir2)"
+        aFull.join(bFull, expr(s"(${sqlOf(j.on)}) and $band2"),
+            j.joinType)
+          .drop("__seqA", "__seqB", "__cntA", "__cntB")
+      case (Some(lw), Some(rw))
+          if Seq(lw, rw).forall(w => w.name.equalsIgnoreCase("time") ||
+              w.name.equalsIgnoreCase("length") ||
+              w.name.equalsIgnoreCase("timebatch") ||
+              w.name.equalsIgnoreCase("lengthbatch")) =>
+        // MIXED / timeBatch join sides: each direction applies the
+        // EARLIER side's own retention rule at the later event's
+        // arrival — time contributes its [0, T] event-time band,
+        // length its arrival-rank band (seq > cnt − N), and timeBatch
+        // its tumbling-bucket co-membership (the chunk window holds
+        // exactly the current bucket's events, flushed at the
+        // boundary: floor(earlier/T) == floor(later/T)). Arrival order
+        // (ties included) is (ts_ns, event_id), so every pair belongs
+        // to exactly one direction.
+        if (!hasEqui(j.on))
+          fail("a windowed stream-stream join needs an equality conjunct " +
+            "in its on-clause (the join key that shards the band join; " +
+            "a pure band join would be a nested loop at scale)")
+        val la = j.leftAlias.getOrElse(fail("windowed join sides need " +
+          "aliases to qualify their columns"))
+        val ra = j.rightAlias.getOrElse(fail("windowed join sides need " +
+          "aliases to qualify their columns"))
+        // length AND lengthBatch sides need the arrival rank/count
+        // helpers; lengthBatch's chunk = arrivals since the last flush
+        // (ranks above the last full multiple of N)
+        def isLen(w: WindowSpec) =
+          w.name.equalsIgnoreCase("length") ||
+            w.name.equalsIgnoreCase("lengthbatch")
+        def sided(ss: SingleStream, w: WindowSpec, tag: String)
+            : DataFrame = {
+          val df = side(ss.copy(window = None), None)
+          Seq("ts_ns", "event_id").foreach(c =>
+            if (!df.columns.contains(c))
+              fail(s"windowed join sides need '$c' for arrival order; " +
+                s"'${ss.table}' lost it"))
+          if (isLen(w))
+            // distributed prefix rank — see the pure-length case
+            runningTotal(df, Seq(col("ts_ns"), col("event_id")),
+              lit(1L), s"__seq$tag")
+          else df
+        }
+        val aS = sided(j.left, lw, "A")
+        val bS = sided(j.right, rw, "B")
+        // arrival counts of the LENGTH side(s), seen by the other side
+        def marksOf(me: DataFrame, other: DataFrame): DataFrame =
+          // __o tie-break: the reading side's own mark (__o=0) sorts
+          // first at identical (ts_ns, event_id), so a self-join
+          // twin never counts as an other-side arrival "before" it
+          // (deterministic; matches beforeM's strict order);
+          // distributed prefix sum — see the pure-length case
+          runningTotal(
+            me.select(col("ts_ns"), col("event_id"), lit(0L).as("__o"))
+              .unionByName(other.select(col("ts_ns"), col("event_id"),
+                lit(1L).as("__o"))),
+            Seq(col("ts_ns"), col("event_id"), col("__o")),
+            col("__o"), "__cnt")
+            .filter(col("__o") === 0)
+            .select(col("event_id").as("__mid"), col("__cnt"))
+        val aF0 = if (isLen(rw)) {
+          val m = marksOf(aS, bS)
+            .withColumnRenamed("__cnt", "__cntB")
+          aS.join(m, aS("event_id") === col("__mid")).drop("__mid")
+        } else aS
+        val bF0 = if (isLen(lw)) {
+          val m = marksOf(bS, aS)
+            .withColumnRenamed("__cnt", "__cntA")
+          bS.join(m, bS("event_id") === col("__mid")).drop("__mid")
+        } else bS
+        val aF = aF0.alias(la); val bF = bF0.alias(ra)
+        def beforeM(x: String, y: String): String =
+          s"($x.ts_ns < $y.ts_ns or ($x.ts_ns = $y.ts_ns and " +
+            s"$x.event_id < $y.event_id))"
+        // direction "l later": r retained per the RIGHT side's rule
+        def retain(later: String, earlier: String, w: WindowSpec,
+            seqC: String, cntC: String): String =
+          if (w.name.equalsIgnoreCase("length"))
+            s"$earlier.$seqC > $later.$cntC - ${w.args.head}L"
+          else if (w.name.equalsIgnoreCase("lengthbatch"))
+            s"$earlier.$seqC > " +
+              s"($later.$cntC div ${w.args.head}L) * ${w.args.head}L"
+          else if (w.name.equalsIgnoreCase("timebatch"))
+            s"($earlier.ts_ns div ${w.args.head}L) = " +
+              s"($later.ts_ns div ${w.args.head}L)"
+          else s"$later.ts_ns - $earlier.ts_ns <= ${w.args.head}L"
+        val dir1 = s"(${beforeM(ra, la)} and " +
+          s"${retain(la, ra, rw, "__seqB", "__cntB")})"
+        val dir2 = s"(${beforeM(la, ra)} and " +
+          s"${retain(ra, la, lw, "__seqA", "__cntA")})"
+        val bandM = if (j.unidirectional) dir1 else s"($dir1 or $dir2)"
+        aF.join(bF, expr(s"(${sqlOf(j.on)}) and $bandM"), j.joinType)
+          .drop("__seqA", "__seqB", "__cntA", "__cntB")
+      case _ =>
+        fail("join sides support #window.time(T) / #window.length(N) " +
+          "on BOTH sides, in any combination (the stream-stream " +
+          "windowed joins); other join-side window types are not " +
+          "supported (v1)")
+    }
+    // a group key whose select item is a SIDE-QUALIFIED ref (a.user_id
+    // as user_id … group by user_id) must group by the qualified
+    // column — the bare name is ambiguous when both join sides carry
+    // it (the self-join shape); post-aggregation the key column is
+    // single-part again, so downstream resolution is unchanged
+    val expanded = expandStar(ast, joined.columns.distinct)
+    val astG = expanded.copy(groupBy = expanded.groupBy.map { g =>
+      itemsOf(expanded).collectFirst {
+        case (it, a, false) if a == g => it.e } match {
+        case Some(Ref(parts)) if parts.length > 1 => parts.mkString(".")
+        case _ => g
+      }
+    })
+    rate match {
+      case None => selectOrAggregate(astG, joined, Nil, windowed = false)
+      case Some(r) => rateOverJoin(astG, joined, j, r)
+    }
+  }
+
+  /** Output rate limiting over a JOIN: the rated events are the join's
+    * OUTPUT pairs, each emitted at the instant its LATER side arrived
+    * (an outer join's unmatched row emits at its own arrival —
+    * `greatest` skips the null side). Both sides must be aliased event
+    * streams so the emission order (`emit ts`, left id, right id) is
+    * total. first/last per rate interval partition by the emission
+    * interval — fully parallel; count-based rates need the global
+    * emission rank and ride the guarded single-task window. */
+  private[api] def rateOverJoin(ast: Ast, joined: DataFrame,
+      j: JoinStream, rate: Rate): DataFrame = {
+    if (ast.groupBy.nonEmpty || ast.select.exists(it => containsAgg(it.e)))
+      fail("output rate limiting over a join rates the join's OUTPUT " +
+        "events (v1) — no group by / aggregates (aggregate in a " +
+        "downstream stage)")
+    val (laS, raS) = (j.leftAlias, j.rightAlias) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => fail("output rate limiting over a join needs ALIASED " +
+        "stream sides (v1) to define the pair emission order")
+    }
+    Seq(laS, raS).foreach { a =>
+      Seq("ts_ns", "event_id").foreach { c =>
+        if (scala.util.Try(joined(s"$a.$c")).isFailure)
+          fail(s"output rate limiting over a join needs '$c' on side " +
+            s"'$a' — pair emission order is (later ts, left id, " +
+            "right id)")
+      }
+    }
+    val emitTs = greatest(col(s"$laS.ts_ns"), col(s"$raS.ts_ns"))
+    val df = joined
+      .withColumn("__emit_ts", emitTs)
+      .withColumn("__emit_ord", struct(emitTs.as("t"),
+        coalesce(col(s"$laS.event_id"), lit(-1L)).as("il"),
+        coalesce(col(s"$raS.event_id"), lit(-1L)).as("ir")))
+    def proj(kept: DataFrame): DataFrame =
+      selectOrAggregate(ast, kept.drop("__emit_ts", "__emit_ord"), Nil,
+        windowed = false)
+    import org.apache.spark.sql.expressions.Window
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => proj(df) // replayed batches ≡ the output
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val w = Window.partitionBy(expr(s"__emit_ts div ${t}L"))
+          .orderBy(if (m == "first") col("__emit_ord").asc
+            else col("__emit_ord").desc)
+        proj(df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1))
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        // emission ranks from the distributed prefix sum over the
+        // total emission order (struct sorts lexicographically), then
+        // a chunk-partitioned pick — no global single-task window
+        val pick = if (m == "first") "min" else "max"
+        proj(globalRank(df, Seq(col("__emit_ord")), "__rn")
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")))
+      case ("snapshot", _, _) =>
+        fail("output snapshot over a join (v1): insert the join into a " +
+          "stream and snapshot that stream — a snapshot of pair state " +
+          "has no single emission row")
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
+  }
+
+  private[api] def compileSingle(spark: SparkSession, dir: String, ast0: Ast,
+                            s: SingleStream,
+                            env: Map[String, DataFrame],
+                            partKey: Option[String] = None): DataFrame = {
+    val base0 = loadTable(spark, dir, s.table, env)
+    val ast = expandStar(ast0, base0.columns)
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
+    val items = itemsOf(ast)
+    def aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a)
+    }
+    def keyRefs = items.collect { case (it, a, false) => (it, a) }
+
+    def grouped(implicitKeys: Seq[(String, Column)],
+                df: DataFrame): DataFrame =
+      selectOrAggregate(ast, df, implicitKeys, windowed = true)
+
+    /** Distributed sliding frame over the GLOBAL total order (no
+      * group by): anchors and data rows equi-join on a band BUCKET —
+      * every data row duplicates into the (at most two) buckets whose
+      * anchors can need it, the exact frame condition filters inside
+      * the join, and each anchor's frame aggregates via the FoldAlg
+      * components (so the full mergeable algebra, stdDev and
+      * distinctCount included, works on global sliding frames). No
+      * data-sized single-task window remains — the r9
+      * guardGlobalWindow refusal on unpartitioned sliding shapes is
+      * retired. Work is O(2n) join rows, each bucket a frame-width
+      * slice, parallel across buckets. */
+    def slidingBand(lenN: Option[Long], timeNs: Option[Long],
+        timeAttr: String): DataFrame = {
+      if (ast.having.nonEmpty) fail("having needs a tumbling window")
+      val comps = scala.collection.mutable.Buffer
+        .empty[(String, String, Option[Expr])]
+      def rwS(e: Expr): Expr = e match {
+        case Call(None, n2, args0) if aggNames(n2.toLowerCase) =>
+          val b = s"__s${comps.length}"
+          comps += ((b, n2.toLowerCase, args0.headOption))
+          FoldAlg.rewrite(n2.toLowerCase, b)
+        case Call(ns2, n2, as2) => Call(ns2, n2, as2.map(rwS))
+        case Bin(op, l, r) => Bin(op, rwS(l), rwS(r))
+        case Not(x) => Not(rwS(x))
+        case Neg(x) => Neg(rwS(x))
+        case other => other
+      }
+      val finalsS: Seq[(String, Expr)] = items.map { case (it, a, isAgg) =>
+        a -> (if (isAgg) rwS(it.e) else it.e)
+      }
+      comps.foreach { case (_, n2, argO) =>
+        if (n2 != "count" && argO.isEmpty)
+          fail(s"$n2(...) needs an argument")
+      }
+      if (comps.isEmpty)
+        fail("a sliding window selects at least one aggregate")
+      // the anchor key: global arrival rank (unique); rows frames also
+      // consume it as the band coordinate
+      val ranked = globalRank(base, Seq(col("ts_ns"), col("event_id")),
+        "__ark")
+      def bucketOf(rk: String, ts: String): Column = lenN match {
+        case Some(n2) => expr(s"($rk - 1) div ${n2}L")
+        case None => expr(s"$ts div ${timeNs.get}L")
+      }
+      val anchors = ranked.withColumn("__ab", bucketOf("__ark", timeAttr))
+      val data = ranked.select(col("__ark").as("__drk") +:
+        col(timeAttr).as("__dts") +:
+        comps.toSeq.flatMap { case (b, _, argO) =>
+          argO.map(a0 => expr(sqlOf(a0)).as(s"${b}_x")).toSeq }: _*)
+        .withColumn("__db", explode(array(bucketOf("__drk", "__dts"),
+          bucketOf("__drk", "__dts") + lit(1L))))
+      val frameCond = (lenN.map(n2 =>
+          col("__drk") >= col("__ark") - lit(n2 - 1) &&
+            col("__drk") <= col("__ark")).toList ++
+        timeNs.map(t =>
+          col("__dts") >= col(timeAttr) - lit(t) &&
+            col("__dts") <= col(timeAttr)).toList).reduce(_ && _)
+      val aggsS = comps.toSeq.flatMap { case (b, n2, argO) =>
+        FoldAlg.partialCols(n2, b, argO.map(_ => col(s"${b}_x"))) }
+      val agged = anchors.select(col("__ark"), col("__ab"),
+          col(timeAttr))
+        .join(data, col("__ab") === col("__db") && frameCond)
+        .groupBy("__ark").agg(aggsS.head, aggsS.tail: _*)
+        .withColumnRenamed("__ark", "__grk")
+      anchors.join(agged, col("__ark") === col("__grk"))
+        .select(finalsS.map { case (a, e2) =>
+          expr(sqlOf(e2)).as(a) }: _*)
+    }
+
+    def sliding(frame: String): DataFrame = {
+      val part = if (ast.groupBy.isEmpty) ""
+                 else s"partition by ${ast.groupBy.mkString(", ")} "
+      val w = s"(${part}order by $frame)"
+      // attach the frame at the AGGREGATE CALL, not around the whole item
+      // expression — `round(sum(x), 2)` must render as
+      // `round(sum(x) over w, 2)`, never `round(sum(x), 2) over w`
+      def windowed(e: Expr): String = e match {
+        case Call(None, n, _) if aggNames(n.toLowerCase) =>
+          s"${sqlOf(e)} over $w"
+        case Call(ns, n, args) =>
+          renderCall(ns, n, args.length,
+            args.map(x => if (containsAgg(x)) windowed(x) else sqlOf(x)))
+        case Bin(op, l, r) =>
+          val o = if (op == "==") "=" else op
+          s"(${windowed(l)} $o ${windowed(r)})"
+        case Not(x) => s"(NOT ${windowed(x)})"
+        case Neg(x) => s"(- ${windowed(x)})"
+        case other => sqlOf(other)
+      }
+      val cols = items.map { case (it, a, isAgg) =>
+        if (isAgg) expr(windowed(it.e)).as(a)
+        else expr(sqlOf(it.e)).as(a)
+      }
+      if (ast.having.nonEmpty) fail("having needs a tumbling window")
+      base.select(cols: _*)
+    }
+
+    s.window match {
+      case None => selectOrAggregate(ast, base, Nil, windowed = false)
+      case Some(WindowSpec(n, args, _)) => n.toLowerCase match {
+        case "timebatch" =>
+          val tNs = args.head
+          val withW = base.withColumn("w_start_ms",
+            expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+          grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
+        case "lengthbatch" =>
+          // inside `partition with`, chunks count per key and the
+          // window parallelizes across keys; the GLOBAL form's arrival
+          // ranks ride the distributed prefix sum (the r9
+          // guardGlobalWindow refusal is gone) — chunking is then a
+          // plain rank consumer, floor(rank/N)
+          val withC = partKey match {
+            case Some(k) => base.withColumn("chunk_id", expr(
+              s"(row_number() over (partition by $k " +
+                s"order by ts_ns, event_id) - 1) div ${args.head}"))
+            case None =>
+              globalRank(base, Seq(col("ts_ns"), col("event_id")), "__rk")
+                .withColumn("chunk_id",
+                  expr(s"(__rk - 1) div ${args.head}"))
+                .drop("__rk")
+          }
+          grouped(Seq("chunk_id" -> col("chunk_id")), withC)
+        case "session" =>
+          val gap = s"${args.head / 1000000} milliseconds"
+          val sw = session_window(col("ts"), gap)
+          if (aggCols.isEmpty) fail("session window needs an aggregate")
+          keyRefs.foreach { case (it, _) => it.e match {
+            case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+            case _ => fail("non-aggregate select item must be grouped")
+          }}
+          val agged = base
+            .groupBy(sw +: ast.groupBy.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+          hav.select(
+            unix_millis(col("session_window.start")).as("w_start_ms") +:
+            unix_millis(col("session_window.end")).as("w_end_ms") +:
+            items.map { case (_, a, _) => col(a) }: _*)
+        case "length" =>
+          if (ast.groupBy.isEmpty)
+            slidingBand(Some(args.head), None, "ts_ns")
+          else sliding(s"ts_ns, event_id rows between ${args.head - 1} " +
+            "preceding and current row")
+        case "time" =>
+          if (ast.groupBy.isEmpty)
+            slidingBand(None, Some(args.head), "ts_ns")
+          else sliding(s"ts_ns range between ${args.head} " +
+            "preceding and current row")
+        case "externaltime" =>
+          // sliding time window driven by a NAMED ns-epoch attribute
+          // (engine twin: window_external_time); `time` drives off ts_ns
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("externalTime needs a timestamp attribute argument"))
+          if (ast.groupBy.isEmpty)
+            slidingBand(None, Some(args.head), attr)
+          else sliding(s"$attr range between ${args.head} " +
+            "preceding and current row")
+        case "externaltimebatch" =>
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("externalTimeBatch needs a timestamp attribute argument"))
+          val tNs = args.head
+          val withW = base.withColumn("w_start_ms",
+            expr(s"($attr div ${tNs}L) * ${tNs / 1000000}L"))
+          grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
+        case "sort" =>
+          // sort(N, attr, 'asc'|'desc'): retain the N first events by
+          // attr order. orderBy(...).limit(N) plans as a DISTRIBUTED
+          // TakeOrdered (per-partition top-N + merge), never a global
+          // sort — the shape that survives 100 TB
+          val n = args.headOption.getOrElse(
+            fail("sort needs a count argument")).toInt
+          val sa = s.window.get.sargs
+          val attr = sa.headOption.getOrElse(
+            fail("sort needs an attribute argument"))
+          val asc = sa.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
+          val ord = if (asc)
+            Seq(col(attr).asc, col("ts_ns").asc, col("event_id").asc)
+          else Seq(col(attr).desc, col("ts_ns").asc, col("event_id").asc)
+          val kept = base.orderBy(ord: _*).limit(n)
+          selectOrAggregate(ast, kept, Nil, windowed = false)
+        case n @ ("unique:first" | "unique:last") =>
+          // dedup retention window: keep the first/last event per
+          // distinct key value (engine twin: Windows uniqueFirst/Last) —
+          // one row_number shuffle on the key, fully parallel
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail(s"$n needs an attribute argument"))
+          if (!base.columns.contains("ts_ns") ||
+              !base.columns.contains("event_id"))
+            fail(s"$n needs 'ts_ns' and 'event_id' to define arrival order")
+          val o = if (n == "unique:first") "ts_ns, event_id"
+                  else "ts_ns desc, event_id desc"
+          val kept = base.withColumn("__rn", expr(
+              s"row_number() over (partition by $attr order by $o)"))
+            .where(col("__rn") === 1).drop("__rn")
+          selectOrAggregate(ast, kept, Nil, windowed = false)
+        case "frequent" =>
+          // frequent(N, attr): retain events whose key is among the N
+          // most frequent. Batch replay computes the EXACT top-N the
+          // Misra–Gries window approximates (engine twin with sketch
+          // bounds: Sketches.frequent); the counts table is tiny, so the
+          // retention join broadcasts
+          val n = args.headOption.getOrElse(
+            fail("frequent needs a count argument")).toInt
+          val attr = s.window.get.sargs.headOption.getOrElse(
+            fail("frequent needs an attribute argument"))
+          val top = base.groupBy(attr)
+            .agg(count(lit(1)).as("__cnt"))
+            .withColumn("__rk", expr(
+              s"row_number() over (order by __cnt desc, $attr)"))
+            .where(col("__rk") <= n)
+            .select(attr)
+          val kept = base.join(broadcast(top), Seq(attr), "left_semi")
+          selectOrAggregate(ast, kept, Nil, windowed = false)
+        case "delay" =>
+          // `delay(T)`: events re-timestamped T later (engine twin:
+          // Windows.delay). The shift lands BEFORE select, so a chained
+          // app's downstream window buckets by the delayed time
+          val tNs = args.headOption.getOrElse(
+            fail("delay needs a duration argument"))
+          val shifted0 = base.withColumn("ts_ns", col("ts_ns") + lit(tNs))
+          val shifted =
+            if (base.columns.contains("ts"))
+              shifted0.withColumn("ts",
+                expr(s"timestampadd(MICROSECOND, ${tNs / 1000}L, ts)"))
+            else shifted0
+          selectOrAggregate(ast, shifted, Nil, windowed = false)
+        case "cron" =>
+          // `cron('0 0/15 * * * ?')`: contents emitted on the cron marks
+          // ⇒ aggregation per cron-aligned bucket (engine twin:
+          // Extras.cronWindow)
+          val spec = s.window.get.sargs.headOption.getOrElse(
+            fail("cron needs a quoted Quartz expression argument"))
+          val ivNs = cronIntervalNs(spec)
+          val withW = base.withColumn("cron_tick_ms",
+            expr(s"(ts_ns div ${ivNs}L) * ${ivNs / 1000000}L"))
+          grouped(Seq("cron_tick_ms" -> col("cron_tick_ms")), withW)
+        case "timelength" =>
+          // `timeLength(T, N)`: the window holds the LAST min(N,
+          // #within-T) events (engine twin: Extras.timeLength). The
+          // last-N buffer is a bounded rows frame (collect_list of at
+          // most N tiny structs — scale-safe), and the time bound prunes
+          // INSIDE it via a higher-order filter whose lambda compares
+          // each buffered ts against the current row's; aggregates then
+          // fold the pruned buffer. All codegen'd built-ins, no UDFs.
+          val tNs = args.headOption.getOrElse(
+            fail("timeLength needs a duration argument"))
+          val n = args.drop(1).headOption.getOrElse(
+            fail("timeLength needs a count argument")).toInt
+          if (n > 4096)
+            fail(s"timeLength($n) would materialize an $n-struct buffer " +
+              "per output row — for large counts use time()/timeBatch()" +
+              " (the time bound alone) instead")
+          if (ast.groupBy.isEmpty)
+            // global timeLength = the band join with BOTH bounds:
+            // rank band (last N) ∩ time band (within T)
+            return slidingBand(Some(n.toLong), Some(tNs), "ts_ns")
+          val part = s"partition by ${ast.groupBy.mkString(", ")} "
+          def refsIn(e: Expr): List[String] = e match {
+            case Ref(p) => List(p.last)
+            case Call(_, _, as) => as.flatMap(refsIn)
+            case Bin(_, l, r) => refsIn(l) ++ refsIn(r)
+            case Not(x) => refsIn(x)
+            case Neg(x) => refsIn(x)
+            case _ => Nil
+          }
+          val attrs = ("ts_ns" :: items.collect {
+            case (it, _, true) => refsIn(it.e) }.flatten).distinct
+          val fields = attrs.map(a => s"'$a', $a").mkString(", ")
+          val frame = s"(${part}order by ts_ns, event_id " +
+            s"rows between ${n - 1} preceding and current row)"
+          val withWin = base
+            .withColumn("__buf",
+              expr(s"collect_list(named_struct($fields)) over $frame"))
+            .withColumn("__win",
+              expr(s"filter(__buf, s -> s.ts_ns >= ts_ns - ${tNs}L)"))
+          def over(e: Expr): String = e match {
+            case Call(None, "count", Nil) => "cast(size(__win) as bigint)"
+            case Call(None, "sum", List(Ref(p))) =>
+              s"aggregate(__win, cast(0.0 as double), " +
+                s"(a, s) -> a + cast(s.${p.last} as double))"
+            case Call(None, "avg", List(Ref(p))) =>
+              s"(${over(Call(None, "sum", List(Ref(p))))} / size(__win))"
+            case Call(None, "min", List(Ref(p))) =>
+              s"array_min(transform(__win, s -> s.${p.last}))"
+            case Call(None, "max", List(Ref(p))) =>
+              s"array_max(transform(__win, s -> s.${p.last}))"
+            case Call(None, nm, _) if aggNames(nm.toLowerCase) =>
+              fail("timeLength aggregates are count()/sum/avg/min/max " +
+                s"over a column (got '$nm')")
+            case Call(ns2, nm, as2) =>
+              renderCall(ns2, nm, as2.length, as2.map(over))
+            case Bin(op, l, r) =>
+              val o = if (op == "==") "=" else op
+              s"(${over(l)} $o ${over(r)})"
+            case Not(x) => s"(NOT ${over(x)})"
+            case Neg(x) => s"(- ${over(x)})"
+            case otherE => sqlOf(otherE)
+          }
+          if (ast.having.nonEmpty) fail("having needs a tumbling window")
+          withWin.select(items.map { case (it, a, isAgg) =>
+            if (isAgg) expr(over(it.e)).as(a) else expr(sqlOf(it.e)).as(a)
+          }: _*)
+        case "expression" =>
+          // retain-while window (engine twin: Extras.expressionWindow):
+          // on each arrival evict from the FRONT until the retention
+          // expression holds again; select aggregates recompute over the
+          // retained buffer (whose size the predicate itself bounds).
+          // A keyed fold — parallel over keys, one exchange.
+          val srcTxt = s.window.get.sargs.headOption.getOrElse(
+            fail("expression window needs a quoted retention expression"))
+          val ret = new P(lex(srcTxt)).expr()
+          val key = (ast.groupBy, partKey) match {
+            case (k :: Nil, _) => k
+            case (Nil, Some(k)) => k
+            case _ => fail("expression window (v1) needs exactly one " +
+              "group by key to partition the fold")
+          }
+          val need = Seq("event_id", "ts_ns", "user_id", "event_type",
+            "value")
+          need.foreach(c => if (!base.columns.contains(c))
+            fail(s"expression window reads event streams; '${s.table}' " +
+              s"lacks '$c'"))
+          val outTypes: Seq[(String, DataType)] = evOutTypes(items)
+          if (ast.having.nonEmpty) fail("having needs a tumbling window")
+          val schema2 = StructType(outTypes.map { case (n2, t) =>
+            StructField(n2, t) })
+          implicit val enc: org.apache.spark.sql.Encoder[
+            org.apache.spark.sql.Row] =
+            org.apache.spark.sql.Encoders.row(schema2)
+          import org.apache.spark.sql.Encoders
+          val selItems2 = items
+          base.select(col("event_id").as("eventId"),
+              col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+              col("event_type").as("eventType"), col("value"))
+            .as[Cep.Ev](org.apache.spark.sql.Encoders.product[Cep.Ev])
+            .groupByKey(e => String.valueOf(field(e, key)))(Encoders.STRING)
+            .flatMapGroups { (_, it2) =>
+              val buf = scala.collection.mutable.Queue.empty[Cep.Ev]
+              it2.toVector.sortBy(e => (e.tsNs, e.eventId)).iterator
+                .map { e =>
+                  buf.enqueue(e)
+                  var evict = !bufEval(ret, buf, e).asInstanceOf[Boolean]
+                  while (evict) {
+                    buf.dequeue()
+                    evict = buf.nonEmpty &&
+                      !bufEval(ret, buf, e).asInstanceOf[Boolean]
+                  }
+                  org.apache.spark.sql.Row.fromSeq(selItems2.map {
+                    case (it, _, _) => bufEval(it.e, buf, e) })
+                }
+            }(enc)
+            .toDF()
+        case other => fail(s"unsupported window '$other' (supported: " +
+          "timeBatch, lengthBatch, session, length, time, externalTime, " +
+          "externalTimeBatch, sort, unique:first, unique:last, frequent, " +
+          "delay, cron, timeLength, expression)")
+      }
+    }
+  }
+
+  /** An aggregation read (`from A within lo, hi per 'grain' select …`)
+    * compiled as the Siddhi incremental-aggregation CASCADE (engine twin:
+    * graft.engine.Aggregates.incrementalAgg / incrementalCascade): the
+    * FINEST defined grain is the stored partial table (sum/count/min/max
+    * partials — avg is stored as sum+count, never averaged early), and
+    * the requested `per` grain is a rollup OF THOSE PARTIALS, never a
+    * re-scan at the coarse grain. The `within` range is pushed down to
+    * the source scan as a row-level time filter (grain-aligned, so
+    * parquet min/max pruning applies) — at 100 TB a `within 1 day` read
+    * touches one day of row groups, not the corpus. */
+  /** The STORED table of an aggregation read (`bucket_start_ms` + group
+    * keys + defined aliases) at the requested grain and range — used
+    * directly by [[compileAggQuery]] and as a JOIN SIDE (the reference's
+    * `from S join AggTable within … per …` enrichment idiom). */
+  /** `define aggregation A from S[f] select ... group by ... aggregate
+    * by ts every sec ... day` — the parser body after `define
+    * aggregation` is consumed (shared by the batch compile and the
+    * live deployment). */
+  private[api] def parseAggDefRest(p: P): (String, AggDef) = {
+    val aname = p.ident()
+    p.eatKw("from")
+    val tbl = p.ident()
+    val filt = if (p.trySym("[")) {
+      val e = p.expr(); p.eatSym("]"); Some(e)
+    } else None
+    p.eatKw("select")
+    val sel = p.selItems()
+    val grp = if (p.tryKw("group")) {
+      p.eatKw("by")
+      val g = List.newBuilder[String]
+      g += p.ident()
+      while (p.trySym(",")) g += p.ident()
+      g.result()
+    } else Nil
+    p.eatKw("aggregate"); p.eatKw("by")
+    val tsAttr = p.ident()
+    p.eatKw("every")
+    val g1 = grainKey(p.ident())
+    val grains: List[String] =
+      if (p.trySym(".")) { // `sec ... day` range over the ladder
+        p.eatSym("."); p.eatSym(".")
+        val g2 = grainKey(p.ident())
+        val names = grainLadder.map(_._1)
+        val (i1, i2) = (names.indexOf(g1), names.indexOf(g2))
+        if (i1 > i2) fail(s"grain range '$g1 ... $g2' is inverted")
+        names.slice(i1, i2 + 1)
+      } else {
+        val gs = List.newBuilder[String]
+        gs += g1
+        while (p.trySym(",")) gs += grainKey(p.ident())
+        val names = grainLadder.map(_._1)
+        gs.result().distinct.sortBy(names.indexOf)
+      }
+    (aname, AggDef(tbl, filt, sel, grp, tsAttr, grains))
+  }
+
+  /** Validate + resolve an aggregation read's `per` grain and `within`
+    * range (shared by the batch read and the live deployment). */
+  private[api] def aggReadSpec(s: SingleStream, adef: AggDef)
+      : (Long, Long, Long) = {
+    val per = grainKey(s.aggPer.getOrElse(
+      fail(s"reading aggregation '${s.table}' needs `per '<grain>'`")))
+    if (!adef.grains.contains(per))
+      fail(s"per '$per' is outside the defined grain set " +
+        s"(${adef.grains.mkString(" ... ")})")
+    val (loE, hiE) = s.aggWithin.getOrElse(
+      fail(s"reading aggregation '${s.table}' needs `within lo, hi`"))
+    def boundMs(e: Expr): Long = e match {
+      case Num(t) => t.toLong
+      case Str(v) => java.time.LocalDateTime.parse(v,
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail("within bound must be an epoch-ms number or " +
+        s"'yyyy-MM-dd HH:mm:ss' literal, got '${sqlOf(other)}'")
+    }
+    val (lo, hi) = (boundMs(loE), boundMs(hiE))
+    if (hi <= lo) fail(s"within range is empty: $lo ... $hi")
+    if (s.filter.nonEmpty || s.window.nonEmpty)
+      fail("an aggregation read takes no filter/window (v1)")
+    (grainMsOf(per), lo, hi)
+  }
+
+  /** The live fold algebra — one (rewrite, partial, merge) component
+    * recipe per MERGEABLE aggregate, shared by every componentwise-
+    * merge channel: the windowed flush folds (windowed table DML,
+    * rate-over-window), the keyed join/enrichment aggregation folds,
+    * and the define-aggregation live grain cascade's two-way state
+    * merge. Extending an aggregate here deploys it on all of them.
+    *
+    *   - count/sum/min/max — one partial column, trivially mergeable
+    *     (sum partials keep SQL null semantics: null iff all inputs
+    *     null; least/greatest skip single-side nulls);
+    *   - avg — (sum, count) components, finalized as s/n;
+    *   - stdDev — Chan/Welford moment components (n, mean, M2) with
+    *     M2 = var_pop·n, merged by the pairwise update rule
+    *     (Chan et al. 1979's parallel-variance merge — numerically
+    *     stable at any merge depth, the property that matters when a
+    *     long-running deployment folds millions of micro-batches);
+    *     finalized as sqrt(M2/n) — POPULATION stddev, Siddhi's
+    *     stdDev;
+    *   - distinctCount — exact value-set partials (collect_set),
+    *     merged by array union, finalized as cardinality. Per-group
+    *     state grows with the distinct-value count — the documented
+    *     cost of the exact form (the approx twin is the HLL-backed
+    *     `sketch_approx_distinct`). */
+  private[api] object FoldAlg {
+    /** Final-stage Expr over the merged partial columns of `base`. */
+    def rewrite(kind: String, base: String): Expr = kind match {
+      case "count" | "sum" | "min" | "max" => Ref(List(base))
+      case "avg" => Bin("/", Ref(List(base + "s")), Ref(List(base + "n")))
+      case "stddev" => Call(Some("math"), "sqrt",
+        List(Bin("/", Ref(List(base + "q")), Ref(List(base + "n")))))
+      case "distinctcount" => // cast: count(DISTINCT) is bigint
+        Call(None, "convert", List(
+          Call(Some("list"), "size", List(Ref(List(base)))), Str("long")))
+    }
+    /** One micro-batch's partial agg columns; `x` is the argument
+      * column (absent only for bare count()). */
+    def partialCols(kind: String, base: String,
+        x: Option[Column]): Seq[Column] = kind match {
+      case "count" => Seq(x.fold(count(lit(1)))(count).as(base))
+      case "sum" => Seq(sum(x.get).as(base))
+      case "min" => Seq(min(x.get).as(base))
+      case "max" => Seq(max(x.get).as(base))
+      case "avg" => Seq(sum(x.get).as(base + "s"),
+        count(x.get).as(base + "n"))
+      case "stddev" => Seq(count(x.get).as(base + "n"),
+        avg(x.get).as(base + "m"),
+        (var_pop(x.get) * count(x.get)).as(base + "q"))
+      case "distinctcount" => Seq(collect_set(x.get).as(base))
+    }
+    /** Componentwise merge of accumulated (`t.*`) and batch (`u.*`)
+      * partials — each output column keeps the partial's name. */
+    def mergeCols(kind: String, base: String): Seq[Column] = {
+      def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
+        coalesce(col(s"u.$c"), lit(0))).as(c)
+      def addSum(c: String) =
+        when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
+          .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+            coalesce(col(s"u.$c"), lit(0))).as(c)
+      kind match {
+        case "count" => Seq(add(base))
+        case "sum" => Seq(addSum(base))
+        case "min" => Seq(least(col(s"t.$base"), col(s"u.$base"))
+          .as(base))
+        case "max" => Seq(greatest(col(s"t.$base"), col(s"u.$base"))
+          .as(base))
+        case "avg" => Seq(addSum(base + "s"), add(base + "n"))
+        case "stddev" =>
+          // Chan pairwise update: n = n₁+n₂; m = m₁ + δ·n₂/n;
+          // M2 = M2₁ + M2₂ + δ²·n₁n₂/n — a single-side-absent merge
+          // degenerates to the present side
+          val nt = coalesce(col(s"t.${base}n"), lit(0L))
+          val nu = coalesce(col(s"u.${base}n"), lit(0L))
+          val n = nt + nu
+          val mt = coalesce(col(s"t.${base}m"), lit(0d))
+          val mu = coalesce(col(s"u.${base}m"), lit(0d))
+          Seq(
+            add(base + "n"),
+            when(n === 0, lit(null))
+              .otherwise(mt + (mu - mt) * nu / n).as(base + "m"),
+            when(n === 0, lit(null))
+              .otherwise(coalesce(col(s"t.${base}q"), lit(0d)) +
+                coalesce(col(s"u.${base}q"), lit(0d)) +
+                when(nt === 0 || nu === 0, lit(0d))
+                  .otherwise(pow(mu - mt, 2) * nt * nu / n))
+              .as(base + "q"))
+        case "distinctcount" =>
+          Seq(when(col(s"t.$base").isNull, col(s"u.$base"))
+            .when(col(s"u.$base").isNull, col(s"t.$base"))
+            .otherwise(array_union(col(s"t.$base"), col(s"u.$base")))
+            .as(base))
+      }
+    }
+  }
+
+  /** Partial / combine / final column triples per defined select item
+    * — the algebraic decomposition that makes the grain cascade (and
+    * the live bucket-merge) correct: partials live at the FINEST
+    * grain, any coarser read (or a later micro-batch) combines them. */
+  private[api] def aggPlanCols(adef: AggDef)
+      : (Seq[Column], Seq[Column], Map[String, Column]) = {
+    val keys = adef.groupBy
+    val partials = List.newBuilder[Column]
+    val combines = List.newBuilder[Column]
+    val finals = List.newBuilder[(String, Column)]
+    adef.select.zipWithIndex.foreach { case (it, i) =>
+      val a = alias(it, i)
+      it.e match {
+        case Ref(k :: Nil) if keys.contains(k) => () // group key
+        case Call(None, fn, args) =>
+          def argSql = sqlOf(args.head)
+          fn.toLowerCase match {
+            case "sum" =>
+              partials += expr(s"sum($argSql)").as(s"__p_$a")
+              combines += sum(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "count" =>
+              partials += (if (args.isEmpty) count(lit(1)).as(s"__p_$a")
+                           else expr(s"count($argSql)").as(s"__p_$a"))
+              combines += sum(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "min" =>
+              partials += expr(s"min($argSql)").as(s"__p_$a")
+              combines += min(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "max" =>
+              partials += expr(s"max($argSql)").as(s"__p_$a")
+              combines += max(col(s"__p_$a")).as(a)
+              finals += a -> col(a)
+            case "avg" => // stored as sum+count, finalized at read grain
+              partials += expr(s"sum($argSql)").as(s"__ps_$a")
+              partials += expr(s"count($argSql)").as(s"__pc_$a")
+              combines += sum(col(s"__ps_$a")).as(s"__s_$a")
+              combines += sum(col(s"__pc_$a")).as(s"__c_$a")
+              finals += a -> (col(s"__s_$a") / col(s"__c_$a")).as(a)
+            case "stddev" => // Chan moments (n, mean, M2) per bucket
+              partials += expr(s"count($argSql)").as(s"__p_${a}n")
+              partials += expr(s"avg($argSql)").as(s"__p_${a}m")
+              partials += expr(s"var_pop($argSql) * count($argSql)")
+                .as(s"__p_${a}q")
+              // rollup across buckets via the moment-sum identity:
+              // M2 = Σ(q + n·m²) − (Σ n·m)² / Σn
+              combines += sum(col(s"__p_${a}n")).as(s"__n_$a")
+              combines += sum(col(s"__p_${a}n") * col(s"__p_${a}m"))
+                .as(s"__s1_$a")
+              combines += sum(col(s"__p_${a}q") + col(s"__p_${a}n") *
+                col(s"__p_${a}m") * col(s"__p_${a}m")).as(s"__s2_$a")
+              finals += a -> when(col(s"__n_$a") === 0, lit(null))
+                .otherwise(sqrt(greatest(lit(0d), (col(s"__s2_$a") -
+                  col(s"__s1_$a") * col(s"__s1_$a") / col(s"__n_$a")) /
+                  col(s"__n_$a")))).as(a)
+            case "distinctcount" => // exact value-set partials
+              partials += expr(s"collect_set($argSql)").as(s"__p_$a")
+              combines += expr("cast(size(array_distinct(flatten(" +
+                s"collect_list(__p_$a)))) as bigint)").as(a)
+              finals += a -> col(a)
+            case other => fail(s"aggregation definitions support " +
+              s"sum/count/min/max/avg/stdDev/distinctCount, got '$other'")
+          }
+        case _ => fail(s"aggregation select item '${sqlOf(it.e)}' must " +
+          "be a group key or an aggregate call")
+      }
+    }
+    val pCols = partials.result()
+    if (pCols.isEmpty) fail("aggregation definition has no aggregates")
+    (pCols, combines.result(), finals.result().toMap)
+  }
+
+  /** Componentwise merge of two finest-grain partial tables aliased
+    * `t` (accumulated state) and `u` (the batch's partials), for the
+    * LIVE fold: sum partials stay null iff both sides are (SQL
+    * sum-over-all-null semantics), counts add with absent-side 0,
+    * min/max take least/greatest (which skip single-side nulls). */
+  private[api] def aggMergeCols(adef: AggDef): Seq[Column] = {
+    def add(c: String) = (coalesce(col(s"t.$c"), lit(0)) +
+      coalesce(col(s"u.$c"), lit(0))).as(c)
+    def addSum(c: String) =
+      when(col(s"t.$c").isNull && col(s"u.$c").isNull, lit(null))
+        .otherwise(coalesce(col(s"t.$c"), lit(0)) +
+          coalesce(col(s"u.$c"), lit(0))).as(c)
+    adef.select.zipWithIndex.flatMap { case (it, i) =>
+      val a = alias(it, i)
+      it.e match {
+        case Ref(k :: Nil) if adef.groupBy.contains(k) => Nil
+        case Call(None, fn, _) => fn.toLowerCase match {
+          case "sum" => Seq(addSum(s"__p_$a"))
+          case "count" => Seq(add(s"__p_$a"))
+          case "min" => Seq(least(col(s"t.__p_$a"),
+            col(s"u.__p_$a")).as(s"__p_$a"))
+          case "max" => Seq(greatest(col(s"t.__p_$a"),
+            col(s"u.__p_$a")).as(s"__p_$a"))
+          case "avg" => Seq(addSum(s"__ps_$a"), add(s"__pc_$a"))
+          case "stddev" => FoldAlg.mergeCols("stddev", s"__p_$a")
+          case "distinctcount" =>
+            FoldAlg.mergeCols("distinctcount", s"__p_$a")
+          case _ => Nil // aggPlanCols already diagnosed
+        }
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Finest-grain partial table of `src` (already schema-checked):
+    * one row per (bucket, group keys) with the partial columns. */
+  private[api] def aggGrainPartial(src0: DataFrame, adef: AggDef,
+      pCols: Seq[Column]): DataFrame = {
+    if (!src0.columns.contains(adef.tsAttr))
+      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
+        s"column of '${adef.source}' (nanosecond epoch expected)")
+    val src = adef.filter.fold(src0)(f => src0.where(expr(sqlOf(f))))
+    val finestMs = grainMsOf(adef.grains.head)
+    val ts = adef.tsAttr
+    // `__gb` (grain bucket), NOT `__b` — the live fold runner uses
+    // `__b` for its hash-bucket parquet partitioning and would
+    // clobber a same-named state column
+    src.withColumn("__gb",
+        expr(s"($ts div ${finestMs * 1000000L}L) * ${finestMs}L"))
+      .groupBy(col("__gb") +: adef.groupBy.map(col): _*)
+      .agg(pCols.head, pCols.tail: _*)
+  }
+
+  /** Roll a finest-grain partial table up to the read grain, bound it
+    * by the within range, finalize derived aggregates. */
+  private[api] def aggRollUp(grainTable: DataFrame, adef: AggDef,
+      perMs: Long, lo: Long, hi: Long, cCols: Seq[Column],
+      fMap: Map[String, Column]): DataFrame = {
+    val keys = adef.groupBy
+    val rolled = grainTable
+      .withColumn("__bp", expr(s"(__gb div ${perMs}L) * ${perMs}L"))
+      .groupBy(col("__bp") +: keys.map(col): _*)
+      .agg(cCols.head, cCols.tail: _*)
+      .withColumnRenamed("__bp", "bucket_start_ms")
+      .where(col("bucket_start_ms") >= lo && col("bucket_start_ms") < hi)
+    // finalize derived aggregates (avg = sum/count), keep keys
+    rolled.select(col("bucket_start_ms") +:
+      (keys.map(col) ++ adef.select.zipWithIndex.map { case (it, i) =>
+        val a = alias(it, i)
+        it.e match {
+          case Ref(k :: Nil) if keys.contains(k) => col(k)
+          case _ => fMap(a)
+        }
+      }): _*)
+  }
+
+  private[api] def aggStored(spark: SparkSession, dir: String,
+      s: SingleStream, adef: AggDef,
+      env: Map[String, DataFrame]): DataFrame = {
+    val (perMs, lo, hi) = aggReadSpec(s, adef)
+    val (pCols, cCols, fMap) = aggPlanCols(adef)
+    val src0 = loadTable(spark, dir, adef.source, env)
+    if (!src0.columns.contains(adef.tsAttr))
+      fail(s"aggregation timestamp attribute '${adef.tsAttr}' is not a " +
+        s"column of '${adef.source}' (nanosecond epoch expected)")
+    // push the within range to the scan: a per-grain bucket B survives
+    // iff lo <= B < hi; its rows have ts in [B, B + per), so the row
+    // bound is [ceil(lo/per)*per, (floor((hi-1)/per)+1)*per) — aligned,
+    // exact, and pushdown-visible
+    val rowLoNs = ((lo + perMs - 1) / perMs) * perMs * 1000000L
+    val rowHiNs = (((hi - 1) / perMs) + 1) * perMs * 1000000L
+    val ranged = src0.where(col(adef.tsAttr) >= rowLoNs &&
+      col(adef.tsAttr) < rowHiNs)
+    val grainTable = aggGrainPartial(ranged, adef, pCols)
+    aggRollUp(grainTable, adef, perMs, lo, hi, cCols, fMap)
+  }
+
+  private[api] def compileAggQuery(spark: SparkSession, dir: String, ast: Ast,
+      s: SingleStream, adef: AggDef,
+      env: Map[String, DataFrame]): DataFrame = {
+    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("an aggregation read is a projection over stored attributes " +
+        "(no group by / having — grouping happened at definition time)")
+    val stored = aggStored(spark, dir, s, adef, env)
+    // the read's select is a projection over bucket_start_ms + stored attrs
+    val items = itemsOf(ast)
+    items.foreach { case (_, a, isAgg) =>
+      if (isAgg) fail("an aggregation read selects stored attributes " +
+        s"(no re-aggregation, v1): '$a'")
+    }
+    stored.select(col("bucket_start_ms") +: items.map { case (it, a, _) =>
+      expr(sqlOf(it.e)).as(a)
+    }: _*)
+  }
+
+  /** Output rate limiting under batch replay (SURVEY §2.7; engine twins:
+    * graft.engine.Ops.rateLimit / rateLimitEvents / rateLimitSnapshot).
+    *
+    *   - `output first|last every T`   → per time-interval first/last row
+    *     (row_number over the interval, pruned to 1 — one shuffle on the
+    *     interval id, fully parallel across intervals);
+    *   - `output first|last every N events` → per-chunk-of-N first/last
+    *     in global arrival order (inherently sequential, same caveat as
+    *     `lengthBatch` — the reference's single-threaded emission order);
+    *   - `output all every ...`        → identity under batch replay (the
+    *     buffered batches concatenate to exactly the input);
+    *   - `output snapshot every T`     → the latest row as of every
+    *     interval end across the stream's span, gaps carrying the prior
+    *     snapshot forward (emitted with a leading `w_end_ms`, the same
+    *     implicit-column convention as timeBatch's `w_start_ms`).
+    *
+    * v1: plain filtered projections only — windows/aggregations combine
+    * with rate limiting in ways batch replay can't reproduce faithfully,
+    * so they fail fast rather than mis-compile. */
+  private[api] def compileRateLimited(spark: SparkSession, dir: String, ast: Ast,
+      s: SingleStream, rate: Rate,
+      env: Map[String, DataFrame]): DataFrame = {
+    if (ast.having.nonEmpty)
+      fail("output rate limiting (v1) has no having clause")
+    s.window match {
+      case Some(w) =>
+        return compileRateWindowed(spark, dir, ast, s, w, rate, env)
+      case None => ()
+    }
+    if (ast.groupBy.nonEmpty)
+      fail("output rate limiting (v1) applies to plain `from S[filter] " +
+        "select ...` queries, or to an UNGROUPED windowed aggregation " +
+        "(add #window.timeBatch(T)); grouped rates are not defined")
+    val items = itemsOf(ast)
+    items.foreach { case (_, a, isAgg) =>
+      if (isAgg) fail(s"output rate limiting over an aggregate ('$a') " +
+        "needs a batch window (#window.timeBatch(T)) to define flush " +
+        "emissions")
+    }
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns") ||
+        !base0.columns.contains("event_id"))
+      fail(s"output rate limiting needs 'ts_ns' and 'event_id' on " +
+        s"'${s.table}' to define emission order")
+    val base = s.filter.fold(base0)(f => base0.where(expr(sqlOf(f))))
+    val outCols = items.map(_._2)
+    def proj(df: DataFrame): DataFrame =
+      df.select(items.map { case (it, a, _) =>
+        expr(sqlOf(it.e)).as(a)
+      }: _*)
+    val ordAsc = "ts_ns, event_id"
+    val ordDesc = "ts_ns desc, event_id desc"
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => proj(base) // replayed batches ≡ the input
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val ord = if (m == "first") ordAsc else ordDesc
+        proj(base
+          .withColumn("__rn", expr(s"row_number() over (partition by " +
+            s"ts_ns div ${t}L order by $ord)"))
+          .where(col("__rn") === 1))
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        // arrival ranks ride the DISTRIBUTED prefix sum; the chunk
+        // pick is a chunk-PARTITIONED window — no data-sized global
+        // single-task stage (the r9 guardGlobalWindow refusal is gone)
+        val pick = if (m == "first") "min" else "max"
+        proj(globalRank(base, Seq(col("ts_ns"), col("event_id")), "__rn")
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")))
+      case ("snapshot", Some(t), None) =>
+        val ivMs = t / 1000000L
+        val rows = base.select(items.map { case (it, a, _) =>
+          expr(sqlOf(it.e)).as(a)
+        } :+ expr(s"ts_ns div ${t}L").as("__iv")
+          :+ struct(col("ts_ns"), col("event_id")).as("__ord"): _*)
+        val lastPer = rows.groupBy("__iv")
+          .agg(max_by(struct(outCols.map(col): _*), col("__ord"))
+            .as("__row"))
+        val ticks = lastPer
+          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("__iv")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // gap intervals carry the previous snapshot forward; snapshot
+        // cardinality is one row per interval, so the single-task global
+        // window is O(span/T), not O(events)
+        val filled = ticks.join(lastPer, Seq("__iv"), "left_outer")
+          .select(col("__iv") +: outCols.map(c =>
+            last(col(s"__row.$c"), ignoreNulls = true).over(w).as(c)): _*)
+        filled.select(
+          ((col("__iv") + 1) * ivMs).as("w_end_ms") +:
+            outCols.map(col): _*)
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
+  }
+
+  /** Output rate limiting OVER a windowed aggregation: the rated
+    * "events" are the window's FLUSH rows (one per timeBatch bucket —
+    * ungrouped, v1), emitted at the bucket's end (`w_end_ms`).
+    * `first/last every T` keeps one flush row per rate interval
+    * (interval = w_end_ms div T), `every N events` chunks flush rows
+    * by arrival, `snapshot` carries the latest flush across empty
+    * intervals. Flush cardinality is span/Tw, so every rank window
+    * here is O(flushes), never O(events). */
+  private[api] def compileRateWindowed(spark: SparkSession, dir: String,
+      ast: Ast, s: SingleStream, w: WindowSpec, rate: Rate,
+      env: Map[String, DataFrame]): DataFrame = {
+    val twNs = w.name.toLowerCase match {
+      case "timebatch" => w.args.head
+      case other => fail("output rate limiting over a window (v1) " +
+        s"supports #window.timeBatch(T); '#window.$other' emissions " +
+        "are per-event or unordered")
+    }
+    if (ast.groupBy.nonEmpty)
+      fail("output rate limiting over a windowed aggregation (v1) is " +
+        "ungrouped — one flush row per window (shard per-key streams " +
+        "with `partition with`)")
+    val items = itemsOf(ast)
+    items.foreach { case (it, a, isAgg) =>
+      if (!isAgg && refsAttr(it.e))
+        fail(s"rate-limited windowed select item '$a' must aggregate " +
+          "(or be a constant) — the flush row is the emission")
+    }
+    val aggCols = items.collect { case (it, a, true) =>
+      expr(sqlOf(it.e)).as(a) }
+    if (aggCols.isEmpty)
+      fail("a rate-limited windowed query needs an aggregate select " +
+        "item (drop the window to rate-limit raw events)")
+    val base0 = loadTable(spark, dir, s.table, env)
+    if (!base0.columns.contains("ts_ns"))
+      fail(s"windowed rate limiting needs 'ts_ns' on '${s.table}'")
+    val base =
+      s.filter.fold(base0)(f => applyFilter(spark, dir, base0, f, env))
+    val outCols = items.map(_._2)
+    val flush = base
+      .groupBy(expr(s"ts_ns div ${twNs}L").as("__wb"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("__wb") +:
+        items.map { case (it, a, isAgg) =>
+          (if (isAgg) col(a) else expr(sqlOf(it.e))).as(a) }: _*)
+    rateOverFlushes(flush, outCols, twNs / 1000000L, rate)
+  }
+
+  /** Pattern clause → (builder, select extractors, output schema) —
+    * shared by the batch plan path ([[compilePattern]] → selectPlan) and
+    * the live deployment path ([[deployAppOn]] → selectStream). */
+  private[api] def patternParts(ast: Ast, pt: PatternStream)
+      : (Patterns.PatternBuilder,
+         List[(String, String, String, Cep.Bindings => Any)],
+         Seq[(String, DataType)]) = {
+    if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+      fail("group by / having do not apply to pattern clauses")
+    pt.steps.foreach { st =>
+      val tbls = st match {
+        case PatCond(_, t, _, _, _) => Seq(t)
+        case PatAbsent(t, _, _) => Seq(t)
+        case PatPair(_, _, t1, _, _, t2, _) => Seq(t1, t2)
+      }
+      tbls.foreach { tbl =>
+        if (!tbl.equalsIgnoreCase("events"))
+          fail(s"pattern streams read 'events', got '$tbl'")
+      }
+    }
+    pt.steps.head match {
+      case _: PatAbsent => fail("a pattern cannot start with an absence")
+      case _: PatPair => fail("a logical pair starts from the second " +
+        "step (v1)")
+      case _: PatCond => ()
+    }
+    val bindings = pt.steps.flatMap {
+      case PatCond(b, _, _, _, _) => Seq(b)
+      case PatPair(_, b1, _, _, b2, _, _) => Seq(b1, b2)
+      case _: PatAbsent => Nil
+    }.toSet
+    // extractor per select item — picks the bound event(s): head for
+    // plain refs, position/last for indexed refs (a quantified binding
+    // holds several events); an UNBOUND declared binding (the untaken
+    // branch of an or-pair) and out-of-range indexes yield null, the
+    // reference's missing-event semantics, so `coalesce(e2.f, e3.f)`
+    // projects whichever branch matched
+    def extractorOf(e: Expr): (Cep.Bindings => Any, DataType, String) =
+      e match {
+        case Ref(bn :: f :: Nil) =>
+          if (!bindings(bn)) fail(s"select references unknown binding " +
+            s"'$bn'")
+          ((bnd: Cep.Bindings) =>
+            bnd.get(bn).map(evs => field(evs.head, f)).orNull,
+            fieldType(f), s"${bn}_$f")
+        case IdxRef(bn, idx, f) =>
+          if (!bindings(bn)) fail(s"select references unknown binding " +
+            s"'$bn'")
+          ((bnd: Cep.Bindings) => bnd.get(bn) match {
+            case None => null
+            case Some(evs) => idx match {
+              case Some(ix) => if (ix < evs.size) field(evs(ix), f)
+                               else null
+              case None => field(evs.last, f)
+            }
+          }, fieldType(f), s"${bn}_$f")
+        case Call(None, n, args)
+            if n.equalsIgnoreCase("coalesce") && args.nonEmpty =>
+          val subs = args.map(extractorOf)
+          ((bnd: Cep.Bindings) =>
+            subs.iterator.map(_._1(bnd)).find(_ != null).orNull,
+            subs.head._2, "coalesce")
+        case other => fail("pattern select items must be binding.field " +
+          "/ binding[i].field references or coalesce(...) of them, " +
+          s"got '${sqlOf(other)}'")
+      }
+    val sel: List[(String, String, String, Cep.Bindings => Any)] =
+      ast.select.zipWithIndex.map { case (it, i) =>
+        val (ex, dt, base) = extractorOf(it.e)
+        val a = it.alias.getOrElse(if (base == "coalesce") s"col$i"
+                                   else base)
+        ("", dtName(dt), a, ex)
+      }
+    var b = pt.steps.head match {
+      case PatCond(bn, _, cond, q, _) =>
+        val b0 = Patterns.begin(bn)(evalPred(cond))
+        q.fold(b0) { case (m, n) => b0.times(m, n) }
+      case _ => fail("unreachable: head checked above")
+    }
+    pt.steps.tail.zipWithIndex.foreach {
+      case (PatCond(bn, _, cond, q, strict), _) =>
+        b = if (strict) b.next(bn)(evalPred(cond))
+            else b.followedBy(bn)(evalPred(cond))
+        q.foreach { case (m, n) => b = b.times(m, n) }
+      case (PatPair(isAnd, b1, _, c1, b2, _, c2), _) =>
+        b = if (isAnd) b.both(b1)(evalPred(c1))(b2)(evalPred(c2))
+            else b.either(b1)(evalPred(c1))(b2)(evalPred(c2))
+      case (PatAbsent(_, cond, forNs), i) =>
+        b = b.notFor(s"__not$i",
+          scala.concurrent.duration.Duration.fromNanos(forNs))(
+          evalPred(cond))
+    }
+    pt.withinNs.foreach { w =>
+      b = b.within(scala.concurrent.duration.Duration.fromNanos(w))
+    }
+    if (!pt.every) b = b.firstOnly
+    val out = sel.map { case (_, tn, a, _) => (a, typeOfName(tn)) }
+    (b, sel, out)
+  }
+
+  private[api] def dtName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case DoubleType => "double"
+    case StringType => "string"
+    case other => fail(s"unsupported pattern output type $other")
+  }
+  private[api] def typeOfName(n: String): DataType = n match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case other => fail(s"unsupported pattern output type '$other'")
+  }
+
+  private[api] def compilePattern(spark: SparkSession, dir: String, ast: Ast,
+                             pt: PatternStream,
+                             rate: Option[Rate] = None): DataFrame = {
+    val (b, sel, out) = patternParts(ast, pt)
+    rate match {
+      case None =>
+        b.selectPlan(spark, dir, out) { bnd =>
+          sel.map { case (_, _, _, extract) => extract(bnd) }
+        }
+      case Some(r) =>
+        // rate limiting over a PATTERN: the rated events are the
+        // MATCHES, each emitted at its closing (max-ts) bound event;
+        // matches closed by the same event (one e2 completing several
+        // `every` runs at once) tie-break by SPAWN order — the first
+        // bound event — Siddhi's in-chunk emission order.
+        val out2 = out ++ Seq(("__emit_ns", LongType),
+          ("__sp_ts", LongType), ("__sp_id", LongType))
+        val df = b.selectPlan(spark, dir, out2) { bnd =>
+          val evs = bnd.valuesIterator.flatten.toSeq
+          val sp = evs.minBy(e => (e.tsNs, e.eventId))
+          sel.map { case (_, _, _, extract) => extract(bnd) } ++
+            Seq(evs.map(_.tsNs).max, sp.tsNs, sp.eventId)
+        }
+        val outCols = out.map(_._1)
+        def proj(kept: DataFrame): DataFrame =
+          kept.select(outCols.map(col): _*)
+        import org.apache.spark.sql.expressions.Window
+        val ordAsc = Seq(col("__emit_ns").asc, col("__sp_ts").asc,
+          col("__sp_id").asc)
+        val ordDesc = Seq(col("__emit_ns").desc, col("__sp_ts").desc,
+          col("__sp_id").desc)
+        (r.mode, r.timeNs, r.count) match {
+          case ("all", _, _) => proj(df) // emission batching only
+          case (m @ ("first" | "last"), Some(t), None) =>
+            val w = Window.partitionBy(expr(s"__emit_ns div ${t}L"))
+              .orderBy((if (m == "first") ordAsc else ordDesc): _*)
+            proj(df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1))
+          case (m @ ("first" | "last"), None, Some(n)) =>
+            // match-emission ranks from the distributed prefix sum;
+            // chunk-partitioned pick — no global single-task window
+            val pick = if (m == "first") "min" else "max"
+            proj(globalRank(df, Seq(col("__emit_ns"), col("__sp_ts"),
+                col("__sp_id")), "__rn")
+              .withColumn("__keep", expr(s"$pick(__rn) over (partition " +
+                s"by (__rn - 1) div ${n}L)"))
+              .where(col("__rn") === col("__keep")))
+          case ("snapshot", _, _) =>
+            fail("output snapshot over a pattern (v1): insert the " +
+              "matches into a stream and snapshot that stream")
+          case _ => fail("unreachable: rate clause validated at parse")
+        }
+    }
+  }
+
+
+  private[api] def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Rate-mode selection over FLUSH rows (`__wb` bucket + output
+    * attrs) — the tail of [[compileRateWindowed]], shared with the
+    * live flush-fold's finish so live rate-over-window semantics are
+    * the batch code itself. */
+  private[api] def rateOverFlushes(flush0: DataFrame, outCols: Seq[String],
+      twMs: Long, rate: Rate): DataFrame = {
+    val flush = flush0
+      .withColumn("w_end_ms", (col("__wb") + 1) * lit(twMs))
+    val sel = col("w_end_ms") +: outCols.map(col)
+    (rate.mode, rate.timeNs, rate.count) match {
+      case ("all", _, _) => flush.select(sel: _*)
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val trMs = t / 1000000L
+        val ord = if (m == "first") "__wb" else "__wb desc"
+        flush.withColumn("__rn", expr("row_number() over (partition " +
+            s"by w_end_ms div ${trMs}L order by $ord)"))
+          .where(col("__rn") === 1).select(sel: _*)
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        val pick = if (m == "first") "min" else "max"
+        flush.withColumn("__rn",
+            expr("row_number() over (order by __wb)"))
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition by " +
+            s"(__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")).select(sel: _*)
+      case ("snapshot", Some(t), None) =>
+        val trMs = t / 1000000L
+        val lastPer = flush
+          .withColumn("__iv", expr(s"w_end_ms div ${trMs}L"))
+          .groupBy("__iv")
+          .agg(max_by(struct(outCols.map(col): _*), col("__wb"))
+            .as("__row"))
+        val ticks = lastPer
+          .agg(min("__iv").as("__lo"), max("__iv").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("__iv"))
+        val wn = org.apache.spark.sql.expressions.Window.orderBy("__iv")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        // gap intervals carry the previous snapshot forward; snapshot
+        // cardinality is one row per interval — O(span/T)
+        ticks.join(lastPer, Seq("__iv"), "left_outer")
+          .select(((col("__iv") + 1) * trMs).as("w_end_ms") +:
+            outCols.map(c =>
+              last(col(s"__row.$c"), ignoreNulls = true).over(wn).as(c))
+            : _*)
+      case _ => fail("unreachable: rate clause validated at parse")
+    }
+  }
+}

@@ -1,0 +1,1177 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.engine.{Cep, Tables}
+
+/** [[SiddhiQL]]'s front half: the AST, lexer, recursive-descent parser,
+  * expression → Spark SQL rendering (function namespaces, script UDF
+  * inlining), the pattern-predicate interpreter, and the shared
+  * distributed-rank primitives ([[runningTotal]]/[[globalRank]]).
+  * Mixed into `object SiddhiQL` — one singleton, split across files
+  * purely for maintainability (round-10 verdict item 7). */
+private[api] trait SiddhiQlFrontend extends Serializable {
+
+  // ---------- AST ----------
+  sealed trait Expr
+  private[api] final case class Num(text: String) extends Expr
+  private[api] final case class Str(value: String) extends Expr
+  private[api] final case class Ref(parts: List[String]) extends Expr
+  private[api] final case class Call(ns: Option[String], name: String,
+                                args: List[Expr]) extends Expr
+  private[api] final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  private[api] final case class Not(e: Expr) extends Expr
+  private[api] final case class Neg(e: Expr) extends Expr
+
+  /** Indexed event access in pattern selects: `e1[0].value`,
+    * `e1[last].value` (idx None = last; `first` parses as Some(0)). */
+  private[api] final case class IdxRef(binding: String, idx: Option[Int],
+      field: String) extends Expr
+
+  /** `select *` — expanded to the source's full column list at compile
+    * time (single-stream, join, and DML paths; meaningless in pattern
+    * selects, where sqlOf rejects it naming the clause). */
+  private[api] case object Star extends Expr
+
+  /** `<expr> in TableName` membership filter (SURVEY §2.2: semi-join
+    * semantics) — compiled to a LEFT SEMI join (LEFT ANTI under `not`),
+    * never a row-at-a-time lookup. */
+  private[api] final case class InTable(e: Expr, table: String) extends Expr
+
+  private[api] final case class SelItem(e: Expr, alias: Option[String])
+  private[api] final case class WindowSpec(name: String, args: List[Long],
+      sargs: List[String] = Nil)
+  private[api] sealed trait StreamClause
+  private[api] final case class SingleStream(table: String, filter: Option[Expr],
+      window: Option[WindowSpec], aggWithin: Option[(Expr, Expr)] = None,
+      aggPer: Option[String] = None) extends StreamClause
+  private[api] final case class JoinStream(left: SingleStream,
+      leftAlias: Option[String], joinType: String, right: SingleStream,
+      rightAlias: Option[String], on: Expr,
+      unidirectional: Boolean = false) extends StreamClause
+  private[api] sealed trait PatStep
+  private[api] final case class PatCond(binding: String, table: String,
+      cond: Expr, quant: Option[(Int, Int)] = None,
+      strict: Boolean = false) extends PatStep
+  private[api] final case class PatAbsent(table: String, cond: Expr,
+      forNs: Long) extends PatStep
+  /** Logical pair `e2=S[c] and|or e3=S[c]` (both / either-of). */
+  private[api] final case class PatPair(isAnd: Boolean, b1: String, t1: String,
+      c1: Expr, b2: String, t2: String, c2: Expr) extends PatStep
+  private[api] final case class PatternStream(every: Boolean,
+      steps: List[PatStep], withinNs: Option[Long]) extends StreamClause
+
+  /** Query output action: plain stream insert, or one of the reference's
+    * stream→table DML forms (`update … on`, `update or insert into … on`,
+    * `delete … on`). */
+  private[api] sealed trait Action { def target: String }
+  private[api] final case class InsertInto(target: String) extends Action
+  private[api] final case class UpdateTable(target: String,
+      set: List[(String, Expr)], on: Expr) extends Action
+  private[api] final case class UpsertTable(target: String,
+      set: List[(String, Expr)], on: Expr) extends Action
+  private[api] final case class DeleteTable(target: String, on: Expr)
+      extends Action
+
+  /** `output first|last|all every <T>` / `every <N> events` /
+    * `output snapshot every <T>` — exactly one of timeNs/count is set
+    * (snapshot is time-only). */
+  private[api] final case class Rate(mode: String, timeNs: Option[Long],
+      count: Option[Long])
+
+  private[api] final case class Ast(stream: StreamClause, select: List[SelItem],
+      groupBy: List[String], having: Option[Expr],
+      orderBy: List[(String, Boolean)], limit: Option[Long],
+      offset: Option[Long], rate: Option[Rate], action: Option[Action])
+
+  private[api] def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"SiddhiQL: $msg")
+
+  /** Distributed running total of `value` in GLOBAL `sortCols` order —
+    * the scale-safe form of `sum(value) over (order by … rows
+    * unbounded preceding)`: rows range-partition by the sort key, each
+    * partition computes its local running total in parallel, and the
+    * per-partition totals (ONE row per partition) cumsum into offsets
+    * that broadcast back onto the rows. The only order-by-without-
+    * partition window left touches the P-row offset relation, so no
+    * data-sized single-task stage remains; the sort key must be
+    * total (unique) for the result to be deterministic. */
+  private[api] def runningTotal(df: DataFrame, sortCols: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__rpid", spark_partition_id())
+    val w = Window.partitionBy("__rpid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = parted.groupBy("__rpid")
+      .agg(sum(value).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(
+        Window.orderBy("__rpid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rpid").as("__opid"), col("__off"))
+    parted.withColumn("__loc", sum(value).over(w))
+      .join(broadcast(offs), col("__rpid") === col("__opid"))
+      .withColumn(out, col("__loc") + col("__off"))
+      .drop("__rpid", "__opid", "__loc", "__off")
+  }
+
+  /** Distributed GLOBAL arrival rank (1-based) in `sortCols` order —
+    * [[runningTotal]] of the constant 1: the scale-safe replacement for
+    * `row_number() over (order by …)` with no partition key. Every
+    * global-count shape (lengthBatch chunks, count-based output rate,
+    * sliding count frames) is a consumer of this rank; the r9
+    * guardGlobalWindow fail-fast family is retired on it. The sort key
+    * must be a total (unique) order for determinism. */
+  private[api] def globalRank(df: DataFrame, sortCols: Seq[Column],
+      out: String): DataFrame =
+    runningTotal(df, sortCols, lit(1L), out)
+
+  // ---------- lexer ----------
+  private[api] sealed trait Tok
+  private[api] final case class TId(s: String) extends Tok
+  private[api] final case class TNum(s: String) extends Tok
+  private[api] final case class TStr(s: String) extends Tok
+  private[api] final case class TSym(s: String) extends Tok
+  private[api] case object TEof extends Tok
+
+  private[api] def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += TId(q.substring(j, i))
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        out += TNum(q.substring(j, i))
+      } else if (c == '\'') {
+        val j = i + 1
+        i += 1
+        while (i < n && q(i) != '\'') i += 1
+        if (i >= n) fail("unterminated string literal")
+        out += TStr(q.substring(j, i)); i += 1
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("->", "==", "!=", "<=", ">=")(two)) {
+          out += TSym(two); i += 2
+        } else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  // ---------- parser ----------
+  private[api] final class P(toks: Vector[Tok]) {
+    private var p = 0
+    def peek: Tok = toks(p)
+    def peek2: Tok = toks(math.min(p + 1, toks.length - 1))
+    def advance(): Tok = { val t = toks(p); p += 1; t }
+    def isKw(s: String): Boolean = peek match {
+      case TId(x) => x.equalsIgnoreCase(s)
+      case _ => false
+    }
+    def tryKw(s: String): Boolean = if (isKw(s)) { p += 1; true } else false
+    def eatKw(s: String): Unit =
+      if (!tryKw(s)) fail(s"expected '$s', got $peek")
+    def isSym(s: String): Boolean = peek match {
+      case TSym(x) => x == s
+      case _ => false
+    }
+    def trySym(s: String): Boolean = if (isSym(s)) { p += 1; true } else false
+    def eatSym(s: String): Unit =
+      if (!trySym(s)) fail(s"expected '$s', got $peek")
+    def ident(): String = advance() match {
+      case TId(s) => s
+      case t => fail(s"expected identifier, got $t")
+    }
+    def intLit(): Long = advance() match {
+      case TNum(s) if !s.contains('.') => s.toLong
+      case t => fail(s"expected integer, got $t")
+    }
+
+    private val clauseKw = Set("select", "group", "having", "order",
+      "limit", "insert", "within", "from")
+
+    // duration: INT unit (ms | sec | min | hour and long forms) → ns
+    def duration(): Long = {
+      val v = intLit()
+      val unit = ident().toLowerCase
+      val ns = unit match {
+        case "ms" | "millisecond" | "milliseconds" => 1000000L
+        case "sec" | "second" | "seconds"          => 1000000000L
+        case "min" | "minute" | "minutes"          => 60L * 1000000000L
+        case "hour" | "hours"                      => 3600L * 1000000000L
+        case u => fail(s"unknown time unit '$u'")
+      }
+      v * ns
+    }
+
+    // ---- expressions (precedence: or < and < not < cmp < add < mul) ----
+    def expr(): Expr = orExpr()
+    /** One partition-range branch: `and`-level, so the spec's `or`
+      * separates branches instead of being swallowed by the condition. */
+    def rangeExpr(): Expr = andExpr()
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (isKw("or")) { advance(); l = Bin("or", l, andExpr()) }
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (isKw("and")) { advance(); l = Bin("and", l, notExpr()) }
+      l
+    }
+    private def notExpr(): Expr =
+      if (tryKw("not")) Not(notExpr()) else cmpExpr()
+    private def cmpExpr(): Expr = {
+      val l = addExpr()
+      peek match {
+        case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
+          advance(); Bin(op, l, addExpr())
+        case _ => if (tryKw("in")) InTable(l, ident()) else l
+      }
+    }
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var done = false
+      while (!done) peek match {
+        case TSym(op @ ("+" | "-")) => advance(); l = Bin(op, l, mulExpr())
+        case _ => done = true
+      }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = unary()
+      var done = false
+      while (!done) peek match {
+        case TSym(op @ ("*" | "/" | "%")) => advance(); l = Bin(op, l, unary())
+        case _ => done = true
+      }
+      l
+    }
+    private def unary(): Expr =
+      if (trySym("-")) Neg(unary()) else primary()
+    private def primary(): Expr = advance() match {
+      case TNum(s) => Num(s)
+      case TStr(s) => Str(s)
+      case TSym("(") => val e = expr(); eatSym(")"); e
+      case TId(name) =>
+        val idxAhead = isSym("[") && (peek2 match {
+          case TNum(s) => !s.contains('.')
+          case TId(x) => x.equalsIgnoreCase("last") ||
+            x.equalsIgnoreCase("first")
+          case _ => false
+        })
+        if (trySym(":")) { // namespaced call: str:upper(...)
+          val fn = ident(); eatSym("(")
+          Call(Some(name.toLowerCase), fn, argList())
+        } else if (trySym("(")) {
+          Call(None, name, argList())
+        } else if (idxAhead) { // e1[0].value / e1[last].value
+          eatSym("[")
+          val idx = advance() match {
+            case TNum(s) => Some(s.toInt)
+            case TId(x) if x.equalsIgnoreCase("first") => Some(0)
+            case _ => None // last
+          }
+          eatSym("]"); eatSym(".")
+          IdxRef(name, idx, ident())
+        } else if (isSym(".")) { // qualified ref e1.value
+          val parts = List.newBuilder[String]
+          parts += name
+          while (trySym(".")) parts += ident()
+          Ref(parts.result())
+        } else Ref(List(name))
+      case t => fail(s"unexpected token $t in expression")
+    }
+    private def argList(): List[Expr] = {
+      if (trySym(")")) return Nil
+      val args = List.newBuilder[Expr]
+      args += expr()
+      while (trySym(",")) args += expr()
+      eatSym(")")
+      args.result()
+    }
+
+    // ---- clauses ----
+    def selItems(): List[SelItem] = {
+      val items = List.newBuilder[SelItem]
+      def one(): SelItem = {
+        if (trySym("*")) SelItem(Star, None)
+        else {
+          val e = expr()
+          val a = if (tryKw("as")) Some(ident()) else None
+          SelItem(e, a)
+        }
+      }
+      items += one()
+      while (trySym(",")) items += one()
+      items.result()
+    }
+
+    def windowSpec(): WindowSpec = {
+      eatSym("#"); eatKw("window"); eatSym(".")
+      windowNameArgs()
+    }
+
+    /** `<name>(args)` with optional `ns:name` — shared by `#window.`
+      * clauses and `define window` declarations. */
+    def windowNameArgs(): WindowSpec = {
+      val name0 = ident()
+      val name = // namespaced windows: unique:first, unique:last
+        if (trySym(":")) s"$name0:${ident()}" else name0
+      eatSym("(")
+      val args = List.newBuilder[Long]
+      val sargs = List.newBuilder[String]
+      if (!trySym(")")) {
+        def arg(): Unit = peek match {
+          case TId(_) => sargs += ident() // attribute-name argument
+          case TStr(s) => advance(); sargs += s // 'asc' / 'desc'
+          case _ => peek2 match {
+            case TId(_) => args += duration() // "1 min" — number + unit
+            case _ => args += intLit()
+          }
+        }
+        arg()
+        while (trySym(",")) arg()
+        eatSym(")")
+      }
+      WindowSpec(name, args.result(), sargs.result())
+    }
+
+    def streamClause(): StreamClause = {
+      val every = tryKw("every")
+      // pattern iff `every`/`not` leads, or binding '=' follows the
+      // first identifier
+      val isPattern = every || isKw("not") || (peek match {
+        case TId(_) => peek2 == TSym("=")
+        case _ => false
+      })
+      if (isPattern) {
+        def step(): PatStep =
+          if (tryKw("not")) {
+            val tbl = ident()
+            eatSym("["); val cond = expr(); eatSym("]")
+            eatKw("for")
+            PatAbsent(tbl, cond, duration())
+          } else {
+            val b = ident(); eatSym("="); val tbl = ident()
+            eatSym("["); val cond = expr(); eatSym("]")
+            // count quantifier `<m:n>` on the condition (`<m:>` = open max)
+            val quant = if (trySym("<")) {
+              val m = intLit(); eatSym(":")
+              val n = if (isSym(">")) Int.MaxValue else intLit().toInt
+              eatSym(">")
+              Some((m.toInt, n))
+            } else None
+            PatCond(b, tbl, cond, quant)
+          }
+        // a condition step may extend to a logical pair:
+        // `e2=S[c] and|or e3=S[c]` (both-of / either-of)
+        def stepOrPair(): PatStep = {
+          val first = step()
+          val logical =
+            if (tryKw("and")) Some(true)
+            else if (tryKw("or")) Some(false)
+            else None
+          (logical, first) match {
+            case (None, s) => s
+            case (Some(isAnd), PatCond(b1, t1, c1, None, false)) =>
+              step() match {
+                case PatCond(b2, t2, c2, None, false) =>
+                  PatPair(isAnd, b1, t1, c1, b2, t2, c2)
+                case _ => fail("a logical pair joins two plain " +
+                  "condition steps")
+              }
+            case _ => fail("a logical pair joins two plain condition " +
+              "steps (no quantifiers/absence)")
+          }
+        }
+        val steps = List.newBuilder[PatStep]
+        steps += stepOrPair()
+        var more = true
+        while (more) {
+          if (trySym("->")) steps += stepOrPair()
+          else if (trySym(",")) steps += (stepOrPair() match {
+            // `,` strict-next: the very NEXT event must match
+            case c: PatCond => c.copy(strict = true)
+            case _ => fail("strict-next ',' precedes a plain condition " +
+              "step")
+          })
+          else more = false
+        }
+        val w = if (tryKw("within")) Some(duration()) else None
+        PatternStream(every, steps.result(), w)
+      } else {
+        def single(): (SingleStream, Option[String]) = {
+          // `from !S` reads S's fault stream (@OnError(action='STREAM'))
+          val tbl = if (trySym("!")) "!" + ident() else ident()
+          val a = if (tryKw("as")) Some(ident()) else None
+          val filt = if (trySym("[")) {
+            val e = expr(); eatSym("]"); Some(e)
+          } else None
+          val win = if (isSym("#")) Some(windowSpec()) else None
+          // aggregation read: `within lo, hi per 'grain'` (Siddhi's
+          // incremental-aggregation query clause)
+          val aw = if (tryKw("within")) {
+            val lo = expr(); eatSym(","); val hi = expr(); Some((lo, hi))
+          } else None
+          val ap = if (tryKw("per")) Some(advance() match {
+            case TStr(g) => g
+            case TId(g)  => g
+            case t => fail(s"per expects a grain name, got $t")
+          }) else None
+          (SingleStream(tbl, filt, win, aw, ap), a)
+        }
+        val (l, la) = single()
+        // `unidirectional` on the LEFT side: only left arrivals trigger
+        // the join (the right side just holds its window)
+        val unidir = tryKw("unidirectional")
+        val jt =
+          if (tryKw("join")) Some("inner")
+          else if (isKw("left")) {
+            eatKw("left"); eatKw("outer"); eatKw("join"); Some("left_outer")
+          } else if (isKw("right")) {
+            eatKw("right"); eatKw("outer"); eatKw("join")
+            Some("right_outer")
+          } else if (isKw("full")) {
+            eatKw("full"); eatKw("outer"); eatKw("join")
+            Some("full_outer")
+          } else None
+        if (unidir && jt.isEmpty)
+          fail("`unidirectional` must precede `join`")
+        jt match {
+          case None =>
+            // store-query condition: `from T on cond select …` (the
+            // reference's on-demand query form against tables, named
+            // windows, and aggregations) — a filter, AND-combined with
+            // any `[bracket]` filter
+            if (tryKw("on")) {
+              val c = expr()
+              l.copy(filter = Some(l.filter.fold(c)(f => Bin("and", f, c))))
+            } else l
+          case Some(t) =>
+            val (r, ra) = single()
+            // `unidirectional` AFTER the right side: only right arrivals
+            // trigger — compiled by swapping sides so the triggering
+            // stream is always the left of the band
+            val rUnidir = tryKw("unidirectional")
+            if (unidir && rUnidir)
+              fail("`unidirectional` may mark only one join side")
+            // windowed join sides are allowed for time(T) on BOTH sides
+            // (the stream#window ⋈ stream#window form) — compileJoin
+            // validates the combination
+            eatKw("on")
+            val on = expr()
+            if (rUnidir) {
+              if (t != "inner")
+                fail("right-side `unidirectional` supports inner joins " +
+                  "(v1) — outer direction would flip under the swap")
+              JoinStream(r, ra, t, l, la, on, unidirectional = true)
+            } else JoinStream(l, la, t, r, ra, on, unidirectional = unidir)
+        }
+      }
+    }
+
+    def query(): Ast = {
+      eatKw("from")
+      val stream = streamClause()
+      eatKw("select")
+      val sel = selItems()
+      val grp = if (tryKw("group")) {
+        eatKw("by")
+        val g = List.newBuilder[String]
+        g += ident()
+        while (trySym(",")) g += ident()
+        g.result()
+      } else Nil
+      val hav = if (tryKw("having")) Some(expr()) else None
+      def rateClause(): Option[Rate] = if (tryKw("output")) {
+        val mode = ident().toLowerCase
+        if (!Set("first", "last", "all", "snapshot")(mode))
+          fail(s"output rate mode must be first|last|all|snapshot, " +
+            s"got '$mode'")
+        eatKw("every")
+        val v = intLit()
+        val unit = ident().toLowerCase
+        if (unit == "events" || unit == "event") {
+          if (mode == "snapshot")
+            fail("output snapshot is time-based: `every N sec/min`")
+          Some(Rate(mode, None, Some(v)))
+        } else {
+          val ns = unit match {
+            case "ms" | "millisecond" | "milliseconds" => 1000000L
+            case "sec" | "second" | "seconds"          => 1000000000L
+            case "min" | "minute" | "minutes"          => 60L * 1000000000L
+            case "hour" | "hours"                      => 3600L * 1000000000L
+            case u => fail(s"unknown time unit '$u' in output clause")
+          }
+          Some(Rate(mode, Some(v * ns), None))
+        }
+      } else None
+      // `output ...` sits after `having` in the reference grammar; the
+      // order/limit extensions may precede or follow it
+      val rate0 = rateClause()
+      val ord = if (tryKw("order")) {
+        eatKw("by")
+        val o = List.newBuilder[(String, Boolean)]
+        def one(): (String, Boolean) = {
+          val c = ident()
+          val asc = if (tryKw("desc")) false else { tryKw("asc"); true }
+          (c, asc)
+        }
+        o += one()
+        while (trySym(",")) o += one()
+        o.result()
+      } else Nil
+      val lim = if (tryKw("limit")) Some(intLit()) else None
+      val off = if (tryKw("offset")) Some(intLit()) else None
+      val rate = rate0.orElse(rateClause())
+      // `set T.col = expr, ...` — optional in both update forms; without
+      // it every output attribute updates its same-named table column
+      def setClause(target: String): List[(String, Expr)] =
+        if (!tryKw("set")) Nil
+        else {
+          val out = List.newBuilder[(String, Expr)]
+          def one(): (String, Expr) = {
+            val t = ident(); eatSym("."); val c = ident()
+            if (!t.equalsIgnoreCase(target))
+              fail(s"set target '$t.$c' must be qualified by the " +
+                s"updated table '$target'")
+            eatSym("=")
+            (c, expr())
+          }
+          out += one()
+          while (trySym(",")) out += one()
+          out.result()
+        }
+      val act: Option[Action] =
+        if (tryKw("insert")) { eatKw("into"); Some(InsertInto(ident())) }
+        else if (tryKw("delete")) {
+          val t = ident(); eatKw("on"); Some(DeleteTable(t, expr()))
+        } else if (tryKw("update")) {
+          if (tryKw("or")) {
+            eatKw("insert"); eatKw("into")
+            val t = ident(); val st = setClause(t); eatKw("on")
+            Some(UpsertTable(t, st, expr()))
+          } else {
+            val t = ident(); val st = setClause(t); eatKw("on")
+            Some(UpdateTable(t, st, expr()))
+          }
+        } else None
+      peek match {
+        case TEof => ()
+        case t => fail(s"trailing input at $t")
+      }
+      Ast(stream, sel, grp, hav, ord, lim, off, rate, act)
+    }
+  }
+
+  // ---------- expression → Spark SQL text ----------
+  private[api] val aggNames =
+    Set("sum", "count", "avg", "min", "max", "distinctcount", "stddev")
+
+  /** Does the expression reference any stream attribute (vs a pure
+    * constant expression)? */
+  private[api] def refsAttr(e: Expr): Boolean = e match {
+    case Ref(_) | Star => true
+    case Bin(_, l, r) => refsAttr(l) || refsAttr(r)
+    case Not(x) => refsAttr(x)
+    case Neg(x) => refsAttr(x)
+    case Call(_, _, as) => as.exists(refsAttr)
+    case InTable(e2, _) => refsAttr(e2)
+    case _ => false
+  }
+
+  private[api] def containsAgg(e: Expr): Boolean = e match {
+    case Call(None, n, args) =>
+      aggNames(n.toLowerCase) || args.exists(containsAgg)
+    case Call(_, _, args) => args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case Neg(x) => containsAgg(x)
+    case _ => false
+  }
+
+  // ---------- script functions (define function) ----------
+  /** `define function f[javascript] return <type> { return <expr>; }` —
+    * the reference's script UDFs (`SI:core/function/Script.java` +
+    * `EXT:siddhi-script-js` [public repo paths, unverified]). Instead of
+    * embedding a JS engine we compile the single-`return` JS EXPRESSION
+    * subset natively to Catalyst SQL: arguments are `data[i]`; operators
+    * `+ - * / %`, comparisons (`== != === !== < <= > >=`), `&& || !`,
+    * the ternary `c ? a : b`, parentheses, number/string literals (both
+    * quote styles), and `Math.*` calls. In a STRING-returning function
+    * `+` is JS concatenation (the canonical Siddhi JS example). The body
+    * INLINES into the calling query's plan as `cast(<expr> as <type>)`
+    * — whole-stage codegen'd, no script engine at any row, and Catalyst
+    * can optimize through it (a filter over a script fn still prunes).
+    * Functions may call earlier-defined functions; cycles are diagnosed
+    * by a depth guard at render time. */
+  private[api] final case class ScriptFn(name: String, argc: Int, body: Expr,
+      sqlType: String)
+  // Per-THREAD script-function registry: each compile/compileApp/
+  // deployApp entry resets its own thread's registry, so concurrent
+  // compilations (parallel test suites, two sessions sharing the
+  // object) can no longer cross-contaminate or drop definitions
+  // mid-compile. Fold closures that re-render SQL on a streaming
+  // micro-batch thread capture a snapshot and restore it there.
+  private[api] val scriptFnsTL = new ThreadLocal[Map[String, ScriptFn]] {
+    override def initialValue: Map[String, ScriptFn] = Map.empty
+  }
+  private[api] val scriptDepthTL = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+  private[api] def scriptFns: Map[String, ScriptFn] = scriptFnsTL.get
+  private[api] def scriptFns_=(m: Map[String, ScriptFn]): Unit =
+    scriptFnsTL.set(m)
+  private[api] def scriptDepth: Int = scriptDepthTL.get
+  private[api] def scriptDepth_=(v: Int): Unit = scriptDepthTL.set(v)
+
+  private[api] def jsLex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_' || c == '$') {
+        val j = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_' ||
+          src(i) == '$')) i += 1
+        out += TId(src.substring(j, i))
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        out += TNum(src.substring(j, i))
+      } else if (c == '\'' || c == '"') {
+        val q = c
+        val j = i + 1
+        i += 1
+        while (i < n && src(i) != q) i += 1
+        if (i >= n) fail("define function: unterminated string in body")
+        out += TStr(src.substring(j, i)); i += 1
+      } else {
+        val three = if (i + 2 < n) src.substring(i, i + 3) else ""
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (three == "===") { out += TSym("=="); i += 3 }
+        else if (three == "!==") { out += TSym("!="); i += 3 }
+        else if (Set("==", "!=", "<=", ">=", "&&", "||")(two)) {
+          out += TSym(two); i += 2
+        } else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  /** Recursive-descent parser for the JS expression subset → [[Expr]]
+    * (ternary lowers to ifThenElse, && || ! to and/or/not, `Math.pow` /
+    * `Math.sign` to their math: names — everything else math: validates). */
+  private[api] final class JsP(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def advance(): Tok = { val t = toks(p); p += 1; t }
+    private def eat(sym: String): Unit = advance() match {
+      case TSym(s) if s == sym => ()
+      case t => fail(s"define function: expected '$sym', got $t in body")
+    }
+    def done: Boolean = peek == TEof
+    def ternary(): Expr = {
+      val c = or()
+      if (peek == TSym("?")) {
+        advance()
+        val a = ternary(); eat(":"); val b = ternary()
+        Call(None, "ifThenElse", List(c, a, b))
+      } else c
+    }
+    private def or(): Expr = {
+      var l = and()
+      while (peek == TSym("||")) { advance(); l = Bin("or", l, and()) }
+      l
+    }
+    private def and(): Expr = {
+      var l = cmp()
+      while (peek == TSym("&&")) { advance(); l = Bin("and", l, cmp()) }
+      l
+    }
+    private def cmp(): Expr = {
+      val l = add()
+      peek match {
+        case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
+          advance(); Bin(op, l, add())
+        case _ => l
+      }
+    }
+    private def add(): Expr = {
+      var l = mul()
+      var go = true
+      while (go) peek match {
+        case TSym(op @ ("+" | "-")) => advance(); l = Bin(op, l, mul())
+        case _ => go = false
+      }
+      l
+    }
+    private def mul(): Expr = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case TSym(op @ ("*" | "/" | "%")) =>
+          advance(); l = Bin(op, l, unary())
+        case _ => go = false
+      }
+      l
+    }
+    private def unary(): Expr = peek match {
+      case TSym("-") => advance(); Neg(unary())
+      case TSym("!") => advance(); Not(unary())
+      case _ => primary()
+    }
+    private def args(): List[Expr] = {
+      eat("(")
+      if (peek == TSym(")")) { advance(); return Nil }
+      val as = List.newBuilder[Expr]
+      as += ternary()
+      while (peek == TSym(",")) { advance(); as += ternary() }
+      eat(")")
+      as.result()
+    }
+    private def primary(): Expr = advance() match {
+      case TNum(s) => Num(s)
+      case TStr(s) => Str(s)
+      case TSym("(") => val e = ternary(); eat(")"); e
+      case TId("data") =>
+        eat("[")
+        val ix = advance() match {
+          case TNum(s) if !s.contains('.') => s.toInt
+          case t => fail(s"define function: data[<int>] expected, got $t")
+        }
+        eat("]")
+        Ref(List(s"__data_$ix"))
+      case TId("Math") =>
+        eat(".")
+        val fn = advance() match {
+          case TId(f) => f
+          case t => fail(s"define function: Math.<fn> expected, got $t")
+        }
+        val mapped = fn match {
+          case "pow" => "power"
+          case "sign" => "signum"
+          case other => other
+        }
+        Call(Some("math"), mapped, args())
+      case TId(other) if peek == TSym("(") =>
+        // a call to another (earlier-defined) script function
+        Call(None, other, args())
+      case t => fail(s"define function: unsupported body construct $t — " +
+        "the JS-expression subset is data[i], literals, + - * / %, " +
+        "comparisons, && || !, ?:, Math.*, and earlier-defined functions")
+    }
+  }
+
+  /** Parse + register one `define function f[lang] return <type>
+    * { return <expr>; }` statement (compiled natively — ScriptFn
+    * scaladoc; the [lang] tag is accepted as-written since no script
+    * engine runs). Shared by compileApp and the live deployAppOn path. */
+  private[api] def registerScriptFn(body: String): Unit = {
+    val m = ("(?is)^define\\s+function\\s+([A-Za-z_]\\w*)\\s*\\[" +
+      "\\s*([A-Za-z]+)\\s*\\]\\s*return\\s+([A-Za-z]+)\\s*\\{(.*)" +
+      "\\}\\s*$").r.findFirstMatchIn(body).getOrElse(fail(
+        "malformed define function: expected `define function " +
+          "<name>[<lang>] return <type> { return <expr>; }`"))
+    val (fname, rtype, fbody) = (m.group(1), m.group(3), m.group(4))
+    val rm = "(?is)^\\s*return\\b(.*?);?\\s*$".r
+      .findFirstMatchIn(fbody).getOrElse(fail(
+        s"define function '$fname': only single-`return <expr>;` " +
+          "bodies compile (the JS-expression subset; " +
+          "multi-statement scripts are out of scope)"))
+    val sqlType = rtype.toLowerCase match {
+      case "int" => "int"
+      case "long" => "bigint"
+      case "float" => "float"
+      case "double" => "double"
+      case "string" => "string"
+      case "bool" => "boolean"
+      case other =>
+        fail(s"define function: unknown return type '$other'")
+    }
+    val jp = new JsP(jsLex(rm.group(1)))
+    var bodyExpr = jp.ternary()
+    if (!jp.done)
+      fail(s"define function '$fname': trailing tokens after the " +
+        "return expression")
+    if (sqlType == "string") bodyExpr = plusToConcat(bodyExpr)
+    scriptFns += fname.toLowerCase ->
+      ScriptFn(fname, maxDataIdx(bodyExpr) + 1, bodyExpr, sqlType)
+  }
+
+  private[api] def maxDataIdx(e: Expr): Int = e match {
+    case Ref(List(d)) if d.startsWith("__data_") => d.substring(7).toInt
+    case Bin(_, l, r) => math.max(maxDataIdx(l), maxDataIdx(r))
+    case Not(x) => maxDataIdx(x)
+    case Neg(x) => maxDataIdx(x)
+    case Call(_, _, as) =>
+      as.foldLeft(-1)((m, a) => math.max(m, maxDataIdx(a)))
+    case _ => -1
+  }
+
+  /** JS `+` means concatenation when the function returns string. */
+  private[api] def plusToConcat(e: Expr): Expr = e match {
+    case Bin("+", l, r) =>
+      Call(None, "__concat", List(plusToConcat(l), plusToConcat(r)))
+    case Bin(op, l, r) => Bin(op, plusToConcat(l), plusToConcat(r))
+    case Not(x) => Not(plusToConcat(x))
+    case Neg(x) => Neg(plusToConcat(x))
+    case Call(ns, n, as) => Call(ns, n, as.map(plusToConcat))
+    case other => other
+  }
+
+  private[api] def renderCall(ns: Option[String], name: String,
+                         argc: Int, a: List[String]): String = {
+    def std(n: String) = s"$n(${a.mkString(", ")})"
+    (ns.map(_.toLowerCase), name.toLowerCase) match {
+      case (None, "count") if argc == 0 => "count(*)"
+      case (None, n) if aggNames(n) && n != "distinctcount" &&
+          n != "stddev" => std(n)
+      case (None, "distinctcount") => s"count(DISTINCT ${a.head})"
+      // Siddhi stdDev is POPULATION stddev; Spark's bare stddev is sample
+      case (None, "stddev") => s"stddev_pop(${a.head})"
+      case (None, "ifthenelse") => s"if(${a.mkString(", ")})"
+      case (None, "coalesce") => std("coalesce")
+      case (None, "convert") =>
+        // convert(x, 'double') — the reference's cast; type name travels
+        // as a string literal, so strip the quotes the renderer added
+        val t = a(1).stripPrefix("'").stripSuffix("'").toLowerCase match {
+          case "int" => "int"
+          case "long" => "bigint"
+          case "float" => "float"
+          case "double" => "double"
+          case "string" => "string"
+          case "bool" => "boolean"
+          case other => fail(s"convert: unknown type '$other'")
+        }
+        s"cast(${a(0)} as $t)"
+      case (Some("str"), n @ ("upper" | "lower" | "length" | "trim" |
+                              "concat" | "reverse" | "repeat")) => std(n)
+      case (Some("str"), "contains") => s"(instr(${a(0)}, ${a(1)}) > 0)"
+      // Siddhi str:substr / str:charAt are 0-based [public doc,
+      // unverified]; SQL substring is 1-based
+      case (Some("str"), "substr") =>
+        s"substring(${a(0)}, ${a(1)} + 1, ${a(2)})"
+      case (Some("str"), "charat") =>
+        s"substring(${a(0)}, ${a(1)} + 1, 1)"
+      case (Some("str"), "replaceall") =>
+        s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})"
+      case (Some("str"), "equalsignorecase") =>
+        s"(lower(${a(0)}) = lower(${a(1)}))"
+      // str:split(src, splitter, index) returns the index-th piece,
+      // 0-based [public doc, unverified]. The splitter is a LITERAL
+      // string (Siddhi and the DuckDB oracle both split literally);
+      // Spark's split() is regex, so quote it with \Q...\E at runtime
+      case (Some("str"), "split") => // NULL when the piece doesn't exist
+        s"try_element_at(split(${a(0)}, " +
+          s"concat('\\\\Q', ${a(1)}, '\\\\E')), ${a(2)} + 1)"
+      case (Some("str"), "strcmp") =>
+        s"(case when ${a(0)} < ${a(1)} then -1 " +
+          s"when ${a(0)} = ${a(1)} then 0 else 1 end)"
+      case (Some("str"), "hex") => s"lower(hex(${a(0)}))"
+      case (Some("str"), "unhex") => s"cast(unhex(${a(0)}) as string)"
+      case (Some("math"), n @ ("abs" | "round" | "sqrt" | "floor" |
+                               "ceil" | "power" | "exp" | "sin" | "cos" |
+                               "tan" | "log10" | "log2")) => std(n)
+      case (Some("math"), "log") => s"ln(${a(0)})"
+      case (Some("math"), "min") => s"least(${a.mkString(", ")})"
+      case (Some("math"), "max") => s"greatest(${a.mkString(", ")})"
+      case (Some("math"), "signum") => s"sign(${a(0)})"
+      case (Some("math"), "cbrt") => std("cbrt")
+      case (Some("math"), "todegrees") => s"degrees(${a(0)})"
+      case (Some("math"), "toradians") => s"radians(${a(0)})"
+      case (Some("math"), "pi") => "pi()"
+      case (Some("math"), "e") => "e()"
+      case (Some("math"), "parseint") => s"cast(${a(0)} as int)"
+      case (Some("math"), "parselong") => s"cast(${a(0)} as bigint)"
+      case (Some("math"), "parsefloat") => s"cast(${a(0)} as float)"
+      case (Some("math"), "parsedouble") => s"cast(${a(0)} as double)"
+      case (Some("math"), "isnan") => s"isnan(${a(0)})"
+      case (Some("math"), "isinfinite") =>
+        s"(abs(${a(0)}) = double('Infinity'))"
+      // time:extract('hour', epochMs) — unit names the SQL extractor
+      case (Some("time"), "extract") =>
+        val u = a(0).stripPrefix("'").stripSuffix("'").toLowerCase
+        if (!Set("year", "month", "day", "hour", "minute", "second")(u))
+          fail(s"time:extract: unknown unit '$u'")
+        s"$u(timestamp_millis(cast(${a(1)} as bigint)))"
+      // time:dateFormat(epochMs, 'pattern') — Java pattern letters shared
+      // by Siddhi and Spark for the common y/M/d/H/m/s forms
+      case (Some("time"), "dateformat") =>
+        s"date_format(timestamp_millis(cast(${a(0)} as bigint)), ${a(1)})"
+      // time:dateAdd(epochMs, amount, 'unit') / dateSub — fixed-width
+      // units compile to epoch arithmetic; calendar units (month/year)
+      // are diagnosed (they need a calendar, not a factor)
+      case (Some("time"), n @ ("dateadd" | "datesub")) =>
+        val u = a(2).stripPrefix("'").stripSuffix("'").toLowerCase
+        val factor = u match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case other => fail(s"time:$n: unit '$other' unsupported " +
+            "(fixed-width units second/minute/hour/day compile to epoch " +
+            "arithmetic; month/year need calendar semantics)")
+        }
+        val sign = if (n == "dateadd") "+" else "-"
+        s"(cast(${a(0)} as bigint) $sign (${a(1)}) * $factor)"
+      // time:dateDiff(epochMs1, epochMs2) → whole days between, FLOOR
+      // semantics (a negative difference of part of a day is -1 day,
+      // matching DuckDB's `//`; Spark's `div` truncates toward zero)
+      case (Some("time"), "datediff") =>
+        val d = s"(cast(${a(0)} as bigint) - cast(${a(1)} as bigint))"
+        s"(($d div 86400000) + " +
+          s"(case when ($d % 86400000) < 0 then -1 else 0 end))"
+      case (Some("time"), "dayofweek") =>
+        s"date_format(timestamp_millis(cast(${a(0)} as bigint)), 'EEEE')"
+      // geo:distance(lat1, lon1, lat2, lon2) — haversine meters [public
+      // doc, unverified re: unit]; pure trig, codegen'd
+      case (Some("geo"), "distance") =>
+        s"(2.0d * 6371000.0d * asin(sqrt(" +
+          s"pow(sin(radians(${a(2)} - ${a(0)}) / 2), 2) + " +
+          s"cos(radians(${a(0)})) * cos(radians(${a(2)})) * " +
+          s"pow(sin(radians(${a(3)} - ${a(1)}) / 2), 2))))"
+      // unitconversion: — the extension is a factor table; plain
+      // literal-factor arithmetic (representatives; same factors as the
+      // engine's fn_unitconvert)
+      case (Some("unitconversion"), n) =>
+        val factor: Option[String] = n match {
+          case "kmtom" => Some("* 1000.0d")
+          case "mtokm" => Some("/ 1000.0d")
+          case "kmtomi" => Some("* 0.621371192d")
+          case "kgtog" => Some("* 1000.0d")
+          case "kgtolb" => Some("* 2.20462262d")
+          case "htoms" => Some("* 3600000.0d")
+          case "mintos" => Some("* 60.0d")
+          case "ctof" => None
+          case other => fail(s"unitconversion:$other unsupported (add " +
+            "its factor to the table)")
+        }
+        factor match {
+          case Some(f) => s"(${a(0)} $f)"
+          case None => s"(${a(0)} * 9.0d / 5.0d + 32.0d)"
+        }
+      // list:/map: families — constructed collections + accessors; gets
+      // are try_element_at (NULL on missing, matching Siddhi's null)
+      case (Some("list"), "create") => s"array(${a.mkString(", ")})"
+      case (Some("list"), "size") => s"size(${a(0)})"
+      case (Some("list"), "contains") =>
+        s"array_contains(${a(0)}, ${a(1)})"
+      case (Some("list"), "get") =>
+        s"try_element_at(${a(0)}, ${a(1)} + 1)"
+      case (Some("list"), "sort") => s"array_sort(${a(0)})"
+      // list:join(list, sep): flatten a collection to a scalar string —
+      // the registry-safe projection for collection results (the driver's
+      // comparator sorts rows with pandas, which cannot sort raw arrays)
+      case (Some("list"), "join") => s"array_join(${a(0)}, ${a(1)})"
+      case (Some("list"), "distinct") => s"array_distinct(${a(0)})"
+      case (Some("list"), "isempty") => s"(size(${a(0)}) = 0)"
+      case (Some("map"), "create") => s"map(${a.mkString(", ")})"
+      case (Some("map"), "get") => s"try_element_at(${a(0)}, ${a(1)})"
+      case (Some("map"), "containskey") =>
+        s"map_contains_key(${a(0)}, ${a(1)})"
+      case (Some("map"), "size") => s"size(${a(0)})"
+      case (Some("map"), "keys") => s"array_sort(map_keys(${a(0)}))"
+      case (Some("map"), "values") => s"array_sort(map_values(${a(0)}))"
+      // instanceOfX — schema-static in Spark; typeof() answers it
+      case (None, n) if n.startsWith("instanceof") && argc == 1 =>
+        val t = n.stripPrefix("instanceof") match {
+          case "boolean" => "boolean"
+          case "double" => "double"
+          case "float" => "float"
+          case "integer" => "int"
+          case "long" => "bigint"
+          case "string" => "string"
+          case other => fail(s"unknown instanceOf type '$other'")
+        }
+        s"(typeof(${a(0)}) = '$t')"
+      case (Some("json"), "isexists") =>
+        s"(get_json_object(${a(0)}, ${a(1)}) is not null)"
+      case (Some("json"), "getbool") =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as boolean)"
+      case (Some("json"), "getstring") =>
+        s"get_json_object(${a(0)}, ${a(1)})"
+      case (Some("json"), "getdouble") =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as double)"
+      case (Some("json"), ("getlong" | "getint")) =>
+        s"cast(get_json_object(${a(0)}, ${a(1)}) as bigint)"
+      // Siddhi regex:* takes (regex, input[, group]) [public doc,
+      // unverified]; find = substring search, matches = whole-string
+      case (Some("regex"), "find") => s"(${a(1)} rlike ${a(0)})"
+      case (Some("regex"), "matches") =>
+        "(" + a(1) + " rlike concat('^(?:', " + a(0) + ", ')$'))"
+      case (Some("regex"), "group") =>
+        s"regexp_extract(${a(1)}, ${a(0)}, ${a(2)})"
+      case (None, "__concat") => std("concat")
+      case (None, n) if scriptFns.contains(n) =>
+        val f = scriptFns(n)
+        if (argc != f.argc)
+          fail(s"function '${f.name}' takes ${f.argc} argument(s), " +
+            s"got $argc")
+        if (scriptDepth > 16)
+          fail(s"function '${f.name}': recursive script functions are " +
+            "unsupported (call cycle detected)")
+        scriptDepth += 1
+        try {
+          val bodySql = sqlOfWith(f.body, {
+            case List(d) if d.startsWith("__data_") =>
+              s"(${a(d.substring(7).toInt)})"
+            case other => fail(s"unknown identifier " +
+              s"'${other.mkString(".")}' in function '${f.name}' body")
+          })
+          s"cast(($bodySql) as ${f.sqlType})"
+        } finally scriptDepth -= 1
+      case (nsx, n) =>
+        fail(s"unsupported function ${nsx.fold("")(_ + ":")}$n")
+    }
+  }
+
+  private[api] def sqlOfWith(e: Expr, ref: List[String] => String): String =
+    e match {
+      case IdxRef(b, _, f) => fail(s"indexed event access ('$b[...].$f') " +
+        "is a pattern-select construct")
+      case Star => fail("`select *` is supported in single-stream, " +
+        "join, and DML queries only (not in this clause)")
+      case InTable(_, t) => fail(s"`in $t` is a stream-filter construct " +
+        "(it compiles to a semi join) — not usable in this clause")
+      case Num(t) => t
+      case Str(v) => "'" + v.replace("'", "''") + "'"
+      case Ref(parts) => ref(parts)
+      case Not(x) => s"(NOT ${sqlOfWith(x, ref)})"
+      case Neg(x) => s"(- ${sqlOfWith(x, ref)})"
+      case Bin(op, l, r) =>
+        val o = op match { case "==" => "="; case x => x }
+        s"(${sqlOfWith(l, ref)} $o ${sqlOfWith(r, ref)})"
+      case Call(ns, name, args) =>
+        renderCall(ns, name, args.length, args.map(sqlOfWith(_, ref)))
+    }
+
+  private[api] def sqlOf(e: Expr): String = sqlOfWith(e, _.mkString("."))
+
+  // ---------- pattern predicate interpreter ----------
+  private[api] def field(e: Cep.Ev, name: String): Any = name match {
+    case "event_id"   => e.eventId
+    case "ts_ns"      => e.tsNs
+    case "user_id"    => e.userId
+    case "event_type" => e.eventType
+    case "value"      => e.value
+    case f => fail(s"unknown event field '$f'")
+  }
+  private[api] def fieldType(name: String): DataType = name match {
+    case "event_id" | "ts_ns" | "user_id" => LongType
+    case "event_type"                     => StringType
+    case "value"                          => DoubleType
+    case f => fail(s"unknown event field '$f'")
+  }
+
+  private[api] def num(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case x => fail(s"expected number, got $x")
+  }
+
+  private[api] def evalPred(cond: Expr): (Cep.Ev, Cep.Bindings) => Boolean = {
+    def ev(e: Expr, cur: Cep.Ev, b: Cep.Bindings): Any = e match {
+      case Num(t) => if (t.contains('.')) t.toDouble else t.toLong
+      case Str(v) => v
+      case Ref(f :: Nil) => field(cur, f)
+      case Ref(bn :: f :: Nil) =>
+        field(b.getOrElse(bn, fail(s"unbound pattern ref '$bn'")).head, f)
+      case Ref(p) => fail(s"bad reference ${p.mkString(".")}")
+      case IdxRef(bn, idx, f) =>
+        val evs = b.getOrElse(bn, fail(s"unbound pattern ref '$bn'"))
+        idx match {
+          case Some(ix) =>
+            if (ix < evs.size) field(evs(ix), f)
+            else fail(s"$bn[$ix] out of range in a pattern predicate " +
+              s"(${evs.size} events bound)")
+          case None => field(evs.last, f)
+        }
+      case Not(x) => !ev(x, cur, b).asInstanceOf[Boolean]
+      case Neg(x) => -num(ev(x, cur, b))
+      case Bin(op, l, r) =>
+        op match {
+          case "and" => ev(l, cur, b).asInstanceOf[Boolean] &&
+            ev(r, cur, b).asInstanceOf[Boolean]
+          case "or" => ev(l, cur, b).asInstanceOf[Boolean] ||
+            ev(r, cur, b).asInstanceOf[Boolean]
+          case "==" | "!=" =>
+            val (lv, rv) = (ev(l, cur, b), ev(r, cur, b))
+            val eq = (lv, rv) match {
+              case (a: String, c: String) => a == c
+              case (a, c) => num(a) == num(c)
+            }
+            if (op == "==") eq else !eq
+          case "<" => num(ev(l, cur, b)) < num(ev(r, cur, b))
+          case "<=" => num(ev(l, cur, b)) <= num(ev(r, cur, b))
+          case ">" => num(ev(l, cur, b)) > num(ev(r, cur, b))
+          case ">=" => num(ev(l, cur, b)) >= num(ev(r, cur, b))
+          case "+" => num(ev(l, cur, b)) + num(ev(r, cur, b))
+          case "-" => num(ev(l, cur, b)) - num(ev(r, cur, b))
+          case "*" => num(ev(l, cur, b)) * num(ev(r, cur, b))
+          case "/" => num(ev(l, cur, b)) / num(ev(r, cur, b))
+          case "%" => num(ev(l, cur, b)) % num(ev(r, cur, b))
+          case o => fail(s"operator '$o' unsupported in pattern predicate")
+        }
+      case Call(_, n, _) =>
+        fail(s"function '$n' unsupported in pattern predicates")
+      case other =>
+        fail(s"'${other.getClass.getSimpleName}' unsupported in " +
+          "pattern predicates")
+    }
+    (cur, b) => ev(cond, cur, b).asInstanceOf[Boolean]
+  }
+
+
+  /** `partition with (<spec>) begin <queries> end` → (inner query text,
+    * keyed attribute OR range branches, partitioned stream name).
+    * Shared by the batch compile and the live deployment. */
+  private[api] def parsePartition(body: String)
+      : (String, Option[String], List[(Expr, String)], String) = {
+    val m = ("(?is)^partition\\s+with\\s*\\((.*)\\)\\s*" +
+      "begin\\b(.*?)\\bend\\s*$").r.findFirstMatchIn(body)
+      .getOrElse(fail("malformed partition: expected `partition " +
+        "with (<spec> of <stream>) begin <queries> end`"))
+    val (spec, innerBody) = (m.group(1), m.group(2))
+    val sp = new P(lex(spec))
+    val ranges = List.newBuilder[(Expr, String)]
+    var keyAttr: Option[String] = None
+    var done = false
+    while (!done) {
+      val e = sp.rangeExpr()
+      if (sp.tryKw("as")) {
+        val label = sp.advance() match {
+          case TStr(l) => l
+          case t => fail(s"range label must be a string, got $t")
+        }
+        ranges += ((e, label))
+        if (!sp.tryKw("or")) done = true
+      } else {
+        e match {
+          case Ref(attr :: Nil) => keyAttr = Some(attr); done = true
+          case other => fail("partition spec must be `<attr> of S` " +
+            s"or `cond as 'label' or ... of S`, got '${sqlOf(other)}'")
+        }
+      }
+    }
+    sp.eatKw("of")
+    val srcName = sp.ident()
+    (innerBody, keyAttr, ranges.result(), srcName)
+  }
+}

@@ -1,0 +1,2554 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.engine.{Cep, Tables}
+
+/** [[SiddhiQL]]'s live deployment: the Structured Streaming topology
+  * builder (deployApp), the LiveFold channel (keyed/bucketed state,
+  * windowed flush folds, enrichment joins, rate folds), and the
+  * parquet-generation fold runner. Mixed into `object SiddhiQL`. */
+private[api] trait SiddhiQlLive extends Serializable {
+  self: SiddhiQlFrontend with SiddhiQlCompiler =>
+  // ---------- live deployment ----------
+  /** Deploy a compiled app as a LIVE Structured Streaming topology over a
+    * streaming events DataFrame (columns `event_id, ts_ns, user_id,
+    * event_type, value, ts`) — the SiddhiProcess analog: the same text a
+    * batch replay verifies runs as a continuous query. Returns the
+    * UN-STARTED streaming DataFrame of the `out` query plus its required
+    * output mode, requested ordering, and whether the caller must feed
+    * watermark-flush sentinels ([[graft.engine.Streaming.FlushNs]]) so a
+    * FINITE replay closes the last windows — callers pick the sink,
+    * trigger, and checkpoint location (the restart contract lives there).
+    *
+    * Stage support (v1): stateless filter/projection chains (append),
+    * ONE aggregation stage as the final query — global (complete mode)
+    * or windowed timeBatch/cron/session (APPEND mode: the source-level
+    * event-time watermark lets every pane emit exactly once when the
+    * watermark passes its end, and its state row is EVICTED — bounded
+    * state on a long-running stream, vs Complete mode's
+    * keep-every-bucket-forever) — and pattern clauses via the per-key
+    * NFA re-fold ([[Patterns.PatternBuilder.selectStream]], append; its
+    * quantifier/absence restrictions and event-time-order precondition
+    * apply). Chaining is plan composition on the streaming Dataset, so
+    * Catalyst still optimizes the whole topology as one incremental
+    * query — exactly the batch path's property, which is why batch
+    * replay is a valid oracle for the deployed result.
+    *
+    * Watermark design: ONE `withWatermark("ts", "1 minute")` node sits
+    * at the SOURCE, above nothing — so every event (and every flush
+    * sentinel) reaches it before any user filter. User filters are
+    * OR-extended with the sentinel region (`f OR ts >= flushCutoff`):
+    * the predicate then references the event-time column, which stops
+    * Catalyst's pushdown from moving it below the watermark node and
+    * dropping a sentinel before it advances the watermark. Stateful
+    * stages drop the sentinels themselves right above their
+    * aggregation (`ts < flushCutoff`), and stateless stages carry the
+    * watermarked `ts` (+ `ts_ns`) through their projections so a
+    * downstream window can still bucket and evict by event time.
+    *
+    * Table DML stages deploy through [[deployApp]] (a `foreachBatch`
+    * keyed MERGE cannot be expressed as one unstarted DataFrame) —
+    * this entry fails fast on them. */
+  def deployAppOn(src: DataFrame, app: String, out: String)
+      : (DataFrame, OutputMode, Seq[Column], Boolean) = {
+    val (stages, dml) = deployStages(src, app, out)
+    dml.foreach { _ =>
+      fail("live deployment of this stage (table DML / unique:last / " +
+        "sort / frequent) runs through deployApp (a foreachBatch keyed " +
+        "fold) — deployAppOn returns a single unstarted DataFrame and " +
+        "cannot express a folded sink")
+    }
+    val (df, kind, ordCols) = stages.getOrElse(
+      fail(s"app has no query named or inserting into '$out'"))
+    // kind 4 (Update-mode global agg): the caller's sink receives only
+    // the groups each trigger changed and is expected to upsert them
+    // keyed on the group columns — __ukey is the runner's internal
+    // collapse handle, not part of the user-facing schema
+    (if (kind == 4) df.drop("__ukey") else df,
+      if (kind == 1) OutputMode.Complete()
+      else if (kind == 4) OutputMode.Update()
+      else OutputMode.Append(),
+      ordCols, kind == 2)
+  }
+
+  /** `define table T (col type, ...)` → its schema, None otherwise. */
+  private[api] def parseTableDef(body: String): Option[(String, StructType)] = {
+    val p = new P(lex(body))
+    p.eatKw("define")
+    if (!p.tryKw("table")) None
+    else {
+      val tname = p.ident()
+      p.eatSym("(")
+      val fields = List.newBuilder[StructField]
+      def one(): StructField = {
+        val c = p.ident(); StructField(c, typeOf(p.ident()))
+      }
+      fields += one()
+      while (p.trySym(",")) fields += one()
+      p.eatSym(")")
+      Some(tname -> StructType(fields.result()))
+    }
+  }
+
+  /** How a [[LiveFold]] state is materialized between triggers.
+    *
+    *  - [[FullState]]: the fold rewrites the WHOLE state every
+    *    micro-batch. Reserved for states tiny by contract (sort(N)'s
+    *    N rows) where rewrite cost is O(N), not O(data).
+    *  - [[AppendState]]: the state only ever grows; the fold returns
+    *    the batch's DELTA rows and the runner appends them as a new
+    *    generation file. Per-trigger write cost is O(batch) by
+    *    construction; reading the state unions the generation files.
+    *  - [[KeyedState]]: the fold is a per-key merge on `keys`. The
+    *    state parquet is hash-bucketed on those keys; each trigger the
+    *    runner computes the buckets the batch touches (`batchKeys`
+    *    projects the batch's key values, cast to the state key types
+    *    so both sides hash identically), hands the fold ONLY those
+    *    buckets' rows, and rewrites only those buckets. Per-trigger
+    *    write cost is O(batch-touched buckets), not O(state) — the
+    *    form that survives a keyed table with millions of keys at
+    *    100 TB scale (bucket count rises with the key domain via
+    *    `graft.live.stateBuckets`). */
+  private[api] sealed trait StateMode
+  private[api] case object FullState extends StateMode
+  private[api] case object AppendState extends StateMode
+
+  /** Test probe: when set, [[deployApp]]'s fold runner records
+    * (generation, state name, rows written) for KEYED states so a
+    * spec can assert per-trigger write cost tracks the batch's keys,
+    * not the accumulated state size. */
+  private[graft] var foldWriteProbe
+      : Option[scala.collection.mutable.Buffer[(Int, String, Long)]] =
+    None
+
+  /** Test probe: when set, [[deployApp]]'s Update-mode collapse
+    * records each trigger's emitted-row count so a spec can assert
+    * per-trigger sink volume tracks the batch's changed groups, not
+    * the total group count. */
+  private[graft] var updateEmitProbe
+      : Option[scala.collection.mutable.Buffer[Long]] = None
+  private[api] final case class KeyedState(keys: Seq[String],
+      batchKeys: (SparkSession, String, DataFrame) => DataFrame)
+    extends StateMode
+
+  /** A [[LiveFold]] state as the fold sees it: `slice` is what the
+    * fold may MERGE INTO and must return the replacement of (the
+    * touched buckets for [[KeyedState]], the whole state for
+    * [[FullState]], empty for [[AppendState]] — append folds return
+    * their delta); `full` lazily reads the entire accumulated state
+    * for folds that must JOIN against it (the enrichment join reads
+    * the whole maintained table even when only a few keys changed). */
+  private[api] final case class LiveState(slice: DataFrame,
+      full: () => DataFrame)
+
+  /** A live stage whose semantics are a per-micro-batch keyed FOLD
+    * rather than one incremental Spark plan: table DML (keyed MERGE),
+    * `unique:last` (keep-last upsert), `sort(N)` (running top-N),
+    * `frequent(N)` (per-key algebraic components), and the enrichment
+    * join reading a DML-maintained table. [[deployApp]] runs
+    * `fold(spark, dir, states, batch)` in `foreachBatch` over parquet
+    * generations — one NAMED state per entry in `schemas`, so a fold
+    * can carry several pieces of state (the maintained table AND the
+    * accumulated enrichment output) — then `finish(spark, states)`
+    * shapes the final table. Each state stays one-batch-lineage deep
+    * and survives a restart, and its storage/rewrite granularity is
+    * its [[StateMode]]. State is bounded by contract: the
+    * table/unique key domain, N rows, or the key domain's component
+    * rows (the enrichment OUTPUT accumulation mirrors a sink, not
+    * operator state). */
+  private[api] final case class LiveFold(feed: DataFrame,
+      schemas: Seq[(String, StructType, StateMode)],
+      fold: (SparkSession, String, Map[String, LiveState], DataFrame)
+        => Map[String, DataFrame],
+      finish: (SparkSession, Map[String, DataFrame]) => DataFrame,
+      ordCols: Seq[Column])
+
+  /** [[StateMode]] of a DML-maintained table state: insert-only DML
+    * appends (the fold's output IS the batch delta when folded into an
+    * empty slice), keyed DML (delete/update/upsert) bucket-merges on
+    * its `on` key columns. The batch-key probe replays the DML stage's
+    * filter+select over the batch and projects the `on` RHS
+    * expressions CAST to the table key types, so batch rows and state
+    * rows hash into the same buckets. */
+  private[api] def dmlStateMode(ast: Ast, act: Action, schema: StructType,
+      srcName: String, fnsSnap: Map[String, ScriptFn],
+      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
+      : StateMode = {
+    val onOpt = act match {
+      case _: InsertInto           => None
+      case UpdateTable(_, _, on)   => Some(on)
+      case UpsertTable(_, _, on)   => Some(on)
+      case DeleteTable(_, on)      => Some(on)
+    }
+    onOpt match {
+      case None => AppendState
+      case Some(on) =>
+        val keys = keyEqsOf(on, act.target)
+        KeyedState(keys.map(_._1), (sp, d2, batch) => {
+          scriptFns = fnsSnap
+          val env = envOf(sp, d2, batch)
+          val base0 = loadTable(sp, d2, srcName, env)
+          val base = (ast.stream match {
+            case ss: SingleStream => ss.filter
+            case _                => None
+          }).fold(base0)(f => applyFilter(sp, d2, base0, f, env))
+          val items = itemsOf(expandStar(ast, base0.columns))
+          val seld = base.select(items.map { case (it, a, _) =>
+            expr(sqlOf(it.e)).as(a) }: _*)
+          seld.select(keys.map { case (tc, rhs) =>
+            expr(rhs).cast(schema(tc).dataType).as(tc) }: _*)
+        })
+    }
+  }
+
+  /** LIVE windowed-aggregate table DML (the canonical Siddhi store
+    * pattern — `from S#window.timeBatch(T) select k, agg(x) group by k
+    * update or insert into T`, deployed): fold state is the
+    * per-(window bucket ∪ group keys) algebraic PARTIALS of the flush
+    * aggregates — a bucket that spans micro-batches merges
+    * componentwise (the FoldAlg algebra), so the fold is
+    * chunking-invariant where a per-batch [[applyDml]] would
+    * double-apply the straddling bucket. finish finalizes the flush
+    * rows (one per bucket × group, `__g_ord` = bucket start) and runs
+    * the SAME emission-order merge as the batch compile
+    * ([[applyEmissions]]), which is why the batch oracle is the live
+    * gate's truth. State size = the flush relation itself (bucket ×
+    * keys — the contract the live grain cascade already carries);
+    * per-trigger write cost O(batch-touched buckets) via KeyedState. */
+  private[api] def windowedDmlFold(feed: DataFrame, ast: Ast, act: Action,
+      schema: StructType, tNs: Long,
+      fnsSnap: Map[String, ScriptFn]): LiveFold = {
+    val ss = ast.stream.asInstanceOf[SingleStream]
+    val items = itemsOf(ast)
+    val outCols = items.map(_._2)
+    flushPartialFold(feed, ss.filter, ast.groupBy, items, tNs, fnsSnap,
+      Nil, (sp, flush) => {
+        val emis = flush.select(outCols.map(col) :+
+          struct((col("__wb") * lit(tNs)).cast("long").as("ts_ns"),
+            lit(0L).as("event_id")).as("__g_ord"): _*)
+        applyEmissions(act, schema, emptyOf(sp, schema), emis, outCols)
+      })._1
+  }
+
+  /** The shared core of the live windowed folds ([[windowedDmlFold]],
+    * rate-over-window): per-(bucket ∪ group keys) algebraic flush
+    * PARTIALS merged componentwise per trigger; `finish` receives the
+    * finalized flush relation (`__wb` + group keys + output attrs) —
+    * also evaluated over an EMPTY flush at build time, so a bad stage
+    * fails at deploy and the caller gets the result prototype. */
+  private[api] def flushPartialFold(feed: DataFrame, filter: Option[Expr],
+      groupBy: List[String], items: List[(SelItem, String, Boolean)],
+      tNs: Long, fnsSnap: Map[String, ScriptFn], ordCols: Seq[Column],
+      finish: (SparkSession, DataFrame) => DataFrame)
+      : (LiveFold, DataFrame) = {
+    val comps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Option[Expr])]
+    def rw(e: Expr): Expr = e match {
+      case Call(None, n, args0) if aggNames(n.toLowerCase) =>
+        val base = s"__p${comps.length}"
+        comps += ((base, n.toLowerCase, args0.headOption))
+        FoldAlg.rewrite(n.toLowerCase, base)
+      case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+      case Bin(op, l, r) => Bin(op, rw(l), rw(r))
+      case Not(x) => Not(rw(x))
+      case Neg(x) => Neg(rw(x))
+      case other => other
+    }
+    val finals: Seq[(String, Expr)] = items.map { case (it, a, isAgg) =>
+      a -> (if (isAgg) rw(it.e) else it.e)
+    }
+    comps.foreach { case (_, n, argO) =>
+      if (n != "count" && argO.isEmpty) fail(s"$n(...) needs an argument")
+    }
+    val keys = "__wb" +: groupBy
+    def keyedSel(df: DataFrame): DataFrame = {
+      val f = filter.fold(df)(ff => df.where(expr(sqlOf(ff))))
+      f.select(expr(s"ts_ns div ${tNs}L").as("__wb") +:
+        (groupBy.map(col) ++ comps.toSeq.flatMap {
+          case (base, _, argO) =>
+            argO.map(arg => expr(sqlOf(arg)).as(s"${base}_x")).toSeq
+        }): _*)
+    }
+    def partialOf(df: DataFrame): DataFrame = {
+      val aggs: Seq[Column] = comps.toSeq.flatMap { case (base, n, argO) =>
+        FoldAlg.partialCols(n, base, argO.map(_ => col(s"${base}_x")))
+      }
+      keyedSel(df).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // componentwise merge semantics live in FoldAlg (sum partials keep
+    // SQL null semantics; stdDev merges Chan moments; distinctCount
+    // unions value sets)
+    def mergeComp(base: String, n: String): Seq[Column] =
+      FoldAlg.mergeCols(n, base)
+    val empty = emptyOf(feed.sparkSession, feed.schema)
+    val stateSchema = partialOf(empty).schema
+    // the finalized flush relation: __wb + output attrs (group keys
+    // appear among the outputs — the select-item checks enforce it)
+    def flushOf(acc: DataFrame): DataFrame =
+      acc.select(col("__wb") +:
+        finals.map { case (a, e) => expr(sqlOf(e)).as(a) }: _*)
+    // deploy-time validation + the caller's result prototype
+    val proto = finish(feed.sparkSession, flushOf(partialOf(empty)))
+    (singleFold(feed, stateSchema,
+      (sp, _, acc, batch) => {
+        scriptFns = fnsSnap
+        val u = partialOf(batch)
+        // <=> so a null group key merges with itself across triggers
+        acc.as("t").join(u.as("u"),
+            keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _),
+            "full_outer")
+          .select(keys.map(k =>
+            coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
+            comps.toSeq.flatMap { case (b2, n, _) => mergeComp(b2, n) }
+            : _*)
+      },
+      (sp, acc) => {
+        scriptFns = fnsSnap
+        finish(sp, flushOf(acc))
+      }, ordCols,
+      KeyedState(keys, (sp, _, batch) => {
+        scriptFns = fnsSnap
+        keyedSel(batch).select(keys.map(col): _*)
+      })), proto)
+  }
+
+  /** The one-state [[LiveFold]] shape every pre-enrichment fold stage
+    * uses (table DML, unique:last, sort, frequent). */
+  private[api] def singleFold(feed: DataFrame, schema: StructType,
+      fold: (SparkSession, String, DataFrame, DataFrame) => DataFrame,
+      finish: (SparkSession, DataFrame) => DataFrame,
+      ordCols: Seq[Column],
+      mode: StateMode = FullState): LiveFold =
+    LiveFold(feed, Seq(("state", schema, mode)),
+      (sp, d, st, b) => Map("state" -> fold(sp, d, st("state").slice, b)),
+      (sp, st) => finish(sp, st("state")), ordCols)
+
+  /** Stage compiler shared by [[deployAppOn]] and [[deployApp]]:
+    * returns the `out` query's streaming DataFrame (with its stage
+    * kind 0=stateless / 1=complete-agg / 2=windowed-append-agg and
+    * ordering), or — when `out` names a table-DML statement — the DML
+    * spec (ast, action, table schema, feeding stream name + its
+    * streaming DataFrame) for the caller's foreachBatch merge. */
+  private[api] def deployStages(src: DataFrame, app: String, out: String)
+      : (Option[(DataFrame, Int, Seq[Column])], Option[LiveFold]) = {
+    val need = Seq("event_id", "ts_ns", "user_id", "event_type", "value")
+    need.foreach { c =>
+      if (!src.columns.contains(c))
+        fail(s"deployAppOn source lacks required column '$c'")
+    }
+    import src.sparkSession.implicits._
+    import graft.engine.Streaming
+    lazy val evDs = src.select(col("event_id").as("eventId"),
+      col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+      col("event_type").as("eventType"), col("value")).as[Cep.Ev]
+    // per-stage state behavior when deployed (see scaladoc)
+    val KStateless = 0; val KComplete = 1; val KWindowAgg = 2
+    val KFold = 3 // handled via foldResult; no streaming sink of its own
+    val KUpdate = 4 // global agg in Update mode → keyed upsert collapse
+    val srcTs =
+      if (src.columns.contains("ts")) src
+      else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    var env = Map[String, DataFrame](
+      "events" -> srcTs.withWatermark("ts", "1 minute"))
+    var statefulStreams = Set.empty[String]
+    var tableDefs = Map.empty[String, StructType]
+    var liveWindowDefs = Map.empty[String, WindowSpec]
+    var liveAggDefs = Map.empty[String, AggDef]
+    var liveTriggerDefs = Map.empty[String, Long] // name -> interval ns
+    var result: Option[(DataFrame, Int, Seq[Column])] = None
+    var foldResult: Option[LiveFold] = None
+    // (ast, action, table schema, feeding stream) per DML writer, keyed
+    // by target table — the enrichment-join compiler reads these
+    var dmlInfos = Map.empty[String, List[(Ast, Action, StructType,
+      String)]]
+    // stateless insert-into stages in textual order, re-compilable
+    // against a BATCH env — the fold channel derives its feeds from the
+    // raw source through these (so one foreachBatch serves stages that
+    // need several derived feeds: the DML's and the enrichment's)
+    var statelessAsts = List.empty[(String, Ast)]
+    // Batch twin of the stateless stage environment: re-derives every
+    // stateless derived stream from one micro-batch of the SOURCE via
+    // the batch compiler (stateless plans are chunking-invariant, so
+    // the derived batch rows ARE the derived stream's rows for that
+    // trigger). Plan construction only — nothing executes until used.
+    def batchEnv(sp: SparkSession, d2: String, rawBatch: DataFrame,
+        defs: List[(String, Ast)]): Map[String, DataFrame] = {
+      var benv = Map[String, DataFrame]("events" -> rawBatch)
+      defs.foreach { case (t, a) =>
+        val df = compileAst(sp, d2, a, benv)
+        benv += t -> (benv.get(t) match {
+          case Some(prev) => prev.unionByName(df)
+          case None => df
+        })
+      }
+      benv
+    }
+    // `f OR ts >= flushCutoff`: keeps the user predicate above the
+    // source watermark node (it now references the event-time column)
+    // and lets flush sentinels through; real rows (ts < cutoff) see
+    // exactly the original predicate, null semantics included
+    def liveWhere(df: DataFrame, f: Expr): DataFrame =
+      if (df.columns.contains("ts"))
+        df.where(expr(sqlOf(f)) || col("ts") >= Streaming.flushCutoff)
+      else df.where(expr(sqlOf(f)))
+    // Epoch-aligned tumbling aggregation deployed in APPEND mode: group
+    // by the built-in `window()` over the source-watermarked event-time
+    // column, so every pane emits exactly once when the watermark
+    // passes its end and its state row is EVICTED (engine twin:
+    // Streaming.timeBatchSum). The guard drops flush sentinels right
+    // above the watermark node — the predicate references `ts`, so
+    // pushdown keeps it there. `window()` floors to epoch-aligned
+    // buckets, matching the batch compile's `(ts_ns div T) * T` for the
+    // non-negative timestamps the event-time contract requires.
+    def windowedAgg(ast: Ast, base: DataFrame, keyName: String,
+        ivNs: Long): DataFrame = {
+      if (!base.columns.contains("ts"))
+        fail("a live windowed aggregation needs the event-time column " +
+          "'ts'")
+      val items = itemsOf(ast)
+      val aggCols = items.collect { case (it, a, true) =>
+        expr(sqlOf(it.e)).as(a) }
+      if (aggCols.isEmpty) fail("a windowed query needs an aggregate " +
+        "select")
+      items.collect { case (it, _, false) => it }.foreach { it =>
+        it.e match {
+          case Ref(parts) if ast.groupBy.contains(parts.last) => ()
+          case _ => fail(s"non-aggregate select item '${sqlOf(it.e)}' " +
+            "must be a group by column")
+        }
+      }
+      val guarded = base.filter(col("ts") < Streaming.flushCutoff)
+      val w = window(col("ts"), s"${ivNs / 1000} microseconds")
+      val agged = guarded.groupBy(w +: ast.groupBy.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
+      hav.select(unix_millis(col("window.start")).as(keyName) +:
+        items.map { case (it, a, isAgg) =>
+          if (isAgg) col(a)
+          else it.e match { case Ref(parts) => col(parts.last).as(a)
+                            case _ => col(a) } }: _*)
+    }
+    // one `from ...` stage: compiles onto the live topology, updating
+    // env / statefulStreams / result / dmlResult. `view` is the stage's
+    // read environment (a partition block overrides its stream with the
+    // keyed/labeled view); `partKey` marks partition-block queries.
+    def runStage(name: Option[String], ast0L: Ast,
+        view: Map[String, DataFrame], partKey: Option[String]): Unit = {
+        // reading a defined window compiles as fed-stream#spec (the
+        // batch replay's named-window sharing, on the incremental plan)
+        val ast = ast0L.stream match {
+          case ss: SingleStream if liveWindowDefs.contains(ss.table) &&
+              ss.window.isEmpty =>
+            if (!env.contains(ss.table))
+              fail(s"named window '${ss.table}' has not been fed — " +
+                s"add an `insert into ${ss.table}` query first")
+            ast0L.copy(stream = ss.copy(
+              window = Some(liveWindowDefs(ss.table))))
+          case _ => ast0L
+        }
+        if (ast.rate.nonEmpty && ast.stream.isInstanceOf[PatternStream])
+          fail("live deployment (v1) does not rate-limit pattern " +
+            "matches — insert the matches into a stream and rate that " +
+            "stream, or use the batch replay (compileApp)")
+        val dmlAct = ast.action.filter {
+          case InsertInto(t) => tableDefs.contains(t)
+          case _             => true
+        }
+        if (dmlAct.nonEmpty) {
+          if (partKey.nonEmpty)
+            fail("table DML inside a partition block is not deployed " +
+              "(v1) — batch replay diagnoses it the same way")
+          // table DML deployed LIVE: captured here, executed by
+          // deployApp as a per-micro-batch keyed MERGE over the
+          // accumulated table (engine twin: Streaming.tableUpsert).
+          // Statement-at-once batch semantics survive the micro-batch
+          // split because applyDml's merge is a per-key fold: set RHS
+          // may reference the triggering event only (enforced there),
+          // so last-update-wins composes across batches.
+          val act = dmlAct.get
+          val schema = tableDefs.getOrElse(act.target, fail(
+            s"'${act.target}' is not a defined table — add " +
+              s"`define table ${act.target}(...)` before the DML query"))
+          val srcName = ast.stream match {
+            case ss: SingleStream => ss.table
+            case _ => fail("table DML (v1) requires a single un-joined " +
+              "source stream")
+          }
+          if (statefulStreams.contains(srcName))
+            fail(s"live deployment (v1): '$srcName' is an aggregation " +
+              "output — it cannot feed table DML")
+          val feed = envLookup(view, srcName).getOrElse(fail("live deployment " +
+            s"reads declared streams; '$srcName' is neither the " +
+            "source nor an earlier insert-into target"))
+          // build the merge plan NOW over empty frames so a bad app
+          // fails at deploy time, not at the first trigger
+          applyDml(feed.sparkSession, "", ast, act, schema,
+            emptyOf(feed.sparkSession, schema),
+            Map(srcName -> emptyOf(feed.sparkSession, feed.schema)))
+          // reads of a DML-maintained table deploy through the
+          // enrichment-join fold (the JoinStream branch below); any
+          // other read shape is diagnosed via the aggregation-output
+          // path
+          statefulStreams += act.target
+          dmlInfos += act.target -> (dmlInfos.getOrElse(act.target, Nil)
+            :+ ((ast, act, schema, srcName)))
+          if (name.contains(out) || act.target == out) {
+            val fnsSnap = scriptFns // restore on the micro-batch thread
+            val winSpec = ast.stream match {
+              case ss: SingleStream => ss.window
+              case _ => None
+            }
+            winSpec match {
+              case Some(WindowSpec(_, tNs :: _, _)) =>
+                // windowed-aggregate DML (the Siddhi store pattern)
+                // LIVE: a per-batch applyDml would double-apply a
+                // window bucket that spans two triggers, so the fold
+                // keeps per-(bucket ∪ group keys) algebraic PARTIALS
+                // instead and runs the emission merge once, at finish
+                foldResult = Some(windowedDmlFold(feed, ast, act,
+                  schema, tNs, fnsSnap))
+              case _ =>
+                foldResult = Some(singleFold(feed, schema,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    applyDml(sp, d2, ast, act, schema, acc,
+                      Map(srcName -> batch))
+                  },
+                  (_, acc) => acc, Nil,
+                  // insert-only DML appends generation deltas; keyed
+                  // DML bucket-merges — per-trigger write cost
+                  // O(batch), not O(accumulated table)
+                  dmlStateMode(ast, act, schema, srcName, fnsSnap,
+                    (_, _, batch) => Map(srcName -> batch))))
+            }
+          }
+        } else {
+        var carriedNow: Seq[String] = Nil
+        val (df, kind) = ast.stream match {
+          // `from AggName within ... per '...'` reading a LIVE
+          // `define aggregation`: the grain cascade compiles onto the
+          // keyed bucket-merge fold channel. State is the FINEST-grain
+          // partial table keyed by (bucket, group keys) — each trigger
+          // computes the batch's partials and merges only the
+          // batch-touched buckets (per-trigger write cost
+          // O(batch-touched buckets), not O(state)); the read's
+          // roll-up / within bound / finalize runs at finish exactly
+          // as the batch path's aggRollUp, which is why the batch
+          // incremental-aggregation oracle is the live gate's truth.
+          // `from T ...` reading a LIVE `define trigger`: tick
+          // generation is event-time-span driven in the replay (the
+          // batch compile's exact rule — aligned interval starts over
+          // [min, max] of the stream's ts_ns), tracked incrementally:
+          // fold state is ONE (lo, hi) row of aligned bucket bounds,
+          // merged per trigger; finish explodes the tick sequence
+          // (O(span/iv) rows) and runs the read query's batch compile
+          // over it — filters/projections/joins against ticks all
+          // compose. A wall-clock deployment swaps the span state for
+          // a rate source; everything above the tick relation is
+          // unchanged.
+          case s: SingleStream if liveTriggerDefs.contains(s.table) =>
+            if (partKey.nonEmpty)
+              fail("a trigger read inside a partition block is not " +
+                "deployed (v1)")
+            val ivNs = liveTriggerDefs(s.table)
+            val ivMs = ivNs / 1000000L
+            val tname = s.table
+            val fnsSnap = scriptFns
+            val sp0 = srcTs.sparkSession
+            val spanSchema = StructType(Seq(
+              StructField("lo", LongType), StructField("hi", LongType)))
+            def ticksOf(acc: DataFrame): DataFrame =
+              acc.select(explode(sequence(col("lo"), col("hi"),
+                lit(ivMs))).as("tick_ms"))
+            // deploy-time validation over an empty tick relation (also
+            // rejects reads of anything besides the trigger — the
+            // finish recompile carries no table directory)
+            val protoT = compileAst(sp0, "", ast,
+              Map(tname -> ticksOf(emptyOf(sp0, spanSchema))))
+            val keyT = name.orElse(ast.action.map(_.target))
+            if (keyT.contains(out) || name.contains(out))
+              foldResult = Some(singleFold(srcTs, spanSchema,
+                (_, _, acc, batch) => {
+                  val b2 = batch.agg(
+                    expr(s"min((ts_ns div ${ivNs}L) * ${ivMs}L)")
+                      .as("lo"),
+                    expr(s"max((ts_ns div ${ivNs}L) * ${ivMs}L)")
+                      .as("hi"))
+                  acc.unionByName(b2)
+                    .agg(min("lo").as("lo"), max("hi").as("hi"))
+                    .where(col("lo").isNotNull)
+                },
+                (sp, acc) => {
+                  scriptFns = fnsSnap
+                  compileAst(sp, "", ast, Map(tname -> ticksOf(acc)))
+                },
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }))
+            carriedNow = Nil
+            (emptyOf(sp0, protoT.schema), KFold)
+          case s: SingleStream if liveAggDefs.contains(s.table) =>
+            if (partKey.nonEmpty)
+              fail("an aggregation read inside a partition block is " +
+                "not deployed (v1)")
+            val adef = liveAggDefs(s.table)
+            val (perMs, lo, hi) = aggReadSpec(s, adef)
+            val (pCols, cCols, fMap) = aggPlanCols(adef)
+            if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+              fail("an aggregation read is a projection over stored " +
+                "attributes (no group by / having)")
+            val items = itemsOf(ast)
+            items.foreach { case (_, a2, isAgg) =>
+              if (isAgg) fail("an aggregation read selects stored " +
+                s"attributes (no re-aggregation, v1): '$a2'")
+            }
+            val fnsSnap = scriptFns
+            def readProj(stored: DataFrame): DataFrame =
+              stored.select(col("bucket_start_ms") +:
+                items.map { case (it, a2, _) =>
+                  expr(sqlOf(it.e)).as(a2) }: _*)
+            val sp0 = srcTs.sparkSession
+            val finestMs = grainMsOf(adef.grains.head)
+            val stateKeys = "__gb" +: adef.groupBy
+            // prototype over an empty frame: deploy-time validation
+            // (schema, filter, read projection) + the state schema
+            val proto = aggGrainPartial(
+              emptyOf(sp0, srcTs.schema), adef, pCols)
+            readProj(aggRollUp(proto, adef, perMs, lo, hi, cCols, fMap))
+            def mergeFold(sp: SparkSession, acc: DataFrame,
+                batch: DataFrame): DataFrame = {
+              scriptFns = fnsSnap
+              val u = aggGrainPartial(batch, adef, pCols)
+              acc.as("t").join(u.as("u"),
+                  stateKeys.map(k2 => col(s"t.$k2") <=> col(s"u.$k2"))
+                    .reduce(_ && _), "full_outer")
+                .select(stateKeys.map(k2 => coalesce(col(s"u.$k2"),
+                    col(s"t.$k2")).as(k2)) ++ aggMergeCols(adef): _*)
+            }
+            val keyA = name.orElse(ast.action.map(_.target))
+            if (keyA.contains(out) || name.contains(out))
+              foldResult = Some(singleFold(srcTs, proto.schema,
+                (sp, _, acc, batch) => mergeFold(sp, acc, batch),
+                (_, acc) => {
+                  scriptFns = fnsSnap
+                  readProj(aggRollUp(acc, adef, perMs, lo, hi,
+                    cCols, fMap))
+                },
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc },
+                KeyedState(stateKeys, (_, _, batch) => {
+                  val f = adef.filter.fold(batch)(ff =>
+                    batch.where(expr(sqlOf(ff))))
+                  f.select(expr(s"(${adef.tsAttr} div " +
+                    s"${finestMs * 1000000L}L) * ${finestMs}L")
+                    .as("__gb") +: adef.groupBy.map(col): _*)
+                })))
+            carriedNow = Nil
+            (emptyOf(sp0, proto.schema), KFold)
+          case s: SingleStream =>
+            if (statefulStreams.contains(s.table))
+              fail(s"live deployment (v1): '${s.table}' is an " +
+                "aggregation output — it must be the app's final sink, " +
+                "not a feed for further stages")
+            val base0 = envLookup(view, s.table).getOrElse(fail("live deployment " +
+              s"reads declared streams; '${s.table}' is neither the " +
+              "source nor an earlier insert-into target"))
+            val base = s.filter.fold(base0)(f => liveWhere(base0, f))
+            s.window match {
+              case None if ast.rate.exists(r => r.mode == "last" &&
+                  r.timeNs.nonEmpty && r.count.isEmpty) &&
+                  !ast.select.exists(it => containsAgg(it.e)) =>
+                // `output last every T` LIVE: an interval's LAST event
+                // is only known when the interval closes — an
+                // Append-mode time-window aggregation:
+                // max_by(projected row, (ts_ns, event_id)) per
+                // window(ts, T); the watermark emits and EVICTS each
+                // interval once it has passed (bounded state; batch
+                // twin: compileRateLimited's first|last arm, engine
+                // twin: Ops.rateLimit's last_id)
+                if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+                  fail("output rate limiting (v1) applies to plain " +
+                    "`from S[filter] select ...` (no group by / having)")
+                Seq("ts", "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live rate limiting needs column '$c'"))
+                val tNs = ast.rate.get.timeNs.get
+                val items = itemsOf(ast)
+                val rowC = struct(items.map { case (it, a, _) =>
+                  expr(sqlOf(it.e)).as(a) }: _*)
+                val lastDf = base
+                  .filter(col("ts") < Streaming.flushCutoff)
+                  .groupBy(window(col("ts"),
+                    s"${tNs / 1000} microseconds"))
+                  .agg(max_by(rowC,
+                    struct(col("ts_ns"), col("event_id"))).as("__row"))
+                  .select(col("__row.*"))
+                (lastDf, KWindowAgg)
+              case None if ast.rate.exists(r => r.mode == "snapshot" &&
+                  r.timeNs.nonEmpty && r.count.isEmpty) &&
+                  !ast.select.exists(it => containsAgg(it.e)) =>
+                // `output snapshot every T` LIVE: the latest projected
+                // row as of each interval end, gap intervals carrying
+                // the previous snapshot forward (batch twin:
+                // compileRateLimited's snapshot arm; engine twin:
+                // Ops.rateLimitSnapshot). The per-interval keep-latest
+                // is a keyed fold on the interval id — bucketed
+                // generations rewrite only the intervals the batch
+                // touches — and the gap fill runs once at finish over
+                // the O(span/T) snapshot rows.
+                if (ast.groupBy.nonEmpty || ast.having.nonEmpty)
+                  fail("output rate limiting (v1) applies to plain " +
+                    "`from S[filter] select ...` (no group by / having)")
+                Seq("ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live rate limiting needs column '$c'"))
+                val tNs = ast.rate.get.timeNs.get
+                val ivMs = tNs / 1000000L
+                val items = itemsOf(ast)
+                val outCols = items.map(_._2)
+                def partialSnap(df: DataFrame): DataFrame =
+                  df.select(items.map { case (it, a, _) =>
+                      expr(sqlOf(it.e)).as(a) } :+
+                      expr(s"ts_ns div ${tNs}L").as("__iv") :+
+                      struct(col("ts_ns"), col("event_id")).as("__ord")
+                      : _*)
+                    .groupBy("__iv")
+                    .agg(max_by(struct(outCols.map(col): _*),
+                      col("__ord")).as("__row"),
+                      max(col("__ord")).as("__ord"))
+                val schemaS = partialSnap(base).schema
+                val keyR = name.orElse(ast.action.map(_.target))
+                val fnsSnapR = scriptFns
+                if (keyR.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(base, schemaS,
+                    (_, _, acc, batch) => {
+                      scriptFns = fnsSnapR
+                      acc.unionByName(partialSnap(batch))
+                        .groupBy("__iv")
+                        .agg(max_by(col("__row"), col("__ord"))
+                          .as("__row"), max(col("__ord")).as("__ord"))
+                    },
+                    (_, acc) => {
+                      val ticks = acc
+                        .agg(min("__iv").as("__lo"),
+                          max("__iv").as("__hi"))
+                        .where(col("__lo").isNotNull)
+                        .select(explode(sequence(col("__lo"),
+                          col("__hi"))).as("__iv"))
+                      val w = org.apache.spark.sql.expressions.Window
+                        .orderBy("__iv")
+                        .rowsBetween(org.apache.spark.sql.expressions
+                          .Window.unboundedPreceding, 0)
+                      ticks.join(acc, Seq("__iv"), "left_outer")
+                        .select(col("__iv") +: outCols.map(c =>
+                          last(col(s"__row.$c"), ignoreNulls = true)
+                            .over(w).as(c)): _*)
+                        .select(((col("__iv") + 1) * ivMs)
+                          .as("w_end_ms") +: outCols.map(col): _*)
+                    },
+                    ast.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc },
+                    KeyedState(Seq("__iv"), (_, _, batch) =>
+                      batch.select(expr(s"ts_ns div ${tNs}L")
+                        .as("__iv")))))
+                (emptyOf(base.sparkSession, schemaS), KFold)
+              case None
+                  if ast.rate.exists(r =>
+                    r.count.nonEmpty &&
+                      (r.mode == "first" || r.mode == "last")) =>
+                // COUNT-based `output first|last every N events` LIVE:
+                // chunk boundaries are GLOBAL arrival ranks (the batch
+                // twin's guarded single-sequence semantics), so the
+                // stage folds per micro-batch against one counter row —
+                // state = the counter + the pending chunk-tail; output
+                // is append-only (emitted rows with their rank). `last`
+                // additionally emits the trailing partial chunk's tail
+                // at finish, exactly as the batch twin's max-rank pick
+                // does.
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("output rate limiting (v1) select cannot " +
+                    "aggregate")
+                if (partKey.nonEmpty)
+                  fail("count-based rate limiting inside a partition " +
+                    "block is not deployed (v1)")
+                val rC = ast.rate.get
+                val mR = rC.mode; val nEv = rC.count.get
+                val itemsR = itemsOf(ast)
+                Seq("ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"output rate limiting needs '$c' on the " +
+                      "stream to define emission order"))
+                def projR(df: DataFrame): DataFrame =
+                  df.select(itemsR.map { case (it, a2, _) =>
+                    expr(sqlOf(it.e)).as(a2) } :+ col("__rn"): _*)
+                val outSchema =
+                  projR(base.withColumn("__rn", lit(0L))).schema
+                val pendSchema = StructType(
+                  base.schema.fields :+ StructField("__rn", LongType))
+                val keyR = name.orElse(ast.action.map(_.target))
+                // state = the pending chunk-tail row only: its __rn IS
+                // the running arrival count (the rank of the last
+                // filtered arrival), so no separate counter row exists
+                if (keyR.contains(out) || name.contains(out))
+                  foldResult = Some(LiveFold(base,
+                    Seq(("out", outSchema, AppendState),
+                      ("pend", pendSchema, FullState)),
+                    (_, _, st, batch0) => {
+                      val prior = st("pend").slice.collect()
+                        .headOption.map(_.getAs[Long]("__rn"))
+                        .getOrElse(0L)
+                      val batch = batch0.withColumn("__rn",
+                        expr("row_number() over (order by ts_ns, " +
+                          "event_id)") + lit(prior))
+                      val kept =
+                        if (mR == "first")
+                          batch.filter((col("__rn") - 1) % nEv === 0)
+                        else batch.filter(col("__rn") % nEv === 0)
+                      Map(
+                        "out" -> projR(kept),
+                        "pend" -> batch.orderBy(col("__rn").desc)
+                          .limit(1).unionByName(
+                            st("pend").slice.limit(1))
+                          .orderBy(col("__rn").desc).limit(1))
+                    },
+                    (_, st) => {
+                      val total = st("pend").collect()
+                        .headOption.map(_.getAs[Long]("__rn"))
+                        .getOrElse(0L)
+                      val fin =
+                        if (mR == "last" && total % nEv != 0)
+                          st("out").unionByName(projR(st("pend")))
+                        else st("out")
+                      fin.orderBy("__rn").drop("__rn")
+                    },
+                    ast.orderBy.map { case (c2, a2) =>
+                      if (a2) col(c2).asc else col(c2).desc }))
+                (emptyOf(base.sparkSession, outSchema), KFold)
+              case None =>
+                val agg = ast.select.exists(it => containsAgg(it.e))
+                // `output first every T` LIVE: streaming dropDuplicates
+                // on the interval id — the first event of each interval
+                // emits AS IT ARRIVES; the watermark evicts interval
+                // state once the interval has passed (bounded state at
+                // any runtime length; engine twin:
+                // Streaming.rateLimitFirst). `output all every T` only
+                // batches EMISSION, never content — deployed as the
+                // pass-through it is.
+                val rated = ast.rate match {
+                  case None => base
+                  case Some(_) if agg => fail("live rate limiting " +
+                    "applies to stateless stages (v1)")
+                  case Some(Rate("all", _, _)) => base
+                  case Some(Rate("first", Some(tNs), None)) =>
+                    if (!base.columns.contains("ts"))
+                      fail("live rate limiting needs the event-time " +
+                        "column 'ts'")
+                    // the interval id is a TIMESTAMP event-time column
+                    // carrying the watermark tag AND serving as the
+                    // dedup key: Spark only evicts streaming-dedup state
+                    // when a watermarked column is among the keys, so a
+                    // derived LONG id would accumulate state forever
+                    // (engine twin: Streaming.rateLimitFirst). The tag
+                    // is attached as metadata — a second withWatermark
+                    // NODE below the source one would be a disallowed
+                    // redefinition; the watermark VALUE still comes from
+                    // the source node, and __w <= ts so eviction is
+                    // sound (an interval's state drops once the
+                    // watermark passes its start).
+                    val mdw = new MetadataBuilder()
+                      .putLong("spark.watermarkDelayMs", 60000L).build()
+                    base.select(col("*"),
+                        timestamp_millis(
+                          expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+                          .as("__w", mdw))
+                      .dropDuplicates("__w")
+                      .drop("__w")
+                  case Some(r) => fail("live deployment (v1) supports " +
+                    "time-based `output first|last|all|snapshot every " +
+                    s"<time>`; got mode '${r.mode}'" +
+                    r.count.fold("")(_ => " with an event count"))
+                }
+                // carry the watermarked event-time columns through the
+                // projection (dropped again if this stage is the sink)
+                // so a downstream window can bucket and evict by them
+                val carryCols =
+                  if (agg) Nil
+                  else {
+                    val aliases = itemsOf(ast).map(_._2).toSet
+                    Seq("ts", "ts_ns").filter(c =>
+                      rated.columns.contains(c) && !aliases.contains(c))
+                  }
+                carriedNow = carryCols
+                val outDf = selectOrAggregate(ast, rated, Nil,
+                  windowed = false, carry = carryCols.map(col))
+                if (!agg) (outDf, KStateless)
+                else {
+                  // live global (unwindowed) aggregation runs UPDATE
+                  // mode: each trigger emits only the groups the batch
+                  // changed — sink volume O(batch keys) per trigger,
+                  // not O(all groups) as Complete-mode re-emission
+                  // would be. The runner collapses the emissions into
+                  // a keyed upsert (last write per group wins), the
+                  // scale-safe shape of the reference's ever-updating
+                  // aggregate. `__ukey` carries the group identity to
+                  // the collapse and is dropped at the sink; when the
+                  // group key is not projected there is no upsert
+                  // identity, so the stage keeps bounded-state
+                  // Complete re-emission.
+                  if (ast.groupBy.isEmpty)
+                    (outDf.withColumn("__ukey", lit(0L)), KUpdate)
+                  else if (ast.groupBy.forall(outDf.columns.contains))
+                    (outDf.withColumn("__ukey",
+                      struct(ast.groupBy.map(col): _*)), KUpdate)
+                  else (outDf, KComplete)
+                }
+              case Some(WindowSpec(n, args, _))
+                  if n.equalsIgnoreCase("timebatch") =>
+                ast.rate match {
+                  case Some(rW) =>
+                    // rate OVER the windowed aggregation LIVE: the
+                    // same fold channel as the store pattern — state
+                    // = per-bucket algebraic flush partials (a bucket
+                    // straddling triggers merges componentwise), and
+                    // finish runs the BATCH rate selection over the
+                    // finalized flushes, so live ≡ batch by
+                    // construction (incl. interval boundaries)
+                    if (partKey.nonEmpty)
+                      fail("windowed rate limiting inside a partition " +
+                        "block is not deployed (v1)")
+                    if (ast.groupBy.nonEmpty)
+                      fail("output rate limiting over a windowed " +
+                        "aggregation (v1) is ungrouped — one flush row " +
+                        "per window")
+                    val itemsW = itemsOf(ast)
+                    itemsW.foreach { case (it, a2, isAgg) =>
+                      if (!isAgg && refsAttr(it.e))
+                        fail(s"rate-limited windowed select item '$a2' " +
+                          "must aggregate (or be a constant)")
+                    }
+                    if (!itemsW.exists(_._3))
+                      fail("a rate-limited windowed query needs an " +
+                        "aggregate select item")
+                    val tNsW = args.head
+                    val fnsSnapW = scriptFns
+                    val (lfW, protoW) = flushPartialFold(base, None,
+                      Nil, itemsW, tNsW, fnsSnapW,
+                      ast.orderBy.map { case (c2, a2) =>
+                        if (a2) col(c2).asc else col(c2).desc },
+                      (_, flush) => rateOverFlushes(flush,
+                        itemsW.map(_._2), tNsW / 1000000L, rW))
+                    val keyW = name.orElse(ast.action.map(_.target))
+                    if (keyW.contains(out) || name.contains(out))
+                      foldResult = Some(lfW)
+                    carriedNow = Nil
+                    (emptyOf(base.sparkSession, protoW.schema), KFold)
+                  case None =>
+                    (windowedAgg(ast, base, "w_start_ms", args.head),
+                      KWindowAgg)
+                }
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("unique:first") =>
+                // live unique:first = streaming dropDuplicates on the
+                // key (engine twin: Streaming.dedupKeys) — the first
+                // event per distinct key emits as it arrives; later
+                // duplicates are suppressed by keyed state
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a unique window")
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("live unique:first projects columns (v1)")
+                val attr = sargs2.headOption.getOrElse(
+                  fail("unique:first needs an attribute argument"))
+                if (!base.columns.contains(attr))
+                  fail(s"unique:first key '$attr' is not a column")
+                // keyed dedup state is held forever BY CONTRACT —
+                // unique:first must remember every key it has seen, so
+                // state is bounded by the key domain, not the watermark
+                (selectOrAggregate(ast, base.dropDuplicates(attr), Nil,
+                  windowed = false), KStateless)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("expression") =>
+                // live retain-while window: the batch fold's eviction
+                // rule running inside flatMapGroupsWithState — on each
+                // arrival evict from the FRONT until the retention
+                // predicate holds, re-evaluate select items over the
+                // retained buffer ([[bufEval]] again); buffer size is
+                // bounded by the predicate itself
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above an expression window")
+                val retTxt = sargs2.headOption.getOrElse(
+                  fail("expression window needs a quoted retention " +
+                    "expression"))
+                val ret = new P(lex(retTxt)).expr()
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live expression window (v1) needs " +
+                    "exactly one group by key to partition the fold")
+                }
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var buf = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          buf = buf :+ e
+                          while (buf.nonEmpty &&
+                              !bufEval(ret, buf, e)
+                                .asInstanceOf[Boolean])
+                            buf = buf.tail
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, buf, e) })
+                        }
+                      st.update(buf)
+                      out.iterator
+                  }
+                (folded.toDF(), KStateless)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("cron") =>
+                // cron live: the epoch-aligned fixed-interval Quartz
+                // forms ARE a cron-aligned timeBatch — same Append-mode
+                // watermark-evicted buckets, keyed cron_tick_ms
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a cron aggregation")
+                val spec = sargs2.headOption.getOrElse(
+                  fail("cron needs a quoted Quartz expression argument"))
+                (windowedAgg(ast, base, "cron_tick_ms",
+                  cronIntervalNs(spec)), KWindowAgg)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("delay") =>
+                // delay(T) live: the same stateless re-timestamp the
+                // batch compile uses — downstream stages (incl. further
+                // live windows) bucket by the delayed time. The shifted
+                // `ts` is a NEW attribute, so the source watermark tag
+                // would be lost: re-attach the delay metadata
+                // explicitly so a downstream Append aggregation still
+                // sees a watermarked event-time column (the watermark
+                // VALUE keeps coming from the source node — shifted
+                // windows simply close `T` later, which is the point of
+                // a delay).
+                val tNs2 = args2.headOption.getOrElse(
+                  fail("delay needs a duration argument"))
+                val md = new MetadataBuilder()
+                  .putLong("spark.watermarkDelayMs", 60000L).build()
+                val others = base.columns
+                  .filterNot(c => c == "ts" || c == "ts_ns").map(col)
+                val shifted = base.select(others ++ Seq(
+                  (col("ts_ns") + lit(tNs2)).as("ts_ns"),
+                  expr(s"timestampadd(MICROSECOND, ${tNs2 / 1000}L, ts)")
+                    .as("ts", md)): _*)
+                val agg2 = ast.select.exists(it => containsAgg(it.e))
+                val carry2 =
+                  if (agg2) Nil
+                  else {
+                    val aliases = itemsOf(ast).map(_._2).toSet
+                    Seq("ts", "ts_ns").filterNot(aliases.contains)
+                  }
+                carriedNow = carry2
+                (selectOrAggregate(ast, shifted, Nil, windowed = false,
+                  carry = carry2.map(col)),
+                  if (agg2) KComplete else KStateless)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("timelength") =>
+                // live timeLength(T, N): per-key ring of the last N
+                // events; select items evaluate over the subset still
+                // within T of the current event (same inclusive bound as
+                // the batch compile) — state is ≤ N events per key
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a timeLength window")
+                val tNs2 = args2.head
+                val nCap = args2(1).toInt
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live timeLength window (v1) needs " +
+                    "exactly one group by key to partition the ring")
+                }
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var ring = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          ring = (ring :+ e).takeRight(nCap)
+                          val win = ring.filter(
+                            _.tsNs >= e.tsNs - tNs2)
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, win, e) })
+                        }
+                      st.update(ring)
+                      out.iterator
+                  }
+                (folded.toDF(), KStateless)
+              case Some(WindowSpec(n2, _, sargs2))
+                  if n2.equalsIgnoreCase("unique:last") =>
+                // live unique:last: keep-LAST per key — the emitted-row
+                // retraction (Update-mode semantics) Spark sinks can't
+                // express becomes a per-micro-batch keyed fold: each
+                // batch's rows merge into one state row per distinct
+                // key (the unique-window contract bounds state by the
+                // key domain, exactly like unique:first's dedup state)
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a unique window")
+                if (ast.select.exists(it => containsAgg(it.e)) ||
+                    ast.groupBy.nonEmpty)
+                  fail("live unique:last projects columns (v1)")
+                val attr = sargs2.headOption.getOrElse(
+                  fail("unique:last needs an attribute argument"))
+                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live unique:last needs column '$c'"))
+                val items = itemsOf(ast)
+                def selLast(df: DataFrame): DataFrame =
+                  df.select(items.map { case (it, a, _) =>
+                    expr(sqlOf(it.e)).as(a) } ++ Seq(
+                    col(attr).as("__ukey"), col("ts_ns").as("__uord_ts"),
+                    col("event_id").as("__uord_id")): _*)
+                val schemaU = selLast(base).schema
+                val helperCols = Seq("__ukey", "__uord_ts", "__uord_id")
+                val keyU = name.orElse(ast.action.map(_.target))
+                val fnsSnap = scriptFns // for the micro-batch thread
+                if (keyU.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(base, schemaU,
+                    (_, _, acc, batch) =>
+                      { scriptFns = fnsSnap; acc }.unionByName(selLast(batch))
+                        .withColumn("__rn", expr("row_number() over " +
+                          "(partition by __ukey order by __uord_ts " +
+                          "desc, __uord_id desc)"))
+                        .where(col("__rn") === 1).drop("__rn"),
+                    (_, acc) => acc.drop(helperCols: _*),
+                    ast.orderBy.map { case (c, asc) =>
+                      if (asc) col(c).asc else col(c).desc },
+                    // keep-last is a per-__ukey merge: only buckets
+                    // the batch's keys hash into are read and rewritten
+                    KeyedState(Seq("__ukey"), (_, _, batch) =>
+                      batch.select(col(attr)
+                        .cast(schemaU("__ukey").dataType)
+                        .as("__ukey")))))
+                (emptyOf(base.sparkSession, schemaU), KFold)
+              case Some(WindowSpec(n2, args2, sargs2))
+                  if n2.equalsIgnoreCase("sort") =>
+                // live sort(N, attr, dir): running top-N retention —
+                // per micro-batch the kept set folds as
+                // topN(kept ∪ batch); N full rows of state, composable
+                // across any batch split because top-N is associative.
+                // Select items (usually aggregates) evaluate over the
+                // FINAL kept set, the batch compile's semantics.
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a sort window")
+                val nKeep = args2.headOption.getOrElse(
+                  fail("sort needs a count argument")).toInt
+                val attr = sargs2.headOption.getOrElse(
+                  fail("sort needs an attribute argument"))
+                val asc =
+                  sargs2.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
+                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                  if (!base.columns.contains(c))
+                    fail(s"live sort window needs column '$c'"))
+                val ordS =
+                  if (asc) Seq(col(attr).asc, col("ts_ns").asc,
+                    col("event_id").asc)
+                  else Seq(col(attr).desc, col("ts_ns").asc,
+                    col("event_id").asc)
+                val astS = ast
+                val keyS = name.orElse(ast.action.map(_.target))
+                if (keyS.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(base, base.schema,
+                    (_, _, acc, batch) =>
+                      acc.unionByName(
+                          batch.select(acc.columns.map(col): _*))
+                        .orderBy(ordS: _*).limit(nKeep),
+                    (_, acc) => selectOrAggregate(astS, acc, Nil,
+                      windowed = false),
+                    astS.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc }))
+                (emptyOf(base.sparkSession, base.schema), KFold)
+              case Some(WindowSpec(n2, args2, sargs2))
+                  if n2.equalsIgnoreCase("frequent") =>
+                // live frequent(N, attr): per-key ALGEBRAIC components
+                // (count/sum/min/max fold componentwise across batches;
+                // state = one component row per distinct key), with the
+                // top-N-by-frequency retention applied at read time —
+                // the batch compile's exact-count truth, incrementally
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a frequent window")
+                if (ast.having.nonEmpty)
+                  fail("live frequent window (v1) has no having clause")
+                val nKeep = args2.headOption.getOrElse(
+                  fail("frequent needs a count argument")).toInt
+                val attr = sargs2.headOption.getOrElse(
+                  fail("frequent needs an attribute argument"))
+                if (ast.groupBy != List(attr))
+                  fail("live frequent window (v1) groups by its " +
+                    s"attribute ('group by $attr')")
+                if (!base.columns.contains(attr))
+                  fail(s"live frequent window needs column '$attr'")
+                val items = itemsOf(ast)
+                // per select item: (component aggregate, merge of the
+                // two sides' components, output projection)
+                val comps: Seq[(String, Column, Column)] =
+                  items.zipWithIndex.flatMap {
+                    case ((it, a, false), _) => it.e match {
+                      case Ref(parts) if parts.last == attr => Nil
+                      case _ => fail("live frequent window (v1) " +
+                        s"non-aggregate item '$a' must be the attribute")
+                    }
+                    case ((it, a, true), i) =>
+                      val cn = s"__c$i"
+                      def tu(c: String) = (coalesce(col(s"t.$c"), lit(0))
+                        + coalesce(col(s"u.$c"), lit(0))).as(c)
+                      it.e match {
+                        case Call(None, "count", Nil) =>
+                          Seq((cn, count(lit(1)).as(cn), tu(cn)))
+                        case Call(None, "sum", arg :: Nil) =>
+                          Seq((cn, sum(expr(sqlOf(arg))).as(cn), tu(cn)))
+                        case Call(None, "min", arg :: Nil) =>
+                          Seq((cn, min(expr(sqlOf(arg))).as(cn),
+                            least(col(s"t.$cn"), col(s"u.$cn")).as(cn)))
+                        case Call(None, "max", arg :: Nil) =>
+                          Seq((cn, max(expr(sqlOf(arg))).as(cn),
+                            greatest(col(s"t.$cn"), col(s"u.$cn"))
+                              .as(cn)))
+                        case _ => fail("live frequent window (v1) " +
+                          "supports bare count()/sum(x)/min(x)/max(x) " +
+                          s"aggregates; got '${sqlOf(it.e)}'")
+                      }
+                  }
+                def partialOf(df: DataFrame): DataFrame =
+                  df.groupBy(col(attr)).agg(count(lit(1)).as("__cnt"),
+                    comps.map(_._2): _*)
+                val schemaF = partialOf(base).schema
+                val keyF = name.orElse(ast.action.map(_.target))
+                if (keyF.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(base, schemaF,
+                    (_, _, acc, batch) => {
+                      val u = partialOf(batch)
+                      acc.as("t").join(u.as("u"),
+                          col(s"t.$attr") === col(s"u.$attr"),
+                          "full_outer")
+                        .select(coalesce(col(s"u.$attr"),
+                            col(s"t.$attr")).as(attr) +:
+                          (coalesce(col("t.__cnt"), lit(0L)) +
+                            coalesce(col("u.__cnt"), lit(0L)))
+                            .as("__cnt") +:
+                          comps.map(_._3): _*)
+                    },
+                    (_, acc) => acc
+                      .withColumn("__rk", expr("row_number() over " +
+                        s"(order by __cnt desc, $attr)"))
+                      .where(col("__rk") <= nKeep)
+                      .select(items.map { case (it, a, isAgg) =>
+                        if (!isAgg) col(attr).as(a)
+                        else {
+                          val i = items.indexWhere(_._2 == a)
+                          col(s"__c$i").as(a)
+                        }
+                      }: _*),
+                    ast.orderBy.map { case (c, a2) =>
+                      if (a2) col(c).asc else col(c).desc },
+                    // component rows merge per attr value: only the
+                    // batch's attr buckets are read and rewritten
+                    KeyedState(Seq(attr), (_, _, batch) =>
+                      batch.select(col(attr)
+                        .cast(schemaF(attr).dataType).as(attr)))))
+                (emptyOf(base.sparkSession, schemaF), KFold)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("length") =>
+                // live per-key sliding length window: a
+                // flatMapGroupsWithState ring of the last N events per
+                // key, select items re-evaluated over the ring on every
+                // arrival ([[bufEval]] — the same interpreter the batch
+                // expression window folds with; engine twin:
+                // Streaming.lengthSliding). State is N events per key,
+                // forever-bounded.
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a length window")
+                val nRing = args2.head.toInt
+                val key = ast.groupBy match {
+                  case k :: Nil => k
+                  case _ => fail("live length window (v1) needs exactly " +
+                    "one group by key to partition the per-key ring")
+                }
+                val need2 = Seq("event_id", "ts_ns", "user_id",
+                  "event_type", "value")
+                need2.foreach(c => if (!base.columns.contains(c))
+                  fail(s"live length window reads event streams; " +
+                    s"'${s.table}' lacks '$c'"))
+                val items = itemsOf(ast)
+                val schema2 = StructType(evOutTypes(items).map {
+                  case (n3, t) => StructField(n3, t) })
+                implicit val enc2: org.apache.spark.sql.Encoder[
+                  org.apache.spark.sql.Row] =
+                  org.apache.spark.sql.Encoders.row(schema2)
+                import org.apache.spark.sql.Encoders
+                import org.apache.spark.sql.streaming.GroupStateTimeout
+                val folded = base.select(col("event_id").as("eventId"),
+                    col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                    col("event_type").as("eventType"), col("value"))
+                  .as[Cep.Ev](Encoders.product[Cep.Ev])
+                  .groupByKey(e =>
+                    String.valueOf(field(e, key)))(Encoders.STRING)
+                  .flatMapGroupsWithState[Vector[Cep.Ev],
+                    org.apache.spark.sql.Row](
+                    OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+                    (_, it2, st) =>
+                      var ring = st.getOption.getOrElse(
+                        Vector.empty[Cep.Ev])
+                      val out = it2.toVector
+                        .sortBy(e => (e.tsNs, e.eventId)).map { e =>
+                          ring = (ring :+ e).takeRight(nRing)
+                          org.apache.spark.sql.Row.fromSeq(
+                            items.map { case (it3, _, _) =>
+                              bufEval(it3.e, ring, e) })
+                        }
+                      st.update(ring)
+                      out.iterator
+                  }
+                (folded.toDF(), KStateless)
+              case Some(WindowSpec(n2, args2, _))
+                  if n2.equalsIgnoreCase("session") =>
+                // live session aggregation: built-in session_window in
+                // APPEND mode (engine twin: Streaming.session) — a
+                // session emits (merged, final) once the watermark
+                // passes its close, then its state is dropped; output
+                // columns mirror the batch text compile exactly
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting applies to stateless stages " +
+                    "(v1) — not above a session aggregation")
+                val items = itemsOf(ast)
+                val aggCols = items.collect { case (it, a2, true) =>
+                  expr(sqlOf(it.e)).as(a2) }
+                if (aggCols.isEmpty) fail("session window needs an " +
+                  "aggregate")
+                items.collect { case (it, _, false) => it }.foreach {
+                  it => it.e match {
+                    case Ref(c :: Nil) if ast.groupBy.contains(c) => ()
+                    case _ => fail("non-aggregate select item must be " +
+                      "grouped")
+                  }
+                }
+                val sw = session_window(col("ts"),
+                  s"${args2.head / 1000000} milliseconds")
+                val agged = base
+                  .filter(col("ts") < Streaming.flushCutoff)
+                  .groupBy(sw +: ast.groupBy.map(col): _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                val hav = ast.having.fold(agged)(h =>
+                  agged.where(expr(sqlOf(h))))
+                (hav.select(
+                  unix_millis(col("session_window.start"))
+                    .as("w_start_ms") +:
+                  unix_millis(col("session_window.end")).as("w_end_ms") +:
+                  items.map { case (_, a2, _) => col(a2) }: _*),
+                  KWindowAgg)
+              case Some(w) => fail("live deployment (v1) supports " +
+                "stateless stages, timeBatch/session aggregation, and " +
+                s"patterns; got window '${w.name}'")
+            }
+          case pt: PatternStream =>
+            val (b, sel, outSchema) = patternParts(ast, pt)
+            val schema = StructType(outSchema.map { case (n, t) =>
+              StructField(n, t) })
+            implicit val enc: org.apache.spark.sql.Encoder[
+              org.apache.spark.sql.Row] =
+              org.apache.spark.sql.Encoders.row(schema)
+            val proj = (bnd: Cep.Bindings) =>
+              org.apache.spark.sql.Row.fromSeq(
+                sel.map { case (_, _, _, extract) => extract(bnd) })
+            if (b.steps.exists(_.isInstanceOf[Cep.Absent])) {
+              // ABSENCE-bearing pattern (`not X for T`) deployed LIVE:
+              // the timed re-fold — absence deadlines register
+              // event-time timers against the source watermark, so a
+              // "nothing arrived" match emits when the watermark
+              // passes its deadline, not at a next event that may
+              // never come (engine twins: Streaming.cepAbsence /
+              // cepAbsenceTws). Reads the WATERMARKED declared view
+              // (clean under @OnError); flush sentinels drop here,
+              // above the source watermark node, and KWindowAgg makes
+              // the finite-replay harness feed them so the last
+              // deadlines resolve.
+              val evT = envLookup(view, "events").getOrElse(
+                fail("a live absence pattern reads the watermarked " +
+                  "'events' stream"))
+                .filter(col("ts") < Streaming.flushCutoff)
+                .select(col("event_id").as("eventId"),
+                  col("ts_ns").as("tsNs"), col("user_id").as("userId"),
+                  col("event_type").as("eventType"), col("value"),
+                  col("ts"))
+                .as[Streaming.EvT]
+              (b.selectStreamTimed(evT)(proj).toDF(), KWindowAgg)
+            } else
+              (b.selectStream(evDs)(proj).toDF(), KStateless)
+          // ENRICHMENT JOIN deployed LIVE: a query joins the table a
+          // sibling DML stage maintains — the reference's canonical
+          // enrichment loop (a stream updates UserState, a sibling
+          // query enriches against it). Semantics are PER-EVENT: an
+          // event sees the table as of its own position in the stream
+          // (definition order makes an event's own update visible:
+          // `<=` on the (ts_ns, event_id) arrival order), which makes
+          // the live result independent of micro-batch boundaries —
+          // the batch asof oracle and the live run agree for ANY
+          // chunking. Runs in the foreachBatch fold channel: per
+          // trigger the maintained table folds first, then the batch's
+          // events fill their enrichment state from (accumulated
+          // generations ∪ same-batch updates at-or-before them) in ONE
+          // keyed window pass — a single shuffle on the table key,
+          // exactly the partitioning a 100× scale-up wants (state and
+          // events co-partition; no per-event lookups, no broadcast of
+          // unbounded state).
+          case j: JoinStream
+              if dmlInfos.contains(j.left.table) ||
+                 dmlInfos.contains(j.right.table) =>
+            if (partKey.nonEmpty)
+              fail("enrichment joins inside a partition block are not " +
+                "deployed (v1)")
+            if (dmlInfos.contains(j.left.table))
+              fail("live enrichment joins put the maintained table on " +
+                "the RIGHT side (v1) — swap the join sides")
+            if (j.unidirectional)
+              fail("live enrichment joins are already one-directional " +
+                "(events trigger, the table holds state) — drop " +
+                "`unidirectional`")
+            val tSide = j.right; val sSide = j.left
+            val tName = tSide.table
+            if (tSide.window.nonEmpty)
+              fail("live enrichment joins read the whole maintained " +
+                s"table '$tName' (v1) — no window on the table side")
+            if (sSide.window.nonEmpty)
+              fail("live enrichment joins are per-event lookups (v1) — " +
+                "no window on the stream side")
+            val writers = dmlInfos(tName)
+            if (writers.length > 1)
+              fail("live enrichment joins read a table with ONE DML " +
+                s"writer (v1); '$tName' has ${writers.length}")
+            val dmlInfo = writers.head
+            val (dAst, dAct, dSchema, dSrc) = dmlInfo
+            val sName = sSide.table
+            if (statefulStreams.contains(sName))
+              fail(s"live deployment (v1): '$sName' is an aggregation " +
+                "output — it cannot feed an enrichment join")
+            val derivable = Set("events") ++ statelessAsts.map(_._1)
+            Seq(sName, dSrc).foreach { n2 =>
+              if (!derivable.contains(n2))
+                fail(s"live enrichment joins derive their feeds from " +
+                  s"the source through stateless stages; '$n2' is not " +
+                  "(windowed/rate-limited/joined stages cannot be " +
+                  "re-derived per batch)")
+            }
+            val statelessSnap = statelessAsts
+            val sp0 = src.sparkSession
+            val hasAggE = ast.select.exists(it => containsAgg(it.e)) ||
+              ast.groupBy.nonEmpty
+            val winWriterTNs: Option[Long] = dAst.stream match {
+              case ss2: SingleStream =>
+                if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
+                  fail(s"windowed DML writer on '$tName' has a " +
+                    "window with no duration")
+                ss2.window.map(_.args.head)
+              case _ => None
+            }
+            if (winWriterTNs.nonEmpty) {
+              // READ-AT-FINISH enrichment of a WINDOWED-aggregate
+              // store (the Siddhi store pattern read back through a
+              // join): flush rows materialize at window flushes and
+              // have no per-event as-of, so — exactly like the batch
+              // compile, where a query joining the table sees the
+              // final flush-merged relation — the live form folds the
+              // windowed DML with the store pattern's per-(bucket ∪
+              // group keys) partial state, APPENDS the stream side's
+              // rows per trigger, and runs the join ONCE at finish
+              // against the finished table. Siddhi-matching semantics:
+              // the table IS its latest flush state.
+              if (hasAggE)
+                fail("live enrichment aggregation over a windowed-" +
+                  "writer table is not deployed (v1) — project the " +
+                  "join, aggregate in a downstream stage")
+              if (ast.having.nonEmpty || ast.limit.nonEmpty ||
+                  ast.offset.nonEmpty)
+                fail("windowed-writer enrichment (v1) has no " +
+                  "having/limit/offset")
+              if (dSrc != "events")
+                fail("windowed-writer enrichment (v1) reads a table " +
+                  s"whose writer consumes the source stream; '$tName' " +
+                  s"is written from derived stream '$dSrc'")
+              val joinKindW = j.joinType match {
+                case "inner" | "left_outer" => j.joinType
+                case other => fail("windowed-writer enrichment joins " +
+                  s"are inner or left outer (v1), got '$other'")
+              }
+              val tAliasW = j.rightAlias.getOrElse(tName)
+              val sAliasW = j.leftAlias.getOrElse(sName)
+              val itemsW = itemsOf(ast)
+              val fnsSnapW = scriptFns
+              def evOf(sp: SparkSession, d2: String,
+                  batch: DataFrame): DataFrame = {
+                scriptFns = fnsSnapW
+                val benv = batchEnv(sp, d2, batch, statelessSnap)
+                val b0 = loadTable(sp, d2, sName, benv)
+                sSide.filter.fold(b0)(f =>
+                  applyFilter(sp, d2, b0, f, benv))
+              }
+              def joinFin(table: DataFrame, evs: DataFrame)
+                  : DataFrame = {
+                scriptFns = fnsSnapW
+                evs.as(sAliasW).join(table.as(tAliasW),
+                    expr(sqlOfWith(j.on, _.mkString("."))), joinKindW)
+                  .select(itemsW.map { case (it, a2, _) =>
+                    expr(sqlOfWith(it.e, _.mkString("."))).as(a2) }: _*)
+              }
+              // deploy-time prototypes: fail fast + output schema
+              val protoEv = evOf(sp0, "", emptyOf(sp0, srcTs.schema))
+              val protoW = joinFin(emptyOf(sp0, dSchema),
+                protoEv.limit(0))
+              val keyW = name.orElse(ast.action.map(_.target))
+              if (keyW.contains(out) || name.contains(out)) {
+                val wf = windowedDmlFold(
+                  emptyOf(sp0, srcTs.schema), dAst, dAct, dSchema,
+                  winWriterTNs.get, fnsSnapW)
+                foldResult = Some(LiveFold(srcTs,
+                  wf.schemas :+ (("__ev", protoEv.schema, AppendState)),
+                  (sp, d2, acc, batch) =>
+                    wf.fold(sp, d2, acc, batch) +
+                      ("__ev" -> evOf(sp, d2, batch)),
+                  (sp, acc) => joinFin(wf.finish(sp, acc), acc("__ev")),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoW.schema), KFold)
+            } else if (hasAggE) {
+              // AGGREGATION ABOVE the enrichment join: each batch's
+              // enriched rows compute exactly like the projection
+              // form (same per-event as-of window pass), then fold as
+              // ALGEBRAIC keyed partials — the FoldAlg algebra
+              // components merged componentwise across triggers (the
+              // join-agg fold recipe; O(batch-touched buckets) state
+              // writes). The batch compile aggregates the identical
+              // as-of rows globally, so it is the oracle under any
+              // chunking.
+              if (ast.having.nonEmpty)
+                fail("live enrichment aggregation (v1) has no having")
+              if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+                fail("live enrichment aggregation (v1) has no " +
+                  "limit/offset")
+              val items = itemsOf(ast)
+              val keyItems = items.filter(!_._3)
+              val keyAliases = keyItems.map(_._2)
+              if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                fail("live enrichment aggregation (v1) groups by " +
+                  "exactly the aliases of its non-aggregate select " +
+                  s"items (non-aggregate [${keyAliases.mkString(", ")}]" +
+                  s", group by [${ast.groupBy.mkString(", ")}])")
+              val comps = scala.collection.mutable.Buffer
+                .empty[(String, String, Option[Expr])]
+              def rw(e: Expr): Expr = e match {
+                case Call(None, n, args0) if aggNames(n.toLowerCase) =>
+                  val base = s"__g${comps.length}"
+                  comps += ((base, n.toLowerCase, args0.headOption))
+                  FoldAlg.rewrite(n.toLowerCase, base)
+                case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                case Not(x) => Not(rw(x))
+                case Neg(x) => Neg(rw(x))
+                case other2 => other2
+              }
+              val finals: Seq[(String, Expr)] = items.map {
+                case (it, a2, isAgg) =>
+                  a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+              }
+              comps.foreach { case (_, n, argO) =>
+                if (n != "count" && argO.isEmpty)
+                  fail(s"$n(...) needs an argument")
+              }
+              if (comps.isEmpty)
+                fail("live enrichment aggregation selects at least " +
+                  "one aggregate")
+              // group keys are STREAM-side expressions (v1): the
+              // touched-bucket probe evaluates them on the raw batch,
+              // before any state is read
+              keyItems.foreach { case (it, _, _) =>
+                if (refsTable(it.e, tName) ||
+                    j.rightAlias.exists(refsTable(it.e, _)))
+                  fail("live enrichment aggregation group keys are " +
+                    "STREAM-side expressions (v1) — a table-side key " +
+                    "needs the projection form + a downstream stage")
+              }
+              val sAliasL = j.leftAlias.getOrElse(sName)
+              def streamKeySql(e: Expr): String = sqlOfWith(e, {
+                case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasL) ||
+                    q2.equalsIgnoreCase(sName) => c
+                case c :: Nil => c
+                case parts => fail("live enrichment aggregation group " +
+                  s"keys are stream-side (v1); got " +
+                  s"'${parts.mkString(".")}'")
+              })
+              val keySqls = keyItems.map { case (it, a2, _) =>
+                (streamKeySql(it.e), a2) }
+              // per-event rows: group-key exprs + aggregate arguments
+              val rowsSel = keyItems.map { case (it, a2, _) =>
+                SelItem(it.e, Some(a2)) } ++
+                comps.toList.flatMap { case (base, _, argO) =>
+                  argO.map(a0 => SelItem(a0, Some(s"${base}_x"))).toList }
+              val astRows = ast.copy(select = rowsSel, groupBy = Nil,
+                having = None, orderBy = Nil, limit = None,
+                offset = None)
+              val keys = if (keyAliases.isEmpty) Seq("__k")
+                         else keyAliases
+              def withK(df: DataFrame): DataFrame =
+                if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
+                else df
+              def partialOf(df: DataFrame): DataFrame = {
+                val aggs: Seq[Column] = comps.toSeq.flatMap {
+                  case (base, n, argO) =>
+                    FoldAlg.partialCols(n, base,
+                      argO.map(_ => col(s"${base}_x")))
+                }
+                df.groupBy(keys.map(col): _*)
+                  .agg(aggs.head, aggs.tail: _*)
+              }
+              def mergeComp(base: String, n: String): Seq[Column] =
+                FoldAlg.mergeCols(n, base)
+              // deploy-time prototypes (fail fast + schemas)
+              val protoRows = enrichCompile(sp0, "", astRows, j, dmlInfo,
+                emptyOf(sp0, dSchema),
+                batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                  statelessSnap))
+              val schemaA = partialOf(withK(protoRows)).schema
+              val protoOut = emptyOf(sp0, schemaA).select(finals.map {
+                case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+              val keyE2 = name.orElse(ast.action.map(_.target))
+              if (keyE2.contains(out) || name.contains(out)) {
+                val fnsSnap = scriptFns
+                val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
+                  fnsSnap, (sp, d2, batch) =>
+                    batchEnv(sp, d2, batch, statelessSnap))
+                foldResult = Some(LiveFold(srcTs,
+                  Seq((tName, dSchema, tMode),
+                    ("state", schemaA, KeyedState(keys,
+                      (sp, d2, batch) => {
+                        scriptFns = fnsSnap
+                        if (keyAliases.isEmpty)
+                          batch.select(lit(0L).as("__k"))
+                        else {
+                          val benv = batchEnv(sp, d2, batch,
+                            statelessSnap)
+                          val sb0 = envLookup(benv, sName)
+                            .getOrElse(batch)
+                          val sb = sSide.filter.fold(sb0)(f =>
+                            applyFilter(sp, d2, sb0, f, benv))
+                          sb.select(keySqls.map { case (sq, a2) =>
+                            expr(sq).as(a2) }: _*)
+                        }
+                      }))),
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val enriched = enrichCompile(sp, d2, astRows, j,
+                      dmlInfo, acc(tName).full(), benv)
+                    val u = partialOf(withK(enriched))
+                    val merged = acc("state").slice.as("t")
+                      .join(u.as("u"),
+                        keys.map(k2 =>
+                          col(s"t.$k2") <=> col(s"u.$k2"))
+                          .reduce(_ && _), "full_outer")
+                      .select(keys.map(k2 => coalesce(col(s"u.$k2"),
+                          col(s"t.$k2")).as(k2)) ++
+                        comps.toSeq.flatMap { case (b2, n, _) =>
+                          mergeComp(b2, n) }: _*)
+                    Map(
+                      tName -> applyDml(sp, d2, dAst, dAct, dSchema,
+                        acc(tName).slice, benv),
+                      "state" -> merged)
+                  },
+                  (_, acc) => acc("state").select(finals.map {
+                    case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoOut.schema), KFold)
+            } else {
+            // fail fast at deploy time + learn the output schema
+            val proto = enrichCompile(sp0, "", ast, j, dmlInfo,
+              emptyOf(sp0, dSchema),
+              batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                statelessSnap))
+            val keyE = name.orElse(ast.action.map(_.target))
+            if (keyE.contains(out) || name.contains(out)) {
+              val fnsSnap = scriptFns
+              // the maintained table bucket-merges on its DML keys
+              // (write cost O(batch-touched buckets)); the enrichment
+              // OUTPUT is a sink-like accumulation — each trigger
+              // appends its delta generation, never rewriting history
+              val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
+                fnsSnap, (sp, d2, batch) =>
+                  batchEnv(sp, d2, batch, statelessSnap))
+              foldResult = Some(LiveFold(srcTs,
+                Seq((tName, dSchema, tMode),
+                    ("__out", proto.schema, AppendState)),
+                (sp, d2, acc, batch) => {
+                  scriptFns = fnsSnap
+                  val benv = batchEnv(sp, d2, batch, statelessSnap)
+                  Map(
+                    tName -> applyDml(sp, d2, dAst, dAct, dSchema,
+                      acc(tName).slice, benv),
+                    // the join reads the WHOLE pre-batch table (events
+                    // may reference keys this batch didn't update)
+                    "__out" -> enrichCompile(sp, d2, ast, j, dmlInfo,
+                      acc(tName).full(), benv))
+                },
+                (_, acc) => acc("__out"),
+                ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }))
+            }
+            (emptyOf(sp0, proto.schema), KFold)
+            }
+
+          case j: JoinStream
+              if liveAggDefs.contains(j.left.table) ||
+                 liveAggDefs.contains(j.right.table) =>
+            // named bound, not a confusing window diagnostic: the
+            // stream ⋈ aggregation `within … per` join stays a batch
+            // surface (sql_join_aggregation); live reads of the
+            // cascade go through the aggregation-read fold
+            // (sql_app_incremental_live)
+            fail("live deployment (v1) does not join a `define " +
+              "aggregation` table — read it with `from <agg> within " +
+              "… per '…'` (deployed via the keyed fold), or use the " +
+              "batch replay (compileApp) for the stream-aggregation " +
+              "join")
+          case j: JoinStream => (j.left.window, j.right.window) match {
+            // windowed stream-stream join deployed LIVE: Spark's
+            // watermarked interval join — the band [-Tl, Tr] becomes
+            // the event-time range condition Structured Streaming uses
+            // to size and EVICT both sides' join state (the engine twin
+            // Streaming.streamStreamJoin's exact machinery)
+            case (Some(WindowSpec(ln, largs, _)),
+                  Some(WindowSpec(rn, rargs, _)))
+                if Seq(ln, rn).forall(n2 =>
+                  n2.equalsIgnoreCase("time") ||
+                    n2.equalsIgnoreCase("timebatch")) =>
+              // timeBatch sides ride the SAME watermarked interval
+              // join: bucket co-membership implies |Δts| < T, so the
+              // [-T, T] hull is the eviction band Spark needs and the
+              // bucket rule refines it as a residual conjunct
+              if (!hasEqui(j.on))
+                fail("a windowed stream-stream join needs an equality " +
+                  "conjunct in its on-clause")
+              // outer directions ride the SAME watermarked interval
+              // join: Spark emits the null-padded side once the
+              // watermark passes the band (state eviction doubles as
+              // the no-match proof), so outer needs the flush-sentinel
+              // Append channel (KWindowAgg) where inner emits matches
+              // as they arrive (KStateless)
+              val jType = j.joinType match {
+                case "inner" | "left_outer" | "right_outer" |
+                     "full_outer" => j.joinType
+                case other => fail("live windowed joins are inner or " +
+                  s"left/right/full outer (v1), got '$other'")
+              }
+              val joinAgg = ast.select.exists(it => containsAgg(it.e)) ||
+                ast.groupBy.nonEmpty
+              val la = j.leftAlias.getOrElse(fail("windowed join sides " +
+                "need aliases to qualify their timestamps"))
+              val ra = j.rightAlias.getOrElse(fail("windowed join sides " +
+                "need aliases to qualify their timestamps"))
+              def sideDf(ss: SingleStream, alias: String): DataFrame = {
+                if (statefulStreams.contains(ss.table))
+                  fail(s"live deployment (v1): '${ss.table}' is an " +
+                    "aggregation output — it cannot feed a join")
+                val b0 = envLookup(view, ss.table).getOrElse(fail("live deployment " +
+                  s"reads declared streams; '${ss.table}' is neither " +
+                  "the source nor an earlier insert-into target"))
+                val b1 = ss.filter.fold(b0)(f => liveWhere(b0, f))
+                if (!b1.columns.contains("ts"))
+                  fail(s"join side '${ss.table}' lost its 'ts' column — " +
+                    "live windowed joins need the event-time column")
+                // flush sentinels ride through every liveWhere filter
+                // (OR-extended) to keep advancing the watermark; drop
+                // them HERE, above the source watermark node, so they
+                // never enter the join — an outer join would otherwise
+                // pair each sentinel with itself across the two sides
+                val b2 = b1.filter(
+                  col("ts") < graft.engine.Streaming.flushCutoff)
+                // the source watermark tag propagates through the
+                // rename (`alias_ts` keeps the -T60000ms annotation), so
+                // re-declaring it here would be a disallowed watermark
+                // redefinition — the interval join's state eviction
+                // keys off the inherited tag
+                b2.columns.foldLeft(b2)((d, c) =>
+                  d.withColumnRenamed(c, s"${alias}_$c"))
+              }
+              def qual(parts: List[String]): String = parts match {
+                case q :: f :: Nil => s"${q}_$f"
+                case f :: Nil => fail(s"qualify '$f' with its side's " +
+                  "alias in a windowed join")
+                case other => fail(s"bad reference ${other.mkString(".")}")
+              }
+              val cond = sqlOfWith(j.on, qual)
+              val isTb = (n2: String) => n2.equalsIgnoreCase("timebatch")
+              val anyTb = isTb(ln) || isTb(rn)
+              val (lo, hi) =
+                if (anyTb) {
+                  val h = math.max(largs.head, rargs.head)
+                  if (j.unidirectional) (0L, h) else (-h, h)
+                } else if (j.unidirectional) (0L, rargs.head)
+                else (-largs.head, rargs.head)
+              // tl - tr ∈ [lo, hi]  ⇔  r_ts ∈ [l_ts - hi, l_ts - lo]
+              def ivl(ns: Long): String =
+                s"interval ${math.abs(ns / 1000000L)} milliseconds"
+              val band =
+                s"${ra}_ts >= ${la}_ts - ${ivl(hi)} and " +
+                  s"${ra}_ts ${if (lo <= 0) "<=" else "<="} ${la}_ts " +
+                  s"${if (lo <= 0) "+" else "-"} ${ivl(lo)}"
+              val aSide = sideDf(j.left.copy(window = None), la)
+              val bSide = sideDf(j.right.copy(window = None), ra)
+              // per-direction retention residual when a side is a
+              // tumbling chunk: the EARLIER side's rule applies at the
+              // later event's arrival (arrival order = (ts_ns,
+              // event_id), so every pair belongs to one direction)
+              val resid =
+                if (!anyTb) ""
+                else {
+                  Seq((la, aSide), (ra, bSide)).foreach { case (al, df2) =>
+                    Seq("ts_ns", "event_id").foreach(c =>
+                      if (!df2.columns.contains(s"${al}_$c"))
+                        fail(s"timeBatch join sides need '$c' for " +
+                          s"arrival order; side '$al' lost it"))
+                  }
+                  def beforeL(x: String, y: String) =
+                    s"(${x}_ts_ns < ${y}_ts_ns or (${x}_ts_ns = " +
+                      s"${y}_ts_ns and ${x}_event_id < ${y}_event_id))"
+                  def ret(later: String, earlier: String, n2: String,
+                      t: Long) =
+                    if (isTb(n2))
+                      s"(${earlier}_ts_ns div ${t}L) = " +
+                        s"(${later}_ts_ns div ${t}L)"
+                    else s"${later}_ts_ns - ${earlier}_ts_ns <= ${t}L"
+                  val d1 = s"(${beforeL(ra, la)} and " +
+                    s"${ret(la, ra, rn, rargs.head)})"
+                  val d2 = s"(${beforeL(la, ra)} and " +
+                    s"${ret(ra, la, ln, largs.head)})"
+                  " and (" +
+                    (if (j.unidirectional) d1 else s"$d1 or $d2") + ")"
+                }
+              val joined = aSide
+                .join(bSide, expr(s"($cond) and ($band)$resid"), jType)
+              if (ast.rate.nonEmpty && !joinAgg) {
+                // output rate limiting OVER the live windowed join: the
+                // rated events are the pair EMISSIONS — emission
+                // instant greatest(l.ts, r.ts), tie-broken by the side
+                // event ids (the batch rateOverJoin's exact order).
+                // Time modes fold per-interval extreme picks
+                // (KeyedState on the interval — chunking-invariant: a
+                // pair's interval is a function of its own emit ts, so
+                // cross-trigger merges commute); count modes ride the
+                // running pair counter (the single-stream count-rate
+                // fold shape — pair emission is trigger-monotone under
+                // the in-order replay, the same contract that fold
+                // already carries).
+                if (jType != "inner")
+                  fail("live rate limiting over an OUTER join is not " +
+                    "deployed (v1) — null-padded rows only materialize " +
+                    "at watermark expiry, with no pair emission instant")
+                val rJ = ast.rate.get
+                val itemsJ = itemsOf(ast)
+                Seq(la, ra).foreach { al =>
+                  Seq("ts_ns", "event_id").foreach(c =>
+                    if (!joined.columns.contains(s"${al}_$c"))
+                      fail(s"rate over a join needs '$al.$c' to " +
+                        "define pair emission order"))
+                }
+                val emitTs = greatest(col(s"${la}_ts_ns"),
+                  col(s"${ra}_ts_ns"))
+                val ordJ = struct(emitTs.as("t"),
+                  col(s"${la}_event_id").as("il"),
+                  col(s"${ra}_event_id").as("ir"))
+                val outColsJ = itemsJ.map(_._2)
+                val feedJ = joined.select(itemsJ.map { case (it, a2, _) =>
+                  expr(sqlOfWith(it.e, qual)).as(a2) } :+
+                  emitTs.as("__emit_ts") :+ ordJ.as("__emit_ord"): _*)
+                val ordFin = ast.orderBy.map { case (c2, asc) =>
+                  if (asc) col(c2).asc else col(c2).desc }
+                val keyJ2 = name.orElse(ast.action.map(_.target))
+                carriedNow = Nil
+                (rJ.mode, rJ.timeNs, rJ.count) match {
+                  case ("all", _, _) => // emission batching only
+                    (feedJ.drop("__emit_ts", "__emit_ord"), KStateless)
+                  case (m @ ("first" | "last"), Some(t), None) =>
+                    val withIv = feedJ.withColumn("__iv",
+                      expr(s"__emit_ts div ${t}L")).drop("__emit_ts")
+                    val schemaR = withIv.schema
+                    def pickRow(df2: DataFrame): DataFrame = {
+                      val rowS = struct(withIv.columns.map(col): _*)
+                      val pick =
+                        if (m == "first") min_by(rowS, col("__emit_ord"))
+                        else max_by(rowS, col("__emit_ord"))
+                      df2.groupBy("__iv").agg(pick.as("__row"))
+                        .select(withIv.columns.map(c =>
+                          col(s"__row.$c").as(c)): _*)
+                    }
+                    if (keyJ2.contains(out) || name.contains(out))
+                      foldResult = Some(singleFold(withIv, schemaR,
+                        (_, _, acc, batch) =>
+                          pickRow(acc.unionByName(batch)),
+                        (_, acc) => acc.select(outColsJ.map(col): _*),
+                        ordFin,
+                        KeyedState(Seq("__iv"), (_, _, batch) =>
+                          batch.select(col("__iv")))))
+                    (emptyOf(joined.sparkSession, schemaR), KFold)
+                  case (m @ ("first" | "last"), None, Some(nEv)) =>
+                    val rankedSchema = StructType(feedJ
+                      .drop("__emit_ts", "__emit_ord").schema.fields :+
+                      StructField("__rn", LongType))
+                    if (keyJ2.contains(out) || name.contains(out))
+                      foldResult = Some(LiveFold(feedJ,
+                        Seq(("out", rankedSchema, AppendState),
+                          ("pend", rankedSchema, FullState)),
+                        (_, _, st, batch0) => {
+                          val prior = st("pend").slice.collect()
+                            .headOption.map(_.getAs[Long]("__rn"))
+                            .getOrElse(0L)
+                          val batch = batch0.withColumn("__rn",
+                            expr("row_number() over (order by " +
+                              "__emit_ord)") + lit(prior))
+                            .drop("__emit_ts", "__emit_ord")
+                          val kept =
+                            if (m == "first")
+                              batch.filter((col("__rn") - 1) % nEv === 0)
+                            else batch.filter(col("__rn") % nEv === 0)
+                          Map("out" -> kept,
+                            "pend" -> batch.orderBy(col("__rn").desc)
+                              .limit(1).unionByName(
+                                st("pend").slice.limit(1))
+                              .orderBy(col("__rn").desc).limit(1))
+                        },
+                        (_, st) => {
+                          val total = st("pend").collect()
+                            .headOption.map(_.getAs[Long]("__rn"))
+                            .getOrElse(0L)
+                          val fin =
+                            if (m == "last" && total % nEv != 0)
+                              st("out").unionByName(st("pend"))
+                            else st("out")
+                          fin.orderBy("__rn").drop("__rn")
+                        }, ordFin))
+                    (emptyOf(joined.sparkSession, rankedSchema), KFold)
+                  case ("snapshot", _, _) =>
+                    fail("output snapshot over a join (v1): insert the " +
+                      "join into a stream and snapshot that stream — a " +
+                      "snapshot of pair state has no single emission row")
+                  case _ =>
+                    fail("unreachable: rate clause validated at parse")
+                }
+              } else if (joinAgg) {
+                if (ast.rate.nonEmpty)
+                  fail("live rate limiting above a join aggregation is " +
+                    "not deployed (v1) — rate the join, aggregate in a " +
+                    "downstream stage")
+                // ONE-STAGE windowed-join aggregation: `join … select
+                // agg(...) group by …` compiles to the watermarked
+                // interval join feeding a per-micro-batch ALGEBRAIC
+                // keyed fold (FoldAlg algebra partials merged
+                // componentwise across triggers — state is one
+                // component row per group, per-trigger write cost
+                // O(batch-touched buckets)). The batch twin is the
+                // global aggregation over all band pairs, so the fold
+                // equals batch replay under any chunking. Spark itself
+                // cannot chain an unwindowed Update-mode aggregation
+                // above a stream-stream join, which is exactly why
+                // this runs through the fold channel; a time-windowed
+                // aggregation above a join stays the chained
+                // stateful-operator form (insert into a named stream,
+                // then #window.timeBatch it).
+                if (jType != "inner")
+                  fail("aggregation above an OUTER live windowed join " +
+                    "is not deployed (v1) — null-padded rows only " +
+                    "materialize at watermark expiry, after the fold; " +
+                    "use an inner join or the chained two-query form")
+                if (ast.having.nonEmpty)
+                  fail("live join aggregation (v1) has no having clause")
+                if (ast.limit.nonEmpty || ast.offset.nonEmpty)
+                  fail("live join aggregation (v1) has no limit/offset")
+                val items = itemsOf(ast)
+                val keyItems = items.filter(!_._3)
+                val keyAliases = keyItems.map(_._2)
+                if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                  fail("live join aggregation (v1) groups by exactly " +
+                    "the aliases of its non-aggregate select items " +
+                    s"(non-aggregate [${keyAliases.mkString(", ")}], " +
+                    s"group by [${ast.groupBy.mkString(", ")}])")
+                // (component name, agg fn, argument) per aggregate
+                // sub-call; the select item's scalar wrapper is
+                // re-evaluated at finish over the merged components
+                val comps = scala.collection.mutable.Buffer
+                  .empty[(String, String, Option[Expr])]
+                def rw(e: Expr): Expr = e match {
+                  case Call(None, n, args0)
+                      if aggNames(n.toLowerCase) =>
+                    val base = s"__g${comps.length}"
+                    comps += ((base, n.toLowerCase, args0.headOption))
+                    FoldAlg.rewrite(n.toLowerCase, base)
+                  case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                  case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                  case Not(x) => Not(rw(x))
+                  case Neg(x) => Neg(rw(x))
+                  case other2 => other2
+                }
+                val finals: Seq[(String, Expr)] = items.map {
+                  case (it, a2, isAgg) =>
+                    a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+                }
+                comps.foreach { case (_, n, argO) =>
+                  if (n != "count" && argO.isEmpty)
+                    fail(s"$n(...) needs an argument")
+                }
+                // a group-by-less aggregate folds under one constant
+                // key (single component row of state)
+                val keys =
+                  if (keyAliases.isEmpty) Seq("__k") else keyAliases
+                val feed0 = joined.select(keyItems.map {
+                  case (it, a2, _) =>
+                    expr(sqlOfWith(it.e, qual)).as(a2) } ++
+                  comps.toSeq.flatMap { case (base, _, argO) =>
+                    argO.map(arg => expr(sqlOfWith(arg, qual))
+                      .as(s"${base}_x")).toSeq }: _*)
+                val feed = if (keyAliases.isEmpty)
+                  feed0.withColumn("__k", lit(0L)) else feed0
+                def partialOf(df: DataFrame): DataFrame = {
+                  val aggs: Seq[Column] = comps.toSeq.flatMap {
+                    case (base, n, argO) =>
+                      FoldAlg.partialCols(n, base,
+                        argO.map(_ => col(s"${base}_x")))
+                  }
+                  df.groupBy(keys.map(col): _*)
+                    .agg(aggs.head, aggs.tail: _*)
+                }
+                def mergeComp(base: String, n: String): Seq[Column] =
+                  FoldAlg.mergeCols(n, base)
+                val schemaJ = partialOf(feed).schema
+                val keyJ = name.orElse(ast.action.map(_.target))
+                if (keyJ.contains(out) || name.contains(out))
+                  foldResult = Some(singleFold(feed, schemaJ,
+                    (_, _, acc, batch) => {
+                      val u = partialOf(batch)
+                      // <=> so a null group key merges with itself
+                      // across triggers instead of spawning a fresh
+                      // null-key group per batch
+                      acc.as("t").join(u.as("u"),
+                          keys.map(k =>
+                            col(s"t.$k") <=> col(s"u.$k"))
+                            .reduce(_ && _), "full_outer")
+                        .select(keys.map(k => coalesce(col(s"u.$k"),
+                            col(s"t.$k")).as(k)) ++
+                          comps.toSeq.flatMap { case (b2, n, _) =>
+                            mergeComp(b2, n) }: _*)
+                    },
+                    (_, acc) => acc.select(finals.map {
+                      case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                    ast.orderBy.map { case (c2, asc) =>
+                      if (asc) col(c2).asc else col(c2).desc },
+                    KeyedState(keys, (_, _, batch) =>
+                      batch.select(keys.map(col): _*))))
+                carriedNow = Nil
+                (emptyOf(joined.sparkSession, schemaJ), KFold)
+              } else {
+              // carry the non-nullable side's watermarked event-time
+              // columns through the projection (dropped again if this
+              // join is the sink) so a downstream Append-mode window
+              // stage can bucket and evict by them — Spark's chained
+              // stateful-operator path (interval join → time-window
+              // aggregation); the alias metadata keeps the watermark
+              // tag. full outer has no never-null side, so nothing
+              // carries (a downstream window stage diagnoses the
+              // missing 'ts' itself).
+              val carrySide = jType match {
+                case "inner" | "left_outer" => Some(la)
+                case "right_outer" => Some(ra)
+                case _ => None
+              }
+              val aliases = itemsOf(ast).map(_._2).toSet
+              val carry = carrySide.fold(Seq.empty[String])(s0 =>
+                Seq("ts", "ts_ns").filter(c =>
+                  joined.columns.contains(s"${s0}_$c") &&
+                    !aliases.contains(c)))
+              carriedNow = carry
+              (joined.select(itemsOf(ast).map { case (it, a2, _) =>
+                expr(sqlOfWith(it.e, qual)).as(a2) } ++
+                carry.map(c =>
+                  col(s"${carrySide.get}_$c").as(c)): _*),
+                if (jType == "inner") KStateless else KWindowAgg)
+              }
+            case _ => fail("live deployment joins need #window.time(T) " +
+              "or #window.timeBatch(T) on both sides (the watermarked " +
+              "stream-stream join); count-window join sides need the " +
+              "global arrival rank and are batch-replay surfaces (v1)")
+          }
+        }
+        val key = name.orElse(ast.action.map(_.target))
+        ast.action.foreach {
+          case InsertInto(t) =>
+            if (kind != KStateless) statefulStreams += t
+            // only genuinely chunking-invariant stages are
+            // batch-re-derivable (plain filter/projection): windowed,
+            // rate-limited, joined, and fMGWS stages all carry state
+            // across triggers, so re-deriving them per BATCH would
+            // diverge from their streaming semantics — a fold feed
+            // through one is diagnosed instead
+            else if (partKey.isEmpty && ast.rate.isEmpty &&
+                (ast.stream match {
+                  case ss: SingleStream => ss.window.isEmpty
+                  case _ => false
+                }))
+              statelessAsts :+= (t -> ast)
+            // multi-writer fan-in: union, as in compileApp — but an
+            // aggregated writer cannot merge with another stream
+            // mid-topology
+            env += t -> (env.get(t) match {
+              case Some(prev) =>
+                if (kind != KStateless || statefulStreams.contains(t))
+                  fail(s"live deployment (v1): multi-writer stream '$t' " +
+                    "cannot take an aggregated writer")
+                if (prev.columns.toSet != df.columns.toSet)
+                  fail(s"queries inserting into '$t' disagree on its " +
+                    s"schema: [${prev.columns.mkString(", ")}] vs " +
+                    s"[${df.columns.mkString(", ")}]")
+                prev.unionByName(df)
+              case None => df
+            })
+          case a => fail(s"live deployment (v1) cannot run table DML " +
+            s"('${a.target}') — deploy onto the engine's upsert sink")
+        }
+        val ordCols = ast.orderBy.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }
+        if (kind != KFold && (key.contains(out) || name.contains(out)))
+          // the sink never shows the carried event-time helper columns
+          result = Some((
+            if (carriedNow.nonEmpty) df.drop(carriedNow: _*) else df,
+            kind, ordCols))
+        } // end non-DML stage
+    }
+    scriptFns = Map.empty // live apps carry their own defines
+    val liveStmts = splitStatements(app)
+    // @OnError(action='STREAM') deploys LIVE too: the fault/clean
+    // split is a stateless pair of filters over the watermarked
+    // source, so it composes onto the incremental plan exactly as it
+    // does onto the batch replay (onErrorSplit) — `!S` and S's clean
+    // view go into the read environment before any stage compiles
+    liveStmts.collect { case (_, b, true) =>
+      val p0 = new P(lex(b))
+      p0.eatKw("define")
+      if (!p0.tryKw("stream"))
+        fail("@OnError annotates a `define stream` (v1)")
+      p0.ident()
+    }.foreach { sN =>
+      val baseDf = envLookup(env, sN).getOrElse(fail("@OnError live deployment " +
+        s"annotates the source stream; '$sN' is not declared"))
+      val (fault, clean) = onErrorSplit(baseDf, liveStmts, sN)
+      env += ("!" + sN) -> fault
+      env += sN -> clean
+    }
+    liveStmts.foreach { case (name, body, _) =>
+      val head = body.split("\\s+", 2).headOption.getOrElse("")
+      if (head.equalsIgnoreCase("define")) {
+        // stream schemas come from the source; function defines compile
+        // (they inline into the incremental plan like any expression);
+        // table defines declare the mutable state live DML targets
+        val defKind = body.split("\\s+", 3).lift(1).map(_.toLowerCase)
+        if (defKind.contains("function")) registerScriptFn(body)
+        else if (defKind.contains("table"))
+          parseTableDef(body).foreach { case (t, sch) =>
+            tableDefs += t -> sch }
+        else if (defKind.contains("window")) {
+          // `define window W (cols) spec` deployed LIVE: readers
+          // compile as fed-stream#spec, exactly like the batch replay
+          // — silently reading W as a plain stream would miscompile
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("window")
+          val wname = p2.ident()
+          p2.eatSym("(")
+          var done2 = false
+          while (!done2) { p2.ident(); p2.ident()
+            if (!p2.trySym(",")) { p2.eatSym(")"); done2 = true } }
+          liveWindowDefs += wname -> p2.windowNameArgs()
+        }
+        else if (defKind.contains("aggregation")) {
+          // `define aggregation` deployed LIVE: the grain cascade's
+          // finest-grain partial table becomes keyed fold state (see
+          // the aggregation-read case in runStage)
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("aggregation")
+          val (aname, adef) = parseAggDefRest(p2)
+          if (!adef.source.equalsIgnoreCase("events"))
+            fail("a live `define aggregation` (v1) aggregates the " +
+              s"source stream 'events'; got '${adef.source}'")
+          liveAggDefs += aname -> adef
+        }
+        else if (defKind.contains("trigger")) {
+          // `define trigger T at every <iv>` deployed LIVE: the replay
+          // twin of a rate source — tick generation is driven by the
+          // STREAM'S event-time span, tracked incrementally in fold
+          // state (see the trigger-read case in runStage); a real
+          // deployment points the same read at a wall-clock rate
+          // source (engine twin: Ops.triggerGapfill)
+          val p2 = new P(lex(body))
+          p2.eatKw("define"); p2.eatKw("trigger")
+          val tname = p2.ident()
+          p2.eatKw("at"); p2.eatKw("every")
+          liveTriggerDefs += tname -> p2.duration()
+        }
+      }
+      else if (head.equalsIgnoreCase("partition")) {
+        // partition with (<spec> of S) begin ... end deployed LIVE:
+        // Spark's shuffle IS the partition (the batch compile's
+        // property holds unchanged on the incremental plan) — the key
+        // prepends to every inner grouping, so the reference's per-key
+        // query instances become ONE keyed streaming plan, per-key
+        // parallel at any executor count
+        val (innerBody, keyAttr, ranges, srcName) = parsePartition(body)
+        if (statefulStreams.contains(srcName))
+          fail(s"live deployment (v1): '$srcName' is an aggregation " +
+            "output — it cannot feed a partition block")
+        val baseDf = envLookup(env, srcName).getOrElse(fail("live deployment " +
+          s"reads declared streams; '$srcName' is neither the source " +
+          "nor an earlier insert-into target"))
+        val (partKey, view) = keyAttr match {
+          case Some(attr) =>
+            if (!baseDf.columns.contains(attr))
+              fail(s"partition attribute '$attr' is not a column of " +
+                s"'$srcName'")
+            (attr, baseDf)
+          case None =>
+            // first matching range labels the event; unmatched events
+            // leave the partition. The OR keeps the label filter above
+            // the source watermark node so flush sentinels (which may
+            // match no range) still advance the watermark.
+            val keyCol = ranges.tail.foldLeft(
+              when(expr(sqlOf(ranges.head._1)), lit(ranges.head._2))) {
+              case (acc, (c, l)) => acc.when(expr(sqlOf(c)), lit(l))
+            }
+            ("partition_key",
+              baseDf.withColumn("partition_key", keyCol)
+                .where(col("partition_key").isNotNull ||
+                  col("ts") >= Streaming.flushCutoff))
+        }
+        innerBody.split(";").map(_.trim).filter(_.nonEmpty)
+          .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
+          val ast0 = new P(lex(qBody)).query()
+          val ast = ast0.stream match {
+            case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
+              val needsKey = (ss.window.nonEmpty ||
+                ast0.select.exists(it => containsAgg(it.e))) &&
+                !ast0.groupBy.contains(partKey)
+              if (needsKey) ast0.copy(groupBy = partKey :: ast0.groupBy)
+              else ast0
+            case _: SingleStream => fail("partitioned queries read the " +
+              s"partitioned stream '$srcName' (v1)")
+            case _ => fail("partition blocks hold single-stream queries " +
+              "(v1; joins/patterns stay outside)")
+          }
+          runStage(qName, ast, env + (srcName -> view), Some(partKey))
+        }
+      }
+      else if (head.equalsIgnoreCase("from"))
+        runStage(name, new P(lex(body)).query(), env, None)
+      else fail(s"live deployment cannot run: '${body.take(40)}...'")
+    }
+    (result, foldResult)
+  }
+
+  /** Harness-side deployment: feed the events table through a
+    * MemoryStream in `chunks` micro-batches, run the deployed topology to
+    * completion on a memory sink, return the final (ordered) table —
+    * the live twin the batch-replay oracle checks. */
+  def deployApp(spark: SparkSession, dir: String, app: String, out: String,
+                chunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.engine.Streaming.feedRows(spark, dir)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Cep.Ev]
+    val src = ms.toDF()
+      .select(col("eventId").as("event_id"), col("tsNs").as("ts_ns"),
+        col("userId").as("user_id"), col("eventType").as("event_type"),
+        col("value"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val (stages, dmlOpt) = deployStages(src, app, out)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // the flush design is DATA-batch driven (sentinels advance the
+    // watermark, the batch after them emits under it), so Spark's
+    // extra no-data micro-batch per watermark advance only doubles the
+    // per-trigger checkpoint cost of a finite replay — a long-running
+    // deployment would leave it on for idle-stream timer progress
+    val prevNd = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
+    // HARNESS scratch: streaming checkpoints (offsets/commits/state
+    // deltas, fsync'd once per trigger) go to RAM-backed storage when
+    // the platform offers it — the replay loop's bottleneck is the
+    // per-trigger checkpoint round trip, not operator work, and a
+    // REAL deployment points this at durable storage instead
+    val ckptRoot = java.nio.file.Paths.get(
+      graft.engine.Streaming.scratchDir("graft_ckpt"))
+    def ckpt(tag: String): String = s"$ckptRoot/$tag"
+    try {
+      val per = math.max(rows.length / chunks, 1)
+      dmlOpt match {
+        case Some(lf) =>
+          // folded stage LIVE (table DML / unique:last / sort /
+          // frequent / enrichment): every micro-batch folds into the
+          // accumulated state — parquet generations materialize it
+          // between triggers (engine twin: Streaming.tableUpsert), so
+          // lineage stays one-batch deep and a restart resumes from
+          // the last generations. Generations are written at each
+          // state's [[StateMode]] granularity: KEYED states are
+          // hash-bucketed and only the buckets the batch touches are
+          // read into the fold and rewritten (per-trigger write cost
+          // O(batch-touched buckets), not O(state)); APPEND states
+          // write the batch delta only; FULL states (tiny by
+          // contract) rewrite whole.
+          val tmp = graft.engine.Streaming.scratchDir("graft_live_fold")
+          val nBuckets = spark.conf.getOption("graft.live.stateBuckets")
+            .map(_.toInt).getOrElse(16)
+          var gen = 0
+          // (state, bucket) -> generation holding that bucket's latest
+          // rows; bucket -1 = the whole state (FullState). AppendState
+          // keeps every generation that wrote a delta.
+          val latest = scala.collection.mutable.Map.empty[(String, Int),
+            Int]
+          val appendGens = scala.collection.mutable.Map
+            .empty[String, List[Int]].withDefaultValue(Nil)
+          val schemaOf = lf.schemas.map { case (n, s2, _) => n -> s2 }
+            .toMap
+          def path(n: String, g: Int, b: Int): String =
+            s"$tmp/gen$g/$n" + (if (b >= 0) s"/__b=$b" else "")
+          def hasFiles(p: String): Boolean = {
+            val f = new java.io.File(p)
+            f.exists && f.listFiles != null &&
+              f.listFiles.exists(_.getName.endsWith(".parquet"))
+          }
+          def bucketCol(keys: Seq[String]): Column = {
+            val h = hash(keys.map(col): _*)
+            (h % nBuckets + lit(nBuckets)) % nBuckets
+          }
+          def readPaths(sp: SparkSession, n: String, ps: Seq[String])
+              : DataFrame = {
+            val live = ps.filter(hasFiles)
+            if (live.isEmpty) emptyOf(sp, schemaOf(n))
+            else sp.read.schema(schemaOf(n)).parquet(live: _*)
+          }
+          def fullState(sp: SparkSession, n: String, m: StateMode)
+              : DataFrame = m match {
+            case FullState => readPaths(sp, n,
+              latest.get((n, -1)).map(g => path(n, g, -1)).toSeq)
+            case AppendState => readPaths(sp, n,
+              appendGens(n).map(g => path(n, g, -1)))
+            case KeyedState(_, _) => readPaths(sp, n,
+              (0 until nBuckets).flatMap(b =>
+                latest.get((n, b)).map(g => path(n, g, b))))
+          }
+          def allStates(sp: SparkSession): Map[String, DataFrame] =
+            lf.schemas.map { case (n, _, m) =>
+              n -> fullState(sp, n, m) }.toMap
+          val q = lf.feed.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt("fold"))
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              // buckets each keyed state's merge can touch — from the
+              // batch's key values, before the fold reads any state
+              val touched: Map[String, Seq[Int]] =
+                lf.schemas.collect {
+                  case (n, _, KeyedState(keys, batchKeys)) =>
+                    n -> batchKeys(sp, dir, batch)
+                      .select(bucketCol(keys).cast("int").as("__b"))
+                      .distinct().collect().map(_.getInt(0)).toSeq
+                }.toMap
+              val states = lf.schemas.map { case (n, sch, m) =>
+                n -> LiveState(
+                  m match {
+                    case FullState => fullState(sp, n, m)
+                    case AppendState => emptyOf(sp, sch)
+                    case KeyedState(_, _) => readPaths(sp, n,
+                      touched(n).flatMap(b =>
+                        latest.get((n, b)).map(g => path(n, g, b))))
+                  },
+                  () => fullState(sp, n, m))
+              }.toMap
+              val next = lf.fold(sp, dir, states, batch)
+              val g1 = gen + 1
+              lf.schemas.foreach { case (n, _, m) => m match {
+                case FullState =>
+                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
+                  latest((n, -1)) = g1
+                case AppendState =>
+                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
+                  appendGens(n) = appendGens(n) :+ g1
+                case KeyedState(keys, _) =>
+                  // the fold is a per-key merge, so its output holds
+                  // exactly the touched buckets' new content; untouched
+                  // buckets keep their prior generation untouched
+                  next(n).withColumn("__b", bucketCol(keys))
+                    .repartition(math.max(touched(n).size, 1),
+                      col("__b"))
+                    .write.mode("overwrite").partitionBy("__b")
+                    .parquet(s"$tmp/gen$g1/$n")
+                  touched(n).foreach(b => latest((n, b)) = g1)
+                  foldWriteProbe.foreach(_ += ((g1, n, next(n).count())))
+              }}
+              gen = g1
+            }.start()
+          rows.grouped(per).foreach { g =>
+            ms.addData(g.toSeq); q.processAllAvailable()
+          }
+          q.stop()
+          val fin = lf.finish(spark, allStates(spark))
+          if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
+        case None =>
+          val (df, kind, ordCols) = stages.getOrElse(
+            fail(s"app has no query named or inserting into '$out'"))
+          if (kind == 4) {
+            // UPDATE-mode global aggregation: the stream emits only
+            // the groups each trigger changed; the keyed upsert sink
+            // (last write per __ukey wins) is the SAME hash-bucketed
+            // parquet-generation store the fold runner uses — each
+            // trigger rewrites only the buckets its changed groups
+            // hash into, so BOTH per-trigger sink volume (O(changed
+            // groups)) and per-trigger write cost (O(touched buckets))
+            // survive scale, and nothing accumulates on the driver.
+            val tmpU = graft.engine.Streaming.scratchDir("graft_upd")
+            val nB = spark.conf.getOption("graft.live.stateBuckets")
+              .map(_.toInt).getOrElse(16)
+            val latestU = scala.collection.mutable.Map
+              .empty[Int, Int] // bucket -> generation
+            var genU = 0
+            val schemaU = df.schema
+            def pathU(g: Int, b: Int) = s"$tmpU/gen$g/__b=$b"
+            def bCol: Column =
+              (hash(col("__ukey")) % nB + lit(nB)) % nB
+            val q = df.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt("update"))
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val sp = batch.sparkSession
+                val bt = batch.withColumn("__b", bCol.cast("int"))
+                // persist: the batch feeds the touched-bucket probe,
+                // the anti-join, and the union — one evaluation
+                bt.persist()
+                updateEmitProbe.foreach(_ += bt.count())
+                val touched = bt.select(col("__b")).distinct()
+                  .collect().map(_.getInt(0)).toSeq
+                val prior = {
+                  val ps = touched.flatMap(b =>
+                    latestU.get(b).map(g => pathU(g, b)))
+                    .filter(p => new java.io.File(p).exists)
+                  if (ps.isEmpty)
+                    emptyOf(sp, schemaU).withColumn("__b",
+                      lit(0).cast("int"))
+                  else sp.read.schema(schemaU).parquet(ps: _*)
+                    .withColumn("__b", bCol.cast("int"))
+                }
+                val g1 = genU + 1
+                prior.join(bt.select("__ukey"), Seq("__ukey"),
+                    "left_anti")
+                  .unionByName(bt)
+                  .repartition(math.max(touched.size, 1), col("__b"))
+                  .write.mode("overwrite").partitionBy("__b")
+                  .parquet(s"$tmpU/gen$g1")
+                bt.unpersist()
+                touched.foreach(b => latestU(b) = g1)
+                genU = g1
+              }.start()
+            rows.grouped(per).foreach { g =>
+              ms.addData(g.toSeq); q.processAllAvailable()
+            }
+            q.stop()
+            val live = latestU.toSeq.map { case (b, g) => pathU(g, b) }
+              .filter(p => new java.io.File(p).exists)
+            val t =
+              (if (live.isEmpty) emptyOf(spark, schemaU)
+               else spark.read.schema(schemaU).parquet(live: _*))
+                .drop("__ukey")
+            return (if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t)
+          }
+          val mode = if (kind == 1) OutputMode.Complete()
+                     else OutputMode.Append()
+          val sinkName = s"graft_deploy_$out"
+          val q = df.writeStream.format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt("sink"))
+            .outputMode(mode).start()
+          rows.grouped(per).foreach { g =>
+            ms.addData(g.toSeq); q.processAllAvailable()
+          }
+          if (kind == 2) (0 to 1).foreach { k =>
+            // two watermark-flush sentinel batches (engine twin:
+            // Streaming.runStream): the first advances the watermark
+            // past every real window, the second runs a batch UNDER
+            // that advanced watermark so all remaining state emits and
+            // evicts
+            ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
+              graft.engine.Streaming.FlushNs + k * 3600000000000L,
+              -1L, "__flush", 0.0)))
+            q.processAllAvailable()
+          }
+          q.stop()
+          val t = spark.table(sinkName)
+          if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      scala.util.Try {
+        import scala.reflect.io.Directory
+        new Directory(ckptRoot.toFile).deleteRecursively()
+      }
+    }
+  }
+}
