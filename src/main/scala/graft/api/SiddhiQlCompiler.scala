@@ -205,8 +205,27 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             val schema = tableDefs.getOrElse(act.target, fail(
               s"'${act.target}' is not a defined table — add " +
                 s"`define table ${act.target}(...)` before the DML query"))
-            val next =
-              applyDml(spark, dir, ast, act, schema, env(act.target), env)
+            val prior = dmlWriters.getOrElse(act.target, Nil)
+            // an ORDER-COMPOSABLE second writer re-merges ALL writers
+            // so far from the empty table in per-event interleaved
+            // order (Siddhi's semantics: an event flows through every
+            // query in statement order) — sequential
+            // statement-at-a-time application would let a later
+            // writer's stale update beat an earlier writer's newer one
+            // on the same key. Heterogeneous groups (e.g. an upsert
+            // writer plus a delete sweeper) keep the statement-
+            // sequential replay: their statements express a pipeline
+            // (populate, then prune), not racing updates.
+            val next = ast.stream match {
+              case ss: SingleStream if prior.nonEmpty &&
+                  dmlComposable(prior :+ ((ast, act, schema, ss.table))) =>
+                applyDmlMulti(spark, dir,
+                  prior :+ ((ast, act, schema, ss.table)), schema,
+                  emptyOf(spark, schema), env)
+              case _ =>
+                applyDml(spark, dir, ast, act, schema, env(act.target),
+                  env)
+            }
             env += act.target -> next
             ast.stream match {
               case ss: SingleStream =>
@@ -246,11 +265,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
                     "table on the RIGHT side (v1) — swap the join " +
                     "sides")
                 val ws = dmlWriters(j2.right.table)
-                if (ws.length > 1)
-                  fail("live enrichment joins read a table with ONE " +
-                    s"DML writer (v1); '${j2.right.table}' has " +
-                    s"${ws.length}")
-                val enr = enrichCompile(spark, dir, ast1, j2, ws.head,
+                val enr = enrichCompile(spark, dir, ast1, j2, ws,
                   emptyOf(spark, ws.head._3), env)
                 val ordered =
                   if (ast1.orderBy.isEmpty) enr
@@ -462,9 +477,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     * seed over the whole-replay environment — chunking-invariance by
     * construction. */
   private[api] def enrichCompile(sp: SparkSession, dir: String, ast: Ast,
-      j: JoinStream, dmlInfo: (Ast, Action, StructType, String),
+      j: JoinStream, winfos: List[(Ast, Action, StructType, String)],
       accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
-    val (dAst, dAct, dSchema, dSrc) = dmlInfo
+    val dSchema = winfos.head._3
     val tSide = j.right; val sSide = j.left
     val tName = tSide.table
     if (j.unidirectional)
@@ -486,32 +501,46 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // the maintaining DML must be PER-EVENT: a windowed-aggregate
     // writer emits at flush times, so "as-of this event" would need
     // flush-aligned state reconstruction — read it at finish instead
-    dAst.stream match {
-      case ss: SingleStream if ss.window.nonEmpty =>
-        fail(s"live enrichment joins read a table maintained by " +
-          s"per-event DML (v1) — '$tName' is maintained by a windowed " +
-          "aggregate, which emits at flush times; read it as the " +
-          "app's final output instead")
-      case _ => ()
+    winfos.foreach { case (dAst, _, _, _) =>
+      dAst.stream match {
+        case ss: SingleStream if ss.window.nonEmpty =>
+          fail(s"live enrichment joins read a table maintained by " +
+            s"per-event DML (v1) — '$tName' is maintained by a " +
+            "windowed aggregate, which emits at flush times; read it " +
+            "as the app's final output instead")
+        case _ => ()
+      }
     }
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
-    // folds as a running sum of per-event deltas
-    val (dOn, dFolds) = dAct match {
-      case UpsertTable(_, set, on) =>
-        val parsed = set.map { case (c, e) =>
-          (c, foldSetOf(tName, c, e)) }
-        if (parsed.exists(_._2.isEmpty) && set.nonEmpty)
-          fail("live enrichment joins read a table maintained by " +
-            "`update or insert` with an IMPLICIT set or accumulator " +
-            s"folds (`set $tName.c = $tName.c + expr`) (v1) — other " +
-            "set expressions are not per-event reconstructible")
-        (on, parsed.collect { case (c, Some(f)) => c -> f })
-      case a2 => fail("live enrichment joins read a table maintained " +
-        s"by `update or insert` (v1); '$tName' takes " +
-        s"'${a2.getClass.getSimpleName}'")
-    }
+    // folds as a running sum of per-event deltas. With SEVERAL writers
+    // every writer must share the key columns and the fold spec
+    // (column → operator); each keeps its OWN delta expressions.
+    val perWriter: List[(Expr, List[(String, (String, Expr))])] =
+      winfos.map { case (_, dAct, _, _) =>
+        dAct match {
+          case UpsertTable(_, set, on) =>
+            val parsed = set.map { case (c, e) =>
+              (c, foldSetOf(tName, c, e)) }
+            if (parsed.exists(_._2.isEmpty) && set.nonEmpty)
+              fail("live enrichment joins read a table maintained by " +
+                "`update or insert` with an IMPLICIT set or accumulator " +
+                s"folds (`set $tName.c = $tName.c + expr`) (v1) — " +
+                "other set expressions are not per-event " +
+                "reconstructible")
+            (on, parsed.collect { case (c, Some(f)) => c -> f })
+          case a2 => fail("live enrichment joins read a table " +
+            s"maintained by `update or insert` (v1); '$tName' takes " +
+            s"'${a2.getClass.getSimpleName}'")
+        }
+      }
+    val dOn = perWriter.head._1
+    val dFolds = perWriter.head._2
+    if (perWriter.map(_._2.map { case (c, (op, _)) => (c, op) }.toMap)
+        .distinct.length != 1)
+      fail(s"multi-writer enrichment table '$tName' (v1): every " +
+        "writer must fold the SAME columns with the same operators")
     val joinKind = j.joinType match {
       case "inner" | "left_outer" => j.joinType
       case other => fail("live enrichment joins are inner or left " +
@@ -521,6 +550,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     val tAlias = j.rightAlias.getOrElse(tName)
     val sAlias = j.leftAlias.getOrElse(sName)
     val dmlKeys = keyEqsOf(dOn, tName)
+    val dmlKeysPer = perWriter.map { case (on, _) => keyEqsOf(on, tName) }
     // join-key stream refs evaluate over the FLAT event columns —
     // strip the stream alias
     val joinKeys = keyEqsOf(j.on, tName, {
@@ -530,24 +560,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       case parts => parts.mkString(".")
     })
     val keyOrder = dmlKeys.map(_._1).distinct.sorted
+    dmlKeysPer.foreach { ks =>
+      if (ks.map(_._1).distinct.sorted != keyOrder)
+        fail(s"multi-writer enrichment table '$tName' (v1): every " +
+          s"writer must key on (${keyOrder.mkString(", ")})")
+    }
     if (joinKeys.map(_._1).distinct.sorted != keyOrder)
       fail("live enrichment joins match on the SAME table columns " +
         s"the DML keys on (${keyOrder.mkString(", ")}); the join " +
         s"uses (${joinKeys.map(_._1).distinct.sorted.mkString(", ")})")
     val tCols = dSchema.fieldNames.toSet
     val items = itemsOf(ast)
-    // U = the DML feed's update rows (its select output) in arrival
-    // order — the same projection applyDml folds
-    val uBase0 = loadTable(sp, dir, dSrc, env)
-    val uBase = dAst.stream match {
-      case ss: SingleStream => ss.filter.fold(uBase0)(f =>
-        applyFilter(sp, dir, uBase0, f, env))
-      case _ => uBase0 // unreachable: DML is single-stream
-    }
-    val uItems = itemsOf(expandStar(dAst, uBase0.columns))
-    val uSel = uBase.select(uItems.map { case (it, a2, _) =>
-      expr(sqlOf(it.e)).as(a2) } :+
-      struct(col("ts_ns"), col("event_id")).as("__ord"): _*)
     val updC = struct(dSchema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     val updType = StructType(dSchema.fields)
@@ -563,32 +586,58 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           s"'$sName' lost it — select it through"))
     val evtC = struct(eBase.columns.toSeq.map(col): _*)
     val evtType = StructType(eBase.schema.fields)
-    // per-event fold deltas of the DML's update rows (null on event
-    // rows, zero on the accumulated seed — its values already carry
-    // every prior fold)
-    val uOut = uItems.map(_._2)
-    def deltaSql(e: Expr): String = sqlOfWith(e, {
-      case c :: Nil if uOut.contains(c) => c
-      case parts => fail(s"fold delta reference '${parts.mkString(".")}'" +
-        " is not a DML select output attribute")
-    })
     val fdType = StructType(dFolds.map { case (c, _) =>
       StructField(c, dSchema(c).dataType) })
+    // U = the union of every writer's update rows (each writer's
+    // select output) in arrival order — the `w` ord field is the
+    // statement index, so an event flowing through two writers applies
+    // their updates in statement order (Siddhi's per-event flow); an
+    // EVENT row carries w = MaxValue so it sorts after its own
+    // same-instant updates. Per-event fold deltas evaluate against
+    // each writer's OWN select outputs (null on event rows, zero on
+    // the accumulated seed — its values already carry every prior
+    // fold).
+    val uTag = winfos.zipWithIndex.map {
+      case ((dAst, _, _, dSrc), wi) =>
+        val wKeys = dmlKeysPer(wi)
+        val wFolds = perWriter(wi)._2
+        val uBase0 = loadTable(sp, dir, dSrc, env)
+        val uBase = dAst.stream match {
+          case ss: SingleStream => ss.filter.fold(uBase0)(f =>
+            applyFilter(sp, dir, uBase0, f, env))
+          case _ => uBase0 // unreachable: DML is single-stream
+        }
+        val uItems = itemsOf(expandStar(dAst, uBase0.columns))
+        val uSel = uBase.select(uItems.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) } :+
+          struct(col("ts_ns"), col("event_id"),
+            lit(wi.toLong).as("w")).as("__ord"): _*)
+        val uOut = uItems.map(_._2)
+        def deltaSql(e: Expr): String = sqlOfWith(e, {
+          case c :: Nil if uOut.contains(c) => c
+          case parts => fail(s"fold delta reference " +
+            s"'${parts.mkString(".")}' is not a DML select output " +
+            "attribute")
+        })
+        uSel.select(
+          (Seq(keyC(keyOrder.map(c => wKeys.find(_._1 == c).get._2))
+              .as("__key"),
+            col("__ord"), updC.as("__upd")) ++
+            (if (dFolds.isEmpty) Nil else Seq(struct(dFolds.map {
+              case (c, _) =>
+                expr(deltaSql(wFolds.find(_._1 == c).get._2._2))
+                  .cast(dSchema(c).dataType).as(c) }: _*)
+              .as("__fd")))): _*)
+    }.reduce(_ unionByName _)
     def fdOf(mk: String => Column): Column =
       struct(dFolds.map { case (c, (_, d)) =>
         mk(c).cast(dSchema(c).dataType).as(c) }: _*)
-    val uTag = uSel.select(
-      (Seq(keyC(keyOrder.map(c => dmlKeys.find(_._1 == c).get._2))
-          .as("__key"),
-        col("__ord"), updC.as("__upd")) ++
-        (if (dFolds.isEmpty) Nil else Seq(fdOf(c =>
-          expr(deltaSql(dFolds.find(_._1 == c).get._2._2)))
-          .as("__fd")))): _*)
     // accumulated state seeds sort before every batch row
     val accTag = accTable.select(
       (Seq(keyC(keyOrder).as("__key"),
         struct(lit(Long.MinValue).as("ts_ns"),
-          lit(Long.MinValue).as("event_id")).as("__ord"),
+          lit(Long.MinValue).as("event_id"),
+          lit(Long.MinValue).as("w")).as("__ord"),
         updC.as("__upd")) ++
         (if (dFolds.isEmpty) Nil
          else Seq(fdOf(_ => lit(0)).as("__fd")))): _*)
@@ -598,7 +647,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     val eTag = eBase.select(
       (Seq(keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
           .as("__key"),
-        struct(col("ts_ns"), col("event_id")).as("__ord"),
+        // w = MaxValue: an event sorts after its own same-instant
+        // updates from every writer (the __isE sort key preserves
+        // this too — belt and braces)
+        struct(col("ts_ns"), col("event_id"),
+          lit(Long.MaxValue).as("w")).as("__ord"),
         lit(null).cast(updType).as("__upd")) ++
         (if (dFolds.isEmpty) Nil
          else Seq(lit(null).cast(fdType).as("__fd"))) ++
@@ -731,6 +784,19 @@ private[api] trait SiddhiQlCompiler extends Serializable {
   private[api] def applyDml(spark: SparkSession, dir: String, ast: Ast,
       act: Action, schema: StructType, table: DataFrame,
       env: Map[String, DataFrame]): DataFrame = {
+    val (sel, outCols) = dmlEmissions(spark, dir, ast, act, schema, env)
+    applyEmissions(act, schema, table, sel, outCols)
+  }
+
+  /** The emission relation of ONE DML statement — the select output
+    * attributes plus the `__g_ord` replay-order struct (one row per
+    * event for plain DML, one per window-flush × group for the
+    * aggregating timeBatch form) — and its output column names.
+    * [[applyDml]] = this + [[applyEmissions]]; [[applyDmlMulti]]
+    * normalizes several statements' emissions into one merge. */
+  private[api] def dmlEmissions(spark: SparkSession, dir: String,
+      ast: Ast, act: Action, schema: StructType,
+      env: Map[String, DataFrame]): (DataFrame, Seq[String]) = {
     val s = ast.stream match {
       case ss: SingleStream => ss
       case _ => fail("table DML (v1) requires a single un-joined source " +
@@ -799,7 +865,154 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           s"'#window.${w.name}' emissions are not batch-replay " +
           "collapsible here")
     }
-    applyEmissions(act, schema, table, sel, outCols)
+    (sel, outCols)
+  }
+
+  /** Merge SEVERAL DML statements targeting one table, in Siddhi's
+    * per-event interleaved order: each writer's emission relation is
+    * normalized — merge keys and accumulator deltas pre-evaluated,
+    * table columns cast, `__g_ord` extended with the statement index
+    * as the tiebreak (an event flowing through two writers applies
+    * their updates in statement order) — then the UNION feeds one
+    * [[applyEmissions]] merge with a synthesized action, so the
+    * multi-writer algebra IS the single-writer algebra over the
+    * interleaved emission sequence. v1 shapes (the order-composable
+    * ones): all writers `insert into`, all implicit-set
+    * `update or insert`, or all accumulator-fold `update or insert`
+    * with identical column→op specs; the writers must key on the
+    * same table columns. Anything else is diagnosed. */
+  /** Shape classification of one table's writer group: "insert" /
+    * "upsert" (implicit set) / "fold" (all-accumulator set) /
+    * "upsert-expr" / "update" / "delete", distinct. */
+  private[api] def dmlKinds(
+      writers: List[(Ast, Action, StructType, String)]): List[String] = {
+    val t = writers.head._2.target
+    writers.map(_._2).map {
+      case _: InsertInto => "insert"
+      case UpsertTable(_, set, _) =>
+        if (set.isEmpty) "upsert"
+        else if (set.forall { case (c, e) => foldSetOf(t, c, e).nonEmpty })
+          "fold"
+        else "upsert-expr"
+      case _: UpdateTable => "update"
+      case _: DeleteTable => "delete"
+    }.distinct
+  }
+
+  /** Is a writer group ORDER-COMPOSABLE for the interleaved
+    * multi-writer merge — one shared shape (all insert-into, all
+    * implicit-set upserts, or all accumulator-fold upserts)?
+    * Heterogeneous groups (e.g. an upsert writer plus a delete
+    * sweeper) express a statement PIPELINE and keep the sequential
+    * replay. */
+  private[api] def dmlComposable(
+      writers: List[(Ast, Action, StructType, String)]): Boolean = {
+    val kinds = dmlKinds(writers)
+    kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
+  }
+
+  private[api] def applyDmlMulti(spark: SparkSession, dir: String,
+      writers: List[(Ast, Action, StructType, String)],
+      schema: StructType, table: DataFrame,
+      env: Map[String, DataFrame]): DataFrame = {
+    if (writers.length == 1) {
+      val (ast, act, _, _) = writers.head
+      return applyDml(spark, dir, ast, act, schema, table, env)
+    }
+    val t = writers.head._2.target
+    val kinds = dmlKinds(writers)
+    if (!dmlComposable(writers))
+      fail(s"multi-writer table '$t' (v1) needs every writer in ONE " +
+        "order-composable shape — all `insert into`, all implicit-set " +
+        "`update or insert`, or all accumulator-fold `update or " +
+        s"insert` with identical folds; got [${kinds.mkString(", ")}]")
+    val kind = kinds.head
+    // per-writer emissions, __g_ord extended with the statement index
+    val emissions = writers.zipWithIndex.map { case ((ast, act, _, _), i) =>
+      val (sel, outCols) = dmlEmissions(spark, dir, ast, act, schema, env)
+      (sel.withColumn("__g_ord", struct(col("__g_ord.ts_ns"),
+        col("__g_ord.event_id"), lit(i.toLong).as("w"))), outCols, act)
+    }
+    if (kind == "insert") {
+      val merged = emissions.map { case (sel, outCols, _) =>
+        schema.fieldNames.foreach(c =>
+          if (!outCols.contains(c))
+            fail(s"insert into $t: select output must cover every " +
+              s"table column (missing: $c)"))
+        sel.select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) :+ col("__g_ord"): _*)
+      }.reduce(_ unionByName _)
+      return applyEmissions(InsertInto(t), schema, table, merged,
+        schema.fieldNames.toSeq)
+    }
+    // upsert forms: same key columns everywhere
+    val keyColsPer = writers.map { case (_, act2, _, _) =>
+      act2 match {
+        case UpsertTable(_, _, on) => keyEqsOf(on, t)
+        case _ => Nil // unreachable: classified above
+      }
+    }
+    val keyOrder = keyColsPer.head.map(_._1).distinct.sorted
+    keyColsPer.foreach { ks =>
+      if (ks.map(_._1).distinct.sorted != keyOrder)
+        fail(s"multi-writer table '$t' (v1): every writer must key on " +
+          s"the same table columns (${keyOrder.mkString(", ")})")
+    }
+    // fold specs: identical column → op across writers
+    val foldSpecs: List[Map[String, String]] = writers.map {
+      case (_, UpsertTable(_, set, _), _, _) =>
+        set.flatMap { case (c, e) =>
+          foldSetOf(t, c, e).map { case (op, _) => c -> op } }.toMap
+      case _ => Map.empty[String, String]
+    }
+    if (kind == "fold" && foldSpecs.distinct.length != 1)
+      fail(s"multi-writer table '$t' (v1): accumulator-fold writers " +
+        "must fold the SAME columns with the same operators")
+    val folds = foldSpecs.head.toList.sortBy(_._1)
+    // normalize each writer: pre-evaluate its key RHS and fold deltas
+    // over its own select outputs, cast table columns
+    val merged = emissions.zip(writers).map {
+      case ((sel, outCols, act2), (_, _, _, _)) =>
+        val keys = act2 match {
+          case UpsertTable(_, _, on) => keyEqsOf(on, t)
+          case _ => Nil
+        }
+        schema.fieldNames.foreach(c =>
+          if (!outCols.contains(c))
+            fail(s"update or insert into $t: select output must cover " +
+              s"every table column (missing: $c)"))
+        val deltaOf: Map[String, Expr] = act2 match {
+          case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
+            foldSetOf(t, c, e).map { case (_, d) => c -> d } }.toMap
+          case _ => Map.empty
+        }
+        def streamSql(e: Expr): String = sqlOfWith(e, {
+          case c :: Nil if outCols.contains(c) => c
+          case parts => fail(s"fold delta reference " +
+            s"'${parts.mkString(".")}' is not a select output attribute")
+        })
+        sel.select(keyOrder.zipWithIndex.map { case (kc, i) =>
+          expr(keys.find(_._1 == kc).get._2).as(s"__mk$i")
+        } ++ schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) ++
+          folds.map { case (c, _) =>
+            expr(streamSql(deltaOf(c))).cast(schema(c).dataType)
+              .as(s"__fdm_$c") } :+ col("__g_ord"): _*)
+    }.reduce(_ unionByName _)
+    // synthesized single merge over the interleaved union: keys match
+    // on the pre-evaluated __mk columns, folds reference the
+    // pre-evaluated __fdm deltas
+    val onSyn: Expr = keyOrder.zipWithIndex.map { case (kc, i) =>
+      Bin("==", Ref(List(t, kc)), Ref(List(s"__mk$i")))
+    }.reduceLeft((a, b) => Bin("and", a, b))
+    val setSyn: List[(String, Expr)] = folds.map { case (c, op) =>
+      c -> Bin(op, Ref(List(t, c)), Ref(List(s"__fdm_$c")))
+    }
+    val outColsSyn = schema.fieldNames.toSeq ++
+      keyOrder.indices.map(i => s"__mk$i") ++
+      folds.map { case (c, _) => s"__fdm_$c" }
+    applyEmissions(UpsertTable(t, setSyn, onSyn), schema, table,
+      merged, outColsSyn)
   }
 
   /** Merge EMISSION rows — the select output attributes plus a

@@ -205,6 +205,47 @@ private[api] trait SiddhiQlLive extends Serializable {
     }
   }
 
+  /** [[dmlStateMode]] for a MULTI-writer table: keyed DML
+    * bucket-merges on the shared key columns with the batch-key probe
+    * the UNION of every writer's filter+select key projection;
+    * insert-only writer groups append. */
+  private[api] def dmlStateModeMulti(
+      writers: List[(Ast, Action, StructType, String)], tName: String,
+      schema: StructType, fnsSnap: Map[String, ScriptFn],
+      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
+      : StateMode = {
+    val keysM = writers.head._2 match {
+      case UpsertTable(_, _, on) =>
+        keyEqsOf(on, tName).map(_._1).distinct.sorted
+      case _ => Nil
+    }
+    if (keysM.isEmpty) AppendState
+    else KeyedState(keysM, (sp, d2, batch) => {
+      scriptFns = fnsSnap
+      val benv = envOf(sp, d2, batch)
+      writers.map { case (wAst, wAct, _, wSrc) =>
+        val on = wAct match {
+          case UpsertTable(_, _, o) => o
+          case a2 => fail("multi-writer table DML (v1) mixes only " +
+            s"`update or insert` writers; got " +
+            s"'${a2.getClass.getSimpleName}'")
+        }
+        val keys = keyEqsOf(on, tName)
+        val b0 = loadTable(sp, d2, wSrc, benv)
+        val b1 = (wAst.stream match {
+          case ss: SingleStream => ss.filter
+          case _ => None
+        }).fold(b0)(f => applyFilter(sp, d2, b0, f, benv))
+        val items2 = itemsOf(expandStar(wAst, b0.columns))
+        b1.select(items2.map { case (it, a2, _) =>
+            expr(sqlOf(it.e)).as(a2) }: _*)
+          .select(keysM.map { kc =>
+            expr(keys.find(_._1 == kc).get._2)
+              .cast(schema(kc).dataType).as(kc) }: _*)
+      }.reduce(_ unionByName _)
+    })
+  }
+
   /** LIVE windowed-aggregate table DML (the canonical Siddhi store
     * pattern — `from S#window.timeBatch(T) select k, agg(x) group by k
     * update or insert into T`, deployed): fold state is the
@@ -502,7 +543,55 @@ private[api] trait SiddhiQlLive extends Serializable {
               case ss: SingleStream => ss.window
               case _ => None
             }
-            winSpec match {
+            val allWriters = dmlInfos(act.target)
+            if (allWriters.length > 1 && !dmlComposable(allWriters))
+              fail(s"multi-writer table '${act.target}' (v1) deploys " +
+                "ORDER-COMPOSABLE writer groups only (all insert / " +
+                "all implicit-set upsert / all identical-fold upsert) " +
+                "— heterogeneous statement pipelines (e.g. upsert + " +
+                "delete) are batch-replay surfaces")
+            if (allWriters.length > 1) {
+              // MULTI-WRITER table deployed LIVE: the fold applies
+              // every registered writer's emissions per trigger in
+              // per-event interleaved order (applyDmlMulti — the same
+              // merged algebra as the batch compile, which is why the
+              // batch replay is the oracle). Each writer's feed
+              // re-derives from the source batch, so every writer must
+              // read the source (or a stateless derived stream);
+              // windowed writers stay single-writer (their flush
+              // partials don't interleave with per-event emissions).
+              allWriters.foreach { case (wAst, _, _, wSrc) =>
+                wAst.stream match {
+                  case ss: SingleStream if ss.window.nonEmpty =>
+                    fail(s"multi-writer table '${act.target}' (v1) " +
+                      "takes per-event writers only — windowed " +
+                      "aggregate writers stay single-writer")
+                  case _ => ()
+                }
+                val derivable = Set("events") ++ statelessAsts.map(_._1)
+                if (!derivable.contains(wSrc))
+                  fail(s"multi-writer table '${act.target}' (v1): " +
+                    s"writer source '$wSrc' must be the source stream " +
+                    "or a stateless derived stream")
+              }
+              val statelessSnap = statelessAsts
+              val sp00 = srcTs.sparkSession
+              // deploy-time probe: shape checks fail NOW, not at the
+              // first trigger
+              applyDmlMulti(sp00, "", allWriters, schema,
+                emptyOf(sp00, schema), batchEnv(sp00, "",
+                  emptyOf(sp00, srcTs.schema), statelessSnap))
+              foldResult = Some(singleFold(srcTs, schema,
+                (sp, d2, acc, batch) => {
+                  scriptFns = fnsSnap
+                  applyDmlMulti(sp, d2, allWriters, schema, acc,
+                    batchEnv(sp, d2, batch, statelessSnap))
+                },
+                (_, acc) => acc, Nil,
+                dmlStateModeMulti(allWriters, act.target, schema,
+                  fnsSnap, (sp, d2, batch) =>
+                    batchEnv(sp, d2, batch, statelessSnap))))
+            } else winSpec match {
               case Some(WindowSpec(_, tNs :: _, _)) =>
                 // windowed-aggregate DML (the Siddhi store pattern)
                 // LIVE: a per-batch applyDml would double-apply a
@@ -1462,17 +1551,13 @@ private[api] trait SiddhiQlLive extends Serializable {
               fail("live enrichment joins are per-event lookups (v1) — " +
                 "no window on the stream side")
             val writers = dmlInfos(tName)
-            if (writers.length > 1)
-              fail("live enrichment joins read a table with ONE DML " +
-                s"writer (v1); '$tName' has ${writers.length}")
-            val dmlInfo = writers.head
-            val (dAst, dAct, dSchema, dSrc) = dmlInfo
+            val (dAst, dAct, dSchema, dSrc) = writers.head
             val sName = sSide.table
             if (statefulStreams.contains(sName))
               fail(s"live deployment (v1): '$sName' is an aggregation " +
                 "output — it cannot feed an enrichment join")
             val derivable = Set("events") ++ statelessAsts.map(_._1)
-            Seq(sName, dSrc).foreach { n2 =>
+            (sName +: writers.map(_._4)).foreach { n2 =>
               if (!derivable.contains(n2))
                 fail(s"live enrichment joins derive their feeds from " +
                   s"the source through stateless stages; '$n2' is not " +
@@ -1483,6 +1568,23 @@ private[api] trait SiddhiQlLive extends Serializable {
             val sp0 = src.sparkSession
             val hasAggE = ast.select.exists(it => containsAgg(it.e)) ||
               ast.groupBy.nonEmpty
+            // table maintenance for the fold channel: single-writer =
+            // the plain keyed DML merge; multi-writer = the interleaved
+            // emission-order merge (applyDmlMulti), batch-key probes =
+            // the union of every writer's key projection
+            def tApply(sp: SparkSession, d2: String, accT: DataFrame,
+                benv: Map[String, DataFrame]): DataFrame =
+              if (writers.length == 1)
+                applyDml(sp, d2, dAst, dAct, dSchema, accT, benv)
+              else applyDmlMulti(sp, d2, writers, dSchema, accT, benv)
+            def tModeOf(fnsSnap2: Map[String, ScriptFn]): StateMode =
+              if (writers.length == 1)
+                dmlStateMode(dAst, dAct, dSchema, dSrc, fnsSnap2,
+                  (sp, d2, batch) =>
+                    batchEnv(sp, d2, batch, statelessSnap))
+              else dmlStateModeMulti(writers, tName, dSchema, fnsSnap2,
+                (sp, d2, batch) =>
+                  batchEnv(sp, d2, batch, statelessSnap))
             val winWriterTNs: Option[Long] = dAst.stream match {
               case ss2: SingleStream =>
                 if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
@@ -1491,6 +1593,16 @@ private[api] trait SiddhiQlLive extends Serializable {
                 ss2.window.map(_.args.head)
               case _ => None
             }
+            if (writers.length > 1)
+              writers.foreach { case (wAst, _, _, _) =>
+                wAst.stream match {
+                  case ss2: SingleStream if ss2.window.nonEmpty =>
+                    fail(s"multi-writer enrichment table '$tName' " +
+                      "(v1) takes per-event writers only — windowed " +
+                      "aggregate writers stay single-writer")
+                  case _ => ()
+                }
+              }
             if (winWriterTNs.nonEmpty) {
               // READ-AT-FINISH enrichment of a WINDOWED-aggregate
               // store (the Siddhi store pattern read back through a
@@ -1652,8 +1764,8 @@ private[api] trait SiddhiQlLive extends Serializable {
               def mergeComp(base: String, n: String): Seq[Column] =
                 FoldAlg.mergeCols(n, base)
               // deploy-time prototypes (fail fast + schemas)
-              val protoRows = enrichCompile(sp0, "", astRows, j, dmlInfo,
-                emptyOf(sp0, dSchema),
+              val protoRows = enrichCompile(sp0, "", astRows, j,
+                writers, emptyOf(sp0, dSchema),
                 batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
                   statelessSnap))
               val schemaA = partialOf(withK(protoRows)).schema
@@ -1662,9 +1774,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               val keyE2 = name.orElse(ast.action.map(_.target))
               if (keyE2.contains(out) || name.contains(out)) {
                 val fnsSnap = scriptFns
-                val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
-                  fnsSnap, (sp, d2, batch) =>
-                    batchEnv(sp, d2, batch, statelessSnap))
+                val tMode = tModeOf(fnsSnap)
                 foldResult = Some(LiveFold(srcTs,
                   Seq((tName, dSchema, tMode),
                     ("state", schemaA, KeyedState(keys,
@@ -1687,7 +1797,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                     scriptFns = fnsSnap
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
                     val enriched = enrichCompile(sp, d2, astRows, j,
-                      dmlInfo, acc(tName).full(), benv)
+                      writers, acc(tName).full(), benv)
                     val u = partialOf(withK(enriched))
                     val merged = acc("state").slice.as("t")
                       .join(u.as("u"),
@@ -1699,8 +1809,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                         comps.toSeq.flatMap { case (b2, n, _) =>
                           mergeComp(b2, n) }: _*)
                     Map(
-                      tName -> applyDml(sp, d2, dAst, dAct, dSchema,
-                        acc(tName).slice, benv),
+                      tName -> tApply(sp, d2, acc(tName).slice, benv),
                       "state" -> merged)
                   },
                   (_, acc) => acc("state").select(finals.map {
@@ -1711,7 +1820,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               (emptyOf(sp0, protoOut.schema), KFold)
             } else {
             // fail fast at deploy time + learn the output schema
-            val proto = enrichCompile(sp0, "", ast, j, dmlInfo,
+            val proto = enrichCompile(sp0, "", ast, j, writers,
               emptyOf(sp0, dSchema),
               batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
                 statelessSnap))
@@ -1722,9 +1831,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               // (write cost O(batch-touched buckets)); the enrichment
               // OUTPUT is a sink-like accumulation — each trigger
               // appends its delta generation, never rewriting history
-              val tMode = dmlStateMode(dAst, dAct, dSchema, dSrc,
-                fnsSnap, (sp, d2, batch) =>
-                  batchEnv(sp, d2, batch, statelessSnap))
+              val tMode = tModeOf(fnsSnap)
               foldResult = Some(LiveFold(srcTs,
                 Seq((tName, dSchema, tMode),
                     ("__out", proto.schema, AppendState)),
@@ -1732,11 +1839,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                   scriptFns = fnsSnap
                   val benv = batchEnv(sp, d2, batch, statelessSnap)
                   Map(
-                    tName -> applyDml(sp, d2, dAst, dAct, dSchema,
-                      acc(tName).slice, benv),
+                    tName -> tApply(sp, d2, acc(tName).slice, benv),
                     // the join reads the WHOLE pre-batch table (events
                     // may reference keys this batch didn't update)
-                    "__out" -> enrichCompile(sp, d2, ast, j, dmlInfo,
+                    "__out" -> enrichCompile(sp, d2, ast, j, writers,
                       acc(tName).full(), benv))
                 },
                 (_, acc) => acc("__out"),

@@ -754,6 +754,124 @@ object SqlGate {
         .stripMargin, "roll")
       .selectExpr("user_id", "sd", "dv")
       .orderBy("user_id")),
+    // TWO writers maintaining one table: Siddhi's per-event flow means
+    // the merge interleaves BOTH writers' updates in (ts, event_id,
+    // statement) order — last-wins goes to the truly latest event
+    // across writers, never "last statement wins"
+    "sql_table_two_writers" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table UserLast (user_id long, last_value double,
+        |  src string);
+        |
+        |@info(name = 'clicks')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value, 'click' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'buys')
+        |from events[event_type == 'purchase']
+        |select user_id, value as last_value, 'buy' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from UserLast
+        |select user_id, math:round(last_value, 2) as last_value, src
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // two ACCUMULATOR-FOLD writers: additive folds commute across the
+    // interleaved emission order, insert values = each key's first
+    // emission across both writers
+    "sql_table_two_writers_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Acc (user_id long, total double, n long);
+        |
+        |@info(name = 'clicks')
+        |from events[event_type == 'click']
+        |select user_id, value as total, convert(1, 'long') as n
+        |update or insert into Acc
+        |  set Acc.total = Acc.total + total, Acc.n = Acc.n + n
+        |  on Acc.user_id == user_id;
+        |
+        |@info(name = 'buys')
+        |from events[event_type == 'purchase']
+        |select user_id, value * 2.0 as total, convert(1, 'long') as n
+        |update or insert into Acc
+        |  set Acc.total = Acc.total + total, Acc.n = Acc.n + n
+        |  on Acc.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Acc
+        |select user_id, math:round(total, 2) as total, n
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // the two-writer table deployed LIVE: the fold applies BOTH
+    // writers' emissions per trigger in interleaved order
+    // (applyDmlMulti — the batch merge is the oracle)
+    "sql_app_table_two_writers_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserLast (user_id long, last_value double,
+        |  src string);
+        |
+        |@info(name = 'clicks')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value, 'click' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'buys')
+        |from events[event_type == 'purchase']
+        |select user_id, value as last_value, 'buy' as src
+        |update or insert into UserLast on UserLast.user_id == user_id"""
+        .stripMargin, "buys")
+      .selectExpr("user_id", "round(last_value, 2) as last_value", "src")
+      .orderBy("user_id")),
+    // per-event as-of enrichment against the TWO-writer table: each
+    // error sees the latest click-or-purchase update before it
+    "sql_enrich_multi" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table UserLast (user_id long, last_value double,
+        |  src string);
+        |
+        |@info(name = 'clicks')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value, 'click' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'buys')
+        |from events[event_type == 'purchase']
+        |select user_id, value as last_value, 'buy' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'error'] join UserLast
+        |  on UserLast.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(UserLast.last_value, 2) as lv, UserLast.src as src
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    // the same as-of read deployed LIVE — the union of both writers'
+    // update rows (statement-index ord tiebreak) feeds the keyed
+    // window pass; the batch oracle is truth
+    "sql_app_enrich_multi_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserLast (user_id long, last_value double,
+        |  src string);
+        |
+        |@info(name = 'clicks')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value, 'click' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'buys')
+        |from events[event_type == 'purchase']
+        |select user_id, value as last_value, 'buy' as src
+        |update or insert into UserLast on UserLast.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'error'] join UserLast
+        |  on UserLast.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(UserLast.last_value, 2) as lv, UserLast.src as src
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     // a WINDOWED-writer table read back through a JOIN, deployed LIVE:
     // flush rows have no per-event as-of, so the read-at-finish form
     // folds the store pattern's partial state, appends the stream
@@ -1670,6 +1788,70 @@ object SqlGate {
         |  buy_id) AS rn FROM p)
         |SELECT err_id, buy_id, user_id FROM r
         |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
+    // interleaved multi-writer last-wins: per user the LAST event
+    // across both types, whichever writer emitted it
+    "sql_table_two_writers" ->
+      """SELECT user_id, round(last_value, 2) AS last_value, src FROM (
+        |  SELECT user_id, value AS last_value,
+        |    CASE WHEN event_type = 'click' THEN 'click'
+        |         ELSE 'buy' END AS src,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // additive folds across both writers' emissions
+    "sql_table_two_writers_fold" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value
+        |    ELSE value * 2 END), 2) AS total,
+        |  count(*) AS n
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_app_table_two_writers_live" ->
+      """SELECT user_id, round(last_value, 2) AS last_value, src FROM (
+        |  SELECT user_id, value AS last_value,
+        |    CASE WHEN event_type = 'click' THEN 'click'
+        |         ELSE 'buy' END AS src,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // per-event as-of against the union of both writers' updates:
+    // each error's latest strictly-earlier click-or-purchase
+    "sql_enrich_multi" ->
+      """WITH u AS (
+        |  SELECT user_id, value AS last_value,
+        |    CASE WHEN event_type = 'click' THEN 'click'
+        |         ELSE 'buy' END AS src,
+        |    epoch_ns(ts) AS uts, event_id AS uid
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, u.last_value, u.src,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY u.uts DESC, u.uid DESC) AS rn
+        |  FROM e JOIN u ON u.user_id = e.user_id
+        |   AND (u.uts, u.uid) < (e.ets, e.event_id))
+        |SELECT event_id, user_id, round(last_value, 2) AS lv, src
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_multi_live" ->
+      """WITH u AS (
+        |  SELECT user_id, value AS last_value,
+        |    CASE WHEN event_type = 'click' THEN 'click'
+        |         ELSE 'buy' END AS src,
+        |    epoch_ns(ts) AS uts, event_id AS uid
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, u.last_value, u.src,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY u.uts DESC, u.uid DESC) AS rn
+        |  FROM e JOIN u ON u.user_id = e.user_id
+        |   AND (u.uts, u.uid) < (e.ets, e.event_id))
+        |SELECT event_id, user_id, round(last_value, 2) AS lv, src
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // read-at-finish: purchases joined against the FINAL flush table
     // (per user the last 10-min click window's aggregate row)
     "sql_app_enrich_window_live" ->

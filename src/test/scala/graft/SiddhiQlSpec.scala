@@ -1468,6 +1468,76 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(m3.contains("over a join"))
   }
 
+  test("multi-writer table DML: interleaved last-wins beats " +
+       "statement-sequential replay; diagnostics name the bounds") {
+    // the semantic the r10 merge exists for: a user whose LATEST event
+    // is a click must keep the click writer's row even though the buy
+    // writer is a LATER STATEMENT — sequential statement-at-a-time
+    // application would let the buy writer's stale update win
+    val out = SiddhiQL.compileApp(spark, sf,
+      """define table T (user_id long, v double, src string);
+        |@info(name='a') from events[event_type == 'click']
+        |select user_id, value as v, 'click' as src
+        |update or insert into T on T.user_id == user_id;
+        |@info(name='b') from events[event_type == 'purchase']
+        |select user_id, value as v, 'buy' as src
+        |update or insert into T on T.user_id == user_id;
+        |@info(name='q') from T select user_id, src
+        |order by user_id insert into Out""".stripMargin)("q")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val truth = engine.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("rn", expr("row_number() over (partition by user_id " +
+        "order by ts_ns desc, event_id desc)"))
+      .where(col("rn") === 1)
+      .select(col("user_id"), when(col("event_type") === "click",
+        "click").otherwise("buy").as("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == truth && out.valuesIterator.toSet.size == 2,
+      "interleaved last-wins must reflect the truly latest event " +
+        "across writers (and the fixture must exercise both)")
+    // mixed action shapes keep the batch statement-sequential replay
+    // (a populate-then-prune PIPELINE, e.g. the sql_table_delete
+    // gate's upsert + delete); deployed LIVE they are a named bound
+    def msg(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    assert(intercept[IllegalArgumentException](SiddhiQL.deployApp(
+      spark, sf,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table T (user_id long, v double);
+        |@info(name='a') from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into T on T.user_id == user_id;
+        |@info(name='b') from events[event_type == 'purchase']
+        |select user_id, value as v
+        |insert into T""".stripMargin, "b"))
+      .getMessage.contains("ORDER-COMPOSABLE"))
+    // key-column mismatch is diagnosed
+    assert(msg(
+      """define table T (user_id long, v double);
+        |@info(name='a') from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into T on T.user_id == user_id;
+        |@info(name='b') from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into T on T.v == value""".stripMargin)
+      .contains("same table columns"))
+    // differing fold specs are diagnosed
+    assert(msg(
+      """define table T (user_id long, v double);
+        |@info(name='a') from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into T set T.v = T.v + v
+        |  on T.user_id == user_id;
+        |@info(name='b') from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into T set T.v = T.v - v
+        |  on T.user_id == user_id""".stripMargin)
+      .contains("same operators"))
+  }
+
   test("windowed-aggregate table DML (the store pattern): live fold " +
        "merges straddling buckets componentwise — chunking-invariant " +
        "and equal to batch; diagnostics name the bounds") {
