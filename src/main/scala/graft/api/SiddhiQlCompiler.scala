@@ -257,13 +257,23 @@ private[api] trait SiddhiQlCompiler extends Serializable {
               // the same construction the live fold runs per batch,
               // called once here with an empty seed over the whole
               // replay
-              case j2: JoinStream
-                  if dmlWriters.contains(j2.right.table) ||
-                     dmlWriters.contains(j2.left.table) =>
+              case j2x: JoinStream
+                  if dmlWriters.contains(j2x.right.table) ||
+                     dmlWriters.contains(j2x.left.table) =>
+                // an INNER enrichment join is symmetric: a table on
+                // the LEFT auto-swaps (Siddhi accepts either side);
+                // outer directions keep the stream-left convention
+                val j2 =
+                  if (dmlWriters.contains(j2x.left.table) &&
+                      !dmlWriters.contains(j2x.right.table) &&
+                      j2x.joinType == "inner")
+                    j2x.copy(left = j2x.right, leftAlias = j2x.rightAlias,
+                      right = j2x.left, rightAlias = j2x.leftAlias)
+                  else j2x
                 if (dmlWriters.contains(j2.left.table))
-                  fail("live enrichment joins put the maintained " +
+                  fail("an OUTER enrichment join puts the maintained " +
                     "table on the RIGHT side (v1) — swap the join " +
-                    "sides")
+                    "sides (inner joins swap automatically)")
                 val ws = dmlWriters(j2.right.table)
                 val enr = enrichCompile(spark, dir, ast1, j2, ws,
                   emptyOf(spark, ws.head._3), env)

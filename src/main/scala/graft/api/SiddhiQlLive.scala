@@ -1529,15 +1529,26 @@ private[api] trait SiddhiQlLive extends Serializable {
           // exactly the partitioning a 100× scale-up wants (state and
           // events co-partition; no per-event lookups, no broadcast of
           // unbounded state).
-          case j: JoinStream
-              if dmlInfos.contains(j.left.table) ||
-                 dmlInfos.contains(j.right.table) =>
+          case jx: JoinStream
+              if dmlInfos.contains(jx.left.table) ||
+                 dmlInfos.contains(jx.right.table) =>
             if (partKey.nonEmpty)
               fail("enrichment joins inside a partition block are not " +
                 "deployed (v1)")
+            // an INNER enrichment join is symmetric: a table on the
+            // LEFT auto-swaps (Siddhi accepts either side); outer
+            // directions keep the stream-left convention
+            val j =
+              if (dmlInfos.contains(jx.left.table) &&
+                  !dmlInfos.contains(jx.right.table) &&
+                  jx.joinType == "inner")
+                jx.copy(left = jx.right, leftAlias = jx.rightAlias,
+                  right = jx.left, rightAlias = jx.leftAlias)
+              else jx
             if (dmlInfos.contains(j.left.table))
-              fail("live enrichment joins put the maintained table on " +
-                "the RIGHT side (v1) — swap the join sides")
+              fail("an OUTER enrichment join puts the maintained " +
+                "table on the RIGHT side (v1) — swap the join sides " +
+                "(inner joins swap automatically)")
             if (j.unidirectional)
               fail("live enrichment joins are already one-directional " +
                 "(events trigger, the table holds state) — drop " +

@@ -754,6 +754,40 @@ object SqlGate {
         .stripMargin, "roll")
       .selectExpr("user_id", "sd", "dv")
       .orderBy("user_id")),
+    // table on the LEFT of an INNER enrichment join: symmetric —
+    // auto-swapped to the stream-left form (Siddhi accepts either)
+    "sql_enrich_table_left" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table UserState (user_id long, last_value double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from UserState join events as e[event_type == 'purchase']
+        |  on UserState.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(UserState.last_value, 2) as lv
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_left_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table UserState (user_id long, last_value double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, value as last_value
+        |update or insert into UserState on UserState.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from UserState join events as e[event_type == 'purchase']
+        |  on UserState.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(UserState.last_value, 2) as lv
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     // TWO writers maintaining one table: Siddhi's per-event flow means
     // the merge interleaves BOTH writers' updates in (ts, event_id,
     // statement) order — last-wins goes to the truly latest event
@@ -1788,6 +1822,33 @@ object SqlGate {
         |  buy_id) AS rn FROM p)
         |SELECT err_id, buy_id, user_id FROM r
         |WHERE (rn - 1) % 4 = 0 ORDER BY err_id, buy_id""".stripMargin,
+    // table-on-left inner enrichment ≡ the stream-left as-of form
+    "sql_enrich_table_left" ->
+      """WITH u AS (SELECT user_id, value AS last_value,
+        |    epoch_ns(ts) AS uts, event_id AS uid
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, u.last_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY u.uts DESC, u.uid DESC) AS rn
+        |  FROM e JOIN u ON u.user_id = e.user_id
+        |   AND (u.uts, u.uid) < (e.ets, e.event_id))
+        |SELECT event_id, user_id, round(last_value, 2) AS lv
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_left_live" ->
+      """WITH u AS (SELECT user_id, value AS last_value,
+        |    epoch_ns(ts) AS uts, event_id AS uid
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, u.last_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY u.uts DESC, u.uid DESC) AS rn
+        |  FROM e JOIN u ON u.user_id = e.user_id
+        |   AND (u.uts, u.uid) < (e.ets, e.event_id))
+        |SELECT event_id, user_id, round(last_value, 2) AS lv
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // interleaved multi-writer last-wins: per user the LAST event
     // across both types, whichever writer emitted it
     "sql_table_two_writers" ->

@@ -1468,6 +1468,31 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(m3.contains("over a join"))
   }
 
+  test("inner enrichment join auto-swaps a table on the LEFT; outer " +
+       "keeps the stream-left convention, named") {
+    val base = "define table U (user_id long, v double);\n" +
+      "@info(name='t') from events[event_type == 'click'] " +
+      "select user_id, value as v " +
+      "update or insert into U on U.user_id == user_id;\n"
+    val left = SiddhiQL.compileApp(spark, sf, base +
+      "@info(name='q') from U join events as e[event_type == 'purchase'] " +
+      "on U.user_id == e.user_id " +
+      "select e.event_id as id, math:round(U.v, 2) as v " +
+      "order by id insert into Out")("q").collect().toSeq
+    val right = SiddhiQL.compileApp(spark, sf, base +
+      "@info(name='q') from events as e[event_type == 'purchase'] " +
+      "join U on U.user_id == e.user_id " +
+      "select e.event_id as id, math:round(U.v, 2) as v " +
+      "order by id insert into Out")("q").collect().toSeq
+    assert(left.nonEmpty && left == right)
+    assert(intercept[IllegalArgumentException](SiddhiQL.compileApp(
+      spark, sf, base +
+        "@info(name='q') from U left outer join events " +
+        "as e[event_type == 'purchase'] on U.user_id == e.user_id " +
+        "select e.event_id as id, math:round(U.v, 2) as v " +
+        "insert into Out")).getMessage.contains("RIGHT side"))
+  }
+
   test("multi-writer table DML: interleaved last-wins beats " +
        "statement-sequential replay; diagnostics name the bounds") {
     // the semantic the r10 merge exists for: a user whose LATEST event
