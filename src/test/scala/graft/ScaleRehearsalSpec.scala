@@ -541,6 +541,33 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x multi-writer table fold: interleaved two-writer merge " +
+       "replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-10 interleaved multi-writer merge at 1M events:
+    // replica user spaces are disjoint, so each replica's per-user
+    // last-wins row (across BOTH writers, in (ts, event_id, statement)
+    // order) must reproduce the base gate's row with ids shifted —
+    // the union-normalized emission merge is provably key-local.
+    val q = SqlGate.queries("sql_app_table_two_writers_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"two-writer 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r.head.asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => (r.head.asInstanceOf[Long] - k * off) +: r.tail)
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base interleaved merge")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live define aggregation: grain cascade replica-exact, " +
        "fold writes bounded, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
