@@ -1692,8 +1692,9 @@ private[api] trait SiddhiQlLive extends Serializable {
               // writes). The batch compile aggregates the identical
               // as-of rows globally, so it is the oracle under any
               // chunking.
-              if (ast.having.nonEmpty)
-                fail("live enrichment aggregation (v1) has no having")
+              // having applies ONCE at finish over the finalized
+              // groups (alias refs, like the batch compile) —
+              // chunking-invariant by construction
               if (ast.limit.nonEmpty || ast.offset.nonEmpty)
                 fail("live enrichment aggregation (v1) has no " +
                   "limit/offset")
@@ -1823,8 +1824,11 @@ private[api] trait SiddhiQlLive extends Serializable {
                       tName -> tApply(sp, d2, acc(tName).slice, benv),
                       "state" -> merged)
                   },
-                  (_, acc) => acc("state").select(finals.map {
-                    case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                  (_, acc) => {
+                    val fin = acc("state").select(finals.map {
+                      case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+                    ast.having.fold(fin)(h => fin.where(expr(sqlOf(h))))
+                  },
                   ast.orderBy.map { case (c2, asc) =>
                     if (asc) col(c2).asc else col(c2).desc }))
               }
@@ -2125,8 +2129,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     "is not deployed (v1) — null-padded rows only " +
                     "materialize at watermark expiry, after the fold; " +
                     "use an inner join or the chained two-query form")
-                if (ast.having.nonEmpty)
-                  fail("live join aggregation (v1) has no having clause")
+                // having applies ONCE at finish over the finalized
+                // groups (alias refs, like the batch compile)
                 if (ast.limit.nonEmpty || ast.offset.nonEmpty)
                   fail("live join aggregation (v1) has no limit/offset")
                 val items = itemsOf(ast)
@@ -2203,8 +2207,12 @@ private[api] trait SiddhiQlLive extends Serializable {
                           comps.toSeq.flatMap { case (b2, n, _) =>
                             mergeComp(b2, n) }: _*)
                     },
-                    (_, acc) => acc.select(finals.map {
-                      case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*),
+                    (_, acc) => {
+                      val fin = acc.select(finals.map {
+                        case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+                      ast.having.fold(fin)(h =>
+                        fin.where(expr(sqlOf(h))))
+                    },
                     ast.orderBy.map { case (c2, asc) =>
                       if (asc) col(c2).asc else col(c2).desc },
                     KeyedState(keys, (_, _, batch) =>

@@ -518,6 +518,42 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // HAVING on the live join aggregation: applied once at finish
+    // over the finalized groups (alias refs) — chunking-invariant
+    "sql_app_join_agg_having_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(5 min)
+        |  join events as b[event_type == 'purchase']#window.time(5 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(sum(b.value), 2) as total
+        |group by user_id
+        |having n > 2
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
+    // HAVING on the live enrichment aggregation, same finish filter
+    "sql_app_enrich_agg_having_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Counter (user_id long, cnt long, total double);
+        |
+        |@info(name = 'track')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt, value as total
+        |update or insert into Counter
+        |  set Counter.cnt = Counter.cnt + 1,
+        |      Counter.total = Counter.total + total
+        |  on Counter.user_id == user_id;
+        |
+        |@info(name = 'agg')
+        |from events as e[event_type == 'purchase'] join Counter
+        |  on Counter.user_id == e.user_id
+        |select e.user_id as user_id, count() as buys,
+        |  math:round(sum(Counter.total), 2) as clicksum
+        |group by user_id
+        |having buys > 1
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
     // the one-stage join aggregation with the EXTENDED algebra:
     // stdDev folds as Chan moments and distinctCount as value-set
     // unions per group across triggers — the r9 "algebraic aggregates
@@ -2047,6 +2083,29 @@ object SqlGate {
         |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
         |  round(max(v), 2) AS vmax
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // band-pair groups surviving HAVING count > 2
+    "sql_app_join_agg_having_live" ->
+      """WITH pairs AS (
+        |  SELECT a.user_id AS user_id, b.value AS v
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -300000000000 AND 300000000000)
+        |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total
+        |FROM pairs GROUP BY user_id HAVING count(*) > 2
+        |ORDER BY user_id""".stripMargin,
+    // enrich-then-aggregate groups surviving HAVING buys > 1
+    "sql_app_enrich_agg_having_live" ->
+      """WITH pc AS (SELECT p.event_id, p.user_id,
+        |    sum(c.value) AS tot
+        |  FROM events p JOIN events c ON c.user_id = p.user_id
+        |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |    AND (epoch_ns(c.ts), c.event_id) <
+        |        (epoch_ns(p.ts), p.event_id)
+        |  GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS buys, round(sum(tot), 2) AS clicksum
+        |FROM pc GROUP BY 1 HAVING count(*) > 1 ORDER BY user_id""".stripMargin,
     // band-pair multiset stddev + distinct purchase ids per user
     "sql_app_join_agg_stats_live" ->
       """WITH pairs AS (

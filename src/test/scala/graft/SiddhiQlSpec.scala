@@ -1011,10 +1011,11 @@ class SiddhiQlSpec extends AnyFunSuite {
       "count() as n group by k insert into O"
     assert(msg(enrichAggApp("T.v as k")).contains("STREAM-side"))
     // enrichment aggregation deploys the full FoldAlg algebra (r10:
-    // stdDev/distinctCount included); the remaining v1 bounds stay named
+    // stdDev/distinctCount included) and finish-time having; the
+    // remaining v1 bounds stay named
     assert(msg(enrichAggApp("e.user_id as k").replace(
-      "group by k insert into O", "group by k having n > 1 insert into O"))
-      .contains("no having"))
+      "group by k insert into O", "group by k limit 5 insert into O"))
+      .contains("limit/offset"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
