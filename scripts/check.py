@@ -63,6 +63,10 @@ def main():
                 status, detail = "SCHEMA", f"spark={list(got.columns)} oracle={list(want.columns)}"
             elif len(got) != len(want):
                 status, detail = "ROWS", f"spark={len(got)} oracle={len(want)}"
+            elif len(got) == 0:
+                # empty-vs-empty hash-matches trivially; a zero-row oracle
+                # gate proves nothing (round-10 lesson) — flag as suspect
+                status, detail = "ZERO", "oracle gate passes on zero rows"
             else:
                 for c in got.columns:
                     g, w = got[c], want[c]

@@ -17,11 +17,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Zero-row tripwire: an oracle gate whose Spark side returns ZERO rows
+    // hash-matches empty-vs-empty — formally green, evidentially vacuous
+    // (round-10 lesson: three gates sat green on empty for two rounds).
+    // Every such gate is flagged loudly and recorded in zero_rows.json.
+    val zeroRows = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir).coalesce(1).cache()
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
+        if (out.isEmpty && SparkEntry.oracleSql.contains(name)) {
+          zeroRows += name
+          System.err.println(s"[verify] SUSPECT zero-row oracle gate: $name")
+        }
+        out.unpersist()
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -41,6 +53,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/zero_rows.json"),
+      zeroRows.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

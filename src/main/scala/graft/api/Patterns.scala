@@ -34,6 +34,8 @@ import graft.engine.Cep
   * bucketing).
   */
 object Patterns {
+  private[graft] lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.api.Patterns")
   /** Event record visible to predicates (ns timestamps: exact order). */
   type Ev = Cep.Ev
   /** Accumulated bindings: step name → events bound to it, in order. */
@@ -122,7 +124,7 @@ object Patterns {
       steps: IndexedSeq[Cep.PStep], withinNs: Option[Long],
       spawn: Cep.SpawnPolicy, project: Bindings => Out)(
       key: Long, prev: (Vector[Ev], Vector[String]), batch: Vector[Ev],
-      horizonNs: Long)
+      horizonNs: Long, onDrop: (Long, Ev) => Unit = (_, _) => ())
       : ((Vector[Ev], Vector[String]), Vector[Out], Option[Long]) = {
     val (hist0, sigs0) = prev
     // A straggler sorting before the per-key history max cannot be
@@ -132,13 +134,18 @@ object Patterns {
     // fMGWS does not pre-filter late rows — so such an event is expected
     // operation, not corruption: it is dead-lettered (dropped) instead
     // of killing the whole streaming query, the same contract Spark
-    // applies to watermark-expired rows.
+    // applies to watermark-expired rows. Each drop is REPORTED through
+    // `onDrop` (never silent): selectStreamTimed counts it in a named
+    // Spark accumulator and logs key/ts/id, so a genuine upstream
+    // ordering regression is observable, not invisible data loss.
     val admitted =
       if (hist0.isEmpty) batch
       else {
         val hMaxTs = hist0.last.tsNs; val hMaxId = hist0.last.eventId
-        batch.filterNot(e => e.tsNs < hMaxTs ||
+        val (late, ok) = batch.partition(e => e.tsNs < hMaxTs ||
           (e.tsNs == hMaxTs && e.eventId < hMaxId))
+        late.foreach(onDrop(key, _))
+        ok
       }
     val all = (hist0 ++ admitted).sortBy(e => (e.tsNs, e.eventId))
     val (tagged, pending) = Cep.runH[(String, Out)](steps, withinNs,
@@ -259,6 +266,14 @@ object Patterns {
       * (clear error naming the key and timestamps) rather than silently
       * mis-emitting. Buffer behind an event-time watermark upstream (or
       * use the timeout-based engine operators) for disordered sources.
+      * This is deliberately STRICTER than [[selectStreamTimed]]'s
+      * dead-letter policy: the timed operator's input is watermarked, so
+      * a straggler there is bounded, expected operation (Spark admits
+      * rows up to the allowed lateness) and dropping it mirrors Spark's
+      * own late-row contract — here the input carries NO watermark, no
+      * admissibility bound exists, and a late row can only mean the
+      * source broke its ordering contract outright, which must surface
+      * as an error, not as unbounded silent loss.
       *
       * State is bounded when the pattern has a `within` deadline and
       * `every` spawn: history older than `w` before the per-key max can no
@@ -317,10 +332,15 @@ object Patterns {
       * because the deployed sources admit watermark-late rows, a
       * straggler sorting before the per-key history max is DROPPED
       * (dead-lettered, prefix stability preserved) instead of failing
-      * the query; open final quantifiers (which only an actual end of
-      * stream can close) remain refused. */
+      * the query — every drop increments the named Spark accumulator
+      * `graft.cep.droppedStragglers` and logs a WARN with key/ts/id, so
+      * live-vs-batch divergence is observable. Pass `strictOrder =
+      * true` to restore the [[selectStream]] fail-fast for debugging an
+      * upstream ordering regression. Open final quantifiers (which only
+      * an actual end of stream can close) remain refused. */
     def selectStreamTimed[Out: Encoder](
-        ds: Dataset[graft.engine.Streaming.EvT])
+        ds: Dataset[graft.engine.Streaming.EvT],
+        strictOrder: Boolean = false)
         (project: Bindings => Out): Dataset[Out] = {
       steps.last match {
         case s: Cep.Single => require(s.min == s.max,
@@ -333,6 +353,22 @@ object Patterns {
       val st = steps.toIndexedSeq
       val w = withinNs
       val sp = spawn
+      val strict = strictOrder
+      val dropped = ds.sparkSession.sparkContext
+        .longAccumulator("graft.cep.droppedStragglers")
+      val onDrop: (Long, Ev) => Unit = (key, e) =>
+        if (strict) throw new IllegalStateException(
+          s"selectStreamTimed key=$key (strictOrder): event " +
+            s"(ts=${e.tsNs}, id=${e.eventId}) sorts before the per-key " +
+            "history max — upstream per-key ordering regressed")
+        else {
+          dropped.add(1L)
+          Patterns.log.warn(
+            s"selectStreamTimed key=$key: dead-lettered straggler " +
+              s"(ts=${e.tsNs}, id=${e.eventId}) sorting before the " +
+              "per-key history max (prefix stability preserved; see " +
+              "accumulator graft.cep.droppedStragglers)")
+        }
       ds.groupByKey(_.userId)
         .flatMapGroupsWithState[(Vector[Ev], Vector[String]), Out](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -347,7 +383,7 @@ object Patterns {
               Patterns.foldStepTimed(st, w, sp, project)(
                 key, state.getOption.getOrElse(
                   (Vector.empty[Ev], Vector.empty[String])),
-                evs, horizonNs)
+                evs, horizonNs, onDrop)
             state.update(st1)
             // wake when the watermark passes the earliest undecided
             // absence deadline (ns → ms, +1 so the timer is strictly

@@ -1986,8 +1986,14 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         if (n2 != "count" && argO.isEmpty)
           fail(s"$n2(...) needs an argument")
       }
+      // No aggregate in the select → the frame is irrelevant: every
+      // event projects its own attributes (Siddhi emits one output per
+      // arrival either way). Plain projection, no rank, no join — the
+      // r10 fail here was an accepted-surface regression vs the r9
+      // sliding path, which compiled pass-through projections.
       if (comps.isEmpty)
-        fail("a sliding window selects at least one aggregate")
+        return base.select(finalsS.map { case (a, e2) =>
+          expr(sqlOf(e2)).as(a) }: _*)
       // the anchor key: global arrival rank (unique); rows frames also
       // consume it as the band coordinate
       val ranked = globalRank(base, Seq(col("ts_ns"), col("event_id")),

@@ -165,7 +165,12 @@ private[api] trait SiddhiQlLive extends Serializable {
       fold: (SparkSession, String, Map[String, LiveState], DataFrame)
         => Map[String, DataFrame],
       finish: (SparkSession, Map[String, DataFrame]) => DataFrame,
-      ordCols: Seq[Column])
+      ordCols: Seq[Column],
+      // Siddhi limit/offset compose ONCE at finish, after ordCols
+      // orders the finalized output (offset skips, limit caps — the
+      // batch compile's order) — chunking-invariant by construction,
+      // exactly like the having-at-finish filter
+      limit: Option[Long] = None, offset: Option[Long] = None)
 
   /** [[StateMode]] of a DML-maintained table state: insert-only DML
     * appends (the fold's output IS the batch delta when folded into an
@@ -363,10 +368,11 @@ private[api] trait SiddhiQlLive extends Serializable {
       fold: (SparkSession, String, DataFrame, DataFrame) => DataFrame,
       finish: (SparkSession, DataFrame) => DataFrame,
       ordCols: Seq[Column],
-      mode: StateMode = FullState): LiveFold =
+      mode: StateMode = FullState,
+      limit: Option[Long] = None, offset: Option[Long] = None): LiveFold =
     LiveFold(feed, Seq(("state", schema, mode)),
       (sp, d, st, b) => Map("state" -> fold(sp, d, st("state").slice, b)),
-      (sp, st) => finish(sp, st("state")), ordCols)
+      (sp, st) => finish(sp, st("state")), ordCols, limit, offset)
 
   /** Stage compiler shared by [[deployAppOn]] and [[deployApp]]:
     * returns the `out` query's streaming DataFrame (with its stage
@@ -1692,12 +1698,10 @@ private[api] trait SiddhiQlLive extends Serializable {
               // writes). The batch compile aggregates the identical
               // as-of rows globally, so it is the oracle under any
               // chunking.
-              // having applies ONCE at finish over the finalized
-              // groups (alias refs, like the batch compile) —
-              // chunking-invariant by construction
-              if (ast.limit.nonEmpty || ast.offset.nonEmpty)
-                fail("live enrichment aggregation (v1) has no " +
-                  "limit/offset")
+              // having/limit/offset apply ONCE at finish over the
+              // finalized groups (alias refs, like the batch compile)
+              // — chunking-invariant by construction; limit/offset
+              // compose with the runner's finish ordering
               val items = itemsOf(ast)
               val keyItems = items.filter(!_._3)
               val keyAliases = keyItems.map(_._2)
@@ -1830,7 +1834,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     ast.having.fold(fin)(h => fin.where(expr(sqlOf(h))))
                   },
                   ast.orderBy.map { case (c2, asc) =>
-                    if (asc) col(c2).asc else col(c2).desc }))
+                    if (asc) col(c2).asc else col(c2).desc },
+                  ast.limit, ast.offset))
               }
               (emptyOf(sp0, protoOut.schema), KFold)
             } else {
@@ -2129,10 +2134,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                     "is not deployed (v1) — null-padded rows only " +
                     "materialize at watermark expiry, after the fold; " +
                     "use an inner join or the chained two-query form")
-                // having applies ONCE at finish over the finalized
-                // groups (alias refs, like the batch compile)
-                if (ast.limit.nonEmpty || ast.offset.nonEmpty)
-                  fail("live join aggregation (v1) has no limit/offset")
+                // having/limit/offset apply ONCE at finish over the
+                // finalized groups (alias refs, like the batch
+                // compile); limit/offset compose with the runner's
+                // finish ordering — see [[LiveFold.limit]]
                 val items = itemsOf(ast)
                 val keyItems = items.filter(!_._3)
                 val keyAliases = keyItems.map(_._2)
@@ -2216,7 +2221,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     ast.orderBy.map { case (c2, asc) =>
                       if (asc) col(c2).asc else col(c2).desc },
                     KeyedState(keys, (_, _, batch) =>
-                      batch.select(keys.map(col): _*))))
+                      batch.select(keys.map(col): _*)),
+                    ast.limit, ast.offset))
                 carriedNow = Nil
                 (emptyOf(joined.sparkSession, schemaJ), KFold)
               } else {
@@ -2571,7 +2577,12 @@ private[api] trait SiddhiQlLive extends Serializable {
           }
           q.stop()
           val fin = lf.finish(spark, allStates(spark))
-          if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
+          val ord =
+            if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
+          // Siddhi limit/offset: offset skips M ordered rows, limit
+          // caps what follows (the batch compile's composition order)
+          val off = lf.offset.fold(ord)(m => ord.offset(m.toInt))
+          lf.limit.fold(off)(n => off.limit(n.toInt))
         case None =>
           val (df, kind, ordCols) = stages.getOrElse(
             fail(s"app has no query named or inserting into '$out'"))

@@ -57,10 +57,14 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** Anti-join (Siddhi `not (… in Table)`): customers with no orders. */
+  /** Anti-join (Siddhi `not (… in Table)`): customers with no BIG order
+    * (totalprice > 400k). The subquery is selective so the anti set is
+    * non-empty at every SF — the filter pushes into the orders scan and
+    * the anti side stays a pruned 1-column shuffle. */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -261,7 +265,8 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "join_multiway" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,

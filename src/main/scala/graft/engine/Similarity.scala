@@ -111,7 +111,8 @@ object Similarity {
     * classic ANN scale path next to [[topkIvf]]'s IVF, in the textbook
     * L-TABLE construction (union of independent hash tables, the lever
     * that buys recall without widening any one table's probe ring):
-    *   1. L=8 tables × 6 fixed ±1 hyperplanes; plane (t*6+k)'s entry
+    *   1. L=[[SrpTables]] tables × 6 fixed ±1 hyperplanes; plane
+    *      (t*6+k)'s entry
     *      signs are md5-derived from "planeIdx:dim" (deterministic,
     *      reproduced bit-for-bit by the DuckDB oracle — the hash IS
     *      the randomness);
@@ -126,11 +127,11 @@ object Similarity {
     * Recall < 1 by design; the oracle implements identical tables and
     * probing, so the gate checks the algorithm. Per-table flip
     * probability θ/π compounds over 6 bits, so one table's H≤1 ring
-    * recalls ~35% of mid-similarity neighbours — eight independent
-    * tables lift the union to 0.80 measured recall@5 while each probe
-    * stays 7/64 of one table's bucket space. At scale the levers are
-    * L (recall) and the per-table plane count (candidate sparsity),
-    * not probe width. */
+    * recalls ~35% of mid-similarity neighbours — twelve independent
+    * tables lift the union past the 0.8 shippable bar (the same floor
+    * IVF and PQ assert) while each probe stays 7/64 of one table's
+    * bucket space. At scale the levers are L (recall) and the
+    * per-table plane count (candidate sparsity), not probe width. */
   def topkSrp(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
     def bucketExprT(t: Int): String = (0 until 6).map { k =>
@@ -142,7 +143,7 @@ object Similarity {
         s"0D, (a, x) -> a + x) >= 0D then ${1 << k} else 0 end)"
     }.mkString(" + ")
     val withB = vecs(s, d).withColumn("bs",
-      expr((0 until 8).map(bucketExprT).mkString("array(", ", ", ")")))
+      expr((0 until SrpTables).map(bucketExprT).mkString("array(", ", ", ")")))
     val all = withB.select(col("vec_id"), col("v"),
       posexplode(col("bs")).as(Seq("tbl", "bucket")))
     val queries = withB.filter(col("vec_id") < 5)
@@ -534,6 +535,10 @@ object Similarity {
 
   /** Table t's 6-bit SRP bucket (planes t*6 .. t*6+5 — table 0 is the
     * original single-table plane set). */
+  /** SRP hash-table count L — the recall lever (see [[topkSrp]]);
+    * the oracle builds the identical L tables. */
+  private[engine] val SrpTables = 12
+
   private def srpBucketSqlT(t: Int): String =
     (0 until 6).map { k =>
       s"(CASE WHEN ${srpDotSql(t * 6 + k)} >= 0 THEN ${1 << k} ELSE 0 END)"
@@ -659,7 +664,7 @@ object Similarity {
     "sim_topk_srp" ->
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |bkt AS (${(0 until 8).map(t =>
+        |bkt AS (${(0 until SrpTables).map(t =>
              s"SELECT vec_id, v, $t AS tbl, ${srpBucketSqlT(t)} AS bucket " +
                "FROM e").mkString("\n  UNION ALL ")}),
         |probes AS (

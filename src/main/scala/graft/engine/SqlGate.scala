@@ -519,8 +519,25 @@ object SqlGate {
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
     // HAVING on the live join aggregation: applied once at finish
-    // over the finalized groups (alias refs) — chunking-invariant
+    // over the finalized groups (alias refs) — chunking-invariant.
+    // 120-min band so the filter is POSITIVELY exercised at sf0.01:
+    // 15 groups pass n > 2 and 75 are filtered (a 5-min band had no
+    // group above 2, which made the gate hash-match empty-vs-empty)
     "sql_app_join_agg_having_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(120 min)
+        |  join events as b[event_type == 'purchase']#window.time(120 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(sum(b.value), 2) as total
+        |group by user_id
+        |having n > 2
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
+    // LIMIT/OFFSET on the live join aggregation: composed once at
+    // finish with the runner's ordering (offset skips 2 of the 7
+    // finalized groups, limit keeps 3 — both paths exercised)
+    "sql_app_join_agg_limit_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'agg')
         |from events as a[event_type == 'error']#window.time(5 min)
         |  join events as b[event_type == 'purchase']#window.time(5 min)
@@ -528,8 +545,9 @@ object SqlGate {
         |select a.user_id as user_id, count() as n,
         |  math:round(sum(b.value), 2) as total
         |group by user_id
-        |having n > 2
         |order by user_id
+        |limit 3
+        |offset 2
         |insert into Out""".stripMargin, "agg")),
     // HAVING on the live enrichment aggregation, same finish filter
     "sql_app_enrich_agg_having_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -2083,8 +2101,21 @@ object SqlGate {
         |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
         |  round(max(v), 2) AS vmax
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // band-pair groups surviving HAVING count > 2
+    // band-pair groups surviving HAVING count > 2 (120-min band:
+    // 15 groups pass, 75 filtered at sf0.01 — both paths exercised)
     "sql_app_join_agg_having_live" ->
+      """WITH pairs AS (
+        |  SELECT a.user_id AS user_id, b.value AS v
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -7200000000000 AND 7200000000000)
+        |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total
+        |FROM pairs GROUP BY user_id HAVING count(*) > 2
+        |ORDER BY user_id""".stripMargin,
+    // band-pair groups ordered, 2 skipped, 3 kept (7 groups total)
+    "sql_app_join_agg_limit_live" ->
       """WITH pairs AS (
         |  SELECT a.user_id AS user_id, b.value AS v
         |  FROM events a JOIN events b
@@ -2093,8 +2124,8 @@ object SqlGate {
         |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
         |       BETWEEN -300000000000 AND 300000000000)
         |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total
-        |FROM pairs GROUP BY user_id HAVING count(*) > 2
-        |ORDER BY user_id""".stripMargin,
+        |FROM pairs GROUP BY user_id
+        |ORDER BY user_id LIMIT 3 OFFSET 2""".stripMargin,
     // enrich-then-aggregate groups surviving HAVING buys > 1
     "sql_app_enrich_agg_having_live" ->
       """WITH pc AS (SELECT p.event_id, p.user_id,

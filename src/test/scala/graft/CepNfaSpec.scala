@@ -374,6 +374,29 @@ class CepNfaSpec extends AnyFunSuite {
     assert(fold(Vector.empty, 100000) == Vector(4L))
   }
 
+  test("foldStepTimed: a straggler sorting before the history max is " +
+       "dead-lettered THROUGH onDrop, never silently") {
+    // watermark-admissible stragglers are expected operation on the
+    // timed channel (the sources admit up to the allowed lateness);
+    // the contract is drop + REPORT, not drop + silence — every
+    // dropped event flows through the onDrop callback with its key
+    val dropped = Vector.newBuilder[(Long, Long)]
+    val (st1, o1, _) = graft.api.Patterns.foldStepTimed(
+      absSteps, None, EveryMatch, aproj)(
+      9L, (Vector.empty, Vector.empty),
+      Vector(ev(1, 100, "A"), ev(2, 120, "C")), 0L)
+    assert(o1.isEmpty)
+    val (st2, _, _) = graft.api.Patterns.foldStepTimed(
+      absSteps, None, EveryMatch, aproj)(
+      9L, st1, Vector(ev(3, 50, "A"), ev(4, 130, "C")), 0L,
+      (k, e) => dropped += ((k, e.eventId)))
+    // the straggler (ts 50 < history max 120) is dropped and reported;
+    // the in-order event is admitted into history
+    assert(dropped.result() == Vector((9L, 3L)))
+    assert(!st2._1.exists(_.eventId == 3L))
+    assert(st2._1.exists(_.eventId == 4L))
+  }
+
   test("foldStepTimed: time-jumping batch with a lagging watermark — " +
        "event-driven confirmation emits once, eviction waits for the " +
        "horizon") {

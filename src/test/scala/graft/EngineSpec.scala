@@ -245,9 +245,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = srp.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & got).size.toDouble / brute.size
     info(f"sim_topk_srp recall@5 vs brute = $recall%.2f")
-    // the same shippable bar as IVF/PQ (0.8 measured; 0.75 floor
-    // leaves margin against fixture regeneration)
-    assert(recall >= 0.75, s"SRP recall $recall vs brute top-5")
+    // the same shippable bar IVF and PQ assert: L=12 tables measure
+    // well above it, so 0.8 is a floor, not the measurement
+    assert(recall >= 0.8, s"SRP recall $recall vs brute top-5")
   }
 
   test("sim_topk_ivf: nprobe-3 probing with top-2 multi-assignment " +

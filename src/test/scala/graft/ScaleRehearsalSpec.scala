@@ -509,6 +509,65 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x multi-writer enrichment: as-of rows across BOTH writers " +
+       "replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-10 multi-writer enrichment read at 1M events: TWO
+    // upsert writers maintain UserLast in interleaved order and a
+    // sibling query joins it as-of per error event. Replica user
+    // spaces are disjoint, so each replica's enriched rows must
+    // reproduce the base gate's rows with ids shifted — both the
+    // interleaved merge and the as-of window pass are key-local.
+    val q = SqlGate.queries("sql_app_enrich_multi_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"enrich-multi 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r(1).asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base multi-writer enrichment")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x windowed-writer enrichment (read-at-finish): join rows " +
+       "replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-10 read-at-finish channel at 1M events: a timeBatch
+    // store-pattern writer maintains WinStats via per-(bucket, user)
+    // algebraic partials, the stream side accumulates per trigger, and
+    // the join runs ONCE at finish against the finished table. Replica
+    // user spaces are disjoint, so each replica's join rows must
+    // reproduce the base gate's rows with ids shifted — the flush fold
+    // and the finish join are both key-local.
+    val q = SqlGate.queries("sql_app_enrich_window_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"enrich-window 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r(1).asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base read-at-finish join")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x timed-absence channel: event-time-timer matches " +
        "replica-exact, eviction-armed, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -568,6 +568,25 @@ class SiddhiQlSpec extends AnyFunSuite {
       .getMessage.contains("define aggregation"))
   }
 
+  test("global sliding window with NO aggregate compiles as a plain " +
+       "projection (no rank, no band join)") {
+    // Siddhi emits one output per arrival either way, so the frame is
+    // irrelevant without aggregates — the r10 refusal here was an
+    // accepted-surface regression vs the r9 sliding path
+    for (q <- Seq(
+      "from events#window.time(5 min) select event_id, value as v " +
+        "order by event_id",
+      "from events#window.length(5) select event_id, value as v " +
+        "order by event_id")) {
+      val df = compile(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+        s"pass-through sliding select must not join: $q\n$p")
+      assert(df.count() ==
+        engine.Tables.events(spark, sf).count(), q)
+    }
+  }
+
   test("global-count shapes compile DISTRIBUTED: lengthBatch, sliding " +
        "frames, timeLength, and count rates ride the prefix-sum rank / " +
        "band join — no data-sized global-ordered window in any plan") {
