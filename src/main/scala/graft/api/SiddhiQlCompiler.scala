@@ -212,10 +212,15 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             // query in statement order) — sequential
             // statement-at-a-time application would let a later
             // writer's stale update beat an earlier writer's newer one
-            // on the same key. Heterogeneous groups (e.g. an upsert
-            // writer plus a delete sweeper) keep the statement-
-            // sequential replay: their statements express a pipeline
-            // (populate, then prune), not racing updates.
+            // on the same key. Since round 11 `delete` sweepers are
+            // composable too (tombstone emissions in the same
+            // interleaved order: the last tombstone per key wipes
+            // everything before it, later upserts re-insert — a user
+            // whose LAST event matches the sweeper stays deleted,
+            // one purged mid-stream is revived by later updates).
+            // Residual heterogeneous groups (insert+delete,
+            // update/upsert-expr mixes, mixed keys) keep the
+            // statement-sequential replay.
             val next = ast.stream match {
               case ss: SingleStream if prior.nonEmpty &&
                   dmlComposable(prior :+ ((ast, act, schema, ss.table))) =>
@@ -910,15 +915,38 @@ private[api] trait SiddhiQlCompiler extends Serializable {
   }
 
   /** Is a writer group ORDER-COMPOSABLE for the interleaved
-    * multi-writer merge — one shared shape (all insert-into, all
-    * implicit-set upserts, or all accumulator-fold upserts)?
-    * Heterogeneous groups (e.g. an upsert writer plus a delete
-    * sweeper) express a statement PIPELINE and keep the sequential
-    * replay. */
+    * multi-writer merge? Composable shapes:
+    *   - one shared non-delete shape: all insert-into, all
+    *     implicit-set upserts, or all accumulator-fold upserts;
+    *   - upsert/fold writers PLUS keyed `delete` sweepers on the SAME
+    *     table key columns (or all-delete): a delete is a TOMBSTONE
+    *     emission in the interleaved (ts, event_id, statement) order —
+    *     the last tombstone per key wipes everything before it, later
+    *     upserts re-insert, exactly Siddhi's per-event replay;
+    *   - still NOT composable: insert+delete (inserts are unkeyed),
+    *     update/upsert-expr mixes, mixed key columns — those keep the
+    *     batch statement-sequential replay and refuse live. */
   private[api] def dmlComposable(
       writers: List[(Ast, Action, StructType, String)]): Boolean = {
-    val kinds = dmlKinds(writers)
-    kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
+    val t = writers.head._2.target
+    val (delW, updW) =
+      writers.partition(_._2.isInstanceOf[DeleteTable])
+    if (delW.isEmpty) {
+      val kinds = dmlKinds(writers)
+      kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
+    } else {
+      val updOk = updW.isEmpty || {
+        val kinds = dmlKinds(updW)
+        kinds.length == 1 && Set("upsert", "fold")(kinds.head)
+      }
+      val keySets = writers.map(_._2).collect {
+        case UpsertTable(_, _, on) =>
+          keyEqsOf(on, t).map(_._1).distinct.sorted
+        case DeleteTable(_, on) =>
+          keyEqsOf(on, t).map(_._1).distinct.sorted
+      }
+      updOk && keySets.distinct.length == 1
+    }
   }
 
   private[api] def applyDmlMulti(spark: SparkSession, dir: String,
@@ -930,13 +958,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       return applyDml(spark, dir, ast, act, schema, table, env)
     }
     val t = writers.head._2.target
-    val kinds = dmlKinds(writers)
     if (!dmlComposable(writers))
-      fail(s"multi-writer table '$t' (v1) needs every writer in ONE " +
-        "order-composable shape — all `insert into`, all implicit-set " +
-        "`update or insert`, or all accumulator-fold `update or " +
-        s"insert` with identical folds; got [${kinds.mkString(", ")}]")
-    val kind = kinds.head
+      fail(s"multi-writer table '$t' (v1) needs an ORDER-COMPOSABLE " +
+        "writer group — all `insert into`, all implicit-set `update " +
+        "or insert`, all accumulator-fold `update or insert` with " +
+        "identical folds, or upsert/fold writers plus keyed `delete` " +
+        "sweepers on the same key columns; got " +
+        s"[${dmlKinds(writers).mkString(", ")}]")
+    val (delWI, updWI) = writers.zipWithIndex
+      .partition(_._1._2.isInstanceOf[DeleteTable])
+    val updW = updWI.map(_._1)
+    val kind = if (updW.isEmpty) "delete" else dmlKinds(updW).head
     // per-writer emissions, __g_ord extended with the statement index
     val emissions = writers.zipWithIndex.map { case ((ast, act, _, _), i) =>
       val (sel, outCols) = dmlEmissions(spark, dir, ast, act, schema, env)
@@ -955,10 +987,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       return applyEmissions(InsertInto(t), schema, table, merged,
         schema.fieldNames.toSeq)
     }
-    // upsert forms: same key columns everywhere
+    // upsert/delete forms: same key columns everywhere
     val keyColsPer = writers.map { case (_, act2, _, _) =>
       act2 match {
         case UpsertTable(_, _, on) => keyEqsOf(on, t)
+        case DeleteTable(_, on)    => keyEqsOf(on, t)
         case _ => Nil // unreachable: classified above
       }
     }
@@ -968,8 +1001,37 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         fail(s"multi-writer table '$t' (v1): every writer must key on " +
           s"the same table columns (${keyOrder.mkString(", ")})")
     }
-    // fold specs: identical column → op across writers
-    val foldSpecs: List[Map[String, String]] = writers.map {
+    // TOMBSTONES: a delete writer's emission wipes its key at its
+    // interleaved position — per key only the LAST tombstone matters
+    // (everything at or before it is gone; later upserts re-insert),
+    // which is exactly Siddhi's per-event statement-order replay. One
+    // keyed aggregation (max __g_ord per key), no per-event state.
+    val dm: Option[DataFrame] = if (delWI.isEmpty) None else Some {
+      delWI.map { case ((_, act2, _, _), i) =>
+        val (sel, _, _) = emissions(i)
+        val keys = act2 match {
+          case DeleteTable(_, on) => keyEqsOf(on, t)
+          case _ => Nil
+        }
+        sel.select(keyOrder.zipWithIndex.map { case (kc, j) =>
+          expr(keys.find(_._1 == kc).get._2)
+            .cast(schema(kc).dataType).as(s"__dk$j")
+        } :+ col("__g_ord"): _*)
+      }.reduce(_ unionByName _)
+        .groupBy(keyOrder.indices.map(j => col(s"__dk$j")): _*)
+        .agg(max(col("__g_ord")).as("__dord"))
+    }
+    // a table row (initial state precedes every emission) dies under
+    // ANY tombstone for its key; only post-tombstone upserts revive it
+    val tableLive = dm.fold(table) { d =>
+      val dmk = d.select(keyOrder.indices.map(j => col(s"__dk$j")): _*)
+      val cond = keyOrder.zipWithIndex.map { case (kc, j) =>
+        table(kc) === dmk(s"__dk$j") }.reduce(_ && _)
+      table.join(dmk, cond, "left_anti")
+    }
+    if (updW.isEmpty) return tableLive
+    // fold specs: identical column → op across upsert writers
+    val foldSpecs: List[Map[String, String]] = updW.map {
       case (_, UpsertTable(_, set, _), _, _) =>
         set.flatMap { case (c, e) =>
           foldSetOf(t, c, e).map { case (op, _) => c -> op } }.toMap
@@ -979,10 +1041,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       fail(s"multi-writer table '$t' (v1): accumulator-fold writers " +
         "must fold the SAME columns with the same operators")
     val folds = foldSpecs.head.toList.sortBy(_._1)
-    // normalize each writer: pre-evaluate its key RHS and fold deltas
-    // over its own select outputs, cast table columns
-    val merged = emissions.zip(writers).map {
-      case ((sel, outCols, act2), (_, _, _, _)) =>
+    // normalize each upsert writer: pre-evaluate its key RHS and fold
+    // deltas over its own select outputs, cast table columns
+    val merged = updWI.map {
+      case ((_, act2, _, _), i) =>
+        val (sel, outCols, _) = emissions(i)
         val keys = act2 match {
           case UpsertTable(_, _, on) => keyEqsOf(on, t)
           case _ => Nil
@@ -1009,6 +1072,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             expr(streamSql(deltaOf(c))).cast(schema(c).dataType)
               .as(s"__fdm_$c") } :+ col("__g_ord"): _*)
     }.reduce(_ unionByName _)
+    // drop every upsert emission at or before its key's last tombstone
+    // — those rows are wiped in the interleaved replay; survivors feed
+    // the ordinary merge (the first survivor inserts, later ones fold)
+    val mergedLive = dm.fold(merged) { d =>
+      val cond = keyOrder.zipWithIndex.map { case (kc, j) =>
+        merged(s"__mk$j").cast(schema(kc).dataType) <=> d(s"__dk$j")
+      }.reduce(_ && _)
+      merged.join(d, cond, "left_outer")
+        .filter(col("__dord").isNull || col("__g_ord") > col("__dord"))
+        .drop(keyOrder.indices.map(j => s"__dk$j") :+ "__dord": _*)
+    }
     // synthesized single merge over the interleaved union: keys match
     // on the pre-evaluated __mk columns, folds reference the
     // pre-evaluated __fdm deltas
@@ -1021,8 +1095,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     val outColsSyn = schema.fieldNames.toSeq ++
       keyOrder.indices.map(i => s"__mk$i") ++
       folds.map { case (c, _) => s"__fdm_$c" }
-    applyEmissions(UpsertTable(t, setSyn, onSyn), schema, table,
-      merged, outColsSyn)
+    applyEmissions(UpsertTable(t, setSyn, onSyn), schema, tableLive,
+      mergedLive, outColsSyn)
   }
 
   /** Merge EMISSION rows — the select output attributes plus a
@@ -2495,6 +2569,88 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     }
   }
 
+  // ---- mergeable APPROX percentile (quantized run-length histogram,
+  // DDSketch-flavored): values quantize to 3 significant digits
+  // (relative error ≤ 5e-4 — far inside the 5% sketch-gate tolerance
+  // contract), a group's partial is the SORTED (q, cnt) run-length
+  // pair array — O(distinct quantized values) state, never O(rows) —
+  // merging is a linear sorted-run re-compression (exactly
+  // associative/commutative, so the grain cascade and the live
+  // bucket-merge fold are chunking-invariant by construction), and
+  // the final is the nearest-rank pick. The `transform(array(x),
+  // v -> ...)` wrappers are SQL let-bindings: they evaluate each
+  // sub-relation once instead of once per lambda step.
+  private def pctlPairsType = "array<struct<q: double, cnt: bigint>>"
+
+  /** 3-significant-digit quantization of a value expression
+    * (round's scale must be foldable, so the power of ten is
+    * explicit: q = round(x / 10^(d-2)) · 10^(d-2), d = ⌊log10|x|⌋). */
+  private def pctlQuantSql(x: String): String =
+    s"case when $x = 0D then 0D else " +
+      s"element_at(transform(array(" +
+      s"power(10D, floor(log10(abs($x))) - 2D)), p -> " +
+      s"round($x / p) * p), 1) end"
+
+  /** Compress a SORTED array<double> into run-length (q, cnt) pairs. */
+  private def pctlCompressSql(vsExpr: String): String =
+    s"""element_at(transform(array($vsExpr), vs ->
+       |  if(size(vs) = 0, cast(array() as $pctlPairsType),
+       |    element_at(transform(array(filter(sequence(1, size(vs)),
+       |        i -> i = size(vs)
+       |          OR element_at(vs, i) != element_at(vs, i + 1))), idx ->
+       |      transform(idx, (e, j) -> named_struct(
+       |        'q', element_at(vs, e),
+       |        'cnt', cast(e - if(j = 0, 0, element_at(idx, j))
+       |          as bigint)))), 1))), 1)""".stripMargin
+
+  /** Merge a SORTED (q, cnt) pair array: collapse equal-q runs by
+    * summing counts (linear — each element lands in one slice). */
+  private def pctlMergeSql(psExpr: String): String =
+    s"""element_at(transform(array($psExpr), ps ->
+       |  if(size(ps) = 0, cast(array() as $pctlPairsType),
+       |    element_at(transform(array(filter(sequence(1, size(ps)),
+       |        i -> i = size(ps)
+       |          OR element_at(ps, i).q != element_at(ps, i + 1).q)), idx ->
+       |      transform(idx, (e, j) -> named_struct(
+       |        'q', element_at(ps, e).q,
+       |        'cnt', aggregate(
+       |          slice(ps, if(j = 0, 1, element_at(idx, j) + 1),
+       |            e - if(j = 0, 0, element_at(idx, j))),
+       |          0L, (a, s) -> a + s.cnt)))), 1))), 1)""".stripMargin
+
+  /** Interpolated percentile from merged (q, cnt) pairs at `frac` —
+    * Spark's percentile position (1 + f·(n−1)) between the bracketing
+    * ranks, so the only approximation left is the 3-significant-digit
+    * quantization (vital for SMALL groups, where nearest-rank vs
+    * interpolation diverges by a whole value gap). */
+  private def pctlFinalSql(mExpr: String, frac: Double): String =
+    s"""element_at(transform(array($mExpr), m ->
+       |  if(size(m) = 0, cast(null as double),
+       |    element_at(transform(array(cast(1D + ${frac}D *
+       |        (aggregate(m, 0L, (a, e) -> a + e.cnt) - 1D)
+       |        as double)), pos ->
+       |      element_at(transform(array(aggregate(m,
+       |          named_struct('c', 0L, 'lo', cast(null as double),
+       |            'hi', cast(null as double)),
+       |          (a, e) -> named_struct(
+       |            'c', a.c + e.cnt,
+       |            'lo', if(a.lo is null AND a.c + e.cnt >=
+       |              cast(floor(pos) as bigint), e.q, a.lo),
+       |            'hi', if(a.hi is null AND a.c + e.cnt >=
+       |              cast(ceil(pos) as bigint), e.q, a.hi)))), r ->
+       |        r.lo + (pos - floor(pos)) * (r.hi - r.lo)), 1)), 1))),
+       |  1)""".stripMargin
+
+  /** The percentile fraction from the call's second argument. */
+  private def pctlFracOf(args: List[Expr]): Double = args match {
+    case _ :: Num(p) :: Nil =>
+      val v = p.toDouble
+      if (v <= 0 || v > 100) fail(s"percentile(x, p): p in (0, 100]")
+      v / 100.0
+    case _ => fail("percentile takes (value, p) with a literal p " +
+      "(e.g. percentile(value, 50.0))")
+  }
+
   /** Partial / combine / final column triples per defined select item
     * — the algebraic decomposition that makes the grain cascade (and
     * the live bucket-merge) correct: partials live at the FINEST
@@ -2556,8 +2712,21 @@ private[api] trait SiddhiQlCompiler extends Serializable {
               combines += expr("cast(size(array_distinct(flatten(" +
                 s"collect_list(__p_$a)))) as bigint)").as(a)
               finals += a -> col(a)
+            case "percentile" => // mergeable APPROX (quantized
+              // run-length histogram; see pctl*Sql above) — the exact
+              // form stays a batch aggregate (agg_percentile); the
+              // gate contract is sketch_approx_quantile's tolerance
+              val frac = pctlFracOf(args)
+              partials += expr(pctlCompressSql(
+                s"sort_array(collect_list(${pctlQuantSql(argSql)}))"))
+                .as(s"__p_$a")
+              combines += expr(pctlMergeSql(
+                s"sort_array(flatten(collect_list(__p_$a)))"))
+                .as(s"__m_$a")
+              finals += a -> expr(pctlFinalSql(s"__m_$a", frac)).as(a)
             case other => fail(s"aggregation definitions support " +
-              s"sum/count/min/max/avg/stdDev/distinctCount, got '$other'")
+              "sum/count/min/max/avg/stdDev/distinctCount/percentile" +
+              s"(approx), got '$other'")
           }
         case _ => fail(s"aggregation select item '${sqlOf(it.e)}' must " +
           "be a group key or an aggregate call")
@@ -2595,6 +2764,14 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           case "stddev" => FoldAlg.mergeCols("stddev", s"__p_$a")
           case "distinctcount" =>
             FoldAlg.mergeCols("distinctcount", s"__p_$a")
+          case "percentile" =>
+            // concat the two sorted pair arrays (absent side empty),
+            // re-sort, collapse equal-q runs — linear, associative
+            Seq(expr(pctlMergeSql(
+              s"sort_array(concat(" +
+                s"coalesce(t.__p_$a, cast(array() as $pctlPairsType)), " +
+                s"coalesce(u.__p_$a, cast(array() as $pctlPairsType))))"))
+              .as(s"__p_$a"))
           case _ => Nil // aggPlanCols already diagnosed
         }
         case _ => Nil

@@ -212,18 +212,21 @@ private[api] trait SiddhiQlLive extends Serializable {
 
   /** [[dmlStateMode]] for a MULTI-writer table: keyed DML
     * bucket-merges on the shared key columns with the batch-key probe
-    * the UNION of every writer's filter+select key projection;
-    * insert-only writer groups append. */
+    * the UNION of every writer's filter+select key projection —
+    * `delete` sweepers contribute their key projection too, so the
+    * buckets a tombstone wipes are read into (and rewritten by) the
+    * fold; insert-only writer groups append. */
   private[api] def dmlStateModeMulti(
       writers: List[(Ast, Action, StructType, String)], tName: String,
       schema: StructType, fnsSnap: Map[String, ScriptFn],
       envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
       : StateMode = {
-    val keysM = writers.head._2 match {
+    val keysM = writers.map(_._2).collectFirst {
       case UpsertTable(_, _, on) =>
         keyEqsOf(on, tName).map(_._1).distinct.sorted
-      case _ => Nil
-    }
+      case DeleteTable(_, on) =>
+        keyEqsOf(on, tName).map(_._1).distinct.sorted
+    }.getOrElse(Nil)
     if (keysM.isEmpty) AppendState
     else KeyedState(keysM, (sp, d2, batch) => {
       scriptFns = fnsSnap
@@ -231,8 +234,9 @@ private[api] trait SiddhiQlLive extends Serializable {
       writers.map { case (wAst, wAct, _, wSrc) =>
         val on = wAct match {
           case UpsertTable(_, _, o) => o
+          case DeleteTable(_, o)    => o
           case a2 => fail("multi-writer table DML (v1) mixes only " +
-            s"`update or insert` writers; got " +
+            s"`update or insert` and `delete` writers; got " +
             s"'${a2.getClass.getSimpleName}'")
         }
         val keys = keyEqsOf(on, tName)
@@ -553,9 +557,11 @@ private[api] trait SiddhiQlLive extends Serializable {
             if (allWriters.length > 1 && !dmlComposable(allWriters))
               fail(s"multi-writer table '${act.target}' (v1) deploys " +
                 "ORDER-COMPOSABLE writer groups only (all insert / " +
-                "all implicit-set upsert / all identical-fold upsert) " +
-                "— heterogeneous statement pipelines (e.g. upsert + " +
-                "delete) are batch-replay surfaces")
+                "all implicit-set upsert / all identical-fold upsert " +
+                "/ upsert|fold writers + keyed delete sweepers on the " +
+                "same key) — other heterogeneous statement pipelines " +
+                "(insert+delete, update/upsert-expr mixes, mixed " +
+                "keys) are batch-replay surfaces")
             if (allWriters.length > 1) {
               // MULTI-WRITER table deployed LIVE: the fold applies
               // every registered writer's emissions per trigger in

@@ -15,6 +15,48 @@ object SqlGate {
   private def q(text: String): Q =
     (s, d) => SiddhiQL.compile(s, d, text)
 
+  /** Shared by sql_incremental_pctl and its live twin: the cascade's
+    * mergeable APPROX percentile (quantized run-length histogram)
+    * under sketch_approx_quantile's tolerance contract — the gate
+    * emits the EXACT per-bucket p50 (value-checked against the
+    * oracle) plus a within-5% boolean for the approx, so the oracle
+    * checks the algorithm without requiring sketch-for-sketch
+    * equality with DuckDB. */
+  private def pctlGate(live: Boolean)(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app =
+      """define aggregation EvPctl
+        |from events
+        |select user_id, percentile(value, 50.0) as p50, count() as cnt
+        |group by user_id
+        |aggregate by ts_ns every sec ... day;
+        |
+        |@info(name = 'read')
+        |from EvPctl
+        |within '2024-01-02 00:00:00', '2024-01-05 00:00:00'
+        |per 'hours'
+        |select user_id, p50, cnt
+        |order by bucket_start_ms, user_id
+        |insert into Out""".stripMargin
+    val approx =
+      if (live) SiddhiQL.deployApp(s, d, app, "read")
+      else SiddhiQL.compileApp(s, d, app)("read")
+    val loMs = 1704153600000L; val hiMs = 1704412800000L
+    val exact = Tables.events(s, d)
+      .filter(col("ts_ns") >= loMs * 1000000L &&
+        col("ts_ns") < hiMs * 1000000L)
+      .groupBy(expr("(ts_ns div 3600000000000L) * 3600000L")
+        .as("bucket_start_ms"), col("user_id"))
+      .agg(expr("percentile(value, 0.5D)").as("__exact"))
+    approx.join(exact, Seq("bucket_start_ms", "user_id"))
+      .select(col("bucket_start_ms"), col("user_id"), col("cnt"),
+        round(col("__exact"), 4).as("exact_p50"),
+        (abs(col("p50") - col("__exact")) <=
+          greatest(abs(col("__exact")) * 0.05, lit(1.0))).as("p50_ok"))
+      .orderBy("bucket_start_ms", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_filter_project" -> q(
       """from events[value > 120 and event_type == 'click']
@@ -911,6 +953,28 @@ object SqlGate {
         .stripMargin, "buys")
       .selectExpr("user_id", "round(last_value, 2) as last_value", "src")
       .orderBy("user_id")),
+    // MIXED writers (upsert + delete sweeper) deployed LIVE: the fold
+    // applies both writers' emissions per trigger in per-event
+    // interleaved order — the purge tombstones its key at its stream
+    // position, later updates re-insert (applyDmlMulti's tombstone
+    // algebra; the batch sql_table_delete oracle is the truth)
+    "sql_app_table_mixed_writers_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Active (user_id long, last_value double);
+        |
+        |@info(name = 'seed')
+        |from events
+        |select user_id, value as last_value
+        |update or insert into Active on Active.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Active on Active.user_id == user_id""".stripMargin,
+      "purge")
+      .selectExpr("user_id", "round(last_value, 2) as last_value")
+      .orderBy("user_id")),
     // per-event as-of enrichment against the TWO-writer table: each
     // error sees the latest click-or-purchase update before it
     "sql_enrich_multi" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -1314,6 +1378,10 @@ object SqlGate {
     // the cascade as Chan (n, mean, M2) moment partials (rolled up via
     // the moment-sum identity), distinctCount as exact value-set
     // partials — both mergeable at any grain, like sum/count
+    // the cascade's mergeable APPROX percentile (batch + live twins,
+    // sketch-tolerance contract — see pctlGate)
+    "sql_incremental_pctl" -> (pctlGate(live = false) _),
+    "sql_app_incremental_pctl_live" -> (pctlGate(live = true) _),
     "sql_incremental_stats" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define aggregation EvStats
         |from events
@@ -1416,7 +1484,12 @@ object SqlGate {
         |  math:round(bonus, 2) as bonus
         |order by user_id
         |insert into Out""".stripMargin)("read")),
-    // `delete … on` — rows whose key matches any delete event vanish
+    // `delete … on` interleaved with an upsert writer (Siddhi's
+    // per-event statement-order replay, since r11): a purge event
+    // tombstones its key AT its stream position — later updates
+    // re-insert the user, so only a user whose LAST event matches the
+    // sweeper ends deleted (2 deleted / 148 alive at sf0.01, with 73
+    // of the 148 purged mid-stream then revived — both paths real)
     "sql_table_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Active (user_id long, last_value double);
         |
@@ -2605,6 +2678,24 @@ object SqlGate {
     // hour buckets of population stddev + exact distinct type counts —
     // independent recompute from raw rows (the cascade's moment/set
     // partials must reproduce the direct aggregation)
+    // exact hourly p50 (value-checked) + TRUE tolerance booleans — the
+    // Spark side computes the approx-vs-exact check itself
+    "sql_incremental_pctl" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  TRUE AS p50_ok
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
+    "sql_app_incremental_pctl_live" ->
+      """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
+        |  user_id, count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  TRUE AS p50_ok
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000
+        |GROUP BY 1, 2 ORDER BY bucket_start_ms, user_id""".stripMargin,
     "sql_incremental_stats" ->
       """SELECT epoch_ms(ts) // 3600000 * 3600000 AS bucket_start_ms,
         |  user_id, round(stddev_pop(value), 6) AS sd,
@@ -2724,15 +2815,26 @@ object SqlGate {
         |FROM seed s LEFT JOIN bump b ON s.user_id = b.user_id
         |ORDER BY s.user_id""".stripMargin,
     // delete removes every key a purge event named
-    "sql_table_delete" ->
-      """WITH last AS (
-        |  SELECT user_id, value AS last_value FROM (
-        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+    // live mixed upsert+delete fold == the batch interleaved replay
+    "sql_app_table_mixed_writers_live" ->
+      """SELECT user_id, round(last_value, 2) AS last_value FROM (
+        |  SELECT user_id, value AS last_value, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events) e WHERE rn = 1)
-        |SELECT user_id, last_value FROM last
-        |WHERE user_id NOT IN (SELECT user_id FROM events
-        |  WHERE event_type = 'error' AND value > 150.0)
+        |  FROM events) e
+        |WHERE rn = 1 AND NOT (event_type = 'error' AND value > 150.0)
+        |ORDER BY user_id""".stripMargin,
+    // interleaved replay: every event upserts (seed, stmt 0), a
+    // matching purge event then tombstones the key (stmt 1) — so a
+    // user survives iff their LAST event is not a purge trigger, and
+    // the surviving row carries that last event's value
+    "sql_table_delete" ->
+      """SELECT user_id, last_value FROM (
+        |  SELECT user_id, value AS last_value, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) e
+        |WHERE rn = 1 AND NOT (event_type = 'error' AND value > 150.0)
         |ORDER BY user_id""".stripMargin,
     // live trigger ticks: aligned 10-min interval starts over the
     // event-time span, filtered to whole hours

@@ -627,6 +627,34 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x mixed-writer table fold (upsert + delete sweeper): " +
+       "tombstone interleave replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-11 tombstone algebra at 1M events: an upsert writer
+    // and a delete sweeper interleave per (ts, event_id, statement) —
+    // a purge tombstones its key at its position, later updates
+    // re-insert. Replica user spaces are disjoint, so each replica's
+    // surviving last-wins rows must reproduce the base gate's rows
+    // with ids shifted — the tombstone max and the merge are key-local.
+    val q = SqlGate.queries("sql_app_table_mixed_writers_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"mixed-writer 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r.head.asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => (r.head.asInstanceOf[Long] - k * off) +: r.tail)
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base tombstone interleave")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live define aggregation: grain cascade replica-exact, " +
        "fold writes bounded, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -553,12 +553,18 @@ class SiddhiQlSpec extends AnyFunSuite {
     // missing within
     assert(appMsg(defn + "from A per 'hours' select t insert into O")
       .contains("needs `within"))
-    // unsupported (non-mergeable) aggregate in the definition —
-    // stdDev/distinctCount joined the algebra in r10, percentile has
-    // no exact mergeable partial and stays diagnosed
+    // percentile joined the algebra in r11 as a mergeable APPROX
+    // (quantized run-length histogram) — it needs its (value, p)
+    // argument form; a truly unsupported aggregate stays diagnosed
     assert(appMsg(
       """define aggregation B from events
         |select percentile(value) as u
+        |aggregate by ts_ns every min;
+        |from B within 0, 1 per 'min' select u insert into O""".stripMargin)
+      .contains("percentile takes (value, p)"))
+    assert(appMsg(
+      """define aggregation B from events
+        |select groupConcat(value) as u
         |aggregate by ts_ns every min;
         |from B within 0, 1 per 'min' select u insert into O""".stripMargin)
       .contains("sum/count/min/max/avg/stdDev/distinctCount"))
@@ -1541,9 +1547,10 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(out == truth && out.valuesIterator.toSet.size == 2,
       "interleaved last-wins must reflect the truly latest event " +
         "across writers (and the fixture must exercise both)")
-    // mixed action shapes keep the batch statement-sequential replay
-    // (a populate-then-prune PIPELINE, e.g. the sql_table_delete
-    // gate's upsert + delete); deployed LIVE they are a named bound
+    // upsert+delete composes since r11 (tombstone emissions — the
+    // sql_table_delete gate); an INSERT mixed with keyed writers still
+    // keeps the batch statement-sequential replay (inserts are
+    // unkeyed) and deployed LIVE is a named bound
     def msg(app: String): String =
       intercept[IllegalArgumentException](
         SiddhiQL.compileApp(spark, sf, app)).getMessage
