@@ -493,7 +493,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     * construction. */
   private[api] def enrichCompile(sp: SparkSession, dir: String, ast: Ast,
       j: JoinStream, winfos: List[(Ast, Action, StructType, String)],
-      accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
+      accTable: DataFrame, env: Map[String, DataFrame],
+      winFlush: Map[Int, DataFrame] = Map.empty): DataFrame = {
     val dSchema = winfos.head._3
     val tSide = j.right; val sSide = j.left
     val tName = tSide.table
@@ -513,19 +514,24 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         "in a downstream stage")
     if (ast.limit.nonEmpty || ast.offset.nonEmpty)
       fail("live enrichment joins have no limit/offset (v1)")
-    // the maintaining DML must be PER-EVENT: a windowed-aggregate
-    // writer emits at flush times, so "as-of this event" would need
-    // flush-aligned state reconstruction — read it at finish instead
-    winfos.foreach { case (dAst, _, _, _) =>
-      dAst.stream match {
-        case ss: SingleStream if ss.window.nonEmpty =>
-          fail(s"live enrichment joins read a table maintained by " +
-            s"per-event DML (v1) — '$tName' is maintained by a " +
-            "windowed aggregate, which emits at flush times; read it " +
-            "as the app's final output instead")
-        case _ => ()
+    // a WINDOWED (timeBatch) writer is per-event readable since r11:
+    // its update rows are the FLUSH rows, each visible from its
+    // bucket END — an event sees the latest completed flush for its
+    // key (Siddhi: the table at the event's position holds the
+    // flushes so far), and the same last-wins / accumulator-fold
+    // reconstruction below applies unchanged because a flush row IS
+    // an update row at ord (bucket end, 0, statement). v1: at most
+    // one windowed writer, alone on its table.
+    val winWriterCnt = winfos.count { case (dAst2, _, _, _) =>
+      dAst2.stream match {
+        case ss2: SingleStream => ss2.window.nonEmpty
+        case _ => false
       }
     }
+    if (winWriterCnt > 0 && winfos.length > 1)
+      fail(s"enrichment joins read a table with EITHER per-event " +
+        s"writers or ONE windowed-aggregate writer (v1) — '$tName' " +
+        "mixes flush and per-event emissions")
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
@@ -613,21 +619,59 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // the accumulated seed — its values already carry every prior
     // fold).
     val uTag = winfos.zipWithIndex.map {
-      case ((dAst, _, _, dSrc), wi) =>
+      case ((dAst, dAct, _, dSrc), wi) =>
         val wKeys = dmlKeysPer(wi)
         val wFolds = perWriter(wi)._2
-        val uBase0 = loadTable(sp, dir, dSrc, env)
-        val uBase = dAst.stream match {
-          case ss: SingleStream => ss.filter.fold(uBase0)(f =>
-            applyFilter(sp, dir, uBase0, f, env))
-          case _ => uBase0 // unreachable: DML is single-stream
+        val winT: Option[Long] = dAst.stream match {
+          case ss2: SingleStream => ss2.window match {
+            case Some(WindowSpec(n2, t2 :: _, _))
+                if n2.equalsIgnoreCase("timebatch") => Some(t2)
+            case Some(w2) => fail("windowed-writer enrichment reads " +
+              s"a timeBatch writer (v1); '#window.${w2.name}' flush " +
+              "emissions have no per-event visibility instant")
+            case None => None
+          }
+          case _ => None
         }
-        val uItems = itemsOf(expandStar(dAst, uBase0.columns))
-        val uSel = uBase.select(uItems.map { case (it, a2, _) =>
-          expr(sqlOf(it.e)).as(a2) } :+
-          struct(col("ts_ns"), col("event_id"),
-            lit(wi.toLong).as("w")).as("__ord"): _*)
-        val uOut = uItems.map(_._2)
+        val (uSel, uOut) = winT match {
+          case Some(t2) =>
+            // FLUSH rows as the update relation, each visible from
+            // its bucket END ((bucket+1)·T, event_id 0): either from
+            // the live fold's pre-merged partial state (winFlush:
+            // (__wb, outCols)) or recomputed from the raw stream
+            // (the batch replay — dmlEmissions' windowed branch)
+            val sel2 = winFlush.get(wi) match {
+              case Some(flushRel) =>
+                val cols = flushRel.columns.filterNot(_ == "__wb").toList
+                (flushRel.select(cols.map(col) :+ struct(
+                  ((col("__wb") + lit(1L)) * lit(t2)).cast("long")
+                    .as("ts_ns"),
+                  lit(0L).as("event_id"),
+                  lit(wi.toLong).as("w")).as("__ord"): _*), cols)
+              case None =>
+                val (sel0, outCols0) =
+                  dmlEmissions(sp, dir, dAst, dAct, dSchema, env)
+                (sel0.withColumn("__ord", struct(
+                  (col("__g_ord.ts_ns") + lit(t2)).as("ts_ns"),
+                  col("__g_ord.event_id"),
+                  lit(wi.toLong).as("w"))).drop("__g_ord"),
+                  outCols0.toList)
+            }
+            sel2
+          case None =>
+            val uBase0 = loadTable(sp, dir, dSrc, env)
+            val uBase = dAst.stream match {
+              case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+                applyFilter(sp, dir, uBase0, f, env))
+              case _ => uBase0 // unreachable: DML is single-stream
+            }
+            val uItems = itemsOf(expandStar(dAst, uBase0.columns))
+            (uBase.select(uItems.map { case (it, a2, _) =>
+              expr(sqlOf(it.e)).as(a2) } :+
+              struct(col("ts_ns"), col("event_id"),
+                lit(wi.toLong).as("w")).as("__ord"): _*),
+              uItems.map(_._2))
+        }
         def deltaSql(e: Expr): String = sqlOfWith(e, {
           case c :: Nil if uOut.contains(c) => c
           case parts => fail(s"fold delta reference " +

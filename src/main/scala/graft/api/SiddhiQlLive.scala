@@ -170,7 +170,13 @@ private[api] trait SiddhiQlLive extends Serializable {
       // orders the finalized output (offset skips, limit caps — the
       // batch compile's order) — chunking-invariant by construction,
       // exactly like the having-at-finish filter
-      limit: Option[Long] = None, offset: Option[Long] = None)
+      limit: Option[Long] = None, offset: Option[Long] = None,
+      // true when the feed contains an OUTER watermarked join: its
+      // null-padded rows only materialize once the watermark passes
+      // their band, so the runner must append the two flush-sentinel
+      // batches after the data (the sentinels are dropped above the
+      // join — they advance the watermark and produce no feed rows)
+      needsFlush: Boolean = false)
 
   /** [[StateMode]] of a DML-maintained table state: insert-only DML
     * appends (the fold's output IS the batch delta when folded into an
@@ -1627,69 +1633,80 @@ private[api] trait SiddhiQlLive extends Serializable {
                 }
               }
             if (winWriterTNs.nonEmpty) {
-              // READ-AT-FINISH enrichment of a WINDOWED-aggregate
+              // PER-EVENT AS-OF enrichment of a WINDOWED-aggregate
               // store (the Siddhi store pattern read back through a
-              // join): flush rows materialize at window flushes and
-              // have no per-event as-of, so — exactly like the batch
-              // compile, where a query joining the table sees the
-              // final flush-merged relation — the live form folds the
-              // windowed DML with the store pattern's per-(bucket ∪
-              // group keys) partial state, APPENDS the stream side's
-              // rows per trigger, and runs the join ONCE at finish
-              // against the finished table. Siddhi-matching semantics:
-              // the table IS its latest flush state.
+              // join, r11): each event sees the latest COMPLETED
+              // flush for its key — a flush row is an update row
+              // visible from its bucket END, and enrichCompile's
+              // keyed union+window pass reconstructs the as-of state
+              // exactly like per-event writers. The fold keeps the
+              // store pattern's per-(bucket ∪ group keys) algebraic
+              // PARTIALS (a bucket spanning triggers merges
+              // componentwise); per trigger it merges the batch's
+              // partials, derives the POST-merge flush relation, and
+              // runs the as-of pass over THIS batch's events —
+              // chunking-invariant because an event only reads
+              // flushes whose bucket closed at or before its own
+              // timestamp, whose data (in-order replay) has already
+              // arrived. The batch compile runs the identical
+              // construction over the whole replay, so it is the
+              // oracle.
               if (hasAggE)
                 fail("live enrichment aggregation over a windowed-" +
                   "writer table is not deployed (v1) — project the " +
                   "join, aggregate in a downstream stage")
-              if (ast.having.nonEmpty || ast.limit.nonEmpty ||
-                  ast.offset.nonEmpty)
-                fail("windowed-writer enrichment (v1) has no " +
-                  "having/limit/offset")
               if (dSrc != "events")
                 fail("windowed-writer enrichment (v1) reads a table " +
                   s"whose writer consumes the source stream; '$tName' " +
                   s"is written from derived stream '$dSrc'")
-              val joinKindW = j.joinType match {
-                case "inner" | "left_outer" => j.joinType
-                case other => fail("windowed-writer enrichment joins " +
-                  s"are inner or left outer (v1), got '$other'")
-              }
-              val tAliasW = j.rightAlias.getOrElse(tName)
-              val sAliasW = j.leftAlias.getOrElse(sName)
-              val itemsW = itemsOf(ast)
               val fnsSnapW = scriptFns
-              def evOf(sp: SparkSession, d2: String,
-                  batch: DataFrame): DataFrame = {
-                scriptFns = fnsSnapW
-                val benv = batchEnv(sp, d2, batch, statelessSnap)
-                val b0 = loadTable(sp, d2, sName, benv)
-                sSide.filter.fold(b0)(f =>
-                  applyFilter(sp, d2, b0, f, benv))
-              }
-              def joinFin(table: DataFrame, evs: DataFrame)
-                  : DataFrame = {
-                scriptFns = fnsSnapW
-                evs.as(sAliasW).join(table.as(tAliasW),
-                    expr(sqlOfWith(j.on, _.mkString("."))), joinKindW)
-                  .select(itemsW.map { case (it, a2, _) =>
-                    expr(sqlOfWith(it.e, _.mkString("."))).as(a2) }: _*)
-              }
-              // deploy-time prototypes: fail fast + output schema
-              val protoEv = evOf(sp0, "", emptyOf(sp0, srcTs.schema))
-              val protoW = joinFin(emptyOf(sp0, dSchema),
-                protoEv.limit(0))
+              val tNsW = winWriterTNs.get
+              val ssW = dAst.stream.asInstanceOf[SingleStream]
+              // deploy-time prototype: fail fast + output schema (the
+              // dmlEmissions path recomputes flushes from the raw
+              // stream over an empty env)
+              val protoW = enrichCompile(sp0, "", ast, j, writers,
+                emptyOf(sp0, dSchema),
+                batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                  statelessSnap))
               val keyW = name.orElse(ast.action.map(_.target))
               if (keyW.contains(out) || name.contains(out)) {
-                val wf = windowedDmlFold(
-                  emptyOf(sp0, srcTs.schema), dAst, dAct, dSchema,
-                  winWriterTNs.get, fnsSnapW)
+                // flush-partial fold with an IDENTITY finish: its
+                // finish(acc) is the flush relation (__wb + outputs)
+                val (wfP, _) = flushPartialFold(
+                  emptyOf(sp0, srcTs.schema), ssW.filter, dAst.groupBy,
+                  itemsOf(dAst), tNsW, fnsSnapW, Nil,
+                  (_, flush) => flush)
+                val keysP = wfP.schemas.head._3 match {
+                  case KeyedState(ks, _) => ks
+                  case _ => Seq("__wb")
+                }
                 foldResult = Some(LiveFold(srcTs,
-                  wf.schemas :+ (("__ev", protoEv.schema, AppendState)),
-                  (sp, d2, acc, batch) =>
-                    wf.fold(sp, d2, acc, batch) +
-                      ("__ev" -> evOf(sp, d2, batch)),
-                  (sp, acc) => joinFin(wf.finish(sp, acc), acc("__ev")),
+                  wfP.schemas :+ (("__out", protoW.schema, AppendState)),
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnapW
+                    val st1 = wfP.fold(sp, d2, acc, batch)("state")
+                    // post-merge partials: untouched buckets from the
+                    // full state, touched buckets replaced by st1
+                    val full0 = acc("state").full()
+                    val fullPost = full0.as("t")
+                      .join(st1.select(keysP.map(col): _*).distinct()
+                          .as("u"),
+                        keysP.map(k2 =>
+                          col(s"t.$k2") <=> col(s"u.$k2"))
+                          .reduce(_ && _), "left_anti")
+                      .select(full0.columns.toSeq
+                        .map(c2 => col(s"t.$c2")): _*)
+                      .unionByName(st1)
+                    val flushRel =
+                      wfP.finish(sp, Map("state" -> fullPost))
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val enriched = enrichCompile(sp, d2, ast, j,
+                      writers, emptyOf(sp, dSchema), benv,
+                      winFlush = Map(0 -> flushRel))
+                    Map("state" -> st1, "__out" -> enriched)
+                  },
+                  (_, acc) => acc("__out"),
                   ast.orderBy.map { case (c2, asc) =>
                     if (asc) col(c2).asc else col(c2).desc }))
               }
@@ -2012,19 +2029,30 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // output rate limiting OVER the live windowed join: the
                 // rated events are the pair EMISSIONS — emission
                 // instant greatest(l.ts, r.ts), tie-broken by the side
-                // event ids (the batch rateOverJoin's exact order).
+                // event ids (the batch rateOverJoin's exact order; an
+                // OUTER join's null-padded row emits at its preserved
+                // side's own arrival instant — greatest skips the null
+                // side, ids coalesce to -1, the batch's exact rule).
                 // Time modes fold per-interval extreme picks
                 // (KeyedState on the interval — chunking-invariant: a
-                // pair's interval is a function of its own emit ts, so
-                // cross-trigger merges commute); count modes ride the
-                // running pair counter (the single-stream count-rate
-                // fold shape — pair emission is trigger-monotone under
-                // the in-order replay, the same contract that fold
-                // already carries).
-                if (jType != "inner")
-                  fail("live rate limiting over an OUTER join is not " +
-                    "deployed (v1) — null-padded rows only materialize " +
-                    "at watermark expiry, with no pair emission instant")
+                // row's interval is a function of its own emit ts, so
+                // cross-trigger merges commute NO MATTER WHICH trigger
+                // materializes it — which is what makes outer rows,
+                // materialized only at watermark expiry, safe here);
+                // count modes ride the running pair counter (the
+                // single-stream count-rate fold shape — pair emission
+                // is trigger-monotone under the in-order replay).
+                // Count modes over an OUTER join stay refused: a
+                // null-pad materializes at watermark expiry, AFTER
+                // later-emission pairs may already have been counted,
+                // so the running counter's order would diverge from
+                // the batch emission order.
+                if (jType != "inner" && ast.rate.get.count.nonEmpty)
+                  fail("count-based rate limiting over an OUTER live " +
+                    "join is not deployed (v1) — null-padded rows " +
+                    "materialize at watermark expiry, out of running-" +
+                    "counter order; use a time-based rate or an inner " +
+                    "join")
                 val rJ = ast.rate.get
                 val itemsJ = itemsOf(ast)
                 Seq(la, ra).foreach { al =>
@@ -2036,8 +2064,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                 val emitTs = greatest(col(s"${la}_ts_ns"),
                   col(s"${ra}_ts_ns"))
                 val ordJ = struct(emitTs.as("t"),
-                  col(s"${la}_event_id").as("il"),
-                  col(s"${ra}_event_id").as("ir"))
+                  coalesce(col(s"${la}_event_id"), lit(-1L)).as("il"),
+                  coalesce(col(s"${ra}_event_id"), lit(-1L)).as("ir"))
                 val outColsJ = itemsJ.map(_._2)
                 val feedJ = joined.select(itemsJ.map { case (it, a2, _) =>
                   expr(sqlOfWith(it.e, qual)).as(a2) } :+
@@ -2047,8 +2075,11 @@ private[api] trait SiddhiQlLive extends Serializable {
                 val keyJ2 = name.orElse(ast.action.map(_.target))
                 carriedNow = Nil
                 (rJ.mode, rJ.timeNs, rJ.count) match {
-                  case ("all", _, _) => // emission batching only
-                    (feedJ.drop("__emit_ts", "__emit_ord"), KStateless)
+                  case ("all", _, _) => // emission batching only; an
+                    // outer join still needs the sentinel Append
+                    // channel for its tail null-pads
+                    (feedJ.drop("__emit_ts", "__emit_ord"),
+                      if (jType == "inner") KStateless else KWindowAgg)
                   case (m @ ("first" | "last"), Some(t), None) =>
                     val withIv = feedJ.withColumn("__iv",
                       expr(s"__emit_ts div ${t}L")).drop("__emit_ts")
@@ -2069,7 +2100,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                         (_, acc) => acc.select(outColsJ.map(col): _*),
                         ordFin,
                         KeyedState(Seq("__iv"), (_, _, batch) =>
-                          batch.select(col("__iv")))))
+                          batch.select(col("__iv"))))
+                        .copy(needsFlush = jType != "inner"))
                     (emptyOf(joined.sparkSession, schemaR), KFold)
                   case (m @ ("first" | "last"), None, Some(nEv)) =>
                     val rankedSchema = StructType(feedJ
@@ -2580,6 +2612,15 @@ private[api] trait SiddhiQlLive extends Serializable {
             }.start()
           rows.grouped(per).foreach { g =>
             ms.addData(g.toSeq); q.processAllAvailable()
+          }
+          if (lf.needsFlush) (0 to 1).foreach { k =>
+            // outer-join feeds: two watermark-flush sentinel batches
+            // (the stages channel's exact rule) so the tail's
+            // null-padded rows materialize before finish
+            ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
+              graft.engine.Streaming.FlushNs + k * 3600000000000L,
+              -1L, "__flush", 0.0)))
+            q.processAllAvailable()
           }
           q.stop()
           val fin = lf.finish(spark, allStates(spark))

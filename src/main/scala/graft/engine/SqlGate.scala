@@ -410,6 +410,38 @@ object SqlGate {
         |output last every 10 min
         |order by err_id, buy_id
         |insert into Out""".stripMargin, "paced")),
+    // rate over an OUTER join (batch): a null-padded row emits at its
+    // preserved side's own arrival instant (greatest skips the null
+    // side; missing ids coalesce to -1 in the emission order)
+    "sql_rate_join_outer" -> q(
+      """from events as a[event_type == 'error']#window.time(10 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id,
+        |  coalesce(b.event_id, convert(-1, 'long')) as buy_id,
+        |  a.user_id as user_id
+        |output last every 10 min
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
+    // rate over an OUTER join deployed LIVE: time-mode per-interval
+    // picks are keyed on each row's OWN emission interval, so a
+    // null-pad materializing at watermark expiry merges into the
+    // right interval no matter which trigger carries it — the batch
+    // form is the truth (count modes stay refused: expiry order
+    // diverges from the running counter's order)
+    "sql_app_rate_join_outer_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'paced')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id,
+        |  coalesce(b.event_id, convert(-1, 'long')) as buy_id,
+        |  a.user_id as user_id
+        |output last every 10 min
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "paced")),
     // count mode deployed LIVE: pair emissions ride the running
     // counter fold (emission order = greatest ts + side ids)
     "sql_app_rate_join_count_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
@@ -1024,12 +1056,31 @@ object SqlGate {
         |  math:round(UserLast.last_value, 2) as lv, UserLast.src as src
         |order by event_id
         |insert into Out""".stripMargin, "read")),
-    // a WINDOWED-writer table read back through a JOIN, deployed LIVE:
-    // flush rows have no per-event as-of, so the read-at-finish form
-    // folds the store pattern's partial state, appends the stream
-    // side's rows per trigger, and joins ONCE at finish against the
-    // finished table (Siddhi-matching: the table IS its latest flush);
-    // the oracle reads the final flush relation
+    // a WINDOWED-writer table read back through a JOIN (batch): each
+    // purchase sees the latest COMPLETED 10-min click flush for its
+    // user (bucket end <= event ts) — a flush row is an update row
+    // visible from its bucket END, per-event as-of (r11; the former
+    // read-at-finish approximation is retired)
+    "sql_enrich_window_asof" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table WinStats (user_id long, cnt long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinStats on WinStats.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join WinStats
+        |  on WinStats.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  WinStats.cnt as clicks, WinStats.total as click_total
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    // the same app deployed LIVE: the fold keeps the store pattern's
+    // per-(bucket, user) flush PARTIALS, derives the post-merge flush
+    // relation per trigger, and runs the as-of pass over the batch's
+    // events — the batch twin above is the truth
     "sql_app_enrich_window_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """define stream events (event_id long, ts_ns long, user_id long,
         |  event_type string, value double);
@@ -2042,19 +2093,37 @@ object SqlGate {
         |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // read-at-finish: purchases joined against the FINAL flush table
     // (per user the last 10-min click window's aggregate row)
+    // per-event as-of vs the windowed writer: each purchase reads its
+    // user's latest flush whose 10-min bucket CLOSED at or before the
+    // purchase timestamp (bucket end = (b+1)·10min)
+    "sql_enrich_window_asof" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, round(sum(value), 2) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, f.cnt, f.total,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY f.b DESC) AS rn
+        |  FROM e JOIN flush f ON f.user_id = e.user_id
+        |   AND (f.b + 1) * 600000000000 <= e.ets)
+        |SELECT event_id, user_id, cnt AS clicks, total AS click_total
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "sql_app_enrich_window_live" ->
       """WITH flush AS (
         |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
         |    count(*) AS cnt, round(sum(value), 2) AS total
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |fin AS (SELECT user_id, cnt, total FROM flush
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |    ORDER BY b DESC) = 1)
-        |SELECT e.event_id AS event_id, e.user_id AS user_id,
-        |  f.cnt AS clicks, f.total AS click_total
-        |FROM events e JOIN fin f ON f.user_id = e.user_id
-        |WHERE e.event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin,
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, f.cnt, f.total,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY f.b DESC) AS rn
+        |  FROM e JOIN flush f ON f.user_id = e.user_id
+        |   AND (f.b + 1) * 600000000000 <= e.ets)
+        |SELECT event_id, user_id, cnt AS clicks, total AS click_total
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // live ≡ batch: last pair emission per 10-min interval
     "sql_app_rate_join_live" ->
       """WITH p AS (
@@ -2397,6 +2466,56 @@ object SqlGate {
         |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
         |       BETWEEN -600000000000 AND 600000000000)
         |SELECT err_id, buy_id, user_id FROM p
+        |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
+        |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
+        |ORDER BY err_id, buy_id""".stripMargin,
+    // pairs emit at greatest(ts), unmatched errors emit at their own
+    // arrival with buy_id = -1; last per 10-min emission interval
+    "sql_rate_join_outer" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |u AS (
+        |  SELECT a.event_id AS err_id, CAST(-1 AS BIGINT) AS buy_id,
+        |    a.user_id AS user_id, epoch_ns(a.ts) AS emit
+        |  FROM events a
+        |  WHERE a.event_type = 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |      AND b.user_id = a.user_id
+        |      AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |          BETWEEN -600000000000 AND 600000000000)),
+        |em AS (SELECT * FROM p UNION ALL SELECT * FROM u)
+        |SELECT err_id, buy_id, user_id FROM em
+        |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
+        |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
+        |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_app_rate_join_outer_live" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |u AS (
+        |  SELECT a.event_id AS err_id, CAST(-1 AS BIGINT) AS buy_id,
+        |    a.user_id AS user_id, epoch_ns(a.ts) AS emit
+        |  FROM events a
+        |  WHERE a.event_type = 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |      AND b.user_id = a.user_id
+        |      AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |          BETWEEN -600000000000 AND 600000000000)),
+        |em AS (SELECT * FROM p UNION ALL SELECT * FROM u)
+        |SELECT err_id, buy_id, user_id FROM em
         |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
         |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
         |ORDER BY err_id, buy_id""".stripMargin,

@@ -538,16 +538,17 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
-  test("10x windowed-writer enrichment (read-at-finish): join rows " +
+  test("10x windowed-writer enrichment (per-event as-of): join rows " +
        "replica-exact, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
-    // the round-10 read-at-finish channel at 1M events: a timeBatch
+    // the per-event as-of channel (r11) at 1M events: a timeBatch
     // store-pattern writer maintains WinStats via per-(bucket, user)
-    // algebraic partials, the stream side accumulates per trigger, and
-    // the join runs ONCE at finish against the finished table. Replica
-    // user spaces are disjoint, so each replica's join rows must
-    // reproduce the base gate's rows with ids shifted — the flush fold
-    // and the finish join are both key-local.
+    // algebraic partials; per trigger the fold derives the post-merge
+    // flush relation and runs the as-of pass over the batch's events
+    // (each event sees its user's latest CLOSED bucket). Replica user
+    // spaces are disjoint, so each replica's join rows must reproduce
+    // the base gate's rows with ids shifted — the flush fold and the
+    // as-of pass are both key-local.
     val q = SqlGate.queries("sql_app_enrich_window_live")
     val base = q(spark, baseSf).collect().map(_.toSeq)
     val (rows, wall, maxTask) = timed(q(spark, evDir10))
@@ -563,7 +564,7 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
         r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
       assert(slice.toSeq == base.toSeq,
-        s"replica $k diverges from the base read-at-finish join")
+        s"replica $k diverges from the base per-event as-of join")
     }
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }

@@ -1036,11 +1036,25 @@ class SiddhiQlSpec extends AnyFunSuite {
       "count() as n group by k insert into O"
     assert(msg(enrichAggApp("T.v as k")).contains("STREAM-side"))
     // enrichment aggregation deploys the full FoldAlg algebra (r10:
-    // stdDev/distinctCount included) and finish-time having; the
-    // remaining v1 bounds stay named
-    assert(msg(enrichAggApp("e.user_id as k").replace(
-      "group by k insert into O", "group by k limit 5 insert into O"))
-      .contains("limit/offset"))
+    // stdDev/distinctCount included), finish-time having, and — since
+    // r11 — limit/offset composed at finish with the runner ordering
+    val lim5 = SiddhiQL.deployApp(spark, sf,
+      enrichAggApp("e.user_id as k").replace(
+        "group by k insert into O",
+        "group by k order by k limit 5 insert into O"), "q")
+    assert(lim5.count() == 5, "finish-time limit must cap the groups")
+    // a remaining named bound: aggregation above a WINDOWED-writer
+    // enrichment join (the per-event as-of read projects only)
+    assert(msg(
+      "define table T (user_id long, v double);\n" +
+        "@info(name='t') from events[event_type == 'click']" +
+        "#window.timeBatch(10 min) select user_id, " +
+        "math:round(sum(value), 2) as v group by user_id " +
+        "update or insert into T on T.user_id == user_id;\n" +
+        "@info(name='q') from events as e[event_type == 'purchase'] " +
+        "join T on T.user_id == e.user_id " +
+        "select e.user_id as k, count() as n group by k insert into O")
+      .contains("windowed-writer"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
@@ -1631,9 +1645,10 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(batch.map(_(1).asInstanceOf[Long]).toSeq == exp.toSeq)
     // diagnostics: sliding windows have no flush emissions; non-agg
     // select items must be grouped. (A windowed writer FEEDING an
-    // enrichment join deploys since r10 with read-at-finish semantics
-    // — gated by sql_app_enrich_window_live; the remaining bound is
-    // aggregation above that join.)
+    // enrichment join deploys since r11 with PER-EVENT as-of
+    // semantics — gated by sql_enrich_window_asof +
+    // sql_app_enrich_window_live; the remaining bound is aggregation
+    // above that join.)
     val m1 = intercept[IllegalArgumentException](SiddhiQL.compileApp(
       spark, sf, dml.replace("timeBatch(10 min)", "time(10 min)")))
       .getMessage
