@@ -2167,11 +2167,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // aggregation above a join stays the chained
                 // stateful-operator form (insert into a named stream,
                 // then #window.timeBatch it).
-                if (jType != "inner")
-                  fail("aggregation above an OUTER live windowed join " +
-                    "is not deployed (v1) — null-padded rows only " +
-                    "materialize at watermark expiry, after the fold; " +
-                    "use an inner join or the chained two-query form")
+                // OUTER joins fold too (r11): the keyed algebraic
+                // merge is arrival-agnostic, so a null-padded row
+                // materializing at watermark expiry folds into its
+                // group whenever its trigger carries it — the runner's
+                // flush-sentinel batches (needsFlush) make the tail's
+                // pads materialize before finish, and null group keys
+                // merge via the null-safe key equality below
                 // having/limit/offset apply ONCE at finish over the
                 // finalized groups (alias refs, like the batch
                 // compile); limit/offset compose with the runner's
@@ -2260,7 +2262,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                       if (asc) col(c2).asc else col(c2).desc },
                     KeyedState(keys, (_, _, batch) =>
                       batch.select(keys.map(col): _*)),
-                    ast.limit, ast.offset))
+                    ast.limit, ast.offset)
+                    .copy(needsFlush = jType != "inner"))
                 carriedNow = Nil
                 (emptyOf(joined.sparkSession, schemaJ), KFold)
               } else {

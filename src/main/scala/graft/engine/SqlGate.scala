@@ -592,6 +592,22 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // aggregation above an OUTER live join (r11): null-padded rows
+    // fold into their groups whenever watermark expiry materializes
+    // them (the keyed algebraic merge is arrival-agnostic; the
+    // runner's flush sentinels flush the tail's pads) — unmatched
+    // errors count with a null purchase value
+    "sql_app_join_agg_outer_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'agg')
+        |from events as a[event_type == 'error']#window.time(5 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(5 min)
+        |  on a.user_id == b.user_id
+        |select a.user_id as user_id, count() as n,
+        |  math:round(sum(b.value), 2) as total
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
     // HAVING on the live join aggregation: applied once at finish
     // over the finalized groups (alias refs) — chunking-invariant.
     // 120-min band so the filter is POSITIVELY exercised at sf0.01:
@@ -2243,6 +2259,26 @@ object SqlGate {
         |  round(avg(v), 2) AS avg_v, round(min(v), 2) AS vmin,
         |  round(max(v), 2) AS vmax
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // pairs + one null-pad per unmatched error, grouped per user
+    "sql_app_join_agg_outer_live" ->
+      """WITH p AS (
+        |  SELECT a.user_id AS user_id, b.value AS v
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -300000000000 AND 300000000000),
+        |u AS (
+        |  SELECT a.user_id AS user_id, CAST(NULL AS DOUBLE) AS v
+        |  FROM events a
+        |  WHERE a.event_type = 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |      AND b.user_id = a.user_id
+        |      AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |          BETWEEN -300000000000 AND 300000000000)),
+        |em AS (SELECT * FROM p UNION ALL SELECT * FROM u)
+        |SELECT user_id, count(*) AS n, round(sum(v), 2) AS total
+        |FROM em GROUP BY user_id ORDER BY user_id""".stripMargin,
     // band-pair groups surviving HAVING count > 2 (120-min band:
     // 15 groups pass, 75 filtered at sf0.01 — both paths exercised)
     "sql_app_join_agg_having_live" ->

@@ -990,14 +990,15 @@ class SiddhiQlSpec extends AnyFunSuite {
       "select a.event_id as x insert into O")
       .contains("window.time"))
     // aggregation above a live join deploys through the FoldAlg
-    // algebra (r10: including stdDev/distinctCount — gated by
-    // sql_app_join_agg_stats_live); the remaining v1 bounds stay named
+    // algebra — since r11 over OUTER joins too (null-pads fold at
+    // expiry; gated by sql_app_join_agg_outer_live). A remaining
+    // named bound: rate limiting ABOVE a join aggregation
     assert(msg("@info(name='q') from events as a#window.time(1 min) " +
-      "left outer join events as b#window.time(1 min) " +
+      "join events as b#window.time(1 min) " +
       "on a.user_id == b.user_id " +
       "select a.user_id as user_id, count() as n group by user_id " +
-      "insert into O")
-      .contains("OUTER live windowed join"))
+      "output first every 1 min insert into O")
+      .contains("above a join aggregation"))
     // live text ABSENCE patterns deploy through the timed re-fold
     // (event-time timers; engine twins: Streaming.cepAbsence /
     // cepAbsenceTws) — the deployed matches equal the batch NOT-EXISTS
@@ -1531,6 +1532,64 @@ class SiddhiQlSpec extends AnyFunSuite {
         "as e[event_type == 'purchase'] on U.user_id == e.user_id " +
         "select e.event_id as id, math:round(U.v, 2) as v " +
         "insert into Out")).getMessage.contains("RIGHT side"))
+  }
+
+  test("tombstone multi-writer merge (upsert + delete) and per-event " +
+       "as-of windowed-writer reads are chunking-invariant") {
+    // the two r11 fold channels replayed at several trigger counts
+    // must equal the batch compile bit-for-bit — the tombstone
+    // interleave and the flush-visibility as-of both depend only on
+    // each row's own (ts, event_id, statement) position, never on
+    // trigger boundaries
+    val mixed =
+      """define table Active (user_id long, last_value double);
+        |
+        |@info(name = 'seed')
+        |from events
+        |select user_id, value as last_value
+        |update or insert into Active on Active.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Active on Active.user_id == user_id""".stripMargin
+    val mShape = Seq("user_id", "round(last_value, 2) as last_value")
+    val mBatch = SiddhiQL.compileApp(spark, sf, mixed)("purge")
+      .selectExpr(mShape: _*).orderBy("user_id").collect().map(_.toSeq)
+    assert(mBatch.nonEmpty)
+    for (c <- Seq(3, 7)) {
+      val live = SiddhiQL.deployApp(spark, sf, mixed, "purge",
+        chunks = c).selectExpr(mShape: _*).orderBy("user_id")
+        .collect().map(_.toSeq)
+      assert(live sameElements mBatch, s"tombstone live($c) != batch")
+    }
+    val asof =
+      """define table WinStats (user_id long, cnt long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt,
+        |  math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinStats on WinStats.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join WinStats
+        |  on WinStats.user_id == e.user_id
+        |select e.event_id as event_id, WinStats.cnt as clicks
+        |order by event_id
+        |insert into Out""".stripMargin
+    val aBatch = SiddhiQL.compileApp(spark, sf, asof)("read")
+      .collect().map(_.toSeq)
+    assert(aBatch.nonEmpty)
+    // 10-min flush buckets straddle chunk boundaries at both splits —
+    // a per-batch flush recompute (instead of the partial-state merge)
+    // would mis-time flush visibility across the straddle
+    for (c <- Seq(3, 7)) {
+      val live = SiddhiQL.deployApp(spark, sf, asof, "read", chunks = c)
+        .collect().map(_.toSeq)
+      assert(live sameElements aBatch, s"as-of live($c) != batch")
+    }
   }
 
   test("multi-writer table DML: interleaved last-wins beats " +
