@@ -1650,11 +1650,8 @@ private[api] trait SiddhiQlLive extends Serializable {
               // timestamp, whose data (in-order replay) has already
               // arrived. The batch compile runs the identical
               // construction over the whole replay, so it is the
-              // oracle.
-              if (hasAggE)
-                fail("live enrichment aggregation over a windowed-" +
-                  "writer table is not deployed (v1) — project the " +
-                  "join, aggregate in a downstream stage")
+              // oracle. An AGGREGATING read folds the same as-of rows
+              // as algebraic keyed partials (the enrich-agg recipe).
               if (dSrc != "events")
                 fail("windowed-writer enrichment (v1) reads a table " +
                   s"whose writer consumes the source stream; '$tName' " +
@@ -1662,6 +1659,176 @@ private[api] trait SiddhiQlLive extends Serializable {
               val fnsSnapW = scriptFns
               val tNsW = winWriterTNs.get
               val ssW = dAst.stream.asInstanceOf[SingleStream]
+              // flush-partial fold with an IDENTITY finish (its
+              // finish(acc) is the flush relation, __wb + outputs) +
+              // the per-trigger post-merge flush derivation shared by
+              // the projection and aggregation sub-branches
+              def winFoldOf(): (LiveFold, Seq[String]) = {
+                val (wfP, _) = flushPartialFold(
+                  emptyOf(sp0, srcTs.schema), ssW.filter, dAst.groupBy,
+                  itemsOf(dAst), tNsW, fnsSnapW, Nil,
+                  (_, flush) => flush)
+                val keysP = wfP.schemas.head._3 match {
+                  case KeyedState(ks, _) => ks
+                  case _ => Seq("__wb")
+                }
+                (wfP, keysP)
+              }
+              def flushRelOf(sp: SparkSession, wfP: LiveFold,
+                  keysP: Seq[String], acc: Map[String, LiveState],
+                  st1: DataFrame): DataFrame = {
+                // post-merge partials: untouched buckets from the
+                // full state, touched buckets replaced by st1
+                val full0 = acc("state").full()
+                val fullPost = full0.as("t")
+                  .join(st1.select(keysP.map(col): _*).distinct()
+                      .as("u"),
+                    keysP.map(k2 =>
+                      col(s"t.$k2") <=> col(s"u.$k2"))
+                      .reduce(_ && _), "left_anti")
+                  .select(full0.columns.toSeq
+                    .map(c2 => col(s"t.$c2")): _*)
+                  .unionByName(st1)
+                wfP.finish(sp, Map("state" -> fullPost))
+              }
+              if (hasAggE) {
+                // AGGREGATION ABOVE the as-of join (same contract as
+                // the per-event enrich-agg channel: group keys are the
+                // aliases of the non-aggregate select items, stream-
+                // side; having/limit/offset compose at finish)
+                val items = itemsOf(ast)
+                val keyItems = items.filter(!_._3)
+                val keyAliases = keyItems.map(_._2)
+                if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                  fail("live enrichment aggregation (v1) groups by " +
+                    "exactly the aliases of its non-aggregate select " +
+                    s"items (non-aggregate [${keyAliases.mkString(", ")}" +
+                    s"], group by [${ast.groupBy.mkString(", ")}])")
+                val comps = scala.collection.mutable.Buffer
+                  .empty[(String, String, Option[Expr])]
+                def rw(e: Expr): Expr = e match {
+                  case Call(None, n, args0)
+                      if aggNames(n.toLowerCase) =>
+                    val base = s"__g${comps.length}"
+                    comps += ((base, n.toLowerCase, args0.headOption))
+                    FoldAlg.rewrite(n.toLowerCase, base)
+                  case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                  case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                  case Not(x) => Not(rw(x))
+                  case Neg(x) => Neg(rw(x))
+                  case other2 => other2
+                }
+                val finals: Seq[(String, Expr)] = items.map {
+                  case (it, a2, isAgg) =>
+                    a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+                }
+                comps.foreach { case (_, n, argO) =>
+                  if (n != "count" && argO.isEmpty)
+                    fail(s"$n(...) needs an argument")
+                }
+                if (comps.isEmpty)
+                  fail("live enrichment aggregation selects at least " +
+                    "one aggregate")
+                keyItems.foreach { case (it, _, _) =>
+                  if (refsTable(it.e, tName) ||
+                      j.rightAlias.exists(refsTable(it.e, _)))
+                    fail("live enrichment aggregation group keys are " +
+                      "STREAM-side expressions (v1) — a table-side " +
+                      "key needs the projection form + a downstream " +
+                      "stage")
+                }
+                val sAliasL = j.leftAlias.getOrElse(sName)
+                def streamKeySql(e: Expr): String = sqlOfWith(e, {
+                  case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasL) ||
+                      q2.equalsIgnoreCase(sName) => c
+                  case c :: Nil => c
+                  case parts => fail("live enrichment aggregation " +
+                    "group keys are stream-side (v1); got " +
+                    s"'${parts.mkString(".")}'")
+                })
+                val keySqls = keyItems.map { case (it, a2, _) =>
+                  (streamKeySql(it.e), a2) }
+                val rowsSel = keyItems.map { case (it, a2, _) =>
+                  SelItem(it.e, Some(a2)) } ++
+                  comps.toList.flatMap { case (base, _, argO) =>
+                    argO.map(a0 =>
+                      SelItem(a0, Some(s"${base}_x"))).toList }
+                val astRows = ast.copy(select = rowsSel, groupBy = Nil,
+                  having = None, orderBy = Nil, limit = None,
+                  offset = None)
+                val keys = if (keyAliases.isEmpty) Seq("__k")
+                           else keyAliases
+                def withK(df: DataFrame): DataFrame =
+                  if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
+                  else df
+                def partialOf(df: DataFrame): DataFrame = {
+                  val aggs: Seq[Column] = comps.toSeq.flatMap {
+                    case (base, n, argO) =>
+                      FoldAlg.partialCols(n, base,
+                        argO.map(_ => col(s"${base}_x")))
+                  }
+                  df.groupBy(keys.map(col): _*)
+                    .agg(aggs.head, aggs.tail: _*)
+                }
+                val protoRows = enrichCompile(sp0, "", astRows, j,
+                  writers, emptyOf(sp0, dSchema),
+                  batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                    statelessSnap))
+                val schemaA = partialOf(withK(protoRows)).schema
+                val protoOut = emptyOf(sp0, schemaA).select(finals.map {
+                  case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+                val keyWA = name.orElse(ast.action.map(_.target))
+                if (keyWA.contains(out) || name.contains(out)) {
+                  val (wfP, keysP) = winFoldOf()
+                  foldResult = Some(LiveFold(srcTs,
+                    wfP.schemas :+ (("aggst", schemaA,
+                      KeyedState(keys, (sp, d2, batch) => {
+                        scriptFns = fnsSnapW
+                        if (keyAliases.isEmpty)
+                          batch.select(lit(0L).as("__k"))
+                        else {
+                          val benv = batchEnv(sp, d2, batch,
+                            statelessSnap)
+                          val sb0 = envLookup(benv, sName)
+                            .getOrElse(batch)
+                          val sb = sSide.filter.fold(sb0)(f =>
+                            applyFilter(sp, d2, sb0, f, benv))
+                          sb.select(keySqls.map { case (sq, a2) =>
+                            expr(sq).as(a2) }: _*)
+                        }
+                      }))),
+                    (sp, d2, acc, batch) => {
+                      scriptFns = fnsSnapW
+                      val st1 = wfP.fold(sp, d2, acc, batch)("state")
+                      val flushRel = flushRelOf(sp, wfP, keysP, acc, st1)
+                      val benv = batchEnv(sp, d2, batch, statelessSnap)
+                      val enriched = enrichCompile(sp, d2, astRows, j,
+                        writers, emptyOf(sp, dSchema), benv,
+                        winFlush = Map(0 -> flushRel))
+                      val u = partialOf(withK(enriched))
+                      val merged = acc("aggst").slice.as("t")
+                        .join(u.as("u"),
+                          keys.map(k2 =>
+                            col(s"t.$k2") <=> col(s"u.$k2"))
+                            .reduce(_ && _), "full_outer")
+                        .select(keys.map(k2 => coalesce(col(s"u.$k2"),
+                            col(s"t.$k2")).as(k2)) ++
+                          comps.toSeq.flatMap { case (b2, n, _) =>
+                            FoldAlg.mergeCols(n, b2) }: _*)
+                      Map("state" -> st1, "aggst" -> merged)
+                    },
+                    (_, acc) => {
+                      val fin = acc("aggst").select(finals.map {
+                        case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+                      ast.having.fold(fin)(h =>
+                        fin.where(expr(sqlOf(h))))
+                    },
+                    ast.orderBy.map { case (c2, asc) =>
+                      if (asc) col(c2).asc else col(c2).desc },
+                    ast.limit, ast.offset))
+                }
+                (emptyOf(sp0, protoOut.schema), KFold)
+              } else {
               // deploy-time prototype: fail fast + output schema (the
               // dmlEmissions path recomputes flushes from the raw
               // stream over an empty env)
@@ -1671,35 +1838,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                   statelessSnap))
               val keyW = name.orElse(ast.action.map(_.target))
               if (keyW.contains(out) || name.contains(out)) {
-                // flush-partial fold with an IDENTITY finish: its
-                // finish(acc) is the flush relation (__wb + outputs)
-                val (wfP, _) = flushPartialFold(
-                  emptyOf(sp0, srcTs.schema), ssW.filter, dAst.groupBy,
-                  itemsOf(dAst), tNsW, fnsSnapW, Nil,
-                  (_, flush) => flush)
-                val keysP = wfP.schemas.head._3 match {
-                  case KeyedState(ks, _) => ks
-                  case _ => Seq("__wb")
-                }
+                val (wfP, keysP) = winFoldOf()
                 foldResult = Some(LiveFold(srcTs,
                   wfP.schemas :+ (("__out", protoW.schema, AppendState)),
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnapW
                     val st1 = wfP.fold(sp, d2, acc, batch)("state")
-                    // post-merge partials: untouched buckets from the
-                    // full state, touched buckets replaced by st1
-                    val full0 = acc("state").full()
-                    val fullPost = full0.as("t")
-                      .join(st1.select(keysP.map(col): _*).distinct()
-                          .as("u"),
-                        keysP.map(k2 =>
-                          col(s"t.$k2") <=> col(s"u.$k2"))
-                          .reduce(_ && _), "left_anti")
-                      .select(full0.columns.toSeq
-                        .map(c2 => col(s"t.$c2")): _*)
-                      .unionByName(st1)
-                    val flushRel =
-                      wfP.finish(sp, Map("state" -> fullPost))
+                    val flushRel = flushRelOf(sp, wfP, keysP, acc, st1)
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
                     val enriched = enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
@@ -1711,6 +1856,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                     if (asc) col(c2).asc else col(c2).desc }))
               }
               (emptyOf(sp0, protoW.schema), KFold)
+              }
             } else if (hasAggE) {
               // AGGREGATION ABOVE the enrichment join: each batch's
               // enriched rows compute exactly like the projection

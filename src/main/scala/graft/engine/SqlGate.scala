@@ -1115,6 +1115,29 @@ object SqlGate {
         |  WinStats.cnt as clicks, WinStats.total as click_total
         |order by event_id
         |insert into Out""".stripMargin, "read")),
+    // AGGREGATION above the windowed-writer as-of join, LIVE (r11):
+    // per trigger the as-of rows fold as algebraic keyed partials —
+    // purchases with an as-of match count per user with the sum of
+    // their as-of click totals
+    "sql_app_enrich_window_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table WinStats (user_id long, cnt long, total double);
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinStats on WinStats.user_id == user_id;
+        |
+        |@info(name = 'agg')
+        |from events as e[event_type == 'purchase'] join WinStats
+        |  on WinStats.user_id == e.user_id
+        |select e.user_id as user_id, count() as n,
+        |  math:round(sum(WinStats.total), 2) as s
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
     // the STORE pattern deployed LIVE: a windowed aggregate maintains
     // the table — fold state is per-(bucket, user) algebraic partials
     // (a bucket spanning triggers merges componentwise instead of
@@ -2126,6 +2149,23 @@ object SqlGate {
         |   AND (f.b + 1) * 600000000000 <= e.ets)
         |SELECT event_id, user_id, cnt AS clicks, total AS click_total
         |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // as-of rows grouped per user: n purchases with a closed-bucket
+    // match, summing their as-of click totals
+    "sql_app_enrich_window_agg_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    round(sum(value), 2) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, f.total,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY f.b DESC) AS rn
+        |  FROM e JOIN flush f ON f.user_id = e.user_id
+        |   AND (f.b + 1) * 600000000000 <= e.ets)
+        |SELECT user_id, count(*) AS n, round(sum(total), 2) AS s
+        |FROM m WHERE rn = 1 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "sql_app_enrich_window_live" ->
       """WITH flush AS (
         |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,

@@ -465,6 +465,34 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x outer join-agg fold: null-pads fold at expiry, " +
+       "replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r11 outer fold channel at 1M events: the left-outer interval
+    // join's null-padded rows materialize at watermark expiry (the
+    // flush sentinels flush the tail) and fold into their groups like
+    // any row. Replica user spaces are disjoint, so each replica's
+    // per-user aggregate (pairs + unmatched errors, null-aware sums)
+    // must reproduce the base with ids shifted.
+    val q = SqlGate.queries("sql_app_join_agg_outer_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"join-agg-outer 10x: ${rows.length} groups, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} groups)")
+    assert(rows.length == reps * base.length,
+      s"10x group count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r.head.asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => (r.head.asInstanceOf[Long] - k * off) +: r.tail)
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base outer fold")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x enrichment loop: as-of rows replica-exact, fold writes " +
        "track batch keys, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

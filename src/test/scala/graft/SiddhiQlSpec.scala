@@ -1044,18 +1044,22 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // a remaining named bound: aggregation above a WINDOWED-writer
-    // enrichment join (the per-event as-of read projects only)
+    // a remaining named bound: a windowed writer MIXED with a
+    // per-event writer on one table (flush and per-event emissions
+    // do not interleave; alone, each shape deploys)
     assert(msg(
       "define table T (user_id long, v double);\n" +
+        "@info(name='t0') from events[event_type == 'view'] " +
+        "select user_id, value as v " +
+        "update or insert into T on T.user_id == user_id;\n" +
         "@info(name='t') from events[event_type == 'click']" +
         "#window.timeBatch(10 min) select user_id, " +
         "math:round(sum(value), 2) as v group by user_id " +
         "update or insert into T on T.user_id == user_id;\n" +
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
-        "select e.user_id as k, count() as n group by k insert into O")
-      .contains("windowed-writer"))
+        "select e.event_id as x, T.v as v insert into O")
+      .contains("per-event writers only"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
@@ -1319,11 +1323,20 @@ class SiddhiQlSpec extends AnyFunSuite {
     val live7 = SiddhiQL.deployApp(spark, sf, oneStage, "agg",
       chunks = 7).collect().map(_.toSeq)
     assert(live7 sameElements batch)
-    // outer + aggregate is diagnosed, not silently mis-folded
-    val m = intercept[IllegalArgumentException](SiddhiQL.deployApp(
-      spark, sf, oneStage.replace("\n  join", "\n  left outer join"),
-      "agg")).getMessage
-    assert(m.contains("OUTER"))
+    // outer + aggregate folds too (r11): null-pads join the fold at
+    // watermark expiry (flush sentinels flush the tail), so the live
+    // outer fold must equal the batch outer replay — which holds
+    // strictly MORE groups/rows than the inner form (the unmatched
+    // errors), proving the pads really participate
+    val outerApp = oneStage.replace("\n  join", "\n  left outer join")
+    val liveO = SiddhiQL.deployApp(spark, sf, outerApp, "agg")
+      .collect().map(_.toSeq)
+    val batchO = SiddhiQL.compileApp(spark, sf, outerApp)("agg")
+      .collect().map(_.toSeq)
+    assert(liveO sameElements batchO, "live outer fold != batch replay")
+    assert(liveO.map(_.head).toSet.size > batch.map(_.head).toSet.size ||
+      liveO.length > batch.length,
+      "outer fold added no unmatched rows — pads never materialized")
   }
 
   test("@OnError(action='STREAM'): !S carries the zero-divisor faults, " +
@@ -1715,8 +1728,10 @@ class SiddhiQlSpec extends AnyFunSuite {
     val m2 = intercept[IllegalArgumentException](SiddhiQL.compileApp(
       spark, sf, dml.replace("group by user_id\n", ""))).getMessage
     assert(m2.contains("group-by"))
-    val m3 = intercept[IllegalArgumentException](SiddhiQL.deployApp(
-      spark, sf, dml +
+    // aggregation ABOVE the windowed-writer as-of join deploys (r11):
+    // n per user = purchases with at least one CLOSED click bucket at
+    // their timestamp — checked against a direct Spark as-of recompute
+    val liveAgg = SiddhiQL.deployApp(spark, sf, dml +
         """;
           |
           |@info(name = 'enrich')
@@ -1724,7 +1739,22 @@ class SiddhiQlSpec extends AnyFunSuite {
           |  on Acc.user_id == e.user_id
           |select e.user_id as user_id, count() as n
           |group by user_id
-          |insert into Out""".stripMargin, "enrich")).getMessage
-    assert(m3.contains("windowed-writer"))
+          |order by user_id
+          |insert into Out""".stripMargin, "enrich")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ev = engine.Tables.events(spark, sf)
+    val fl = ev.where(col("event_type") === "click")
+      .select(expr("ts_ns div 600000000000").as("b"), col("user_id"))
+      .distinct()
+    val pur = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+    val truth = pur.join(fl,
+        pur("user_id") === fl("user_id") &&
+          (fl("b") + 1) * lit(600000000000L) <= pur("ts_ns"),
+        "left_semi")
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(liveAgg.nonEmpty && liveAgg == truth,
+      "windowed-writer enrich-agg != the as-of truth")
   }
 }
