@@ -532,6 +532,19 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       fail(s"enrichment joins read a table with EITHER per-event " +
         s"writers or ONE windowed-aggregate writer (v1) — '$tName' " +
         "mixes flush and per-event emissions")
+    // `delete` sweepers are per-event readable too (r11): a delete
+    // emission is a TOMBSTONE at its interleaved position — the as-of
+    // state for its key becomes absent until a later upsert
+    // re-inserts (inner drops the event, left outer null-pads it).
+    // v1: tombstones compose with IMPLICIT-set (last-wins) upserts
+    // only — a fold reconstruction across tombstones needs
+    // segment-scoped running sums, a named bound.
+    val (delWI, updWI) = winfos.zipWithIndex
+      .partition(_._1._2.isInstanceOf[DeleteTable])
+    if (updWI.isEmpty)
+      fail(s"enrichment joins read a table with at least one " +
+        s"`update or insert` writer (v1) — '$tName' has only " +
+        "delete sweepers")
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
@@ -539,7 +552,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // every writer must share the key columns and the fold spec
     // (column → operator); each keeps its OWN delta expressions.
     val perWriter: List[(Expr, List[(String, (String, Expr))])] =
-      winfos.map { case (_, dAct, _, _) =>
+      updWI.map { case ((_, dAct, _, _), _) =>
         dAct match {
           case UpsertTable(_, set, on) =>
             val parsed = set.map { case (c, e) =>
@@ -558,6 +571,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       }
     val dOn = perWriter.head._1
     val dFolds = perWriter.head._2
+    if (delWI.nonEmpty && dFolds.nonEmpty)
+      fail(s"enrichment joins over a swept table '$tName' (v1) read " +
+        "last-wins (implicit set) upserts only — accumulator folds " +
+        "across tombstones need segment-scoped running sums")
     if (perWriter.map(_._2.map { case (c, (op, _)) => (c, op) }.toMap)
         .distinct.length != 1)
       fail(s"multi-writer enrichment table '$tName' (v1): every " +
@@ -585,6 +602,15 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       if (ks.map(_._1).distinct.sorted != keyOrder)
         fail(s"multi-writer enrichment table '$tName' (v1): every " +
           s"writer must key on (${keyOrder.mkString(", ")})")
+    }
+    delWI.foreach { case ((_, dAct2, _, _), _) =>
+      val dk = dAct2 match {
+        case DeleteTable(_, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      if (dk.map(_._1).distinct.sorted != keyOrder)
+        fail(s"enrichment sweepers on '$tName' (v1) must delete on " +
+          s"the writer key columns (${keyOrder.mkString(", ")})")
     }
     if (joinKeys.map(_._1).distinct.sorted != keyOrder)
       fail("live enrichment joins match on the SAME table columns " +
@@ -618,10 +644,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // each writer's OWN select outputs (null on event rows, zero on
     // the accumulated seed — its values already carry every prior
     // fold).
-    val uTag = winfos.zipWithIndex.map {
-      case ((dAst, dAct, _, dSrc), wi) =>
-        val wKeys = dmlKeysPer(wi)
-        val wFolds = perWriter(wi)._2
+    val uTagUpd = updWI.zipWithIndex.map {
+      case (((dAst, dAct, _, dSrc), wi), ui) =>
+        val wKeys = dmlKeysPer(ui)
+        val wFolds = perWriter(ui)._2
         val winT: Option[Long] = dAst.stream match {
           case ss2: SingleStream => ss2.window match {
             case Some(WindowSpec(n2, t2 :: _, _))
@@ -681,13 +707,44 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         uSel.select(
           (Seq(keyC(keyOrder.map(c => wKeys.find(_._1 == c).get._2))
               .as("__key"),
-            col("__ord"), updC.as("__upd")) ++
+            col("__ord"), updC.as("__upd"),
+            lit(false).as("__del")) ++
             (if (dFolds.isEmpty) Nil else Seq(struct(dFolds.map {
               case (c, _) =>
                 expr(deltaSql(wFolds.find(_._1 == c).get._2._2))
                   .cast(dSchema(c).dataType).as(c) }: _*)
               .as("__fd")))): _*)
-    }.reduce(_ unionByName _)
+    }
+    // TOMBSTONE rows: a delete sweeper's emission wipes the as-of
+    // state of its key at its interleaved position (dFolds is empty
+    // here by the v1 check above — tombstones compose with last-wins)
+    val uTagDel = delWI.map { case ((dAst2, dAct2, _, dSrc2), wi) =>
+      val dKeys = dAct2 match {
+        case DeleteTable(_, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      val uBase0 = loadTable(sp, dir, dSrc2, env)
+      val uBase = dAst2.stream match {
+        case ss2: SingleStream =>
+          if (ss2.window.nonEmpty)
+            fail("windowed delete sweepers are not per-event " +
+              "readable (v1)")
+          ss2.filter.fold(uBase0)(f =>
+            applyFilter(sp, dir, uBase0, f, env))
+        case _ => uBase0
+      }
+      val uItems = itemsOf(expandStar(dAst2, uBase0.columns))
+      uBase.select(uItems.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) } :+
+          struct(col("ts_ns"), col("event_id"),
+            lit(wi.toLong).as("w")).as("__ord"): _*)
+        .select(
+          keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
+            .as("__key"),
+          col("__ord"), lit(null).cast(updType).as("__upd"),
+          lit(true).as("__del"))
+    }
+    val uTag = (uTagUpd ++ uTagDel).reduce(_ unionByName _)
     def fdOf(mk: String => Column): Column =
       struct(dFolds.map { case (c, (_, d)) =>
         mk(c).cast(dSchema(c).dataType).as(c) }: _*)
@@ -697,7 +754,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         struct(lit(Long.MinValue).as("ts_ns"),
           lit(Long.MinValue).as("event_id"),
           lit(Long.MinValue).as("w")).as("__ord"),
-        updC.as("__upd")) ++
+        updC.as("__upd"), lit(false).as("__del")) ++
         (if (dFolds.isEmpty) Nil
          else Seq(fdOf(_ => lit(0)).as("__fd")))): _*)
     val uAll = uTag.unionByName(accTag)
@@ -711,7 +768,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         // this too — belt and braces)
         struct(col("ts_ns"), col("event_id"),
           lit(Long.MaxValue).as("w")).as("__ord"),
-        lit(null).cast(updType).as("__upd")) ++
+        lit(null).cast(updType).as("__upd"),
+        lit(false).as("__del")) ++
         (if (dFolds.isEmpty) Nil
          else Seq(lit(null).cast(fdType).as("__fd"))) ++
         Seq(lit(true).as("__isE"), evtC.as("__evt"))): _*)
@@ -722,7 +780,21 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val filled =
-      if (dFolds.isEmpty)
+      if (dFolds.isEmpty && delWI.nonEmpty)
+        // tombstone-aware last-wins: the latest non-event mark per key
+        // is either an update (its row becomes the as-of state) or a
+        // tombstone (state absent until the next update)
+        uAll.unionByName(eTag)
+          .withColumn("__mark",
+            last(when(col("__isE"), lit(null))
+              .otherwise(struct(col("__upd").as("u"),
+                col("__del").as("d"))),
+              ignoreNulls = true).over(w))
+          .withColumn("__state",
+            when(col("__mark").isNull || col("__mark.d"),
+              lit(null).cast(updType)).otherwise(col("__mark.u")))
+          .where(col("__isE"))
+      else if (dFolds.isEmpty)
         uAll.unionByName(eTag)
           .withColumn("__state",
             last(col("__upd"), ignoreNulls = true).over(w))

@@ -1023,6 +1023,55 @@ object SqlGate {
       "purge")
       .selectExpr("user_id", "round(last_value, 2) as last_value")
       .orderBy("user_id")),
+    // per-event as-of enrichment over a SWEPT table (r11): a purge
+    // tombstones the key at its stream position, so a purchase between
+    // the purge and the next click finds NO as-of row (inner drops it)
+    // while a later click revives the key
+    "sql_enrich_tombstone" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Last (user_id long, v double);
+        |
+        |@info(name = 'seed')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into Last on Last.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Last on Last.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Last
+        |  on Last.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(Last.v, 2) as lv
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    // the same app deployed LIVE: the fold maintains the swept table
+    // (tombstone interleave) and the within-batch as-of pass sees the
+    // batch's own tombstones — the batch twin above is the truth
+    "sql_app_enrich_tombstone_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Last (user_id long, v double);
+        |
+        |@info(name = 'seed')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into Last on Last.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Last on Last.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Last
+        |  on Last.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  math:round(Last.v, 2) as lv
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     // per-event as-of enrichment against the TWO-writer table: each
     // error sees the latest click-or-purchase update before it
     "sql_enrich_multi" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -2132,6 +2181,45 @@ object SqlGate {
         |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // read-at-finish: purchases joined against the FINAL flush table
     // (per user the last 10-min click window's aggregate row)
+    // as-of over a swept table: the latest click-or-purge mark at the
+    // purchase's timestamp decides — purge marks (tombstones) drop the
+    // event, click marks carry their value
+    "sql_enrich_tombstone" ->
+      """WITH marks AS (
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    value AS v, FALSE AS del
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    NULL AS v, TRUE AS del
+        |  FROM events WHERE event_type = 'error' AND value > 150.0),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, k.v, k.del,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY k.mts DESC, k.mid DESC) AS rn
+        |  FROM e JOIN marks k ON k.user_id = e.user_id
+        |   AND k.mts <= e.ets)
+        |SELECT event_id, user_id, round(v, 2) AS lv
+        |FROM m WHERE rn = 1 AND NOT del ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_tombstone_live" ->
+      """WITH marks AS (
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    value AS v, FALSE AS del
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    NULL AS v, TRUE AS del
+        |  FROM events WHERE event_type = 'error' AND value > 150.0),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, k.v, k.del,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY k.mts DESC, k.mid DESC) AS rn
+        |  FROM e JOIN marks k ON k.user_id = e.user_id
+        |   AND k.mts <= e.ets)
+        |SELECT event_id, user_id, round(v, 2) AS lv
+        |FROM m WHERE rn = 1 AND NOT del ORDER BY event_id""".stripMargin,
     // per-event as-of vs the windowed writer: each purchase reads its
     // user's latest flush whose 10-min bucket CLOSED at or before the
     // purchase timestamp (bucket end = (b+1)·10min)

@@ -1547,6 +1547,26 @@ class SiddhiQlSpec extends AnyFunSuite {
         "insert into Out")).getMessage.contains("RIGHT side"))
   }
 
+  test("r11 constructions plan distributed: tombstone merge and as-of " +
+       "flush join have no cartesian/BNLJ and no single-task window") {
+    // the 100-TB judgment on the round's new machinery: the tombstone
+    // path is one keyed aggregation + keyed joins; the as-of flush
+    // join is ONE keyed window pass over a union — neither may plan a
+    // cartesian product, a broadcast nested loop, or an unpartitioned
+    // data-sized window
+    for (n <- Seq("sql_table_delete", "sql_enrich_window_asof",
+        "sql_rate_join_outer")) {
+      val p = engine.SqlGate.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"),
+        s"$n plans a broadcast nested loop:\n$p")
+      assert(!p.contains("windowspecdefinition(ts_ns"),
+        s"$n plans a global single-task window:\n$p")
+    }
+  }
+
   test("tombstone multi-writer merge (upsert + delete) and per-event " +
        "as-of windowed-writer reads are chunking-invariant") {
     // the two r11 fold channels replayed at several trigger counts
