@@ -571,10 +571,6 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       }
     val dOn = perWriter.head._1
     val dFolds = perWriter.head._2
-    if (delWI.nonEmpty && dFolds.nonEmpty)
-      fail(s"enrichment joins over a swept table '$tName' (v1) read " +
-        "last-wins (implicit set) upserts only — accumulator folds " +
-        "across tombstones need segment-scoped running sums")
     if (perWriter.map(_._2.map { case (c, (op, _)) => (c, op) }.toMap)
         .distinct.length != 1)
       fail(s"multi-writer enrichment table '$tName' (v1): every " +
@@ -716,8 +712,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
               .as("__fd")))): _*)
     }
     // TOMBSTONE rows: a delete sweeper's emission wipes the as-of
-    // state of its key at its interleaved position (dFolds is empty
-    // here by the v1 check above — tombstones compose with last-wins)
+    // state of its key at its interleaved position — last-wins
+    // restarts at the next upsert; accumulator folds restart their
+    // running sums (segment-scoped, below)
     val uTagDel = delWI.map { case ((dAst2, dAct2, _, dSrc2), wi) =>
       val dKeys = dAct2 match {
         case DeleteTable(_, on2) => keyEqsOf(on2, tName)
@@ -739,10 +736,12 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           struct(col("ts_ns"), col("event_id"),
             lit(wi.toLong).as("w")).as("__ord"): _*)
         .select(
-          keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
+          (Seq(keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), lit(null).cast(updType).as("__upd"),
-          lit(true).as("__del"))
+          lit(true).as("__del")) ++
+          (if (dFolds.isEmpty) Nil
+           else Seq(lit(null).cast(fdType).as("__fd")))): _*)
     }
     val uTag = (uTagUpd ++ uTagDel).reduce(_ unionByName _)
     def fdOf(mk: String => Column): Column =
@@ -803,15 +802,33 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         // fold reconstruction: the first update/seed row fixes the
         // non-fold values and the fold base; each later update adds
         // its delta — running sum minus the first row's own delta
-        // (an upsert-INSERT's values ride in its row, not its delta)
+        // (an upsert-INSERT's values ride in its row, not its delta).
+        // With delete sweepers the fold is SEGMENT-scoped: the
+        // cumulative tombstone count keys the fold window, so running
+        // sums restart after each sweep and the state rebuilds from
+        // the next upsert-INSERT (a tombstone row lands first in its
+        // new segment with null upd/deltas — invisible to the fold).
         val foldMap = dFolds.toMap
-        val st0 = uAll.unionByName(eTag)
+        val base0 = uAll.unionByName(eTag)
+        val (seged, wF) =
+          if (delWI.isEmpty) (base0, w)
+          else (base0.withColumn("__seg",
+              sum(when(col("__del"), lit(1L)).otherwise(lit(0L)))
+                .over(w)),
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__key", "__seg")
+              .orderBy(col("__ord"), col("__isE"))
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow))
+        val st0 = seged
           .withColumn("__st0",
-            first(col("__upd"), ignoreNulls = true).over(w))
+            first(col("__upd"), ignoreNulls = true).over(wF))
         val withCums = dFolds.foldLeft(st0) { case (df, (c, _)) =>
-          df.withColumn(s"__cum_$c", sum(col(s"__fd.$c")).over(w))
+          df.withColumn(s"__cum_$c", sum(col(s"__fd.$c")).over(wF))
             .withColumn(s"__f0_$c",
-              first(col(s"__fd.$c"), ignoreNulls = true).over(w))
+              first(col(s"__fd.$c"), ignoreNulls = true).over(wF))
         }
         val stateC = struct(dSchema.fields.toSeq.map { f =>
           val c = f.name

@@ -1072,6 +1072,55 @@ object SqlGate {
         |  math:round(Last.v, 2) as lv
         |order by event_id
         |insert into Out""".stripMargin, "read")),
+    // ACCUMULATOR folds over a swept table (r11): the running n/total
+    // restart after each purge (segment-scoped running sums) — each
+    // purchase sees the clicks since its user's last purge
+    "sql_enrich_tombstone_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Acc (user_id long, n long, total double);
+        |
+        |@info(name = 'seed')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as n, value as total
+        |update or insert into Acc
+        |  set Acc.n = Acc.n + n, Acc.total = Acc.total + total
+        |  on Acc.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Acc on Acc.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Acc
+        |  on Acc.user_id == e.user_id
+        |select e.event_id as event_id, Acc.n as n,
+        |  math:round(Acc.total, 2) as total
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_tombstone_fold_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Acc (user_id long, n long, total double);
+        |
+        |@info(name = 'seed')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as n, value as total
+        |update or insert into Acc
+        |  set Acc.n = Acc.n + n, Acc.total = Acc.total + total
+        |  on Acc.user_id == user_id;
+        |
+        |@info(name = 'purge')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Acc on Acc.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Acc
+        |  on Acc.user_id == e.user_id
+        |select e.event_id as event_id, Acc.n as n,
+        |  math:round(Acc.total, 2) as total
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     // per-event as-of enrichment against the TWO-writer table: each
     // error sees the latest click-or-purchase update before it
     "sql_enrich_multi" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -2181,6 +2230,52 @@ object SqlGate {
         |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // read-at-finish: purchases joined against the FINAL flush table
     // (per user the last 10-min click window's aggregate row)
+    // segment-scoped running totals: clicks at the purchase's ts in
+    // the segment AFTER the user's last purge mark
+    "sql_enrich_tombstone_fold" ->
+      """WITH marks AS (
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    value AS v, FALSE AS del
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    NULL AS v, TRUE AS del
+        |  FROM events WHERE event_type = 'error' AND value > 150.0),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, k.v, k.del, k.mts, k.mid
+        |  FROM e JOIN marks k ON k.user_id = e.user_id
+        |   AND k.mts <= e.ets),
+        |seg AS (SELECT *, sum(CASE WHEN del THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_id ORDER BY mts, mid) AS s
+        |  FROM m),
+        |mx AS (SELECT event_id, max(s) AS smax FROM seg GROUP BY 1)
+        |SELECT seg.event_id, count(v) AS n, round(sum(v), 2) AS total
+        |FROM seg JOIN mx USING (event_id)
+        |WHERE seg.s = mx.smax AND NOT seg.del
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_tombstone_fold_live" ->
+      """WITH marks AS (
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    value AS v, FALSE AS del
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts) AS mts, event_id AS mid,
+        |    NULL AS v, TRUE AS del
+        |  FROM events WHERE event_type = 'error' AND value > 150.0),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS ets
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, k.v, k.del, k.mts, k.mid
+        |  FROM e JOIN marks k ON k.user_id = e.user_id
+        |   AND k.mts <= e.ets),
+        |seg AS (SELECT *, sum(CASE WHEN del THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_id ORDER BY mts, mid) AS s
+        |  FROM m),
+        |mx AS (SELECT event_id, max(s) AS smax FROM seg GROUP BY 1)
+        |SELECT seg.event_id, count(v) AS n, round(sum(v), 2) AS total
+        |FROM seg JOIN mx USING (event_id)
+        |WHERE seg.s = mx.smax AND NOT seg.del
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
     // as-of over a swept table: the latest click-or-purge mark at the
     // purchase's timestamp decides — purge marks (tombstones) drop the
     // event, click marks carry their value
