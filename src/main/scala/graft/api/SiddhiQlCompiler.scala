@@ -218,9 +218,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             // everything before it, later upserts re-insert — a user
             // whose LAST event matches the sweeper stays deleted,
             // one purged mid-stream is revived by later updates).
-            // Residual heterogeneous groups (insert+delete,
-            // update/upsert-expr mixes, mixed keys) keep the
-            // statement-sequential replay.
+            // Since round 12 insert+delete composes too (an insert
+            // row carries its key values; it dies under a later
+            // tombstone and a re-insert revives the key). Residual
+            // heterogeneous groups (insert+upsert, update/upsert-expr
+            // mixes, mixed keys) are genuinely row-level replays
+            // (dmlComposable scaladoc) and keep the
+            // statement-sequential application.
             val next = ast.stream match {
               case ss: SingleStream if prior.nonEmpty &&
                   dmlComposable(prior :+ ((ast, act, schema, ss.table))) =>
@@ -536,9 +540,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // emission is a TOMBSTONE at its interleaved position — the as-of
     // state for its key becomes absent until a later upsert
     // re-inserts (inner drops the event, left outer null-pads it).
-    // v1: tombstones compose with IMPLICIT-set (last-wins) upserts
-    // only — a fold reconstruction across tombstones needs
-    // segment-scoped running sums, a named bound.
+    // Fold (`set T.c = T.c + expr`) upserts compose with sweepers via
+    // the SEGMENT-scoped fold window below: the cumulative tombstone
+    // count per key segments the running sums, so each fold restarts
+    // from the next upsert-INSERT after a sweep (gated by
+    // sql_enrich_tombstone_fold + its live twin).
     val (delWI, updWI) = winfos.zipWithIndex
       .partition(_._1._2.isInstanceOf[DeleteTable])
     if (updWI.isEmpty)
@@ -1051,14 +1057,25 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     * multi-writer merge? Composable shapes:
     *   - one shared non-delete shape: all insert-into, all
     *     implicit-set upserts, or all accumulator-fold upserts;
-    *   - upsert/fold writers PLUS keyed `delete` sweepers on the SAME
-    *     table key columns (or all-delete): a delete is a TOMBSTONE
-    *     emission in the interleaved (ts, event_id, statement) order —
-    *     the last tombstone per key wipes everything before it, later
-    *     upserts re-insert, exactly Siddhi's per-event replay;
-    *   - still NOT composable: insert+delete (inserts are unkeyed),
-    *     update/upsert-expr mixes, mixed key columns — those keep the
-    *     batch statement-sequential replay and refuse live. */
+    *   - upsert/fold/insert writers PLUS keyed `delete` sweepers on
+    *     the SAME table key columns (or all-delete): a delete is a
+    *     TOMBSTONE emission in the interleaved (ts, event_id,
+    *     statement) order — the last tombstone per key wipes
+    *     everything before it, later upserts/inserts re-insert,
+    *     exactly Siddhi's per-event replay (an insert row carries its
+    *     key VALUES in its own columns, so it dies under a later
+    *     tombstone matching them);
+    *   - still NOT composable — genuinely, not as deferral:
+    *     insert+upsert mixes (an upsert UPDATES every matching row
+    *     including the duplicates earlier inserts appended, so the
+    *     replay is row-multiset-level, not key-algebraic),
+    *     update/upsert-expr shapes (their set RHS reads the table),
+    *     and mixed key columns (a writer keyed on column A updates
+    *     rows another writer maintains under key B whenever the A
+    *     values collide — reconstructing that needs each row's
+    *     column values AT the other writer's emission time, a
+    *     row-level temporal replay) — those keep the batch
+    *     statement-sequential replay and refuse live. */
   private[api] def dmlComposable(
       writers: List[(Ast, Action, StructType, String)]): Boolean = {
     val t = writers.head._2.target
@@ -1070,7 +1087,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     } else {
       val updOk = updW.isEmpty || {
         val kinds = dmlKinds(updW)
-        kinds.length == 1 && Set("upsert", "fold")(kinds.head)
+        kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
       }
       val keySets = writers.map(_._2).collect {
         case UpsertTable(_, _, on) =>
@@ -1095,8 +1112,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       fail(s"multi-writer table '$t' (v1) needs an ORDER-COMPOSABLE " +
         "writer group — all `insert into`, all implicit-set `update " +
         "or insert`, all accumulator-fold `update or insert` with " +
-        "identical folds, or upsert/fold writers plus keyed `delete` " +
-        "sweepers on the same key columns; got " +
+        "identical folds, or upsert/fold/insert writers plus keyed " +
+        "`delete` sweepers on the same key columns; insert+upsert " +
+        "mixes, update/upsert-expr shapes and mixed-key groups are " +
+        "row-level replays (see dmlComposable) — got " +
         s"[${dmlKinds(writers).mkString(", ")}]")
     val (delWI, updWI) = writers.zipWithIndex
       .partition(_._1._2.isInstanceOf[DeleteTable])
@@ -1108,8 +1127,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       (sel.withColumn("__g_ord", struct(col("__g_ord.ts_ns"),
         col("__g_ord.event_id"), lit(i.toLong).as("w"))), outCols, act)
     }
-    if (kind == "insert") {
-      val merged = emissions.map { case (sel, outCols, _) =>
+    def insertRowsOf(idxs: List[Int]): DataFrame =
+      idxs.map(emissions).map { case (sel, outCols, _) =>
         schema.fieldNames.foreach(c =>
           if (!outCols.contains(c))
             fail(s"insert into $t: select output must cover every " +
@@ -1117,15 +1136,19 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         sel.select(schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)) :+ col("__g_ord"): _*)
       }.reduce(_ unionByName _)
-      return applyEmissions(InsertInto(t), schema, table, merged,
-        schema.fieldNames.toSeq)
+    if (kind == "insert" && delWI.isEmpty) {
+      return applyEmissions(InsertInto(t), schema, table,
+        insertRowsOf(emissions.indices.toList), schema.fieldNames.toSeq)
     }
-    // upsert/delete forms: same key columns everywhere
-    val keyColsPer = writers.map { case (_, act2, _, _) =>
+    // keyed forms (upsert/fold/delete — and insert+delete, where the
+    // key columns come from the sweepers alone): every KEYED writer
+    // shares the same key columns; insert writers carry their key
+    // values in their own output columns
+    val keyColsPer = writers.flatMap { case (_, act2, _, _) =>
       act2 match {
-        case UpsertTable(_, _, on) => keyEqsOf(on, t)
-        case DeleteTable(_, on)    => keyEqsOf(on, t)
-        case _ => Nil // unreachable: classified above
+        case UpsertTable(_, _, on) => List(keyEqsOf(on, t))
+        case DeleteTable(_, on)    => List(keyEqsOf(on, t))
+        case _ => Nil // insert writers are unkeyed
       }
     }
     val keyOrder = keyColsPer.head.map(_._1).distinct.sorted
@@ -1161,6 +1184,26 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       val cond = keyOrder.zipWithIndex.map { case (kc, j) =>
         table(kc) === dmk(s"__dk$j") }.reduce(_ && _)
       table.join(dmk, cond, "left_anti")
+    }
+    if (kind == "insert") {
+      // INSERT + DELETE (r12): inserts are independent rows — no key
+      // collapse — and a row's key VALUES are its own key-column
+      // values, so an inserted row survives iff no tombstone for its
+      // key sits at or after its interleaved position (a sweep
+      // followed by a re-insert revives the key, exactly the
+      // per-event replay; an event flowing through both statements
+      // has its own insert wiped by its own same-event tombstone —
+      // the statement-index tiebreak).
+      val mergedRows = insertRowsOf(updWI.map(_._2))
+      val mergedLive = dm.fold(mergedRows) { d =>
+        val cond = keyOrder.zipWithIndex.map { case (kc, j) =>
+          mergedRows(kc) <=> d(s"__dk$j") }.reduce(_ && _)
+        mergedRows.join(d, cond, "left_outer")
+          .filter(col("__dord").isNull || col("__g_ord") > col("__dord"))
+          .drop(keyOrder.indices.map(j => s"__dk$j") :+ "__dord": _*)
+      }
+      return applyEmissions(InsertInto(t), schema, tableLive,
+        mergedLive, schema.fieldNames.toSeq)
     }
     if (updW.isEmpty) return tableLive
     // fold specs: identical column → op across upsert writers
@@ -2710,53 +2753,86 @@ private[api] trait SiddhiQlCompiler extends Serializable {
   // merging is a linear sorted-run re-compression (exactly
   // associative/commutative, so the grain cascade and the live
   // bucket-merge fold are chunking-invariant by construction), and
-  // the final is the nearest-rank pick. The `transform(array(x),
+  // the final interpolates at Spark's percentile position between
+  // the bracketing quantized ranks (see pctlFinalSql). The
+  // `transform(array(x),
   // v -> ...)` wrappers are SQL let-bindings: they evaluate each
   // sub-relation once instead of once per lambda step.
-  private def pctlPairsType = "array<struct<q: double, cnt: bigint>>"
+  private[graft] def pctlPairsType = "array<struct<q: double, cnt: bigint>>"
+
+  /** Hard cap on a percentile partial's pair count. 3-significant-
+    * digit quantization is ~900 quanta per decade, so a pathological
+    * value distribution (log-uniform over 12 decades ≈ 10 800 quanta)
+    * would otherwise balloon fold state; at 4096 the cap only ever
+    * engages beyond ~4.5 decades of spread, and collapsing f =
+    * ⌈size/K⌉ adjacent quanta to their midpoint moves any rank by at
+    * most half a run's span (≤ f · 0.5 % relative — far inside the
+    * 5 % sketch tolerance for the f ≤ 8 of any real spread). Below
+    * the cap the pair algebra is exactly associative; above it the
+    * collapse is deterministic per input, so results stay inside the
+    * tolerance contract under any chunking. */
+  private[graft] def pctlCapK = 4096
+
+  /** Collapse a sorted (q, cnt) pair array to at most [[pctlCapK]]
+    * pairs: every f consecutive quanta become one pair at the run's
+    * midpoint q with the run's summed count. Identity below the cap. */
+  private[graft] def pctlCapSql(psExpr: String): String =
+    s"""element_at(transform(array($psExpr), ps0 ->
+       |  if(size(ps0) <= $pctlCapK, ps0,
+       |    element_at(transform(array(cast(ceil(size(ps0) /
+       |        cast($pctlCapK as double)) as int)), f ->
+       |      transform(sequence(1, cast(ceil(size(ps0) /
+       |          cast(f as double)) as int)), j ->
+       |        named_struct(
+       |          'q', element_at(ps0, least((j - 1) * f +
+       |            cast(ceil(f / 2.0) as int), size(ps0))).q,
+       |          'cnt', aggregate(slice(ps0, (j - 1) * f + 1, f),
+       |            0L, (a, s) -> a + s.cnt)))), 1))), 1)""".stripMargin
 
   /** 3-significant-digit quantization of a value expression
     * (round's scale must be foldable, so the power of ten is
     * explicit: q = round(x / 10^(d-2)) · 10^(d-2), d = ⌊log10|x|⌋). */
-  private def pctlQuantSql(x: String): String =
+  private[graft] def pctlQuantSql(x: String): String =
     s"case when $x = 0D then 0D else " +
       s"element_at(transform(array(" +
       s"power(10D, floor(log10(abs($x))) - 2D)), p -> " +
       s"round($x / p) * p), 1) end"
 
-  /** Compress a SORTED array<double> into run-length (q, cnt) pairs. */
-  private def pctlCompressSql(vsExpr: String): String =
+  /** Compress a SORTED array<double> into run-length (q, cnt) pairs,
+    * capped at [[pctlCapK]]. */
+  private[graft] def pctlCompressSql(vsExpr: String): String = pctlCapSql(
     s"""element_at(transform(array($vsExpr), vs ->
        |  if(size(vs) = 0, cast(array() as $pctlPairsType),
        |    element_at(transform(array(filter(sequence(1, size(vs)),
        |        i -> i = size(vs)
-       |          OR element_at(vs, i) != element_at(vs, i + 1))), idx ->
+       |          OR element_at(vs, i) != try_element_at(vs, i + 1))), idx ->
        |      transform(idx, (e, j) -> named_struct(
        |        'q', element_at(vs, e),
        |        'cnt', cast(e - if(j = 0, 0, element_at(idx, j))
-       |          as bigint)))), 1))), 1)""".stripMargin
+       |          as bigint)))), 1))), 1)""".stripMargin)
 
   /** Merge a SORTED (q, cnt) pair array: collapse equal-q runs by
-    * summing counts (linear — each element lands in one slice). */
-  private def pctlMergeSql(psExpr: String): String =
+    * summing counts (linear — each element lands in one slice),
+    * capped at [[pctlCapK]]. */
+  private[graft] def pctlMergeSql(psExpr: String): String = pctlCapSql(
     s"""element_at(transform(array($psExpr), ps ->
        |  if(size(ps) = 0, cast(array() as $pctlPairsType),
        |    element_at(transform(array(filter(sequence(1, size(ps)),
        |        i -> i = size(ps)
-       |          OR element_at(ps, i).q != element_at(ps, i + 1).q)), idx ->
+       |          OR element_at(ps, i).q != try_element_at(ps, i + 1).q)), idx ->
        |      transform(idx, (e, j) -> named_struct(
        |        'q', element_at(ps, e).q,
        |        'cnt', aggregate(
        |          slice(ps, if(j = 0, 1, element_at(idx, j) + 1),
        |            e - if(j = 0, 0, element_at(idx, j))),
-       |          0L, (a, s) -> a + s.cnt)))), 1))), 1)""".stripMargin
+       |          0L, (a, s) -> a + s.cnt)))), 1))), 1)""".stripMargin)
 
   /** Interpolated percentile from merged (q, cnt) pairs at `frac` —
     * Spark's percentile position (1 + f·(n−1)) between the bracketing
     * ranks, so the only approximation left is the 3-significant-digit
     * quantization (vital for SMALL groups, where nearest-rank vs
     * interpolation diverges by a whole value gap). */
-  private def pctlFinalSql(mExpr: String, frac: Double): String =
+  private[graft] def pctlFinalSql(mExpr: String, frac: Double): String =
     s"""element_at(transform(array($mExpr), m ->
        |  if(size(m) = 0, cast(null as double),
        |    element_at(transform(array(cast(1D + ${frac}D *

@@ -131,8 +131,24 @@ private[api] trait SiddhiQlLive extends Serializable {
     * the total group count. */
   private[graft] var updateEmitProbe
       : Option[scala.collection.mutable.Buffer[Long]] = None
+
+  /** Test probe: when set, [[deployApp]]'s fold runner records
+    * (generation, state name, rows read) each time a fold pulls a
+    * state's FULL relation, so a spec can assert per-trigger read
+    * I/O tracks the live band + compacted base, not the accumulated
+    * bucket history. */
+  private[graft] var foldReadProbe
+      : Option[scala.collection.mutable.Buffer[(Int, String, Long)]] =
+    None
   private[api] final case class KeyedState(keys: Seq[String],
-      batchKeys: (SparkSession, String, DataFrame) => DataFrame)
+      batchKeys: (SparkSession, String, DataFrame) => DataFrame,
+      // every N generations the runner hands the fold the WHOLE state
+      // as its slice (touched = all buckets) and the fold may rewrite
+      // it entirely — the compaction lever that lets a time-banded
+      // partial store shed frozen buckets into a compacted base
+      // without per-trigger O(history) reads or writes. None = the
+      // plain keyed merge (touched buckets only, every trigger).
+      compactEvery: Option[Int] = None)
     extends StateMode
 
   /** A [[LiveFold]] state as the fold sees it: `slice` is what the
@@ -143,7 +159,11 @@ private[api] trait SiddhiQlLive extends Serializable {
     * for folds that must JOIN against it (the enrichment join reads
     * the whole maintained table even when only a few keys changed). */
   private[api] final case class LiveState(slice: DataFrame,
-      full: () => DataFrame)
+      full: () => DataFrame,
+      // true on the generations where this state's [[KeyedState]]
+      // compactEvery fired: the slice IS the whole state and the
+      // fold's return replaces every bucket (rows it drops are gone)
+      compacting: Boolean = false)
 
   /** A live stage whose semantics are a per-micro-batch keyed FOLD
     * rather than one incremental Spark plan: table DML (keyed MERGE),
@@ -238,25 +258,33 @@ private[api] trait SiddhiQlLive extends Serializable {
       scriptFns = fnsSnap
       val benv = envOf(sp, d2, batch)
       writers.map { case (wAst, wAct, _, wSrc) =>
-        val on = wAct match {
-          case UpsertTable(_, _, o) => o
-          case DeleteTable(_, o)    => o
+        val onO = wAct match {
+          case UpsertTable(_, _, o) => Some(o)
+          case DeleteTable(_, o)    => Some(o)
+          // an INSERT row's key values are its own key-column outputs
+          case _: InsertInto        => None
           case a2 => fail("multi-writer table DML (v1) mixes only " +
-            s"`update or insert` and `delete` writers; got " +
-            s"'${a2.getClass.getSimpleName}'")
+            s"`insert into`, `update or insert` and `delete` " +
+            s"writers; got '${a2.getClass.getSimpleName}'")
         }
-        val keys = keyEqsOf(on, tName)
         val b0 = loadTable(sp, d2, wSrc, benv)
         val b1 = (wAst.stream match {
           case ss: SingleStream => ss.filter
           case _ => None
         }).fold(b0)(f => applyFilter(sp, d2, b0, f, benv))
         val items2 = itemsOf(expandStar(wAst, b0.columns))
-        b1.select(items2.map { case (it, a2, _) =>
-            expr(sqlOf(it.e)).as(a2) }: _*)
-          .select(keysM.map { kc =>
-            expr(keys.find(_._1 == kc).get._2)
-              .cast(schema(kc).dataType).as(kc) }: _*)
+        val seld = b1.select(items2.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) }: _*)
+        onO match {
+          case Some(on) =>
+            val keys = keyEqsOf(on, tName)
+            seld.select(keysM.map { kc =>
+              expr(keys.find(_._1 == kc).get._2)
+                .cast(schema(kc).dataType).as(kc) }: _*)
+          case None =>
+            seld.select(keysM.map { kc =>
+              col(kc).cast(schema(kc).dataType).as(kc) }: _*)
+        }
       }.reduce(_ unionByName _)
     })
   }
@@ -564,10 +592,11 @@ private[api] trait SiddhiQlLive extends Serializable {
               fail(s"multi-writer table '${act.target}' (v1) deploys " +
                 "ORDER-COMPOSABLE writer groups only (all insert / " +
                 "all implicit-set upsert / all identical-fold upsert " +
-                "/ upsert|fold writers + keyed delete sweepers on the " +
-                "same key) — other heterogeneous statement pipelines " +
-                "(insert+delete, update/upsert-expr mixes, mixed " +
-                "keys) are batch-replay surfaces")
+                "/ upsert|fold|insert writers + keyed delete sweepers " +
+                "on the same key) — the remaining heterogeneous " +
+                "pipelines (insert+upsert, update/upsert-expr mixes, " +
+                "mixed keys) are row-level replays, batch surfaces " +
+                "by design")
             if (allWriters.length > 1) {
               // MULTI-WRITER table deployed LIVE: the fold applies
               // every registered writer's emissions per trigger in
@@ -1662,23 +1691,109 @@ private[api] trait SiddhiQlLive extends Serializable {
               // flush-partial fold with an IDENTITY finish (its
               // finish(acc) is the flush relation, __wb + outputs) +
               // the per-trigger post-merge flush derivation shared by
-              // the projection and aggregation sub-branches
-              def winFoldOf(): (LiveFold, Seq[String]) = {
+              // the projection and aggregation sub-branches.
+              //
+              // The partial store is TIME-BANDED (r12): every
+              // `graft.live.compactEvery` generations the fold sheds
+              // FROZEN buckets — bucket end at or below the batch's
+              // watermark (max ts − the source's 1-minute bound), so
+              // in-order arrival means no later row can merge into
+              // them, and every later event admits them all, so only
+              // the LATEST per group key can ever win the as-of pick —
+              // into a compacted BASE of one finished flush row per
+              // key. Per-trigger full-state reads are then O(live
+              // band + base ≈ key domain), not O(every bucket partial
+              // ever written) — the bound a long-running deployment
+              // needs.
+              def winFoldOf(): (LiveFold, Seq[String],
+                  Seq[(String, StructType, StateMode)],
+                  (SparkSession, Map[String, LiveState], DataFrame,
+                    DataFrame) => Map[String, DataFrame]) = {
                 val (wfP, _) = flushPartialFold(
                   emptyOf(sp0, srcTs.schema), ssW.filter, dAst.groupBy,
                   itemsOf(dAst), tNsW, fnsSnapW, Nil,
                   (_, flush) => flush)
-                val keysP = wfP.schemas.head._3 match {
-                  case KeyedState(ks, _) => ks
+                val (stN, stSch, stMode) = wfP.schemas.head
+                val keysP = stMode match {
+                  case k: KeyedState => k.keys
                   case _ => Seq("__wb")
                 }
-                (wfP, keysP)
+                val flushSchema = wfP.finish(sp0,
+                  Map("state" -> emptyOf(sp0, stSch))).schema
+                val flushCols = flushSchema.map(_.name).toSet
+                // a group key must appear among the flush outputs for
+                // the base to key itself; otherwise keep the un-pruned
+                // store (correct, just O(history) — and the select-item
+                // checks make this branch unreachable in practice)
+                // default 8: short replays (the 4-chunk gates) never
+                // reach a compaction generation and pay zero overhead;
+                // a long-running deployment compacts every 8 triggers,
+                // bounding the store at the live band + 8 triggers of
+                // bucket growth
+                val compactN: Option[Int] =
+                  if (dAst.groupBy.forall(flushCols.contains))
+                    Some(sp0.conf.getOption("graft.live.compactEvery")
+                      .map(_.toInt).getOrElse(8))
+                  else None
+                val baseKeys: Seq[String] =
+                  if (dAst.groupBy.nonEmpty) dAst.groupBy
+                  else Seq("__wb")
+                val schemas2: Seq[(String, StructType, StateMode)] =
+                  compactN match {
+                    case Some(e) => Seq(
+                      (stN, stSch, stMode match {
+                        case k: KeyedState =>
+                          k.copy(compactEvery = Some(e))
+                        case m => m
+                      }),
+                      // the base only rewrites on compaction
+                      // generations (batchKeys empty ⇒ no touched
+                      // buckets ⇒ the runner skips its write)
+                      ("base", flushSchema, KeyedState(baseKeys,
+                        (sp, _, _) => emptyOf(sp, StructType(
+                          flushSchema.filter(f =>
+                            baseKeys.contains(f.name)).toArray)),
+                        Some(e))))
+                    case None => wfP.schemas
+                  }
+                val wmNs = 60000000000L // matches withWatermark(1 min)
+                def split(sp: SparkSession,
+                    acc: Map[String, LiveState], st1: DataFrame,
+                    batch: DataFrame): Map[String, DataFrame] =
+                  if (compactN.isEmpty) Map("state" -> st1)
+                  else if (!acc("state").compacting)
+                    Map("state" -> st1,
+                      "base" -> emptyOf(sp, flushSchema))
+                  else {
+                    val maxTs = batch.agg(max(col("ts_ns"))).collect()(0)
+                    if (maxTs.isNullAt(0))
+                      Map("state" -> st1, "base" -> acc("base").slice)
+                    else {
+                      val w = maxTs.getLong(0) - wmNs
+                      val frozenP =
+                        (col("__wb") + lit(1L)) * lit(tNsW) <= lit(w)
+                      val fresh = wfP.finish(sp,
+                        Map("state" -> st1.filter(frozenP)))
+                      val ww = org.apache.spark.sql.expressions.Window
+                        .partitionBy(dAst.groupBy.map(col): _*)
+                        .orderBy(col("__wb").desc)
+                      val base2 = acc("base").slice.unionByName(fresh)
+                        .withColumn("__rn", row_number().over(ww))
+                        .where(col("__rn") === 1).drop("__rn")
+                      Map("state" -> st1.filter(!frozenP),
+                        "base" -> base2)
+                    }
+                  }
+                (wfP, keysP, schemas2, split)
               }
               def flushRelOf(sp: SparkSession, wfP: LiveFold,
                   keysP: Seq[String], acc: Map[String, LiveState],
                   st1: DataFrame): DataFrame = {
                 // post-merge partials: untouched buckets from the
-                // full state, touched buckets replaced by st1
+                // live-band state (pruned by the compaction split),
+                // touched buckets replaced by st1 — then the frozen
+                // history re-enters as the compacted base (one
+                // latest-flush row per key, always admissible)
                 val full0 = acc("state").full()
                 val fullPost = full0.as("t")
                   .join(st1.select(keysP.map(col): _*).distinct()
@@ -1689,7 +1804,9 @@ private[api] trait SiddhiQlLive extends Serializable {
                   .select(full0.columns.toSeq
                     .map(c2 => col(s"t.$c2")): _*)
                   .unionByName(st1)
-                wfP.finish(sp, Map("state" -> fullPost))
+                val flushLive = wfP.finish(sp, Map("state" -> fullPost))
+                acc.get("base").fold(flushLive)(b =>
+                  flushLive.unionByName(b.full()))
               }
               if (hasAggE) {
                 // AGGREGATION ABOVE the as-of join (same contract as
@@ -1779,9 +1896,9 @@ private[api] trait SiddhiQlLive extends Serializable {
                   case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
                 val keyWA = name.orElse(ast.action.map(_.target))
                 if (keyWA.contains(out) || name.contains(out)) {
-                  val (wfP, keysP) = winFoldOf()
+                  val (wfP, keysP, wfSchemas, wfSplit) = winFoldOf()
                   foldResult = Some(LiveFold(srcTs,
-                    wfP.schemas :+ (("aggst", schemaA,
+                    wfSchemas :+ (("aggst", schemaA,
                       KeyedState(keys, (sp, d2, batch) => {
                         scriptFns = fnsSnapW
                         if (keyAliases.isEmpty)
@@ -1815,7 +1932,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                             col(s"t.$k2")).as(k2)) ++
                           comps.toSeq.flatMap { case (b2, n, _) =>
                             FoldAlg.mergeCols(n, b2) }: _*)
-                      Map("state" -> st1, "aggst" -> merged)
+                      wfSplit(sp, acc, st1, batch) +
+                        ("aggst" -> merged)
                     },
                     (_, acc) => {
                       val fin = acc("aggst").select(finals.map {
@@ -1838,9 +1956,9 @@ private[api] trait SiddhiQlLive extends Serializable {
                   statelessSnap))
               val keyW = name.orElse(ast.action.map(_.target))
               if (keyW.contains(out) || name.contains(out)) {
-                val (wfP, keysP) = winFoldOf()
+                val (wfP, keysP, wfSchemas, wfSplit) = winFoldOf()
                 foldResult = Some(LiveFold(srcTs,
-                  wfP.schemas :+ (("__out", protoW.schema, AppendState)),
+                  wfSchemas :+ (("__out", protoW.schema, AppendState)),
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnapW
                     val st1 = wfP.fold(sp, d2, acc, batch)("state")
@@ -1849,7 +1967,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     val enriched = enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
                       winFlush = Map(0 -> flushRel))
-                    Map("state" -> st1, "__out" -> enriched)
+                    wfSplit(sp, acc, st1, batch) +
+                      ("__out" -> enriched)
                   },
                   (_, acc) => acc("__out"),
                   ast.orderBy.map { case (c2, asc) =>
@@ -2705,7 +2824,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               latest.get((n, -1)).map(g => path(n, g, -1)).toSeq)
             case AppendState => readPaths(sp, n,
               appendGens(n).map(g => path(n, g, -1)))
-            case KeyedState(_, _) => readPaths(sp, n,
+            case _: KeyedState => readPaths(sp, n,
               (0 until nBuckets).flatMap(b =>
                 latest.get((n, b)).map(g => path(n, g, b))))
           }
@@ -2717,24 +2836,37 @@ private[api] trait SiddhiQlLive extends Serializable {
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
               // buckets each keyed state's merge can touch — from the
-              // batch's key values, before the fold reads any state
+              // batch's key values, before the fold reads any state; a
+              // compaction generation (compactEvery) touches ALL
+              // buckets so the fold may rewrite the state whole
               val touched: Map[String, Seq[Int]] =
                 lf.schemas.collect {
-                  case (n, _, KeyedState(keys, batchKeys)) =>
-                    n -> batchKeys(sp, dir, batch)
-                      .select(bucketCol(keys).cast("int").as("__b"))
-                      .distinct().collect().map(_.getInt(0)).toSeq
+                  case (n, _, KeyedState(keys, batchKeys, ce)) =>
+                    n -> (if (ce.exists(e => (gen + 1) % e == 0))
+                        (0 until nBuckets): Seq[Int]
+                      else batchKeys(sp, dir, batch)
+                        .select(bucketCol(keys).cast("int").as("__b"))
+                        .distinct().collect().map(_.getInt(0)).toSeq)
                 }.toMap
+              val compactingNow: Set[String] = lf.schemas.collect {
+                case (n, _, KeyedState(_, _, Some(e)))
+                    if (gen + 1) % e == 0 => n
+              }.toSet
               val states = lf.schemas.map { case (n, sch, m) =>
                 n -> LiveState(
                   m match {
                     case FullState => fullState(sp, n, m)
                     case AppendState => emptyOf(sp, sch)
-                    case KeyedState(_, _) => readPaths(sp, n,
+                    case _: KeyedState => readPaths(sp, n,
                       touched(n).flatMap(b =>
                         latest.get((n, b)).map(g => path(n, g, b))))
                   },
-                  () => fullState(sp, n, m))
+                  () => {
+                    val f = fullState(sp, n, m)
+                    foldReadProbe.foreach(_ += ((gen + 1, n, f.count())))
+                    f
+                  },
+                  compacting = compactingNow(n))
               }.toMap
               val next = lf.fold(sp, dir, states, batch)
               val g1 = gen + 1
@@ -2745,17 +2877,21 @@ private[api] trait SiddhiQlLive extends Serializable {
                 case AppendState =>
                   next(n).write.mode("overwrite").parquet(path(n, g1, -1))
                   appendGens(n) = appendGens(n) :+ g1
-                case KeyedState(keys, _) =>
+                case KeyedState(keys, _, _) =>
                   // the fold is a per-key merge, so its output holds
                   // exactly the touched buckets' new content; untouched
-                  // buckets keep their prior generation untouched
-                  next(n).withColumn("__b", bucketCol(keys))
-                    .repartition(math.max(touched(n).size, 1),
-                      col("__b"))
-                    .write.mode("overwrite").partitionBy("__b")
-                    .parquet(s"$tmp/gen$g1/$n")
-                  touched(n).foreach(b => latest((n, b)) = g1)
-                  foldWriteProbe.foreach(_ += ((g1, n, next(n).count())))
+                  // buckets keep their prior generation untouched — and
+                  // an untouched STATE (a compacted base between
+                  // compactions) skips its write entirely
+                  if (touched(n).nonEmpty) {
+                    next(n).withColumn("__b", bucketCol(keys))
+                      .repartition(math.max(touched(n).size, 1),
+                        col("__b"))
+                      .write.mode("overwrite").partitionBy("__b")
+                      .parquet(s"$tmp/gen$g1/$n")
+                    touched(n).foreach(b => latest((n, b)) = g1)
+                    foldWriteProbe.foreach(_ += ((g1, n, next(n).count())))
+                  }
               }}
               gen = g1
             }.start()
