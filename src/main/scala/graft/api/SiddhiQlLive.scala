@@ -2304,20 +2304,20 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // cross-trigger merges commute NO MATTER WHICH trigger
                 // materializes it — which is what makes outer rows,
                 // materialized only at watermark expiry, safe here);
-                // count modes ride the running pair counter (the
-                // single-stream count-rate fold shape — pair emission
-                // is trigger-monotone under the in-order replay).
-                // Count modes over an OUTER join stay refused: a
-                // null-pad materializes at watermark expiry, AFTER
-                // later-emission pairs may already have been counted,
-                // so the running counter's order would diverge from
-                // the batch emission order.
-                if (jType != "inner" && ast.rate.get.count.nonEmpty)
-                  fail("count-based rate limiting over an OUTER live " +
-                    "join is not deployed (v1) — null-padded rows " +
-                    "materialize at watermark expiry, out of running-" +
-                    "counter order; use a time-based rate or an inner " +
-                    "join")
+                // count modes over an INNER join ride the running
+                // pair counter (the single-stream count-rate fold
+                // shape — pair emission is trigger-monotone under the
+                // in-order replay). Count modes over an OUTER join
+                // (r12) cannot: a null-pad materializes at watermark
+                // expiry, AFTER later-emission pairs were already
+                // counted. The emission ORDER itself is still total
+                // (emit ts + side ids), so the outer form accumulates
+                // emissions with their order key — sink-like append,
+                // the same state class as the enrichment __out
+                // channel — and applies the every-Nth pick ONCE at
+                // finish over the ordered emissions, the batch
+                // rateOverJoin's exact rank-and-pick
+                // (chunking-invariant by construction).
                 val rJ = ast.rate.get
                 val itemsJ = itemsOf(ast)
                 Seq(la, ra).foreach { al =>
@@ -2368,6 +2368,28 @@ private[api] trait SiddhiQlLive extends Serializable {
                           batch.select(col("__iv"))))
                         .copy(needsFlush = jType != "inner"))
                     (emptyOf(joined.sparkSession, schemaR), KFold)
+                  case (m @ ("first" | "last"), None, Some(nEv))
+                      if jType != "inner" =>
+                    // OUTER count mode: rank-and-pick at finish (see
+                    // the channel comment above)
+                    val schemaC = feedJ.drop("__emit_ts").schema
+                    val protoC = feedJ.drop("__emit_ts", "__emit_ord")
+                    if (keyJ2.contains(out) || name.contains(out))
+                      foldResult = Some(LiveFold(feedJ,
+                        Seq(("out", schemaC, AppendState)),
+                        (_, _, _, batch) =>
+                          Map("out" -> batch.drop("__emit_ts")),
+                        (_, st) => {
+                          val ranked = globalRank(st("out"),
+                            Seq(col("__emit_ord")), "__rn")
+                          val kept =
+                            if (m == "first")
+                              ranked.filter((col("__rn") - 1) % nEv === 0)
+                            else ranked.filter(col("__rn") % nEv === 0)
+                          kept.orderBy("__rn")
+                            .select(outColsJ.map(col): _*)
+                        }, ordFin).copy(needsFlush = true))
+                    (emptyOf(joined.sparkSession, protoC.schema), KFold)
                   case (m @ ("first" | "last"), None, Some(nEv)) =>
                     val rankedSchema = StructType(feedJ
                       .drop("__emit_ts", "__emit_ord").schema.fields :+

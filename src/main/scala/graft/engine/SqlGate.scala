@@ -424,12 +424,44 @@ object SqlGate {
         |output last every 10 min
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // COUNT mode over an OUTER join (r12, batch): the emission order
+    // is total (emit ts, side ids with the null side at -1), so the
+    // every-Nth pick ranks pads at their preserved side's arrival
+    // alongside the pairs
+    "sql_rate_join_outer_count" -> q(
+      """from events as a[event_type == 'error']#window.time(10 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id,
+        |  coalesce(b.event_id, convert(-1, 'long')) as buy_id,
+        |  a.user_id as user_id
+        |output first every 7 events
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin),
+    // the same count-over-outer form deployed LIVE (r12): a running
+    // counter can't see pads in order (they materialize at watermark
+    // expiry), so the fold accumulates emissions with their order key
+    // and applies the every-Nth pick ONCE at finish — the batch
+    // rank-and-pick above is the truth
+    "sql_app_rate_join_outer_count_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """@info(name = 'paced')
+        |from events as a[event_type == 'error']#window.time(10 min)
+        |  left outer join
+        |  events as b[event_type == 'purchase']#window.time(10 min)
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id,
+        |  coalesce(b.event_id, convert(-1, 'long')) as buy_id,
+        |  a.user_id as user_id
+        |output first every 7 events
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin, "paced")),
     // rate over an OUTER join deployed LIVE: time-mode per-interval
     // picks are keyed on each row's OWN emission interval, so a
     // null-pad materializing at watermark expiry merges into the
     // right interval no matter which trigger carries it — the batch
-    // form is the truth (count modes stay refused: expiry order
-    // diverges from the running counter's order)
+    // form is the truth
     "sql_app_rate_join_outer_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
       """@info(name = 'paced')
         |from events as a[event_type == 'error']#window.time(10 min)
@@ -1678,6 +1710,51 @@ object SqlGate {
     // re-insert the user, so only a user whose LAST event matches the
     // sweeper ends deleted (2 deleted / 148 alive at sf0.01, with 73
     // of the 148 purged mid-stream then revived — both paths real)
+    // INSERT + DELETE writer group (r12): inserts are independent
+    // rows (no key collapse); a purchase tombstones its user at its
+    // stream position, wiping every earlier inserted row for that
+    // user — later inserts re-populate the key (and an event flowing
+    // through both statements wipes its own insert, the
+    // statement-index tiebreak)
+    "sql_table_insert_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Log (event_id long, user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[value > 150.0]
+        |select event_id, user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'purchase']
+        |select user_id
+        |delete Log on Log.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Log
+        |select event_id, user_id, math:round(v, 2) as v
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    // the same insert+delete group deployed LIVE: the per-trigger
+    // fold wipes prior-generation rows under any tombstone and
+    // filters the batch's own inserts by interleaved order — the
+    // batch replay above is the truth
+    "sql_app_table_insert_delete_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Log (event_id long, user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[value > 150.0]
+        |select event_id, user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'purchase']
+        |select user_id
+        |delete Log on Log.user_id == user_id""".stripMargin, "sweep")
+      .selectExpr("event_id", "user_id", "round(v, 2) as v")
+      .orderBy("event_id")),
     "sql_table_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Active (user_id long, last_value double);
         |
@@ -2754,6 +2831,58 @@ object SqlGate {
         |QUALIFY row_number() OVER (PARTITION BY emit // 600000000000
         |  ORDER BY emit DESC, err_id DESC, buy_id DESC) = 1
         |ORDER BY err_id, buy_id""".stripMargin,
+    // count over outer: total emission order (emit, err_id, buy_id
+    // with pads at -1), first of every 7
+    "sql_rate_join_outer_count" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |u AS (
+        |  SELECT a.event_id AS err_id, CAST(-1 AS BIGINT) AS buy_id,
+        |    a.user_id AS user_id, epoch_ns(a.ts) AS emit
+        |  FROM events a
+        |  WHERE a.event_type = 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |      AND b.user_id = a.user_id
+        |      AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |          BETWEEN -600000000000 AND 600000000000)),
+        |em AS (SELECT * FROM p UNION ALL SELECT * FROM u)
+        |SELECT err_id, buy_id, user_id FROM (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY emit, err_id, buy_id) AS rn FROM em) t
+        |WHERE (rn - 1) % 7 = 0
+        |ORDER BY err_id, buy_id""".stripMargin,
+    "sql_app_rate_join_outer_count_live" ->
+      """WITH p AS (
+        |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
+        |    a.user_id AS user_id,
+        |    greatest(epoch_ns(a.ts), epoch_ns(b.ts)) AS emit
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id AND a.event_type = 'error'
+        |   AND b.event_type = 'purchase'
+        |   AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |       BETWEEN -600000000000 AND 600000000000),
+        |u AS (
+        |  SELECT a.event_id AS err_id, CAST(-1 AS BIGINT) AS buy_id,
+        |    a.user_id AS user_id, epoch_ns(a.ts) AS emit
+        |  FROM events a
+        |  WHERE a.event_type = 'error' AND NOT EXISTS (
+        |    SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |      AND b.user_id = a.user_id
+        |      AND epoch_ns(a.ts) - epoch_ns(b.ts)
+        |          BETWEEN -600000000000 AND 600000000000)),
+        |em AS (SELECT * FROM p UNION ALL SELECT * FROM u)
+        |SELECT err_id, buy_id, user_id FROM (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY emit, err_id, buy_id) AS rn FROM em) t
+        |WHERE (rn - 1) % 7 = 0
+        |ORDER BY err_id, buy_id""".stripMargin,
     "sql_app_rate_join_outer_live" ->
       """WITH p AS (
         |  SELECT a.event_id AS err_id, b.event_id AS buy_id,
@@ -3202,6 +3331,28 @@ object SqlGate {
         |  FROM events) e
         |WHERE rn = 1 AND NOT (event_type = 'error' AND value > 150.0)
         |ORDER BY user_id""".stripMargin,
+    // insert+delete interleaved replay: an inserted row (stmt 0)
+    // survives iff no purchase by its user sits at or after its
+    // (ts, event_id) position (same event ⇒ the stmt-1 tombstone
+    // wins); the same truth gates the live twin
+    "sql_table_insert_delete" ->
+      """SELECT i.event_id, i.user_id, round(i.value, 2) AS v
+        |FROM events i
+        |WHERE i.value > 150.0 AND NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'purchase' AND d.user_id = i.user_id
+        |    AND (d.ts > i.ts OR
+        |         (d.ts = i.ts AND d.event_id >= i.event_id)))
+        |ORDER BY i.event_id""".stripMargin,
+    "sql_app_table_insert_delete_live" ->
+      """SELECT i.event_id, i.user_id, round(i.value, 2) AS v
+        |FROM events i
+        |WHERE i.value > 150.0 AND NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'purchase' AND d.user_id = i.user_id
+        |    AND (d.ts > i.ts OR
+        |         (d.ts = i.ts AND d.event_id >= i.event_id)))
+        |ORDER BY i.event_id""".stripMargin,
     // interleaved replay: every event upserts (seed, stmt 0), a
     // matching purge event then tombstones the key (stmt 1) — so a
     // user survives iff their LAST event is not a purge trigger, and

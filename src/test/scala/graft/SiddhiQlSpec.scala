@@ -1792,9 +1792,11 @@ class SiddhiQlSpec extends AnyFunSuite {
       "interleaved last-wins must reflect the truly latest event " +
         "across writers (and the fixture must exercise both)")
     // upsert+delete composes since r11 (tombstone emissions — the
-    // sql_table_delete gate); an INSERT mixed with keyed writers still
-    // keeps the batch statement-sequential replay (inserts are
-    // unkeyed) and deployed LIVE is a named bound
+    // sql_table_delete gate) and insert+delete since r12
+    // (sql_table_insert_delete); an INSERT mixed with UPSERT writers
+    // is a recorded row-level bound (an upsert updates every matching
+    // row including duplicates earlier inserts appended) and deployed
+    // LIVE fails fast
     def msg(app: String): String =
       intercept[IllegalArgumentException](
         SiddhiQL.compileApp(spark, sf, app)).getMessage
