@@ -549,8 +549,21 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       .partition(_._1._2.isInstanceOf[DeleteTable])
     if (updWI.isEmpty)
       fail(s"enrichment joins read a table with at least one " +
-        s"`update or insert` writer (v1) — '$tName' has only " +
-        "delete sweepers")
+        s"`update or insert` or `insert into` writer (v1) — " +
+        s"'$tName' has only delete sweepers")
+    // INSERT-log tables (r12): when every non-delete writer is a plain
+    // `insert into`, the table is an EVENT LOG (multiset) — a read
+    // matches every row currently live for its key (the cart
+    // pattern), one output row per (event, live row), reconstructed
+    // per event by the segment construction below
+    if (updWI.forall(_._1._2.isInstanceOf[InsertInto]))
+      return enrichLogCompile(sp, dir, ast, j, winfos, accTable, env)
+    if (updWI.exists(_._1._2.isInstanceOf[InsertInto]))
+      fail(s"enrichment joins read a table whose non-delete writers " +
+        s"are EITHER all `update or insert` (keyed state) or all " +
+        s"`insert into` (event log) (v1) — '$tName' mixes them " +
+        "(an upsert over duplicate inserted rows is a row-multiset " +
+        "replay)")
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
@@ -900,6 +913,213 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       case other => fail(s"bad reference ${other.mkString(".")}")
     }
     kept.select(items.map { case (it, a2, _) =>
+      expr(sqlOfWith(it.e, qual)).as(a2) }: _*)
+  }
+
+  /** INSERT-log (multiset) enrichment (r12): the table is an event
+    * LOG — every `insert into` appends an independent row, a keyed
+    * `delete` sweeper wipes all rows for its key at its interleaved
+    * position, and a read matches EVERY row live for its key at the
+    * event's position — one output row per (event, live row), the
+    * Siddhi cart pattern (`insert into Cart` + `delete Cart on …` +
+    * `join Cart`).
+    *
+    * Reconstruction: inserts, tombstones, accumulated seeds and
+    * events union into one keyed relation; a running tombstone count
+    * per key assigns every row a SEGMENT — a tombstone kills every
+    * earlier row of its key, so liveness is exactly "same segment,
+    * strictly earlier position". Events then EQUI-join the live
+    * inserts on (key, segment) with the strict-order residual — a
+    * shuffle hash join on the composite key plus one keyed window
+    * pass, never a cross join or per-event loop. Chunking-invariant:
+    * the live fold seeds `accTable` at ord −∞ / segment 0, so a prior
+    * generation's rows stay visible exactly until the batch's first
+    * tombstone for their key — the same rule [[applyDmlMulti]] uses
+    * to maintain the log itself, which is why the batch replay is
+    * the live gate's truth. */
+  private def enrichLogCompile(sp: SparkSession, dir: String, ast: Ast,
+      j: JoinStream, winfos: List[(Ast, Action, StructType, String)],
+      accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
+    val dSchema = winfos.head._3
+    val tSide = j.right; val sSide = j.left
+    val tName = tSide.table
+    val sName = sSide.table
+    val tAlias = j.rightAlias.getOrElse(tName)
+    val sAlias = j.leftAlias.getOrElse(sName)
+    val (delWI, insWI) = winfos.zipWithIndex
+      .partition(_._1._2.isInstanceOf[DeleteTable])
+    val joinKind = j.joinType match {
+      case "inner" | "left_outer" => j.joinType
+      case other => fail("live enrichment joins are inner or left " +
+        s"outer (v1), got '$other'")
+    }
+    val joinKeys = keyEqsOf(j.on, tName, {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        c
+      case parts => parts.mkString(".")
+    })
+    val keyOrder = joinKeys.map(_._1).distinct.sorted
+    val tCols = dSchema.fieldNames.toSet
+    keyOrder.foreach(kc => if (!tCols.contains(kc))
+      fail(s"'$kc' is not a column of table '$tName'"))
+    delWI.foreach { case ((dAst2, dAct2, _, _), _) =>
+      dAst2.stream match {
+        case ss2: SingleStream if ss2.window.nonEmpty =>
+          fail("windowed delete sweepers are not per-event readable " +
+            "(v1)")
+        case _ => ()
+      }
+      val dk = dAct2 match {
+        case DeleteTable(_, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      if (dk.map(_._1).distinct.sorted != keyOrder)
+        fail(s"event-log enrichment sweepers on '$tName' (v1) must " +
+          s"delete on the JOIN key columns " +
+          s"(${keyOrder.mkString(", ")})")
+    }
+    insWI.foreach { case ((iAst, _, _, _), _) =>
+      iAst.stream match {
+        case ss2: SingleStream if ss2.window.nonEmpty =>
+          fail(s"event-log writers on '$tName' are per-event `insert " +
+            "into` statements (v1) — no window")
+        case _ => ()
+      }
+    }
+    val items = itemsOf(ast)
+    val eBase0 = loadTable(sp, dir, sName, env)
+    val eBase = sSide.filter.fold(eBase0)(f =>
+      applyFilter(sp, dir, eBase0, f, env))
+    Seq("ts_ns", "event_id").foreach(c =>
+      if (!eBase.columns.contains(c))
+        fail(s"live enrichment joins need '$c' on the stream side; " +
+          s"'$sName' lost it — select it through"))
+    val updC = struct(dSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val updType = StructType(dSchema.fields)
+    val evtC = struct(eBase.columns.toSeq.map(col): _*)
+    val evtType = StructType(eBase.schema.fields)
+    def keyC(exprs: Seq[String]): Column =
+      struct(keyOrder.zip(exprs).map { case (kc, ex) =>
+        expr(ex).cast(dSchema(kc).dataType).as(s"__k_$kc") }: _*)
+    // insert rows: the row's key VALUES are its own key-column outputs
+    val insRows = insWI.map { case ((iAst, _, _, iSrc), wi) =>
+      val uBase0 = loadTable(sp, dir, iSrc, env)
+      val uBase = iAst.stream match {
+        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+          applyFilter(sp, dir, uBase0, f, env))
+        case _ => uBase0
+      }
+      val uItems = itemsOf(expandStar(iAst, uBase0.columns))
+      val outCols = uItems.map(_._2)
+      dSchema.fieldNames.foreach(c => if (!outCols.contains(c))
+        fail(s"insert into $tName: select output must cover every " +
+          s"table column (missing: $c)"))
+      uBase.select(uItems.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) } :+
+          struct(col("ts_ns"), col("event_id"),
+            lit(wi.toLong).as("w")).as("__ord"): _*)
+        .select(keyC(keyOrder).as("__key"), col("__ord"),
+          updC.as("__upd"), lit(false).as("__del"))
+    }
+    val delRows = delWI.map { case ((dAst2, dAct2, _, dSrc2), wi) =>
+      val dKeys = dAct2 match {
+        case DeleteTable(_, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      val uBase0 = loadTable(sp, dir, dSrc2, env)
+      val uBase = dAst2.stream match {
+        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+          applyFilter(sp, dir, uBase0, f, env))
+        case _ => uBase0
+      }
+      val uItems = itemsOf(expandStar(dAst2, uBase0.columns))
+      uBase.select(uItems.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) } :+
+          struct(col("ts_ns"), col("event_id"),
+            lit(wi.toLong).as("w")).as("__ord"): _*)
+        .select(keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
+            .as("__key"),
+          col("__ord"), lit(null).cast(updType).as("__upd"),
+          lit(true).as("__del"))
+    }
+    // accumulated generation rows seed at ord −∞ (segment 0)
+    val accTag = accTable.select(keyC(keyOrder).as("__key"),
+      struct(lit(Long.MinValue).as("ts_ns"),
+        lit(Long.MinValue).as("event_id"),
+        lit(Long.MinValue).as("w")).as("__ord"),
+      updC.as("__upd"), lit(false).as("__del"))
+    val uAll = (insRows ++ delRows :+ accTag).reduce(_ unionByName _)
+      .withColumn("__isE", lit(false))
+      .withColumn("__evt", lit(null).cast(evtType))
+    val eTag = eBase.select(
+      keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
+        .as("__key"),
+      struct(col("ts_ns"), col("event_id"),
+        lit(Long.MaxValue).as("w")).as("__ord"),
+      lit(null).cast(updType).as("__upd"), lit(false).as("__del"),
+      lit(true).as("__isE"), evtC.as("__evt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key")
+      .orderBy(col("__ord"), col("__isE"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // a tombstone opens a NEW segment (its running count includes
+    // itself), so "live at the event" ≡ same key, same segment,
+    // strictly earlier ord
+    val seged = uAll.unionByName(eTag).withColumn("__seg",
+      sum(when(col("__del"), lit(1L)).otherwise(lit(0L))).over(w))
+    val evts = seged.where(col("__isE"))
+      .select(col("__key").as("__ek"), col("__seg").as("__es"),
+        col("__ord").as("__eo"), col("__evt"))
+    val live0 = seged.where(!col("__isE") && !col("__del"))
+      .select(col("__key").as("__lk"), col("__seg").as("__ls"),
+        col("__ord").as("__lo"), col("__upd").as("__state"))
+    // table-side filter `T[cond]`: a log row failing it is not a
+    // match (inner drops, left outer pads when NO row matches)
+    val live = tSide.filter match {
+      case None => live0
+      case Some(f) =>
+        val fSql = sqlOfWith(f, {
+          case q :: c :: Nil if q.equalsIgnoreCase(tAlias) ||
+              q.equalsIgnoreCase(tName) =>
+            if (!tCols.contains(c))
+              fail(s"'$c' is not a column of table '$tName'")
+            s"__state.$c"
+          case c :: Nil =>
+            if (!tCols.contains(c))
+              fail(s"table filter on '$tName' references its " +
+                s"columns; '$c' is not one")
+            s"__state.$c"
+          case parts => fail(s"table filter on '$tName' references " +
+            s"its columns; got '${parts.mkString(".")}'")
+        })
+        live0.where(expr(fSql))
+    }
+    val joined = evts.join(live,
+      col("__ek") === col("__lk") && col("__es") === col("__ls") &&
+        col("__lo") < col("__eo"), joinKind)
+    def qual(parts: List[String]): String = parts match {
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(tName) =>
+        if (!tCols.contains(c))
+          fail(s"'$c' is not a column of table '$tName'")
+        s"__state.$c"
+      case q :: c :: Nil
+          if q.equalsIgnoreCase(sAlias) || q.equalsIgnoreCase(sName) =>
+        s"__evt.$c"
+      case c :: Nil =>
+        val inT = tCols.contains(c)
+        val inS = eBase.columns.contains(c)
+        if (inT && inS) fail(s"'$c' is ambiguous — qualify it with " +
+          s"'$tAlias.' or '$sAlias.'")
+        else if (inT) s"__state.$c"
+        else s"__evt.$c"
+      case other => fail(s"bad reference ${other.mkString(".")}")
+    }
+    joined.select(items.map { case (it, a2, _) =>
       expr(sqlOfWith(it.e, qual)).as(a2) }: _*)
   }
 

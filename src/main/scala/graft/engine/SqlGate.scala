@@ -1710,6 +1710,83 @@ object SqlGate {
     // re-insert the user, so only a user whose LAST event matches the
     // sweeper ends deleted (2 deleted / 148 alive at sf0.01, with 73
     // of the 148 purged mid-stream then revived — both paths real)
+    // EVENT-LOG (multiset) enrichment (r12): `insert into Cart` +
+    // keyed `delete Cart` sweeper + `join Cart` — each purchase reads
+    // EVERY cart row live for its user at its position (one output
+    // row per (event, live row)); an error clears the cart, later
+    // clicks refill it — the Siddhi cart pattern, reconstructed by
+    // the keyed segment construction (enrichLogCompile)
+    "sql_enrich_log" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("buy")),
+    // the same cart app deployed LIVE: applyDmlMulti maintains the
+    // log between triggers, the per-batch segment construction seeds
+    // prior rows at ord -inf — the batch twin above is the truth
+    "sql_app_enrich_log_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "buy")),
+    // AGGREGATION above the event-log join, LIVE: per trigger the
+    // multiset join rows fold as algebraic keyed partials (the
+    // enrich-agg recipe over enrichLogCompile rows)
+    "sql_app_enrich_log_agg_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'agg')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.user_id as user_id, count() as n,
+        |  math:round(sum(Cart.v), 2) as sv
+        |group by user_id
+        |order by user_id
+        |insert into Out""".stripMargin, "agg")),
     // INSERT + DELETE writer group (r12): inserts are independent
     // rows (no key collapse); a purchase tombstones its user at its
     // stream position, wiping every earlier inserted row for that
@@ -3330,6 +3407,54 @@ object SqlGate {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) e
         |WHERE rn = 1 AND NOT (event_type = 'error' AND value > 150.0)
+        |ORDER BY user_id""".stripMargin,
+    // event-log join: a purchase matches every click row for its user
+    // with no error-tombstone strictly between them (the segment
+    // construction's truth, stated relationally); same truth for the
+    // live twin
+    "sql_enrich_log" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON e.event_type = 'purchase' AND a.event_type = 'click'
+        | AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id < e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'error' AND d.value > 150.0
+        |    AND d.user_id = e.user_id
+        |    AND (d.ts > a.ts OR (d.ts = a.ts AND d.event_id > a.event_id))
+        |    AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id)))
+        |ORDER BY event_id, item""".stripMargin,
+    "sql_app_enrich_log_live" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON e.event_type = 'purchase' AND a.event_type = 'click'
+        | AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id < e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'error' AND d.value > 150.0
+        |    AND d.user_id = e.user_id
+        |    AND (d.ts > a.ts OR (d.ts = a.ts AND d.event_id > a.event_id))
+        |    AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id)))
+        |ORDER BY event_id, item""".stripMargin,
+    // the log join aggregated per user (same liveness relation)
+    "sql_app_enrich_log_agg_live" ->
+      """SELECT user_id, count(*) AS n, round(sum(v), 2) AS sv FROM (
+        |  SELECT e.user_id AS user_id, a.value AS v
+        |  FROM events e JOIN events a
+        |    ON e.event_type = 'purchase' AND a.event_type = 'click'
+        |   AND a.user_id = e.user_id
+        |   AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id < e.event_id))
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > a.ts OR (d.ts = a.ts AND d.event_id > a.event_id))
+        |      AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id))))
+        |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     // insert+delete interleaved replay: an inserted row (stmt 0)
     // survives iff no purchase by its user sits at or after its

@@ -1521,6 +1521,41 @@ class SiddhiQlSpec extends AnyFunSuite {
       .getMessage.contains("@OnError"))
   }
 
+  test("event-log (cart) enrichment: segment join plans equi (no " +
+       "nested loop), live == batch across chunkings") {
+    val app =
+      """define table Cart (user_id long, item long, v double);
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item
+        |order by event_id, item
+        |insert into Out""".stripMargin
+    val batch = SiddhiQL.compileApp(spark, sf, app)("buy")
+    val p = batch.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"log join degenerated:\n$p")
+    val b = batch.collect().map(_.toSeq)
+    assert(b.nonEmpty, "no cart rows at test scale — vacuous")
+    // multiset: at least one purchase reads SEVERAL live rows
+    assert(b.groupBy(_.head).exists(_._2.length > 1),
+      "no multi-row cart at test scale — the multiset path is vacuous")
+    val live = SiddhiQL.deployApp(spark, sf, app, "buy")
+      .collect().map(_.toSeq)
+    assert(live sameElements b, "live log join != batch replay")
+    val live7 = SiddhiQL.deployApp(spark, sf, app, "buy", chunks = 7)
+      .collect().map(_.toSeq)
+    assert(live7 sameElements b, "log join is not chunking-invariant")
+  }
+
   test("length-window stream-stream join: equi-sharded rank band " +
        "(no nested loop), unidirectional keeps the trigger direction") {
     val both = compile(
