@@ -81,6 +81,56 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       env += sN -> clean
     }
     var i = 0
+    // one DML statement (shared by top-level queries and the eligible
+    // partition-block hoist): compose order-composable writer groups,
+    // register the writer for enrichment reads, record the result
+    def runDmlStage(name: Option[String], ast: Ast, act: Action): Unit = {
+      val schema = tableDefs.getOrElse(act.target, fail(
+        s"'${act.target}' is not a defined table — add " +
+          s"`define table ${act.target}(...)` before the DML query"))
+      val prior = dmlWriters.getOrElse(act.target, Nil)
+      // an ORDER-COMPOSABLE second writer re-merges ALL writers
+      // so far from the empty table in per-event interleaved
+      // order (Siddhi's semantics: an event flows through every
+      // query in statement order) — sequential
+      // statement-at-a-time application would let a later
+      // writer's stale update beat an earlier writer's newer one
+      // on the same key. Since round 11 `delete` sweepers are
+      // composable too (tombstone emissions in the same
+      // interleaved order: the last tombstone per key wipes
+      // everything before it, later upserts re-insert — a user
+      // whose LAST event matches the sweeper stays deleted,
+      // one purged mid-stream is revived by later updates).
+      // Since round 12 insert+delete composes too (an insert
+      // row carries its key values; it dies under a later
+      // tombstone and a re-insert revives the key). Residual
+      // heterogeneous groups (insert+upsert, update/upsert-expr
+      // mixes, mixed keys) are genuinely row-level replays
+      // (dmlComposable scaladoc) and keep the
+      // statement-sequential application.
+      val next = ast.stream match {
+        case ss: SingleStream if prior.nonEmpty &&
+            dmlComposable(prior :+ ((ast, act, schema, ss.table))) =>
+          applyDmlMulti(spark, dir,
+            prior :+ ((ast, act, schema, ss.table)), schema,
+            emptyOf(spark, schema), env)
+        case _ =>
+          applyDml(spark, dir, ast, act, schema, env(act.target),
+            env)
+      }
+      env += act.target -> next
+      ast.stream match {
+        case ss: SingleStream =>
+          dmlWriters += act.target ->
+            (dmlWriters.getOrElse(act.target, Nil)
+              :+ ((ast, act, schema, ss.table)))
+        case _ => () // applyDml already failed non-single streams
+      }
+      val key = name
+        .orElse(Some(act.target).filterNot(results.contains))
+        .getOrElse { i += 1; s"q$i" }
+      results += key -> next
+    }
     stmts.foreach { case (name, body, _) =>
       val head = body.split("\\s+", 2).headOption.getOrElse("")
       if (head.equalsIgnoreCase("define")) {
@@ -174,6 +224,40 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         innerBody.split(";").map(_.trim).filter(_.nonEmpty)
           .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
           val ast0 = new P(lex(qBody)).query()
+          val dmlAct0 = ast0.action.filter {
+            case InsertInto(t2) => tableDefs.contains(t2)
+            case _              => true
+          }
+          if (dmlAct0.nonEmpty) {
+            // table DML inside a partition block (r13 decision): a
+            // PER-EVENT writer under a KEYED partition is
+            // partition-invariant — the keyed view is the unfiltered
+            // stream and per-event DML holds no per-key state, so the
+            // statement compiles exactly as a top-level writer (the
+            // partition wrapper only changes stateful operators).
+            // Windowed/aggregating writers (per-key window instances)
+            // and range partitions (the label filters the stream and
+            // isn't a real column) stay a RECORDED bound: put the
+            // window or the range condition on a top-level DML query.
+            val winOrAgg = (ast0.stream match {
+              case ss: SingleStream =>
+                if (!ss.table.equalsIgnoreCase(srcName))
+                  fail("partitioned queries read the partitioned " +
+                    s"stream '$srcName' (v1)")
+                ss.window.nonEmpty
+              case _                => true
+            }) || ast0.select.exists(it => containsAgg(it.e)) ||
+              ast0.groupBy.nonEmpty
+            if (winOrAgg || keyAttr.isEmpty)
+              fail("table DML inside a partition block composes only " +
+                "for PER-EVENT writers under a KEYED partition (the " +
+                "keyed view is the unfiltered stream, so the write is " +
+                "partition-invariant); windowed/aggregating writers " +
+                "hold PER-KEY window state and range partitions filter " +
+                "the stream — move the window or range condition onto " +
+                "a top-level DML query instead (recorded v1 bound)")
+            runDmlStage(qName, ast0, dmlAct0.get)
+          } else {
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
               val needsKey = (ss.window.nonEmpty ||
@@ -193,6 +277,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           }
           ast.action.foreach(a => feed(a.target, df))
           results += key -> df
+          }
         }
       } else if (head.equalsIgnoreCase("from")) {
         val ast = new P(lex(body)).query()
@@ -201,52 +286,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           case _             => true
         }
         dml match {
-          case Some(act) =>
-            val schema = tableDefs.getOrElse(act.target, fail(
-              s"'${act.target}' is not a defined table — add " +
-                s"`define table ${act.target}(...)` before the DML query"))
-            val prior = dmlWriters.getOrElse(act.target, Nil)
-            // an ORDER-COMPOSABLE second writer re-merges ALL writers
-            // so far from the empty table in per-event interleaved
-            // order (Siddhi's semantics: an event flows through every
-            // query in statement order) — sequential
-            // statement-at-a-time application would let a later
-            // writer's stale update beat an earlier writer's newer one
-            // on the same key. Since round 11 `delete` sweepers are
-            // composable too (tombstone emissions in the same
-            // interleaved order: the last tombstone per key wipes
-            // everything before it, later upserts re-insert — a user
-            // whose LAST event matches the sweeper stays deleted,
-            // one purged mid-stream is revived by later updates).
-            // Since round 12 insert+delete composes too (an insert
-            // row carries its key values; it dies under a later
-            // tombstone and a re-insert revives the key). Residual
-            // heterogeneous groups (insert+upsert, update/upsert-expr
-            // mixes, mixed keys) are genuinely row-level replays
-            // (dmlComposable scaladoc) and keep the
-            // statement-sequential application.
-            val next = ast.stream match {
-              case ss: SingleStream if prior.nonEmpty &&
-                  dmlComposable(prior :+ ((ast, act, schema, ss.table))) =>
-                applyDmlMulti(spark, dir,
-                  prior :+ ((ast, act, schema, ss.table)), schema,
-                  emptyOf(spark, schema), env)
-              case _ =>
-                applyDml(spark, dir, ast, act, schema, env(act.target),
-                  env)
-            }
-            env += act.target -> next
-            ast.stream match {
-              case ss: SingleStream =>
-                dmlWriters += act.target ->
-                  (dmlWriters.getOrElse(act.target, Nil)
-                    :+ ((ast, act, schema, ss.table)))
-              case _ => () // applyDml already failed non-single streams
-            }
-            val key = name
-              .orElse(Some(act.target).filterNot(results.contains))
-              .getOrElse { i += 1; s"q$i" }
-            results += key -> next
+          case Some(act) => runDmlStage(name, ast, act)
           case None =>
             // reading a named window compiles as fed-stream#window.spec
             val ast1 = ast.stream match {
@@ -596,8 +636,12 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         "writer must fold the SAME columns with the same operators")
     val joinKind = j.joinType match {
       case "inner" | "left_outer" => j.joinType
-      case other => fail("live enrichment joins are inner or left " +
-        s"outer (v1), got '$other'")
+      case other => fail("enrichment joins are inner or left outer " +
+        "(RECORDED DECISION, r13): the table is PASSIVE — only stream " +
+        "events trigger emissions, so a right/full outer's unmatched " +
+        "TABLE rows have no triggering event and would never emit; " +
+        "for an end-of-replay snapshot of unmatched table rows use an " +
+        s"on-demand store query instead — got '$other'")
     }
     val sName = sSide.table
     val tAlias = j.rightAlias.getOrElse(tName)
@@ -950,8 +994,12 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       .partition(_._1._2.isInstanceOf[DeleteTable])
     val joinKind = j.joinType match {
       case "inner" | "left_outer" => j.joinType
-      case other => fail("live enrichment joins are inner or left " +
-        s"outer (v1), got '$other'")
+      case other => fail("enrichment joins are inner or left outer " +
+        "(RECORDED DECISION, r13): the table is PASSIVE — only stream " +
+        "events trigger emissions, so a right/full outer's unmatched " +
+        "TABLE rows have no triggering event and would never emit; " +
+        "for an end-of-replay snapshot of unmatched table rows use an " +
+        s"on-demand store query instead — got '$other'")
     }
     val joinKeys = keyEqsOf(j.on, tName, {
       case q :: c :: Nil
@@ -1285,30 +1333,39 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     *     exactly Siddhi's per-event replay (an insert row carries its
     *     key VALUES in its own columns, so it dies under a later
     *     tombstone matching them);
+    *   - insert + IMPLICIT-SET upsert mixes (r13, ± sweepers): the
+    *     table is a keyed MULTISET; an upsert replaces every live row
+    *     of its key with the event's values (inserting one iff the
+    *     key is empty at its position), so the final value of an
+    *     origin row depends only on (its own values, the LAST later
+    *     upsert for its key) — key-algebraic, one keyed window pass.
+    *     The multiset row COUNT is preserved by upserts and grown by
+    *     inserts/first-in-segment upserts, exactly Siddhi's
+    *     update-or-insert over duplicate rows;
     *   - still NOT composable — genuinely, not as deferral:
-    *     insert+upsert mixes (an upsert UPDATES every matching row
-    *     including the duplicates earlier inserts appended, so the
-    *     replay is row-multiset-level, not key-algebraic),
-    *     update/upsert-expr shapes (their set RHS reads the table),
-    *     and mixed key columns (a writer keyed on column A updates
-    *     rows another writer maintains under key B whenever the A
-    *     values collide — reconstructing that needs each row's
-    *     column values AT the other writer's emission time, a
-    *     row-level temporal replay) — those keep the batch
+    *     insert+EXPR-set (fold) upsert mixes (the fold delta applies
+    *     per matching row, so the replay must carry every row's
+    *     values through every intermediate upsert — row-level, where
+    *     the implicit set is last-writer-wins and needs only the
+    *     final upsert), update/upsert-expr shapes (their set RHS
+    *     reads the table), and mixed key columns (a writer keyed on
+    *     column A updates rows another writer maintains under key B
+    *     whenever the A values collide — reconstructing that needs
+    *     each row's column values AT the other writer's emission
+    *     time, a row-level temporal replay) — those keep the batch
     *     statement-sequential replay and refuse live. */
   private[api] def dmlComposable(
       writers: List[(Ast, Action, StructType, String)]): Boolean = {
     val t = writers.head._2.target
     val (delW, updW) =
       writers.partition(_._2.isInstanceOf[DeleteTable])
-    if (delW.isEmpty) {
-      val kinds = dmlKinds(writers)
-      kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
-    } else {
-      val updOk = updW.isEmpty || {
-        val kinds = dmlKinds(updW)
-        kinds.length == 1 && Set("insert", "upsert", "fold")(kinds.head)
-      }
+    val updOk = updW.isEmpty || {
+      val kinds = dmlKinds(updW).toSet
+      kinds == Set("insert") || kinds == Set("upsert") ||
+        kinds == Set("fold") || kinds == Set("insert", "upsert")
+    }
+    if (delW.isEmpty) updW.nonEmpty && updOk
+    else {
       val keySets = writers.map(_._2).collect {
         case UpsertTable(_, _, on) =>
           keyEqsOf(on, t).map(_._1).distinct.sorted
@@ -1332,14 +1389,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       fail(s"multi-writer table '$t' (v1) needs an ORDER-COMPOSABLE " +
         "writer group — all `insert into`, all implicit-set `update " +
         "or insert`, all accumulator-fold `update or insert` with " +
-        "identical folds, or upsert/fold/insert writers plus keyed " +
-        "`delete` sweepers on the same key columns; insert+upsert " +
-        "mixes, update/upsert-expr shapes and mixed-key groups are " +
+        "identical folds, insert + implicit-set upsert multiset " +
+        "groups, or any of those plus keyed `delete` sweepers on the " +
+        "same key columns; insert + expr-set fold mixes, " +
+        "update/upsert-expr shapes and mixed-key groups are " +
         "row-level replays (see dmlComposable) — got " +
         s"[${dmlKinds(writers).mkString(", ")}]")
     val (delWI, updWI) = writers.zipWithIndex
       .partition(_._1._2.isInstanceOf[DeleteTable])
     val updW = updWI.map(_._1)
+    val kindSet: Set[String] =
+      if (updW.isEmpty) Set("delete") else dmlKinds(updW).toSet
     val kind = if (updW.isEmpty) "delete" else dmlKinds(updW).head
     // per-writer emissions, __g_ord extended with the statement index
     val emissions = writers.zipWithIndex.map { case ((ast, act, _, _), i) =>
@@ -1356,7 +1416,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         sel.select(schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)) :+ col("__g_ord"): _*)
       }.reduce(_ unionByName _)
-    if (kind == "insert" && delWI.isEmpty) {
+    if (kindSet == Set("insert") && delWI.isEmpty) {
       return applyEmissions(InsertInto(t), schema, table,
         insertRowsOf(emissions.indices.toList), schema.fieldNames.toSeq)
     }
@@ -1398,12 +1458,92 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         .agg(max(col("__g_ord")).as("__dord"))
     }
     // a table row (initial state precedes every emission) dies under
-    // ANY tombstone for its key; only post-tombstone upserts revive it
+    // ANY tombstone for its key; only post-tombstone upserts revive
+    // it. NULL-SAFE key match (<=>): the same-batch reconstructions
+    // below (window partitioning / the <=> insert-tombstone join)
+    // treat null keys as equal, so the prior-generation wipe must
+    // too — with === a null-keyed row would die under a same-batch
+    // tombstone but survive one arriving a micro-batch later
+    // (chunking-variant).
     val tableLive = dm.fold(table) { d =>
       val dmk = d.select(keyOrder.indices.map(j => col(s"__dk$j")): _*)
       val cond = keyOrder.zipWithIndex.map { case (kc, j) =>
-        table(kc) === dmk(s"__dk$j") }.reduce(_ && _)
+        table(kc) <=> dmk(s"__dk$j") }.reduce(_ && _)
       table.join(dmk, cond, "left_anti")
+    }
+    if (kindSet == Set("insert", "upsert")) {
+      // INSERT + IMPLICIT-SET UPSERT (r13, ± sweepers): the table is
+      // a keyed MULTISET. An upsert replaces EVERY live row of its
+      // key with the event's values and inserts one row iff the key
+      // is empty at its position (= it is the first surviving
+      // emission of its key segment). Final state needs only (a)
+      // each ORIGIN row — seed / insert / first-emission upsert —
+      // surviving the last tombstone, and (b) the LAST upsert per
+      // key: any origin older than it takes its values; intermediate
+      // upserts are fully overwritten (the implicit set is
+      // last-writer-wins, which is what makes this key-algebraic
+      // where the expr-set fold mix is genuinely row-level). One
+      // keyed window pass; null keys group together (the window /
+      // <=> convention of the other multiset paths).
+      val insIdx = updWI
+        .filter(_._1._2.isInstanceOf[InsertInto]).map(_._2)
+      val upsWI = updWI.filter(_._1._2.isInstanceOf[UpsertTable])
+      val upsRows = upsWI.map { case ((_, act2, _, _), i) =>
+        val (sel, outCols, _) = emissions(i)
+        schema.fieldNames.foreach(c =>
+          if (!outCols.contains(c))
+            fail(s"update or insert into $t: select output must " +
+              s"cover every table column (missing: $c)"))
+        val keys = act2 match {
+          case UpsertTable(_, _, on) => keyEqsOf(on, t)
+          case _ => Nil
+        }
+        sel.select(keyOrder.zipWithIndex.map { case (kc, j) =>
+          expr(keys.find(_._1 == kc).get._2)
+            .cast(schema(kc).dataType).as(s"__mk$j") } ++
+          schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)) ++
+          Seq(col("__g_ord"), lit(true).as("__ups")): _*)
+      }.reduce(_ unionByName _)
+      val insRows = insertRowsOf(insIdx).select(
+        keyOrder.zipWithIndex.map { case (kc, j) =>
+          col(kc).cast(schema(kc).dataType).as(s"__mk$j") } ++
+        schema.fieldNames.toSeq.map(col) ++
+        Seq(col("__g_ord"), lit(false).as("__ups")): _*)
+      def liveOf(df: DataFrame): DataFrame = dm.fold(df) { d =>
+        val cond = keyOrder.indices.map(j =>
+          df(s"__mk$j") <=> d(s"__dk$j")).reduce(_ && _)
+        df.join(d, cond, "left_outer")
+          .filter(col("__dord").isNull ||
+            col("__g_ord") > col("__dord"))
+          .drop(keyOrder.indices.map(j => s"__dk$j") :+ "__dord": _*)
+      }
+      val seedRows = tableLive.select(
+        keyOrder.zipWithIndex.map { case (kc, j) =>
+          col(kc).cast(schema(kc).dataType).as(s"__mk$j") } ++
+        schema.fieldNames.toSeq.map(col) ++
+        Seq(struct(lit(Long.MinValue).as("ts_ns"),
+            lit(Long.MinValue).as("event_id"),
+            lit(Long.MinValue).as("w")).as("__g_ord"),
+          lit(false).as("__ups")): _*)
+      val all = liveOf(insRows.unionByName(upsRows))
+        .unionByName(seedRows)
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyOrder.indices.map(j => col(s"__mk$j")): _*)
+      val valsC = struct(schema.fieldNames.toSeq.map(col): _*)
+      val scored = all
+        .withColumn("__minOrd", min(col("__g_ord")).over(wK))
+        .withColumn("__lastU",
+          max(when(col("__ups"), struct(col("__g_ord").as("o"),
+            valsC.as("v")))).over(wK))
+      return scored
+        .filter(!col("__ups") || col("__g_ord") === col("__minOrd"))
+        .select(schema.fields.toSeq.map { f =>
+          when(col("__lastU").isNotNull &&
+              col("__lastU.o") > col("__g_ord"),
+            col(s"__lastU.v.${f.name}"))
+            .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+        }: _*)
     }
     if (kind == "insert") {
       // INSERT + DELETE (r12): inserts are independent rows — no key

@@ -14,6 +14,33 @@ import graft.engine.{Cep, Tables}
 private[api] trait SiddhiQlLive extends Serializable {
   self: SiddhiQlFrontend with SiddhiQlCompiler =>
   // ---------- live deployment ----------
+  /** The single source watermark bound: every deployed topology
+    * declares `withWatermark("ts", WatermarkDelay)` at the source, and
+    * the compaction split freezes buckets only at or below
+    * (batch max ts_ns − WatermarkNs). ONE constant feeds both — a
+    * larger delay with an unchanged freeze predicate would shed
+    * buckets still reachable by late rows, silently corrupting as-of
+    * enrichment with no gate failure at default compactEvery. */
+  private[api] final val WatermarkNs: Long = 60000000000L
+  private[api] final val WatermarkDelay: String =
+    s"${WatermarkNs / 1000000000L} seconds"
+
+  /** `graft.live.compactEvery`, validated: a malformed or
+    * non-positive value fails at deploy time with the key named
+    * (mirroring the other deploy-time fail-fasts) instead of an
+    * uncontextualized NumberFormatException or a modulo that never
+    * fires. */
+  private[api] def compactEveryConf(sp: SparkSession): Option[Int] =
+    sp.conf.getOption("graft.live.compactEvery").map { s =>
+      val n = try s.trim.toInt catch {
+        case _: NumberFormatException =>
+          fail(s"graft.live.compactEvery must be a positive " +
+            s"integer; got '$s'")
+      }
+      if (n <= 0) fail(s"graft.live.compactEvery must be a positive " +
+        s"integer; got '$s'")
+      n
+    }
   /** Deploy a compiled app as a LIVE Structured Streaming topology over a
     * streaming events DataFrame (columns `event_id, ts_ns, user_id,
     * event_type, value, ts`) — the SiddhiProcess analog: the same text a
@@ -156,14 +183,25 @@ private[api] trait SiddhiQlLive extends Serializable {
     * touched buckets for [[KeyedState]], the whole state for
     * [[FullState]], empty for [[AppendState]] — append folds return
     * their delta); `full` lazily reads the entire accumulated state
-    * for folds that must JOIN against it (the enrichment join reads
-    * the whole maintained table even when only a few keys changed). */
+    * for folds that must JOIN against it; `fullFor` restricts that
+    * read to the buckets a given key-value relation hashes into
+    * ([[KeyedState]] stores only — other modes fall back to `full`),
+    * so a join that can name its key domain up front (the enrichment
+    * read: only batch-event keys can match) scans O(touched buckets)
+    * files instead of the whole accumulated state. */
   private[api] final case class LiveState(slice: DataFrame,
       full: () => DataFrame,
       // true on the generations where this state's [[KeyedState]]
       // compactEvery fired: the slice IS the whole state and the
       // fold's return replaces every bucket (rows it drops are gone)
-      compacting: Boolean = false)
+      compacting: Boolean = false,
+      // keyDf columns must cover the state's key columns BY NAME
+      // (cast to the state's key types) — the runner hashes them with
+      // the same bucketCol the write path uses
+      fullForKeys: Option[DataFrame => DataFrame] = None) {
+    def fullFor(keyDf: DataFrame): DataFrame =
+      fullForKeys.fold(full())(f => f(keyDf))
+  }
 
   /** A live stage whose semantics are a per-micro-batch keyed FOLD
     * rather than one incremental Spark plan: table DML (keyed MERGE),
@@ -438,7 +476,7 @@ private[api] trait SiddhiQlLive extends Serializable {
       if (src.columns.contains("ts")) src
       else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     var env = Map[String, DataFrame](
-      "events" -> srcTs.withWatermark("ts", "1 minute"))
+      "events" -> srcTs.withWatermark("ts", WatermarkDelay))
     var statefulStreams = Set.empty[String]
     var tableDefs = Map.empty[String, StructType]
     var liveWindowDefs = Map.empty[String, WindowSpec]
@@ -544,9 +582,28 @@ private[api] trait SiddhiQlLive extends Serializable {
           case _             => true
         }
         if (dmlAct.nonEmpty) {
-          if (partKey.nonEmpty)
-            fail("table DML inside a partition block is not deployed " +
-              "(v1) — batch replay diagnoses it the same way")
+          // table DML inside a partition block (r13 decision, the
+          // batch compiler's exact rule): a PER-EVENT writer under a
+          // KEYED partition is partition-invariant (the keyed view is
+          // the unfiltered stream; per-event DML holds no per-key
+          // state) and deploys as a top-level writer. Windowed/
+          // aggregating writers and range partitions stay a RECORDED
+          // bound — batch replay diagnoses them the same way.
+          if (partKey.nonEmpty) {
+            val winOrAgg = (ast.stream match {
+              case ss: SingleStream => ss.window.nonEmpty
+              case _                => true
+            }) || ast.select.exists(it => containsAgg(it.e)) ||
+              ast.groupBy.nonEmpty
+            if (winOrAgg || partKey.contains("partition_key"))
+              fail("table DML inside a partition block composes only " +
+                "for PER-EVENT writers under a KEYED partition (the " +
+                "keyed view is the unfiltered stream, so the write is " +
+                "partition-invariant); windowed/aggregating writers " +
+                "hold PER-KEY window state and range partitions filter " +
+                "the stream — move the window or range condition onto " +
+                "a top-level DML query instead (recorded v1 bound)")
+          }
           // table DML deployed LIVE: captured here, executed by
           // deployApp as a per-micro-batch keyed MERGE over the
           // accumulated table (engine twin: Streaming.tableUpsert).
@@ -592,11 +649,12 @@ private[api] trait SiddhiQlLive extends Serializable {
               fail(s"multi-writer table '${act.target}' (v1) deploys " +
                 "ORDER-COMPOSABLE writer groups only (all insert / " +
                 "all implicit-set upsert / all identical-fold upsert " +
-                "/ upsert|fold|insert writers + keyed delete sweepers " +
-                "on the same key) — the remaining heterogeneous " +
-                "pipelines (insert+upsert, update/upsert-expr mixes, " +
-                "mixed keys) are row-level replays, batch surfaces " +
-                "by design")
+                "/ insert + implicit-set upsert multiset groups / " +
+                "any of those + keyed delete sweepers on the same " +
+                "key) — the remaining heterogeneous pipelines " +
+                "(insert + expr-set fold upserts, update/upsert-expr " +
+                "mixes, mixed keys) are row-level replays, batch " +
+                "surfaces by design")
             if (allWriters.length > 1) {
               // MULTI-WRITER table deployed LIVE: the fold applies
               // every registered writer's emissions per trigger in
@@ -1643,6 +1701,51 @@ private[api] trait SiddhiQlLive extends Serializable {
               else dmlStateModeMulti(writers, tName, dSchema, fnsSnap2,
                 (sp, d2, batch) =>
                   batchEnv(sp, d2, batch, statelessSnap))
+            // r13 (VERDICT r12 #1): only keys present in THIS batch's
+            // events can produce join output this trigger — every
+            // other accumulated row enters the as-of window pass and
+            // is filtered at `__isE` without touching any event. So
+            // the per-trigger table read PRUNES to the batch's event
+            // join-key domain: bucket-restricted at the file level
+            // (the keyed store hashes on the DML keys, which the
+            // deploy-time prototype asserts equal the join keys) and
+            // null-safe-semi-joined at the row level (the window pass
+            // partitions null keys together, so === would drop a
+            // null-keyed event's state). Acute for event-log tables,
+            // whose live row count grows with deployment lifetime:
+            // the un-pruned read is O(all live rows); this is O(rows
+            // of batch-touched keys). Lazy: the join-key extraction
+            // must not run before the prototype's own diagnostics.
+            lazy val enrichJoinKeys: List[(String, String)] = {
+              val sAliasK = j.leftAlias.getOrElse(sName)
+              keyEqsOf(j.on, tName, {
+                case q :: c :: Nil if q.equalsIgnoreCase(sAliasK) ||
+                    q.equalsIgnoreCase(sName) => c
+                case parts => parts.mkString(".")
+              })
+            }
+            var enrichReadGen = 0
+            def tReadPruned(sp: SparkSession, d2: String,
+                acc: Map[String, LiveState], batch: DataFrame,
+                benv: Map[String, DataFrame]): DataFrame = {
+              val keyCols = enrichJoinKeys.map(_._1).distinct
+              val sb0 = envLookup(benv, sName).getOrElse(batch)
+              val sb = sSide.filter.fold(sb0)(f =>
+                applyFilter(sp, d2, sb0, f, benv))
+              val kdf = sb.select(keyCols.map { kc =>
+                expr(enrichJoinKeys.find(_._1 == kc).get._2)
+                  .cast(dSchema(kc).dataType).as(kc) }: _*).distinct()
+              val t0 = acc(tName).fullFor(kdf)
+              val pruned = t0.as("t").join(kdf.as("k"),
+                keyCols.map(c => col(s"t.$c") <=> col(s"k.$c"))
+                  .reduce(_ && _), "left_semi")
+                .select(t0.columns.toSeq.map(c => col(s"t.$c")): _*)
+              foldReadProbe.foreach { buf =>
+                enrichReadGen += 1
+                buf += ((enrichReadGen, tName, pruned.count()))
+              }
+              pruned
+            }
             val winWriterTNs: Option[Long] = dAst.stream match {
               case ss2: SingleStream =>
                 if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
@@ -1732,8 +1835,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // bucket growth
                 val compactN: Option[Int] =
                   if (dAst.groupBy.forall(flushCols.contains))
-                    Some(sp0.conf.getOption("graft.live.compactEvery")
-                      .map(_.toInt).getOrElse(8))
+                    Some(compactEveryConf(sp0).getOrElse(8))
                   else None
                 val baseKeys: Seq[String] =
                   if (dAst.groupBy.nonEmpty) dAst.groupBy
@@ -1756,7 +1858,6 @@ private[api] trait SiddhiQlLive extends Serializable {
                         Some(e))))
                     case None => wfP.schemas
                   }
-                val wmNs = 60000000000L // matches withWatermark(1 min)
                 def split(sp: SparkSession,
                     acc: Map[String, LiveState], st1: DataFrame,
                     batch: DataFrame): Map[String, DataFrame] =
@@ -1769,17 +1870,28 @@ private[api] trait SiddhiQlLive extends Serializable {
                     if (maxTs.isNullAt(0))
                       Map("state" -> st1, "base" -> acc("base").slice)
                     else {
-                      val w = maxTs.getLong(0) - wmNs
+                      val w = maxTs.getLong(0) - WatermarkNs
                       val frozenP =
                         (col("__wb") + lit(1L)) * lit(tNsW) <= lit(w)
                       val fresh = wfP.finish(sp,
                         Map("state" -> st1.filter(frozenP)))
-                      val ww = org.apache.spark.sql.expressions.Window
-                        .partitionBy(dAst.groupBy.map(col): _*)
-                        .orderBy(col("__wb").desc)
-                      val base2 = acc("base").slice.unionByName(fresh)
-                        .withColumn("__rn", row_number().over(ww))
-                        .where(col("__rn") === 1).drop("__rn")
+                      // latest flush per group key wins the base;
+                      // UNGROUPED writers keep one global latest row —
+                      // TakeOrderedAndProject (distributed), not a
+                      // row_number window over one all-rows partition
+                      val base2 =
+                        if (dAst.groupBy.isEmpty)
+                          acc("base").slice.unionByName(fresh)
+                            .orderBy(col("__wb").desc).limit(1)
+                        else {
+                          val ww = org.apache.spark.sql.expressions
+                            .Window
+                            .partitionBy(dAst.groupBy.map(col): _*)
+                            .orderBy(col("__wb").desc)
+                          acc("base").slice.unionByName(fresh)
+                            .withColumn("__rn", row_number().over(ww))
+                            .where(col("__rn") === 1).drop("__rn")
+                        }
                       Map("state" -> st1.filter(!frozenP),
                         "base" -> base2)
                     }
@@ -2101,7 +2213,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     scriptFns = fnsSnap
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
                     val enriched = enrichCompile(sp, d2, astRows, j,
-                      writers, acc(tName).full(), benv)
+                      writers, tReadPruned(sp, d2, acc, batch, benv),
+                      benv)
                     val u = partialOf(withK(enriched))
                     val merged = acc("state").slice.as("t")
                       .join(u.as("u"),
@@ -2148,10 +2261,12 @@ private[api] trait SiddhiQlLive extends Serializable {
                   val benv = batchEnv(sp, d2, batch, statelessSnap)
                   Map(
                     tName -> tApply(sp, d2, acc(tName).slice, benv),
-                    // the join reads the WHOLE pre-batch table (events
-                    // may reference keys this batch didn't update)
+                    // the pre-batch table read is PRUNED to the
+                    // batch's event keys (tReadPruned): events may
+                    // reference keys this batch didn't UPDATE, but
+                    // never keys this batch's events don't carry
                     "__out" -> enrichCompile(sp, d2, ast, j, writers,
-                      acc(tName).full(), benv))
+                      tReadPruned(sp, d2, acc, batch, benv), benv))
                 },
                 (_, acc) => acc("__out"),
                 ast.orderBy.map { case (c2, asc) =>
@@ -2902,7 +3017,27 @@ private[api] trait SiddhiQlLive extends Serializable {
                     foldReadProbe.foreach(_ += ((gen + 1, n, f.count())))
                     f
                   },
-                  compacting = compactingNow(n))
+                  compacting = compactingNow(n),
+                  fullForKeys = m match {
+                    case KeyedState(ks, _, _) => Some((kdf: DataFrame) =>
+                      // bucket-restricted read: the key values hash
+                      // with the SAME bucketCol the write path
+                      // partitions on, so only their buckets' latest
+                      // generations are scanned — O(batch key-buckets)
+                      // file I/O per trigger, not O(state). Guard: a
+                      // caller whose key relation doesn't cover the
+                      // state keys by name gets the full read.
+                      if (!ks.forall(kdf.columns.contains))
+                        fullState(sp, n, m)
+                      else {
+                        val bs = kdf
+                          .select(bucketCol(ks).cast("int").as("__b"))
+                          .distinct().collect().map(_.getInt(0)).toSeq
+                        readPaths(sp, n, bs.flatMap(b =>
+                          latest.get((n, b)).map(g => path(n, g, b))))
+                      })
+                    case _ => None
+                  })
               }.toMap
               val next = lf.fold(sp, dir, states, batch)
               val g1 = gen + 1

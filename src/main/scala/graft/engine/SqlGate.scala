@@ -1787,6 +1787,104 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // PARTITION-BLOCK DML (r13 decision): a PER-EVENT writer under a
+    // KEYED partition is partition-invariant — the keyed view is the
+    // unfiltered stream and per-event DML holds no per-key state, so
+    // the statement composes exactly as a top-level writer (the
+    // wrapper only changes stateful operators). The oracle is the
+    // plain last-click-as-of relation, i.e. the UNWRAPPED semantics.
+    "sql_partition_dml" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Last (user_id long, v double);
+        |
+        |partition with (user_id of events)
+        |begin
+        |@info(name = 'write')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into Last on Last.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Last
+        |  on Last.user_id == e.user_id
+        |select e.event_id as event_id, math:round(Last.v, 2) as v
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_partition_dml_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Last (user_id long, v double);
+        |
+        |partition with (user_id of events)
+        |begin
+        |@info(name = 'write')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into Last on Last.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join Last
+        |  on Last.user_id == e.user_id
+        |select e.event_id as event_id, math:round(Last.v, 2) as v
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
+    // SELF-INSERT visibility (r13, ADVICE r12): the read filter
+    // OVERLAPS the insert writer's filter — a high-value click both
+    // appends to the cart AND reads it. Statement order is the truth
+    // (Siddhi fires queries in definition order per event): 'add'
+    // precedes 'read', so the click sees its OWN insert — the oracle
+    // encodes at-or-before (a.event_id <= e.event_id on ts ties)
+    // where the disjoint-filter gates use strictly-earlier
+    "sql_enrich_log_self" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase' or
+        |    (event_type == 'click' and value > 190.0)] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("read")),
+    // the same overlapping-filter app deployed LIVE: the per-batch
+    // segment construction ranks events after their own same-instant
+    // writer emissions (w = statement index < MaxValue), so the
+    // self-insert stays visible under any chunking
+    "sql_app_enrich_log_self_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase' or
+        |    (event_type == 'click' and value > 190.0)] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "read")),
     // INSERT + DELETE writer group (r12): inserts are independent
     // rows (no key collapse); a purchase tombstones its user at its
     // stream position, wiping every earlier inserted row for that
@@ -1832,6 +1930,63 @@ object SqlGate {
         |delete Log on Log.user_id == user_id""".stripMargin, "sweep")
       .selectExpr("event_id", "user_id", "round(v, 2) as v")
       .orderBy("event_id")),
+    // INSERT + IMPLICIT-SET UPSERT + DELETE writer group (r13): the
+    // table is a keyed MULTISET — clicks append independent rows, a
+    // purchase REPLACES every live row of its user with its own
+    // values (inserting one iff the user has none), an error sweeps
+    // the user. Row counts are preserved by upserts and grown by
+    // inserts — the duplicate-row replay the r12 scaladoc called
+    // row-level is key-algebraic for the IMPLICIT set (only the LAST
+    // upsert per key can win), which is what composes it.
+    "sql_table_insert_upsert" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Log (user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into Log on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Log
+        |select user_id, math:round(v, 2) as v
+        |order by user_id, v
+        |insert into Out""".stripMargin)("read")),
+    // the same multiset group deployed LIVE: prior-generation rows
+    // seed at ord -inf (an upsert in a later chunk still overwrites
+    // them; a batch tombstone still wipes them), so the batch replay
+    // above is the truth under any chunking
+    "sql_app_table_insert_upsert_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Log (user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into Log on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id""".stripMargin, "clear")
+      .selectExpr("user_id", "round(v, 2) as v")
+      .orderBy("user_id", "v")),
     "sql_table_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Active (user_id long, last_value double);
         |
@@ -3456,6 +3611,68 @@ object SqlGate {
         |      AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id))))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // partition-wrapped per-event DML == the unwrapped as-of relation
+    // (each purchase reads the latest click value for its user)
+    "sql_partition_dml" ->
+      """SELECT e.event_id AS event_id, round(c.value, 2) AS v
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = e.user_id
+        | AND (c.ts < e.ts OR (c.ts = e.ts AND c.event_id < e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events c2
+        |  WHERE c2.event_type = 'click' AND c2.user_id = e.user_id
+        |    AND (c2.ts > c.ts OR (c2.ts = c.ts AND c2.event_id > c.event_id))
+        |    AND (c2.ts < e.ts OR (c2.ts = e.ts AND c2.event_id < e.event_id)))
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_partition_dml_live" ->
+      """SELECT e.event_id AS event_id, round(c.value, 2) AS v
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = e.user_id
+        | AND (c.ts < e.ts OR (c.ts = e.ts AND c.event_id < e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events c2
+        |  WHERE c2.event_type = 'click' AND c2.user_id = e.user_id
+        |    AND (c2.ts > c.ts OR (c2.ts = c.ts AND c2.event_id > c.event_id))
+        |    AND (c2.ts < e.ts OR (c2.ts = e.ts AND c2.event_id < e.event_id)))
+        |ORDER BY event_id""".stripMargin,
+    // overlapping writer/read filters: statement order makes an
+    // event's OWN insert visible to its read ('add' precedes 'read'),
+    // so the match bound is at-or-before (<= on the event_id tie) —
+    // vs the strictly-earlier bound of the disjoint-filter gates
+    "sql_enrich_log_self" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON (e.event_type = 'purchase' OR
+        |      (e.event_type = 'click' AND e.value > 190.0))
+        | AND a.event_type = 'click'
+        | AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id <= e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'error' AND d.value > 150.0
+        |    AND d.user_id = e.user_id
+        |    AND (d.ts > a.ts OR (d.ts = a.ts AND d.event_id > a.event_id))
+        |    AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id)))
+        |ORDER BY event_id, item""".stripMargin,
+    "sql_app_enrich_log_self_live" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON (e.event_type = 'purchase' OR
+        |      (e.event_type = 'click' AND e.value > 190.0))
+        | AND a.event_type = 'click'
+        | AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id <= e.event_id))
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events d
+        |  WHERE d.event_type = 'error' AND d.value > 150.0
+        |    AND d.user_id = e.user_id
+        |    AND (d.ts > a.ts OR (d.ts = a.ts AND d.event_id > a.event_id))
+        |    AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id)))
+        |ORDER BY event_id, item""".stripMargin,
     // insert+delete interleaved replay: an inserted row (stmt 0)
     // survives iff no purchase by its user sits at or after its
     // (ts, event_id) position (same event ⇒ the stmt-1 tombstone
@@ -3478,6 +3695,97 @@ object SqlGate {
         |    AND (d.ts > i.ts OR
         |         (d.ts = i.ts AND d.event_id >= i.event_id)))
         |ORDER BY i.event_id""".stripMargin,
+    // insert + implicit-set upsert multiset replay: origins = live
+    // inserts plus a live upsert that is the FIRST live emission of
+    // its key; every origin older than the key's LAST live upsert
+    // takes that upsert's value (intermediate upserts are fully
+    // overwritten); live = no error sweep at-or-after the emission
+    "sql_table_insert_upsert" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, i.value AS v, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, u.value AS v, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |lastu AS (
+        |  SELECT user_id, v, ts, event_id FROM (
+        |    SELECT user_id, v, ts, event_id, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM live_ups) t WHERE rn = 1),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id))))
+        |SELECT o.user_id AS user_id,
+        |  round(CASE WHEN l.user_id IS NOT NULL AND (l.ts > o.ts OR
+        |      (l.ts = o.ts AND l.event_id > o.event_id)) THEN l.v
+        |    ELSE o.v END, 2) AS v
+        |FROM org o LEFT JOIN lastu l ON l.user_id = o.user_id
+        |ORDER BY user_id, v""".stripMargin,
+    "sql_app_table_insert_upsert_live" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, i.value AS v, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, u.value AS v, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |lastu AS (
+        |  SELECT user_id, v, ts, event_id FROM (
+        |    SELECT user_id, v, ts, event_id, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM live_ups) t WHERE rn = 1),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id))))
+        |SELECT o.user_id AS user_id,
+        |  round(CASE WHEN l.user_id IS NOT NULL AND (l.ts > o.ts OR
+        |      (l.ts = o.ts AND l.event_id > o.event_id)) THEN l.v
+        |    ELSE o.v END, 2) AS v
+        |FROM org o LEFT JOIN lastu l ON l.user_id = o.user_id
+        |ORDER BY user_id, v""".stripMargin,
     // interleaved replay: every event upserts (seed, stmt 0), a
     // matching purge event then tombstones the key (stmt 1) — so a
     // user survives iff their LAST event is not a purge trigger, and

@@ -927,4 +927,68 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) > 0, "no null-pads at 10x — vacuous")
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
+
+  test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
+       "live == batch, bounded tasks (VERDICT r12 #8)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")
+    // enrichLogCompile's output is one row per (event, live row) —
+    // semantically required, but a hot key with a large live cart
+    // multiplies rows inside ONE join task and its segment window
+    // pass runs single-task per key. 1M events: user 0 takes every
+    // 10th insert (10%, ~100k rows); purchases and sweeps concentrate
+    // on user 0 too, so the hot key's fanout (~250 live rows per
+    // purchase between sweeps) and its window partition are the load.
+    // The bar: max task ≪ wall (no straggler owns the job), live ==
+    // batch exactly (the prune + segment construction under skew).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_skew_log").toString
+    val n = 1000000
+    spark.range(n.toLong).selectExpr(
+      "id as event_id",
+      s"1600000000000000000L + id * 1000000L as ts",
+      "case when id % 10 = 0 then 0L else id % 9999 + 1 end as user_id",
+      "case when id % 1000 = 990 then 'purchase' " +
+        "when id % 5000 = 4990 then 'error' " +
+        "else 'click' end as event_type",
+      "cast(id % 97 as double) as value")
+      .coalesce(4).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error']
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item, Cart.v as v
+        |order by event_id, item
+        |insert into Out""".stripMargin
+    val (rows, wall, maxTask) = timed(
+      graft.api.SiddhiQL.deployApp(spark, dir, app, "buy"))
+    info(f"log skew: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    val batch = graft.api.SiddhiQL.compileApp(spark, dir, app)("buy")
+      .orderBy("event_id", "item").collect().map(_.toSeq)
+    val live = rows.map(_.toSeq)
+    assert(live.length == batch.length && (live sameElements batch),
+      s"live ${live.length} diverges from batch ${batch.length} " +
+        "under hot-key skew")
+    // the hot key must produce real fanout or the rehearsal is vacuous
+    assert(rows.length > 100000,
+      s"only ${rows.length} join rows — hot key not exercised")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+    assert(maxTask < wall / 2,
+      f"one task ($maxTask%.1fs) owns the job ($wall%.1fs) — hot-key " +
+        "straggler")
+  }
 }

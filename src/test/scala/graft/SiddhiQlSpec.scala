@@ -1041,6 +1041,73 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("enrichment read prune: per-trigger table reads track the " +
+       "batch's event-key domain on a growing event log, results " +
+       "unchanged (VERDICT r12 #1)") {
+    // 1200 events over 40 users, replayed in 12 chunks. Clicks append
+    // to the Cart log (~1170 live rows by the tail — deletes are rare
+    // on purpose, so the log GROWS); each chunk carries exactly 2
+    // purchases, so the per-trigger read's key domain is ≤ 2 users.
+    // The pruned read (fullFor buckets + null-safe semi-join) must
+    // track those ~2 users' rows (≤ ~60 at the tail), never the whole
+    // live log (~1000+ un-pruned), while the joined rows stay equal
+    // to the statement-at-once batch replay.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_enrich_prune").toString
+    val rows = (0 until 1200).map { i =>
+      val et =
+        if (i % 50 == 49) "purchase"
+        else if (i % 400 == 399) "error"
+        else "click"
+      (i.toLong, 1600000000000000000L + i * 1000000000L,
+        (i % 40).toLong, et, (i % 97).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error']
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item, Cart.v as v
+        |order by event_id, item
+        |insert into Out""".stripMargin
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    SiddhiQL.foldReadProbe = Some(probe)
+    try {
+      val live = SiddhiQL.deployApp(spark, dir, app, "buy", chunks = 12)
+        .collect().map(_.toSeq)
+      val batch = SiddhiQL.compileApp(spark, dir, app)("buy")
+        .orderBy("event_id", "item").collect().map(_.toSeq)
+      assert(live.nonEmpty && live.length == batch.length &&
+        (live sameElements batch))
+      val reads = probe.filter(_._2 == "Cart").map(_._3)
+      assert(reads.length == 12, s"expected 12 pruned reads: $probe")
+      // ≤2 purchase users per trigger × ≤30 live cart rows each; the
+      // un-pruned read would cross 500 by generation 6 and end ~1100
+      assert(reads.max <= 150,
+        s"pruned read grew past the batch key domain: $reads")
+      assert(reads.last <= 150,
+        s"final-trigger read did not stay key-bounded: $reads")
+    } finally {
+      SiddhiQL.foldReadProbe = None
+    }
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
