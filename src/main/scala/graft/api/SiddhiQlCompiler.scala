@@ -601,9 +601,12 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     if (updWI.exists(_._1._2.isInstanceOf[InsertInto]))
       fail(s"enrichment joins read a table whose non-delete writers " +
         s"are EITHER all `update or insert` (keyed state) or all " +
-        s"`insert into` (event log) (v1) — '$tName' mixes them " +
-        "(an upsert over duplicate inserted rows is a row-multiset " +
-        "replay)")
+        s"`insert into` (event log) (v1) — '$tName' mixes them. The " +
+        "STORE composes (r13, sql_table_insert_upsert) but the " +
+        "PER-EVENT read reconstruction does not yet: each event " +
+        "would need the live multiset overlaid with the last upsert " +
+        "at its own position — read the table directly (`from " +
+        s"$tName`) or split the read across two tables")
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,

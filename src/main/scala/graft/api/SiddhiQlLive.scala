@@ -25,6 +25,16 @@ private[api] trait SiddhiQlLive extends Serializable {
   private[api] final val WatermarkDelay: String =
     s"${WatermarkNs / 1000000000L} seconds"
 
+  /** Small shared pool for the fold runner's independent per-state
+    * Spark jobs (touched-bucket probes, generation writes): a fold
+    * trigger is a handful of ~100 ms jobs whose cost is scheduling
+    * latency, not data — overlapping them cuts the per-trigger wall.
+    * Daemon threads; actions on a SparkSession are thread-safe. */
+  private lazy val foldEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        r => { val t = new Thread(r, "graft-fold"); t.setDaemon(true); t }))
+
   /** `graft.live.compactEvery`, validated: a malformed or
     * non-positive value fails at deploy time with the key named
     * (mirroring the other deploy-time fail-fasts) instead of an
@@ -1725,26 +1735,44 @@ private[api] trait SiddhiQlLive extends Serializable {
               })
             }
             var enrichReadGen = 0
-            def tReadPruned(sp: SparkSession, d2: String,
-                acc: Map[String, LiveState], batch: DataFrame,
+            def batchKeyRel(sp: SparkSession, d2: String,
+                batch: DataFrame,
                 benv: Map[String, DataFrame]): DataFrame = {
               val keyCols = enrichJoinKeys.map(_._1).distinct
               val sb0 = envLookup(benv, sName).getOrElse(batch)
               val sb = sSide.filter.fold(sb0)(f =>
                 applyFilter(sp, d2, sb0, f, benv))
-              val kdf = sb.select(keyCols.map { kc =>
+              sb.select(keyCols.map { kc =>
                 expr(enrichJoinKeys.find(_._1 == kc).get._2)
                   .cast(dSchema(kc).dataType).as(kc) }: _*).distinct()
-              val t0 = acc(tName).fullFor(kdf)
-              val pruned = t0.as("t").join(kdf.as("k"),
-                keyCols.map(c => col(s"t.$c") <=> col(s"k.$c"))
-                  .reduce(_ && _), "left_semi")
-                .select(t0.columns.toSeq.map(c => col(s"t.$c")): _*)
-              foldReadProbe.foreach { buf =>
-                enrichReadGen += 1
-                buf += ((enrichReadGen, tName, pruned.count()))
+            }
+            // null-safe key-domain prune of any table-side relation
+            // (the accumulated table or a flush relation): only rows
+            // of batch-event keys can produce join output this
+            // trigger. Falls through when the relation doesn't carry
+            // the key columns (defensive; the prototype asserts it).
+            def pruneToBatchKeys(rel: DataFrame, kdf: DataFrame)
+                : DataFrame = {
+              val keyCols = enrichJoinKeys.map(_._1).distinct
+              if (!keyCols.forall(rel.columns.contains)) rel
+              else {
+                val pruned = rel.as("t").join(kdf.as("k"),
+                  keyCols.map(c => col(s"t.$c")
+                      .cast(dSchema(c).dataType) <=> col(s"k.$c"))
+                    .reduce(_ && _), "left_semi")
+                  .select(rel.columns.toSeq.map(c => col(s"t.$c")): _*)
+                foldReadProbe.foreach { buf =>
+                  enrichReadGen += 1
+                  buf += ((enrichReadGen, tName, pruned.count()))
+                }
+                pruned
               }
-              pruned
+            }
+            def tReadPruned(sp: SparkSession, d2: String,
+                acc: Map[String, LiveState], batch: DataFrame,
+                benv: Map[String, DataFrame]): DataFrame = {
+              val kdf = batchKeyRel(sp, d2, batch, benv)
+              pruneToBatchKeys(acc(tName).fullFor(kdf), kdf)
             }
             val winWriterTNs: Option[Long] = dAst.stream match {
               case ss2: SingleStream =>
@@ -2029,8 +2057,14 @@ private[api] trait SiddhiQlLive extends Serializable {
                     (sp, d2, acc, batch) => {
                       scriptFns = fnsSnapW
                       val st1 = wfP.fold(sp, d2, acc, batch)("state")
-                      val flushRel = flushRelOf(sp, wfP, keysP, acc, st1)
                       val benv = batchEnv(sp, d2, batch, statelessSnap)
+                      // flush rows prune to the batch's event keys:
+                      // only those keys can join this trigger (the
+                      // time-banded store bounds the HISTORY axis,
+                      // this bounds the KEY axis)
+                      val flushRel = pruneToBatchKeys(
+                        flushRelOf(sp, wfP, keysP, acc, st1),
+                        batchKeyRel(sp, d2, batch, benv))
                       val enriched = enrichCompile(sp, d2, astRows, j,
                         writers, emptyOf(sp, dSchema), benv,
                         winFlush = Map(0 -> flushRel))
@@ -2074,8 +2108,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnapW
                     val st1 = wfP.fold(sp, d2, acc, batch)("state")
-                    val flushRel = flushRelOf(sp, wfP, keysP, acc, st1)
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val flushRel = pruneToBatchKeys(
+                      flushRelOf(sp, wfP, keysP, acc, st1),
+                      batchKeyRel(sp, d2, batch, benv))
                     val enriched = enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
                       winFlush = Map(0 -> flushRel))
@@ -2990,15 +3026,29 @@ private[api] trait SiddhiQlLive extends Serializable {
               // batch's key values, before the fold reads any state; a
               // compaction generation (compactEvery) touches ALL
               // buckets so the fold may rewrite the state whole
+              // the per-state probes are independent tiny Spark jobs;
+              // running them concurrently overlaps their scheduling
+              // latency (the fold trigger's cost is many ~100 ms jobs,
+              // not data) — each closure re-pins scriptFns on its own
+              // thread, and the session is shared safely
               val touched: Map[String, Seq[Int]] =
-                lf.schemas.collect {
-                  case (n, _, KeyedState(keys, batchKeys, ce)) =>
-                    n -> (if (ce.exists(e => (gen + 1) % e == 0))
-                        (0 until nBuckets): Seq[Int]
-                      else batchKeys(sp, dir, batch)
-                        .select(bucketCol(keys).cast("int").as("__b"))
-                        .distinct().collect().map(_.getInt(0)).toSeq)
-                }.toMap
+                scala.concurrent.Await.result(
+                  scala.concurrent.Future.sequence(
+                    lf.schemas.collect {
+                      case (n, _, KeyedState(keys, batchKeys, ce)) =>
+                        scala.concurrent.Future {
+                          n -> (if (ce.exists(e => (gen + 1) % e == 0))
+                              (0 until nBuckets): Seq[Int]
+                            else batchKeys(sp, dir, batch)
+                              .select(bucketCol(keys).cast("int")
+                                .as("__b"))
+                              .distinct().collect()
+                              .map(_.getInt(0)).toSeq)
+                        }(foldEc)
+                    })(
+                      scala.collection.BuildFrom.buildFromIterableOps,
+                      foldEc),
+                  scala.concurrent.duration.Duration.Inf).toMap
               val compactingNow: Set[String] = lf.schemas.collect {
                 case (n, _, KeyedState(_, _, Some(e)))
                     if (gen + 1) % e == 0 => n
@@ -3041,29 +3091,52 @@ private[api] trait SiddhiQlLive extends Serializable {
               }.toMap
               val next = lf.fold(sp, dir, states, batch)
               val g1 = gen + 1
-              lf.schemas.foreach { case (n, _, m) => m match {
-                case FullState =>
-                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
-                  latest((n, -1)) = g1
-                case AppendState =>
-                  next(n).write.mode("overwrite").parquet(path(n, g1, -1))
-                  appendGens(n) = appendGens(n) :+ g1
-                case KeyedState(keys, _, _) =>
-                  // the fold is a per-key merge, so its output holds
-                  // exactly the touched buckets' new content; untouched
-                  // buckets keep their prior generation untouched — and
-                  // an untouched STATE (a compacted base between
-                  // compactions) skips its write entirely
-                  if (touched(n).nonEmpty) {
-                    next(n).withColumn("__b", bucketCol(keys))
-                      .repartition(math.max(touched(n).size, 1),
-                        col("__b"))
-                      .write.mode("overwrite").partitionBy("__b")
-                      .parquet(s"$tmp/gen$g1/$n")
-                    touched(n).foreach(b => latest((n, b)) = g1)
-                    foldWriteProbe.foreach(_ += ((g1, n, next(n).count())))
-                  }
-              }}
+              // state writes run CONCURRENTLY (independent parquet
+              // jobs — overlapping them hides per-job scheduling
+              // latency); bookkeeping thunks apply sequentially after,
+              // so `latest`/`appendGens` stay driver-thread-only
+              val bookkeeping: Seq[() => Unit] =
+                scala.concurrent.Await.result(
+                  scala.concurrent.Future.sequence(
+                    lf.schemas.map { case (n, _, m) =>
+                      scala.concurrent.Future[() => Unit] { m match {
+                        case FullState =>
+                          next(n).write.mode("overwrite")
+                            .parquet(path(n, g1, -1))
+                          () => latest((n, -1)) = g1
+                        case AppendState =>
+                          next(n).write.mode("overwrite")
+                            .parquet(path(n, g1, -1))
+                          () => appendGens(n) = appendGens(n) :+ g1
+                        case KeyedState(keys, _, _) =>
+                          // the fold is a per-key merge, so its output
+                          // holds exactly the touched buckets' new
+                          // content; untouched buckets keep their prior
+                          // generation untouched — and an untouched
+                          // STATE (a compacted base between
+                          // compactions) skips its write entirely
+                          if (touched(n).nonEmpty) {
+                            next(n).withColumn("__b", bucketCol(keys))
+                              .repartition(
+                                math.max(touched(n).size, 1),
+                                col("__b"))
+                              .write.mode("overwrite").partitionBy("__b")
+                              .parquet(s"$tmp/gen$g1/$n")
+                            // probe appends cross future threads —
+                            // synchronize the buffer (test-only path)
+                            foldWriteProbe.foreach { b =>
+                              val c = next(n).count()
+                              b.synchronized { b += ((g1, n, c)) }
+                            }
+                            () => touched(n)
+                              .foreach(b => latest((n, b)) = g1)
+                          } else () => ()
+                      } }(foldEc)
+                    })(
+                      scala.collection.BuildFrom.buildFromIterableOps,
+                      foldEc),
+                  scala.concurrent.duration.Duration.Inf)
+              bookkeeping.foreach(_.apply())
               gen = g1
             }.start()
           rows.grouped(per).foreach { g =>

@@ -164,6 +164,8 @@ object Http {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           max("event_id").as("max_id"))
         .writeStream.format("memory").queryName("stream_http_roundtrip")
+        .option("checkpointLocation",
+          Streaming.ckpt("http_roundtrip"))
         .outputMode(OutputMode.Complete()).start()
       received.grouped(math.max(received.length / 3, 1)).foreach { g =>
         ms.addData(g); q.processAllAvailable()

@@ -53,7 +53,11 @@ object Streaming {
     * dir-watch + incremental listing itself. */
   private val stagedFeedCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  def feedRows(spark: SparkSession, dir: String): Array[Ev] =
+  def feedRows(spark: SparkSession, dir: String): Array[Ev] = {
+    ramCheckpoints(spark)
+    feedRows0(spark, dir)
+  }
+  private def feedRows0(spark: SparkSession, dir: String): Array[Ev] =
     feedCache.getOrElseUpdate(dir, {
       import spark.implicits._
       events(spark, dir)
@@ -106,6 +110,26 @@ object Streaming {
   def flushCutoff: org.apache.spark.sql.Column =
     timestamp_micros(lit(FlushCutoffUs))
 
+  /** Route the engine's streaming checkpoints and RocksDB's local
+    * working dir through the RAM-backed scratch root. Without this,
+    * Spark defaults them under java.io.tmpdir (/tmp — DISK on this
+    * box): every trigger's offset/commit WAL fsync and RocksDB
+    * snapshot then pays disk latency that swings with box load — the
+    * r10→r12 `stream_cep_absence_tws` 3.3→4.9 s creep was exactly
+    * this class. `ramCheckpoints` sets the RocksDB root once per
+    * session; `ckptOpt` gives each query START a fresh scratch
+    * checkpoint (a session-wide checkpointLocation base would key
+    * subdirs by query NAME and make a re-run try to RECOVER a
+    * memory-sink query — unsupported). A real deployment points both
+    * at durable storage instead (same knobs). */
+  def ramCheckpoints(s: SparkSession): Unit = {
+    if (s.conf.getOption(
+        "spark.sql.streaming.stateStore.rocksdb.localRootDir").isEmpty)
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.localRootDir",
+        scratchDir("graft_rocksdb"))
+  }
+  def ckpt(tag: String): String = scratchDir(s"ckpt_$tag")
+
   /** Watermark + sentinel guard for Append-mode windowed aggregation:
     * event-time watermark on `ts`, then the flush-sentinel drop (above
     * the watermark node — see [[FlushNs]]). The 1-minute delay is the
@@ -144,6 +168,7 @@ object Streaming {
     try {
       val q = build(ms.toDS())
         .writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt(name))
         .start()
       val per = math.max(rows.length / chunks, 1)
       rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
@@ -274,6 +299,7 @@ object Streaming {
     var gen = 0
     val ms = MemoryStream[Ev]
     val q = ms.toDS().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt("table_upsert"))
       .foreachBatch { (batch: Dataset[Ev], _: Long) =>
         // winner struct carries eventId so a tsNs tie resolves by the
         // later event_id — matching the oracle's ORDER BY ts DESC,
@@ -384,6 +410,7 @@ object Streaming {
       .empty[(Long, Long, Double)]
     val ms = MemoryStream[Ev]
     val q = ms.toDS().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("batch_window"))
       .foreachBatch { (batch: Dataset[Ev], _: Long) =>
         // batch_id = local counter over NON-EMPTY batches (engine batch ids
         // also tick on empty micro-batches, which would desync the oracle's
@@ -457,6 +484,7 @@ object Streaming {
         }
         .filter(col("user_id") =!= -1L)
         .writeStream.format("memory").queryName("stream_cep_absence")
+        .option("checkpointLocation", ckpt("cep_absence"))
         .outputMode("append").start()
       val per = math.max(rows.length / 3, 1)
       rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
@@ -629,6 +657,13 @@ object Streaming {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
+    // changelog checkpointing: per-commit cost = the delta, not a full
+    // RocksDB snapshot upload — the per-trigger fixed cost that
+    // dominates this finite replay (and any low-latency deployment)
+    val prevClog = s.conf.getOption("spark.sql.streaming.stateStore." +
+      "rocksdb.changelogCheckpointing.enabled")
+    s.conf.set("spark.sql.streaming.stateStore." +
+      "rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val q = ms.toDS()
         .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
@@ -640,6 +675,7 @@ object Streaming {
           OutputMode.Append())
         .filter(col("user_id") =!= -1L)
         .writeStream.format("memory").queryName("stream_cep_absence_tws")
+        .option("checkpointLocation", ckpt("cep_absence_tws"))
         .outputMode("append").start()
       val per = math.max(rows.length / 3, 1)
       rows.grouped(per).foreach { g => ms.addData(g); q.processAllAvailable() }
@@ -655,6 +691,12 @@ object Streaming {
           s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevClog match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore." +
+          "rocksdb.changelogCheckpointing.enabled", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore." +
+          "rocksdb.changelogCheckpointing.enabled")
       }
     }
     s.table("stream_cep_absence_tws").orderBy("event_id")
@@ -704,6 +746,7 @@ object Streaming {
       }
       staged
     })
+    ramCheckpoints(s)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -714,6 +757,7 @@ object Streaming {
         .groupBy(col("eventType").as("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .writeStream.format("memory").queryName("stream_file_source")
+        .option("checkpointLocation", ckpt("file_source"))
         .outputMode(OutputMode.Complete()).start()
       q.processAllAvailable()
       q.stop()
@@ -791,6 +835,7 @@ object Streaming {
   def customSource(s: SparkSession, d: String): DataFrame = {
     val path = stagedEventLog(s, d)
     val nRows = feedRows(s, d).length
+    ramCheckpoints(s)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -802,6 +847,7 @@ object Streaming {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           max("event_id").as("max_id"))
         .writeStream.format("memory").queryName("stream_custom_source")
+        .option("checkpointLocation", ckpt("custom_source"))
         .outputMode(OutputMode.Complete()).start()
       q.processAllAvailable()
       q.stop()

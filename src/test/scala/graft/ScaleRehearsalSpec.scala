@@ -935,11 +935,17 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     // semantically required, but a hot key with a large live cart
     // multiplies rows inside ONE join task and its segment window
     // pass runs single-task per key. 1M events: user 0 takes every
-    // 10th insert (10%, ~100k rows); purchases and sweeps concentrate
-    // on user 0 too, so the hot key's fanout (~250 live rows per
-    // purchase between sweeps) and its window partition are the load.
-    // The bar: max task ≪ wall (no straggler owns the job), live ==
-    // batch exactly (the prune + segment construction under skew).
+    // 10th insert (10%, ~100k rows); ALL 1000 purchases and all 200
+    // sweeps hit user 0 too (their phases are ≡ 0 mod 10), so the hot
+    // key's fanout (~250 live rows per purchase between 5000-event
+    // sweeps, ~250k join rows total) and its window partition are the
+    // load. The bar: max task ≪ wall (no straggler owns the job),
+    // live == batch exactly (the prune + segment construction under
+    // skew). The sweep phase (2490) must NOT collide with the
+    // purchase phase (990 mod 1000) or the case-order eats the
+    // sweeps and the cart grows unbounded (~50M join rows — the
+    // un-swept variant was measured once: live == batch held, max
+    // task 7.7 s vs 84 s wall, but it needs a 24g driver to collect).
     val dir = java.nio.file.Files
       .createTempDirectory("graft_skew_log").toString
     val n = 1000000
@@ -948,7 +954,7 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       s"1600000000000000000L + id * 1000000L as ts",
       "case when id % 10 = 0 then 0L else id % 9999 + 1 end as user_id",
       "case when id % 1000 = 990 then 'purchase' " +
-        "when id % 5000 = 4990 then 'error' " +
+        "when id % 5000 = 2490 then 'error' " +
         "else 'click' end as event_type",
       "cast(id % 97 as double) as value")
       .coalesce(4).write.parquet(s"$dir/events.parquet")

@@ -1894,11 +1894,13 @@ class SiddhiQlSpec extends AnyFunSuite {
       "interleaved last-wins must reflect the truly latest event " +
         "across writers (and the fixture must exercise both)")
     // upsert+delete composes since r11 (tombstone emissions — the
-    // sql_table_delete gate) and insert+delete since r12
-    // (sql_table_insert_delete); an INSERT mixed with UPSERT writers
-    // is a recorded row-level bound (an upsert updates every matching
-    // row including duplicates earlier inserts appended) and deployed
-    // LIVE fails fast
+    // sql_table_delete gate), insert+delete since r12
+    // (sql_table_insert_delete), and insert + IMPLICIT-SET upsert
+    // since r13 (sql_table_insert_upsert — the multiset last-upsert
+    // overlay); an INSERT mixed with EXPR-SET (fold) upserts stays a
+    // recorded row-level bound (the fold delta applies per matching
+    // row through every intermediate upsert) and deployed LIVE fails
+    // fast
     def msg(app: String): String =
       intercept[IllegalArgumentException](
         SiddhiQL.compileApp(spark, sf, app)).getMessage
@@ -1909,7 +1911,8 @@ class SiddhiQlSpec extends AnyFunSuite {
         |define table T (user_id long, v double);
         |@info(name='a') from events[event_type == 'click']
         |select user_id, value as v
-        |update or insert into T on T.user_id == user_id;
+        |update or insert into T set T.v = T.v + v
+        |  on T.user_id == user_id;
         |@info(name='b') from events[event_type == 'purchase']
         |select user_id, value as v
         |insert into T""".stripMargin, "b"))
