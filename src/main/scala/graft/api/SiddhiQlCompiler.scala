@@ -595,18 +595,28 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // `insert into`, the table is an EVENT LOG (multiset) — a read
     // matches every row currently live for its key (the cart
     // pattern), one output row per (event, live row), reconstructed
-    // per event by the segment construction below
-    if (updWI.forall(_._1._2.isInstanceOf[InsertInto]))
+    // per event by the segment construction below. Since r13 the log
+    // path also takes IMPLICIT-SET upserts mixed in: an upsert
+    // replaces every live row of its key at its position (inserting
+    // one iff the key is empty there), so each (event, live row) pair
+    // overlays the row's values with the key's LAST upsert between
+    // the row's origin and the event — one extra running-last window
+    // column, same keyed shuffle.
+    if (updWI.exists(_._1._2.isInstanceOf[InsertInto])) {
+      val nonIns = updWI.filterNot(_._1._2.isInstanceOf[InsertInto])
+      val implicitUps = nonIns.forall(_._1._2 match {
+        case UpsertTable(_, set, _) => set.isEmpty
+        case _ => false
+      })
+      if (!implicitUps)
+        fail(s"enrichment joins read an event-log table whose " +
+          s"non-insert writers are IMPLICIT-SET `update or insert` " +
+          s"(v1) — '$tName' mixes inserts with expr-set/fold or " +
+          "update writers, whose per-row deltas make the replay " +
+          "row-level (read the table directly with `from " +
+          s"$tName`, or split the read across two tables)")
       return enrichLogCompile(sp, dir, ast, j, winfos, accTable, env)
-    if (updWI.exists(_._1._2.isInstanceOf[InsertInto]))
-      fail(s"enrichment joins read a table whose non-delete writers " +
-        s"are EITHER all `update or insert` (keyed state) or all " +
-        s"`insert into` (event log) (v1) — '$tName' mixes them. The " +
-        "STORE composes (r13, sql_table_insert_upsert) but the " +
-        "PER-EVENT read reconstruction does not yet: each event " +
-        "would need the live multiset overlaid with the last upsert " +
-        "at its own position — read the table directly (`from " +
-        s"$tName`) or split the read across two tables")
+    }
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
     // shapes: last-wins reconstructs as a running last() window,
@@ -993,8 +1003,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     val sName = sSide.table
     val tAlias = j.rightAlias.getOrElse(tName)
     val sAlias = j.leftAlias.getOrElse(sName)
-    val (delWI, insWI) = winfos.zipWithIndex
+    val (delWI, updWI0) = winfos.zipWithIndex
       .partition(_._1._2.isInstanceOf[DeleteTable])
+    val (upsWI, insWI) = updWI0
+      .partition(_._1._2.isInstanceOf[UpsertTable])
     val joinKind = j.joinType match {
       case "inner" | "left_outer" => j.joinType
       case other => fail("enrichment joins are inner or left outer " +
@@ -1038,6 +1050,30 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case _ => ()
       }
     }
+    // IMPLICIT-SET upserts in the log group (r13): keyed on the join
+    // key columns, un-windowed; the routing in enrichCompile already
+    // rejected expr-set/fold shapes
+    upsWI.foreach { case ((uAst, uAct, _, _), _) =>
+      uAst.stream match {
+        case ss2: SingleStream if ss2.window.nonEmpty =>
+          fail(s"event-log upsert writers on '$tName' are per-event " +
+            "(v1) — no window")
+        case _ => ()
+      }
+      val uk = uAct match {
+        case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      if (uk.map(_._1).distinct.sorted != keyOrder)
+        fail(s"event-log upsert writers on '$tName' (v1) must key " +
+          s"on the JOIN key columns (${keyOrder.mkString(", ")})")
+    }
+    if (upsWI.nonEmpty && tSide.filter.nonEmpty)
+      fail(s"a table-side filter on '$tName' (v1) does not compose " +
+        "with upsert writers in an event-log group: the filter " +
+        "applies to each pair's OVERLAID as-of values (per event, " +
+        "not per row) — filter the projected columns in a " +
+        "downstream stage instead")
     val items = itemsOf(ast)
     val eBase0 = loadTable(sp, dir, sName, env)
     val eBase = sSide.filter.fold(eBase0)(f =>
@@ -1072,7 +1108,38 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           struct(col("ts_ns"), col("event_id"),
             lit(wi.toLong).as("w")).as("__ord"): _*)
         .select(keyC(keyOrder).as("__key"), col("__ord"),
-          updC.as("__upd"), lit(false).as("__del"))
+          updC.as("__upd"), lit(false).as("__del"),
+          lit(false).as("__ups"))
+    }
+    // implicit-set upsert rows (r13): key VALUES from the on-clause
+    // RHS, full row values from the select outputs -- an upsert both
+    // OVERLAYS every live row of its key (the running-last window
+    // below) and becomes an ORIGIN row itself when it is the first
+    // surviving emission of its (key, segment)
+    val upsRows = upsWI.map { case ((uAst, uAct, _, uSrc), wi) =>
+      val uKeys = uAct match {
+        case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
+        case _ => Nil
+      }
+      val uBase0 = loadTable(sp, dir, uSrc, env)
+      val uBase = uAst.stream match {
+        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+          applyFilter(sp, dir, uBase0, f, env))
+        case _ => uBase0
+      }
+      val uItems = itemsOf(expandStar(uAst, uBase0.columns))
+      val outCols = uItems.map(_._2)
+      dSchema.fieldNames.foreach(c => if (!outCols.contains(c))
+        fail(s"update or insert into $tName: select output must " +
+          s"cover every table column (missing: $c)"))
+      uBase.select(uItems.map { case (it, a2, _) =>
+          expr(sqlOf(it.e)).as(a2) } :+
+          struct(col("ts_ns"), col("event_id"),
+            lit(wi.toLong).as("w")).as("__ord"): _*)
+        .select(keyC(keyOrder.map(c => uKeys.find(_._1 == c).get._2))
+            .as("__key"),
+          col("__ord"), updC.as("__upd"), lit(false).as("__del"),
+          lit(true).as("__ups"))
     }
     val delRows = delWI.map { case ((dAst2, dAct2, _, dSrc2), wi) =>
       val dKeys = dAct2 match {
@@ -1093,15 +1160,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         .select(keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), lit(null).cast(updType).as("__upd"),
-          lit(true).as("__del"))
+          lit(true).as("__del"), lit(false).as("__ups"))
     }
     // accumulated generation rows seed at ord −∞ (segment 0)
     val accTag = accTable.select(keyC(keyOrder).as("__key"),
       struct(lit(Long.MinValue).as("ts_ns"),
         lit(Long.MinValue).as("event_id"),
         lit(Long.MinValue).as("w")).as("__ord"),
-      updC.as("__upd"), lit(false).as("__del"))
-    val uAll = (insRows ++ delRows :+ accTag).reduce(_ unionByName _)
+      updC.as("__upd"), lit(false).as("__del"),
+      lit(false).as("__ups"))
+    val uAll = (insRows ++ upsRows ++ delRows :+ accTag)
+      .reduce(_ unionByName _)
       .withColumn("__isE", lit(false))
       .withColumn("__evt", lit(null).cast(evtType))
     val eTag = eBase.select(
@@ -1110,7 +1179,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       struct(col("ts_ns"), col("event_id"),
         lit(Long.MaxValue).as("w")).as("__ord"),
       lit(null).cast(updType).as("__upd"), lit(false).as("__del"),
-      lit(true).as("__isE"), evtC.as("__evt"))
+      lit(false).as("__ups"), lit(true).as("__isE"),
+      evtC.as("__evt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__key")
       .orderBy(col("__ord"), col("__isE"))
@@ -1120,12 +1190,43 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // a tombstone opens a NEW segment (its running count includes
     // itself), so "live at the event" ≡ same key, same segment,
     // strictly earlier ord
-    val seged = uAll.unionByName(eTag).withColumn("__seg",
+    val seged0 = uAll.unionByName(eTag).withColumn("__seg",
       sum(when(col("__del"), lit(1L)).otherwise(lit(0L))).over(w))
+    // upsert overlay machinery (only when upsert writers exist):
+    // __minE = the (key, segment) first surviving-emission ord --
+    // an upsert at that ord is an ORIGIN (it inserted into an empty
+    // key); __lu = the last upsert at-or-before each row within its
+    // (key, segment), which an EVENT reads as the last upsert at
+    // its own position and applies to any origin older than it
+    val seged =
+      if (upsWI.isEmpty) seged0
+      else {
+        val wSeg = org.apache.spark.sql.expressions.Window
+          .partitionBy("__key", "__seg")
+        val wF = org.apache.spark.sql.expressions.Window
+          .partitionBy("__key", "__seg")
+          .orderBy(col("__ord"), col("__isE"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        seged0
+          .withColumn("__minE",
+            min(when(!col("__isE") && !col("__del"), col("__ord")))
+              .over(wSeg))
+          .withColumn("__lu",
+            last(when(col("__ups"), struct(col("__ord").as("o"),
+                col("__upd").as("v"))),
+              ignoreNulls = true).over(wF))
+      }
     val evts = seged.where(col("__isE"))
-      .select(col("__key").as("__ek"), col("__seg").as("__es"),
-        col("__ord").as("__eo"), col("__evt"))
-    val live0 = seged.where(!col("__isE") && !col("__del"))
+      .select(Seq(col("__key").as("__ek"), col("__seg").as("__es"),
+        col("__ord").as("__eo"), col("__evt")) ++
+        (if (upsWI.isEmpty) Nil else Seq(col("__lu"))): _*)
+    val live0 = seged
+      .where(!col("__isE") && !col("__del") &&
+        (if (upsWI.isEmpty) lit(true)
+         else !col("__ups") || col("__ord") === col("__minE")))
       .select(col("__key").as("__lk"), col("__seg").as("__ls"),
         col("__ord").as("__lo"), col("__upd").as("__state"))
     // table-side filter `T[cond]`: a log row failing it is not a
@@ -1149,9 +1250,18 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         })
         live0.where(expr(fSql))
     }
-    val joined = evts.join(live,
+    val joined0 = evts.join(live,
       col("__ek") === col("__lk") && col("__es") === col("__ls") &&
         col("__lo") < col("__eo"), joinKind)
+    // overlay: an origin older than the event last-upsert position
+    // takes the upsert values (the implicit set is last-writer-wins,
+    // so intermediate upserts are fully overwritten); a left-outer
+    // pad (null __lo) falls through to its null state
+    val joined =
+      if (upsWI.isEmpty) joined0
+      else joined0.withColumn("__state",
+        when(col("__lu").isNotNull && col("__lu.o") > col("__lo"),
+          col("__lu.v")).otherwise(col("__state")))
     def qual(parts: List[String]): String = parts match {
       case q :: c :: Nil
           if q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(tName) =>
@@ -1798,6 +1908,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       case a => fail(s"table DML targeting '${a.target}' needs an app " +
         "context: use compileApp with a `define table` declaration")
     }
+    // partition-block guard (r13): rate limiting inside `partition
+    // with` is PER-KEY-INSTANCE semantics that this path would
+    // silently compile as GLOBAL (the partition key reaches only
+    // window/groupBy compilation) — a miscompile, so fail loudly
+    // like the live surface does (aggregation reads already fail at
+    // the partition branch: they don't read the partitioned stream)
+    if (partKey.nonEmpty && ast.rate.nonEmpty)
+      fail("output rate limiting inside a partition block is " +
+        "per-key-instance semantics — not compiled (v1); rate the " +
+        "stream at top level (global) or aggregate per key " +
+        "explicitly")
     val selected = (ast.rate, ast.stream) match {
       case (Some(r), s: SingleStream) =>
         compileRateLimited(spark, dir, ast, s, r, env)

@@ -1787,6 +1787,69 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // EVENT-LOG + IMPLICIT-SET UPSERT read (r13): the cart pattern
+    // with a third writer that REPLACES every live cart row of its
+    // user at its position (update or insert) — each purchase reads
+    // every live origin row with the key's last upsert (between the
+    // row's origin and the purchase) overlaid; reconstructed by the
+    // segment construction plus one running-last window column
+    "sql_enrich_log_ups" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("buy")),
+    // the same app deployed LIVE: prior generations seed at ord -inf
+    // with their overlays already materialized by the multiset store
+    // (applyDmlMulti), so only same-batch upserts overlay per event —
+    // the batch replay above is the truth under any chunking
+    "sql_app_enrich_log_ups_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "buy")),
     // PARTITION-BLOCK DML (r13 decision): a PER-EVENT writer under a
     // KEYED partition is partition-invariant — the keyed view is the
     // unfiltered stream and per-event DML holds no per-key state, so
@@ -3611,6 +3674,101 @@ object SqlGate {
         |      AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id))))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // event-log + implicit-set upsert read: origins = live clicks
+    // plus a live upsert that is the first live emission of its
+    // (user, segment); each (purchase, origin) pair takes the LAST
+    // upsert strictly between them (same segment by construction),
+    // else the origin's own values
+    "sql_enrich_log_ups" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id,
+        |  coalesce(lu.event_id, o.event_id) AS item,
+        |  round(coalesce(lu.value, o.value), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT u.event_id, u.value FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_app_enrich_log_ups_live" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id,
+        |  coalesce(lu.event_id, o.event_id) AS item,
+        |  round(coalesce(lu.value, o.value), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT u.event_id, u.value FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |ORDER BY event_id, item, v""".stripMargin,
     // partition-wrapped per-event DML == the unwrapped as-of relation
     // (each purchase reads the latest click value for its user)
     "sql_partition_dml" ->

@@ -1122,6 +1122,33 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live.nonEmpty && (live sameElements batch))
   }
 
+  test("partition-block rate limiting and aggregation reads fail " +
+       "loudly in BATCH (they would silently compile as global)") {
+    def msgB(app: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)).getMessage
+    assert(msgB(
+      """partition with (user_id of events)
+        |begin
+        |@info(name='q') from events[value > 100]
+        |select event_id, value
+        |output first every 5 events
+        |insert into Out;
+        |end""".stripMargin).contains("rate limiting inside a " +
+      "partition block"))
+    assert(msgB(
+      """define aggregation AggByTime
+        |from events select sum(value) as total
+        |group by user_id aggregate by ts every minutes;
+        |partition with (user_id of events)
+        |begin
+        |@info(name='q') from AggByTime
+        |within 0, 4102444800000 per 'minutes'
+        |select user_id, total insert into Out;
+        |end""".stripMargin).contains("partitioned queries read the " +
+      "partitioned stream"))
+  }
+
   test("live deployment diagnostics name each v1 bound") {
     def msg(app: String, out: String = "q"): String =
       intercept[IllegalArgumentException](
