@@ -928,6 +928,36 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x event-log + upsert OVERLAY enrichment: per-pair last-" +
+       "upsert values replica-exact, bounded tasks") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r13 overlay channel at 1M events: high-value views REPLACE
+    // every live cart row of their user at their position, so each
+    // (purchase, origin) pair carries the last upsert between them.
+    // Replica user spaces are disjoint, so each replica's overlaid
+    // rows must reproduce the base gate's rows with BOTH event ids
+    // (the purchase and the origin/upsert item) shifted — the
+    // running-last window and the origin rule are key-local.
+    val q = SqlGate.queries("sql_app_enrich_log_ups_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"overlay 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val e = r.head.asInstanceOf[Long]
+        e >= k * off && e < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off, r(2)))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base overlay join")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
        "live == batch, bounded tasks (VERDICT r12 #8)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")
