@@ -289,18 +289,24 @@ private[api] trait SiddhiQlLive extends Serializable {
     * the UNION of every writer's filter+select key projection —
     * `delete` sweepers contribute their key projection too, so the
     * buckets a tombstone wipes are read into (and rewritten by) the
-    * fold; insert-only writer groups append. */
+    * fold; insert-only writer groups append, UNLESS the caller
+    * supplies `fallbackKeys` (the enrichment fold passes its JOIN key
+    * columns): an insert-only log read per-event wants a KEYED store
+    * so `fullFor` can bucket-restrict the per-trigger read — an
+    * insert's key values are its own key-column outputs, so the
+    * keyed merge (slice ∪ batch rows) IS the append. */
   private[api] def dmlStateModeMulti(
       writers: List[(Ast, Action, StructType, String)], tName: String,
       schema: StructType, fnsSnap: Map[String, ScriptFn],
-      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
+      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame],
+      fallbackKeys: Seq[String] = Nil)
       : StateMode = {
     val keysM = writers.map(_._2).collectFirst {
       case UpsertTable(_, _, on) =>
         keyEqsOf(on, tName).map(_._1).distinct.sorted
       case DeleteTable(_, on) =>
         keyEqsOf(on, tName).map(_._1).distinct.sorted
-    }.getOrElse(Nil)
+    }.getOrElse(fallbackKeys.distinct.sorted.toList)
     if (keysM.isEmpty) AppendState
     else KeyedState(keysM, (sp, d2, batch) => {
       scriptFns = fnsSnap
@@ -1703,14 +1709,38 @@ private[api] trait SiddhiQlLive extends Serializable {
               if (writers.length == 1)
                 applyDml(sp, d2, dAst, dAct, dSchema, accT, benv)
               else applyDmlMulti(sp, d2, writers, dSchema, accT, benv)
-            def tModeOf(fnsSnap2: Map[String, ScriptFn]): StateMode =
-              if (writers.length == 1)
-                dmlStateMode(dAst, dAct, dSchema, dSrc, fnsSnap2,
+            def tModeOf(fnsSnap2: Map[String, ScriptFn]): StateMode = {
+              val m0 =
+                if (writers.length == 1)
+                  dmlStateMode(dAst, dAct, dSchema, dSrc, fnsSnap2,
+                    (sp, d2, batch) =>
+                      batchEnv(sp, d2, batch, statelessSnap))
+                else dmlStateModeMulti(writers, tName, dSchema, fnsSnap2,
                   (sp, d2, batch) =>
                     batchEnv(sp, d2, batch, statelessSnap))
-              else dmlStateModeMulti(writers, tName, dSchema, fnsSnap2,
-                (sp, d2, batch) =>
-                  batchEnv(sp, d2, batch, statelessSnap))
+              // insert-only log tables read by THIS enrichment join
+              // get a KEYED store on the join key columns (instead of
+              // AppendState), so the per-trigger read bucket-restricts
+              // to the batch's event keys — otherwise the table's
+              // per-trigger scan grows with deployment lifetime
+              m0 match {
+                case AppendState
+                    if dAct.isInstanceOf[InsertInto] =>
+                  dmlStateModeMulti(writers, tName, dSchema, fnsSnap2,
+                    (sp, d2, batch) =>
+                      batchEnv(sp, d2, batch, statelessSnap),
+                    fallbackKeys = {
+                      val sAliasM = j.leftAlias.getOrElse(sName)
+                      keyEqsOf(j.on, tName, {
+                        case q :: c :: Nil
+                            if q.equalsIgnoreCase(sAliasM) ||
+                              q.equalsIgnoreCase(sName) => c
+                        case parts => parts.mkString(".")
+                      }).map(_._1).distinct
+                    })
+                case m => m
+              }
+            }
             // r13 (VERDICT r12 #1): only keys present in THIS batch's
             // events can produce join output this trigger — every
             // other accumulated row enters the as-of window pass and

@@ -1787,6 +1787,45 @@ object SqlGate {
         |group by user_id
         |order by user_id
         |insert into Out""".stripMargin, "agg")),
+    // INSERT-ONLY event-log read (r13): the cart pattern with NO
+    // sweeper — every purchase reads every prior high-value click of
+    // its user. Live, the table state is KEYED on the join columns
+    // (not AppendState) so the per-trigger read bucket-restricts to
+    // the batch's event keys instead of scanning the whole
+    // ever-growing log.
+    "sql_enrich_log_insonly" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 170.0]
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("buy")),
+    "sql_app_enrich_log_insonly_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 170.0]
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "buy")),
     // EVENT-LOG + IMPLICIT-SET UPSERT read (r13): the cart pattern
     // with a third writer that REPLACES every live cart row of its
     // user at its position (update or insert) — each purchase reads
@@ -3674,6 +3713,24 @@ object SqlGate {
         |      AND (d.ts < e.ts OR (d.ts = e.ts AND d.event_id < e.event_id))))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // insert-only log: every prior high-value click, no liveness
+    // sandwich (nothing sweeps)
+    "sql_enrich_log_insonly" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON e.event_type = 'purchase' AND a.event_type = 'click'
+        | AND a.value > 170.0 AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id < e.event_id))
+        |ORDER BY event_id, item""".stripMargin,
+    "sql_app_enrich_log_insonly_live" ->
+      """SELECT e.event_id AS event_id, a.event_id AS item,
+        |  round(a.value, 2) AS v
+        |FROM events e JOIN events a
+        |  ON e.event_type = 'purchase' AND a.event_type = 'click'
+        | AND a.value > 170.0 AND a.user_id = e.user_id
+        | AND (a.ts < e.ts OR (a.ts = e.ts AND a.event_id < e.event_id))
+        |ORDER BY event_id, item""".stripMargin,
     // event-log + implicit-set upsert read: origins = live clicks
     // plus a live upsert that is the first live emission of its
     // (user, segment); each (purchase, origin) pair takes the LAST
