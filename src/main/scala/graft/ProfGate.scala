@@ -1,19 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-/** Job-census profiler for one registry query (round 13): runs it
-  * twice (warm, then measured) under a job listener and prints wall vs
-  * total Spark-job time vs the gap — the gap is driver/streaming
-  * machinery (trigger scheduling, state-store commits), which is what
-  * the live-gate family's cost is made of. Used to pick the r13
-  * fold-runner concurrency lever (a fold gate = ~35 sequential ~100 ms
-  * jobs; job time > wall after the change proves the overlap).
+/** Job-census profiler for registry queries (round 13, widened round
+  * 14): runs each named query twice (warm, then measured) under a job
+  * listener and prints wall vs total Spark-job time vs the gap — the
+  * gap is driver/streaming machinery (trigger scheduling, state-store
+  * commits), which is what the live-gate family's cost is made of.
+  * Used to pick the r13 fold-runner concurrency lever (a fold gate =
+  * ~35 sequential ~100 ms jobs; job time > wall after the change
+  * proves the overlap) and the r14 suite-cost levers.
   *
-  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ProfGate <query>" */
+  * Counters are atomics: correct even if listener-bus dispatch ever
+  * becomes multi-threaded (today it is single-threaded; the atomics
+  * cost nothing and remove the assumption).
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ProfGate <q1> [q2 ...]" */
 object ProfGate {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("sql_app_enrich_log_live")
+    val names =
+      if (args.nonEmpty) args.toSeq else Seq("sql_app_enrich_log_live")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -23,25 +30,53 @@ object ProfGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.live.fastGates", "true")
-    @volatile var jobs = 0
-    @volatile var jobMs = 0L
+    // A/B hook for the live-replay shuffle width (see deployApp)
+    sys.env.get("SPARK_GRAFT_LIVE_PARTS").foreach(p =>
+      spark.conf.set("graft.live.shufflePartitions", p))
+    val jobs = new AtomicInteger(0)
+    val jobMs = new AtomicLong(0L)
     val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    // per-call-site census (ms, count) — names the jobs a trigger runs
+    val sites = scala.collection.concurrent
+      .TrieMap.empty[String, (Long, Int)]
+    val siteOf = scala.collection.concurrent.TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs += 1; starts(j.jobId) = j.time
+        jobs.incrementAndGet(); starts(j.jobId) = j.time
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("?")
+        siteOf(j.jobId) = cs
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach(t0 => jobMs += (j.time - t0))
+        starts.remove(j.jobId).foreach { t0 =>
+          jobMs.addAndGet(j.time - t0)
+          val cs = siteOf.remove(j.jobId).getOrElse("?")
+          val (ms, n) = sites.getOrElse(cs, (0L, 0))
+          sites(cs) = (ms + (j.time - t0), n + 1)
+        }
     })
-    // warm once
-    SparkEntry.queries(name)(spark, sfDir).count()
-    jobs = 0; jobMs = 0
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir).count()
-    val wall = (System.nanoTime() - t0) / 1e6
-    Thread.sleep(500)
-    println(f"PROF $name wall=${wall}%.0fms jobs=$jobs jobMs=$jobMs " +
-      f"gap=${wall - jobMs}%.0fms")
+    names.foreach { name =>
+      // warm once per query (JIT + plan caches), measure the second run
+      SparkEntry.queries(name)(spark, sfDir).count()
+      jobs.set(0); jobMs.set(0L); sites.clear()
+      val phases = scala.collection.mutable.Buffer.empty[(String, Long)]
+      graft.api.SiddhiQL.deployPhaseProbe = Some(phases)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e6
+      graft.api.SiddhiQL.deployPhaseProbe = None
+      Thread.sleep(500)
+      val ph =
+        if (phases.isEmpty) ""
+        else phases.map { case (t, ms) => s"$t=${ms}ms" }
+          .mkString(" phases[", " ", "]")
+      println(f"PROF $name wall=${wall}%.0fms jobs=${jobs.get} " +
+        f"jobMs=${jobMs.get} gap=${wall - jobMs.get}%.0fms" + ph)
+      sites.toSeq.sortBy(-_._2._1).take(8).foreach {
+        case (cs, (ms, n)) => println(s"  SITE $cs n=$n ms=$ms")
+      }
+    }
     spark.stop()
   }
 }

@@ -3834,35 +3834,44 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           sel.map { case (_, _, _, extract) => extract(bnd) } ++
             Seq(evs.map(_.tsNs).max, sp.tsNs, sp.eventId)
         }
-        val outCols = out.map(_._1)
-        def proj(kept: DataFrame): DataFrame =
-          kept.select(outCols.map(col): _*)
-        import org.apache.spark.sql.expressions.Window
-        val ordAsc = Seq(col("__emit_ns").asc, col("__sp_ts").asc,
-          col("__sp_id").asc)
-        val ordDesc = Seq(col("__emit_ns").desc, col("__sp_ts").desc,
-          col("__sp_id").desc)
-        (r.mode, r.timeNs, r.count) match {
-          case ("all", _, _) => proj(df) // emission batching only
-          case (m @ ("first" | "last"), Some(t), None) =>
-            val w = Window.partitionBy(expr(s"__emit_ns div ${t}L"))
-              .orderBy((if (m == "first") ordAsc else ordDesc): _*)
-            proj(df.withColumn("__rn", row_number().over(w))
-              .where(col("__rn") === 1))
-          case (m @ ("first" | "last"), None, Some(n)) =>
-            // match-emission ranks from the distributed prefix sum;
-            // chunk-partitioned pick — no global single-task window
-            val pick = if (m == "first") "min" else "max"
-            proj(globalRank(df, Seq(col("__emit_ns"), col("__sp_ts"),
-                col("__sp_id")), "__rn")
-              .withColumn("__keep", expr(s"$pick(__rn) over (partition " +
-                s"by (__rn - 1) div ${n}L)"))
-              .where(col("__rn") === col("__keep")))
-          case ("snapshot", _, _) =>
-            fail("output snapshot over a pattern (v1): insert the " +
-              "matches into a stream and snapshot that stream")
-          case _ => fail("unreachable: rate clause validated at parse")
-        }
+        rateOverMatches(df, out.map(_._1), r)
+    }
+  }
+
+  /** Rate-mode selection over PATTERN matches carrying their emission
+    * order (`__emit_ns` = the closing bound event's ts, tie-broken by
+    * spawn `__sp_ts`/`__sp_id`) — the tail of [[compilePattern]]'s
+    * rate arm, shared with the live pattern fold's finish so live
+    * rate-over-pattern semantics ARE the batch code. */
+  private[api] def rateOverMatches(df: DataFrame, outCols: Seq[String],
+      r: Rate): DataFrame = {
+    def proj(kept: DataFrame): DataFrame =
+      kept.select(outCols.map(col): _*)
+    import org.apache.spark.sql.expressions.Window
+    val ordAsc = Seq(col("__emit_ns").asc, col("__sp_ts").asc,
+      col("__sp_id").asc)
+    val ordDesc = Seq(col("__emit_ns").desc, col("__sp_ts").desc,
+      col("__sp_id").desc)
+    (r.mode, r.timeNs, r.count) match {
+      case ("all", _, _) => proj(df) // emission batching only
+      case (m @ ("first" | "last"), Some(t), None) =>
+        val w = Window.partitionBy(expr(s"__emit_ns div ${t}L"))
+          .orderBy((if (m == "first") ordAsc else ordDesc): _*)
+        proj(df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1))
+      case (m @ ("first" | "last"), None, Some(n)) =>
+        // match-emission ranks from the distributed prefix sum;
+        // chunk-partitioned pick — no global single-task window
+        val pick = if (m == "first") "min" else "max"
+        proj(globalRank(df, Seq(col("__emit_ns"), col("__sp_ts"),
+            col("__sp_id")), "__rn")
+          .withColumn("__keep", expr(s"$pick(__rn) over (partition " +
+            s"by (__rn - 1) div ${n}L)"))
+          .where(col("__rn") === col("__keep")))
+      case ("snapshot", _, _) =>
+        fail("output snapshot over a pattern (v1): insert the " +
+          "matches into a stream and snapshot that stream")
+      case _ => fail("unreachable: rate clause validated at parse")
     }
   }
 

@@ -177,6 +177,43 @@ private[api] trait SiddhiQlLive extends Serializable {
   private[graft] var foldReadProbe
       : Option[scala.collection.mutable.Buffer[(Int, String, Long)]] =
     None
+
+  /** Max distinct batch keys a keyed-state read collects to the
+    * driver (see [[LiveState.fullForKeys]]): below it the key relation
+    * becomes a LocalRelation (one probe job per trigger, semi-join
+    * prune evaluates nothing); above it the read keeps the original
+    * relation and only bucket ids cross the driver. A trigger's
+    * distinct keys are bounded by its batch size, so at harness SF the
+    * fast path always hits; the cap is a driver-memory bound, not a
+    * correctness switch. */
+  private[api] val keyLocalCap = 20000
+
+  /** Profiling probe: when set, [[deployApp]] records (phase, ms) for
+    * its harness phases — compile, query start, each trigger round,
+    * flush sentinels, stop, finish — so the suite-cost work can see
+    * which fixed cost dominates a gate instead of guessing. */
+  private[graft] var deployPhaseProbe
+      : Option[scala.collection.mutable.Buffer[(String, Long)]] = None
+  @inline private[api] def phased[A](tag: String)(body: => A): A =
+    deployPhaseProbe match {
+      case None => body
+      case Some(buf) =>
+        val t0 = System.nanoTime()
+        val r = body
+        buf += ((tag, (System.nanoTime() - t0) / 1000000L)); r
+    }
+
+  /** Label the Spark jobs `body` runs (thread-local `callSite.short`)
+    * so a job-census listener (ProfGate) can attribute a trigger's
+    * jobs to the fold runner's sections instead of one opaque start
+    * site. Zero-cost beyond two local-property writes. */
+  @inline private[api] def tagged[A](sp: SparkSession, tag: String)
+      (body: => A): A = {
+    val k = "callSite.short"
+    val prev = sp.sparkContext.getLocalProperty(k)
+    sp.sparkContext.setLocalProperty(k, tag)
+    try body finally sp.sparkContext.setLocalProperty(k, prev)
+  }
   private[api] final case class KeyedState(keys: Seq[String],
       batchKeys: (SparkSession, String, DataFrame) => DataFrame,
       // every N generations the runner hands the fold the WHOLE state
@@ -207,10 +244,17 @@ private[api] trait SiddhiQlLive extends Serializable {
       compacting: Boolean = false,
       // keyDf columns must cover the state's key columns BY NAME
       // (cast to the state's key types) — the runner hashes them with
-      // the same bucketCol the write path uses
-      fullForKeys: Option[DataFrame => DataFrame] = None) {
-    def fullFor(keyDf: DataFrame): DataFrame =
-      fullForKeys.fold(full())(f => f(keyDf))
+      // the same bucketCol the write path uses. Returns the
+      // bucket-restricted state AND the key relation the caller should
+      // prune with: when the batch's distinct key set is small the
+      // runner hands back a COLLECTED LocalRelation (one Spark job
+      // total, and the consumer's semi-join needs no re-evaluation of
+      // the batch pipeline); above the cap it returns `keyDf`
+      // unchanged (the bounded-driver scale path).
+      fullForKeys: Option[DataFrame => (DataFrame, DataFrame)] = None) {
+    def fullFor(keyDf: DataFrame): DataFrame = keyedRead(keyDf)._1
+    def keyedRead(keyDf: DataFrame): (DataFrame, DataFrame) =
+      fullForKeys.fold((full(), keyDf))(f => f(keyDf))
   }
 
   /** A live stage whose semantics are a per-micro-batch keyed FOLD
@@ -589,10 +633,13 @@ private[api] trait SiddhiQlLive extends Serializable {
               window = Some(liveWindowDefs(ss.table))))
           case _ => ast0L
         }
-        if (ast.rate.nonEmpty && ast.stream.isInstanceOf[PatternStream])
-          fail("live deployment (v1) does not rate-limit pattern " +
-            "matches — insert the matches into a stream and rate that " +
-            "stream, or use the batch replay (compileApp)")
+        // rate over pattern matches deploys through the fold channel
+        // (see the PatternStream case); snapshot keeps the batch
+        // compiler's refusal, named identically on both surfaces
+        if (ast.rate.exists(_.mode == "snapshot") &&
+            ast.stream.isInstanceOf[PatternStream])
+          fail("output snapshot over a pattern (v1): insert the " +
+            "matches into a stream and snapshot that stream")
         val dmlAct = ast.action.filter {
           case InsertInto(t) => tableDefs.contains(t)
           case _             => true
@@ -738,6 +785,23 @@ private[api] trait SiddhiQlLive extends Serializable {
           }
         } else {
         var carriedNow: Seq[String] = Nil
+        // rate over pattern matches: register the accumulate-then-rank
+        // fold (AppendState match log; finish = the BATCH selection,
+        // rateOverMatches, so both surfaces share one code path)
+        def patternRateFold(matches: DataFrame, r: Rate,
+            outCols: Seq[String], schemaR: StructType,
+            needsFl: Boolean): (DataFrame, Int) = {
+          val keyP = name.orElse(ast.action.map(_.target))
+          if (keyP.contains(out) || name.contains(out))
+            foldResult = Some(LiveFold(matches,
+              Seq(("m", schemaR, AppendState)),
+              (_, _, _, batch) => Map("m" -> batch),
+              (_, st) => rateOverMatches(st("m"), outCols, r),
+              ast.orderBy.map { case (c, a) =>
+                if (a) col(c).asc else col(c).desc },
+              needsFlush = needsFl))
+          (emptyOf(matches.sparkSession, schemaR), KFold)
+        }
         val (df, kind) = ast.stream match {
           // `from AggName within ... per '...'` reading a LIVE
           // `define aggregation`: the grain cascade compiles onto the
@@ -1601,14 +1665,39 @@ private[api] trait SiddhiQlLive extends Serializable {
             }
           case pt: PatternStream =>
             val (b, sel, outSchema) = patternParts(ast, pt)
-            val schema = StructType(outSchema.map { case (n, t) =>
+            // rate over pattern matches LIVE (r14): matches accumulate
+            // in an append-only fold carrying their emission order
+            // (closing bound event's ts, spawn tie-break), and finish
+            // runs the BATCH selection (rateOverMatches) — live ≡
+            // batch by construction, the same accumulate-then-rank
+            // trade the r12 count-mode outer joins made (rate is a
+            // globally-ordered pick, inherently total-order; the
+            // accumulated state is O(matches), distributed in parquet
+            // generations, never driver-resident).
+            val rateP = ast.rate
+            val outSchemaR =
+              if (rateP.isEmpty) outSchema
+              else outSchema ++ Seq(("__emit_ns", LongType),
+                ("__sp_ts", LongType), ("__sp_id", LongType))
+            val schema = StructType(outSchemaR.map { case (n, t) =>
               StructField(n, t) })
             implicit val enc: org.apache.spark.sql.Encoder[
               org.apache.spark.sql.Row] =
               org.apache.spark.sql.Encoders.row(schema)
-            val proj = (bnd: Cep.Bindings) =>
+            val proj = (bnd: Cep.Bindings) => {
+              val base = sel.map { case (_, _, _, extract) =>
+                extract(bnd) }
               org.apache.spark.sql.Row.fromSeq(
-                sel.map { case (_, _, _, extract) => extract(bnd) })
+                if (rateP.isEmpty) base
+                else {
+                  // the batch rate arm's exact order columns
+                  // (compilePattern): emit at the max-ts bound event,
+                  // tie-break by the spawning (first) bound event
+                  val evs = bnd.valuesIterator.flatten.toSeq
+                  val sp2 = evs.minBy(e => (e.tsNs, e.eventId))
+                  base ++ Seq(evs.map(_.tsNs).max, sp2.tsNs, sp2.eventId)
+                })
+            }
             if (b.steps.exists(_.isInstanceOf[Cep.Absent])) {
               // ABSENCE-bearing pattern (`not X for T`) deployed LIVE:
               // the timed re-fold — absence deadlines register
@@ -1630,9 +1719,23 @@ private[api] trait SiddhiQlLive extends Serializable {
                   col("event_type").as("eventType"), col("value"),
                   col("ts"))
                 .as[Streaming.EvT]
-              (b.selectStreamTimed(evT)(proj).toDF(), KWindowAgg)
-            } else
-              (b.selectStream(evDs)(proj).toDF(), KStateless)
+              rateP match {
+                case None =>
+                  (b.selectStreamTimed(evT)(proj).toDF(), KWindowAgg)
+                case Some(r) =>
+                  // absence deadlines resolve off the watermark, so
+                  // the fold needs the flush-sentinel batches
+                  patternRateFold(
+                    b.selectStreamTimed(evT)(proj).toDF(), r,
+                    outSchema.map(_._1), schema, needsFl = true)
+              }
+            } else rateP match {
+              case None =>
+                (b.selectStream(evDs)(proj).toDF(), KStateless)
+              case Some(r) =>
+                patternRateFold(b.selectStream(evDs)(proj).toDF(), r,
+                  outSchema.map(_._1), schema, needsFl = false)
+            }
           // ENRICHMENT JOIN deployed LIVE: a query joins the table a
           // sibling DML stage maintains — the reference's canonical
           // enrichment loop (a stream updates UserState, a sibling
@@ -1784,8 +1887,17 @@ private[api] trait SiddhiQlLive extends Serializable {
             def pruneToBatchKeys(rel: DataFrame, kdf: DataFrame)
                 : DataFrame = {
               val keyCols = enrichJoinKeys.map(_._1).distinct
-              if (!keyCols.forall(rel.columns.contains)) rel
-              else {
+              if (!keyCols.forall(rel.columns.contains)) {
+                // defensive fallback — RECORD it so an unexpected
+                // unpruned read shows in the read-prune gate instead
+                // of silently regressing the O(batch) guarantee
+                foldReadProbe.foreach { buf =>
+                  enrichReadGen += 1
+                  buf += ((enrichReadGen,
+                    s"__prune_fallback:$tName", -1L))
+                }
+                rel
+              } else {
                 val pruned = rel.as("t").join(kdf.as("k"),
                   keyCols.map(c => col(s"t.$c")
                       .cast(dSchema(c).dataType) <=> col(s"k.$c"))
@@ -1801,8 +1913,13 @@ private[api] trait SiddhiQlLive extends Serializable {
             def tReadPruned(sp: SparkSession, d2: String,
                 acc: Map[String, LiveState], batch: DataFrame,
                 benv: Map[String, DataFrame]): DataFrame = {
-              val kdf = batchKeyRel(sp, d2, batch, benv)
-              pruneToBatchKeys(acc(tName).fullFor(kdf), kdf)
+              // keyedRead hands back the key relation to prune with —
+              // a collected LocalRelation when the batch's key set is
+              // small, so the whole per-trigger read costs ONE probe
+              // job and the semi-join re-evaluates nothing
+              val (rel, kdfEff) = acc(tName)
+                .keyedRead(batchKeyRel(sp, d2, batch, benv))
+              pruneToBatchKeys(rel, kdfEff)
             }
             val winWriterTNs: Option[Long] = dAst.stream match {
               case ss2: SingleStream =>
@@ -2969,9 +3086,20 @@ private[api] trait SiddhiQlLive extends Serializable {
         col("userId").as("user_id"), col("eventType").as("event_type"),
         col("value"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    val (stages, dmlOpt) = deployStages(src, app, out)
+    val (stages, dmlOpt) = phased("compile")(deployStages(src, app, out))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // replay-harness shuffle width: 4 keeps per-trigger checkpoint-file
+    // overhead low for the (majority) light topologies; a validated
+    // knob so state-heavy topologies can widen it — state-store work
+    // parallelizes per shuffle partition, so a stream-stream join's
+    // per-trigger job time scales down with width (r14 A/B in
+    // PLANS.md). A real deployment sizes this to its cluster.
+    val livePartitions = spark.conf
+      .getOption("graft.live.shufflePartitions").getOrElse("4")
+    require(scala.util.Try(livePartitions.toInt).toOption
+        .exists(_ > 0), "graft.live.shufflePartitions must be a " +
+        s"positive integer; got '$livePartitions'")
+    spark.conf.set("spark.sql.shuffle.partitions", livePartitions)
     // the flush design is DATA-batch driven (sentinels advance the
     // watermark, the batch after them emits under it), so Spark's
     // extra no-data micro-batch per watermark advance only doubles the
@@ -3048,7 +3176,7 @@ private[api] trait SiddhiQlLive extends Serializable {
           def allStates(sp: SparkSession): Map[String, DataFrame] =
             lf.schemas.map { case (n, _, m) =>
               n -> fullState(sp, n, m) }.toMap
-          val q = lf.feed.writeStream.outputMode("append")
+          val q = phased("start")(lf.feed.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt("fold"))
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
@@ -3069,11 +3197,12 @@ private[api] trait SiddhiQlLive extends Serializable {
                         scala.concurrent.Future {
                           n -> (if (ce.exists(e => (gen + 1) % e == 0))
                               (0 until nBuckets): Seq[Int]
-                            else batchKeys(sp, dir, batch)
-                              .select(bucketCol(keys).cast("int")
-                                .as("__b"))
-                              .distinct().collect()
-                              .map(_.getInt(0)).toSeq)
+                            else tagged(sp, s"probe:$n")(
+                              batchKeys(sp, dir, batch)
+                                .select(bucketCol(keys).cast("int")
+                                  .as("__b"))
+                                .distinct().collect()
+                                .map(_.getInt(0)).toSeq))
                         }(foldEc)
                     })(
                       scala.collection.BuildFrom.buildFromIterableOps,
@@ -3106,15 +3235,46 @@ private[api] trait SiddhiQlLive extends Serializable {
                       // generations are scanned — O(batch key-buckets)
                       // file I/O per trigger, not O(state). Guard: a
                       // caller whose key relation doesn't cover the
-                      // state keys by name gets the full read.
-                      if (!ks.forall(kdf.columns.contains))
-                        fullState(sp, n, m)
-                      else {
-                        val bs = kdf
-                          .select(bucketCol(ks).cast("int").as("__b"))
-                          .distinct().collect().map(_.getInt(0)).toSeq
-                        readPaths(sp, n, bs.flatMap(b =>
-                          latest.get((n, b)).map(g => path(n, g, b))))
+                      // state keys by name gets the full read — and
+                      // RECORDS it (an unexpected full read must show
+                      // in the read-prune gate, not pass silently).
+                      if (!ks.forall(kdf.columns.contains)) {
+                        foldReadProbe.foreach(
+                          _ += ((gen + 1, s"__fullread_fallback:$n",
+                            -1L)))
+                        (fullState(sp, n, m), kdf)
+                      } else {
+                        // ONE job: distinct keys + their bucket. Small
+                        // key sets (every harness batch; bounded by
+                        // keyLocalCap at scale) come back as a
+                        // LocalRelation so the caller's semi-join
+                        // re-evaluates nothing; bigger batches fall
+                        // back to bucket ids only + the original
+                        // relation (driver stays O(cap)).
+                        val kCols = kdf.columns.toSeq
+                        val rows = tagged(sp, s"keyread:$n")(kdf
+                          .select(kCols.map(col) :+
+                            bucketCol(ks).cast("int").as("__b"): _*)
+                          .distinct().limit(keyLocalCap + 1).collect())
+                        val bs =
+                          if (rows.length > keyLocalCap)
+                            tagged(sp, s"keyread2:$n")(kdf
+                              .select(bucketCol(ks).cast("int")
+                                .as("__b"))
+                              .distinct().collect())
+                              .map(_.getInt(0)).toSeq
+                          else rows.map(_.getAs[Int]("__b"))
+                            .distinct.toSeq
+                        val kdfEff =
+                          if (rows.length > keyLocalCap) kdf
+                          else sp.createDataFrame(
+                            java.util.Arrays.asList(rows.map(r =>
+                              org.apache.spark.sql.Row.fromSeq(
+                                r.toSeq.dropRight(1))): _*),
+                            StructType(kdf.schema.fields))
+                        (readPaths(sp, n, bs.flatMap(b =>
+                          latest.get((n, b)).map(g => path(n, g, b)))),
+                          kdfEff)
                       })
                     case _ => None
                   })
@@ -3131,12 +3291,14 @@ private[api] trait SiddhiQlLive extends Serializable {
                     lf.schemas.map { case (n, _, m) =>
                       scala.concurrent.Future[() => Unit] { m match {
                         case FullState =>
-                          next(n).write.mode("overwrite")
-                            .parquet(path(n, g1, -1))
+                          tagged(sp, s"write:$n")(
+                            next(n).write.mode("overwrite")
+                              .parquet(path(n, g1, -1)))
                           () => latest((n, -1)) = g1
                         case AppendState =>
-                          next(n).write.mode("overwrite")
-                            .parquet(path(n, g1, -1))
+                          tagged(sp, s"write:$n")(
+                            next(n).write.mode("overwrite")
+                              .parquet(path(n, g1, -1)))
                           () => appendGens(n) = appendGens(n) :+ g1
                         case KeyedState(keys, _, _) =>
                           // the fold is a per-key merge, so its output
@@ -3146,12 +3308,14 @@ private[api] trait SiddhiQlLive extends Serializable {
                           // STATE (a compacted base between
                           // compactions) skips its write entirely
                           if (touched(n).nonEmpty) {
-                            next(n).withColumn("__b", bucketCol(keys))
-                              .repartition(
-                                math.max(touched(n).size, 1),
-                                col("__b"))
-                              .write.mode("overwrite").partitionBy("__b")
-                              .parquet(s"$tmp/gen$g1/$n")
+                            tagged(sp, s"write:$n")(
+                              next(n).withColumn("__b", bucketCol(keys))
+                                .repartition(
+                                  math.max(touched(n).size, 1),
+                                  col("__b"))
+                                .write.mode("overwrite")
+                                .partitionBy("__b")
+                                .parquet(s"$tmp/gen$g1/$n"))
                             // probe appends cross future threads —
                             // synchronize the buffer (test-only path)
                             foldWriteProbe.foreach { b =>
@@ -3168,20 +3332,24 @@ private[api] trait SiddhiQlLive extends Serializable {
                   scala.concurrent.duration.Duration.Inf)
               bookkeeping.foreach(_.apply())
               gen = g1
-            }.start()
+            }.start())
           rows.grouped(per).foreach { g =>
-            ms.addData(g.toSeq); q.processAllAvailable()
+            phased("trigger") {
+              ms.addData(g.toSeq); q.processAllAvailable()
+            }
           }
           if (lf.needsFlush) (0 to 1).foreach { k =>
             // outer-join feeds: two watermark-flush sentinel batches
             // (the stages channel's exact rule) so the tail's
             // null-padded rows materialize before finish
-            ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
-              graft.engine.Streaming.FlushNs + k * 3600000000000L,
-              -1L, "__flush", 0.0)))
-            q.processAllAvailable()
+            phased("flush") {
+              ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
+                graft.engine.Streaming.FlushNs + k * 3600000000000L,
+                -1L, "__flush", 0.0)))
+              q.processAllAvailable()
+            }
           }
-          q.stop()
+          phased("stop")(q.stop())
           val fin = lf.finish(spark, allStates(spark))
           val ord =
             if (lf.ordCols.nonEmpty) fin.orderBy(lf.ordCols: _*) else fin
@@ -3244,9 +3412,11 @@ private[api] trait SiddhiQlLive extends Serializable {
                 genU = g1
               }.start()
             rows.grouped(per).foreach { g =>
-              ms.addData(g.toSeq); q.processAllAvailable()
+              phased("trigger") {
+                ms.addData(g.toSeq); q.processAllAvailable()
+              }
             }
-            q.stop()
+            phased("stop")(q.stop())
             val live = latestU.toSeq.map { case (b, g) => pathU(g, b) }
               .filter(p => new java.io.File(p).exists)
             val t =
@@ -3258,11 +3428,14 @@ private[api] trait SiddhiQlLive extends Serializable {
           val mode = if (kind == 1) OutputMode.Complete()
                      else OutputMode.Append()
           val sinkName = s"graft_deploy_$out"
-          val q = df.writeStream.format("memory").queryName(sinkName)
-            .option("checkpointLocation", ckpt("sink"))
-            .outputMode(mode).start()
+          val q = phased("start")(
+            df.writeStream.format("memory").queryName(sinkName)
+              .option("checkpointLocation", ckpt("sink"))
+              .outputMode(mode).start())
           rows.grouped(per).foreach { g =>
-            ms.addData(g.toSeq); q.processAllAvailable()
+            phased("trigger") {
+              ms.addData(g.toSeq); q.processAllAvailable()
+            }
           }
           if (kind == 2) (0 to 1).foreach { k =>
             // two watermark-flush sentinel batches (engine twin:
@@ -3270,12 +3443,14 @@ private[api] trait SiddhiQlLive extends Serializable {
             // past every real window, the second runs a batch UNDER
             // that advanced watermark so all remaining state emits and
             // evicts
-            ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
-              graft.engine.Streaming.FlushNs + k * 3600000000000L,
-              -1L, "__flush", 0.0)))
-            q.processAllAvailable()
+            phased("flush") {
+              ms.addData(Seq(Cep.Ev(Long.MaxValue - 2 + k,
+                graft.engine.Streaming.FlushNs + k * 3600000000000L,
+                -1L, "__flush", 0.0)))
+              q.processAllAvailable()
+            }
           }
-          q.stop()
+          phased("stop")(q.stop())
           val t = spark.table(sinkName)
           if (ordCols.nonEmpty) t.orderBy(ordCols: _*) else t
       }
