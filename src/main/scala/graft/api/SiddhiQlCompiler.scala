@@ -1068,12 +1068,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         fail(s"event-log upsert writers on '$tName' (v1) must key " +
           s"on the JOIN key columns (${keyOrder.mkString(", ")})")
     }
-    if (upsWI.nonEmpty && tSide.filter.nonEmpty)
-      fail(s"a table-side filter on '$tName' (v1) does not compose " +
-        "with upsert writers in an event-log group: the filter " +
-        "applies to each pair's OVERLAID as-of values (per event, " +
-        "not per row) — filter the projected columns in a " +
-        "downstream stage instead")
+    // table-side filter + upsert writers (r14, closing the r13 bound):
+    // the filter applies to each pair's OVERLAID as-of values (per
+    // event, not per stored row), so it cannot prune `live0` — it
+    // moves INTO the join condition below, evaluated on the overlay
+    // expression, where the outer-join pad machinery then treats a
+    // failing overlaid row exactly as a non-match (pads when no row
+    // survives). sqlOfWith enforces table-columns-only either way.
     val items = itemsOf(ast)
     val eBase0 = loadTable(sp, dir, sName, env)
     val eBase = sSide.filter.fold(eBase0)(f =>
@@ -1230,29 +1231,44 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       .select(col("__key").as("__lk"), col("__seg").as("__ls"),
         col("__ord").as("__lo"), col("__upd").as("__state"))
     // table-side filter `T[cond]`: a log row failing it is not a
-    // match (inner drops, left outer pads when NO row matches)
+    // match (inner drops, left outer pads when NO row matches). The
+    // filter tests what the EVENT reads: the stored row without
+    // upsert writers, the overlaid value with them — so it prunes
+    // `live0` directly in the first case and rides the join
+    // condition (over the overlay expression) in the second.
+    def tFilterSql(f: Expr, sub: String => String): String =
+      sqlOfWith(f, {
+        case q :: c :: Nil if q.equalsIgnoreCase(tAlias) ||
+            q.equalsIgnoreCase(tName) =>
+          if (!tCols.contains(c))
+            fail(s"'$c' is not a column of table '$tName'")
+          sub(c)
+        case c :: Nil =>
+          if (!tCols.contains(c))
+            fail(s"table filter on '$tName' references its " +
+              s"columns; '$c' is not one")
+          sub(c)
+        case parts => fail(s"table filter on '$tName' references " +
+          s"its columns; got '${parts.mkString(".")}'")
+      })
     val live = tSide.filter match {
-      case None => live0
-      case Some(f) =>
-        val fSql = sqlOfWith(f, {
-          case q :: c :: Nil if q.equalsIgnoreCase(tAlias) ||
-              q.equalsIgnoreCase(tName) =>
-            if (!tCols.contains(c))
-              fail(s"'$c' is not a column of table '$tName'")
-            s"__state.$c"
-          case c :: Nil =>
-            if (!tCols.contains(c))
-              fail(s"table filter on '$tName' references its " +
-                s"columns; '$c' is not one")
-            s"__state.$c"
-          case parts => fail(s"table filter on '$tName' references " +
-            s"its columns; got '${parts.mkString(".")}'")
-        })
-        live0.where(expr(fSql))
+      case Some(f) if upsWI.isEmpty =>
+        live0.where(expr(tFilterSql(f, c => s"__state.$c")))
+      case _ => live0
+    }
+    val ovlFilter: Column = tSide.filter match {
+      case Some(f) if upsWI.nonEmpty =>
+        // the overlay expression, inline (the joined `__state`
+        // rewrite below is the same rule): an origin older than the
+        // event's last upsert reads the upsert's values
+        val ovl = "(CASE WHEN __lu IS NOT NULL AND __lu.o > __lo " +
+          "THEN __lu.v ELSE __state END)"
+        expr(tFilterSql(f, c => s"$ovl.$c"))
+      case _ => lit(true)
     }
     val joined0 = evts.join(live,
       col("__ek") === col("__lk") && col("__es") === col("__ls") &&
-        col("__lo") < col("__eo"), joinKind)
+        col("__lo") < col("__eo") && ovlFilter, joinKind)
     // overlay: an origin older than the event last-upsert position
     // takes the upsert values (the implicit set is last-writer-wins,
     // so intermediate upserts are fully overwritten); a left-outer

@@ -527,6 +527,52 @@ object SqlGate {
         |order by event_id
         |output last every 5 events
         |insert into Out""".stripMargin, "tails")),
+    // rate OVER pattern matches (r14): the rated events are the
+    // MATCHES in emission order (closing bound event's ts, spawn
+    // tie-break) — count mode picks every 4th match
+    "sql_rate_pattern" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |  within 120 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id
+        |output first every 4 events
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin),
+    // the same app deployed LIVE: matches accumulate in an append-only
+    // fold, finish runs the BATCH selection (rateOverMatches) — live ≡
+    // batch by construction
+    "sql_app_rate_pattern_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |  within 120 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id
+        |output first every 4 events
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin, "alerts")),
+    // time mode over matches: the LAST match of each 10-min emission
+    // interval
+    "sql_rate_pattern_time" -> q(
+      """from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |  within 120 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id
+        |output last every 10 min
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin),
+    "sql_app_rate_pattern_time_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """@info(name = 'alerts')
+        |from every e1=events[event_type == 'error']
+        |  -> e2=events[event_type == 'purchase']
+        |  within 120 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id
+        |output last every 10 min
+        |order by start_id, next_id
+        |insert into alerts""".stripMargin, "alerts")),
     // MIXED window sides: each direction applies the EARLIER side's
     // own retention rule — the time side its [0, T] band, the length
     // side its arrival-rank band
@@ -1832,6 +1878,120 @@ object SqlGate {
     // every live origin row with the key's last upsert (between the
     // row's origin and the purchase) overlaid; reconstructed by the
     // segment construction plus one running-last window column
+    // table-side filter composed with upsert writers (r14, closing
+    // the r13 refusal): the filter tests each pair's OVERLAID as-of
+    // value (what the event reads), riding the join condition so the
+    // left-outer pad machinery treats a failing row as a non-match
+    "sql_enrich_log_ups_filtered" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart[v > 100.0]
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("buy")),
+    "sql_app_enrich_log_ups_filtered_live" -> ((s, d) =>
+      SiddhiQL.deployApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart[v > 100.0]
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "buy")),
+    // the LEFT OUTER form: an event none of whose overlaid rows pass
+    // the filter pads (the join-condition placement is what makes
+    // this correct)
+    "sql_enrich_log_ups_filtered_outer" -> ((s, d) =>
+      SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase']
+        |  left outer join Cart[v > 100.0]
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id,
+        |  coalesce(Cart.item, convert(-1, 'long')) as item,
+        |  math:round(coalesce(Cart.v, 0.0), 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin)("buy")),
+    "sql_app_enrich_log_ups_filtered_outer_live" -> ((s, d) =>
+      SiddhiQL.deployApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'mark')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase']
+        |  left outer join Cart[v > 100.0]
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id,
+        |  coalesce(Cart.item, convert(-1, 'long')) as item,
+        |  math:round(coalesce(Cart.v, 0.0), 2) as v
+        |order by event_id, item
+        |insert into Out""".stripMargin, "buy")),
     "sql_enrich_log_ups" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Cart (user_id long, item long, v double);
         |
@@ -2834,6 +2994,66 @@ object SqlGate {
         |r AS (SELECT *, row_number() OVER (ORDER BY b) AS rn FROM flush)
         |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM r
         |WHERE (rn - 1) % 3 = 0 ORDER BY w_end_ms""".stripMargin,
+    // matches = first purchase per error within 120 min (the NFA's
+    // `every e1 -> e2` rule); emission order = (closing purchase ts,
+    // spawning error ts, error id); count mode keeps every 4th
+    "sql_rate_pattern" ->
+      """WITH m AS (
+        |  SELECT e.user_id AS user_id, e.event_id AS start_id,
+        |    p.event_id AS next_id, epoch_ns(p.ts) AS emit_ns,
+        |    epoch_ns(e.ts) AS sp_ts, e.event_id AS sp_id
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 120 MINUTE
+        |  QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY p.ts, p.event_id) = 1)
+        |SELECT user_id, start_id, next_id FROM m
+        |QUALIFY (row_number() OVER (ORDER BY emit_ns, sp_ts, sp_id)
+        |  - 1) % 4 = 0
+        |ORDER BY start_id, next_id""".stripMargin,
+    "sql_app_rate_pattern_live" ->
+      """WITH m AS (
+        |  SELECT e.user_id AS user_id, e.event_id AS start_id,
+        |    p.event_id AS next_id, epoch_ns(p.ts) AS emit_ns,
+        |    epoch_ns(e.ts) AS sp_ts, e.event_id AS sp_id
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 120 MINUTE
+        |  QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY p.ts, p.event_id) = 1)
+        |SELECT user_id, start_id, next_id FROM m
+        |QUALIFY (row_number() OVER (ORDER BY emit_ns, sp_ts, sp_id)
+        |  - 1) % 4 = 0
+        |ORDER BY start_id, next_id""".stripMargin,
+    // time mode: the LAST match of each 10-min emission interval
+    "sql_rate_pattern_time" ->
+      """WITH m AS (
+        |  SELECT e.user_id AS user_id, e.event_id AS start_id,
+        |    p.event_id AS next_id, epoch_ns(p.ts) AS emit_ns,
+        |    epoch_ns(e.ts) AS sp_ts, e.event_id AS sp_id
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 120 MINUTE
+        |  QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY p.ts, p.event_id) = 1)
+        |SELECT user_id, start_id, next_id FROM m
+        |QUALIFY row_number() OVER (PARTITION BY emit_ns // 600000000000
+        |  ORDER BY emit_ns DESC, sp_ts DESC, sp_id DESC) = 1
+        |ORDER BY start_id, next_id""".stripMargin,
+    "sql_app_rate_pattern_time_live" ->
+      """WITH m AS (
+        |  SELECT e.user_id AS user_id, e.event_id AS start_id,
+        |    p.event_id AS next_id, epoch_ns(p.ts) AS emit_ns,
+        |    epoch_ns(e.ts) AS sp_ts, e.event_id AS sp_id
+        |  FROM events e JOIN events p ON e.user_id = p.user_id
+        |    AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 120 MINUTE
+        |  QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY p.ts, p.event_id) = 1)
+        |SELECT user_id, start_id, next_id FROM m
+        |QUALIFY row_number() OVER (PARTITION BY emit_ns // 600000000000
+        |  ORDER BY emit_ns DESC, sp_ts DESC, sp_id DESC) = 1
+        |ORDER BY start_id, next_id""".stripMargin,
     "sql_app_rate_count_live" ->
       """WITH f AS (SELECT event_id, user_id, row_number()
         |  OVER (ORDER BY epoch_ns(ts), event_id) AS rn
@@ -3736,6 +3956,202 @@ object SqlGate {
     // (user, segment); each (purchase, origin) pair takes the LAST
     // upsert strictly between them (same segment by construction),
     // else the origin's own values
+    "sql_enrich_log_ups_filtered" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id,
+        |  coalesce(lu.event_id, o.event_id) AS item,
+        |  round(coalesce(lu.value, o.value), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT u.event_id, u.value FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |WHERE coalesce(lu.value, o.value) > 100.0
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_app_enrich_log_ups_filtered_live" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id,
+        |  coalesce(lu.event_id, o.event_id) AS item,
+        |  round(coalesce(lu.value, o.value), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT u.event_id, u.value FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |WHERE coalesce(lu.value, o.value) > 100.0
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_enrich_log_ups_filtered_outer" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id))))),
+        |pairs AS (
+        |  SELECT e.event_id AS eid,
+        |    coalesce(lu.event_id, o.event_id) AS item,
+        |    round(coalesce(lu.value, o.value), 2) AS v
+        |  FROM events e
+        |  JOIN org o ON e.event_type = 'purchase'
+        |    AND o.user_id = e.user_id
+        |    AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 150.0
+        |        AND d.user_id = e.user_id
+        |        AND (d.ts > o.ts OR
+        |             (d.ts = o.ts AND d.event_id > o.event_id))
+        |        AND (d.ts < e.ts OR
+        |             (d.ts = e.ts AND d.event_id < e.event_id)))
+        |  LEFT JOIN LATERAL (
+        |    SELECT u.event_id, u.value FROM ups u
+        |    WHERE u.user_id = e.user_id
+        |      AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |      AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |    ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |  WHERE coalesce(lu.value, o.value) > 100.0)
+        |SELECT e.event_id AS event_id,
+        |  coalesce(p.item, CAST(-1 AS BIGINT)) AS item,
+        |  coalesce(p.v, 0.0) AS v
+        |FROM events e LEFT JOIN pairs p ON p.eid = e.event_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_app_enrich_log_ups_filtered_outer_live" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id))))),
+        |pairs AS (
+        |  SELECT e.event_id AS eid,
+        |    coalesce(lu.event_id, o.event_id) AS item,
+        |    round(coalesce(lu.value, o.value), 2) AS v
+        |  FROM events e
+        |  JOIN org o ON e.event_type = 'purchase'
+        |    AND o.user_id = e.user_id
+        |    AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 150.0
+        |        AND d.user_id = e.user_id
+        |        AND (d.ts > o.ts OR
+        |             (d.ts = o.ts AND d.event_id > o.event_id))
+        |        AND (d.ts < e.ts OR
+        |             (d.ts = e.ts AND d.event_id < e.event_id)))
+        |  LEFT JOIN LATERAL (
+        |    SELECT u.event_id, u.value FROM ups u
+        |    WHERE u.user_id = e.user_id
+        |      AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |      AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |    ORDER BY u.ts DESC, u.event_id DESC LIMIT 1) lu ON TRUE
+        |  WHERE coalesce(lu.value, o.value) > 100.0)
+        |SELECT e.event_id AS event_id,
+        |  coalesce(p.item, CAST(-1 AS BIGINT)) AS item,
+        |  coalesce(p.v, 0.0) AS v
+        |FROM events e LEFT JOIN pairs p ON p.eid = e.event_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id, item, v""".stripMargin,
     "sql_enrich_log_ups" ->
       """WITH ups AS (
         |  SELECT user_id, ts, event_id, value FROM events

@@ -1108,6 +1108,48 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("rate over pattern matches deploys live and equals batch " +
+      "replay (incl. absence patterns; r14)") {
+    // followed-by pattern, count + time rate modes: the live
+    // accumulate-then-rank fold's finish IS the batch selection
+    // (rateOverMatches), so equality pins the fold plumbing
+    def app(rate: String): String =
+      "@info(name='q') from every e1=events[event_type == 'error'] " +
+        "-> e2=events[event_type == 'purchase'] within 120 min " +
+        "select e1.user_id as user_id, e1.event_id as start_id, " +
+        "e2.event_id as next_id " +
+        s"output $rate order by start_id, next_id insert into O"
+    for (r <- Seq("first every 4 events", "last every 10 min",
+        "all every 10 min")) {
+      val live = SiddhiQL.deployApp(spark, sf, app(r), "q")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val batch = SiddhiQL.compileApp(spark, sf, app(r))("q")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(live.nonEmpty && (live sameElements batch),
+        s"rate '$r': live=${live.length} batch=${batch.length}")
+    }
+    // ABSENCE pattern + rate: the fold feeds from the timed re-fold
+    // channel and needs the flush sentinels for the last deadlines
+    val appAbs =
+      "@info(name='q') from every e1=events[event_type == 'error'] " +
+        "-> not events[event_type == 'purchase' and " +
+        "user_id == e1.user_id] for 5 min " +
+        "select e1.user_id as user_id, e1.event_id as event_id " +
+        "output first every 7 events " +
+        "order by event_id insert into O"
+    val liveA = SiddhiQL.deployApp(spark, sf, appAbs, "q")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batchA = SiddhiQL.compileApp(spark, sf, appAbs)("q")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(liveA.nonEmpty && (liveA sameElements batchA),
+      s"absence rate: live=${liveA.length} batch=${batchA.length}")
+    // snapshot over a pattern stays refused, named identically on
+    // both surfaces (the batch compiler's rule)
+    val m = intercept[IllegalArgumentException](SiddhiQL.deployApp(
+      spark, sf, app("snapshot every 10 min"), "q")).getMessage
+    assert(m.contains("snapshot over a pattern"))
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
