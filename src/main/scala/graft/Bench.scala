@@ -48,6 +48,11 @@ object Bench {
     // dominates the 60-gate live family. graft.Verify and `sbt test`
     // do NOT set it: correctness always runs the full replay.
     spark.conf.set("graft.live.fastGates", "true")
+    // A/B hooks for the live-replay knobs (see deployApp)
+    sys.env.get("SPARK_GRAFT_LIVE_AQE").foreach(v =>
+      spark.conf.set("graft.live.aqe", v))
+    sys.env.get("SPARK_GRAFT_LIVE_PARTS").foreach(p =>
+      spark.conf.set("graft.live.shufflePartitions", p))
     // optional: query names as args restrict the run (local iteration);
     // the driver invokes with no args = full suite
     val only = args.toSet

@@ -15,15 +15,27 @@ private[api] trait SiddhiQlLive extends Serializable {
   self: SiddhiQlFrontend with SiddhiQlCompiler =>
   // ---------- live deployment ----------
   /** The single source watermark bound: every deployed topology
-    * declares `withWatermark("ts", WatermarkDelay)` at the source, and
-    * the compaction split freezes buckets only at or below
-    * (batch max ts_ns − WatermarkNs). ONE constant feeds both — a
-    * larger delay with an unchanged freeze predicate would shed
-    * buckets still reachable by late rows, silently corrupting as-of
-    * enrichment with no gate failure at default compactEvery. */
-  private[api] final val WatermarkNs: Long = 60000000000L
-  private[api] final val WatermarkDelay: String =
-    s"${WatermarkNs / 1000000000L} seconds"
+    * declares `withWatermark("ts", <delay>)` at the source, and the
+    * compaction split freezes buckets only at or below
+    * (batch max ts_ns − delay). ONE value feeds both — a larger delay
+    * with an unchanged freeze predicate would shed buckets still
+    * reachable by late rows, silently corrupting as-of enrichment
+    * with no gate failure at default compactEvery. The default is
+    * 60 s; a deployment with later-arriving data raises it through
+    * ONE validated knob (`graft.live.watermark`, seconds), captured
+    * once per deployment so the two cannot drift apart. */
+  private[api] final val DefaultWatermarkNs: Long = 60000000000L
+  private[api] def watermarkNs(sp: SparkSession): Long =
+    sp.conf.getOption("graft.live.watermark").map { s =>
+      val n = try s.trim.toLong catch {
+        case _: NumberFormatException =>
+          fail(s"graft.live.watermark must be a positive integer " +
+            s"(seconds); got '$s'")
+      }
+      if (n <= 0) fail(s"graft.live.watermark must be a positive " +
+        s"integer (seconds); got '$s'")
+      n * 1000000000L
+    }.getOrElse(DefaultWatermarkNs)
 
   /** Small shared pool for the fold runner's independent per-state
     * Spark jobs (touched-bucket probes, generation writes): a fold
@@ -535,8 +547,13 @@ private[api] trait SiddhiQlLive extends Serializable {
     val srcTs =
       if (src.columns.contains("ts")) src
       else src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // captured ONCE per deployment: the same value becomes the source
+    // watermark delay AND the compaction freeze bound (see scaladoc
+    // at DefaultWatermarkNs) — they move in lockstep by construction
+    val wmNs = watermarkNs(src.sparkSession)
     var env = Map[String, DataFrame](
-      "events" -> srcTs.withWatermark("ts", WatermarkDelay))
+      "events" -> srcTs.withWatermark("ts",
+        s"${wmNs / 1000000000L} seconds"))
     var statefulStreams = Set.empty[String]
     var tableDefs = Map.empty[String, StructType]
     var liveWindowDefs = Map.empty[String, WindowSpec]
@@ -2045,7 +2062,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                     if (maxTs.isNullAt(0))
                       Map("state" -> st1, "base" -> acc("base").slice)
                     else {
-                      val w = maxTs.getLong(0) - WatermarkNs
+                      val w = maxTs.getLong(0) - wmNs
                       val frozenP =
                         (col("__wb") + lit(1L)) * lit(tNsW) <= lit(w)
                       val fresh = wfP.finish(sp,
@@ -3100,6 +3117,13 @@ private[api] trait SiddhiQlLive extends Serializable {
         .exists(_ > 0), "graft.live.shufflePartitions must be a " +
         s"positive integer; got '$livePartitions'")
     spark.conf.set("spark.sql.shuffle.partitions", livePartitions)
+    // A/B hook (r14): the fold runner's per-trigger probe collects are
+    // tiny 2-stage distincts under AQE — graft.live.aqe=false runs the
+    // replay with AQE off (one job per probe instead of two)
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.enabled")
+    spark.conf.getOption("graft.live.aqe").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
     // the flush design is DATA-batch driven (sentinels advance the
     // watermark, the batch after them emits under it), so Spark's
     // extra no-data micro-batch per watermark advance only doubles the
@@ -3207,7 +3231,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                     })(
                       scala.collection.BuildFrom.buildFromIterableOps,
                       foldEc),
-                  scala.concurrent.duration.Duration.Inf).toMap
+                  // bounded like the write phase: probes are tiny
+                  // collects; a wedged one fails the trigger loudly
+                  scala.concurrent.duration.Duration(30,
+                    java.util.concurrent.TimeUnit.MINUTES)).toMap
               val compactingNow: Set[String] = lf.schemas.collect {
                 case (n, _, KeyedState(_, _, Some(e)))
                     if (gen + 1) % e == 0 => n
@@ -3286,7 +3313,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               // latency); bookkeeping thunks apply sequentially after,
               // so `latest`/`appendGens` stay driver-thread-only
               val bookkeeping: Seq[() => Unit] =
-                scala.concurrent.Await.result(
+                try scala.concurrent.Await.result(
                   scala.concurrent.Future.sequence(
                     lf.schemas.map { case (n, _, m) =>
                       scala.concurrent.Future[() => Unit] { m match {
@@ -3329,7 +3356,24 @@ private[api] trait SiddhiQlLive extends Serializable {
                     })(
                       scala.collection.BuildFrom.buildFromIterableOps,
                       foldEc),
-                  scala.concurrent.duration.Duration.Inf)
+                  // bounded: a wedged write job must fail the trigger,
+                  // not hang it forever (generous — harness triggers
+                  // are seconds; scale writes are minutes)
+                  scala.concurrent.duration.Duration(30,
+                    java.util.concurrent.TimeUnit.MINUTES))
+                catch { case e: Throwable =>
+                  // one failed/timed-out write discards the deferred
+                  // bookkeeping of siblings that already wrote: state
+                  // stays consistent (`latest` never advanced), but
+                  // their gen$g1 files would leak in scratch — remove
+                  // the whole generation before rethrowing
+                  scala.util.Try {
+                    import scala.reflect.io.Directory
+                    new Directory(new java.io.File(s"$tmp/gen${g1}"))
+                      .deleteRecursively()
+                  }
+                  throw e
+                }
               bookkeeping.foreach(_.apply())
               gen = g1
             }.start())
@@ -3456,6 +3500,12 @@ private[api] trait SiddhiQlLive extends Serializable {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (spark.conf.getOption("graft.live.aqe").nonEmpty) prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.enabled")
+      }
       prevNd match {
         case Some(v) => spark.conf.set(
           "spark.sql.streaming.noDataMicroBatches.enabled", v)

@@ -530,6 +530,41 @@ object SqlGate {
     // rate OVER pattern matches (r14): the rated events are the
     // MATCHES in emission order (closing bound event's ts, spawn
     // tie-break) — count mode picks every 4th match
+    // COUNT-mode rate over a NAMED window (r14 adjudication made
+    // executable): the named-window read rewrites to fed-stream#spec,
+    // so the rate rides the flush-fold channel whose finish is
+    // rateOverFlushes — same oracle as sql_rate_window_count
+    "sql_rate_named_count" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define window HotWin (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(1 min);
+        |
+        |@info(name = 'feed')
+        |from events[event_type == 'view']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotWin;
+        |
+        |@info(name = 'down')
+        |from HotWin
+        |select math:round(sum(value), 2) as total, count() as n
+        |output first every 3 events
+        |order by w_end_ms
+        |insert into Out""".stripMargin)("down")),
+    "sql_app_rate_named_count_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define window HotWin (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(1 min);
+        |
+        |@info(name = 'feed')
+        |from events[event_type == 'view']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into HotWin;
+        |
+        |@info(name = 'down')
+        |from HotWin
+        |select math:round(sum(value), 2) as total, count() as n
+        |output first every 3 events
+        |order by w_end_ms
+        |insert into Out""".stripMargin, "down")),
     "sql_rate_pattern" -> q(
       """from every e1=events[event_type == 'error']
         |  -> e2=events[event_type == 'purchase']
@@ -2997,6 +3032,22 @@ object SqlGate {
     // matches = first purchase per error within 120 min (the NFA's
     // `every e1 -> e2` rule); emission order = (closing purchase ts,
     // spawning error ts, error id); count mode keeps every 4th
+    "sql_rate_named_count" ->
+      """WITH flush AS (
+        |  SELECT epoch_ms(ts) // 60000 AS b, round(sum(value), 2)
+        |    AS total, count(*) AS n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY b) AS rn FROM flush)
+        |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM r
+        |WHERE (rn - 1) % 3 = 0 ORDER BY w_end_ms""".stripMargin,
+    "sql_app_rate_named_count_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ms(ts) // 60000 AS b, round(sum(value), 2)
+        |    AS total, count(*) AS n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY b) AS rn FROM flush)
+        |SELECT (b + 1) * 60000 AS w_end_ms, total, n FROM r
+        |WHERE (rn - 1) % 3 = 0 ORDER BY w_end_ms""".stripMargin,
     "sql_rate_pattern" ->
       """WITH m AS (
         |  SELECT e.user_id AS user_id, e.event_id AS start_id,

@@ -82,12 +82,18 @@ object Streaming {
     * are fsync-bound on disk; a real deployment points state at durable
     * storage instead). */
   def scratchDir(tag: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    val p = java.nio.file.Files.createTempDirectory(
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp")),
-      tag)
+    // SPARK_GRAFT_SCRATCH overrides the root (A/B lever: point it at
+    // /tmp to measure the disk-vs-RAM checkpoint cost — BASELINE.md
+    // round 14 records the attribution)
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      }
+    val p = java.nio.file.Files.createTempDirectory(root, tag)
     scratchDirs.add(p.toString)
     p.toString
   }

@@ -958,6 +958,69 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x rate over pattern matches: live accumulate-then-rank == " +
+       "batch global selection, bounded tasks (r14)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // Replica timestamps are IDENTICAL (only ids shift), so the 10x
+    // match stream interleaves corresponding replica matches at the
+    // same emission instant — the GLOBAL every-4th pick does NOT
+    // decompose per replica, which is exactly why the invariant here
+    // is live == batch at 1M events: the append-only match fold +
+    // finish selection must equal the batch compile's global rank
+    // over ~10x the matches, under real multi-trigger accumulation.
+    val app =
+      """@info(name='q') from every e1=events[event_type == 'error']
+        | -> e2=events[event_type == 'purchase'] within 120 min
+        |select e1.user_id as user_id, e1.event_id as start_id,
+        |  e2.event_id as next_id
+        |output first every 4 events
+        |order by start_id, next_id insert into O""".stripMargin
+    val base = api.SiddhiQL.compileApp(spark, baseSf, app)("q")
+      .collect()
+    val (rows, wall, maxTask) = timed(
+      api.SiddhiQL.deployApp(spark, evDir10, app, "q"))
+    info(f"pattern rate 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base rated ${base.length} rows)")
+    val batch10 = api.SiddhiQL.compileApp(spark, evDir10, app)("q")
+      .collect().map(_.toSeq)
+    assert(rows.nonEmpty && (rows.map(_.toSeq).toSeq == batch10.toSeq),
+      s"live ${rows.length} != batch ${batch10.length} at 10x")
+    // ~10x the matches rated every-4th: within rounding of 10x the
+    // base gate's row count (global interleave shifts chunk edges)
+    assert(math.abs(rows.length - reps * base.length) <= reps,
+      s"rated count ${rows.length} far from ${reps}x ${base.length}")
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
+  test("10x filtered upsert-overlay enrichment: per-pair overlaid " +
+       "filter replica-exact, bounded tasks (r14)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r14 channel: the table-side filter tests each pair's
+    // OVERLAID value inside the join condition. Values are identical
+    // across replicas (only ids shift), so the filter's keep/drop
+    // decisions are replica-local and every replica must reproduce
+    // the base gate id-shifted — including left-outer-style drops
+    // becoming non-matches rather than corrupting the pad rule.
+    val q = SqlGate.queries("sql_app_enrich_log_ups_filtered_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"filtered overlay 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val e = r.head.asInstanceOf[Long]
+        e >= k * off && e < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off, r(2)))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base filtered overlay join")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
        "live == batch, bounded tasks (VERDICT r12 #8)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")

@@ -1041,6 +1041,79 @@ class SiddhiQlSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.live.watermark: one knob moves the source watermark AND " +
+       "the compaction freeze bound in lockstep (r14)") {
+    // same synthetic feed as the flush-partial store test: 1200 events
+    // at 2-min spacing (span 40 h), compactEvery=3. With the default
+    // 60 s watermark the store sheds frozen buckets into the base;
+    // with the knob raised ABOVE the span nothing is ever frozen —
+    // the freeze bound moved exactly as far as the watermark did —
+    // and the finite replay's RESULTS are identical either way.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wm_knob").toString
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, 1600000000000000000L + i * 120000000000L, (i % 4).toLong,
+        if (i % 5 == 4) "purchase" else "click", (i % 97).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table WinStats (user_id long, cnt long, total double);
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |group by user_id
+        |update or insert into WinStats on WinStats.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join WinStats
+        |  on WinStats.user_id == e.user_id
+        |select e.event_id as event_id, e.user_id as user_id,
+        |  WinStats.cnt as clicks, WinStats.total as click_total
+        |order by event_id
+        |insert into Out""".stripMargin
+    spark.conf.set("graft.live.compactEvery", "3")
+    try {
+      def run(): (Seq[Seq[Any]], Seq[Long], Seq[Long]) = {
+        val probe =
+          scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+        SiddhiQL.foldReadProbe = Some(probe)
+        try {
+          val r = SiddhiQL.deployApp(spark, dir, app, "read",
+            chunks = 12).collect().map(_.toSeq).toSeq
+          (r, probe.filter(_._2 == "state").map(_._3).toSeq,
+            probe.filter(_._2 == "base").map(_._3).toSeq)
+        } finally SiddhiQL.foldReadProbe = None
+      }
+      val (rDef, stDef, baseDef) = run()
+      spark.conf.set("graft.live.watermark", "200000") // > 40 h span
+      val (rBig, stBig, baseBig) = run()
+      assert(rDef.length == 240 && rDef == rBig,
+        "watermark delay changed finite-replay results")
+      // default: freezing sheds buckets (the store test's band bound)
+      assert(stDef.max < 500 && baseDef.exists(_ > 0),
+        s"default watermark did not freeze: st=$stDef base=$baseDef")
+      // raised ABOVE the span: nothing freezes — the store keeps every
+      // partial (reads grow monotonically past the default band's
+      // shed ceiling; the last read precedes the final write, so the
+      // ceiling is ~11/12 of the ~960 partials) and the base never
+      // receives a row
+      assert(stBig.max > stDef.max && stBig.max > 600 &&
+        stBig == stBig.sorted && baseBig.forall(_ == 0),
+        s"raised watermark still froze buckets: st=$stBig base=$baseBig")
+      // the knob validates like the other deploy-time fail-fasts
+      spark.conf.set("graft.live.watermark", "soon")
+      val m = intercept[IllegalArgumentException](
+        SiddhiQL.deployApp(spark, dir, app, "read")).getMessage
+      assert(m.contains("graft.live.watermark"))
+    } finally {
+      spark.conf.unset("graft.live.compactEvery")
+      spark.conf.unset("graft.live.watermark")
+    }
+  }
+
   test("enrichment read prune: per-trigger table reads track the " +
        "batch's event-key domain on a growing event log, results " +
        "unchanged (VERDICT r12 #1)") {
