@@ -608,13 +608,22 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case UpsertTable(_, set, _) => set.isEmpty
         case _ => false
       })
-      if (!implicitUps)
+      // accumulator-fold upserts in the log group (r14): a fold
+      // upsert ADDS its delta to every live row of its key — per-pair
+      // reconstructible as total-minus-prefix sums (enrichLogCompile)
+      val foldUps = nonIns.forall(_._1._2 match {
+        case UpsertTable(_, set, _) =>
+          set.nonEmpty &&
+            set.forall { case (c, e) => foldSetOf(tName, c, e).nonEmpty }
+        case _ => false
+      })
+      if (!implicitUps && !foldUps)
         fail(s"enrichment joins read an event-log table whose " +
-          s"non-insert writers are IMPLICIT-SET `update or insert` " +
-          s"(v1) — '$tName' mixes inserts with expr-set/fold or " +
-          "update writers, whose per-row deltas make the replay " +
-          "row-level (read the table directly with `from " +
-          s"$tName`, or split the read across two tables)")
+          s"non-insert writers are IMPLICIT-SET or ACCUMULATOR-FOLD " +
+          s"`update or insert` (v1) — '$tName' mixes inserts with " +
+          "general expr-set or update writers, whose per-row values " +
+          "make the replay row-level (read the table directly with " +
+          s"`from $tName`, or split the read across two tables)")
       return enrichLogCompile(sp, dir, ast, j, winfos, accTable, env)
     }
     // implicit set (last-event-wins) or ALL-accumulator-fold set
@@ -1050,9 +1059,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case _ => ()
       }
     }
-    // IMPLICIT-SET upserts in the log group (r13): keyed on the join
-    // key columns, un-windowed; the routing in enrichCompile already
-    // rejected expr-set/fold shapes
+    // IMPLICIT-SET (r13) or ACCUMULATOR-FOLD (r14) upserts in the log
+    // group: keyed on the join key columns, un-windowed; the routing
+    // in enrichCompile already rejected general expr-set shapes
     upsWI.foreach { case ((uAst, uAct, _, _), _) =>
       uAst.stream match {
         case ss2: SingleStream if ss2.window.nonEmpty =>
@@ -1068,6 +1077,28 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         fail(s"event-log upsert writers on '$tName' (v1) must key " +
           s"on the JOIN key columns (${keyOrder.mkString(", ")})")
     }
+    // fold mode: every upsert writer carries full accumulator-fold
+    // specs (identical column → op); implicit mode = empty
+    val upsFolds: List[(String, String)] = {
+      val specs = upsWI.map { case ((_, uAct, _, _), _) =>
+        uAct match {
+          case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
+            foldSetOf(tName, c, e).map { case (op, _) => c -> op } }
+          case _ => Nil
+        }
+      }
+      if (specs.forall(_.isEmpty)) Nil
+      else {
+        if (specs.map(_.toMap).distinct.length != 1)
+          fail(s"event-log fold-upsert writers on '$tName' (v1) must " +
+            "fold the SAME columns with the same operators")
+        specs.head.sortBy(_._1)
+      }
+    }
+    val foldMode = upsFolds.nonEmpty
+    // non-upsert branches of the segment union carry null deltas
+    def nullFds: Seq[Column] = upsFolds.map { case (c, _) =>
+      lit(null).cast(dSchema(c).dataType).as(s"__fd_$c") }
     // table-side filter + upsert writers (r14, closing the r13 bound):
     // the filter applies to each pair's OVERLAID as-of values (per
     // event, not per stored row), so it cannot prune `live0` — it
@@ -1108,9 +1139,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           expr(sqlOf(it.e)).as(a2) } :+
           struct(col("ts_ns"), col("event_id"),
             lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(keyC(keyOrder).as("__key"), col("__ord"),
+        .select(Seq(keyC(keyOrder).as("__key"), col("__ord"),
           updC.as("__upd"), lit(false).as("__del"),
-          lit(false).as("__ups"))
+          lit(false).as("__ups")) ++ nullFds: _*)
     }
     // implicit-set upsert rows (r13): key VALUES from the on-clause
     // RHS, full row values from the select outputs -- an upsert both
@@ -1133,14 +1164,32 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       dSchema.fieldNames.foreach(c => if (!outCols.contains(c))
         fail(s"update or insert into $tName: select output must " +
           s"cover every table column (missing: $c)"))
+      // fold mode: each upsert emission also carries its SIGNED delta
+      // per fold column (`T.c - e` subtracts), referencing its own
+      // select outputs — the store path's exact rule
+      val uDeltas: Map[String, Expr] = uAct match {
+        case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
+          foldSetOf(tName, c, e).map { case (_, d) => c -> d } }.toMap
+        case _ => Map.empty
+      }
+      def streamSql(e: Expr): String = sqlOfWith(e, {
+        case c :: Nil if outCols.contains(c) => c
+        case parts => fail(s"fold delta reference " +
+          s"'${parts.mkString(".")}' is not a select output attribute")
+      })
       uBase.select(uItems.map { case (it, a2, _) =>
           expr(sqlOf(it.e)).as(a2) } :+
           struct(col("ts_ns"), col("event_id"),
             lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(keyC(keyOrder.map(c => uKeys.find(_._1 == c).get._2))
+        .select(Seq(
+          keyC(keyOrder.map(c => uKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), updC.as("__upd"), lit(false).as("__del"),
-          lit(true).as("__ups"))
+          lit(true).as("__ups")) ++
+          upsFolds.map { case (c, op) =>
+            (if (op == "-") -expr(streamSql(uDeltas(c)))
+             else expr(streamSql(uDeltas(c))))
+              .cast(dSchema(c).dataType).as(s"__fd_$c") }: _*)
     }
     val delRows = delWI.map { case ((dAst2, dAct2, _, dSrc2), wi) =>
       val dKeys = dAct2 match {
@@ -1158,30 +1207,32 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           expr(sqlOf(it.e)).as(a2) } :+
           struct(col("ts_ns"), col("event_id"),
             lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
+        .select(Seq(
+          keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), lit(null).cast(updType).as("__upd"),
-          lit(true).as("__del"), lit(false).as("__ups"))
+          lit(true).as("__del"), lit(false).as("__ups")) ++
+          nullFds: _*)
     }
     // accumulated generation rows seed at ord −∞ (segment 0)
-    val accTag = accTable.select(keyC(keyOrder).as("__key"),
+    val accTag = accTable.select(Seq(keyC(keyOrder).as("__key"),
       struct(lit(Long.MinValue).as("ts_ns"),
         lit(Long.MinValue).as("event_id"),
         lit(Long.MinValue).as("w")).as("__ord"),
       updC.as("__upd"), lit(false).as("__del"),
-      lit(false).as("__ups"))
+      lit(false).as("__ups")) ++ nullFds: _*)
     val uAll = (insRows ++ upsRows ++ delRows :+ accTag)
       .reduce(_ unionByName _)
       .withColumn("__isE", lit(false))
       .withColumn("__evt", lit(null).cast(evtType))
-    val eTag = eBase.select(
+    val eTag = eBase.select(Seq(
       keyC(keyOrder.map(c => joinKeys.find(_._1 == c).get._2))
         .as("__key"),
       struct(col("ts_ns"), col("event_id"),
         lit(Long.MaxValue).as("w")).as("__ord"),
       lit(null).cast(updType).as("__upd"), lit(false).as("__del"),
       lit(false).as("__ups"), lit(true).as("__isE"),
-      evtC.as("__evt"))
+      evtC.as("__evt")) ++ nullFds: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__key")
       .orderBy(col("__ord"), col("__isE"))
@@ -1211,25 +1262,42 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             org.apache.spark.sql.expressions.Window
               .unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        seged0
-          .withColumn("__minE",
-            min(when(!col("__isE") && !col("__del"), col("__ord")))
-              .over(wSeg))
-          .withColumn("__lu",
+        val withMin = seged0.withColumn("__minE",
+          min(when(!col("__isE") && !col("__del"), col("__ord")))
+            .over(wSeg))
+        if (!foldMode)
+          withMin.withColumn("__lu",
             last(when(col("__ups"), struct(col("__ord").as("o"),
                 col("__upd").as("v"))),
               ignoreNulls = true).over(wF))
+        else
+          // fold mode (r14): per fold column, the running sum of
+          // DELTA upserts (an upsert at __minE inserted into an empty
+          // key — it is an origin, not a delta) at-or-before each row
+          // within its (key, segment). A pair (row, event) then reads
+          // adjustment = S(event) − S(row): exactly the deltas that
+          // landed after the row and at-or-before the event.
+          upsFolds.foldLeft(withMin) { case (df, (c, _)) =>
+            df.withColumn(s"__S_$c",
+              sum(when(col("__ups") && col("__ord") =!= col("__minE"),
+                col(s"__fd_$c"))).over(wF))
+          }
       }
     val evts = seged.where(col("__isE"))
       .select(Seq(col("__key").as("__ek"), col("__seg").as("__es"),
         col("__ord").as("__eo"), col("__evt")) ++
-        (if (upsWI.isEmpty) Nil else Seq(col("__lu"))): _*)
+        (if (upsWI.isEmpty) Nil
+         else if (foldMode) upsFolds.map { case (c, _) =>
+           col(s"__S_$c").as(s"__se_$c") }
+         else Seq(col("__lu"))): _*)
     val live0 = seged
       .where(!col("__isE") && !col("__del") &&
         (if (upsWI.isEmpty) lit(true)
          else !col("__ups") || col("__ord") === col("__minE")))
-      .select(col("__key").as("__lk"), col("__seg").as("__ls"),
-        col("__ord").as("__lo"), col("__upd").as("__state"))
+      .select(Seq(col("__key").as("__lk"), col("__seg").as("__ls"),
+        col("__ord").as("__lo"), col("__upd").as("__state")) ++
+        (if (foldMode) upsFolds.map { case (c, _) =>
+          col(s"__S_$c").as(s"__so_$c") } else Nil): _*)
     // table-side filter `T[cond]`: a log row failing it is not a
     // match (inner drops, left outer pads when NO row matches). The
     // filter tests what the EVENT reads: the stored row without
@@ -1256,14 +1324,23 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         live0.where(expr(tFilterSql(f, c => s"__state.$c")))
       case _ => live0
     }
+    val foldColSet = upsFolds.map(_._1).toSet
+    def foldAdjSql(c: String): String =
+      if (!foldColSet.contains(c)) s"__state.$c"
+      else s"(__state.$c + (coalesce(__se_$c, 0) " +
+        s"- coalesce(__so_$c, 0)))"
     val ovlFilter: Column = tSide.filter match {
-      case Some(f) if upsWI.nonEmpty =>
+      case Some(f) if upsWI.nonEmpty && !foldMode =>
         // the overlay expression, inline (the joined `__state`
         // rewrite below is the same rule): an origin older than the
         // event's last upsert reads the upsert's values
         val ovl = "(CASE WHEN __lu IS NOT NULL AND __lu.o > __lo " +
           "THEN __lu.v ELSE __state END)"
         expr(tFilterSql(f, c => s"$ovl.$c"))
+      case Some(f) if foldMode =>
+        // fold mode: the filter tests the SUM-ADJUSTED value the
+        // event reads (same join-condition placement, same pad rule)
+        expr(tFilterSql(f, foldAdjSql))
       case _ => lit(true)
     }
     val joined0 = evts.join(live,
@@ -1275,6 +1352,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // pad (null __lo) falls through to its null state
     val joined =
       if (upsWI.isEmpty) joined0
+      else if (foldMode)
+        // fold overlay: each pair's fold columns take the row value +
+        // (deltas after the row, at-or-before the event); a left-outer
+        // pad (null __lo) keeps its null state
+        joined0.withColumn("__state",
+          when(col("__lo").isNull, col("__state"))
+            .otherwise(struct(dSchema.fields.toSeq.map { f =>
+              (if (foldColSet.contains(f.name))
+                 expr(foldAdjSql(f.name)).cast(f.dataType)
+               else col(s"__state.${f.name}")).as(f.name)
+            }: _*)))
       else joined0.withColumn("__state",
         when(col("__lu").isNotNull && col("__lu.o") > col("__lo"),
           col("__lu.v")).otherwise(col("__state")))
@@ -1491,7 +1579,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     val updOk = updW.isEmpty || {
       val kinds = dmlKinds(updW).toSet
       kinds == Set("insert") || kinds == Set("upsert") ||
-        kinds == Set("fold") || kinds == Set("insert", "upsert")
+        kinds == Set("fold") || kinds == Set("insert", "upsert") ||
+        kinds == Set("insert", "fold")
     }
     if (delW.isEmpty) updW.nonEmpty && updOk
     else {
@@ -1518,10 +1607,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       fail(s"multi-writer table '$t' (v1) needs an ORDER-COMPOSABLE " +
         "writer group — all `insert into`, all implicit-set `update " +
         "or insert`, all accumulator-fold `update or insert` with " +
-        "identical folds, insert + implicit-set upsert multiset " +
-        "groups, or any of those plus keyed `delete` sweepers on the " +
-        "same key columns; insert + expr-set fold mixes, " +
-        "update/upsert-expr shapes and mixed-key groups are " +
+        "identical folds, insert + implicit-set upsert, insert + " +
+        "accumulator-fold upsert multiset groups, or any of those " +
+        "plus keyed `delete` sweepers on the same key columns; " +
+        "general update/upsert-expr shapes and mixed-key groups are " +
         "row-level replays (see dmlComposable) — got " +
         s"[${dmlKinds(writers).mkString(", ")}]")
     val (delWI, updWI) = writers.zipWithIndex
@@ -1672,6 +1761,117 @@ private[api] trait SiddhiQlCompiler extends Serializable {
               col("__lastU.o") > col("__g_ord"),
             col(s"__lastU.v.${f.name}"))
             .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+    if (kindSet == Set("insert", "fold")) {
+      // INSERT + ACCUMULATOR-FOLD UPSERT (r14, ± sweepers): the table
+      // is a keyed MULTISET where a fold-upsert ADDS its delta to
+      // EVERY row live for its key at its position, inserting its
+      // select row iff the key is empty there (= it is the key's
+      // first surviving emission; a seed row from prior state makes
+      // every batch upsert a delta). Final value of a surviving row =
+      // its own value + Σ of deltas that landed AFTER it — which is
+      // total-minus-prefix over one keyed ordered window: key-local,
+      // no per-event loop, the algebra that makes this composable
+      // where general expr-set mixes stay row-level.
+      val insIdx = updWI
+        .filter(_._1._2.isInstanceOf[InsertInto]).map(_._2)
+      val upsWI2 = updWI.filter(_._1._2.isInstanceOf[UpsertTable])
+      val foldSpecs2: List[Map[String, String]] =
+        upsWI2.map { case ((_, act2, _, _), _) =>
+          act2 match {
+            case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
+              foldSetOf(t, c, e).map { case (op, _) => c -> op } }.toMap
+            case _ => Map.empty[String, String]
+          }
+        }
+      if (foldSpecs2.distinct.length != 1)
+        fail(s"multi-writer table '$t' (v1): accumulator-fold " +
+          "writers must fold the SAME columns with the same operators")
+      val folds2 = foldSpecs2.head.toList.sortBy(_._1)
+      val upsRows = upsWI2.map { case ((_, act2, _, _), i) =>
+        val (sel, outCols, _) = emissions(i)
+        schema.fieldNames.foreach(c =>
+          if (!outCols.contains(c))
+            fail(s"update or insert into $t: select output must " +
+              s"cover every table column (missing: $c)"))
+        val keys = act2 match {
+          case UpsertTable(_, _, on) => keyEqsOf(on, t)
+          case _ => Nil
+        }
+        val deltaOf: Map[String, Expr] = act2 match {
+          case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
+            foldSetOf(t, c, e).map { case (_, d) => c -> d } }.toMap
+          case _ => Map.empty
+        }
+        def streamSql(e: Expr): String = sqlOfWith(e, {
+          case c :: Nil if outCols.contains(c) => c
+          case parts => fail(s"fold delta reference " +
+            s"'${parts.mkString(".")}' is not a select output " +
+            "attribute")
+        })
+        sel.select(keyOrder.zipWithIndex.map { case (kc, j) =>
+          expr(keys.find(_._1 == kc).get._2)
+            .cast(schema(kc).dataType).as(s"__mk$j") } ++
+          schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)) ++
+          folds2.map { case (c, op) =>
+            // sign folded in: `T.c - e` subtracts
+            (if (op == "-") -expr(streamSql(deltaOf(c)))
+             else expr(streamSql(deltaOf(c))))
+              .cast(schema(c).dataType).as(s"__fd_$c") } ++
+          Seq(col("__g_ord"), lit(true).as("__ups")): _*)
+      }.reduce(_ unionByName _)
+      val zeroDeltas = folds2.map { case (c, _) =>
+        lit(null).cast(schema(c).dataType).as(s"__fd_$c") }
+      val insRows = insertRowsOf(insIdx).select(
+        keyOrder.zipWithIndex.map { case (kc, j) =>
+          col(kc).cast(schema(kc).dataType).as(s"__mk$j") } ++
+        schema.fieldNames.toSeq.map(col) ++ zeroDeltas ++
+        Seq(col("__g_ord"), lit(false).as("__ups")): _*)
+      def liveOf2(df: DataFrame): DataFrame = dm.fold(df) { d =>
+        val cond = keyOrder.indices.map(j =>
+          df(s"__mk$j") <=> d(s"__dk$j")).reduce(_ && _)
+        df.join(d, cond, "left_outer")
+          .filter(col("__dord").isNull ||
+            col("__g_ord") > col("__dord"))
+          .drop(keyOrder.indices.map(j => s"__dk$j") :+ "__dord": _*)
+      }
+      val seedRows = tableLive.select(
+        keyOrder.zipWithIndex.map { case (kc, j) =>
+          col(kc).cast(schema(kc).dataType).as(s"__mk$j") } ++
+        schema.fieldNames.toSeq.map(col) ++ zeroDeltas ++
+        Seq(struct(lit(Long.MinValue).as("ts_ns"),
+            lit(Long.MinValue).as("event_id"),
+            lit(Long.MinValue).as("w")).as("__g_ord"),
+          lit(false).as("__ups")): _*)
+      val all = liveOf2(insRows.unionByName(upsRows))
+        .unionByName(seedRows)
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyOrder.indices.map(j => col(s"__mk$j")): _*)
+      val wKo = wK.orderBy(col("__g_ord"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val scored2 = folds2.foldLeft(
+        all.withColumn("__minOrd", min(col("__g_ord")).over(wK))) {
+        case (df, (c, _)) =>
+          val isDelta = col("__ups") && col("__g_ord") =!= col("__minOrd")
+          df.withColumn(s"__cum_$c",
+              sum(when(isDelta, col(s"__fd_$c"))).over(wKo))
+            .withColumn(s"__tot_$c",
+              sum(when(isDelta, col(s"__fd_$c"))).over(wK))
+      }
+      val foldCols = folds2.map(_._1).toSet
+      return scored2
+        .filter(!col("__ups") || col("__g_ord") === col("__minOrd"))
+        .select(schema.fields.toSeq.map { f =>
+          if (foldCols.contains(f.name))
+            (col(f.name) +
+              coalesce(col(s"__tot_${f.name}"), lit(0)) -
+              coalesce(col(s"__cum_${f.name}"), lit(0)))
+              .cast(f.dataType).as(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
         }: _*)
     }
     if (kind == "insert") {

@@ -1917,6 +1917,119 @@ object SqlGate {
     // the r13 refusal): the filter tests each pair's OVERLAID as-of
     // value (what the event reads), riding the join condition so the
     // left-outer pad machinery treats a failing row as a non-match
+    // insert + ACCUMULATOR-FOLD upsert multiset groups (r14): a fold
+    // upsert adds its delta to EVERY live row of its key, inserting
+    // its select row iff the key is empty at its position; final
+    // value = own value + later deltas (total-minus-prefix, key-local)
+    "sql_table_insert_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Log (user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into Log
+        |  set Log.v = Log.v + v
+        |  on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Log
+        |select user_id, math:round(v, 2) as v
+        |order by user_id, v
+        |insert into Out""".stripMargin)("read")),
+    // the LIVE twin keeps the fold column a LONG counter (exact
+    // arithmetic — the live channel has no read stage to round a
+    // float sum in; the double form is the batch gate above)
+    "sql_app_table_insert_fold_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table Log (user_id long, cnt long);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, convert(1, 'long') as cnt
+        |insert into Log;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'purchase']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into Log
+        |  set Log.cnt = Log.cnt + cnt
+        |  on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id""".stripMargin, "clear")
+      .orderBy("user_id", "cnt")),
+    // the same multiset read per-event by an enrichment join: each
+    // (purchase, origin) pair carries origin value + the deltas
+    // between the origin and the event
+    "sql_enrich_log_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart
+        |  set Cart.v = Cart.v + v
+        |  on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item, v
+        |insert into Out""".stripMargin)("buy")),
+    "sql_app_enrich_log_fold_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define table Cart (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into Cart;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'view' and value > 150.0]
+        |select user_id, event_id as item, value as v
+        |update or insert into Cart
+        |  set Cart.v = Cart.v + v
+        |  on Cart.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 150.0]
+        |select user_id
+        |delete Cart on Cart.user_id == user_id;
+        |
+        |@info(name = 'buy')
+        |from events as e[event_type == 'purchase'] join Cart
+        |  on Cart.user_id == e.user_id
+        |select e.event_id as event_id, Cart.item as item,
+        |  math:round(Cart.v, 2) as v
+        |order by event_id, item, v
+        |insert into Out""".stripMargin, "buy")),
     "sql_enrich_log_ups_filtered" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Cart (user_id long, item long, v double);
         |
@@ -4007,6 +4120,172 @@ object SqlGate {
     // (user, segment); each (purchase, origin) pair takes the LAST
     // upsert strictly between them (same segment by construction),
     // else the origin's own values
+    "sql_table_insert_fold" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, i.value AS v, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, u.value AS v, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id))))
+        |SELECT o.user_id AS user_id,
+        |  round(o.v + coalesce((SELECT sum(u.v) FROM live_ups u
+        |    WHERE u.user_id = o.user_id
+        |      AND (u.ts > o.ts OR
+        |           (u.ts = o.ts AND u.event_id > o.event_id))), 0), 2)
+        |    AS v
+        |FROM org o
+        |ORDER BY user_id, v""".stripMargin,
+    "sql_app_table_insert_fold_live" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, CAST(1 AS BIGINT) AS cnt, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, CAST(1 AS BIGINT) AS cnt, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id))))
+        |SELECT o.user_id AS user_id,
+        |  o.cnt + coalesce((SELECT count(*) FROM live_ups u
+        |    WHERE u.user_id = o.user_id
+        |      AND (u.ts > o.ts OR
+        |           (u.ts = o.ts AND u.event_id > o.event_id))), 0)
+        |    AS cnt
+        |FROM org o
+        |ORDER BY user_id, cnt""".stripMargin,
+    "sql_enrich_log_fold" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id, o.event_id AS item,
+        |  round(o.value + coalesce(lu.s, 0), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT sum(u.value) AS s FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ) lu ON TRUE
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_app_enrich_log_fold_live" ->
+      """WITH ups AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view' AND value > 150.0),
+        |ins AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |org AS (
+        |  SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT u.* FROM ups u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT * FROM ins
+        |                   UNION ALL SELECT * FROM ups) m
+        |    WHERE m.user_id = u.user_id
+        |      AND (m.ts < u.ts OR
+        |           (m.ts = u.ts AND m.event_id < u.event_id))
+        |      AND NOT EXISTS (SELECT 1 FROM events d
+        |        WHERE d.event_type = 'error' AND d.value > 150.0
+        |          AND d.user_id = u.user_id
+        |          AND (d.ts > m.ts OR
+        |               (d.ts = m.ts AND d.event_id > m.event_id))
+        |          AND (d.ts < u.ts OR
+        |               (d.ts = u.ts AND d.event_id < u.event_id)))))
+        |SELECT e.event_id AS event_id, o.event_id AS item,
+        |  round(o.value + coalesce(lu.s, 0), 2) AS v
+        |FROM events e
+        |JOIN org o ON e.event_type = 'purchase'
+        |  AND o.user_id = e.user_id
+        |  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+        |  AND NOT EXISTS (SELECT 1 FROM events d
+        |    WHERE d.event_type = 'error' AND d.value > 150.0
+        |      AND d.user_id = e.user_id
+        |      AND (d.ts > o.ts OR
+        |           (d.ts = o.ts AND d.event_id > o.event_id))
+        |      AND (d.ts < e.ts OR
+        |           (d.ts = e.ts AND d.event_id < e.event_id)))
+        |LEFT JOIN LATERAL (
+        |  SELECT sum(u.value) AS s FROM ups u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.ts > o.ts OR (u.ts = o.ts AND u.event_id > o.event_id))
+        |    AND (u.ts < e.ts OR (u.ts = e.ts AND u.event_id < e.event_id))
+        |  ) lu ON TRUE
+        |ORDER BY event_id, item, v""".stripMargin,
     "sql_enrich_log_ups_filtered" ->
       """WITH ups AS (
         |  SELECT user_id, ts, event_id, value FROM events

@@ -1021,6 +1021,34 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x fold upsert-overlay enrichment: per-pair delta sums " +
+       "replica-exact, bounded tasks (r14)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r14 fold channel: each (purchase, origin) pair reads origin
+    // value + the deltas between them (total-minus-prefix windows).
+    // Values are identical across replicas, so every replica must
+    // reproduce the base gate id-shifted — pinning that the prefix
+    // sums are key-local at 1M events.
+    val q = SqlGate.queries("sql_app_enrich_log_fold_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"fold overlay 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val e = r.head.asInstanceOf[Long]
+        e >= k * off && e < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off, r(2)))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base fold overlay join")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
        "live == batch, bounded tasks (VERDICT r12 #8)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")

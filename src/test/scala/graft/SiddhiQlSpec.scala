@@ -2037,28 +2037,38 @@ class SiddhiQlSpec extends AnyFunSuite {
         "across writers (and the fixture must exercise both)")
     // upsert+delete composes since r11 (tombstone emissions — the
     // sql_table_delete gate), insert+delete since r12
-    // (sql_table_insert_delete), and insert + IMPLICIT-SET upsert
-    // since r13 (sql_table_insert_upsert — the multiset last-upsert
-    // overlay); an INSERT mixed with EXPR-SET (fold) upserts stays a
-    // recorded row-level bound (the fold delta applies per matching
-    // row through every intermediate upsert) and deployed LIVE fails
-    // fast
+    // (sql_table_insert_delete), insert + IMPLICIT-SET upsert since
+    // r13 (sql_table_insert_upsert — the multiset last-upsert
+    // overlay), and insert + ACCUMULATOR-FOLD upsert since r14
+    // (sql_table_insert_fold + live twin — the fold delta adds to
+    // every live row of its key; total-minus-prefix, key-local): the
+    // former live fail-fast flips to a positive equivalence check
     def msg(app: String): String =
       intercept[IllegalArgumentException](
         SiddhiQL.compileApp(spark, sf, app)).getMessage
-    assert(intercept[IllegalArgumentException](SiddhiQL.deployApp(
-      spark, sf,
-      """define stream events (event_id long, ts_ns long, user_id long,
-        |  event_type string, value double);
-        |define table T (user_id long, v double);
-        |@info(name='a') from events[event_type == 'click']
-        |select user_id, value as v
-        |update or insert into T set T.v = T.v + v
-        |  on T.user_id == user_id;
-        |@info(name='b') from events[event_type == 'purchase']
-        |select user_id, value as v
-        |insert into T""".stripMargin, "b"))
-      .getMessage.contains("ORDER-COMPOSABLE"))
+    locally {
+      // LONG fold column: exact arithmetic, so live == batch is
+      // byte-comparable (a double fold reassociates partial sums
+      // across trigger boundaries — last-bit float drift, which is
+      // why the double-valued gates round in a read stage)
+      val appIF =
+        """define stream events (event_id long, ts_ns long,
+          |  user_id long, event_type string, value double);
+          |define table T (user_id long, n long);
+          |@info(name='a') from events[event_type == 'click']
+          |select user_id, convert(2, 'long') as n
+          |update or insert into T set T.n = T.n + n
+          |  on T.user_id == user_id;
+          |@info(name='b') from events[event_type == 'purchase']
+          |select user_id, convert(1, 'long') as n
+          |insert into T""".stripMargin
+      val liveIF = SiddhiQL.deployApp(spark, sf, appIF, "b")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val batchIF = SiddhiQL.compileApp(spark, sf, appIF)("b")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(liveIF.nonEmpty && (liveIF sameElements batchIF),
+        s"insert+fold live=${liveIF.length} batch=${batchIF.length}")
+    }
     // key-column mismatch is diagnosed
     assert(msg(
       """define table T (user_id long, v double);
