@@ -819,6 +819,77 @@ private[api] trait SiddhiQlLive extends Serializable {
               needsFlush = needsFl))
           (emptyOf(matches.sparkSession, schemaR), KFold)
         }
+        // END-OF-REPLAY table READ (r14): the maintained table's fold
+        // for a `from T select ...` OUT stage — the same
+        // constructions the DML-capture branch deploys (multi-writer
+        // interleave / windowed flush partials / plain keyed merge),
+        // so the read rides whatever store the writers already built
+        def tableFoldFor(tName: String): LiveFold = {
+          val allWriters = dmlInfos(tName)
+          val schema = tableDefs(tName)
+          val fnsSnap = scriptFns
+          val statelessSnap = statelessAsts
+          def feedOf(wSrc: String): DataFrame =
+            envLookup(view, wSrc).getOrElse(fail("live deployment " +
+              s"reads declared streams; table writer source '$wSrc' " +
+              "is neither the source nor an earlier insert-into " +
+              "target"))
+          if (allWriters.length > 1) {
+            // the DML-capture branch validates composability and
+            // writer shapes when a DML stage IS the out — a read-out
+            // app validates here, with the same rules
+            if (!dmlComposable(allWriters))
+              fail(s"multi-writer table '$tName' (v1) deploys " +
+                "ORDER-COMPOSABLE writer groups only — see the DML " +
+                s"diagnostics; got [${dmlKinds(allWriters)
+                  .mkString(", ")}]")
+            allWriters.foreach { case (wAst, _, _, wSrc) =>
+              wAst.stream match {
+                case ss: SingleStream if ss.window.nonEmpty =>
+                  fail(s"multi-writer table '$tName' (v1) takes " +
+                    "per-event writers only — windowed aggregate " +
+                    "writers stay single-writer")
+                case _ => ()
+              }
+              val derivable = Set("events") ++ statelessSnap.map(_._1)
+              if (!derivable.contains(wSrc))
+                fail(s"multi-writer table '$tName' (v1): writer " +
+                  s"source '$wSrc' must be the source stream or a " +
+                  "stateless derived stream")
+            }
+            singleFold(srcTs, schema,
+              (sp, d2, acc, batch) => {
+                scriptFns = fnsSnap
+                applyDmlMulti(sp, d2, allWriters, schema, acc,
+                  batchEnv(sp, d2, batch, statelessSnap))
+              },
+              (_, acc) => acc, Nil,
+              dmlStateModeMulti(allWriters, tName, schema, fnsSnap,
+                (sp, d2, batch) =>
+                  batchEnv(sp, d2, batch, statelessSnap)))
+          } else {
+            val (wAst, wAct, _, wSrc) = allWriters.head
+            val winSpec = wAst.stream match {
+              case ss: SingleStream => ss.window
+              case _ => None
+            }
+            winSpec match {
+              case Some(WindowSpec(_, tNs :: _, _)) =>
+                windowedDmlFold(feedOf(wSrc), wAst, wAct, schema,
+                  tNs, fnsSnap)
+              case _ =>
+                singleFold(feedOf(wSrc), schema,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    applyDml(sp, d2, wAst, wAct, schema, acc,
+                      Map(wSrc -> batch))
+                  },
+                  (_, acc) => acc, Nil,
+                  dmlStateMode(wAst, wAct, schema, wSrc, fnsSnap,
+                    (_, _, batch) => Map(wSrc -> batch)))
+            }
+          }
+        }
         val (df, kind) = ast.stream match {
           // `from AggName within ... per '...'` reading a LIVE
           // `define aggregation`: the grain cascade compiles onto the
@@ -939,6 +1010,48 @@ private[api] trait SiddhiQlLive extends Serializable {
                 })))
             carriedNow = Nil
             (emptyOf(sp0, proto.schema), KFold)
+          case s: SingleStream if dmlInfos.contains(s.table) =>
+            // `from T select ...` over a DML-maintained table (r14):
+            // an END-OF-REPLAY snapshot read — the table fold runs as
+            // usual and the read query's filter/projection/order
+            // apply at finish (the batch 'read' stage's semantics; a
+            // table is not a stream, per-event reads are the
+            // enrichment join). v1: stateless projection only.
+            if (ast.select.exists(it => containsAgg(it.e)) ||
+                ast.groupBy.nonEmpty || ast.having.nonEmpty)
+              fail("a live table read projects columns (v1) — for " +
+                "aggregates use an on-demand store query (compileApp) " +
+                "or aggregate the stream feeding the table")
+            if (s.window.nonEmpty)
+              fail("a live table read takes no window (v1) — the " +
+                "table is an end-of-replay snapshot, not a stream")
+            if (ast.rate.nonEmpty)
+              fail("a live table read takes no output rate limiting " +
+                "(v1) — rate the stream feeding the table instead")
+            if (partKey.nonEmpty)
+              fail("a live table read inside a partition block is " +
+                "not deployed (v1)")
+            val baseLf = tableFoldFor(s.table)
+            val fnsSnapR = scriptFns
+            val itemsR = itemsOf(expandStar(ast,
+              tableDefs(s.table).fieldNames))
+            def projectT(t: DataFrame): DataFrame = {
+              scriptFns = fnsSnapR
+              val f = s.filter.fold(t)(ff => t.where(expr(sqlOf(ff))))
+              f.select(itemsR.map { case (it, a2, _) =>
+                expr(sqlOf(it.e)).as(a2) }: _*)
+            }
+            // deploy-time fail-fast + output schema
+            val protoT = projectT(
+              emptyOf(srcTs.sparkSession, tableDefs(s.table)))
+            val keyT = name.orElse(ast.action.map(_.target))
+            if (keyT.contains(out) || name.contains(out))
+              foldResult = Some(baseLf.copy(
+                finish = (sp, st) => projectT(baseLf.finish(sp, st)),
+                ordCols = ast.orderBy.map { case (c2, a2) =>
+                  if (a2) col(c2).asc else col(c2).desc },
+                limit = ast.limit, offset = ast.offset))
+            (protoT, KFold)
           case s: SingleStream =>
             if (statefulStreams.contains(s.table))
               fail(s"live deployment (v1): '${s.table}' is an " +

@@ -1975,6 +1975,61 @@ object SqlGate {
     // the same multiset read per-event by an enrichment join: each
     // (purchase, origin) pair carries origin value + the deltas
     // between the origin and the event
+    // a `from T select ...` READ stage deployed LIVE (r14): the
+    // batch app text runs verbatim — the table fold runs as usual and
+    // the read's filter/round/projection/order apply at finish (the
+    // end-of-replay snapshot semantics), so float folds are rounded
+    // on BOTH surfaces
+    "sql_table_read_filtered" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table Log (user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into Log
+        |  set Log.v = Log.v + v
+        |  on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Log[v > 100.0]
+        |select user_id, math:round(v, 2) as v
+        |order by user_id, v
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_table_read_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define table Log (user_id long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click' and value > 120.0]
+        |select user_id, value as v
+        |insert into Log;
+        |
+        |@info(name = 'bump')
+        |from events[event_type == 'purchase']
+        |select user_id, value as v
+        |update or insert into Log
+        |  set Log.v = Log.v + v
+        |  on Log.user_id == user_id;
+        |
+        |@info(name = 'clear')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete Log on Log.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from Log[v > 100.0]
+        |select user_id, math:round(v, 2) as v
+        |order by user_id, v
+        |insert into Out""".stripMargin, "read")),
     "sql_enrich_log_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table Cart (user_id long, item long, v double);
         |
@@ -4198,6 +4253,90 @@ object SqlGate {
         |    AS cnt
         |FROM org o
         |ORDER BY user_id, cnt""".stripMargin,
+    "sql_table_read_filtered" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, i.value AS v, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, u.value AS v, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id)))),
+        |fin AS (
+        |  SELECT o.user_id AS user_id,
+        |    o.v + coalesce((SELECT sum(u.v) FROM live_ups u
+        |      WHERE u.user_id = o.user_id
+        |        AND (u.ts > o.ts OR
+        |             (u.ts = o.ts AND u.event_id > o.event_id))), 0)
+        |      AS v
+        |  FROM org o)
+        |SELECT user_id, round(v, 2) AS v FROM fin
+        |WHERE v > 100.0
+        |ORDER BY user_id, v""".stripMargin,
+    "sql_app_table_read_live" ->
+      """WITH live_ins AS (
+        |  SELECT i.user_id, i.value AS v, i.ts, i.event_id
+        |  FROM events i
+        |  WHERE i.event_type = 'click' AND i.value > 120.0
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = i.user_id
+        |        AND (d.ts > i.ts OR
+        |             (d.ts = i.ts AND d.event_id > i.event_id)))),
+        |live_ups AS (
+        |  SELECT u.user_id, u.value AS v, u.ts, u.event_id
+        |  FROM events u
+        |  WHERE u.event_type = 'purchase'
+        |    AND NOT EXISTS (SELECT 1 FROM events d
+        |      WHERE d.event_type = 'error' AND d.value > 170.0
+        |        AND d.user_id = u.user_id
+        |        AND (d.ts > u.ts OR
+        |             (d.ts = u.ts AND d.event_id > u.event_id)))),
+        |org AS (
+        |  SELECT * FROM live_ins
+        |  UNION ALL
+        |  SELECT u.* FROM live_ups u
+        |  WHERE NOT EXISTS (SELECT 1 FROM live_ins i
+        |      WHERE i.user_id = u.user_id
+        |        AND (i.ts < u.ts OR
+        |             (i.ts = u.ts AND i.event_id < u.event_id)))
+        |    AND NOT EXISTS (SELECT 1 FROM live_ups u2
+        |      WHERE u2.user_id = u.user_id
+        |        AND (u2.ts < u.ts OR
+        |             (u2.ts = u.ts AND u2.event_id < u.event_id)))),
+        |fin AS (
+        |  SELECT o.user_id AS user_id,
+        |    o.v + coalesce((SELECT sum(u.v) FROM live_ups u
+        |      WHERE u.user_id = o.user_id
+        |        AND (u.ts > o.ts OR
+        |             (u.ts = o.ts AND u.event_id > o.event_id))), 0)
+        |      AS v
+        |  FROM org o)
+        |SELECT user_id, round(v, 2) AS v FROM fin
+        |WHERE v > 100.0
+        |ORDER BY user_id, v""".stripMargin,
     "sql_enrich_log_fold" ->
       """WITH ups AS (
         |  SELECT user_id, ts, event_id, value FROM events

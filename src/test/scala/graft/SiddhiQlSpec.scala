@@ -1223,6 +1223,44 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(m.contains("snapshot over a pattern"))
   }
 
+  test("live table READ stage: windowed-writer snapshot equals batch; " +
+      "bounds are named (r14)") {
+    // the read stage rides whatever store the writers build — here
+    // the windowed flush-partial store (windowedDmlFold through
+    // tableFoldFor), the one writer shape the gate twins don't cover
+    val app =
+      """define table WinStats (user_id long, cnt long, total double);
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt,
+        |  math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinStats
+        |  on WinStats.user_id == user_id;
+        |@info(name = 'read')
+        |from WinStats[total > 90.0]
+        |select user_id, cnt
+        |order by user_id insert into Out""".stripMargin
+    val live = SiddhiQL.deployApp(spark, sf, app, "read")
+      .collect().map(_.toSeq)
+    val batch = SiddhiQL.compileApp(spark, sf, app)("read")
+      .collect().map(_.toSeq)
+    assert(live.nonEmpty && (live sameElements batch),
+      s"windowed-writer read: live=${live.length} batch=${batch.length}")
+    // the v1 bounds fail by name
+    def msg(read: String): String =
+      intercept[IllegalArgumentException](SiddhiQL.deployApp(spark, sf,
+        app.replace("""from WinStats[total > 90.0]
+        |select user_id, cnt
+        |order by user_id""".stripMargin, read), "read")).getMessage
+    assert(msg("from WinStats select user_id, sum(cnt) as s " +
+      "group by user_id").contains("on-demand store query"))
+    assert(msg("from WinStats#window.length(5) select user_id, cnt")
+      .contains("no window"))
+    assert(msg("from WinStats select user_id, cnt " +
+      "output first every 1 min").contains("no output rate"))
+  }
+
   test("live deployment with a script function equals batch replay") {
     val app =
       """define function boost[javascript] return double {
