@@ -229,34 +229,76 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             case _              => true
           }
           if (dmlAct0.nonEmpty) {
-            // table DML inside a partition block (r13 decision): a
-            // PER-EVENT writer under a KEYED partition is
-            // partition-invariant — the keyed view is the unfiltered
-            // stream and per-event DML holds no per-key state, so the
-            // statement compiles exactly as a top-level writer (the
-            // partition wrapper only changes stateful operators).
-            // Windowed/aggregating writers (per-key window instances)
-            // and range partitions (the label filters the stream and
-            // isn't a real column) stay a RECORDED bound: put the
-            // window or the range condition on a top-level DML query.
-            val winOrAgg = (ast0.stream match {
+            // table DML inside a partition block (r13 decision; r14
+            // CLOSES the windowed/range cells): every case HOISTS to
+            // legitimate top-level writer AST(s), so the registered
+            // writer recompiles identically everywhere the DML algebra
+            // reads it back (multi-writer merges, enrichment reads,
+            // live folds):
+            //   per-event + keyed — partition-invariant (the keyed
+            //     view is the unfiltered stream; per-event DML holds
+            //     no per-key state): hoist verbatim (r13).
+            //   windowed/aggregating + keyed — per-key window
+            //     INSTANCES over this engine's ALIGNED timeBatch
+            //     buckets == ONE writer grouped by (key ∪ groupBy):
+            //     the same key-prepends-to-every-inner-grouping
+            //     equivalence the non-DML inner path uses, so prepend
+            //     the key and hoist.
+            //   per-event + range — the ranges only SCOPE instances
+            //     (an event outside every range leaves the partition);
+            //     a per-event writer therefore sees exactly the events
+            //     matching ANY range: AND the OR of range conditions
+            //     into the writer's filter and hoist.
+            //   windowed + range — per-LABEL window instances = one
+            //     hoisted writer per label carrying the
+            //     first-match-wins filter (cond_i and not(earlier
+            //     conds)); the label filters are disjoint, so each
+            //     event feeds exactly one instance, and the N writers'
+            //     interleaved emission order is applyDmlMulti's
+            //     existing order algebra (same-instant flushes of
+            //     different labels tie-break on statement index —
+            //     the reference leaves concurrent instance flush
+            //     order unspecified).
+            val ss0 = ast0.stream match {
               case ss: SingleStream =>
                 if (!ss.table.equalsIgnoreCase(srcName))
                   fail("partitioned queries read the partitioned " +
                     s"stream '$srcName' (v1)")
-                ss.window.nonEmpty
-              case _                => true
-            }) || ast0.select.exists(it => containsAgg(it.e)) ||
+                ss
+              case _ => fail("partition blocks hold single-stream " +
+                "queries (v1; joins/patterns stay outside)")
+            }
+            val winOrAgg = ss0.window.nonEmpty ||
+              ast0.select.exists(it => containsAgg(it.e)) ||
               ast0.groupBy.nonEmpty
-            if (winOrAgg || keyAttr.isEmpty)
-              fail("table DML inside a partition block composes only " +
-                "for PER-EVENT writers under a KEYED partition (the " +
-                "keyed view is the unfiltered stream, so the write is " +
-                "partition-invariant); windowed/aggregating writers " +
-                "hold PER-KEY window state and range partitions filter " +
-                "the stream — move the window or range condition onto " +
-                "a top-level DML query instead (recorded v1 bound)")
-            runDmlStage(qName, ast0, dmlAct0.get)
+            def andF(f: Option[Expr], c: Expr): Option[Expr] =
+              Some(f.fold(c)(f0 => Bin("and", c, f0)))
+            keyAttr match {
+              case Some(k) =>
+                val ast1 =
+                  if (winOrAgg && !ast0.groupBy.contains(k))
+                    ast0.copy(groupBy = k :: ast0.groupBy)
+                  else ast0
+                runDmlStage(qName, ast1, dmlAct0.get)
+              case None =>
+                val conds = rs.map(_._1)
+                if (!winOrAgg)
+                  runDmlStage(qName, ast0.copy(stream = ss0.copy(
+                    filter = andF(ss0.filter,
+                      conds.reduce((a, b) => Bin("or", a, b))))),
+                    dmlAct0.get)
+                else conds.zipWithIndex.foreach { case (c, idx) =>
+                  val firstM =
+                    if (idx == 0) c
+                    else Bin("and", c, Not(conds.take(idx)
+                      .reduce((a, b) => Bin("or", a, b))))
+                  runDmlStage(
+                    if (idx == 0) qName else qName.map(_ + s"__r$idx"),
+                    ast0.copy(stream =
+                      ss0.copy(filter = andF(ss0.filter, firstM))),
+                    dmlAct0.get)
+                }
+            }
           } else {
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
@@ -1613,18 +1655,35 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         "general update/upsert-expr shapes and mixed-key groups are " +
         "row-level replays (see dmlComposable) — got " +
         s"[${dmlKinds(writers).mkString(", ")}]")
-    val (delWI, updWI) = writers.zipWithIndex
-      .partition(_._1._2.isInstanceOf[DeleteTable])
-    val updW = updWI.map(_._1)
-    val kindSet: Set[String] =
-      if (updW.isEmpty) Set("delete") else dmlKinds(updW).toSet
-    val kind = if (updW.isEmpty) "delete" else dmlKinds(updW).head
     // per-writer emissions, __g_ord extended with the statement index
     val emissions = writers.zipWithIndex.map { case ((ast, act, _, _), i) =>
       val (sel, outCols) = dmlEmissions(spark, dir, ast, act, schema, env)
       (sel.withColumn("__g_ord", struct(col("__g_ord.ts_ns"),
         col("__g_ord.event_id"), lit(i.toLong).as("w"))), outCols, act)
     }
+    mergeEmissions(writers, schema, table, emissions)
+  }
+
+  /** The multi-writer MERGE over pre-computed emission relations —
+    * [[applyDmlMulti]]'s tail, factored out so the LIVE all-windowed
+    * multi-writer fold ([[SiddhiQlLive.multiWindowedDmlFold]]) can
+    * feed it flush emissions reconstructed from cross-trigger
+    * partials: live ≡ batch by SHARED code, not re-implementation.
+    * Each emission triple is (rows carrying the table's output
+    * attributes + a 3-field `__g_ord` (ts_ns, event_id, statement
+    * index w), output column names, the writer's action); `writers`
+    * supplies the actions/keys in statement order. */
+  private[api] def mergeEmissions(
+      writers: List[(Ast, Action, StructType, String)],
+      schema: StructType, table: DataFrame,
+      emissions: List[(DataFrame, Seq[String], Action)]): DataFrame = {
+    val t = writers.head._2.target
+    val (delWI, updWI) = writers.zipWithIndex
+      .partition(_._1._2.isInstanceOf[DeleteTable])
+    val updW = updWI.map(_._1)
+    val kindSet: Set[String] =
+      if (updW.isEmpty) Set("delete") else dmlKinds(updW).toSet
+    val kind = if (updW.isEmpty) "delete" else dmlKinds(updW).head
     def insertRowsOf(idxs: List[Int]): DataFrame =
       idxs.map(emissions).map { case (sel, outCols, _) =>
         schema.fieldNames.foreach(c =>

@@ -428,17 +428,97 @@ private[api] trait SiddhiQlLive extends Serializable {
       })._1
   }
 
+  /** LIVE deployment of an ALL-WINDOWED multi-writer table (r14,
+    * deleting the "windowed writers stay single-writer" live bound for
+    * the homogeneous case — e.g. the range-partition windowed-DML
+    * split, or two user-authored windowed stores on one table): one
+    * flush-partial state per writer — the [[windowedDmlFold]]
+    * construction N times, cross-trigger bucket partials merging
+    * componentwise — and finish reconstructs each writer's flush
+    * emission relation (`__g_ord` = (bucket start, 0, statement
+    * index), exactly dmlEmissions' windowed arm extended the way
+    * applyDmlMulti extends it) and feeds
+    * [[mergeEmissions]], the BATCH multi-writer merge
+    * tail: live ≡ batch by SHARED code, not re-implementation. MIXED
+    * windowed + per-event groups stay a recorded bound — flush
+    * partials and per-event emissions would need an interleaved
+    * cross-trigger replay the per-trigger fold does not keep. */
+  private[api] def multiWindowedDmlFold(srcTs: DataFrame,
+      writers: List[(Ast, Action, StructType, String)],
+      schema: StructType, fnsSnap: Map[String, ScriptFn],
+      envOf: (SparkSession, String, DataFrame) => Map[String, DataFrame])
+      : LiveFold = {
+    val sp0 = srcTs.sparkSession
+    val protoEnv = envOf(sp0, "", emptyOf(sp0, srcTs.schema))
+    val pieces = writers.map { case (wAst, _, _, wSrc) =>
+      val ss = wAst.stream.asInstanceOf[SingleStream]
+      val tNs = ss.window match {
+        case Some(WindowSpec(n, tn :: _, _))
+            if n.equalsIgnoreCase("timebatch") => tn
+        case w => fail("live multi-writer windowed DML: " +
+          "#window.timeBatch(T) only (got '#window." +
+          s"${w.map(_.name).getOrElse("?")}')")
+      }
+      flushPiecesOf(loadTable(sp0, "", wSrc, protoEnv), ss.filter,
+        wAst.groupBy, itemsOf(wAst), tNs)
+    }
+    def emisOf(st: Map[String, DataFrame])
+        : List[(DataFrame, Seq[String], Action)] =
+      writers.zipWithIndex.map { case ((_, act2, _, _), i) =>
+        val p = pieces(i)
+        val sel = p.flushOf(st(s"w$i")).select(p.outCols.map(col) :+
+          struct((col("__wb") * lit(p.tNs)).cast("long").as("ts_ns"),
+            lit(0L).as("event_id"), lit(i.toLong).as("w"))
+            .as("__g_ord"): _*)
+        (sel, p.outCols, act2)
+      }
+    // deploy-time probe: the merge plan must build over empty states
+    mergeEmissions(writers, schema, emptyOf(sp0, schema),
+      emisOf(writers.indices.map(i =>
+        s"w$i" -> emptyOf(sp0, pieces(i).stateSchema)).toMap))
+    LiveFold(srcTs,
+      writers.indices.map(i => (s"w$i", pieces(i).stateSchema,
+        KeyedState(pieces(i).keys, (sp, d2, batch) => {
+          scriptFns = fnsSnap
+          pieces(i).probeSel(loadTable(sp, d2, writers(i)._4,
+            envOf(sp, d2, batch)))
+        }))),
+      (sp, d2, st, batch) => {
+        scriptFns = fnsSnap
+        writers.indices.map { i =>
+          s"w$i" -> pieces(i).merge(st(s"w$i").slice,
+            pieces(i).partialOf(loadTable(sp, d2, writers(i)._4,
+              envOf(sp, d2, batch))))
+        }.toMap
+      },
+      (sp, st) => {
+        scriptFns = fnsSnap
+        mergeEmissions(writers, schema,
+          emptyOf(sp, schema), emisOf(st))
+      }, Nil)
+  }
+
   /** The shared core of the live windowed folds ([[windowedDmlFold]],
     * rate-over-window): per-(bucket ∪ group keys) algebraic flush
     * PARTIALS merged componentwise per trigger; `finish` receives the
     * finalized flush relation (`__wb` + group keys + output attrs) —
     * also evaluated over an EMPTY flush at build time, so a bad stage
     * fails at deploy and the caller gets the result prototype. */
-  private[api] def flushPartialFold(feed: DataFrame, filter: Option[Expr],
+  /** Per-writer machinery of one flush-partial fold: derived once at
+    * deploy from (filter, groupBy, items, tNs) over a prototype feed
+    * frame, reused per trigger. Factored out of [[flushPartialFold]]
+    * (r14) so [[multiWindowedDmlFold]] can hold one instance per
+    * writer of an all-windowed multi-writer group. */
+  private[api] final case class FlushPieces(stateSchema: StructType,
+      keys: Seq[String], tNs: Long, outCols: Seq[String],
+      partialOf: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      flushOf: DataFrame => DataFrame,
+      probeSel: DataFrame => DataFrame)
+
+  private[api] def flushPiecesOf(proto: DataFrame, filter: Option[Expr],
       groupBy: List[String], items: List[(SelItem, String, Boolean)],
-      tNs: Long, fnsSnap: Map[String, ScriptFn], ordCols: Seq[Column],
-      finish: (SparkSession, DataFrame) => DataFrame)
-      : (LiveFold, DataFrame) = {
+      tNs: Long): FlushPieces = {
     val comps = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Option[Expr])]
     def rw(e: Expr): Expr = e match {
@@ -476,37 +556,46 @@ private[api] trait SiddhiQlLive extends Serializable {
     // componentwise merge semantics live in FoldAlg (sum partials keep
     // SQL null semantics; stdDev merges Chan moments; distinctCount
     // unions value sets)
-    def mergeComp(base: String, n: String): Seq[Column] =
-      FoldAlg.mergeCols(n, base)
-    val empty = emptyOf(feed.sparkSession, feed.schema)
-    val stateSchema = partialOf(empty).schema
-    // the finalized flush relation: __wb + output attrs (group keys
-    // appear among the outputs — the select-item checks enforce it)
-    def flushOf(acc: DataFrame): DataFrame =
-      acc.select(col("__wb") +:
-        finals.map { case (a, e) => expr(sqlOf(e)).as(a) }: _*)
-    // deploy-time validation + the caller's result prototype
-    val proto = finish(feed.sparkSession, flushOf(partialOf(empty)))
-    (singleFold(feed, stateSchema,
-      (sp, _, acc, batch) => {
-        scriptFns = fnsSnap
-        val u = partialOf(batch)
+    val stateSchema = partialOf(proto).schema
+    FlushPieces(stateSchema, keys, tNs, items.map(_._2),
+      partialOf = partialOf,
+      merge = (acc, u) =>
         // <=> so a null group key merges with itself across triggers
         acc.as("t").join(u.as("u"),
             keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _),
             "full_outer")
           .select(keys.map(k =>
             coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
-            comps.toSeq.flatMap { case (b2, n, _) => mergeComp(b2, n) }
-            : _*)
+            comps.toSeq.flatMap { case (b2, n, _) =>
+              FoldAlg.mergeCols(n, b2) }: _*),
+      // the finalized flush relation: __wb + output attrs (group keys
+      // appear among the outputs — the select-item checks enforce it)
+      flushOf = acc => acc.select(col("__wb") +:
+        finals.map { case (a, e) => expr(sqlOf(e)).as(a) }: _*),
+      probeSel = df => keyedSel(df).select(keys.map(col): _*))
+  }
+
+  private[api] def flushPartialFold(feed: DataFrame, filter: Option[Expr],
+      groupBy: List[String], items: List[(SelItem, String, Boolean)],
+      tNs: Long, fnsSnap: Map[String, ScriptFn], ordCols: Seq[Column],
+      finish: (SparkSession, DataFrame) => DataFrame)
+      : (LiveFold, DataFrame) = {
+    val empty = emptyOf(feed.sparkSession, feed.schema)
+    val p = flushPiecesOf(empty, filter, groupBy, items, tNs)
+    // deploy-time validation + the caller's result prototype
+    val proto = finish(feed.sparkSession, p.flushOf(p.partialOf(empty)))
+    (singleFold(feed, p.stateSchema,
+      (sp, _, acc, batch) => {
+        scriptFns = fnsSnap
+        p.merge(acc, p.partialOf(batch))
       },
       (sp, acc) => {
         scriptFns = fnsSnap
-        finish(sp, flushOf(acc))
+        finish(sp, p.flushOf(acc))
       }, ordCols,
-      KeyedState(keys, (sp, _, batch) => {
+      KeyedState(p.keys, (sp, _, batch) => {
         scriptFns = fnsSnap
-        keyedSel(batch).select(keys.map(col): _*)
+        p.probeSel(batch)
       })), proto)
   }
 
@@ -662,28 +751,13 @@ private[api] trait SiddhiQlLive extends Serializable {
           case _             => true
         }
         if (dmlAct.nonEmpty) {
-          // table DML inside a partition block (r13 decision, the
-          // batch compiler's exact rule): a PER-EVENT writer under a
-          // KEYED partition is partition-invariant (the keyed view is
-          // the unfiltered stream; per-event DML holds no per-key
-          // state) and deploys as a top-level writer. Windowed/
-          // aggregating writers and range partitions stay a RECORDED
-          // bound — batch replay diagnoses them the same way.
-          if (partKey.nonEmpty) {
-            val winOrAgg = (ast.stream match {
-              case ss: SingleStream => ss.window.nonEmpty
-              case _                => true
-            }) || ast.select.exists(it => containsAgg(it.e)) ||
-              ast.groupBy.nonEmpty
-            if (winOrAgg || partKey.contains("partition_key"))
-              fail("table DML inside a partition block composes only " +
-                "for PER-EVENT writers under a KEYED partition (the " +
-                "keyed view is the unfiltered stream, so the write is " +
-                "partition-invariant); windowed/aggregating writers " +
-                "hold PER-KEY window state and range partitions filter " +
-                "the stream — move the window or range condition onto " +
-                "a top-level DML query instead (recorded v1 bound)")
-          }
+          // table DML from a partition block never reaches this arm
+          // with a partKey: the partition branch HOISTS it to
+          // top-level writer AST(s) first (keyed windowed → key
+          // prepended to group by; range → range conditions folded
+          // into the writer filter — the batch compiler's exact r14
+          // rewrite) and re-enters runStage partKey-less, so the DML
+          // capture below sees only legitimate top-level writers.
           // table DML deployed LIVE: captured here, executed by
           // deployApp as a per-micro-batch keyed MERGE over the
           // accumulated table (engine twin: Streaming.tableUpsert).
@@ -742,17 +816,26 @@ private[api] trait SiddhiQlLive extends Serializable {
               // merged algebra as the batch compile, which is why the
               // batch replay is the oracle). Each writer's feed
               // re-derives from the source batch, so every writer must
-              // read the source (or a stateless derived stream);
-              // windowed writers stay single-writer (their flush
-              // partials don't interleave with per-event emissions).
-              allWriters.foreach { case (wAst, _, _, wSrc) =>
+              // read the source (or a stateless derived stream).
+              // ALL-WINDOWED groups deploy via flush-partial states +
+              // the batch merge tail (r14, multiWindowedDmlFold);
+              // MIXED windowed + per-event groups stay the recorded
+              // bound (flush and per-event emissions would need an
+              // interleaved cross-trigger replay).
+              val winN = allWriters.count { case (wAst, _, _, _) =>
                 wAst.stream match {
-                  case ss: SingleStream if ss.window.nonEmpty =>
-                    fail(s"multi-writer table '${act.target}' (v1) " +
-                      "takes per-event writers only — windowed " +
-                      "aggregate writers stay single-writer")
-                  case _ => ()
+                  case ss: SingleStream => ss.window.nonEmpty
+                  case _                => false
                 }
+              }
+              if (winN > 0 && winN < allWriters.length)
+                fail(s"multi-writer table '${act.target}' (v1) " +
+                  "composes all-per-event or all-windowed writer " +
+                  "groups — MIXED flush and per-event emissions need " +
+                  "an interleaved cross-trigger replay; keep windowed " +
+                  "and per-event writers on separate tables, or run " +
+                  "the batch surface")
+              allWriters.foreach { case (_, _, _, wSrc) =>
                 val derivable = Set("events") ++ statelessAsts.map(_._1)
                 if (!derivable.contains(wSrc))
                   fail(s"multi-writer table '${act.target}' (v1): " +
@@ -766,16 +849,21 @@ private[api] trait SiddhiQlLive extends Serializable {
               applyDmlMulti(sp00, "", allWriters, schema,
                 emptyOf(sp00, schema), batchEnv(sp00, "",
                   emptyOf(sp00, srcTs.schema), statelessSnap))
-              foldResult = Some(singleFold(srcTs, schema,
-                (sp, d2, acc, batch) => {
-                  scriptFns = fnsSnap
-                  applyDmlMulti(sp, d2, allWriters, schema, acc,
-                    batchEnv(sp, d2, batch, statelessSnap))
-                },
-                (_, acc) => acc, Nil,
-                dmlStateModeMulti(allWriters, act.target, schema,
-                  fnsSnap, (sp, d2, batch) =>
-                    batchEnv(sp, d2, batch, statelessSnap))))
+              foldResult = Some(
+                if (winN == allWriters.length)
+                  multiWindowedDmlFold(srcTs, allWriters, schema,
+                    fnsSnap, (sp, d2, batch) =>
+                      batchEnv(sp, d2, batch, statelessSnap))
+                else singleFold(srcTs, schema,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnap
+                    applyDmlMulti(sp, d2, allWriters, schema, acc,
+                      batchEnv(sp, d2, batch, statelessSnap))
+                  },
+                  (_, acc) => acc, Nil,
+                  dmlStateModeMulti(allWriters, act.target, schema,
+                    fnsSnap, (sp, d2, batch) =>
+                      batchEnv(sp, d2, batch, statelessSnap))))
             } else winSpec match {
               case Some(WindowSpec(_, tNs :: _, _)) =>
                 // windowed-aggregate DML (the Siddhi store pattern)
@@ -843,21 +931,30 @@ private[api] trait SiddhiQlLive extends Serializable {
                 "ORDER-COMPOSABLE writer groups only — see the DML " +
                 s"diagnostics; got [${dmlKinds(allWriters)
                   .mkString(", ")}]")
-            allWriters.foreach { case (wAst, _, _, wSrc) =>
+            val winN = allWriters.count { case (wAst, _, _, _) =>
               wAst.stream match {
-                case ss: SingleStream if ss.window.nonEmpty =>
-                  fail(s"multi-writer table '$tName' (v1) takes " +
-                    "per-event writers only — windowed aggregate " +
-                    "writers stay single-writer")
-                case _ => ()
+                case ss: SingleStream => ss.window.nonEmpty
+                case _                => false
               }
+            }
+            if (winN > 0 && winN < allWriters.length)
+              fail(s"multi-writer table '$tName' (v1) composes " +
+                "all-per-event or all-windowed writer groups — MIXED " +
+                "flush and per-event emissions need an interleaved " +
+                "cross-trigger replay; keep windowed and per-event " +
+                "writers on separate tables, or run the batch surface")
+            allWriters.foreach { case (_, _, _, wSrc) =>
               val derivable = Set("events") ++ statelessSnap.map(_._1)
               if (!derivable.contains(wSrc))
                 fail(s"multi-writer table '$tName' (v1): writer " +
                   s"source '$wSrc' must be the source stream or a " +
                   "stateless derived stream")
             }
-            singleFold(srcTs, schema,
+            if (winN == allWriters.length)
+              multiWindowedDmlFold(srcTs, allWriters, schema, fnsSnap,
+                (sp, d2, batch) =>
+                  batchEnv(sp, d2, batch, statelessSnap))
+            else singleFold(srcTs, schema,
               (sp, d2, acc, batch) => {
                 scriptFns = fnsSnap
                 applyDmlMulti(sp, d2, allWriters, schema, acc,
@@ -3164,6 +3261,64 @@ private[api] trait SiddhiQlLive extends Serializable {
         innerBody.split(";").map(_.trim).filter(_.nonEmpty)
           .flatMap(stripAnnotations).foreach { case (qName, qBody, _) =>
           val ast0 = new P(lex(qBody)).query()
+          val dmlAct0 = ast0.action.filter {
+            case InsertInto(t2) => tableDefs.contains(t2)
+            case _              => true
+          }
+          if (dmlAct0.nonEmpty) {
+            // table DML hoists to top-level writer AST(s) — the batch
+            // compiler's r14 rewrite verbatim (see the partition arm
+            // in SiddhiQlCompiler for the four-case derivation):
+            // keyed per-event verbatim, keyed windowed with the key
+            // prepended to group by, range per-event with the OR of
+            // range conditions folded into the filter, range windowed
+            // as one first-match-filtered writer per label (>1 label
+            // then hits the live multi-writer windowed bound, which
+            // names itself). The hoisted stages re-enter runStage
+            // partKey-less over the GLOBAL env: the rewritten AST
+            // carries the partition's whole semantics, so enrichment
+            // reads and live folds recompile it correctly everywhere.
+            val ss0 = ast0.stream match {
+              case ss: SingleStream =>
+                if (!ss.table.equalsIgnoreCase(srcName))
+                  fail("partitioned queries read the partitioned " +
+                    s"stream '$srcName' (v1)")
+                ss
+              case _ => fail("partition blocks hold single-stream " +
+                "queries (v1; joins/patterns stay outside)")
+            }
+            val winOrAgg = ss0.window.nonEmpty ||
+              ast0.select.exists(it => containsAgg(it.e)) ||
+              ast0.groupBy.nonEmpty
+            def andF(f: Option[Expr], c: Expr): Option[Expr] =
+              Some(f.fold(c)(f0 => Bin("and", c, f0)))
+            keyAttr match {
+              case Some(k) =>
+                val ast1 =
+                  if (winOrAgg && !ast0.groupBy.contains(k))
+                    ast0.copy(groupBy = k :: ast0.groupBy)
+                  else ast0
+                runStage(qName, ast1, env, None)
+              case None =>
+                val conds = ranges.map(_._1)
+                if (!winOrAgg)
+                  runStage(qName, ast0.copy(stream = ss0.copy(
+                    filter = andF(ss0.filter,
+                      conds.reduce((a, b) => Bin("or", a, b))))),
+                    env, None)
+                else conds.zipWithIndex.foreach { case (c, idx) =>
+                  val firstM =
+                    if (idx == 0) c
+                    else Bin("and", c, Not(conds.take(idx)
+                      .reduce((a, b) => Bin("or", a, b))))
+                  runStage(
+                    if (idx == 0) qName else qName.map(_ + s"__r$idx"),
+                    ast0.copy(stream =
+                      ss0.copy(filter = andF(ss0.filter, firstM))),
+                    env, None)
+                }
+            }
+          } else {
           val ast = ast0.stream match {
             case ss: SingleStream if ss.table.equalsIgnoreCase(srcName) =>
               val needsKey = (ss.window.nonEmpty ||
@@ -3177,6 +3332,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               "(v1; joins/patterns stay outside)")
           }
           runStage(qName, ast, env + (srcName -> view), Some(partKey))
+          }
         }
       }
       else if (head.equalsIgnoreCase("from"))

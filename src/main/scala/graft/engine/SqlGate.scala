@@ -2294,6 +2294,137 @@ object SqlGate {
         |select e.event_id as event_id, math:round(Last.v, 2) as v
         |order by event_id
         |insert into Out""".stripMargin, "read")),
+    // PARTITION-BLOCK WINDOWED DML (r14, closing the r13 recorded
+    // bound): per-key timeBatch window INSTANCES feeding a shared
+    // table. With this engine's aligned buckets, per-key instances ==
+    // one writer grouped by (key ∪ groupBy) — note NO explicit
+    // `group by` below: the partition key is the implicit grouping
+    // the hoist adds, which is exactly what distinguishes this gate
+    // from sql_table_agg_upsert's top-level form.
+    "sql_partition_dml_win" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastWin (user_id long, cnt long, total double);
+        |
+        |partition with (user_id of events)
+        |begin
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |update or insert into LastWin on LastWin.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from LastWin
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_partition_dml_win_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table LastWin (user_id long, cnt long, total double);
+        |
+        |partition with (user_id of events)
+        |begin
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |update or insert into LastWin on LastWin.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from LastWin
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin, "read")),
+    // RANGE-PARTITION per-event DML (r14): the ranges only SCOPE
+    // instances — an event outside every range leaves the partition —
+    // so the per-event writer sees exactly the events matching ANY
+    // range (value > 180 or value > 120 ⇔ value > 120), folded into
+    // the writer's filter by the hoist. First-match labels don't
+    // affect a per-event writer (every instance runs the same write).
+    "sql_partition_dml_range" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastBig (user_id long, v double);
+        |
+        |partition with (value > 180.0 as 'hot'
+        |  or value > 120.0 as 'warm' of events)
+        |begin
+        |@info(name = 'write')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into LastBig on LastBig.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from LastBig
+        |select user_id, math:round(v, 2) as v
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_partition_dml_range_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table LastBig (user_id long, v double);
+        |
+        |partition with (value > 180.0 as 'hot'
+        |  or value > 120.0 as 'warm' of events)
+        |begin
+        |@info(name = 'write')
+        |from events[event_type == 'click']
+        |select user_id, value as v
+        |update or insert into LastBig on LastBig.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from LastBig
+        |select user_id, math:round(v, 2) as v
+        |order by user_id
+        |insert into Out""".stripMargin, "read")),
+    // RANGE-PARTITION WINDOWED DML (r14): per-LABEL window instances
+    // = one hoisted writer per label carrying the first-match-wins
+    // filter (high = value>=150; mid = [50,150)), composed by
+    // applyDmlMulti's interleaved order algebra — same-instant
+    // flushes of different labels tie-break on statement index (the
+    // reference leaves concurrent instance flush order unspecified).
+    // LIVE deploys through multiWindowedDmlFold: one flush-partial
+    // state per label writer, finish = the batch merge tail (shared
+    // code — the all-windowed multi-writer bound, deleted).
+    "sql_partition_dml_range_win" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table RWin (user_id long, cnt long, total double);
+        |
+        |partition with (value >= 150.0 as 'high'
+        |  or value >= 50.0 as 'mid' of events)
+        |begin
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |group by user_id
+        |update or insert into RWin on RWin.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from RWin
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_partition_dml_range_win_live" -> ((s, d) =>
+      SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table RWin (user_id long, cnt long, total double);
+        |
+        |partition with (value >= 150.0 as 'high'
+        |  or value >= 50.0 as 'mid' of events)
+        |begin
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt, sum(value) as total
+        |group by user_id
+        |update or insert into RWin on RWin.user_id == user_id;
+        |end;
+        |
+        |@info(name = 'read')
+        |from RWin
+        |select user_id, cnt, math:round(total, 2) as total
+        |order by user_id
+        |insert into Out""".stripMargin, "read")),
     // SELF-INSERT visibility (r13, ADVICE r12): the read filter
     // OVERLAPS the insert writer's filter — a high-value click both
     // appends to the cart AND reads it. Statement order is the truth
@@ -4737,6 +4868,70 @@ object SqlGate {
         |    AND (c2.ts > c.ts OR (c2.ts = c.ts AND c2.event_id > c.event_id))
         |    AND (c2.ts < e.ts OR (c2.ts = e.ts AND c2.event_id < e.event_id)))
         |ORDER BY event_id""".stripMargin,
+    // keyed partition + windowed upsert == per-(user, aligned bucket)
+    // flushes, last bucket per user wins — the partition key is the
+    // grouping even though the query has no `group by`
+    "sql_partition_dml_win" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, sum(value) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "sql_app_partition_dml_win_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    count(*) AS cnt, sum(value) AS total
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // range partition scopes the per-event writer to events matching
+    // ANY range: last click with value > 120 per user
+    "sql_partition_dml_range" ->
+      """SELECT user_id, round(value, 2) AS v FROM (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click' AND value > 120.0)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "sql_app_partition_dml_range_live" ->
+      """SELECT user_id, round(value, 2) AS v FROM (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click' AND value > 120.0)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // range + windowed: per-LABEL instances flush per (label, user,
+    // bucket); first-match labels are disjoint, so the label within
+    // the >= 50 set IS the writer (w: high = statement 0, mid = 1);
+    // last (bucket, w) per user wins — the statement index tie-break
+    // at equal buckets
+    "sql_partition_dml_range_win" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    CASE WHEN value >= 150.0 THEN 0 ELSE 1 END AS w,
+        |    count(*) AS cnt, sum(value) AS total
+        |  FROM events WHERE event_type = 'click' AND value >= 50.0
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC, w DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "sql_app_partition_dml_range_win_live" ->
+      """WITH flush AS (
+        |  SELECT epoch_ns(ts) // 600000000000 AS b, user_id,
+        |    CASE WHEN value >= 150.0 THEN 0 ELSE 1 END AS w,
+        |    count(*) AS cnt, sum(value) AS total
+        |  FROM events WHERE event_type = 'click' AND value >= 50.0
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, cnt, round(total, 2) AS total FROM flush
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY b DESC, w DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     // overlapping writer/read filters: statement order makes an
     // event's OWN insert visible to its read ('add' precedes 'read'),
     // so the match bound is at-or-before (<= on the event_id tie) —

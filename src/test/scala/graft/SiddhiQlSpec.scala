@@ -536,6 +536,54 @@ class SiddhiQlSpec extends AnyFunSuite {
       .contains("missing 'end'"))
   }
 
+  test("partition-block DML hoists (r14): keyed windowed == explicit " +
+       "top-level group-by; range windowed live names the multi-writer " +
+       "windowed bound") {
+    // per-key timeBatch instances over aligned buckets == ONE writer
+    // grouped by the key — the hoist must equal the explicit form
+    val inner =
+      """@info(name='roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, sum(value) as total
+        |update or insert into W on W.user_id == user_id;""".stripMargin
+    val read =
+      """@info(name='read') from W
+        |select user_id, math:round(total, 2) as total
+        |order by user_id insert into Out""".stripMargin
+    val part = SiddhiQL.compileApp(spark, sf,
+      "define table W (user_id long, total double);\n" +
+        "partition with (user_id of events)\nbegin\n" + inner +
+        "\nend;\n" + read)("read")
+    val top = SiddhiQL.compileApp(spark, sf,
+      "define table W (user_id long, total double);\n" +
+        inner.replace("update or insert",
+          "group by user_id\nupdate or insert") + "\n" + read)("read")
+    assert(part.collect().toSeq == top.collect().toSeq)
+    // range + windowed deployed LIVE (r14): the per-label split's two
+    // windowed writers deploy through multiWindowedDmlFold — one
+    // flush-partial state per writer, finish = the BATCH merge tail —
+    // so live must equal the batch replay byte-for-byte
+    val app =
+      """define table W (user_id long, total double);
+        |partition with (value >= 150.0 as 'high'
+        |  or value >= 50.0 as 'mid' of events)
+        |begin
+        |@info(name='roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into W on W.user_id == user_id;
+        |end;
+        |@info(name='read') from W select user_id, total
+        |order by user_id insert into Out""".stripMargin
+    val batch = SiddhiQL.compileApp(spark, sf, app)("read").collect().toSeq
+    val live = SiddhiQL.deployApp(spark, sf,
+      "define stream events (event_id long, ts_ns long, user_id long,\n" +
+        "  event_type string, value double);\n" + app, "read")
+      .collect().toSeq
+    assert(live == batch)
+  }
+
   test("define aggregation diagnostics") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
@@ -1377,10 +1425,13 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // a remaining named bound: a windowed writer MIXED with a
-    // per-event writer on one table (flush and per-event emissions
-    // do not interleave; alone, each shape deploys)
-    assert(msg(
+    // remaining named bounds around windowed multi-writer tables: a
+    // PER-EVENT-READ (enrichment join) of one keeps its own refusal —
+    // the as-of reconstruction of flush interleaves is not built —
+    // while the END-OF-REPLAY read/out channel composes all-windowed
+    // groups since r14 (multiWindowedDmlFold) and refuses only MIXED
+    // flush + per-event groups, each message naming its case
+    val mixedWriters =
       "define table T (user_id long, v double);\n" +
         "@info(name='t0') from events[event_type == 'view'] " +
         "select user_id, value as v " +
@@ -1388,11 +1439,16 @@ class SiddhiQlSpec extends AnyFunSuite {
         "@info(name='t') from events[event_type == 'click']" +
         "#window.timeBatch(10 min) select user_id, " +
         "math:round(sum(value), 2) as v group by user_id " +
-        "update or insert into T on T.user_id == user_id;\n" +
+        "update or insert into T on T.user_id == user_id;\n"
+    assert(msg(mixedWriters +
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
       .contains("per-event writers only"))
+    assert(msg(mixedWriters +
+        "@info(name='q') from T select user_id, v " +
+        "order by user_id insert into O")
+      .contains("all-per-event or all-windowed"))
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
