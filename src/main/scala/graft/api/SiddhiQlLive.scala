@@ -428,21 +428,28 @@ private[api] trait SiddhiQlLive extends Serializable {
       })._1
   }
 
-  /** LIVE deployment of an ALL-WINDOWED multi-writer table (r14,
-    * deleting the "windowed writers stay single-writer" live bound for
-    * the homogeneous case — e.g. the range-partition windowed-DML
-    * split, or two user-authored windowed stores on one table): one
-    * flush-partial state per writer — the [[windowedDmlFold]]
-    * construction N times, cross-trigger bucket partials merging
-    * componentwise — and finish reconstructs each writer's flush
-    * emission relation (`__g_ord` = (bucket start, 0, statement
-    * index), exactly dmlEmissions' windowed arm extended the way
-    * applyDmlMulti extends it) and feeds
-    * [[mergeEmissions]], the BATCH multi-writer merge
-    * tail: live ≡ batch by SHARED code, not re-implementation. MIXED
-    * windowed + per-event groups stay a recorded bound — flush
-    * partials and per-event emissions would need an interleaved
-    * cross-trigger replay the per-trigger fold does not keep. */
+  /** LIVE deployment of a multi-writer table with AT LEAST ONE
+    * windowed writer (r14, deleting the "windowed writers stay
+    * single-writer" live bound — e.g. the range-partition
+    * windowed-DML split, two user-authored windowed stores, or a
+    * windowed store MIXED with per-event writers and sweepers on one
+    * table): each WINDOWED writer holds one flush-partial state — the
+    * [[windowedDmlFold]] construction per writer, cross-trigger
+    * bucket partials merging componentwise — and each PER-EVENT
+    * writer holds an APPEND-ONLY emission log (its dmlEmissions
+    * relation per trigger, the delta the AppendState mode persists as
+    * parquet generations — O(events) rows like the event-log
+    * enrichment stores, never driver state). Finish reconstructs
+    * every writer's emission relation (flush emissions get `__g_ord`
+    * = (bucket start, 0, statement index); logged per-event emissions
+    * keep their (ts_ns, event_id) and gain the statement index —
+    * exactly how applyDmlMulti extends them) and feeds
+    * [[mergeEmissions]], the BATCH multi-writer merge tail: live ≡
+    * batch by SHARED code, not re-implementation, including the
+    * flush-between-events interleave the per-trigger incremental
+    * merge could not express. All-per-event groups keep the existing
+    * per-trigger applyDmlMulti fold (O(table keys) state — strictly
+    * smaller than a log). */
   private[api] def multiWindowedDmlFold(srcTs: DataFrame,
       writers: List[(Ast, Action, StructType, String)],
       schema: StructType, fnsSnap: Map[String, ScriptFn],
@@ -450,45 +457,66 @@ private[api] trait SiddhiQlLive extends Serializable {
       : LiveFold = {
     val sp0 = srcTs.sparkSession
     val protoEnv = envOf(sp0, "", emptyOf(sp0, srcTs.schema))
-    val pieces = writers.map { case (wAst, _, _, wSrc) =>
-      val ss = wAst.stream.asInstanceOf[SingleStream]
-      val tNs = ss.window match {
-        case Some(WindowSpec(n, tn :: _, _))
-            if n.equalsIgnoreCase("timebatch") => tn
-        case w => fail("live multi-writer windowed DML: " +
-          "#window.timeBatch(T) only (got '#window." +
-          s"${w.map(_.name).getOrElse("?")}')")
+    // per writer: Left(flush pieces) for windowed, Right(emission-log
+    // schema + output columns) for per-event
+    val infos: List[Either[FlushPieces, (StructType, Seq[String])]] =
+      writers.map { case (wAst, act2, _, wSrc) =>
+        val ss = wAst.stream.asInstanceOf[SingleStream]
+        ss.window match {
+          case Some(WindowSpec(n, tn :: _, _))
+              if n.equalsIgnoreCase("timebatch") =>
+            Left(flushPiecesOf(loadTable(sp0, "", wSrc, protoEnv),
+              ss.filter, wAst.groupBy, itemsOf(wAst), tn))
+          case Some(w) => fail("live multi-writer windowed DML: " +
+            s"#window.timeBatch(T) only (got '#window.${w.name}')")
+          case None =>
+            val (protoSel, outCols) =
+              dmlEmissions(sp0, "", wAst, act2, schema, protoEnv)
+            Right((protoSel.schema, outCols))
+        }
       }
-      flushPiecesOf(loadTable(sp0, "", wSrc, protoEnv), ss.filter,
-        wAst.groupBy, itemsOf(wAst), tNs)
-    }
     def emisOf(st: Map[String, DataFrame])
         : List[(DataFrame, Seq[String], Action)] =
       writers.zipWithIndex.map { case ((_, act2, _, _), i) =>
-        val p = pieces(i)
-        val sel = p.flushOf(st(s"w$i")).select(p.outCols.map(col) :+
-          struct((col("__wb") * lit(p.tNs)).cast("long").as("ts_ns"),
-            lit(0L).as("event_id"), lit(i.toLong).as("w"))
-            .as("__g_ord"): _*)
-        (sel, p.outCols, act2)
+        infos(i) match {
+          case Left(p) =>
+            val sel = p.flushOf(st(s"w$i")).select(p.outCols.map(col) :+
+              struct((col("__wb") * lit(p.tNs)).cast("long").as("ts_ns"),
+                lit(0L).as("event_id"), lit(i.toLong).as("w"))
+                .as("__g_ord"): _*)
+            (sel, p.outCols, act2)
+          case Right((_, outCols)) =>
+            (st(s"w$i").withColumn("__g_ord",
+              struct(col("__g_ord.ts_ns"), col("__g_ord.event_id"),
+                lit(i.toLong).as("w"))), outCols, act2)
+        }
       }
     // deploy-time probe: the merge plan must build over empty states
     mergeEmissions(writers, schema, emptyOf(sp0, schema),
-      emisOf(writers.indices.map(i =>
-        s"w$i" -> emptyOf(sp0, pieces(i).stateSchema)).toMap))
+      emisOf(writers.indices.map(i => s"w$i" -> emptyOf(sp0,
+        infos(i).fold(_.stateSchema, _._1))).toMap))
     LiveFold(srcTs,
-      writers.indices.map(i => (s"w$i", pieces(i).stateSchema,
-        KeyedState(pieces(i).keys, (sp, d2, batch) => {
-          scriptFns = fnsSnap
-          pieces(i).probeSel(loadTable(sp, d2, writers(i)._4,
-            envOf(sp, d2, batch)))
-        }))),
+      writers.indices.map(i => (s"w$i",
+        infos(i).fold(_.stateSchema, _._1),
+        infos(i) match {
+          case Left(p) => KeyedState(p.keys, (sp, d2, batch) => {
+            scriptFns = fnsSnap
+            p.probeSel(loadTable(sp, d2, writers(i)._4,
+              envOf(sp, d2, batch)))
+          })
+          case Right(_) => AppendState
+        })),
       (sp, d2, st, batch) => {
         scriptFns = fnsSnap
+        val env = envOf(sp, d2, batch)
         writers.indices.map { i =>
-          s"w$i" -> pieces(i).merge(st(s"w$i").slice,
-            pieces(i).partialOf(loadTable(sp, d2, writers(i)._4,
-              envOf(sp, d2, batch))))
+          s"w$i" -> (infos(i) match {
+            case Left(p) => p.merge(st(s"w$i").slice,
+              p.partialOf(loadTable(sp, d2, writers(i)._4, env)))
+            case Right(_) =>
+              dmlEmissions(sp, d2, writers(i)._1, writers(i)._2,
+                schema, env)._1
+          })
         }.toMap
       },
       (sp, st) => {
@@ -817,24 +845,17 @@ private[api] trait SiddhiQlLive extends Serializable {
               // batch replay is the oracle). Each writer's feed
               // re-derives from the source batch, so every writer must
               // read the source (or a stateless derived stream).
-              // ALL-WINDOWED groups deploy via flush-partial states +
-              // the batch merge tail (r14, multiWindowedDmlFold);
-              // MIXED windowed + per-event groups stay the recorded
-              // bound (flush and per-event emissions would need an
-              // interleaved cross-trigger replay).
+              // Groups with ANY windowed writer — all-windowed or
+              // MIXED with per-event writers/sweepers — deploy via
+              // per-writer states + the batch merge tail (r14,
+              // multiWindowedDmlFold); all-per-event groups keep the
+              // per-trigger incremental merge (O(table keys) state).
               val winN = allWriters.count { case (wAst, _, _, _) =>
                 wAst.stream match {
                   case ss: SingleStream => ss.window.nonEmpty
                   case _                => false
                 }
               }
-              if (winN > 0 && winN < allWriters.length)
-                fail(s"multi-writer table '${act.target}' (v1) " +
-                  "composes all-per-event or all-windowed writer " +
-                  "groups — MIXED flush and per-event emissions need " +
-                  "an interleaved cross-trigger replay; keep windowed " +
-                  "and per-event writers on separate tables, or run " +
-                  "the batch surface")
               allWriters.foreach { case (_, _, _, wSrc) =>
                 val derivable = Set("events") ++ statelessAsts.map(_._1)
                 if (!derivable.contains(wSrc))
@@ -850,7 +871,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                 emptyOf(sp00, schema), batchEnv(sp00, "",
                   emptyOf(sp00, srcTs.schema), statelessSnap))
               foldResult = Some(
-                if (winN == allWriters.length)
+                if (winN > 0)
                   multiWindowedDmlFold(srcTs, allWriters, schema,
                     fnsSnap, (sp, d2, batch) =>
                       batchEnv(sp, d2, batch, statelessSnap))
@@ -937,12 +958,6 @@ private[api] trait SiddhiQlLive extends Serializable {
                 case _                => false
               }
             }
-            if (winN > 0 && winN < allWriters.length)
-              fail(s"multi-writer table '$tName' (v1) composes " +
-                "all-per-event or all-windowed writer groups — MIXED " +
-                "flush and per-event emissions need an interleaved " +
-                "cross-trigger replay; keep windowed and per-event " +
-                "writers on separate tables, or run the batch surface")
             allWriters.foreach { case (_, _, _, wSrc) =>
               val derivable = Set("events") ++ statelessSnap.map(_._1)
               if (!derivable.contains(wSrc))
@@ -950,7 +965,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                   s"source '$wSrc' must be the source stream or a " +
                   "stateless derived stream")
             }
-            if (winN == allWriters.length)
+            if (winN > 0)
               multiWindowedDmlFold(srcTs, allWriters, schema, fnsSnap,
                 (sp, d2, batch) =>
                   batchEnv(sp, d2, batch, statelessSnap))
@@ -2161,8 +2176,15 @@ private[api] trait SiddhiQlLive extends Serializable {
                 wAst.stream match {
                   case ss2: SingleStream if ss2.window.nonEmpty =>
                     fail(s"multi-writer enrichment table '$tName' " +
-                      "(v1) takes per-event writers only — windowed " +
-                      "aggregate writers stay single-writer")
+                      "(v1) takes per-event writers only — the " +
+                      "per-event AS-OF reconstruction of flush " +
+                      "interleaves is not built (RECORDED bound, " +
+                      "r14). Rewrites: keep the windowed writer on " +
+                      "its own table (single windowed-writer " +
+                      "enrichment reads deploy), or read the mixed " +
+                      "table at end of replay (`from $tName select " +
+                      "...` — the store/read channel composes any " +
+                      "windowed group)")
                   case _ => ()
                 }
               }

@@ -1049,6 +1049,63 @@ object SqlGate {
     // the merge interleaves BOTH writers' updates in (ts, event_id,
     // statement) order — last-wins goes to the truly latest event
     // across writers, never "last statement wins"
+    // MIXED writer group (r14): a PER-EVENT upsert, a WINDOWED
+    // (timeBatch flush) upsert, and a per-event delete sweeper on ONE
+    // table — flush emissions interleave between per-event emissions
+    // at (bucket start, 0, statement idx) in the shared __g_ord
+    // order; the sweeper's last tombstone per key wipes everything at
+    // or before it. Live deploys via multiWindowedDmlFold (flush
+    // partials + per-event emission logs, finish = the batch merge).
+    "sql_table_mixed_win" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table MixT (user_id long, v double);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from MixT
+        |select user_id, v
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_table_mixed_win_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MixT (user_id long, v double);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete MixT on MixT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from MixT
+        |select user_id, v
+        |order by user_id
+        |insert into Out""".stripMargin, "read")),
     "sql_table_two_writers" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table UserLast (user_id long, last_value double,
         |  src string);
@@ -4931,6 +4988,62 @@ object SqlGate {
         |SELECT user_id, cnt, round(total, 2) AS total FROM flush
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY b DESC, w DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // mixed writer group: per-event view upserts (w=0), 10-min click
+    // flush upserts landing at (bucket start, 0, w=1), error>170
+    // tombstones (w=2); per user the last surviving emission after
+    // the last tombstone wins
+    "sql_table_mixed_win" ->
+      """WITH pe AS (
+        |  SELECT user_id, round(value, 2) AS v,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'),
+        |fl AS (
+        |  SELECT user_id, round(sum(value), 2) AS v,
+        |    (epoch_ns(ts) // 600000000000) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |u AS (SELECT * FROM pe UNION ALL SELECT * FROM fl),
+        |sw AS (
+        |  SELECT user_id, max(struct_pack(o_ts := epoch_ns(ts),
+        |    o_id := event_id, w := 2)) AS so
+        |  FROM events WHERE event_type = 'error' AND value > 170.0
+        |  GROUP BY user_id)
+        |SELECT user_id, v FROM (
+        |  SELECT u.user_id AS user_id, u.v AS v, u.o_ts, u.o_id, u.w
+        |  FROM u LEFT JOIN sw ON u.user_id = sw.user_id
+        |  WHERE sw.so IS NULL OR
+        |    struct_pack(o_ts := u.o_ts, o_id := u.o_id, w := u.w)
+        |      > sw.so)
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY o_ts DESC, o_id DESC, w DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "sql_app_table_mixed_win_live" ->
+      """WITH pe AS (
+        |  SELECT user_id, round(value, 2) AS v,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'),
+        |fl AS (
+        |  SELECT user_id, round(sum(value), 2) AS v,
+        |    (epoch_ns(ts) // 600000000000) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |u AS (SELECT * FROM pe UNION ALL SELECT * FROM fl),
+        |sw AS (
+        |  SELECT user_id, max(struct_pack(o_ts := epoch_ns(ts),
+        |    o_id := event_id, w := 2)) AS so
+        |  FROM events WHERE event_type = 'error' AND value > 170.0
+        |  GROUP BY user_id)
+        |SELECT user_id, v FROM (
+        |  SELECT u.user_id AS user_id, u.v AS v, u.o_ts, u.o_id, u.w
+        |  FROM u LEFT JOIN sw ON u.user_id = sw.user_id
+        |  WHERE sw.so IS NULL OR
+        |    struct_pack(o_ts := u.o_ts, o_id := u.o_id, w := u.w)
+        |      > sw.so)
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY o_ts DESC, o_id DESC, w DESC) = 1
         |ORDER BY user_id""".stripMargin,
     // overlapping writer/read filters: statement order makes an
     // event's OWN insert visible to its read ('add' precedes 'read'),

@@ -1049,6 +1049,35 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x MIXED writer group (per-event + windowed flush + " +
+       "sweeper): emission-log merge replica-exact, bounded tasks " +
+       "(r14)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r14 channel: a windowed flush upsert interleaves between
+    // per-event upserts and tombstones through the shared __g_ord
+    // merge (multiWindowedDmlFold: flush partials + per-event
+    // emission logs, finish = the batch merge tail). Replica user
+    // spaces are disjoint and timestamps identical, so the merge is
+    // key-local and every replica must reproduce the base result
+    // id-shifted.
+    val q = SqlGate.queries("sql_app_table_mixed_win_live")
+    val base = q(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"mixed-writer 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == reps * base.length,
+      s"10x row count ${got.length} != ${reps}x base ${base.length}")
+    (0 until reps).foreach { k =>
+      val slice = got.filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
+        .map(t => (t._1 - k * off, t._2)).toSeq
+      assert(slice == base,
+        s"replica $k diverges from the base mixed-writer merge")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
        "live == batch, bounded tasks (VERDICT r12 #8)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")

@@ -1425,12 +1425,13 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // remaining named bounds around windowed multi-writer tables: a
-    // PER-EVENT-READ (enrichment join) of one keeps its own refusal —
-    // the as-of reconstruction of flush interleaves is not built —
-    // while the END-OF-REPLAY read/out channel composes all-windowed
-    // groups since r14 (multiWindowedDmlFold) and refuses only MIXED
-    // flush + per-event groups, each message naming its case
+    // the remaining named bound around windowed multi-writer tables:
+    // a PER-EVENT-READ (enrichment join) of one keeps its refusal —
+    // the as-of reconstruction of flush interleaves is not built.
+    // The END-OF-REPLAY read/out channel composes any windowed group,
+    // all-windowed or MIXED with per-event writers, since r14
+    // (multiWindowedDmlFold — equality asserted in the mixed-writer
+    // store test)
     val mixedWriters =
       "define table T (user_id long, v double);\n" +
         "@info(name='t0') from events[event_type == 'view'] " +
@@ -1445,10 +1446,19 @@ class SiddhiQlSpec extends AnyFunSuite {
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
       .contains("per-event writers only"))
-    assert(msg(mixedWriters +
-        "@info(name='q') from T select user_id, v " +
-        "order by user_id insert into O")
-      .contains("all-per-event or all-windowed"))
+    // the same mixed group READ at end-of-replay deploys and equals
+    // the batch replay (flush emissions interleave between per-event
+    // emissions by (ts, event_id, statement) — the shared merge tail)
+    val mixedRead = mixedWriters +
+      "@info(name='q') from T select user_id, math:round(v, 2) as v " +
+      "order by user_id insert into O"
+    val mixedBatch = SiddhiQL.compileApp(spark, sf,
+      mixedRead)("q").collect().toSeq
+    val mixedLive = SiddhiQL.deployApp(spark, sf,
+      "define stream events (event_id long, ts_ns long, user_id " +
+        "long, event_type string, value double);\n" + mixedRead, "q")
+      .collect().toSeq
+    assert(mixedLive == mixedBatch && mixedBatch.nonEmpty)
     // table DML live needs its `define table` declaration
     assert(msg("@info(name='q') from events select user_id, value " +
       "as last_value update or insert into T on T.user_id == user_id")
