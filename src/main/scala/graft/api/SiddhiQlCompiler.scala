@@ -606,18 +606,21 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // key (Siddhi: the table at the event's position holds the
     // flushes so far), and the same last-wins / accumulator-fold
     // reconstruction below applies unchanged because a flush row IS
-    // an update row at ord (bucket end, 0, statement). v1: at most
-    // one windowed writer, alone on its table.
+    // an update row at ord (bucket end, 0, statement). Since r14 that
+    // holds for windowed writers in MULTI-writer upsert groups too —
+    // uTagUpd derives each writer's update relation independently
+    // (flush rows for windowed members, event rows for per-event
+    // members), and the per-key timeline interleaves them by
+    // (visibility instant, event_id, statement index). Only the
+    // event-log (insert-mix) path below still excludes windowed
+    // members: its per-(event, live row) segment construction is
+    // origin-row algebra over per-event inserts.
     val winWriterCnt = winfos.count { case (dAst2, _, _, _) =>
       dAst2.stream match {
         case ss2: SingleStream => ss2.window.nonEmpty
         case _ => false
       }
     }
-    if (winWriterCnt > 0 && winfos.length > 1)
-      fail(s"enrichment joins read a table with EITHER per-event " +
-        s"writers or ONE windowed-aggregate writer (v1) — '$tName' " +
-        "mixes flush and per-event emissions")
     // `delete` sweepers are per-event readable too (r11): a delete
     // emission is a TOMBSTONE at its interleaved position — the as-of
     // state for its key becomes absent until a later upsert
@@ -645,6 +648,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // the row's origin and the event — one extra running-last window
     // column, same keyed shuffle.
     if (updWI.exists(_._1._2.isInstanceOf[InsertInto])) {
+      if (winWriterCnt > 0 && winfos.length > 1)
+        fail(s"event-log enrichment reads of '$tName' (v1) take " +
+          "per-event writers only — a windowed writer's flush rows " +
+          "have no per-row origin for the (event, live row) segment " +
+          "construction; keep the windowed writer on its own table")
       val nonIns = updWI.filterNot(_._1._2.isInstanceOf[InsertInto])
       val implicitUps = nonIns.forall(_._1._2 match {
         case UpsertTable(_, set, _) => set.isEmpty
