@@ -577,10 +577,39 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     * as `accTable`, and the batch replay calls it once with an empty
     * seed over the whole-replay environment — chunking-invariance by
     * construction. */
+  /** One PER-EVENT writer's update relation over `env`: its select
+    * outputs + `__ord` (ts_ns, event_id, statement index `wi`).
+    * Shared by [[enrichCompile]]'s uTagUpd and the live mixed-writer
+    * fold's per-trigger latest-state deltas, so the two derive the
+    * same rows by construction. */
+  private[api] def perEventURel(sp: SparkSession, dir: String,
+      dAst: Ast, dSrc: String, wi: Int,
+      env: Map[String, DataFrame]): (DataFrame, List[String]) = {
+    val uBase0 = loadTable(sp, dir, dSrc, env)
+    val uBase = dAst.stream match {
+      case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+        applyFilter(sp, dir, uBase0, f, env))
+      case _ => uBase0 // unreachable: DML is single-stream
+    }
+    val uItems = itemsOf(expandStar(dAst, uBase0.columns))
+    (uBase.select(uItems.map { case (it, a2, _) =>
+      expr(sqlOf(it.e)).as(a2) } :+
+      struct(col("ts_ns"), col("event_id"),
+        lit(wi.toLong).as("w")).as("__ord"): _*),
+      uItems.map(_._2))
+  }
+
   private[api] def enrichCompile(sp: SparkSession, dir: String, ast: Ast,
       j: JoinStream, winfos: List[(Ast, Action, StructType, String)],
       accTable: DataFrame, env: Map[String, DataFrame],
-      winFlush: Map[Int, DataFrame] = Map.empty): DataFrame = {
+      winFlush: Map[Int, DataFrame] = Map.empty,
+      // per-writer PRE-BUILT update relation (select outputs +
+      // `__ord`) replacing the per-event derivation from `env` — the
+      // live mixed-writer fold passes (prior latest-per-key rows ∪
+      // this batch's rows) here so prior updates keep their TRUE ords
+      // across triggers instead of collapsing into the ord-MinValue
+      // accTable seed (which would sort them before an older flush)
+      uRelOverride: Map[Int, DataFrame] = Map.empty): DataFrame = {
     val dSchema = winfos.head._3
     val tSide = j.right; val sSide = j.left
     val tName = tSide.table
@@ -815,19 +844,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
                   outCols0.toList)
             }
             sel2
-          case None =>
-            val uBase0 = loadTable(sp, dir, dSrc, env)
-            val uBase = dAst.stream match {
-              case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
-                applyFilter(sp, dir, uBase0, f, env))
-              case _ => uBase0 // unreachable: DML is single-stream
-            }
-            val uItems = itemsOf(expandStar(dAst, uBase0.columns))
-            (uBase.select(uItems.map { case (it, a2, _) =>
-              expr(sqlOf(it.e)).as(a2) } :+
-              struct(col("ts_ns"), col("event_id"),
-                lit(wi.toLong).as("w")).as("__ord"): _*),
-              uItems.map(_._2))
+          case None => uRelOverride.get(wi) match {
+            case Some(rel) =>
+              (rel, rel.columns.filterNot(_ == "__ord").toList)
+            case None => perEventURel(sp, dir, dAst, dSrc, wi, env)
+          }
         }
         def deltaSql(e: Expr): String = sqlOfWith(e, {
           case c :: Nil if uOut.contains(c) => c

@@ -2171,24 +2171,186 @@ private[api] trait SiddhiQlLive extends Serializable {
                 ss2.window.map(_.args.head)
               case _ => None
             }
-            if (writers.length > 1)
-              writers.foreach { case (wAst, _, _, _) =>
-                wAst.stream match {
-                  case ss2: SingleStream if ss2.window.nonEmpty =>
-                    fail(s"multi-writer enrichment table '$tName' " +
-                      "(v1) takes per-event writers only — the " +
-                      "per-event AS-OF reconstruction of flush " +
-                      "interleaves is not built (RECORDED bound, " +
-                      "r14). Rewrites: keep the windowed writer on " +
-                      "its own table (single windowed-writer " +
-                      "enrichment reads deploy), or read the mixed " +
-                      "table at end of replay (`from $tName select " +
-                      "...` — the store/read channel composes any " +
-                      "windowed group)")
-                  case _ => ()
+            val winTNsPer: List[Option[Long]] = writers.map {
+              case (wAst2, _, _, _) => wAst2.stream match {
+                case ss2: SingleStream => ss2.window match {
+                  case Some(WindowSpec(n2, t2 :: _, _))
+                      if n2.equalsIgnoreCase("timebatch") => Some(t2)
+                  case Some(w2) => fail("windowed-writer enrichment " +
+                    s"reads a timeBatch writer (v1); '#window." +
+                    s"${w2.name}' flush emissions have no per-event " +
+                    "visibility instant")
+                  case None => None
+                }
+                case _ => None
+              }
+            }
+            if (writers.length > 1 && winTNsPer.exists(_.nonEmpty)) {
+              // MIXED windowed + per-event writer group read LIVE
+              // through the as-of join (r14, deleting the last
+              // read-during-replay bound for the implicit-set case):
+              // the key insight is that with in-order replay every
+              // PRIOR trigger's update is admissible to every current
+              // event, and among one last-wins writer's updates for a
+              // key only the LATEST can ever win a future as-of pick —
+              // so each per-event writer's cross-trigger history
+              // collapses to a latest-row-per-key state CARRYING ITS
+              // TRUE `__ord` (O(key domain), no log growth), each
+              // windowed writer keeps its flush partials, and per
+              // trigger enrichCompile runs the one keyed window pass
+              // with (prior latest rows ∪ this batch's rows) as each
+              // per-event writer's update relation (uRelOverride) and
+              // each windowed writer's post-merge flush relation
+              // (winFlush) — true ords everywhere, so flushes
+              // interleave between per-event updates exactly as the
+              // batch replay orders them. v1 scope: implicit-set
+              // upsert writers (accumulator folds need frozen-delta
+              // sums, sweepers need tombstone segments — both named
+              // below); aggregation via a downstream stage.
+              writers.foreach { case (_, wAct2, _, _) =>
+                wAct2 match {
+                  case UpsertTable(_, set2, _) if set2.isEmpty => ()
+                  case _ => fail("live enrichment reads of a MIXED " +
+                    s"windowed + per-event writer group on '$tName' " +
+                    "(v1) take implicit-set `update or insert` " +
+                    "writers only — accumulator folds (frozen-delta " +
+                    "sums), inserts, and delete sweepers (tombstone " +
+                    "segments) keep the recorded bound: keep those " +
+                    "writers on their own table, or read the mixed " +
+                    s"table at end of replay (`from $tName select ...`)")
                 }
               }
-            if (winWriterTNs.nonEmpty) {
+              if (hasAggE)
+                fail("live enrichment aggregation over a MIXED " +
+                  "windowed + per-event writer group (v1): use the " +
+                  "projection form and aggregate in a downstream stage")
+              val fnsSnapM = scriptFns
+              val protoEnvM = batchEnv(sp0, "",
+                emptyOf(sp0, srcTs.schema), statelessSnap)
+              val keysPer: List[List[(String, String)]] =
+                writers.map { case (_, wAct2, _, _) => wAct2 match {
+                  case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
+                  case _ => Nil
+                } }
+              val keyOrderM = keysPer.head.map(_._1).distinct.sorted
+              val nK = keyOrderM.length
+              val mkCols = (0 until nK).map(j2 => s"__mk$j2")
+              def withMk(rel: DataFrame, wi: Int): DataFrame =
+                rel.select(keyOrderM.zipWithIndex.map { case (kc, j2) =>
+                  expr(keysPer(wi).find(_._1 == kc).get._2)
+                    .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
+                  rel.columns.toSeq.map(col): _*)
+              // per writer: Left(flush pieces) / Right(latest-state
+              // schema) — both derived over empty prototypes at deploy
+              val infosM: List[Either[FlushPieces, StructType]] =
+                writers.zipWithIndex.map {
+                  case ((wAst2, _, _, wSrc2), wi) =>
+                    winTNsPer(wi) match {
+                      case Some(t2) =>
+                        val ss2 = wAst2.stream.asInstanceOf[SingleStream]
+                        Left(flushPiecesOf(
+                          loadTable(sp0, "", wSrc2, protoEnvM),
+                          ss2.filter, wAst2.groupBy, itemsOf(wAst2), t2))
+                      case None =>
+                        val (protoRel, _) = perEventURel(sp0, "",
+                          wAst2, wSrc2, wi, protoEnvM)
+                        Right(withMk(protoRel, wi).schema)
+                    }
+                }
+              // latest update per key, true __ord kept: max of
+              // (__ord, payload) per __mk* — __ord is unique per row
+              def latestMerge(prior: DataFrame, delta: DataFrame)
+                  : DataFrame = {
+                val all = prior.unionByName(delta)
+                val payCols = all.columns.filterNot(mkCols.contains)
+                all.groupBy(mkCols.map(col): _*)
+                  .agg(max(struct(col("__ord").as("o"),
+                    struct(payCols.map(col): _*).as("p"))).as("m"))
+                  .select(mkCols.map(col) ++
+                    payCols.map(c2 => col(s"m.p.$c2").as(c2)): _*)
+              }
+              def pruneMk(rel: DataFrame, kdf2: DataFrame): DataFrame =
+                rel.as("t").join(kdf2.as("k"),
+                    mkCols.map(c2 => col(s"t.$c2") <=> col(s"k.$c2"))
+                      .reduce(_ && _), "left_semi")
+                  .select(rel.columns.toSeq.map(c2 => col(s"t.$c2")): _*)
+              // deploy-time prototype: fail fast + output schema
+              val protoM = enrichCompile(sp0, "", ast, j, writers,
+                emptyOf(sp0, dSchema), protoEnvM)
+              val keyM = name.orElse(ast.action.map(_.target))
+              if (keyM.contains(out) || name.contains(out)) {
+                val states: Seq[(String, StructType, StateMode)] =
+                  writers.indices.map { wi =>
+                    infosM(wi) match {
+                      case Left(p) => (s"wst$wi", p.stateSchema,
+                        KeyedState(p.keys, (sp, d2, batch) => {
+                          scriptFns = fnsSnapM
+                          p.probeSel(loadTable(sp, d2, writers(wi)._4,
+                            batchEnv(sp, d2, batch, statelessSnap)))
+                        }))
+                      case Right(sch) => (s"pst$wi", sch,
+                        KeyedState(mkCols, (sp, d2, batch) => {
+                          scriptFns = fnsSnapM
+                          withMk(perEventURel(sp, d2, writers(wi)._1,
+                            writers(wi)._4, wi,
+                            batchEnv(sp, d2, batch, statelessSnap))._1,
+                            wi).select(mkCols.map(col): _*)
+                        }))
+                    }
+                  } :+ (("__out", protoM.schema, AppendState))
+                foldResult = Some(LiveFold(srcTs, states,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnapM
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val kdf = batchKeyRel(sp, d2, batch, benv)
+                    var winFlushM = Map.empty[Int, DataFrame]
+                    var uRelM = Map.empty[Int, DataFrame]
+                    val stUpd = writers.indices.map { wi =>
+                      infosM(wi) match {
+                        case Left(p) =>
+                          val st1 = p.merge(acc(s"wst$wi").slice,
+                            p.partialOf(loadTable(sp, d2,
+                              writers(wi)._4, benv)))
+                          // post-merge flush relation: untouched
+                          // buckets + this trigger's merged buckets
+                          val full0 = acc(s"wst$wi").full()
+                          val fullPost = full0.as("t")
+                            .join(st1.select(p.keys.map(col): _*)
+                                .distinct().as("u"),
+                              p.keys.map(k2 =>
+                                col(s"t.$k2") <=> col(s"u.$k2"))
+                                .reduce(_ && _), "left_anti")
+                            .select(full0.columns.toSeq
+                              .map(c2 => col(s"t.$c2")): _*)
+                            .unionByName(st1)
+                          winFlushM += wi ->
+                            pruneToBatchKeys(p.flushOf(fullPost), kdf)
+                          s"wst$wi" -> st1
+                        case Right(_) =>
+                          val (deltaRel, _) = perEventURel(sp, d2,
+                            writers(wi)._1, writers(wi)._4, wi, benv)
+                          val kdfMk = kdf.select(keyOrderM.zipWithIndex
+                            .map { case (kc, j2) =>
+                              col(kc).as(s"__mk$j2") }: _*)
+                          val (priorRel, kdfEff) =
+                            acc(s"pst$wi").keyedRead(kdfMk)
+                          uRelM += wi ->
+                            pruneMk(priorRel, kdfEff)
+                              .drop(mkCols: _*).unionByName(deltaRel)
+                          s"pst$wi" -> latestMerge(
+                            acc(s"pst$wi").slice, withMk(deltaRel, wi))
+                      }
+                    }.toMap
+                    stUpd + ("__out" -> enrichCompile(sp, d2, ast, j,
+                      writers, emptyOf(sp, dSchema), benv,
+                      winFlush = winFlushM, uRelOverride = uRelM))
+                  },
+                  (_, acc) => acc("__out"),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoM.schema), KFold)
+            } else if (winWriterTNs.nonEmpty) {
               // PER-EVENT AS-OF enrichment of a WINDOWED-aggregate
               // store (the Siddhi store pattern read back through a
               // join, r11): each event sees the latest COMPLETED

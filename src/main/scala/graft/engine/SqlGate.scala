@@ -1131,6 +1131,34 @@ object SqlGate {
         |select e.event_id as event_id, MixE.v as v
         |order by event_id
         |insert into Out""".stripMargin)("read")),
+    // the same mixed as-of read deployed LIVE (r14): per-event
+    // writers hold latest-row-per-key states CARRYING their true
+    // __ord, windowed writers hold flush partials, and each trigger
+    // runs the one as-of pass with (prior latest ∪ batch rows) as
+    // the per-event update relations — prior updates keep their ords,
+    // so an old flush can never beat a newer per-event update.
+    "sql_app_enrich_mixed_win_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MixE (user_id long, v double);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixE on MixE.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixE on MixE.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MixE
+        |  on MixE.user_id == e.user_id
+        |select e.event_id as event_id, MixE.v as v
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     "sql_table_two_writers" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table UserLast (user_id long, last_value double,
         |  src string);
@@ -5047,6 +5075,29 @@ object SqlGate {
     // as-of read of the mixed table: per purchase, the last of (view
     // upserts at their instant, flush upserts at their bucket END)
     "sql_enrich_mixed_win" ->
+      """WITH pe AS (
+        |  SELECT user_id, round(value, 2) AS v,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'),
+        |fl AS (
+        |  SELECT user_id, round(sum(value), 2) AS v,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |u AS (SELECT * FROM pe UNION ALL SELECT * FROM fl)
+        |SELECT e.event_id AS event_id, lu.v AS v
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT u.v FROM u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.o_ts < epoch_ns(e.ts) OR
+        |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |  ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
+        |  LIMIT 1) lu ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_mixed_win_live" ->
       """WITH pe AS (
         |  SELECT user_id, round(value, 2) AS v,
         |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w

@@ -1078,6 +1078,33 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x MIXED-writer AS-OF enrichment read: latest-with-ord " +
+       "states replica-exact, bounded tasks (r14)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r14 read-during-replay channel: per-event writers collapse
+    // to latest-row-per-key states carrying true __ord; windowed
+    // writers keep flush partials; each trigger's as-of pass unions
+    // them with the batch rows. Replica user spaces are disjoint and
+    // timestamps identical, so every replica must reproduce the base
+    // enrichment id-shifted (event_id AND the join behind it).
+    val q = SqlGate.queries("sql_app_enrich_mixed_win_live")
+    val base = q(spark, baseSf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"mixed as-of 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == reps * base.length,
+      s"10x row count ${got.length} != ${reps}x base ${base.length}")
+    (0 until reps).foreach { k =>
+      val slice = got.filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
+        .map(t => (t._1 - k * off, t._2)).toSeq
+      assert(slice == base,
+        s"replica $k diverges from the base mixed as-of read")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +
        "live == batch, bounded tasks (VERDICT r12 #8)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the skew rehearsal")

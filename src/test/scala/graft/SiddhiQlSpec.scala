@@ -584,6 +584,73 @@ class SiddhiQlSpec extends AnyFunSuite {
     assert(live == batch)
   }
 
+  test("r14 mixed/windowed multi-writer channels are " +
+       "chunking-invariant (the fast-gate contract)") {
+    // the three r14 live channels — all-windowed multi-writer store,
+    // mixed store with a sweeper, mixed as-of read — must produce
+    // identical results under any micro-batch split: their states
+    // (flush partials, emission logs, latest-with-ord rows) never
+    // reference batch boundaries. This is the contract that lets
+    // Bench's fast-gate profile (2 chunks) stand in for the full
+    // 4-chunk replay with zero correctness surface change.
+    val hdr =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table T (user_id long, v double);
+        |""".stripMargin
+    val peW =
+      """@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into T on T.user_id == user_id;
+        |""".stripMargin
+    val winW =
+      """@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into T on T.user_id == user_id;
+        |""".stripMargin
+    val sweepW =
+      """@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete T on T.user_id == user_id;
+        |""".stripMargin
+    val tableRead =
+      """@info(name = 'read')
+        |from T select user_id, v order by user_id insert into Out"""
+        .stripMargin
+    val joinRead =
+      """@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join T
+        |  on T.user_id == e.user_id
+        |select e.event_id as event_id, T.v as v
+        |order by event_id insert into Out""".stripMargin
+    val apps = Seq(
+      // all-windowed store (two first-match-filtered label writers)
+      hdr + winW.replace("[event_type == 'click']",
+        "[event_type == 'click' and value >= 150.0]") +
+        winW.replace("'win'", "'win2'")
+          .replace("[event_type == 'click']",
+            "[event_type == 'click' and value < 150.0]") + tableRead,
+      // mixed store with a sweeper
+      hdr + peW + winW + sweepW + tableRead,
+      // mixed as-of join read
+      hdr + peW + winW + joinRead)
+    apps.foreach { app =>
+      val c4 = SiddhiQL.deployApp(spark, sf, app, "read")
+        .collect().map(_.toSeq).toSeq
+      val c1 = SiddhiQL.deployApp(spark, sf, app, "read", chunks = 1)
+        .collect().map(_.toSeq).toSeq
+      val c7 = SiddhiQL.deployApp(spark, sf, app, "read", chunks = 7)
+        .collect().map(_.toSeq).toSeq
+      assert(c4.nonEmpty, "channel returned zero rows")
+      assert(c1 == c4 && c7 == c4,
+        "chunking-variant (1/4/7-chunk replays differ)")
+    }
+  }
+
   test("define aggregation diagnostics") {
     def appMsg(app: String): String =
       intercept[IllegalArgumentException](
@@ -1425,13 +1492,12 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // the remaining named bound around windowed multi-writer tables:
-    // a PER-EVENT-READ (enrichment join) of one keeps its refusal —
-    // the as-of reconstruction of flush interleaves is not built.
-    // The END-OF-REPLAY read/out channel composes any windowed group,
-    // all-windowed or MIXED with per-event writers, since r14
-    // (multiWindowedDmlFold — equality asserted in the mixed-writer
-    // store test)
+    // windowed multi-writer tables: the implicit-set mixed JOIN read
+    // deploys since r14 (per-writer latest-with-ord states + flush
+    // partials feeding the one as-of pass — equality checked by the
+    // sql_app_enrich_mixed_win_live gate); the remaining recorded
+    // bound is the NON-implicit mixed read (folds/sweepers/inserts in
+    // the group), whose refusal names the rewrites
     val mixedWriters =
       "define table T (user_id long, v double);\n" +
         "@info(name='t0') from events[event_type == 'view'] " +
@@ -1441,11 +1507,18 @@ class SiddhiQlSpec extends AnyFunSuite {
         "#window.timeBatch(10 min) select user_id, " +
         "math:round(sum(value), 2) as v group by user_id " +
         "update or insert into T on T.user_id == user_id;\n"
-    assert(msg(mixedWriters +
+    val mixedFoldWriters = mixedWriters.replace(
+      "select user_id, value as v update or insert into T " +
+        "on T.user_id == user_id;",
+      "select user_id, value as v update or insert into T " +
+        "set T.v = T.v + v on T.user_id == user_id;")
+    assert(mixedFoldWriters.contains("set T.v"),
+      "fixture rewrite must apply")
+    assert(msg(mixedFoldWriters +
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
-      .contains("per-event writers only"))
+      .contains("implicit-set `update or insert` writers only"))
     // the same mixed group READ at end-of-replay deploys and equals
     // the batch replay (flush emissions interleave between per-event
     // emissions by (ts, event_id, statement) — the shared merge tail)
