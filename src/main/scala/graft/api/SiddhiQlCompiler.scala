@@ -846,7 +846,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             sel2
           case None => uRelOverride.get(wi) match {
             case Some(rel) =>
-              (rel, rel.columns.filterNot(_ == "__ord").toList)
+              (rel, rel.columns
+                .filterNot(c => c == "__ord" || c == "__fd").toList)
             case None => perEventURel(sp, dir, dAst, dSrc, wi, env)
           }
         }
@@ -856,6 +857,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             s"'${parts.mkString(".")}' is not a DML select output " +
             "attribute")
         })
+        // an override relation may carry PRE-EVALUATED fold deltas
+        // (`__fd` struct): the live mixed fold's collapsed sum rows
+        // have no per-row delta expression to evaluate — their delta
+        // IS the accumulated sum
+        val preFd = uSel.columns.contains("__fd")
         uSel.select(
           (Seq(keyC(keyOrder.map(c => wKeys.find(_._1 == c).get._2))
               .as("__key"),
@@ -863,7 +869,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             lit(false).as("__del")) ++
             (if (dFolds.isEmpty) Nil else Seq(struct(dFolds.map {
               case (c, _) =>
-                expr(deltaSql(wFolds.find(_._1 == c).get._2._2))
+                (if (preFd) col(s"__fd.$c")
+                 else expr(deltaSql(wFolds.find(_._1 == c).get._2._2)))
                   .cast(dSchema(c).dataType).as(c) }: _*)
               .as("__fd")))): _*)
     }
@@ -876,21 +883,19 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case DeleteTable(_, on2) => keyEqsOf(on2, tName)
         case _ => Nil
       }
-      val uBase0 = loadTable(sp, dir, dSrc2, env)
-      val uBase = dAst2.stream match {
-        case ss2: SingleStream =>
-          if (ss2.window.nonEmpty)
-            fail("windowed delete sweepers are not per-event " +
-              "readable (v1)")
-          ss2.filter.fold(uBase0)(f =>
-            applyFilter(sp, dir, uBase0, f, env))
-        case _ => uBase0
+      dAst2.stream match {
+        case ss2: SingleStream if ss2.window.nonEmpty =>
+          fail("windowed delete sweepers are not per-event " +
+            "readable (v1)")
+        case _ => ()
       }
-      val uItems = itemsOf(expandStar(dAst2, uBase0.columns))
-      uBase.select(uItems.map { case (it, a2, _) =>
-          expr(sqlOf(it.e)).as(a2) } :+
-          struct(col("ts_ns"), col("event_id"),
-            lit(wi.toLong).as("w")).as("__ord"): _*)
+      // override hook mirrors uTagUpd: the live mixed fold passes
+      // (prior latest tombstone per key ∪ this batch's tombstones)
+      val selD = uRelOverride.get(wi) match {
+        case Some(rel) => rel
+        case None => perEventURel(sp, dir, dAst2, dSrc2, wi, env)._1
+      }
+      selD
         .select(
           (Seq(keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
             .as("__key"),

@@ -2207,19 +2207,39 @@ private[api] trait SiddhiQlLive extends Serializable {
               // upsert writers (accumulator folds need frozen-delta
               // sums, sweepers need tombstone segments — both named
               // below); aggregation via a downstream stage.
-              writers.foreach { case (_, wAct2, _, _) =>
+              val groupKinds = writers.map { case (_, wAct2, _, _) =>
                 wAct2 match {
-                  case UpsertTable(_, set2, _) if set2.isEmpty => ()
-                  case _ => fail("live enrichment reads of a MIXED " +
-                    s"windowed + per-event writer group on '$tName' " +
-                    "(v1) take implicit-set `update or insert` " +
-                    "writers only — accumulator folds (frozen-delta " +
-                    "sums), inserts, and delete sweepers (tombstone " +
-                    "segments) keep the recorded bound: keep those " +
-                    "writers on their own table, or read the mixed " +
-                    s"table at end of replay (`from $tName select ...`)")
+                  case UpsertTable(_, set2, _) if set2.isEmpty =>
+                    "upsert"
+                  case UpsertTable(_, set2, _) if set2.forall {
+                    case (c2, e2) => foldSetOf(tName, c2, e2).nonEmpty
+                  } => "fold"
+                  case _: DeleteTable => "delete"
+                  case _ => "other"
                 }
-              }
+              }.distinct.sorted
+              // composable mixed-read shapes: all-implicit-set,
+              // all-fold, and implicit ± tombstone sweepers (a prior
+              // tombstone history collapses to the LAST tombstone per
+              // key — the only mark that can still decide a future
+              // as-of pick). Fold + sweepers stays refused: sweeps
+              // SEGMENT the running sums, so the two-row collapse
+              // would need per-segment recomputation on every
+              // tombstone arrival.
+              if (groupKinds != List("upsert") &&
+                  groupKinds != List("fold") &&
+                  groupKinds != List("delete", "upsert"))
+                fail("live enrichment reads of a MIXED windowed + " +
+                  s"per-event writer group on '$tName' (v1) take " +
+                  "ALL-implicit-set (± tombstone sweepers) or " +
+                  "ALL-accumulator-fold `update or insert` writers — " +
+                  "inserts (the event-log path), fold + sweeper " +
+                  "mixes (sweeps segment the running sums), and " +
+                  "implicit/fold mixes keep the recorded bound: keep " +
+                  "those writers on their own table, or read the " +
+                  s"mixed table at end of replay (`from $tName " +
+                  "select ...`)")
+              val isFoldGroup = groupKinds == List("fold")
               if (hasAggE)
                 fail("live enrichment aggregation over a MIXED " +
                   "windowed + per-event writer group (v1): use the " +
@@ -2230,6 +2250,7 @@ private[api] trait SiddhiQlLive extends Serializable {
               val keysPer: List[List[(String, String)]] =
                 writers.map { case (_, wAct2, _, _) => wAct2 match {
                   case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
+                  case DeleteTable(_, on2)    => keyEqsOf(on2, tName)
                   case _ => Nil
                 } }
               val keyOrderM = keysPer.head.map(_._1).distinct.sorted
@@ -2240,21 +2261,53 @@ private[api] trait SiddhiQlLive extends Serializable {
                   expr(keysPer(wi).find(_._1 == kc).get._2)
                     .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
                   rel.columns.toSeq.map(col): _*)
-              // per writer: Left(flush pieces) / Right(latest-state
+              // fold groups (r14): every state/batch row carries a
+              // PRE-EVALUATED `__fd` delta struct (uTagUpd consumes it
+              // by name), because the collapsed sum rows below have no
+              // per-row delta expression — their delta IS the sum
+              val foldSpecsPerM: List[List[(String, (String, Expr))]] =
+                writers.map { case (_, wAct2, _, _) => wAct2 match {
+                  case UpsertTable(_, set2, _) => set2.flatMap {
+                    case (c2, e2) => foldSetOf(tName, c2, e2)
+                      .map(f2 => c2 -> f2) }
+                  case _ => Nil
+                } }
+              val foldColsM: List[String] =
+                if (isFoldGroup) foldSpecsPerM.head.map(_._1) else Nil
+              def fdEval(rel: DataFrame, wi: Int): DataFrame =
+                if (!isFoldGroup) rel
+                else {
+                  val outC = rel.columns.toSet
+                  def dSql(e2: Expr): String = sqlOfWith(e2, {
+                    case c2 :: Nil if outC.contains(c2) => c2
+                    case parts => fail(s"fold delta reference " +
+                      s"'${parts.mkString(".")}' is not a DML select " +
+                      "output attribute")
+                  })
+                  rel.withColumn("__fd", struct(foldColsM.map { c2 =>
+                    expr(dSql(foldSpecsPerM(wi)
+                      .find(_._1 == c2).get._2._2))
+                      .cast(dSchema(c2).dataType).as(c2) }: _*))
+                }
+              // per writer: Left(flush pieces) / Right(per-event-state
               // schema) — both derived over empty prototypes at deploy
               val infosM: List[Either[FlushPieces, StructType]] =
                 writers.zipWithIndex.map {
-                  case ((wAst2, _, _, wSrc2), wi) =>
+                  case ((wAst2, wAct2, _, wSrc2), wi) =>
                     winTNsPer(wi) match {
-                      case Some(t2) =>
+                      // a windowed DELETE never gets flush pieces —
+                      // the deploy-time enrichCompile prototype below
+                      // refuses it by name (uTagDel's window check)
+                      case Some(t2)
+                          if !wAct2.isInstanceOf[DeleteTable] =>
                         val ss2 = wAst2.stream.asInstanceOf[SingleStream]
                         Left(flushPiecesOf(
                           loadTable(sp0, "", wSrc2, protoEnvM),
                           ss2.filter, wAst2.groupBy, itemsOf(wAst2), t2))
-                      case None =>
+                      case _ =>
                         val (protoRel, _) = perEventURel(sp0, "",
                           wAst2, wSrc2, wi, protoEnvM)
-                        Right(withMk(protoRel, wi).schema)
+                        Right(withMk(fdEval(protoRel, wi), wi).schema)
                     }
                 }
               // latest update per key, true __ord kept: max of
@@ -2269,6 +2322,49 @@ private[api] trait SiddhiQlLive extends Serializable {
                   .select(mkCols.map(col) ++
                     payCols.map(c2 => col(s"m.p.$c2").as(c2)): _*)
               }
+              // FOLD state = the as-of injection rows themselves: per
+              // key an 'a' row (the group's FIRST per-event upsert —
+              // true ord, own delta, insert values: the window pass's
+              // st0/f0 row unless an earlier FLUSH beats it) and a 'b'
+              // row (Σ of all later per-event deltas at (last ord ts,
+              // id, MaxValue−1) — after its 'a', before every future
+              // event under in-order replay; sums commute, so its
+              // position among flush deltas is free). Merge = one
+              // keyed groupBy over prior rows ∪ batch rows: 'a' = the
+              // min-ord row ('b' rows never win — their ord ≥ their
+              // own 'a'), total = Σ __fd, new 'b' = total − a's own
+              // delta. O(2 rows per key), no emission-log growth.
+              def foldMerge(prior: DataFrame, delta: DataFrame)
+                  : DataFrame = {
+                val all = prior.unionByName(delta)
+                val payCols = all.columns.filterNot(mkCols.contains)
+                val aggs = Seq(
+                  min(struct(col("__ord").as("o"),
+                    struct(payCols.map(col): _*).as("p"))).as("a"),
+                  max(col("__ord")).as("mo")) ++
+                  foldColsM.map(c2 =>
+                    sum(col(s"__fd.$c2")).as(s"__t_$c2"))
+                val aggd = all.groupBy(mkCols.map(col): _*)
+                  .agg(aggs.head, aggs.tail: _*)
+                val bStruct = struct(payCols.map {
+                  case "__ord" => struct(col("mo.ts_ns").as("ts_ns"),
+                    col("mo.event_id").as("event_id"),
+                    lit(Long.MaxValue - 1L).as("w")).as("__ord")
+                  case "__fd" => struct(foldColsM.map { c2 =>
+                    (col(s"__t_$c2") - col(s"a.p.__fd.$c2"))
+                      .cast(dSchema(c2).dataType).as(c2) }: _*)
+                    .as("__fd")
+                  case c2 => col(s"a.p.$c2").as(c2)
+                }: _*)
+                aggd.select(mkCols.map(col) :+
+                  explode(array(col("a.p"), bStruct)).as("r"): _*)
+                  .select(mkCols.map(col) ++
+                    payCols.map(c2 => col(s"r.$c2").as(c2)): _*)
+              }
+              def peMerge(prior: DataFrame, delta: DataFrame)
+                  : DataFrame =
+                if (isFoldGroup) foldMerge(prior, delta)
+                else latestMerge(prior, delta)
               def pruneMk(rel: DataFrame, kdf2: DataFrame): DataFrame =
                 rel.as("t").join(kdf2.as("k"),
                     mkCols.map(c2 => col(s"t.$c2") <=> col(s"k.$c2"))
@@ -2327,8 +2423,9 @@ private[api] trait SiddhiQlLive extends Serializable {
                             pruneToBatchKeys(p.flushOf(fullPost), kdf)
                           s"wst$wi" -> st1
                         case Right(_) =>
-                          val (deltaRel, _) = perEventURel(sp, d2,
+                          val (deltaRel0, _) = perEventURel(sp, d2,
                             writers(wi)._1, writers(wi)._4, wi, benv)
+                          val deltaRel = fdEval(deltaRel0, wi)
                           val kdfMk = kdf.select(keyOrderM.zipWithIndex
                             .map { case (kc, j2) =>
                               col(kc).as(s"__mk$j2") }: _*)
@@ -2337,7 +2434,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                           uRelM += wi ->
                             pruneMk(priorRel, kdfEff)
                               .drop(mkCols: _*).unionByName(deltaRel)
-                          s"pst$wi" -> latestMerge(
+                          s"pst$wi" -> peMerge(
                             acc(s"pst$wi").slice, withMk(deltaRel, wi))
                       }
                     }.toMap

@@ -1159,6 +1159,120 @@ object SqlGate {
         |select e.event_id as event_id, MixE.v as v
         |order by event_id
         |insert into Out""".stripMargin, "read")),
+    // SWEPT mixed as-of read (r14): implicit per-event + windowed
+    // flush upserts PLUS a tombstone sweeper on one table — per
+    // purchase the LAST mark at or before it decides: an update row
+    // is the as-of state, a tombstone means absent (inner join drops
+    // the purchase) until a later update revives the key. Live rides
+    // the same collapse with a latest-tombstone-per-key state.
+    "sql_enrich_mixed_sweep" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table MixS (user_id long, v double);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MixS
+        |  on MixS.user_id == e.user_id
+        |select e.event_id as event_id, MixS.v as v
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_mixed_sweep_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MixS (user_id long, v double);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete MixS on MixS.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MixS
+        |  on MixS.user_id == e.user_id
+        |select e.event_id as event_id, MixS.v as v
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
+    // FOLD mixed as-of read (r14): a per-event counter fold and a
+    // windowed flush fold on one table — per purchase, the as-of
+    // value = the FIRST upsert's insert values + the sum of every
+    // later delta at or before it (flush deltas land at bucket END).
+    // LONG counter: exact arithmetic, no float-reassociation surface
+    // across the collapsed sums.
+    "sql_enrich_mixed_fold" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table FCnt (user_id long, cnt long);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into FCnt
+        |  set FCnt.cnt = FCnt.cnt + 1
+        |  on FCnt.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into FCnt
+        |  set FCnt.cnt = FCnt.cnt + cnt
+        |  on FCnt.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join FCnt
+        |  on FCnt.user_id == e.user_id
+        |select e.event_id as event_id, FCnt.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_mixed_fold_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table FCnt (user_id long, cnt long);
+        |
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into FCnt
+        |  set FCnt.cnt = FCnt.cnt + 1
+        |  on FCnt.user_id == user_id;
+        |
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into FCnt
+        |  set FCnt.cnt = FCnt.cnt + cnt
+        |  on FCnt.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join FCnt
+        |  on FCnt.user_id == e.user_id
+        |select e.event_id as event_id, FCnt.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     "sql_table_two_writers" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table UserLast (user_id long, last_value double,
         |  src string);
@@ -5118,6 +5232,118 @@ object SqlGate {
         |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
         |  ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
         |  LIMIT 1) lu ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // swept mixed as-of: the LAST mark (view upsert / flush upsert /
+    // tombstone) at or before the purchase decides — tombstone =
+    // dropped (inner join)
+    "sql_enrich_mixed_sweep" ->
+      """WITH u AS (
+        |  SELECT user_id, round(value, 2) AS v, FALSE AS del,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, round(sum(value), 2) AS v, FALSE AS del,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000
+        |  UNION ALL
+        |  SELECT user_id, CAST(NULL AS DOUBLE) AS v, TRUE AS del,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 2 AS w
+        |  FROM events WHERE event_type = 'error' AND value > 170.0)
+        |SELECT event_id, v FROM (
+        |  SELECT e.event_id AS event_id, lu.v AS v, lu.del AS del
+        |  FROM events e
+        |  JOIN LATERAL (
+        |    SELECT u.v, u.del FROM u
+        |    WHERE u.user_id = e.user_id
+        |      AND (u.o_ts < epoch_ns(e.ts) OR
+        |        (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |    ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
+        |    LIMIT 1) lu ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE NOT del ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_mixed_sweep_live" ->
+      """WITH u AS (
+        |  SELECT user_id, round(value, 2) AS v, FALSE AS del,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, round(sum(value), 2) AS v, FALSE AS del,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000
+        |  UNION ALL
+        |  SELECT user_id, CAST(NULL AS DOUBLE) AS v, TRUE AS del,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 2 AS w
+        |  FROM events WHERE event_type = 'error' AND value > 170.0)
+        |SELECT event_id, v FROM (
+        |  SELECT e.event_id AS event_id, lu.v AS v, lu.del AS del
+        |  FROM events e
+        |  JOIN LATERAL (
+        |    SELECT u.v, u.del FROM u
+        |    WHERE u.user_id = e.user_id
+        |      AND (u.o_ts < epoch_ns(e.ts) OR
+        |        (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |    ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
+        |    LIMIT 1) lu ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE NOT del ORDER BY event_id""".stripMargin,
+    // fold mixed as-of: first upsert's insert value + sum of later
+    // deltas at or before the purchase (arg_min = the first row's
+    // insert value and its own delta, excluded from the sum)
+    "sql_enrich_mixed_fold" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS insv,
+        |    CAST(1 AS BIGINT) AS delta,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, count(*) AS insv, count(*) AS delta,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000)
+        |SELECT e.event_id AS event_id, lu.cnt AS cnt
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT CAST(first(u.insv ORDER BY u.o_ts, u.o_id, u.w)
+        |    + sum(u.delta)
+        |    - first(u.delta ORDER BY u.o_ts, u.o_id, u.w)
+        |    AS BIGINT) AS cnt
+        |  FROM u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.o_ts < epoch_ns(e.ts) OR
+        |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |  HAVING count(*) > 0) lu ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_mixed_fold_live" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS insv,
+        |    CAST(1 AS BIGINT) AS delta,
+        |    epoch_ns(ts) AS o_ts, event_id AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, count(*) AS insv, count(*) AS delta,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000)
+        |SELECT e.event_id AS event_id, lu.cnt AS cnt
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT CAST(first(u.insv ORDER BY u.o_ts, u.o_id, u.w)
+        |    + sum(u.delta)
+        |    - first(u.delta ORDER BY u.o_ts, u.o_id, u.w)
+        |    AS BIGINT) AS cnt
+        |  FROM u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.o_ts < epoch_ns(e.ts) OR
+        |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |  HAVING count(*) > 0) lu ON TRUE
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
     "sql_app_table_mixed_win_live" ->

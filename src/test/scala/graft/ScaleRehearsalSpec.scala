@@ -1087,22 +1087,28 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     // them with the batch rows. Replica user spaces are disjoint and
     // timestamps identical, so every replica must reproduce the base
     // enrichment id-shifted (event_id AND the join behind it).
-    val q = SqlGate.queries("sql_app_enrich_mixed_win_live")
-    val base = q(spark, baseSf).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val (rows, wall, maxTask) = timed(q(spark, evDir10))
-    info(f"mixed as-of 10x: ${rows.length} rows, wall $wall%.1fs, " +
-      f"max task $maxTask%.1fs (base ${base.length} rows)")
-    val got = rows.map(r => (r.getLong(0), r.getDouble(1)))
-    assert(got.length == reps * base.length,
-      s"10x row count ${got.length} != ${reps}x base ${base.length}")
-    (0 until reps).foreach { k =>
-      val slice = got.filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
-        .map(t => (t._1 - k * off, t._2)).toSeq
-      assert(slice == base,
-        s"replica $k diverges from the base mixed as-of read")
+    Seq(("implicit", "sql_app_enrich_mixed_win_live"),
+        ("fold", "sql_app_enrich_mixed_fold_live"),
+        ("sweep", "sql_app_enrich_mixed_sweep_live")).foreach {
+      case (tag, gate) =>
+        val q = SqlGate.queries(gate)
+        val base = q(spark, baseSf).collect()
+          .map(r => (r.getLong(0), r.get(1))).toSeq
+        val (rows, wall, maxTask) = timed(q(spark, evDir10))
+        info(f"mixed as-of ($tag) 10x: ${rows.length} rows, wall " +
+          f"$wall%.1fs, max task $maxTask%.1fs (base ${base.length})")
+        val got = rows.map(r => (r.getLong(0), r.get(1)))
+        assert(got.length == reps * base.length,
+          s"$tag 10x count ${got.length} != ${reps}x ${base.length}")
+        (0 until reps).foreach { k =>
+          val slice = got
+            .filter(t => t._1 >= k * off && t._1 < (k + 1) * off)
+            .map(t => (t._1 - k * off, t._2)).toSeq
+          assert(slice == base,
+            s"$tag replica $k diverges from the base mixed as-of read")
+        }
+        assert(maxTask < 120, s"straggler task of $maxTask s — skew")
     }
-    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
   test("event-log HOT-KEY skew: one user holds 10% of inserts, " +

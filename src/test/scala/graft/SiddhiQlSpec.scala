@@ -1492,12 +1492,14 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // windowed multi-writer tables: the implicit-set mixed JOIN read
-    // deploys since r14 (per-writer latest-with-ord states + flush
-    // partials feeding the one as-of pass — equality checked by the
-    // sql_app_enrich_mixed_win_live gate); the remaining recorded
-    // bound is the NON-implicit mixed read (folds/sweepers/inserts in
-    // the group), whose refusal names the rewrites
+    // windowed multi-writer tables: ALL-implicit-set and
+    // ALL-accumulator-fold mixed JOIN reads deploy since r14
+    // (per-writer collapsed states + flush partials feeding the one
+    // as-of pass — equality checked by the sql_app_enrich_mixed_*
+    // gates); the remaining recorded bound is the SHAPE-mixED read
+    // (implicit/fold mixes, inserts, sweepers), refusal naming the
+    // rewrites — pinned here with an implicit windowed writer over a
+    // FOLD per-event writer
     val mixedWriters =
       "define table T (user_id long, v double);\n" +
         "@info(name='t0') from events[event_type == 'view'] " +
@@ -1518,7 +1520,7 @@ class SiddhiQlSpec extends AnyFunSuite {
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
-      .contains("implicit-set `update or insert` writers only"))
+      .contains("ALL-accumulator-fold"))
     // the same mixed group READ at end-of-replay deploys and equals
     // the batch replay (flush emissions interleave between per-event
     // emissions by (ts, event_id, statement) — the shared merge tail)
