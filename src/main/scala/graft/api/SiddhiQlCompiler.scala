@@ -730,11 +730,23 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         }
       }
     val dOn = perWriter.head._1
-    val dFolds = perWriter.head._2
-    if (perWriter.map(_._2.map { case (c, (op, _)) => (c, op) }.toMap)
-        .distinct.length != 1)
+    // SHAPE MIXES compose (r15): implicit-set writers RESET the row
+    // (a new fold segment with their values as its base), fold
+    // writers accumulate within the current segment — so a group may
+    // mix the two shapes freely. Among the FOLD writers the fold spec
+    // (column → operator) must still agree; dFolds is theirs.
+    val foldMaps = perWriter.map(_._2).filter(_.nonEmpty)
+    val dFolds = foldMaps.headOption.getOrElse(Nil)
+    if (foldMaps.map(_.map { case (c, (op, _)) => (c, op) }.toMap)
+        .distinct.length > 1)
       fail(s"multi-writer enrichment table '$tName' (v1): every " +
-        "writer must fold the SAME columns with the same operators")
+        "FOLD writer must fold the SAME columns with the same " +
+        "operators")
+    // true when implicit-set and fold writers coexist: implicit rows
+    // then carry a ZERO delta (they participate in the segment sums
+    // as resets, not additions) and mark segment boundaries
+    val mixedShapes = dFolds.nonEmpty &&
+      perWriter.exists(_._2.isEmpty)
     val joinKind = j.joinType match {
       case "inner" | "left_outer" => j.joinType
       case other => fail("enrichment joins are inner or left outer " +
@@ -862,6 +874,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         // have no per-row delta expression to evaluate — their delta
         // IS the accumulated sum
         val preFd = uSel.columns.contains("__fd")
+        // an implicit-set writer inside a FOLD mix: its row is a
+        // segment RESET — zero delta (so cum − f0 counts every fold
+        // delta after it in full; the reset's values ride in __upd)
+        val isImp = wFolds.isEmpty && dFolds.nonEmpty
         uSel.select(
           (Seq(keyC(keyOrder.map(c => wKeys.find(_._1 == c).get._2))
               .as("__key"),
@@ -869,10 +885,12 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             lit(false).as("__del")) ++
             (if (dFolds.isEmpty) Nil else Seq(struct(dFolds.map {
               case (c, _) =>
-                (if (preFd) col(s"__fd.$c")
+                (if (isImp) lit(0)
+                 else if (preFd) col(s"__fd.$c")
                  else expr(deltaSql(wFolds.find(_._1 == c).get._2._2)))
                   .cast(dSchema(c).dataType).as(c) }: _*)
-              .as("__fd")))): _*)
+              .as("__fd"))) ++
+            (if (mixedShapes) Seq(lit(isImp).as("__imp")) else Nil)): _*)
     }
     // TOMBSTONE rows: a delete sweeper's emission wipes the as-of
     // state of its key at its interleaved position — last-wins
@@ -902,7 +920,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           col("__ord"), lit(null).cast(updType).as("__upd"),
           lit(true).as("__del")) ++
           (if (dFolds.isEmpty) Nil
-           else Seq(lit(null).cast(fdType).as("__fd")))): _*)
+           else Seq(lit(null).cast(fdType).as("__fd"))) ++
+          (if (mixedShapes) Seq(lit(false).as("__imp")) else Nil)): _*)
     }
     val uTag = (uTagUpd ++ uTagDel).reduce(_ unionByName _)
     def fdOf(mk: String => Column): Column =
@@ -916,7 +935,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           lit(Long.MinValue).as("w")).as("__ord"),
         updC.as("__upd"), lit(false).as("__del")) ++
         (if (dFolds.isEmpty) Nil
-         else Seq(fdOf(_ => lit(0)).as("__fd")))): _*)
+         else Seq(fdOf(_ => lit(0)).as("__fd"))) ++
+        (if (mixedShapes) Seq(lit(false).as("__imp")) else Nil)): _*)
     val uAll = uTag.unionByName(accTag)
       .withColumn("__isE", lit(false))
       .withColumn("__evt", lit(null).cast(evtType))
@@ -932,6 +952,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         lit(false).as("__del")) ++
         (if (dFolds.isEmpty) Nil
          else Seq(lit(null).cast(fdType).as("__fd"))) ++
+        (if (mixedShapes) Seq(lit(false).as("__imp")) else Nil) ++
         Seq(lit(true).as("__isE"), evtC.as("__evt"))): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__key")
@@ -971,10 +992,18 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         // new segment with null upd/deltas — invisible to the fold).
         val foldMap = dFolds.toMap
         val base0 = uAll.unionByName(eTag)
+        // segment boundaries: tombstones (state absent until the next
+        // upsert) AND — in shape mixes — implicit resets (the reset
+        // row opens its own segment carrying its values as st0)
+        val segMark: Column =
+          if (delWI.nonEmpty && mixedShapes)
+            col("__del") || col("__imp")
+          else if (mixedShapes) col("__imp")
+          else col("__del")
         val (seged, wF) =
-          if (delWI.isEmpty) (base0, w)
+          if (delWI.isEmpty && !mixedShapes) (base0, w)
           else (base0.withColumn("__seg",
-              sum(when(col("__del"), lit(1L)).otherwise(lit(0L)))
+              sum(when(segMark, lit(1L)).otherwise(lit(0L)))
                 .over(w)),
             org.apache.spark.sql.expressions.Window
               .partitionBy("__key", "__seg")
@@ -1656,7 +1685,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       val kinds = dmlKinds(updW).toSet
       kinds == Set("insert") || kinds == Set("upsert") ||
         kinds == Set("fold") || kinds == Set("insert", "upsert") ||
-        kinds == Set("insert", "fold")
+        kinds == Set("insert", "fold") ||
+        // SHAPE MIX (r15): implicit-set + accumulator-fold upserts on
+        // one keyed table — an implicit upsert RESETS the row, later
+        // folds add to it, so the final value is (last reset value OR
+        // the first fold upsert's insert values) + Σ later deltas —
+        // key-algebraic, one keyed window pass
+        kinds == Set("upsert", "fold")
     }
     if (delW.isEmpty) updW.nonEmpty && updOk
     else {
@@ -1684,7 +1719,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         "writer group — all `insert into`, all implicit-set `update " +
         "or insert`, all accumulator-fold `update or insert` with " +
         "identical folds, insert + implicit-set upsert, insert + " +
-        "accumulator-fold upsert multiset groups, or any of those " +
+        "accumulator-fold upsert multiset groups, implicit-set + " +
+        "accumulator-fold upsert keyed groups, or any of those " +
         "plus keyed `delete` sweepers on the same key columns; " +
         "general update/upsert-expr shapes and mixed-key groups are " +
         "row-level replays (see dmlComposable) — got " +
@@ -1963,6 +1999,110 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             (col(f.name) +
               coalesce(col(s"__tot_${f.name}"), lit(0)) -
               coalesce(col(s"__cum_${f.name}"), lit(0)))
+              .cast(f.dataType).as(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+    if (kindSet == Set("upsert", "fold")) {
+      // IMPLICIT-SET + ACCUMULATOR-FOLD UPSERT (r15, ± sweepers): a
+      // keyed single-row-per-key table where an implicit upsert
+      // RESETS the row to its values and a fold upsert adds its delta
+      // (inserting its values iff the key is empty at its position).
+      // Final value per key = the LAST reset's values (or, with no
+      // surviving reset, the first surviving fold upsert's insert
+      // values) + Σ of fold deltas after that origin — one keyed
+      // window pass, no per-event replay. The prior-state seed enters
+      // as a reset at ord −∞ (its values already carry every earlier
+      // fold), which is what makes the live per-trigger merge
+      // chunking-invariant.
+      val upsWI3 = updWI.filter(_._1._2.isInstanceOf[UpsertTable])
+      val foldSpecs3: List[Map[String, String]] = upsWI3.flatMap {
+        case ((_, act2, _, _), _) => act2 match {
+          case UpsertTable(_, set, _) if set.nonEmpty =>
+            List(set.flatMap { case (c, e) =>
+              foldSetOf(t, c, e).map { case (op, _) => c -> op } }.toMap)
+          case _ => Nil
+        }
+      }
+      if (foldSpecs3.distinct.length != 1)
+        fail(s"multi-writer table '$t' (v1): accumulator-fold " +
+          "writers must fold the SAME columns with the same operators")
+      val folds3 = foldSpecs3.head.toList.sortBy(_._1)
+      val upsRows3 = upsWI3.map { case ((_, act2, _, _), i) =>
+        val (sel, outCols, _) = emissions(i)
+        schema.fieldNames.foreach(c =>
+          if (!outCols.contains(c))
+            fail(s"update or insert into $t: select output must " +
+              s"cover every table column (missing: $c)"))
+        val (keys, deltaOf, isReset) = act2 match {
+          case UpsertTable(_, set, on) =>
+            (keyEqsOf(on, t),
+              set.flatMap { case (c, e) =>
+                foldSetOf(t, c, e).map { case (_, d) => c -> d } }.toMap,
+              set.isEmpty)
+          case _ => (Nil, Map.empty[String, Expr], false)
+        }
+        def streamSql(e: Expr): String = sqlOfWith(e, {
+          case c :: Nil if outCols.contains(c) => c
+          case parts => fail(s"fold delta reference " +
+            s"'${parts.mkString(".")}' is not a select output " +
+            "attribute")
+        })
+        sel.select(keyOrder.zipWithIndex.map { case (kc, j) =>
+          expr(keys.find(_._1 == kc).get._2)
+            .cast(schema(kc).dataType).as(s"__mk$j") } ++
+          schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)) ++
+          folds3.map { case (c, op) =>
+            (if (isReset) lit(null).cast(schema(c).dataType)
+             else if (op == "-") -expr(streamSql(deltaOf(c)))
+               .cast(schema(c).dataType)
+             else expr(streamSql(deltaOf(c))).cast(schema(c).dataType))
+              .as(s"__fd_$c") } ++
+          Seq(col("__g_ord"), lit(isReset).as("__rst")): _*)
+      }.reduce(_ unionByName _)
+      val seedRows3 = tableLive.select(
+        keyOrder.zipWithIndex.map { case (kc, j) =>
+          col(kc).cast(schema(kc).dataType).as(s"__mk$j") } ++
+        schema.fieldNames.toSeq.map(col) ++
+        folds3.map { case (c, _) =>
+          lit(null).cast(schema(c).dataType).as(s"__fd_$c") } ++
+        Seq(struct(lit(Long.MinValue).as("ts_ns"),
+            lit(Long.MinValue).as("event_id"),
+            lit(Long.MinValue).as("w")).as("__g_ord"),
+          lit(true).as("__rst")): _*)
+      def liveOf3(df: DataFrame): DataFrame = dm.fold(df) { d =>
+        val cond = keyOrder.indices.map(j =>
+          df(s"__mk$j") <=> d(s"__dk$j")).reduce(_ && _)
+        df.join(d, cond, "left_outer")
+          .filter(col("__dord").isNull ||
+            col("__g_ord") > col("__dord"))
+          .drop(keyOrder.indices.map(j => s"__dk$j") :+ "__dord": _*)
+      }
+      val all3 = liveOf3(upsRows3).unionByName(seedRows3)
+      val wK3 = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyOrder.indices.map(j => col(s"__mk$j")): _*)
+      val valsC3 = struct(schema.fieldNames.toSeq.map(col): _*)
+      val scored3 = folds3.foldLeft(all3
+        .withColumn("__lastR", max(when(col("__rst"),
+          struct(col("__g_ord").as("o"), valsC3.as("v")))).over(wK3))
+        .withColumn("__minOrd", min(col("__g_ord")).over(wK3))) {
+        case (df, (c, _)) =>
+          df.withColumn(s"__tot_$c",
+            sum(when(!col("__rst") &&
+              when(col("__lastR").isNotNull,
+                col("__g_ord") > col("__lastR.o"))
+                .otherwise(col("__g_ord") =!= col("__minOrd")),
+              col(s"__fd_$c"))).over(wK3))
+      }
+      val foldCols3 = folds3.map(_._1).toSet
+      return scored3
+        .filter(when(col("__lastR").isNotNull,
+          col("__rst") && col("__g_ord") === col("__lastR.o"))
+          .otherwise(col("__g_ord") === col("__minOrd")))
+        .select(schema.fields.toSeq.map { f =>
+          if (foldCols3.contains(f.name))
+            (col(f.name) + coalesce(col(s"__tot_${f.name}"), lit(0)))
               .cast(f.dataType).as(f.name)
           else col(f.name).cast(f.dataType).as(f.name)
         }: _*)

@@ -2219,27 +2219,41 @@ private[api] trait SiddhiQlLive extends Serializable {
                 }
               }.distinct.sorted
               // composable mixed-read shapes: all-implicit-set,
-              // all-fold, and implicit ± tombstone sweepers (a prior
+              // all-fold, implicit ± tombstone sweepers (a prior
               // tombstone history collapses to the LAST tombstone per
               // key — the only mark that can still decide a future
-              // as-of pick). Fold + sweepers stays refused: sweeps
-              // SEGMENT the running sums, so the two-row collapse
-              // would need per-segment recomputation on every
-              // tombstone arrival.
+              // as-of pick), and — r15 — implicit + fold SHAPE mixes
+              // (an implicit upsert is a segment RESET; the fold
+              // writers' two-row collapse re-scopes past the latest
+              // PAST reset at every merge — see the pass-2 scoping
+              // below). Fold + sweepers stays refused: sweeps SEGMENT
+              // the running sums, so the two-row collapse would need
+              // per-segment recomputation on every tombstone arrival.
               if (groupKinds != List("upsert") &&
                   groupKinds != List("fold") &&
-                  groupKinds != List("delete", "upsert"))
+                  groupKinds != List("delete", "upsert") &&
+                  groupKinds != List("fold", "upsert"))
                 fail("live enrichment reads of a MIXED windowed + " +
                   s"per-event writer group on '$tName' (v1) take " +
-                  "ALL-implicit-set (± tombstone sweepers) or " +
-                  "ALL-accumulator-fold `update or insert` writers — " +
-                  "inserts (the event-log path), fold + sweeper " +
-                  "mixes (sweeps segment the running sums), and " +
-                  "implicit/fold mixes keep the recorded bound: keep " +
-                  "those writers on their own table, or read the " +
-                  s"mixed table at end of replay (`from $tName " +
-                  "select ...`)")
+                  "implicit-set and/or accumulator-fold `update or " +
+                  "insert` writers, implicit ± tombstone sweepers — " +
+                  "inserts (the event-log path) and fold + sweeper " +
+                  "mixes (sweeps segment the running sums) keep the " +
+                  "recorded bound: keep those writers on their own " +
+                  "table, or read the mixed table at end of replay " +
+                  s"(`from $tName select ...`)")
               val isFoldGroup = groupKinds == List("fold")
+              val isShapeMix = groupKinds == List("fold", "upsert")
+              // per-writer shape (parallel to `writers`): "upsert"
+              // (implicit reset), "fold", or "delete"
+              val wKinds: List[String] = writers.map {
+                case (_, wAct2, _, _) => wAct2 match {
+                  case UpsertTable(_, set2, _) if set2.isEmpty =>
+                    "upsert"
+                  case _: UpsertTable => "fold"
+                  case _ => "delete"
+                }
+              }
               if (hasAggE)
                 fail("live enrichment aggregation over a MIXED " +
                   "windowed + per-event writer group (v1): use the " +
@@ -2273,9 +2287,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                   case _ => Nil
                 } }
               val foldColsM: List[String] =
-                if (isFoldGroup) foldSpecsPerM.head.map(_._1) else Nil
+                if (isFoldGroup || isShapeMix)
+                  foldSpecsPerM.find(_.nonEmpty)
+                    .getOrElse(Nil).map(_._1)
+                else Nil
               def fdEval(rel: DataFrame, wi: Int): DataFrame =
-                if (!isFoldGroup) rel
+                if (!(isFoldGroup ||
+                    (isShapeMix && wKinds(wi) == "fold"))) rel
                 else {
                   val outC = rel.columns.toSet
                   def dSql(e2: Expr): String = sqlOfWith(e2, {
@@ -2310,6 +2328,44 @@ private[api] trait SiddhiQlLive extends Serializable {
                         Right(withMk(fdEval(protoRel, wi), wi).schema)
                     }
                 }
+              // r15 (VERDICT r14 #2): the single-windowed path's
+              // TIME-BANDED base compaction, generalized PER WRITER —
+              // every compactEvery generations each windowed writer's
+              // flush-partial state sheds FROZEN buckets (bucket end ≤
+              // the batch's max ts − wmNs) into a compacted base of
+              // ONE latest flush row per group key, so long-horizon
+              // per-trigger reads stay O(live band + key domain), not
+              // O(every bucket ever flushed). Safe by the same freeze
+              // argument: a bucket frozen at generation g is
+              // admissible to EVERY event of later generations
+              // (in-order replay ⇒ their ts exceed the gen-g bound),
+              // and among ONE writer's admissible flushes per key only
+              // the LATEST ord can win the as-of pick — an older flush
+              // always loses to its own writer's newer one. Implicit-
+              // set (± sweeper) groups only: FOLD flush rows are
+              // DELTAS — every frozen delta still sums into future
+              // as-of values and the group's min-ord row can seed the
+              // 'a' pick, so latest-per-key collapse would be wrong;
+              // fold groups keep the un-compacted band (reads stay
+              // key-pruned).
+              val compactInfoM: Map[Int, (Int, Seq[String], StructType)] =
+                if (isFoldGroup) Map.empty
+                else writers.indices.flatMap { wi =>
+                  infosM(wi) match {
+                    // implicit-set windowed writers only: a FOLD
+                    // writer's flush rows are deltas (see above)
+                    case Left(p) if wKinds(wi) == "upsert" =>
+                      val gb = writers(wi)._1.groupBy
+                      val flushSch =
+                        p.flushOf(emptyOf(sp0, p.stateSchema)).schema
+                      val fCols = flushSch.map(_.name).toSet
+                      if (gb.nonEmpty && gb.forall(fCols.contains))
+                        Some(wi -> ((compactEveryConf(sp0).getOrElse(8),
+                          gb: Seq[String], flushSch)))
+                      else None
+                    case _ => None
+                  }
+                }.toMap
               // latest update per key, true __ord kept: max of
               // (__ord, payload) per __mk* — __ord is unique per row
               def latestMerge(prior: DataFrame, delta: DataFrame)
@@ -2334,9 +2390,29 @@ private[api] trait SiddhiQlLive extends Serializable {
               // min-ord row ('b' rows never win — their ord ≥ their
               // own 'a'), total = Σ __fd, new 'b' = total − a's own
               // delta. O(2 rows per key), no emission-log growth.
-              def foldMerge(prior: DataFrame, delta: DataFrame)
-                  : DataFrame = {
-                val all = prior.unionByName(delta)
+              // SHAPE MIXES (r15) scope the collapse past the latest
+              // PAST reset per key (`rst`: __mk* + max __rord with
+              // ord ≤ the batch's max ts): rows at or before the
+              // reset are dead for every FUTURE event (in-order
+              // replay ⇒ future ts ≥ this batch's max ts ≥ reset ts),
+              // and because any reset newer than the last merge sorts
+              // after the prior 'b' row, a 'b' sum never straddles a
+              // reset — the drop is always whole-rows, never a split.
+              def foldMerge(prior: DataFrame, delta: DataFrame,
+                  rst: Option[DataFrame] = None): DataFrame = {
+                val all0 = prior.unionByName(delta)
+                val all = rst match {
+                  case None => all0
+                  case Some(r) =>
+                    all0.as("t").join(r.as("r"),
+                        mkCols.map(c2 =>
+                          col(s"t.$c2") <=> col(s"r.$c2"))
+                          .reduce(_ && _), "left_outer")
+                      .filter(col("r.__rord").isNull ||
+                        col("t.__ord") > col("r.__rord"))
+                      .select(all0.columns.toSeq
+                        .map(c2 => col(s"t.$c2")): _*)
+                }
                 val payCols = all.columns.filterNot(mkCols.contains)
                 val aggs = Seq(
                   min(struct(col("__ord").as("o"),
@@ -2365,6 +2441,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                   : DataFrame =
                 if (isFoldGroup) foldMerge(prior, delta)
                 else latestMerge(prior, delta)
+              // ord of a windowed writer's flush rows (bucket END,
+              // event 0, statement index) — the reset ord for
+              // windowed IMPLICIT members of a shape mix
+              def flushOrdC(wi: Int, tNs2: Long): Column =
+                struct(((col("__wb") + lit(1L)) * lit(tNs2))
+                  .cast("long").as("ts_ns"),
+                  lit(0L).as("event_id"), lit(wi.toLong).as("w"))
               def pruneMk(rel: DataFrame, kdf2: DataFrame): DataFrame =
                 rel.as("t").join(kdf2.as("k"),
                     mkCols.map(c2 => col(s"t.$c2") <=> col(s"k.$c2"))
@@ -2376,14 +2459,15 @@ private[api] trait SiddhiQlLive extends Serializable {
               val keyM = name.orElse(ast.action.map(_.target))
               if (keyM.contains(out) || name.contains(out)) {
                 val states: Seq[(String, StructType, StateMode)] =
-                  writers.indices.map { wi =>
+                  (writers.indices.map { wi =>
                     infosM(wi) match {
                       case Left(p) => (s"wst$wi", p.stateSchema,
                         KeyedState(p.keys, (sp, d2, batch) => {
                           scriptFns = fnsSnapM
                           p.probeSel(loadTable(sp, d2, writers(wi)._4,
                             batchEnv(sp, d2, batch, statelessSnap)))
-                        }))
+                        }, compactEvery =
+                          compactInfoM.get(wi).map(_._1)))
                       case Right(sch) => (s"pst$wi", sch,
                         KeyedState(mkCols, (sp, d2, batch) => {
                           scriptFns = fnsSnapM
@@ -2393,7 +2477,17 @@ private[api] trait SiddhiQlLive extends Serializable {
                             wi).select(mkCols.map(col): _*)
                         }))
                     }
-                  } :+ (("__out", protoM.schema, AppendState))
+                  } ++ compactInfoM.toSeq.sortBy(_._1).map {
+                    // per-writer base: rewrites ONLY on compaction
+                    // generations (empty batchKeys ⇒ no touched
+                    // buckets ⇒ the runner skips its write between)
+                    case (wi, (e, bks, fSch)) =>
+                      (s"wbase$wi", fSch, KeyedState(bks,
+                        (sp, _, _) => emptyOf(sp, StructType(
+                          fSch.filter(f => bks.contains(f.name))
+                            .toArray)),
+                        compactEvery = Some(e)))
+                  }) :+ (("__out", protoM.schema, AppendState))
                 foldResult = Some(LiveFold(srcTs, states,
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnapM
@@ -2401,7 +2495,14 @@ private[api] trait SiddhiQlLive extends Serializable {
                     val kdf = batchKeyRel(sp, d2, batch, benv)
                     var winFlushM = Map.empty[Int, DataFrame]
                     var uRelM = Map.empty[Int, DataFrame]
-                    val stUpd = writers.indices.map { wi =>
+                    // pass 1: windowed writers (flush partials ∪
+                    // compacted base) and implicit per-event writers
+                    // merge; SHAPE-MIX fold writers only derive their
+                    // deltas here — their state merge needs the
+                    // trigger's reset relation (pass 2)
+                    var flushAllM = Map.empty[Int, DataFrame]
+                    var deltaMkM = Map.empty[Int, DataFrame]
+                    val stUpd1 = writers.indices.flatMap { wi =>
                       infosM(wi) match {
                         case Left(p) =>
                           val st1 = p.merge(acc(s"wst$wi").slice,
@@ -2419,9 +2520,51 @@ private[api] trait SiddhiQlLive extends Serializable {
                             .select(full0.columns.toSeq
                               .map(c2 => col(s"t.$c2")): _*)
                             .unionByName(st1)
+                          // frozen history re-enters as the compacted
+                          // base — finished flush rows at TRUE __wb,
+                          // so their as-of ords are exact
+                          val flushAll = compactInfoM.get(wi) match {
+                            case Some(_) => p.flushOf(fullPost)
+                              .unionByName(acc(s"wbase$wi").full())
+                            case None => p.flushOf(fullPost)
+                          }
+                          flushAllM += wi -> flushAll
                           winFlushM += wi ->
-                            pruneToBatchKeys(p.flushOf(fullPost), kdf)
-                          s"wst$wi" -> st1
+                            pruneToBatchKeys(flushAll, kdf)
+                          compactInfoM.get(wi) match {
+                            case None => Seq(s"wst$wi" -> st1)
+                            case Some((_, bks, fSch)) =>
+                              if (!acc(s"wst$wi").compacting)
+                                Seq(s"wst$wi" -> st1,
+                                  s"wbase$wi" -> emptyOf(sp, fSch))
+                              else {
+                                val maxTs = batch
+                                  .agg(max(col("ts_ns"))).collect()(0)
+                                if (maxTs.isNullAt(0))
+                                  Seq(s"wst$wi" -> st1,
+                                    s"wbase$wi" ->
+                                      acc(s"wbase$wi").slice)
+                                else {
+                                  val w = maxTs.getLong(0) - wmNs
+                                  val frozenP = (col("__wb") + lit(1L)) *
+                                    lit(p.tNs) <= lit(w)
+                                  val fresh =
+                                    p.flushOf(st1.filter(frozenP))
+                                  val ww = org.apache.spark.sql
+                                    .expressions.Window
+                                    .partitionBy(bks.map(col): _*)
+                                    .orderBy(col("__wb").desc)
+                                  val base2 = acc(s"wbase$wi").slice
+                                    .unionByName(fresh)
+                                    .withColumn("__rn",
+                                      row_number().over(ww))
+                                    .where(col("__rn") === 1)
+                                    .drop("__rn")
+                                  Seq(s"wst$wi" -> st1.filter(!frozenP),
+                                    s"wbase$wi" -> base2)
+                                }
+                              }
+                          }
                         case Right(_) =>
                           val (deltaRel0, _) = perEventURel(sp, d2,
                             writers(wi)._1, writers(wi)._4, wi, benv)
@@ -2434,10 +2577,68 @@ private[api] trait SiddhiQlLive extends Serializable {
                           uRelM += wi ->
                             pruneMk(priorRel, kdfEff)
                               .drop(mkCols: _*).unionByName(deltaRel)
-                          s"pst$wi" -> peMerge(
-                            acc(s"pst$wi").slice, withMk(deltaRel, wi))
+                          val dMk = withMk(deltaRel, wi)
+                          deltaMkM += wi -> dMk
+                          if (isShapeMix && wKinds(wi) == "fold") Nil
+                          else Seq(s"pst$wi" -> peMerge(
+                            acc(s"pst$wi").slice, dMk))
                       }
-                    }.toMap
+                    }
+                    // pass 2 (shape mixes): per fold-touched key, the
+                    // latest PAST reset — implicit per-event latest
+                    // rows (state ∪ batch) and windowed implicit
+                    // flushes whose bucket END ≤ the batch's max ts
+                    // (an OPEN bucket's flush must not scope: events
+                    // before its end still admit earlier deltas) —
+                    // then the scoped two-row collapses
+                    val foldWis = writers.indices.filter(wi =>
+                      isShapeMix && infosM(wi).isRight &&
+                        wKinds(wi) == "fold")
+                    val stUpd2 =
+                      if (foldWis.isEmpty) Nil
+                      else {
+                        val foldKeys = foldWis.map(wi =>
+                          acc(s"pst$wi").slice
+                            .select(mkCols.map(col): _*)
+                            .unionByName(deltaMkM(wi)
+                              .select(mkCols.map(col): _*)))
+                          .reduce(_ unionByName _).distinct()
+                        val perEvR = writers.indices.collect {
+                          case wj if infosM(wj).isRight &&
+                              wKinds(wj) == "upsert" =>
+                            val (pj, kj) =
+                              acc(s"pst$wj").keyedRead(foldKeys)
+                            pruneMk(pj, kj).select(mkCols.map(col) :+
+                                col("__ord").as("__rord"): _*)
+                              .unionByName(deltaMkM(wj)
+                                .select(mkCols.map(col) :+
+                                  col("__ord").as("__rord"): _*))
+                        }
+                        val maxTsRow =
+                          batch.agg(max(col("ts_ns"))).collect()(0)
+                        val winR =
+                          if (maxTsRow.isNullAt(0)) Nil
+                          else writers.indices.collect {
+                            case wj if infosM(wj).isLeft &&
+                                wKinds(wj) == "upsert" =>
+                              pruneMk(withMk(flushAllM(wj), wj),
+                                  foldKeys)
+                                .select(mkCols.map(col) :+
+                                  flushOrdC(wj, winTNsPer(wj).get)
+                                    .as("__rord"): _*)
+                                .where(col("__rord.ts_ns") <=
+                                  lit(maxTsRow.getLong(0)))
+                          }
+                        val rsts = perEvR ++ winR
+                        val rstO =
+                          if (rsts.isEmpty) None
+                          else Some(rsts.reduce(_ unionByName _)
+                            .groupBy(mkCols.map(col): _*)
+                            .agg(max(col("__rord")).as("__rord")))
+                        foldWis.map(wi => s"pst$wi" -> foldMerge(
+                          acc(s"pst$wi").slice, deltaMkM(wi), rstO))
+                      }
+                    val stUpd = (stUpd1 ++ stUpd2).toMap
                     stUpd + ("__out" -> enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
                       winFlush = winFlushM, uRelOverride = uRelM))
@@ -3833,6 +4034,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                           .select(kCols.map(col) :+
                             bucketCol(ks).cast("int").as("__b"): _*)
                           .distinct().limit(keyLocalCap + 1).collect())
+                        // over-cap: RECORD the fallback (r15 — the
+                        // scale path must show in the probe, so a
+                        // rehearsal can assert it actually fired)
+                        if (rows.length > keyLocalCap)
+                          foldReadProbe.foreach(
+                            _ += ((gen + 1, s"__keycap_fallback:$n",
+                              rows.length.toLong)))
                         val bs =
                           if (rows.length > keyLocalCap)
                             tagged(sp, s"keyread2:$n")(kdf

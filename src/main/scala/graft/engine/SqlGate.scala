@@ -1273,6 +1273,207 @@ object SqlGate {
         |select e.event_id as event_id, FCnt.cnt as cnt
         |order by event_id
         |insert into Out""".stripMargin, "read")),
+    // SHAPE-MIXED table (r15): an IMPLICIT-SET writer (resets the row
+    // to its values) and an ACCUMULATOR-FOLD writer (adds its delta)
+    // on one keyed table. Final value per key = last reset value (or
+    // the first fold upsert's insert values) + Σ later deltas — the
+    // interleaved (ts, event_id, statement) replay, collapsed to one
+    // keyed window pass (mergeEmissions' upsert+fold arm). LONG
+    // counter: exact arithmetic across the collapse.
+    "sql_table_shape_mix" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table ShpT (user_id long, cnt long);
+        |
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpT on ShpT.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpT
+        |  set ShpT.cnt = ShpT.cnt + 1
+        |  on ShpT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from ShpT
+        |select user_id, cnt
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // SHAPE-MIXED as-of read (r15, VERDICT r14 #3): per purchase the
+    // as-of value = the last implicit RESET at or before it plus the
+    // fold deltas after that reset (or, with no reset yet, the first
+    // fold upsert's insert values plus later deltas) — implicit rows
+    // mark fold-segment boundaries carrying zero delta.
+    "sql_enrich_mixed_shapes" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table ShpE (user_id long, cnt long);
+        |
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpE on ShpE.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpE
+        |  set ShpE.cnt = ShpE.cnt + 1
+        |  on ShpE.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join ShpE
+        |  on ShpE.user_id == e.user_id
+        |select e.event_id as event_id, ShpE.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    // the same shape-mixed read deployed LIVE: rides the per-event
+    // multi-writer channel — the accumulated table seeds each
+    // trigger's as-of pass at ord −∞ with zero delta, so its value
+    // (which already carries every earlier reset + fold) is segment
+    // base unless a newer in-batch reset opens a fresh segment.
+    "sql_app_enrich_mixed_shapes_live" ->
+      ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table ShpE (user_id long, cnt long);
+        |
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpE on ShpE.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpE
+        |  set ShpE.cnt = ShpE.cnt + 1
+        |  on ShpE.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join ShpE
+        |  on ShpE.user_id == e.user_id
+        |select e.event_id as event_id, ShpE.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
+    // WINDOWED SHAPE-MIX as-of read (r15): implicit per-event resets,
+    // a per-event accumulator fold, AND a windowed implicit writer
+    // whose flushes are resets at their bucket ENDS — on one table.
+    // Live scopes the fold writer's two-row collapse past the latest
+    // PAST reset at every merge (per-event resets + closed-bucket
+    // flushes); batch and the as-of pass segment by reset marks.
+    "sql_enrich_shape_mix_win" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table SmW (user_id long, cnt long);
+        |
+        |@info(name = 'rst')
+        |from events[event_type == 'view']
+        |select user_id, event_id % 1000 as cnt
+        |update or insert into SmW on SmW.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into SmW
+        |  set SmW.cnt = SmW.cnt + 1
+        |  on SmW.user_id == user_id;
+        |
+        |@info(name = 'wrst')
+        |from events[event_type == 'error']#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into SmW on SmW.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join SmW
+        |  on SmW.user_id == e.user_id
+        |select e.event_id as event_id, SmW.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_shape_mix_win_live" ->
+      ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table SmW (user_id long, cnt long);
+        |
+        |@info(name = 'rst')
+        |from events[event_type == 'view']
+        |select user_id, event_id % 1000 as cnt
+        |update or insert into SmW on SmW.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into SmW
+        |  set SmW.cnt = SmW.cnt + 1
+        |  on SmW.user_id == user_id;
+        |
+        |@info(name = 'wrst')
+        |from events[event_type == 'error']#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into SmW on SmW.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join SmW
+        |  on SmW.user_id == e.user_id
+        |select e.event_id as event_id, SmW.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
+    // MULTI-WINDOWED as-of read (r15): a table written by TWO
+    // windowed (timeBatch) writers — different bucket sizes AND
+    // different aggregates — joined per-event. Each writer's flush
+    // rows are visible from their bucket END; per purchase the last
+    // flush across BOTH writers at or before it decides, same-instant
+    // flushes tie-broken by statement index (bucket ends coincide at
+    // the 70-min LCM). Batch + live run the same one-pass as-of
+    // window; live holds one flush-partial state per writer.
+    "sql_enrich_multiwin" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table MwT (user_id long, v double);
+        |
+        |@info(name = 'hi')
+        |from events[event_type == 'click' and value >= 150.0]
+        |#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MwT on MwT.user_id == user_id;
+        |
+        |@info(name = 'lo')
+        |from events[event_type == 'click' and value < 150.0]
+        |#window.timeBatch(7 min)
+        |select user_id, math:round(avg(value), 2) as v
+        |group by user_id
+        |update or insert into MwT on MwT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MwT
+        |  on MwT.user_id == e.user_id
+        |select e.event_id as event_id, MwT.v as v
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_multiwin_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MwT (user_id long, v double);
+        |
+        |@info(name = 'hi')
+        |from events[event_type == 'click' and value >= 150.0]
+        |#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MwT on MwT.user_id == user_id;
+        |
+        |@info(name = 'lo')
+        |from events[event_type == 'click' and value < 150.0]
+        |#window.timeBatch(7 min)
+        |select user_id, math:round(avg(value), 2) as v
+        |group by user_id
+        |update or insert into MwT on MwT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MwT
+        |  on MwT.user_id == e.user_id
+        |select e.event_id as event_id, MwT.v as v
+        |order by event_id
+        |insert into Out""".stripMargin, "read")),
     "sql_table_two_writers" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table UserLast (user_id long, last_value double,
         |  src string);
@@ -5344,6 +5545,230 @@ object SqlGate {
         |    AND (u.o_ts < epoch_ns(e.ts) OR
         |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
         |  HAVING count(*) > 0) lu ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // shape-mixed table: per key, the last implicit reset's value (or
+    // the first fold upsert's insert value) + the count of fold
+    // emissions after it — reconstructed independently from the raw
+    // events
+    "sql_table_shape_mix" ->
+      """WITH rst AS (
+        |  SELECT user_id, event_id AS insv,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS ro
+        |  FROM events WHERE event_type = 'view'),
+        |lastr AS (
+        |  SELECT user_id, first(insv ORDER BY ro DESC) AS insv,
+        |    max(ro) AS ro
+        |  FROM rst GROUP BY user_id),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS co
+        |  FROM events WHERE event_type = 'click'),
+        |agg AS (
+        |  SELECT c.user_id, count(*) AS n
+        |  FROM clk c LEFT JOIN lastr l ON c.user_id = l.user_id
+        |  WHERE l.ro IS NULL OR c.co > l.ro
+        |  GROUP BY c.user_id)
+        |SELECT coalesce(l.user_id, a.user_id) AS user_id,
+        |  CAST(coalesce(l.insv, 0) + coalesce(a.n, 0) AS BIGINT) AS cnt
+        |FROM lastr l FULL JOIN agg a ON l.user_id = a.user_id
+        |ORDER BY user_id""".stripMargin,
+    // shape-mixed as-of read: per purchase, last reset ≤ it + count
+    // of fold emissions in (reset, purchase]; present iff a reset or
+    // any fold emission precedes it
+    "sql_enrich_mixed_shapes" ->
+      """WITH rst AS (
+        |  SELECT user_id, event_id AS insv,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS ro
+        |  FROM events WHERE event_type = 'view'),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS co
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, CAST(coalesce(rv, 0) + n AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT e.event_id AS event_id, r.insv AS rv, a.n AS n
+        |  FROM events e
+        |  LEFT JOIN LATERAL (
+        |    SELECT insv, ro FROM rst
+        |    WHERE rst.user_id = e.user_id
+        |      AND rst.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id)
+        |    ORDER BY ro DESC LIMIT 1) r ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT count(*) AS n FROM clk c
+        |    WHERE c.user_id = e.user_id
+        |      AND c.co <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id)
+        |      AND (r.ro IS NULL OR c.co > r.ro)) a ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE rv IS NOT NULL OR n > 0
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_mixed_shapes_live" ->
+      """WITH rst AS (
+        |  SELECT user_id, event_id AS insv,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS ro
+        |  FROM events WHERE event_type = 'view'),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id) AS co
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, CAST(coalesce(rv, 0) + n AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT e.event_id AS event_id, r.insv AS rv, a.n AS n
+        |  FROM events e
+        |  LEFT JOIN LATERAL (
+        |    SELECT insv, ro FROM rst
+        |    WHERE rst.user_id = e.user_id
+        |      AND rst.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id)
+        |    ORDER BY ro DESC LIMIT 1) r ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT count(*) AS n FROM clk c
+        |    WHERE c.user_id = e.user_id
+        |      AND c.co <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id)
+        |      AND (r.ro IS NULL OR c.co > r.ro)) a ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE rv IS NOT NULL OR n > 0
+        |ORDER BY event_id""".stripMargin,
+    // windowed shape-mix as-of: resets = view upserts at their
+    // instant ∪ error-flush upserts at their bucket END; per purchase
+    // cnt = last reset ≤ it + count of click folds after that reset
+    // (or the total click count when no reset precedes it)
+    "sql_enrich_shape_mix_win" ->
+      """WITH rst AS (
+        |  SELECT user_id, CAST(event_id % 1000 AS BIGINT) AS v,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(0 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, count(*) AS v,
+        |    struct_pack(
+        |      o_ts := (epoch_ns(ts) // 600000000000 + 1)
+        |        * 600000000000,
+        |      o_id := CAST(0 AS BIGINT), w := CAST(2 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(1 AS BIGINT)) AS co
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, CAST(coalesce(rv, 0) + n AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT e.event_id AS event_id, r.v AS rv, a.n AS n
+        |  FROM events e
+        |  LEFT JOIN LATERAL (
+        |    SELECT v, ro FROM rst
+        |    WHERE rst.user_id = e.user_id
+        |      AND rst.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |    ORDER BY ro DESC LIMIT 1) r ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT count(*) AS n FROM clk c
+        |    WHERE c.user_id = e.user_id
+        |      AND c.co <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |      AND (r.ro IS NULL OR c.co > r.ro)) a ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE rv IS NOT NULL OR n > 0
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_shape_mix_win_live" ->
+      """WITH rst AS (
+        |  SELECT user_id, CAST(event_id % 1000 AS BIGINT) AS v,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(0 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, count(*) AS v,
+        |    struct_pack(
+        |      o_ts := (epoch_ns(ts) // 600000000000 + 1)
+        |        * 600000000000,
+        |      o_id := CAST(0 AS BIGINT), w := CAST(2 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(1 AS BIGINT)) AS co
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, CAST(coalesce(rv, 0) + n AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT e.event_id AS event_id, r.v AS rv, a.n AS n
+        |  FROM events e
+        |  LEFT JOIN LATERAL (
+        |    SELECT v, ro FROM rst
+        |    WHERE rst.user_id = e.user_id
+        |      AND rst.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |    ORDER BY ro DESC LIMIT 1) r ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT count(*) AS n FROM clk c
+        |    WHERE c.user_id = e.user_id
+        |      AND c.co <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |      AND (r.ro IS NULL OR c.co > r.ro)) a ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE rv IS NOT NULL OR n > 0
+        |ORDER BY event_id""".stripMargin,
+    // multi-windowed as-of: two flush relations at their own bucket
+    // ENDS (10 min sum vs 7 min avg), last-at-or-before the purchase
+    // wins, same-instant flushes (the 70-min LCM ends) tie-broken by
+    // statement index — the oracle reconstructs both flush relations
+    // independently in DuckDB
+    "sql_enrich_multiwin" ->
+      """WITH f0 AS (
+        |  SELECT user_id, round(sum(value), 2) AS v,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'click' AND value >= 150.0
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |f1 AS (
+        |  SELECT user_id, round(avg(value), 2) AS v,
+        |    (epoch_ns(ts) // 420000000000 + 1) * 420000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click' AND value < 150.0
+        |  GROUP BY user_id, epoch_ns(ts) // 420000000000),
+        |u AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1)
+        |SELECT e.event_id AS event_id, lu.v AS v
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT u.v FROM u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.o_ts < epoch_ns(e.ts) OR
+        |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |  ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
+        |  LIMIT 1) lu ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "sql_app_enrich_multiwin_live" ->
+      """WITH f0 AS (
+        |  SELECT user_id, round(sum(value), 2) AS v,
+        |    (epoch_ns(ts) // 600000000000 + 1) * 600000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 0 AS w
+        |  FROM events WHERE event_type = 'click' AND value >= 150.0
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |f1 AS (
+        |  SELECT user_id, round(avg(value), 2) AS v,
+        |    (epoch_ns(ts) // 420000000000 + 1) * 420000000000 AS o_ts,
+        |    CAST(0 AS BIGINT) AS o_id, 1 AS w
+        |  FROM events WHERE event_type = 'click' AND value < 150.0
+        |  GROUP BY user_id, epoch_ns(ts) // 420000000000),
+        |u AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1)
+        |SELECT e.event_id AS event_id, lu.v AS v
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT u.v FROM u
+        |  WHERE u.user_id = e.user_id
+        |    AND (u.o_ts < epoch_ns(e.ts) OR
+        |      (u.o_ts = epoch_ns(e.ts) AND u.o_id <= e.event_id))
+        |  ORDER BY u.o_ts DESC, u.o_id DESC, u.w DESC
+        |  LIMIT 1) lu ON TRUE
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
     "sql_app_table_mixed_win_live" ->

@@ -724,5 +724,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COVERAGE.md documented counts match the actual registries " +
+       "(r15 — the thrice-drifted counts, mechanized)") {
+    // COVERAGE.md carries a machine-readable counts line; this test
+    // fails on ANY drift so the numbers can never be hand-counted
+    // wrong again. green_tests = all `test(` across the spec dir
+    // minus the SPARK_GRAFT_SCALE-gated rehearsals (which sbt reports
+    // as canceled, by design).
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val m = """<!-- counts: queries=(\d+) rehearsals=(\d+) green_tests=(\d+) -->"""
+      .r.findFirstMatchIn(cov)
+      .getOrElse(fail("COVERAGE.md lacks the machine-readable " +
+        "`<!-- counts: ... -->` line"))
+    val (docQ, docR, docG) =
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    assert(docQ == SparkEntry.queries.size,
+      s"COVERAGE.md says $docQ queries; SparkEntry.queries has " +
+        s"${SparkEntry.queries.size}")
+    val specDir = java.nio.file.Paths.get("src/test/scala/graft")
+    def testCount(p: java.nio.file.Path): Int =
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.count(_.trim.startsWith("test("))
+    val rehearsals =
+      testCount(specDir.resolve("ScaleRehearsalSpec.scala"))
+    assert(docR == rehearsals,
+      s"COVERAGE.md says $docR rehearsals; ScaleRehearsalSpec has " +
+        s"$rehearsals")
+    val total = java.nio.file.Files.list(specDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".scala")).map(testCount).sum
+    assert(docG == total - rehearsals,
+      s"COVERAGE.md says $docG green tests; spec dir has " +
+        s"${total - rehearsals} (= $total total - $rehearsals gated)")
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }

@@ -1089,7 +1089,13 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     // enrichment id-shifted (event_id AND the join behind it).
     Seq(("implicit", "sql_app_enrich_mixed_win_live"),
         ("fold", "sql_app_enrich_mixed_fold_live"),
-        ("sweep", "sql_app_enrich_mixed_sweep_live")).foreach {
+        ("sweep", "sql_app_enrich_mixed_sweep_live"),
+        // r15: TWO windowed writers, zero per-event states — the
+        // all-flush-partial corner of the same uRelOverride branch
+        ("multiwin", "sql_app_enrich_multiwin_live"),
+        // r15: windowed SHAPE mix — implicit resets (per-event +
+        // closed-bucket flushes) scope the fold writer's collapse
+        ("shapemix", "sql_app_enrich_shape_mix_win_live")).foreach {
       case (tag, gate) =>
         val q = SqlGate.queries(gate)
         val base = q(spark, baseSf).collect()
@@ -1179,5 +1185,73 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < wall / 2,
       f"one task ($maxTask%.1fs) owns the job ($wall%.1fs) — hot-key " +
         "straggler")
+  }
+
+  test("keyedRead OVER-CAP fallback: >20k distinct batch keys degrade " +
+       "to bucket-ids-only, live == batch (r15, VERDICT r14 #5)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the rehearsal")
+    // above keyLocalCap (20k) the per-trigger keyed read stops
+    // collecting the key set to the driver: only bucket ids cross,
+    // and the consumer's semi-join re-evaluates the original key
+    // relation. Correct by construction — but no test had ever driven
+    // a batch past the cap, so the fallback's cost and its probe
+    // marker had never fired under load. 200k events over 4 triggers:
+    // every trigger sees 25k distinct PURCHASE user ids (> cap) and
+    // 25k distinct click ids maintaining the table.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_keycap").toString
+    val n = 200000
+    spark.range(n.toLong).selectExpr(
+      "id as event_id",
+      s"1600000000000000000L + id * 1000000L as ts",
+      // id div 2: the user id must NOT correlate with the
+      // click/purchase parity, or the two sides' key sets are
+      // disjoint and the join is vacuous
+      "(id div 2) % 60000 as user_id",
+      "case when id % 2 = 0 then 'click' else 'purchase' end " +
+        "as event_type",
+      "cast(id % 97 as double) as value")
+      .coalesce(4).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table KcT (user_id long, v double);
+        |
+        |@info(name = 'upd')
+        |from events[event_type == 'click']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into KcT on KcT.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join KcT
+        |  on KcT.user_id == e.user_id
+        |select e.event_id as event_id, KcT.v as v
+        |order by event_id
+        |insert into Out""".stripMargin
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    graft.api.SiddhiQL.foldReadProbe = Some(probe)
+    val (rows, wall, maxTask) =
+      try timed(graft.api.SiddhiQL.deployApp(spark, dir, app, "read"))
+      finally graft.api.SiddhiQL.foldReadProbe = None
+    info(f"keycap: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs")
+    val caps = probe.filter(_._2.startsWith("__keycap_fallback"))
+    assert(caps.nonEmpty,
+      s"no trigger crossed keyLocalCap — rehearsal vacuous: $probe")
+    assert(caps.forall(_._3 > 20000),
+      s"marker fired below the cap: $caps")
+    // the capped path must NOT silently regress the prune itself
+    assert(!probe.exists(_._2.startsWith("__prune_fallback")) &&
+      !probe.exists(_._2.startsWith("__fullread_fallback")),
+      s"unexpected unpruned read markers: $probe")
+    val batch = graft.api.SiddhiQL.compileApp(spark, dir, app)("read")
+      .orderBy("event_id").collect().map(_.toSeq)
+    val live = rows.map(_.toSeq)
+    assert(live.length == batch.length && (live sameElements batch),
+      s"over-cap live read (${live.length}) diverges from batch " +
+        s"(${batch.length})")
+    assert(rows.length > 90000,
+      s"only ${rows.length} join rows — join not exercised")
+    assert(maxTask < 120, s"straggler task of $maxTask s")
   }
 }

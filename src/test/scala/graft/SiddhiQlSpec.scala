@@ -637,7 +637,34 @@ class SiddhiQlSpec extends AnyFunSuite {
       // mixed store with a sweeper
       hdr + peW + winW + sweepW + tableRead,
       // mixed as-of join read
-      hdr + peW + winW + joinRead)
+      hdr + peW + winW + joinRead,
+      // multi-windowed as-of join read (r15): two flush-partial
+      // states, zero per-event states, same uRelOverride branch
+      hdr + winW.replace("[event_type == 'click']",
+        "[event_type == 'click' and value >= 150.0]") +
+        winW.replace("'win'", "'win2'")
+          .replace("timeBatch(10 min)", "timeBatch(7 min)")
+          .replace("[event_type == 'click']",
+            "[event_type == 'click' and value < 150.0]") + joinRead,
+      // SHAPE-MIXED table (r15): implicit reset + accumulator fold
+      // on one keyed table — mergeEmissions' upsert+fold arm, whose
+      // per-trigger seed enters as a reset at ord −∞
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table ShpX (user_id long, cnt long);
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpX on ShpX.user_id == user_id;
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpX
+        |  set ShpX.cnt = ShpX.cnt + 1
+        |  on ShpX.user_id == user_id;
+        |@info(name = 'read')
+        |from ShpX select user_id, cnt order by user_id
+        |insert into Out""".stripMargin)
     apps.foreach { app =>
       val c4 = SiddhiQL.deployApp(spark, sf, app, "read")
         .collect().map(_.toSeq).toSeq
@@ -1154,6 +1181,134 @@ class SiddhiQlSpec extends AnyFunSuite {
       SiddhiQL.foldReadProbe = None
       spark.conf.unset("graft.live.compactEvery")
     }
+  }
+
+  test("MIXED-writer time-banded base: per-writer compaction bounds " +
+       "the flush band, as-of reads unchanged (r15, VERDICT r14 #2)") {
+    // the r14 mixed as-of read branch kept every windowed writer's
+    // flush band un-compacted; r15 ports the single-windowed path's
+    // banded base PER WRITER. Same synthetic shape as the single-path
+    // probe test: 1200 events at 2-min spacing over 4 users, 12
+    // chunks, compactEvery=3 — but through a MIXED group (per-event
+    // view upserts + 10-min click flush upserts on one table). The
+    // windowed writer is index 1 → states wst1 / wbase1.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mixed_compact").toString
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, 1600000000000000000L + i * 120000000000L, (i % 4).toLong,
+        i % 5 match {
+          case 4 => "purchase"
+          case 3 => "view"
+          case _ => "click"
+        }, (i % 97).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MixC (user_id long, v double);
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixC on MixC.user_id == user_id;
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixC on MixC.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MixC
+        |  on MixC.user_id == e.user_id
+        |select e.event_id as event_id, MixC.v as v
+        |order by event_id
+        |insert into Out""".stripMargin
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    spark.conf.set("graft.live.compactEvery", "3")
+    SiddhiQL.foldReadProbe = Some(probe)
+    try {
+      val live = SiddhiQL.deployApp(spark, dir, app, "read", chunks = 12)
+        .collect().map(_.toSeq)
+      val batch = SiddhiQL.compileApp(spark, dir, app)("read")
+        .orderBy("event_id").collect().map(_.toSeq)
+      assert(live.nonEmpty && (live sameElements batch),
+        "compacted mixed live read diverges from the batch replay")
+      val wstReads = probe.filter(_._2 == "wst1").map(_._3)
+      val baseReads = probe.filter(_._2 == "wbase1").map(_._3)
+      assert(wstReads.nonEmpty && baseReads.nonEmpty,
+        s"read probe saw no wst1/wbase1 scans: $probe")
+      // the live band stays bounded: ~compactEvery chunks of bucket
+      // partials (20 buckets × 4 users per chunk) + watermark margin,
+      // never the ~960 partials the un-compacted r14 branch holds by
+      // the replay's tail
+      assert(wstReads.max < 500,
+        s"mixed flush band grew with bucket history: $wstReads")
+      assert(wstReads.last < 400,
+        s"final-trigger band read not in the live band: $wstReads")
+      // the base compacts to ONE latest flush row per group key
+      assert(baseReads.forall(_ <= 4),
+        s"compacted mixed base exceeds the key domain: $baseReads")
+    } finally {
+      SiddhiQL.foldReadProbe = None
+      spark.conf.unset("graft.live.compactEvery")
+    }
+  }
+
+  test("windowed SHAPE-MIX live reads: fold-shaped and implicit-shaped " +
+       "windowed members both equal the batch replay (r15)") {
+    // the gated arm (sql_enrich_shape_mix_win) covers per-event
+    // implicit + per-event fold + windowed IMPLICIT; these two pin
+    // the remaining windowed shapes — a windowed FOLD writer whose
+    // flush deltas stay an un-collapsed band, alone and alongside a
+    // per-event fold — against the batch replay byte-for-byte
+    def runBoth(app: String): Unit = {
+      val batch = SiddhiQL.compileApp(spark, sf, app)("q")
+        .collect().toSeq
+      val live = SiddhiQL.deployApp(spark, sf,
+        "define stream events (event_id long, ts_ns long, user_id " +
+          "long, event_type string, value double);\n" + app, "q")
+        .collect().toSeq
+      assert(batch.nonEmpty && live == batch,
+        s"windowed shape-mix live (${live.size}) diverges from " +
+          s"batch (${batch.size})")
+    }
+    runBoth(
+      """define table SmB (user_id long, cnt long);
+        |@info(name='rst') from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into SmB on SmB.user_id == user_id;
+        |@info(name='wadd') from events[event_type == 'click']
+        |#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into SmB set SmB.cnt = SmB.cnt + cnt
+        |  on SmB.user_id == user_id;
+        |@info(name='q')
+        |from events as e[event_type == 'purchase'] join SmB
+        |  on SmB.user_id == e.user_id
+        |select e.event_id as event_id, SmB.cnt as cnt
+        |order by event_id insert into Out""".stripMargin)
+    runBoth(
+      """define table SmC (user_id long, cnt long);
+        |@info(name='rst') from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into SmC on SmC.user_id == user_id;
+        |@info(name='add') from events[event_type == 'error']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into SmC set SmC.cnt = SmC.cnt + 1
+        |  on SmC.user_id == user_id;
+        |@info(name='wadd') from events[event_type == 'click']
+        |#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into SmC set SmC.cnt = SmC.cnt + cnt
+        |  on SmC.user_id == user_id;
+        |@info(name='q')
+        |from events as e[event_type == 'purchase'] join SmC
+        |  on SmC.user_id == e.user_id
+        |select e.event_id as event_id, SmC.cnt as cnt
+        |order by event_id insert into Out""".stripMargin)
   }
 
   test("graft.live.watermark: one knob moves the source watermark AND " +
