@@ -677,11 +677,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // the row's origin and the event — one extra running-last window
     // column, same keyed shuffle.
     if (updWI.exists(_._1._2.isInstanceOf[InsertInto])) {
-      if (winWriterCnt > 0 && winfos.length > 1)
-        fail(s"event-log enrichment reads of '$tName' (v1) take " +
-          "per-event writers only — a windowed writer's flush rows " +
-          "have no per-row origin for the (event, live row) segment " +
-          "construction; keep the windowed writer on its own table")
+      // windowed members compose since r15: a flush row's origin is
+      // its bucket END — enrichLogCompile derives windowed writers'
+      // emissions via dmlEmissions and tags them at (end, 0, stmt)
       val nonIns = updWI.filterNot(_._1._2.isInstanceOf[InsertInto])
       val implicitUps = nonIns.forall(_._1._2 match {
         case UpsertTable(_, set, _) => set.isEmpty
@@ -1156,24 +1154,29 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           s"delete on the JOIN key columns " +
           s"(${keyOrder.mkString(", ")})")
     }
-    insWI.foreach { case ((iAst, _, _, _), _) =>
-      iAst.stream match {
-        case ss2: SingleStream if ss2.window.nonEmpty =>
-          fail(s"event-log writers on '$tName' are per-event `insert " +
-            "into` statements (v1) — no window")
-        case _ => ()
+    // WINDOWED members (r15): a timeBatch writer's flush rows ARE
+    // log emissions at their bucket END — an insert flush appends
+    // one row per (bucket × group) with origin = the bucket end, an
+    // upsert flush overlays its key there. The r14 "flush rows have
+    // no per-row origin" bound was conservative: a flush's origin is
+    // exactly its visibility instant.
+    def winTOf(ast2: Ast, form: String): Option[Long] =
+      ast2.stream match {
+        case ss2: SingleStream => ss2.window match {
+          case Some(WindowSpec(n2, t2 :: _, _))
+              if n2.equalsIgnoreCase("timebatch") => Some(t2)
+          case Some(w2) => fail(s"windowed event-log $form writers " +
+            s"on '$tName' take #window.timeBatch(T) (v1); " +
+            s"'#window.${w2.name}' flush emissions have no " +
+            "visibility instant")
+          case None => None
+        }
+        case _ => None
       }
-    }
     // IMPLICIT-SET (r13) or ACCUMULATOR-FOLD (r14) upserts in the log
-    // group: keyed on the join key columns, un-windowed; the routing
-    // in enrichCompile already rejected general expr-set shapes
+    // group: keyed on the join key columns; the routing in
+    // enrichCompile already rejected general expr-set shapes
     upsWI.foreach { case ((uAst, uAct, _, _), _) =>
-      uAst.stream match {
-        case ss2: SingleStream if ss2.window.nonEmpty =>
-          fail(s"event-log upsert writers on '$tName' are per-event " +
-            "(v1) — no window")
-        case _ => ()
-      }
       val uk = uAct match {
         case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
         case _ => Nil
@@ -1227,24 +1230,40 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     def keyC(exprs: Seq[String]): Column =
       struct(keyOrder.zip(exprs).map { case (kc, ex) =>
         expr(ex).cast(dSchema(kc).dataType).as(s"__k_$kc") }: _*)
-    // insert rows: the row's key VALUES are its own key-column outputs
-    val insRows = insWI.map { case ((iAst, _, _, iSrc), wi) =>
-      val uBase0 = loadTable(sp, dir, iSrc, env)
-      val uBase = iAst.stream match {
-        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
-          applyFilter(sp, dir, uBase0, f, env))
-        case _ => uBase0
+    // per-writer emission rows + replay ord: per-event writers emit
+    // one row per event at (ts_ns, event_id, statement); windowed
+    // writers emit their FLUSH rows at (bucket end, 0, statement)
+    def emisSel(wAst: Ast, wAct: Action, wSrc: String, wi: Int)
+        : (DataFrame, Seq[String]) =
+      winTOf(wAst, wAct.getClass.getSimpleName) match {
+        case Some(t2) =>
+          val (sel0, outCols0) =
+            dmlEmissions(sp, dir, wAst, wAct, dSchema, env)
+          (sel0.withColumn("__ord", struct(
+            (col("__g_ord.ts_ns") + lit(t2)).as("ts_ns"),
+            col("__g_ord.event_id"),
+            lit(wi.toLong).as("w"))).drop("__g_ord"), outCols0)
+        case None =>
+          val uBase0 = loadTable(sp, dir, wSrc, env)
+          val uBase = wAst.stream match {
+            case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+              applyFilter(sp, dir, uBase0, f, env))
+            case _ => uBase0
+          }
+          val uItems = itemsOf(expandStar(wAst, uBase0.columns))
+          (uBase.select(uItems.map { case (it, a2, _) =>
+              expr(sqlOf(it.e)).as(a2) } :+
+              struct(col("ts_ns"), col("event_id"),
+                lit(wi.toLong).as("w")).as("__ord"): _*),
+            uItems.map(_._2))
       }
-      val uItems = itemsOf(expandStar(iAst, uBase0.columns))
-      val outCols = uItems.map(_._2)
+    // insert rows: the row's key VALUES are its own key-column outputs
+    val insRows = insWI.map { case ((iAst, iAct, _, iSrc), wi) =>
+      val (sel, outCols) = emisSel(iAst, iAct, iSrc, wi)
       dSchema.fieldNames.foreach(c => if (!outCols.contains(c))
         fail(s"insert into $tName: select output must cover every " +
           s"table column (missing: $c)"))
-      uBase.select(uItems.map { case (it, a2, _) =>
-          expr(sqlOf(it.e)).as(a2) } :+
-          struct(col("ts_ns"), col("event_id"),
-            lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(Seq(keyC(keyOrder).as("__key"), col("__ord"),
+      sel.select(Seq(keyC(keyOrder).as("__key"), col("__ord"),
           updC.as("__upd"), lit(false).as("__del"),
           lit(false).as("__ups")) ++ nullFds: _*)
     }
@@ -1258,20 +1277,14 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
         case _ => Nil
       }
-      val uBase0 = loadTable(sp, dir, uSrc, env)
-      val uBase = uAst.stream match {
-        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
-          applyFilter(sp, dir, uBase0, f, env))
-        case _ => uBase0
-      }
-      val uItems = itemsOf(expandStar(uAst, uBase0.columns))
-      val outCols = uItems.map(_._2)
+      val (sel, outCols) = emisSel(uAst, uAct, uSrc, wi)
       dSchema.fieldNames.foreach(c => if (!outCols.contains(c))
         fail(s"update or insert into $tName: select output must " +
           s"cover every table column (missing: $c)"))
       // fold mode: each upsert emission also carries its SIGNED delta
       // per fold column (`T.c - e` subtracts), referencing its own
-      // select outputs — the store path's exact rule
+      // select outputs — the store path's exact rule (flush emissions
+      // reference their flush outputs the same way)
       val uDeltas: Map[String, Expr] = uAct match {
         case UpsertTable(_, set, _) => set.flatMap { case (c, e) =>
           foldSetOf(tName, c, e).map { case (_, d) => c -> d } }.toMap
@@ -1282,11 +1295,7 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case parts => fail(s"fold delta reference " +
           s"'${parts.mkString(".")}' is not a select output attribute")
       })
-      uBase.select(uItems.map { case (it, a2, _) =>
-          expr(sqlOf(it.e)).as(a2) } :+
-          struct(col("ts_ns"), col("event_id"),
-            lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(Seq(
+      sel.select(Seq(
           keyC(keyOrder.map(c => uKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), updC.as("__upd"), lit(false).as("__del"),

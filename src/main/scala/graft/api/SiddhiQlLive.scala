@@ -2672,6 +2672,18 @@ private[api] trait SiddhiQlLive extends Serializable {
                 fail("windowed-writer enrichment (v1) reads a table " +
                   s"whose writer consumes the source stream; '$tName' " +
                   s"is written from derived stream '$dSrc'")
+              // a windowed INSERT writer makes the table an event LOG
+              // of flush rows — batch composes the read (r15,
+              // enrichLogCompile's windowed members), but this live
+              // fold is the flush-partial STORE construction (one
+              // as-of row per key), so the log read stays refused by
+              // name
+              if (dAct.isInstanceOf[InsertInto])
+                fail("live per-event reads of a WINDOWED `insert " +
+                  s"into` event-log writer on '$tName' (v1): batch " +
+                  "covers the read; live, keep the windowed insert " +
+                  "on its own table or read it at end of replay " +
+                  s"(`from $tName select ...`)")
               val fnsSnapW = scriptFns
               val tNsW = winWriterTNs.get
               val ssW = dAst.stream.asInstanceOf[SingleStream]

@@ -1647,14 +1647,14 @@ class SiddhiQlSpec extends AnyFunSuite {
         "group by k insert into O",
         "group by k order by k limit 5 insert into O"), "q")
     assert(lim5.count() == 5, "finish-time limit must cap the groups")
-    // windowed multi-writer tables: ALL-implicit-set and
-    // ALL-accumulator-fold mixed JOIN reads deploy since r14
-    // (per-writer collapsed states + flush partials feeding the one
-    // as-of pass — equality checked by the sql_app_enrich_mixed_*
-    // gates); the remaining recorded bound is the SHAPE-mixED read
-    // (implicit/fold mixes, inserts, sweepers), refusal naming the
-    // rewrites — pinned here with an implicit windowed writer over a
-    // FOLD per-event writer
+    // windowed multi-writer tables: ALL-implicit-set,
+    // ALL-accumulator-fold (r14) and implicit/fold SHAPE-mixed (r15)
+    // JOIN reads all deploy (per-writer collapsed states + flush
+    // partials feeding the one as-of pass — equality checked by the
+    // sql_app_enrich_mixed_* / sql_app_enrich_shape_mix_win_live
+    // gates); the remaining recorded bounds are INSERT members
+    // (windowed event-log rows — batch composes via
+    // sql_enrich_log_win; live refuses by name on both routes)
     val mixedWriters =
       "define table T (user_id long, v double);\n" +
         "@info(name='t0') from events[event_type == 'view'] " +
@@ -1664,18 +1664,29 @@ class SiddhiQlSpec extends AnyFunSuite {
         "#window.timeBatch(10 min) select user_id, " +
         "math:round(sum(value), 2) as v group by user_id " +
         "update or insert into T on T.user_id == user_id;\n"
-    val mixedFoldWriters = mixedWriters.replace(
+    // insert member in a mixed group: the MIXED-branch refusal
+    val mixedInsWriters = mixedWriters.replace(
       "select user_id, value as v update or insert into T " +
         "on T.user_id == user_id;",
-      "select user_id, value as v update or insert into T " +
-        "set T.v = T.v + v on T.user_id == user_id;")
-    assert(mixedFoldWriters.contains("set T.v"),
+      "select user_id, value as v insert into T;")
+    assert(mixedInsWriters.contains("insert into T;"),
       "fixture rewrite must apply")
-    assert(msg(mixedFoldWriters +
+    assert(msg(mixedInsWriters +
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
-      .contains("ALL-accumulator-fold"))
+      .contains("event-log path"))
+    // single WINDOWED insert writer: the store-fold branch refusal
+    assert(msg(
+      "define table WL (user_id long, v double);\n" +
+        "@info(name='t') from events[event_type == 'click']" +
+        "#window.timeBatch(10 min) select user_id, " +
+        "math:round(sum(value), 2) as v group by user_id " +
+        "insert into WL;\n" +
+        "@info(name='q') from events as e[event_type == 'purchase'] " +
+        "join WL on WL.user_id == e.user_id " +
+        "select e.event_id as x, WL.v as v insert into O")
+      .contains("WINDOWED `insert into` event-log"))
     // the same mixed group READ at end-of-replay deploys and equals
     // the batch replay (flush emissions interleave between per-event
     // emissions by (ts, event_id, statement) — the shared merge tail)
