@@ -609,7 +609,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       // this batch's rows) here so prior updates keep their TRUE ords
       // across triggers instead of collapsing into the ord-MinValue
       // accTable seed (which would sort them before an older flush)
-      uRelOverride: Map[Int, DataFrame] = Map.empty): DataFrame = {
+      uRelOverride: Map[Int, DataFrame] = Map.empty,
+      // per-writer PRE-BUILT EMISSION relation for the event-log path
+      // (output columns + a 3-field `__ord`) — the live windowed-log
+      // fold (r15) passes (pruned prior log rows ∪ this batch's
+      // emissions) for per-event members and the cross-trigger flush
+      // relation for windowed members, all at TRUE ords
+      emisOverride: Map[Int, DataFrame] = Map.empty): DataFrame = {
     val dSchema = winfos.head._3
     val tSide = j.right; val sSide = j.left
     val tName = tSide.table
@@ -701,7 +707,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           "general expr-set or update writers, whose per-row values " +
           "make the replay row-level (read the table directly with " +
           s"`from $tName`, or split the read across two tables)")
-      return enrichLogCompile(sp, dir, ast, j, winfos, accTable, env)
+      return enrichLogCompile(sp, dir, ast, j, winfos, accTable, env,
+        emisOverride)
     }
     // implicit set (last-event-wins) or ALL-accumulator-fold set
     // (`set T.c = T.c + expr`) — the two per-event-reconstructible
@@ -1108,7 +1115,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     * the live gate's truth. */
   private def enrichLogCompile(sp: SparkSession, dir: String, ast: Ast,
       j: JoinStream, winfos: List[(Ast, Action, StructType, String)],
-      accTable: DataFrame, env: Map[String, DataFrame]): DataFrame = {
+      accTable: DataFrame, env: Map[String, DataFrame],
+      emisOverride: Map[Int, DataFrame] = Map.empty): DataFrame = {
     val dSchema = winfos.head._3
     val tSide = j.right; val sSide = j.left
     val tName = tSide.table
@@ -1235,6 +1243,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // writers emit their FLUSH rows at (bucket end, 0, statement)
     def emisSel(wAst: Ast, wAct: Action, wSrc: String, wi: Int)
         : (DataFrame, Seq[String]) =
+      emisOverride.get(wi) match {
+        case Some(rel) =>
+          (rel, rel.columns.filterNot(_ == "__ord").toList)
+        case None => emisSelDerived(wAst, wAct, wSrc, wi)
+      }
+    def emisSelDerived(wAst: Ast, wAct: Action, wSrc: String, wi: Int)
+        : (DataFrame, Seq[String]) =
       winTOf(wAst, wAct.getClass.getSimpleName) match {
         case Some(t2) =>
           val (sel0, outCols0) =
@@ -1310,18 +1325,22 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         case DeleteTable(_, on2) => keyEqsOf(on2, tName)
         case _ => Nil
       }
-      val uBase0 = loadTable(sp, dir, dSrc2, env)
-      val uBase = dAst2.stream match {
-        case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
-          applyFilter(sp, dir, uBase0, f, env))
-        case _ => uBase0
+      val sel = emisOverride.get(wi) match {
+        case Some(rel) => rel
+        case None =>
+          val uBase0 = loadTable(sp, dir, dSrc2, env)
+          val uBase = dAst2.stream match {
+            case ss2: SingleStream => ss2.filter.fold(uBase0)(f =>
+              applyFilter(sp, dir, uBase0, f, env))
+            case _ => uBase0
+          }
+          val uItems = itemsOf(expandStar(dAst2, uBase0.columns))
+          uBase.select(uItems.map { case (it, a2, _) =>
+            expr(sqlOf(it.e)).as(a2) } :+
+            struct(col("ts_ns"), col("event_id"),
+              lit(wi.toLong).as("w")).as("__ord"): _*)
       }
-      val uItems = itemsOf(expandStar(dAst2, uBase0.columns))
-      uBase.select(uItems.map { case (it, a2, _) =>
-          expr(sqlOf(it.e)).as(a2) } :+
-          struct(col("ts_ns"), col("event_id"),
-            lit(wi.toLong).as("w")).as("__ord"): _*)
-        .select(Seq(
+      sel.select(Seq(
           keyC(keyOrder.map(c => dKeys.find(_._1 == c).get._2))
             .as("__key"),
           col("__ord"), lit(null).cast(updType).as("__upd"),

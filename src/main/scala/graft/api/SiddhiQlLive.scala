@@ -2185,7 +2185,164 @@ private[api] trait SiddhiQlLive extends Serializable {
                 case _ => None
               }
             }
-            if (writers.length > 1 && winTNsPer.exists(_.nonEmpty)) {
+            val hasInsL = writers.exists(_._2.isInstanceOf[InsertInto])
+            if (hasInsL && winTNsPer.exists(_.nonEmpty)) {
+              // LIVE per-event reads of EVENT-LOG tables with
+              // WINDOWED members (r15, deleting the last live/batch
+              // asymmetry of the composition matrix): each windowed
+              // (timeBatch) writer holds cross-trigger flush PARTIALS
+              // — flushOf(fullPost) is the complete per-bucket
+              // emission relation at TRUE ords (a bucket whose end ≤
+              // an event's ts is complete by in-order arrival, and
+              // open buckets sort after every current event) — and
+              // each per-event writer holds its tagged EMISSION LOG
+              // (dmlEmissions rows + ord), keyed on the JOIN keys so
+              // reads bucket-prune to the batch's event keys. Per
+              // trigger, enrichCompile's event-log construction runs
+              // over (pruned prior logs ∪ this batch's emissions) and
+              // the flush relations — everything at true ords, so the
+              // per-trigger pass IS the batch construction restricted
+              // to the batch's keys: chunking-invariant by
+              // construction, live ≡ batch by shared code.
+              if (hasAggE)
+                fail("live event-log enrichment aggregation with " +
+                  "WINDOWED members (v1): use the projection form " +
+                  "and aggregate in a downstream stage")
+              val fnsSnapL = scriptFns
+              val protoEnvL = batchEnv(sp0, "",
+                emptyOf(sp0, srcTs.schema), statelessSnap)
+              // deploy-time prototype WITHOUT overrides — routes
+              // through enrichLogCompile's own validations (windowed
+              // forms, key checks, shape routing)
+              val protoL = enrichCompile(sp0, "", ast, j, writers,
+                emptyOf(sp0, dSchema), protoEnvL)
+              val keyOrderL = enrichJoinKeys.map(_._1).distinct.sorted
+              val mkColsL = keyOrderL.indices.map(j2 => s"__mk$j2")
+              def keyRhsOf(wi: Int): List[(String, String)] =
+                writers(wi)._2 match {
+                  case UpsertTable(_, _, on2) => keyEqsOf(on2, tName)
+                  case DeleteTable(_, on2) => keyEqsOf(on2, tName)
+                  // an insert row's key values are its own outputs
+                  case _ => keyOrderL.map(kc => kc -> kc).toList
+                }
+              def withMkL(rel: DataFrame, wi: Int): DataFrame = {
+                val rhs = keyRhsOf(wi)
+                rel.select(keyOrderL.zipWithIndex.map {
+                  case (kc, j2) =>
+                    expr(rhs.find(_._1 == kc).get._2)
+                      .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
+                  rel.columns.toSeq.map(col): _*)
+              }
+              def pruneMkL(rel: DataFrame, kdf2: DataFrame)
+                  : DataFrame =
+                rel.as("t").join(kdf2.as("k"),
+                    mkColsL.map(c2 =>
+                      col(s"t.$c2") <=> col(s"k.$c2"))
+                      .reduce(_ && _), "left_semi")
+                  .select(rel.columns.toSeq
+                    .map(c2 => col(s"t.$c2")): _*)
+              // a per-event writer's tagged emission delta: its
+              // dmlEmissions rows + the 3-field replay ord
+              def logDelta(sp: SparkSession, d2: String, wi: Int,
+                  benv: Map[String, DataFrame]): DataFrame =
+                dmlEmissions(sp, d2, writers(wi)._1, writers(wi)._2,
+                  dSchema, benv)._1
+                  .withColumn("__ord", struct(col("__g_ord.ts_ns"),
+                    col("__g_ord.event_id"), lit(wi.toLong).as("w")))
+                  .drop("__g_ord")
+              val infosL: List[Either[FlushPieces, StructType]] =
+                writers.zipWithIndex.map {
+                  case ((wAst2, wAct2, _, wSrc2), wi) =>
+                    winTNsPer(wi) match {
+                      case Some(t2)
+                          if !wAct2.isInstanceOf[DeleteTable] =>
+                        val ss2 =
+                          wAst2.stream.asInstanceOf[SingleStream]
+                        Left(flushPiecesOf(
+                          loadTable(sp0, "", wSrc2, protoEnvL),
+                          ss2.filter, wAst2.groupBy, itemsOf(wAst2),
+                          t2))
+                      case _ =>
+                        Right(withMkL(
+                          logDelta(sp0, "", wi, protoEnvL), wi).schema)
+                    }
+                }
+              val keyL = name.orElse(ast.action.map(_.target))
+              if (keyL.contains(out) || name.contains(out)) {
+                val statesL: Seq[(String, StructType, StateMode)] =
+                  writers.indices.map { wi =>
+                    infosL(wi) match {
+                      case Left(p) => (s"wst$wi", p.stateSchema,
+                        KeyedState(p.keys, (sp, d2, batch) => {
+                          scriptFns = fnsSnapL
+                          p.probeSel(loadTable(sp, d2, writers(wi)._4,
+                            batchEnv(sp, d2, batch, statelessSnap)))
+                        }))
+                      case Right(sch) => (s"elog$wi", sch,
+                        KeyedState(mkColsL, (sp, d2, batch) => {
+                          scriptFns = fnsSnapL
+                          withMkL(logDelta(sp, d2, wi,
+                            batchEnv(sp, d2, batch, statelessSnap)),
+                            wi).select(mkColsL.map(col): _*)
+                        }))
+                    }
+                  } :+ (("__out", protoL.schema, AppendState))
+                foldResult = Some(LiveFold(srcTs, statesL,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnapL
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val kdf = batchKeyRel(sp, d2, batch, benv)
+                    val kdfMk = kdf.select(keyOrderL.zipWithIndex
+                      .map { case (kc, j2) =>
+                        col(kc).as(s"__mk$j2") }: _*)
+                    var emisM = Map.empty[Int, DataFrame]
+                    val stUpd = writers.indices.map { wi =>
+                      infosL(wi) match {
+                        case Left(p) =>
+                          val st1 = p.merge(acc(s"wst$wi").slice,
+                            p.partialOf(loadTable(sp, d2,
+                              writers(wi)._4, benv)))
+                          val full0 = acc(s"wst$wi").full()
+                          val fullPost = full0.as("t")
+                            .join(st1.select(p.keys.map(col): _*)
+                                .distinct().as("u"),
+                              p.keys.map(k2 =>
+                                col(s"t.$k2") <=> col(s"u.$k2"))
+                                .reduce(_ && _), "left_anti")
+                            .select(full0.columns.toSeq
+                              .map(c2 => col(s"t.$c2")): _*)
+                            .unionByName(st1)
+                          emisM += wi ->
+                            pruneToBatchKeys(p.flushOf(fullPost), kdf)
+                              .withColumn("__ord", struct(
+                                ((col("__wb") + lit(1L)) * lit(p.tNs))
+                                  .cast("long").as("ts_ns"),
+                                lit(0L).as("event_id"),
+                                lit(wi.toLong).as("w")))
+                              .drop("__wb")
+                          s"wst$wi" -> st1
+                        case Right(_) =>
+                          val delta = logDelta(sp, d2, wi, benv)
+                          val (priorRel, kdfEff) =
+                            acc(s"elog$wi").keyedRead(kdfMk)
+                          emisM += wi ->
+                            pruneMkL(priorRel, kdfEff)
+                              .drop(mkColsL: _*).unionByName(delta)
+                          s"elog$wi" -> acc(s"elog$wi").slice
+                            .unionByName(withMkL(delta, wi))
+                      }
+                    }.toMap
+                    stUpd + ("__out" -> enrichCompile(sp, d2, ast, j,
+                      writers, emptyOf(sp, dSchema), benv,
+                      emisOverride = emisM))
+                  },
+                  (_, acc) => acc("__out"),
+                  ast.orderBy.map { case (c2, asc) =>
+                    if (asc) col(c2).asc else col(c2).desc }))
+              }
+              (emptyOf(sp0, protoL.schema), KFold)
+            } else if (writers.length > 1 &&
+                winTNsPer.exists(_.nonEmpty)) {
               // MIXED windowed + per-event writer group read LIVE
               // through the as-of join (r14, deleting the last
               // read-during-replay bound for the implicit-set case):
@@ -2237,7 +2394,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                   s"per-event writer group on '$tName' (v1) take " +
                   "implicit-set and/or accumulator-fold `update or " +
                   "insert` writers, implicit ± tombstone sweepers — " +
-                  "inserts (the event-log path) and fold + sweeper " +
+                  "general expr-set shapes and fold + sweeper " +
                   "mixes (sweeps segment the running sums) keep the " +
                   "recorded bound: keep those writers on their own " +
                   "table, or read the mixed table at end of replay " +
@@ -2672,18 +2829,6 @@ private[api] trait SiddhiQlLive extends Serializable {
                 fail("windowed-writer enrichment (v1) reads a table " +
                   s"whose writer consumes the source stream; '$tName' " +
                   s"is written from derived stream '$dSrc'")
-              // a windowed INSERT writer makes the table an event LOG
-              // of flush rows — batch composes the read (r15,
-              // enrichLogCompile's windowed members), but this live
-              // fold is the flush-partial STORE construction (one
-              // as-of row per key), so the log read stays refused by
-              // name
-              if (dAct.isInstanceOf[InsertInto])
-                fail("live per-event reads of a WINDOWED `insert " +
-                  s"into` event-log writer on '$tName' (v1): batch " +
-                  "covers the read; live, keep the windowed insert " +
-                  "on its own table or read it at end of replay " +
-                  s"(`from $tName select ...`)")
               val fnsSnapW = scriptFns
               val tNsW = winWriterTNs.get
               val ssW = dAst.stream.asInstanceOf[SingleStream]

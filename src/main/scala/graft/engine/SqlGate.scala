@@ -1359,8 +1359,8 @@ object SqlGate {
     // flush rows are log rows whose origin is their bucket END — each
     // 10-min view bucket appends one aggregate row per user alongside
     // the per-event click inserts; sweeps wipe both kinds. One output
-    // row per (purchase, live row). Batch-only: the live store fold
-    // cannot merge straddling-bucket INSERT rows (refusal names it).
+    // row per (purchase, live row). Live: flush partials + tagged
+    // emission logs feed the same construction per trigger.
     "sql_enrich_log_win" -> ((s, d) => SiddhiQL.compileApp(s, d,
       """define table CartW (user_id long, item long, v double);
         |
@@ -1387,6 +1387,34 @@ object SqlGate {
         |select e.event_id as event_id, CartW.item as item, CartW.v as v
         |order by event_id, item, v
         |insert into Out""".stripMargin)("read")),
+    "sql_app_enrich_log_win_live" -> ((s, d) => SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table CartW (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into CartW;
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'view']#window.timeBatch(10 min)
+        |select user_id, min(event_id) as item,
+        |  math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into CartW;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete CartW on CartW.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join CartW
+        |  on CartW.user_id == e.user_id
+        |select e.event_id as event_id, CartW.item as item, CartW.v as v
+        |order by event_id, item, v
+        |insert into Out""".stripMargin, "read")),
     // WINDOWED SHAPE-MIX as-of read (r15): implicit per-event resets,
     // a per-event accumulator fold, AND a windowed implicit writer
     // whose flushes are resets at their bucket ENDS — on one table.
@@ -5669,6 +5697,40 @@ object SqlGate {
     // at its bucket END; a row is live at a purchase iff no tombstone
     // for its key sits between it and the purchase
     "sql_enrich_log_win" ->
+      """WITH lr AS (
+        |  SELECT user_id, event_id AS item, value AS v,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(0 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, min(event_id) AS item,
+        |    round(sum(value), 2) AS v,
+        |    struct_pack(
+        |      o_ts := (epoch_ns(ts) // 600000000000 + 1)
+        |        * 600000000000,
+        |      o_id := CAST(0 AS BIGINT), w := CAST(1 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+        |tmb AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(2 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'error' AND value > 170.0)
+        |SELECT e.event_id AS event_id, l.item AS item, l.v AS v
+        |FROM events e
+        |JOIN lr l ON l.user_id = e.user_id
+        |  AND l.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |    o_id := e.event_id,
+        |    w := CAST(9223372036854775807 AS BIGINT))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM tmb t WHERE t.user_id = e.user_id
+        |      AND t.ro > l.ro
+        |      AND t.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT)))
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id, item, v""".stripMargin,
+    "sql_app_enrich_log_win_live" ->
       """WITH lr AS (
         |  SELECT user_id, event_id AS item, value AS v,
         |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,

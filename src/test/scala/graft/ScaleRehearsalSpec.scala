@@ -958,6 +958,35 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(maxTask < 120, s"straggler task of $maxTask s — skew")
   }
 
+  test("10x WINDOWED event-log read: flush-insert rows replica-exact " +
+       "alongside per-event inserts, bounded tasks (r15)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")
+    // the r15 windowed-log channel at 1M events: per-event click
+    // inserts + one 10-min view-aggregate flush row per (bucket ×
+    // user) + sweepers on one log table. Replica timestamps are
+    // identical and user spaces disjoint, so every replica must
+    // reproduce the base (event_id AND item id-shifted; v — a
+    // value aggregate — unchanged).
+    val q = SqlGate.queries("sql_app_enrich_log_win_live")
+    val base = q(spark, baseSf).collect().map(_.toSeq)
+    val (rows, wall, maxTask) = timed(q(spark, evDir10))
+    info(f"windowed log 10x: ${rows.length} rows, wall $wall%.1fs, " +
+      f"max task $maxTask%.1fs (base ${base.length} rows)")
+    assert(rows.length == reps * base.length,
+      s"10x row count ${rows.length} != ${reps}x base ${base.length}")
+    val got = rows.map(_.toSeq)
+    (0 until reps).foreach { k =>
+      val slice = got.filter { r =>
+        val e = r.head.asInstanceOf[Long]
+        e >= k * off && e < (k + 1) * off
+      }.map(r => Seq(r.head.asInstanceOf[Long] - k * off,
+        r(1).asInstanceOf[Long] - k * off, r(2)))
+      assert(slice.toSeq == base.toSeq,
+        s"replica $k diverges from the base windowed-log read")
+    }
+    assert(maxTask < 120, s"straggler task of $maxTask s — skew")
+  }
+
   test("10x rate over pattern matches: live accumulate-then-rank == " +
        "batch global selection, bounded tasks (r14)") {
     assume(enabled, "set SPARK_GRAFT_SCALE=1 to run the 10x rehearsal")

@@ -1311,6 +1311,53 @@ class SiddhiQlSpec extends AnyFunSuite {
         |order by event_id insert into Out""".stripMargin)
   }
 
+  test("windowed EVENT-LOG live reads: single flush-insert log and " +
+       "insert + windowed-upsert overlay both equal batch (r15)") {
+    // the gated arm (sql_app_enrich_log_win_live) covers per-event
+    // inserts + a flush-insert member + sweepers; these pin the two
+    // remaining windowed-log shapes — a log fed ONLY by flush inserts,
+    // and per-event inserts overlaid by a windowed UPSERT member
+    def runBoth(app: String): Unit = {
+      val batch = SiddhiQL.compileApp(spark, sf, app)("q")
+        .collect().toSeq
+      val live = SiddhiQL.deployApp(spark, sf,
+        "define stream events (event_id long, ts_ns long, user_id " +
+          "long, event_type string, value double);\n" + app, "q")
+        .collect().toSeq
+      assert(batch.nonEmpty && live == batch,
+        s"windowed-log live (${live.size}) diverges from batch " +
+          s"(${batch.size})")
+    }
+    runBoth(
+      """define table WL (user_id long, v double);
+        |@info(name='roll') from events[event_type == 'click']
+        |#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into WL;
+        |@info(name='q')
+        |from events as e[event_type == 'purchase'] join WL
+        |  on WL.user_id == e.user_id
+        |select e.event_id as event_id, WL.v as v
+        |order by event_id, v insert into Out""".stripMargin)
+    runBoth(
+      """define table CartO (user_id long, item long, v double);
+        |@info(name='add') from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into CartO;
+        |@info(name='ups') from events[event_type == 'view']
+        |#window.timeBatch(10 min)
+        |select user_id, min(event_id) as item,
+        |  math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into CartO on CartO.user_id == user_id;
+        |@info(name='q')
+        |from events as e[event_type == 'purchase'] join CartO
+        |  on CartO.user_id == e.user_id
+        |select e.event_id as event_id, CartO.v as v
+        |order by event_id, v insert into Out""".stripMargin)
+  }
+
   test("graft.live.watermark: one knob moves the source watermark AND " +
        "the compaction freeze bound in lockstep (r14)") {
     // same synthetic feed as the flush-partial store test: 1200 events
@@ -1664,29 +1711,21 @@ class SiddhiQlSpec extends AnyFunSuite {
         "#window.timeBatch(10 min) select user_id, " +
         "math:round(sum(value), 2) as v group by user_id " +
         "update or insert into T on T.user_id == user_id;\n"
-    // insert member in a mixed group: the MIXED-branch refusal
-    val mixedInsWriters = mixedWriters.replace(
+    // general expr-set member in a windowed group: the MIXED-branch
+    // refusal (inserts and shape mixes compose since r15, so only
+    // non-reconstructible set shapes remain refused here)
+    val mixedExprWriters = mixedWriters.replace(
       "select user_id, value as v update or insert into T " +
         "on T.user_id == user_id;",
-      "select user_id, value as v insert into T;")
-    assert(mixedInsWriters.contains("insert into T;"),
+      "select user_id, value as v update or insert into T " +
+        "set T.v = v * 2.0 on T.user_id == user_id;")
+    assert(mixedExprWriters.contains("set T.v = v * 2.0"),
       "fixture rewrite must apply")
-    assert(msg(mixedInsWriters +
+    assert(msg(mixedExprWriters +
         "@info(name='q') from events as e[event_type == 'purchase'] " +
         "join T on T.user_id == e.user_id " +
         "select e.event_id as x, T.v as v insert into O")
-      .contains("event-log path"))
-    // single WINDOWED insert writer: the store-fold branch refusal
-    assert(msg(
-      "define table WL (user_id long, v double);\n" +
-        "@info(name='t') from events[event_type == 'click']" +
-        "#window.timeBatch(10 min) select user_id, " +
-        "math:round(sum(value), 2) as v group by user_id " +
-        "insert into WL;\n" +
-        "@info(name='q') from events as e[event_type == 'purchase'] " +
-        "join WL on WL.user_id == e.user_id " +
-        "select e.event_id as x, WL.v as v insert into O")
-      .contains("WINDOWED `insert into` event-log"))
+      .contains("accumulator-fold"))
     // the same mixed group READ at end-of-replay deploys and equals
     // the batch replay (flush emissions interleave between per-event
     // emissions by (ts, event_id, statement) — the shared merge tail)
