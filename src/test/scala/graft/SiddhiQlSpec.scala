@@ -664,7 +664,57 @@ class SiddhiQlSpec extends AnyFunSuite {
         |  on ShpX.user_id == user_id;
         |@info(name = 'read')
         |from ShpX select user_id, cnt order by user_id
-        |insert into Out""".stripMargin)
+        |insert into Out""".stripMargin,
+      // windowed SHAPE-MIX join read (r15): the scoped two-row
+      // collapse must not depend on where trigger boundaries fall
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table SmX (user_id long, cnt long);
+        |@info(name = 'rst')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into SmX on SmX.user_id == user_id;
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into SmX
+        |  set SmX.cnt = SmX.cnt + 1
+        |  on SmX.user_id == user_id;
+        |@info(name = 'wrst')
+        |from events[event_type == 'error']#window.timeBatch(10 min)
+        |select user_id, count() as cnt
+        |group by user_id
+        |update or insert into SmX on SmX.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join SmX
+        |  on SmX.user_id == e.user_id
+        |select e.event_id as event_id, SmX.cnt as cnt
+        |order by event_id insert into Out""".stripMargin,
+      // windowed EVENT-LOG join read (r15): flush partials + tagged
+      // emission logs re-assemble the same history per trigger
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table CartX (user_id long, item long, v double);
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into CartX;
+        |@info(name = 'roll')
+        |from events[event_type == 'view']#window.timeBatch(10 min)
+        |select user_id, min(event_id) as item,
+        |  math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into CartX;
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete CartX on CartX.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join CartX
+        |  on CartX.user_id == e.user_id
+        |select e.event_id as event_id, CartX.item as item,
+        |  CartX.v as v
+        |order by event_id, item, v insert into Out""".stripMargin)
     apps.foreach { app =>
       val c4 = SiddhiQL.deployApp(spark, sf, app, "read")
         .collect().map(_.toSeq).toSeq
