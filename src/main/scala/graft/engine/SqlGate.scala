@@ -1300,6 +1300,65 @@ object SqlGate {
         |select user_id, cnt
         |order by user_id
         |insert into Out""".stripMargin)("read")),
+    // SWEPT shape-mixed table (r15): implicit resets + accumulator
+    // folds + tombstone sweepers on one keyed table — a sweep wipes
+    // the key; the next reset or fold-insert re-seeds it. Exercises
+    // mergeEmissions' upsert+fold arm under tombstones.
+    "sql_table_shape_mix_swept" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table ShpS (user_id long, cnt long);
+        |
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpS on ShpS.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpS
+        |  set ShpS.cnt = ShpS.cnt + 1
+        |  on ShpS.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete ShpS on ShpS.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from ShpS
+        |select user_id, cnt
+        |order by user_id
+        |insert into Out""".stripMargin)("read")),
+    // SWEPT shape-mixed as-of read (r15): segments are marked by BOTH
+    // tombstones (state absent until the next emission) and implicit
+    // resets (state = the reset's values) — the enrichment window
+    // pass counts both mark kinds into one segment id.
+    "sql_enrich_shape_mix_swept" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table ShpR (user_id long, cnt long);
+        |
+        |@info(name = 'reset')
+        |from events[event_type == 'view']
+        |select user_id, event_id as cnt
+        |update or insert into ShpR on ShpR.user_id == user_id;
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, convert(1, 'long') as cnt
+        |update or insert into ShpR
+        |  set ShpR.cnt = ShpR.cnt + 1
+        |  on ShpR.user_id == user_id;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete ShpR on ShpR.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join ShpR
+        |  on ShpR.user_id == e.user_id
+        |select e.event_id as event_id, ShpR.cnt as cnt
+        |order by event_id
+        |insert into Out""".stripMargin)("read")),
     // SHAPE-MIXED as-of read (r15, VERDICT r14 #3): per purchase the
     // as-of value = the last implicit RESET at or before it plus the
     // fold deltas after that reset (or, with no reset yet, the first
@@ -5633,6 +5692,89 @@ object SqlGate {
         |  CAST(coalesce(l.insv, 0) + coalesce(a.n, 0) AS BIGINT) AS cnt
         |FROM lastr l FULL JOIN agg a ON l.user_id = a.user_id
         |ORDER BY user_id""".stripMargin,
+    // swept shape-mixed table: survivors of each key's last tombstone
+    // — last surviving reset (or first surviving fold insert) + later
+    // fold count
+    "sql_table_shape_mix_swept" ->
+      """WITH tmb AS (
+        |  SELECT user_id, max(struct_pack(o_ts := epoch_ns(ts),
+        |    o_id := event_id, w := CAST(2 AS BIGINT))) AS dord
+        |  FROM events WHERE event_type = 'error' AND value > 170.0
+        |  GROUP BY user_id),
+        |rst AS (
+        |  SELECT user_id, event_id AS insv,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(0 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'view'),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(1 AS BIGINT)) AS co
+        |  FROM events WHERE event_type = 'click'),
+        |rstl AS (
+        |  SELECT r.user_id, first(insv ORDER BY ro DESC) AS insv,
+        |    max(ro) AS ro
+        |  FROM rst r LEFT JOIN tmb t ON r.user_id = t.user_id
+        |  WHERE t.dord IS NULL OR r.ro > t.dord GROUP BY r.user_id),
+        |agg AS (
+        |  SELECT c.user_id, count(*) AS n
+        |  FROM clk c LEFT JOIN tmb t ON c.user_id = t.user_id
+        |  LEFT JOIN rstl l ON c.user_id = l.user_id
+        |  WHERE (t.dord IS NULL OR c.co > t.dord)
+        |    AND (l.ro IS NULL OR c.co > l.ro)
+        |  GROUP BY c.user_id)
+        |SELECT coalesce(l.user_id, a.user_id) AS user_id,
+        |  CAST(coalesce(l.insv, 0) + coalesce(a.n, 0) AS BIGINT) AS cnt
+        |FROM rstl l FULL JOIN agg a ON l.user_id = a.user_id
+        |ORDER BY user_id""".stripMargin,
+    // swept shape-mixed as-of: per purchase, marks after the key's
+    // last tombstone at-or-before it decide
+    "sql_enrich_shape_mix_swept" ->
+      """WITH rst AS (
+        |  SELECT user_id, event_id AS insv,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(0 AS BIGINT)) AS ro
+        |  FROM events WHERE event_type = 'view'),
+        |clk AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(1 AS BIGINT)) AS co
+        |  FROM events WHERE event_type = 'click'),
+        |tmb AS (
+        |  SELECT user_id,
+        |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+        |      w := CAST(2 AS BIGINT)) AS dd
+        |  FROM events WHERE event_type = 'error' AND value > 170.0)
+        |SELECT event_id, CAST(coalesce(rv, 0) + n AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT e.event_id AS event_id, r.insv AS rv, a.n AS n
+        |  FROM events e
+        |  LEFT JOIN LATERAL (
+        |    SELECT max(dd) AS dord FROM tmb
+        |    WHERE tmb.user_id = e.user_id
+        |      AND tmb.dd <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |    ) t ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT insv, ro FROM rst
+        |    WHERE rst.user_id = e.user_id
+        |      AND rst.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |      AND (t.dord IS NULL OR rst.ro > t.dord)
+        |    ORDER BY ro DESC LIMIT 1) r ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT count(*) AS n FROM clk c
+        |    WHERE c.user_id = e.user_id
+        |      AND c.co <= struct_pack(o_ts := epoch_ns(e.ts),
+        |        o_id := e.event_id,
+        |        w := CAST(9223372036854775807 AS BIGINT))
+        |      AND (t.dord IS NULL OR c.co > t.dord)
+        |      AND (r.ro IS NULL OR c.co > r.ro)) a ON TRUE
+        |  WHERE e.event_type = 'purchase')
+        |WHERE rv IS NOT NULL OR n > 0
+        |ORDER BY event_id""".stripMargin,
     // shape-mixed as-of read: per purchase, last reset ≤ it + count
     // of fold emissions in (reset, purchase]; present iff a reset or
     // any fold emission precedes it
