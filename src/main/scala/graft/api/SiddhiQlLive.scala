@@ -756,15 +756,19 @@ private[api] trait SiddhiQlLive extends Serializable {
     def runStage(name: Option[String], ast0L: Ast,
         view: Map[String, DataFrame], partKey: Option[String]): Unit = {
         // reading a defined window compiles as fed-stream#spec (the
-        // batch replay's named-window sharing, on the incremental plan)
-        val ast = ast0L.stream match {
-          case ss: SingleStream if liveWindowDefs.contains(ss.table) &&
-              ss.window.isEmpty =>
+        // batch replay's named-window sharing, on the incremental
+        // plan) — on single-stream reads AND join sides (r16)
+        def namedWinL(ss: SingleStream): SingleStream =
+          if (liveWindowDefs.contains(ss.table) && ss.window.isEmpty) {
             if (!env.contains(ss.table))
               fail(s"named window '${ss.table}' has not been fed — " +
                 s"add an `insert into ${ss.table}` query first")
-            ast0L.copy(stream = ss.copy(
-              window = Some(liveWindowDefs(ss.table))))
+            ss.copy(window = Some(liveWindowDefs(ss.table)))
+          } else ss
+        val ast = ast0L.stream match {
+          case ss: SingleStream => ast0L.copy(stream = namedWinL(ss))
+          case j: JoinStream => ast0L.copy(stream = j.copy(
+            left = namedWinL(j.left), right = namedWinL(j.right)))
           case _ => ast0L
         }
         // rate over pattern matches deploys through the fold channel
@@ -2163,6 +2167,149 @@ private[api] trait SiddhiQlLive extends Serializable {
                 .keyedRead(batchKeyRel(sp, d2, batch, benv))
               pruneToBatchKeys(rel, kdfEff)
             }
+            /** The shared "aggregation ABOVE the enrichment join"
+              * tail (r16 — one definition for the per-event, windowed
+              * and windowed event-log read channels, deleting two
+              * near-identical inline copies): validates the v1
+              * contract (group keys = the aliases of the
+              * non-aggregate select items, stream-side), rewrites the
+              * read to its per-pair PROJECTION form (`astRows` — the
+              * branch runs it per trigger with whatever override
+              * mechanism it maintains), and folds the per-trigger
+              * enriched rows as FoldAlg algebraic partials keyed on
+              * the group aliases. having/limit/offset compose ONCE at
+              * finish over the finalized groups — chunking-invariant
+              * by construction, because every stream event (and so
+              * every per-pair row) lands in exactly one trigger. */
+            final class EnrichAggTail {
+              private val items = itemsOf(ast)
+              private val keyItems = items.filter(!_._3)
+              private val keyAliases = keyItems.map(_._2)
+              if (ast.groupBy.sorted != keyAliases.sorted.toList)
+                fail("live enrichment aggregation (v1) groups by " +
+                  "exactly the aliases of its non-aggregate select " +
+                  s"items (non-aggregate [${keyAliases.mkString(", ")}" +
+                  s"], group by [${ast.groupBy.mkString(", ")}])")
+              private val comps = scala.collection.mutable.Buffer
+                .empty[(String, String, Option[Expr])]
+              private def rw(e: Expr): Expr = e match {
+                case Call(None, n, args0) if aggNames(n.toLowerCase) =>
+                  val base = s"__g${comps.length}"
+                  comps += ((base, n.toLowerCase, args0.headOption))
+                  FoldAlg.rewrite(n.toLowerCase, base)
+                case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
+                case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
+                case Not(x) => Not(rw(x))
+                case Neg(x) => Neg(rw(x))
+                case other2 => other2
+              }
+              private val finals: Seq[(String, Expr)] = items.map {
+                case (it, a2, isAgg) =>
+                  a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
+              }
+              comps.foreach { case (_, n, argO) =>
+                if (n != "count" && argO.isEmpty)
+                  fail(s"$n(...) needs an argument")
+              }
+              if (comps.isEmpty)
+                fail("live enrichment aggregation selects at least " +
+                  "one aggregate")
+              // group keys are STREAM-side expressions (v1): the
+              // touched-bucket probe evaluates them on the raw batch,
+              // before any state is read
+              keyItems.foreach { case (it, _, _) =>
+                if (refsTable(it.e, tName) ||
+                    j.rightAlias.exists(refsTable(it.e, _)))
+                  fail("live enrichment aggregation group keys are " +
+                    "STREAM-side expressions (v1) — a table-side " +
+                    "key needs the projection form + a downstream " +
+                    "stage")
+              }
+              private val sAliasA = j.leftAlias.getOrElse(sName)
+              private def streamKeySql(e: Expr): String = sqlOfWith(e, {
+                case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasA) ||
+                    q2.equalsIgnoreCase(sName) => c
+                case c :: Nil => c
+                case parts => fail("live enrichment aggregation " +
+                  "group keys are stream-side (v1); got " +
+                  s"'${parts.mkString(".")}'")
+              })
+              private val keySqls = keyItems.map { case (it, a2, _) =>
+                (streamKeySql(it.e), a2) }
+              // per-event rows: group-key exprs + aggregate arguments
+              private val rowsSel = keyItems.map { case (it, a2, _) =>
+                SelItem(it.e, Some(a2)) } ++
+                comps.toList.flatMap { case (base, _, argO) =>
+                  argO.map(a0 =>
+                    SelItem(a0, Some(s"${base}_x"))).toList }
+              val astRows: Ast = ast.copy(select = rowsSel,
+                groupBy = Nil, having = None, orderBy = Nil,
+                limit = None, offset = None)
+              private val keys = if (keyAliases.isEmpty) Seq("__k")
+                                 else keyAliases
+              private def withK(df: DataFrame): DataFrame =
+                if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
+                else df
+              private def partialOf(df: DataFrame): DataFrame = {
+                val aggs: Seq[Column] = comps.toSeq.flatMap {
+                  case (base, n, argO) =>
+                    FoldAlg.partialCols(n, base,
+                      argO.map(_ => col(s"${base}_x")))
+                }
+                df.groupBy(keys.map(col): _*)
+                  .agg(aggs.head, aggs.tail: _*)
+              }
+              // deploy-time prototypes: fail fast + schemas (routes
+              // astRows through the branch-shared batch validations)
+              private val protoRows = enrichCompile(sp0, "", astRows,
+                j, writers, emptyOf(sp0, dSchema),
+                batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
+                  statelessSnap))
+              private val schemaA = partialOf(withK(protoRows)).schema
+              val protoOut: DataFrame = emptyOf(sp0, schemaA)
+                .select(finals.map { case (a2, e2) =>
+                  expr(sqlOf(e2)).as(a2) }: _*)
+              /** The keyed partial state this tail folds into. */
+              def stateEntry(stName: String,
+                  fnsSnap: Map[String, ScriptFn])
+                  : (String, StructType, StateMode) =
+                (stName, schemaA, KeyedState(keys, (sp, d2, batch) => {
+                  scriptFns = fnsSnap
+                  if (keyAliases.isEmpty)
+                    batch.select(lit(0L).as("__k"))
+                  else {
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val sb0 = envLookup(benv, sName).getOrElse(batch)
+                    val sb = sSide.filter.fold(sb0)(f =>
+                      applyFilter(sp, d2, sb0, f, benv))
+                    sb.select(keySqls.map { case (sq, a2) =>
+                      expr(sq).as(a2) }: _*)
+                  }
+                }))
+              /** Merge this trigger's enriched per-pair rows into the
+                * accumulated keyed partials (componentwise FoldAlg). */
+              def mergeInto(slice: DataFrame, enriched: DataFrame)
+                  : DataFrame = {
+                val u = partialOf(withK(enriched))
+                slice.as("t").join(u.as("u"),
+                    keys.map(k2 =>
+                      col(s"t.$k2") <=> col(s"u.$k2"))
+                      .reduce(_ && _), "full_outer")
+                  .select(keys.map(k2 => coalesce(col(s"u.$k2"),
+                      col(s"t.$k2")).as(k2)) ++
+                    comps.toSeq.flatMap { case (b2, n, _) =>
+                      FoldAlg.mergeCols(n, b2) }: _*)
+              }
+              /** Finalize + having (limit/offset ride the LiveFold). */
+              def finish(acc: DataFrame): DataFrame = {
+                val fin = acc.select(finals.map { case (a2, e2) =>
+                  expr(sqlOf(e2)).as(a2) }: _*)
+                ast.having.fold(fin)(h => fin.where(expr(sqlOf(h))))
+              }
+            }
+            // built on demand: the constructor VALIDATES, so only
+            // hasAggE arms may touch it
+            lazy val aggTail = new EnrichAggTail
             val winWriterTNs: Option[Long] = dAst.stream match {
               case ss2: SingleStream =>
                 if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
@@ -2196,26 +2343,36 @@ private[api] trait SiddhiQlLive extends Serializable {
               // an event's ts is complete by in-order arrival, and
               // open buckets sort after every current event) — and
               // each per-event writer holds its tagged EMISSION LOG
-              // (dmlEmissions rows + ord), keyed on the JOIN keys so
-              // reads bucket-prune to the batch's event keys. Per
+              // (dmlEmissions rows + ord). BOTH kinds of state are
+              // keyed on the JOIN keys (r16 for the flush partials),
+              // so every per-trigger read bucket-prunes to the
+              // batch's event keys — O(batch-key history), never the
+              // whole accumulated log/partial store. Per
               // trigger, enrichCompile's event-log construction runs
               // over (pruned prior logs ∪ this batch's emissions) and
               // the flush relations — everything at true ords, so the
               // per-trigger pass IS the batch construction restricted
               // to the batch's keys: chunking-invariant by
               // construction, live ≡ batch by shared code.
-              if (hasAggE)
-                fail("live event-log enrichment aggregation with " +
-                  "WINDOWED members (v1): use the projection form " +
-                  "and aggregate in a downstream stage")
+              // aggregation (r16, VERDICT r15 #2): the shared
+              // EnrichAggTail folds the same per-pair relation the
+              // projection arm emits — each read event lands in
+              // exactly one trigger with its COMPLETE pair set (the
+              // emission relations carry all prior history for its
+              // keys), so per-trigger partials sum to the batch
+              // aggregation under any chunking
               val fnsSnapL = scriptFns
               val protoEnvL = batchEnv(sp0, "",
                 emptyOf(sp0, srcTs.schema), statelessSnap)
               // deploy-time prototype WITHOUT overrides — routes
               // through enrichLogCompile's own validations (windowed
-              // forms, key checks, shape routing)
-              val protoL = enrichCompile(sp0, "", ast, j, writers,
-                emptyOf(sp0, dSchema), protoEnvL)
+              // forms, key checks, shape routing); the agg arm routes
+              // them through aggTail's projection-form prototype
+              // instead (enrichCompile is projection-only by design)
+              val protoL =
+                if (hasAggE) aggTail.protoOut
+                else enrichCompile(sp0, "", ast, j, writers,
+                  emptyOf(sp0, dSchema), protoEnvL)
               val keyOrderL = enrichJoinKeys.map(_._1).distinct.sorted
               val mkColsL = keyOrderL.indices.map(j2 => s"__mk$j2")
               def keyRhsOf(wi: Int): List[(String, String)] =
@@ -2267,17 +2424,71 @@ private[api] trait SiddhiQlLive extends Serializable {
                           logDelta(sp0, "", wi, protoEnvL), wi).schema)
                     }
                 }
+              // (r16, VERDICT r15 #1) key each windowed member's
+              // flush-partial store on the JOIN-key projections
+              // (__mk*) — the elog discipline applied to the wst
+              // states — so the per-trigger read can bucket-restrict
+              // to the batch's keys via keyedRead instead of the r15
+              // full() scan (that state grows one row per (key,
+              // bucket) FOREVER under log semantics, so the unpruned
+              // scan was O(history) per trigger). The table key
+              // columns must be NON-AGGREGATE outputs of the windowed
+              // writer: an aggregate-valued key changes as partials
+              // merge, which would move state rows across buckets.
+              // Non-agg key item exprs evaluate over BOTH the partial
+              // state rows (group columns survive partialOf) and the
+              // writer's raw source rows (the touched-bucket probe).
+              val winKeyExprsL: Map[Int, List[(String, Expr)]] =
+                writers.indices.flatMap { wi =>
+                  infosL(wi).left.toOption.map { _ =>
+                    val items2 = itemsOf(writers(wi)._1)
+                    wi -> keyOrderL.map { kc =>
+                      items2.find(_._2 == kc) match {
+                        case Some((_, _, true)) =>
+                          fail("windowed event-log member's table " +
+                            s"key '$kc' is an AGGREGATE output (v1): " +
+                            "a log member's join keys must be " +
+                            "group-key outputs")
+                        case Some((it2, _, false)) => kc -> it2.e
+                        case None =>
+                          fail("windowed event-log member writer " +
+                            s"does not output table key '$kc'")
+                      }
+                    }
+                  }
+                }.toMap
+              def mkOfW(wi: Int, rel: DataFrame): DataFrame =
+                rel.select(keyOrderL.zipWithIndex.map {
+                  case (kc, j2) =>
+                    expr(sqlOf(winKeyExprsL(wi)
+                        .find(_._1 == kc).get._2))
+                      .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
+                  rel.columns.toSeq.map(col): _*)
               val keyL = name.orElse(ast.action.map(_.target))
               if (keyL.contains(out) || name.contains(out)) {
                 val statesL: Seq[(String, StructType, StateMode)] =
                   writers.indices.map { wi =>
                     infosL(wi) match {
-                      case Left(p) => (s"wst$wi", p.stateSchema,
-                        KeyedState(p.keys, (sp, d2, batch) => {
-                          scriptFns = fnsSnapL
-                          p.probeSel(loadTable(sp, d2, writers(wi)._4,
-                            batchEnv(sp, d2, batch, statelessSnap)))
-                        }))
+                      case Left(p) =>
+                        (s"wst$wi",
+                          mkOfW(wi, emptyOf(sp0, p.stateSchema)).schema,
+                          KeyedState(mkColsL, (sp, d2, batch) => {
+                            scriptFns = fnsSnapL
+                            val benv =
+                              batchEnv(sp, d2, batch, statelessSnap)
+                            val base0 =
+                              loadTable(sp, d2, writers(wi)._4, benv)
+                            val base = (writers(wi)._1.stream match {
+                              case ss3: SingleStream => ss3.filter
+                              case _                 => None
+                            }).fold(base0)(f =>
+                              applyFilter(sp, d2, base0, f, benv))
+                            // key exprs are non-agg writer outputs —
+                            // they evaluate over raw source rows, so
+                            // the probe needs no partial aggregation
+                            mkOfW(wi, base)
+                              .select(mkColsL.map(col): _*)
+                          }))
                       case Right(sch) => (s"elog$wi", sch,
                         KeyedState(mkColsL, (sp, d2, batch) => {
                           scriptFns = fnsSnapL
@@ -2286,11 +2497,16 @@ private[api] trait SiddhiQlLive extends Serializable {
                             wi).select(mkColsL.map(col): _*)
                         }))
                     }
-                  } :+ (("__out", protoL.schema, AppendState))
-                foldResult = Some(LiveFold(srcTs, statesL,
-                  (sp, d2, acc, batch) => {
-                    scriptFns = fnsSnapL
-                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                  } :+ (if (hasAggE)
+                          aggTail.stateEntry("aggst", fnsSnapL)
+                        else ("__out", protoL.schema, AppendState))
+                // one trigger's state advance: merge every writer's
+                // state and assemble the per-writer emission
+                // relations (both arms share it verbatim)
+                def stepL(sp: SparkSession, d2: String,
+                    acc: Map[String, LiveState], batch: DataFrame,
+                    benv: Map[String, DataFrame])
+                    : (Map[String, DataFrame], Map[Int, DataFrame]) = {
                     val kdf = batchKeyRel(sp, d2, batch, benv)
                     val kdfMk = kdf.select(keyOrderL.zipWithIndex
                       .map { case (kc, j2) =>
@@ -2299,10 +2515,25 @@ private[api] trait SiddhiQlLive extends Serializable {
                     val stUpd = writers.indices.map { wi =>
                       infosL(wi) match {
                         case Left(p) =>
-                          val st1 = p.merge(acc(s"wst$wi").slice,
+                          val st1 = p.merge(
+                            acc(s"wst$wi").slice.drop(mkColsL: _*),
                             p.partialOf(loadTable(sp, d2,
                               writers(wi)._4, benv)))
-                          val full0 = acc(s"wst$wi").full()
+                          // bucket-restricted read of the batch's
+                          // keys (r16): only batch-event keys can
+                          // emit this trigger, and the store is keyed
+                          // on the same __mk* projection — so the
+                          // read scans O(batch-key buckets), not the
+                          // whole ever-growing partial history
+                          val (priorW, kdfWEff) =
+                            acc(s"wst$wi").keyedRead(kdfMk)
+                          val full0 = pruneMkL(priorW, kdfWEff)
+                            .drop(mkColsL: _*)
+                          foldReadProbe.foreach { buf =>
+                            enrichReadGen += 1
+                            buf += ((enrichReadGen, s"wst$wi",
+                              full0.count()))
+                          }
                           val fullPost = full0.as("t")
                             .join(st1.select(p.keys.map(col): _*)
                                 .distinct().as("u"),
@@ -2320,7 +2551,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                                 lit(0L).as("event_id"),
                                 lit(wi.toLong).as("w")))
                               .drop("__wb")
-                          s"wst$wi" -> st1
+                          s"wst$wi" -> mkOfW(wi, st1)
                         case Right(_) =>
                           val delta = logDelta(sp, d2, wi, benv)
                           val (priorRel, kdfEff) =
@@ -2332,13 +2563,32 @@ private[api] trait SiddhiQlLive extends Serializable {
                             .unionByName(withMkL(delta, wi))
                       }
                     }.toMap
-                    stUpd + ("__out" -> enrichCompile(sp, d2, ast, j,
-                      writers, emptyOf(sp, dSchema), benv,
-                      emisOverride = emisM))
+                    (stUpd, emisM)
+                }
+                foldResult = Some(LiveFold(srcTs, statesL,
+                  (sp, d2, acc, batch) => {
+                    scriptFns = fnsSnapL
+                    val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val (stUpd, emisM) =
+                      stepL(sp, d2, acc, batch, benv)
+                    if (hasAggE)
+                      stUpd + ("aggst" -> aggTail.mergeInto(
+                        acc("aggst").slice,
+                        enrichCompile(sp, d2, aggTail.astRows, j,
+                          writers, emptyOf(sp, dSchema), benv,
+                          emisOverride = emisM)))
+                    else
+                      stUpd + ("__out" -> enrichCompile(sp, d2, ast,
+                        j, writers, emptyOf(sp, dSchema), benv,
+                        emisOverride = emisM))
                   },
-                  (_, acc) => acc("__out"),
+                  (_, acc) =>
+                    if (hasAggE) aggTail.finish(acc("aggst"))
+                    else acc("__out"),
                   ast.orderBy.map { case (c2, asc) =>
-                    if (asc) col(c2).asc else col(c2).desc }))
+                    if (asc) col(c2).asc else col(c2).desc },
+                  if (hasAggE) ast.limit else None,
+                  if (hasAggE) ast.offset else None))
               }
               (emptyOf(sp0, protoL.schema), KFold)
             } else if (writers.length > 1 &&
@@ -2962,111 +3212,15 @@ private[api] trait SiddhiQlLive extends Serializable {
                   flushLive.unionByName(b.full()))
               }
               if (hasAggE) {
-                // AGGREGATION ABOVE the as-of join (same contract as
-                // the per-event enrich-agg channel: group keys are the
-                // aliases of the non-aggregate select items, stream-
-                // side; having/limit/offset compose at finish)
-                val items = itemsOf(ast)
-                val keyItems = items.filter(!_._3)
-                val keyAliases = keyItems.map(_._2)
-                if (ast.groupBy.sorted != keyAliases.sorted.toList)
-                  fail("live enrichment aggregation (v1) groups by " +
-                    "exactly the aliases of its non-aggregate select " +
-                    s"items (non-aggregate [${keyAliases.mkString(", ")}" +
-                    s"], group by [${ast.groupBy.mkString(", ")}])")
-                val comps = scala.collection.mutable.Buffer
-                  .empty[(String, String, Option[Expr])]
-                def rw(e: Expr): Expr = e match {
-                  case Call(None, n, args0)
-                      if aggNames(n.toLowerCase) =>
-                    val base = s"__g${comps.length}"
-                    comps += ((base, n.toLowerCase, args0.headOption))
-                    FoldAlg.rewrite(n.toLowerCase, base)
-                  case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
-                  case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
-                  case Not(x) => Not(rw(x))
-                  case Neg(x) => Neg(rw(x))
-                  case other2 => other2
-                }
-                val finals: Seq[(String, Expr)] = items.map {
-                  case (it, a2, isAgg) =>
-                    a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
-                }
-                comps.foreach { case (_, n, argO) =>
-                  if (n != "count" && argO.isEmpty)
-                    fail(s"$n(...) needs an argument")
-                }
-                if (comps.isEmpty)
-                  fail("live enrichment aggregation selects at least " +
-                    "one aggregate")
-                keyItems.foreach { case (it, _, _) =>
-                  if (refsTable(it.e, tName) ||
-                      j.rightAlias.exists(refsTable(it.e, _)))
-                    fail("live enrichment aggregation group keys are " +
-                      "STREAM-side expressions (v1) — a table-side " +
-                      "key needs the projection form + a downstream " +
-                      "stage")
-                }
-                val sAliasL = j.leftAlias.getOrElse(sName)
-                def streamKeySql(e: Expr): String = sqlOfWith(e, {
-                  case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasL) ||
-                      q2.equalsIgnoreCase(sName) => c
-                  case c :: Nil => c
-                  case parts => fail("live enrichment aggregation " +
-                    "group keys are stream-side (v1); got " +
-                    s"'${parts.mkString(".")}'")
-                })
-                val keySqls = keyItems.map { case (it, a2, _) =>
-                  (streamKeySql(it.e), a2) }
-                val rowsSel = keyItems.map { case (it, a2, _) =>
-                  SelItem(it.e, Some(a2)) } ++
-                  comps.toList.flatMap { case (base, _, argO) =>
-                    argO.map(a0 =>
-                      SelItem(a0, Some(s"${base}_x"))).toList }
-                val astRows = ast.copy(select = rowsSel, groupBy = Nil,
-                  having = None, orderBy = Nil, limit = None,
-                  offset = None)
-                val keys = if (keyAliases.isEmpty) Seq("__k")
-                           else keyAliases
-                def withK(df: DataFrame): DataFrame =
-                  if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
-                  else df
-                def partialOf(df: DataFrame): DataFrame = {
-                  val aggs: Seq[Column] = comps.toSeq.flatMap {
-                    case (base, n, argO) =>
-                      FoldAlg.partialCols(n, base,
-                        argO.map(_ => col(s"${base}_x")))
-                  }
-                  df.groupBy(keys.map(col): _*)
-                    .agg(aggs.head, aggs.tail: _*)
-                }
-                val protoRows = enrichCompile(sp0, "", astRows, j,
-                  writers, emptyOf(sp0, dSchema),
-                  batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
-                    statelessSnap))
-                val schemaA = partialOf(withK(protoRows)).schema
-                val protoOut = emptyOf(sp0, schemaA).select(finals.map {
-                  case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+                // AGGREGATION ABOVE the as-of join: the shared
+                // EnrichAggTail, fed per trigger by the same
+                // post-merge flush relation the projection arm below
+                // maintains (winFlush)
                 val keyWA = name.orElse(ast.action.map(_.target))
                 if (keyWA.contains(out) || name.contains(out)) {
                   val (wfP, keysP, wfSchemas, wfSplit) = winFoldOf()
                   foldResult = Some(LiveFold(srcTs,
-                    wfSchemas :+ (("aggst", schemaA,
-                      KeyedState(keys, (sp, d2, batch) => {
-                        scriptFns = fnsSnapW
-                        if (keyAliases.isEmpty)
-                          batch.select(lit(0L).as("__k"))
-                        else {
-                          val benv = batchEnv(sp, d2, batch,
-                            statelessSnap)
-                          val sb0 = envLookup(benv, sName)
-                            .getOrElse(batch)
-                          val sb = sSide.filter.fold(sb0)(f =>
-                            applyFilter(sp, d2, sb0, f, benv))
-                          sb.select(keySqls.map { case (sq, a2) =>
-                            expr(sq).as(a2) }: _*)
-                        }
-                      }))),
+                    wfSchemas :+ aggTail.stateEntry("aggst", fnsSnapW),
                     (sp, d2, acc, batch) => {
                       scriptFns = fnsSnapW
                       val st1 = wfP.fold(sp, d2, acc, batch)("state")
@@ -3078,33 +3232,20 @@ private[api] trait SiddhiQlLive extends Serializable {
                       val flushRel = pruneToBatchKeys(
                         flushRelOf(sp, wfP, keysP, acc, st1),
                         batchKeyRel(sp, d2, batch, benv))
-                      val enriched = enrichCompile(sp, d2, astRows, j,
-                        writers, emptyOf(sp, dSchema), benv,
+                      val enriched = enrichCompile(sp, d2,
+                        aggTail.astRows, j, writers,
+                        emptyOf(sp, dSchema), benv,
                         winFlush = Map(0 -> flushRel))
-                      val u = partialOf(withK(enriched))
-                      val merged = acc("aggst").slice.as("t")
-                        .join(u.as("u"),
-                          keys.map(k2 =>
-                            col(s"t.$k2") <=> col(s"u.$k2"))
-                            .reduce(_ && _), "full_outer")
-                        .select(keys.map(k2 => coalesce(col(s"u.$k2"),
-                            col(s"t.$k2")).as(k2)) ++
-                          comps.toSeq.flatMap { case (b2, n, _) =>
-                            FoldAlg.mergeCols(n, b2) }: _*)
-                      wfSplit(sp, acc, st1, batch) +
-                        ("aggst" -> merged)
+                      wfSplit(sp, acc, st1, batch) + ("aggst" ->
+                        aggTail.mergeInto(acc("aggst").slice,
+                          enriched))
                     },
-                    (_, acc) => {
-                      val fin = acc("aggst").select(finals.map {
-                        case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
-                      ast.having.fold(fin)(h =>
-                        fin.where(expr(sqlOf(h))))
-                    },
+                    (_, acc) => aggTail.finish(acc("aggst")),
                     ast.orderBy.map { case (c2, asc) =>
                       if (asc) col(c2).asc else col(c2).desc },
                     ast.limit, ast.offset))
                 }
-                (emptyOf(sp0, protoOut.schema), KFold)
+                (emptyOf(sp0, aggTail.protoOut.schema), KFold)
               } else {
               // deploy-time prototype: fail fast + output schema (the
               // dmlEmissions path recomputes flushes from the raw
@@ -3138,156 +3279,36 @@ private[api] trait SiddhiQlLive extends Serializable {
               (emptyOf(sp0, protoW.schema), KFold)
               }
             } else if (hasAggE) {
-              // AGGREGATION ABOVE the enrichment join: each batch's
-              // enriched rows compute exactly like the projection
-              // form (same per-event as-of window pass), then fold as
-              // ALGEBRAIC keyed partials — the FoldAlg algebra
-              // components merged componentwise across triggers (the
-              // join-agg fold recipe; O(batch-touched buckets) state
-              // writes). The batch compile aggregates the identical
-              // as-of rows globally, so it is the oracle under any
-              // chunking.
-              // having/limit/offset apply ONCE at finish over the
-              // finalized groups (alias refs, like the batch compile)
-              // — chunking-invariant by construction; limit/offset
-              // compose with the runner's finish ordering
-              val items = itemsOf(ast)
-              val keyItems = items.filter(!_._3)
-              val keyAliases = keyItems.map(_._2)
-              if (ast.groupBy.sorted != keyAliases.sorted.toList)
-                fail("live enrichment aggregation (v1) groups by " +
-                  "exactly the aliases of its non-aggregate select " +
-                  s"items (non-aggregate [${keyAliases.mkString(", ")}]" +
-                  s", group by [${ast.groupBy.mkString(", ")}])")
-              val comps = scala.collection.mutable.Buffer
-                .empty[(String, String, Option[Expr])]
-              def rw(e: Expr): Expr = e match {
-                case Call(None, n, args0) if aggNames(n.toLowerCase) =>
-                  val base = s"__g${comps.length}"
-                  comps += ((base, n.toLowerCase, args0.headOption))
-                  FoldAlg.rewrite(n.toLowerCase, base)
-                case Call(ns2, n, as2) => Call(ns2, n, as2.map(rw))
-                case Bin(op, l2, r2) => Bin(op, rw(l2), rw(r2))
-                case Not(x) => Not(rw(x))
-                case Neg(x) => Neg(rw(x))
-                case other2 => other2
-              }
-              val finals: Seq[(String, Expr)] = items.map {
-                case (it, a2, isAgg) =>
-                  a2 -> (if (isAgg) rw(it.e) else Ref(List(a2)))
-              }
-              comps.foreach { case (_, n, argO) =>
-                if (n != "count" && argO.isEmpty)
-                  fail(s"$n(...) needs an argument")
-              }
-              if (comps.isEmpty)
-                fail("live enrichment aggregation selects at least " +
-                  "one aggregate")
-              // group keys are STREAM-side expressions (v1): the
-              // touched-bucket probe evaluates them on the raw batch,
-              // before any state is read
-              keyItems.foreach { case (it, _, _) =>
-                if (refsTable(it.e, tName) ||
-                    j.rightAlias.exists(refsTable(it.e, _)))
-                  fail("live enrichment aggregation group keys are " +
-                    "STREAM-side expressions (v1) — a table-side key " +
-                    "needs the projection form + a downstream stage")
-              }
-              val sAliasL = j.leftAlias.getOrElse(sName)
-              def streamKeySql(e: Expr): String = sqlOfWith(e, {
-                case q2 :: c :: Nil if q2.equalsIgnoreCase(sAliasL) ||
-                    q2.equalsIgnoreCase(sName) => c
-                case c :: Nil => c
-                case parts => fail("live enrichment aggregation group " +
-                  s"keys are stream-side (v1); got " +
-                  s"'${parts.mkString(".")}'")
-              })
-              val keySqls = keyItems.map { case (it, a2, _) =>
-                (streamKeySql(it.e), a2) }
-              // per-event rows: group-key exprs + aggregate arguments
-              val rowsSel = keyItems.map { case (it, a2, _) =>
-                SelItem(it.e, Some(a2)) } ++
-                comps.toList.flatMap { case (base, _, argO) =>
-                  argO.map(a0 => SelItem(a0, Some(s"${base}_x"))).toList }
-              val astRows = ast.copy(select = rowsSel, groupBy = Nil,
-                having = None, orderBy = Nil, limit = None,
-                offset = None)
-              val keys = if (keyAliases.isEmpty) Seq("__k")
-                         else keyAliases
-              def withK(df: DataFrame): DataFrame =
-                if (keyAliases.isEmpty) df.withColumn("__k", lit(0L))
-                else df
-              def partialOf(df: DataFrame): DataFrame = {
-                val aggs: Seq[Column] = comps.toSeq.flatMap {
-                  case (base, n, argO) =>
-                    FoldAlg.partialCols(n, base,
-                      argO.map(_ => col(s"${base}_x")))
-                }
-                df.groupBy(keys.map(col): _*)
-                  .agg(aggs.head, aggs.tail: _*)
-              }
-              def mergeComp(base: String, n: String): Seq[Column] =
-                FoldAlg.mergeCols(n, base)
-              // deploy-time prototypes (fail fast + schemas)
-              val protoRows = enrichCompile(sp0, "", astRows, j,
-                writers, emptyOf(sp0, dSchema),
-                batchEnv(sp0, "", emptyOf(sp0, srcTs.schema),
-                  statelessSnap))
-              val schemaA = partialOf(withK(protoRows)).schema
-              val protoOut = emptyOf(sp0, schemaA).select(finals.map {
-                case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
+              // AGGREGATION ABOVE the enrichment join: the shared
+              // EnrichAggTail over the per-event as-of rows (the
+              // join-agg fold recipe — O(batch-touched buckets)
+              // state writes; the batch compile aggregates the
+              // identical as-of rows globally, so it is the oracle
+              // under any chunking)
               val keyE2 = name.orElse(ast.action.map(_.target))
               if (keyE2.contains(out) || name.contains(out)) {
                 val fnsSnap = scriptFns
                 val tMode = tModeOf(fnsSnap)
                 foldResult = Some(LiveFold(srcTs,
                   Seq((tName, dSchema, tMode),
-                    ("state", schemaA, KeyedState(keys,
-                      (sp, d2, batch) => {
-                        scriptFns = fnsSnap
-                        if (keyAliases.isEmpty)
-                          batch.select(lit(0L).as("__k"))
-                        else {
-                          val benv = batchEnv(sp, d2, batch,
-                            statelessSnap)
-                          val sb0 = envLookup(benv, sName)
-                            .getOrElse(batch)
-                          val sb = sSide.filter.fold(sb0)(f =>
-                            applyFilter(sp, d2, sb0, f, benv))
-                          sb.select(keySqls.map { case (sq, a2) =>
-                            expr(sq).as(a2) }: _*)
-                        }
-                      }))),
+                    aggTail.stateEntry("state", fnsSnap)),
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnap
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
-                    val enriched = enrichCompile(sp, d2, astRows, j,
-                      writers, tReadPruned(sp, d2, acc, batch, benv),
-                      benv)
-                    val u = partialOf(withK(enriched))
-                    val merged = acc("state").slice.as("t")
-                      .join(u.as("u"),
-                        keys.map(k2 =>
-                          col(s"t.$k2") <=> col(s"u.$k2"))
-                          .reduce(_ && _), "full_outer")
-                      .select(keys.map(k2 => coalesce(col(s"u.$k2"),
-                          col(s"t.$k2")).as(k2)) ++
-                        comps.toSeq.flatMap { case (b2, n, _) =>
-                          mergeComp(b2, n) }: _*)
+                    val enriched = enrichCompile(sp, d2,
+                      aggTail.astRows, j, writers,
+                      tReadPruned(sp, d2, acc, batch, benv), benv)
                     Map(
                       tName -> tApply(sp, d2, acc(tName).slice, benv),
-                      "state" -> merged)
+                      "state" -> aggTail.mergeInto(
+                        acc("state").slice, enriched))
                   },
-                  (_, acc) => {
-                    val fin = acc("state").select(finals.map {
-                      case (a2, e2) => expr(sqlOf(e2)).as(a2) }: _*)
-                    ast.having.fold(fin)(h => fin.where(expr(sqlOf(h))))
-                  },
+                  (_, acc) => aggTail.finish(acc("state")),
                   ast.orderBy.map { case (c2, asc) =>
                     if (asc) col(c2).asc else col(c2).desc },
                   ast.limit, ast.offset))
               }
-              (emptyOf(sp0, protoOut.schema), KFold)
+              (emptyOf(sp0, aggTail.protoOut.schema), KFold)
             } else {
             // fail fast at deploy time + learn the output schema
             val proto = enrichCompile(sp0, "", ast, j, writers,
@@ -3976,6 +3997,12 @@ private[api] trait SiddhiQlLive extends Serializable {
       }
       else if (head.equalsIgnoreCase("from"))
         runStage(name, new P(lex(body)).query(), env, None)
+      else if (head.equalsIgnoreCase("update") ||
+               head.equalsIgnoreCase("delete"))
+        // the on-demand store mutations (batch surface, r16)
+        fail("on-demand DML is point-in-time by definition — it has " +
+          "no stream to trigger it live; run it on the batch surface " +
+          "(compileApp) against the replayed state")
       else fail(s"live deployment cannot run: '${body.take(40)}...'")
     }
     (result, foldResult)

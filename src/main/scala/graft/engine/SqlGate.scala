@@ -354,6 +354,32 @@ object SqlGate {
         |select a.event_id as err_id, b.event_id as buy_id
         |order by err_id, buy_id
         |insert into Out""".stripMargin),
+    // NAMED-WINDOW join sides (r16, SURVEY §2.5 "stream ⋈ named
+    // window"): a join side reading a defined window rewrites to
+    // fed-stream#spec exactly like a single-stream read — the two
+    // fed windows join on the same timeBatch machinery
+    "sql_join_named_window" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define window ErrW (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(10 min);
+        |define window BuyW (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(10 min);
+        |
+        |@info(name = 'fe')
+        |from events[event_type == 'error']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into ErrW;
+        |
+        |@info(name = 'fb')
+        |from events[event_type == 'purchase']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into BuyW;
+        |
+        |@info(name = 'pairs')
+        |from ErrW as a join BuyW as b
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin)("pairs")),
     // lengthBatch join side mixed with a time side: the chunk holds
     // arrivals since its last flush (ranks above the last multiple of N)
     "sql_join_lengthbatch_window" -> q(
@@ -1473,6 +1499,45 @@ object SqlGate {
         |  on CartW.user_id == e.user_id
         |select e.event_id as event_id, CartW.item as item, CartW.v as v
         |order by event_id, item, v
+        |insert into Out""".stripMargin, "read")),
+    // AGGREGATION over the windowed event-log read (r16, VERDICT r15
+    // #2): the shared EnrichAggTail over the windowed-log channel's
+    // per-pair relation — each purchase lands in exactly one trigger
+    // with its complete pair set, so per-trigger partials sum to the
+    // global aggregation (live-only like every enrich-agg gate:
+    // batch enrichment joins are projection-only by design, the
+    // DuckDB oracle aggregates the pair relation). Long sums — exact
+    // arithmetic, no float-reassociation surface.
+    "sql_app_enrich_log_win_agg_live" -> ((s, d) =>
+      SiddhiQL.deployApp(s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table CartA (user_id long, item long, v double);
+        |
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into CartA;
+        |
+        |@info(name = 'roll')
+        |from events[event_type == 'view']#window.timeBatch(10 min)
+        |select user_id, min(event_id) as item,
+        |  math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into CartA;
+        |
+        |@info(name = 'sweep')
+        |from events[event_type == 'error' and value > 170.0]
+        |select user_id
+        |delete CartA on CartA.user_id == user_id;
+        |
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join CartA
+        |  on CartA.user_id == e.user_id
+        |select e.user_id as user_id, count() as n,
+        |  sum(CartA.item) as s_item
+        |group by user_id
+        |order by user_id
         |insert into Out""".stripMargin, "read")),
     // WINDOWED SHAPE-MIX as-of read (r15): implicit per-event resets,
     // a per-event accumulator fold, AND a windowed implicit writer
@@ -3203,6 +3268,40 @@ object SqlGate {
         |select user_id, last_value
         |order by user_id
         |insert into Out""".stripMargin)("hot")),
+    // ON-DEMAND DML (r16, SURVEY §2.7): Siddhi's runtime query()
+    // mutation forms, point-in-time after the writers' replay —
+    // `update T set … on cond` then a store read of the mutated state
+    "sql_store_update" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastU (user_id long, last_value double);
+        |
+        |from events
+        |select user_id, value as last_value
+        |update or insert into LastU on LastU.user_id == user_id;
+        |
+        |update LastU
+        |  set LastU.last_value = LastU.last_value * 2.0
+        |  on LastU.last_value > 150.0;
+        |
+        |@info(name = 'hot')
+        |from LastU on last_value > 250.0
+        |select user_id, last_value
+        |order by user_id
+        |insert into Out""".stripMargin)("hot")),
+    // `delete T on cond` — the point-in-time purge, read back whole
+    "sql_store_delete" -> ((s, d) => SiddhiQL.compileApp(s, d,
+      """define table LastD (user_id long, last_value double);
+        |
+        |from events
+        |select user_id, value as last_value
+        |update or insert into LastD on LastD.user_id == user_id;
+        |
+        |delete LastD on LastD.last_value < 100.0;
+        |
+        |@info(name = 'left')
+        |from LastD on user_id >= 0
+        |select user_id, last_value
+        |order by user_id
+        |insert into Out""".stripMargin)("left")),
     // delay window re-timestamps events T later; chained through a named
     // stream, the downstream timeBatch buckets by the DELAYED time
     "sql_delay_chained" -> ((s, d) => SiddhiQL.compileApp(s, d,
@@ -3355,6 +3454,50 @@ object SqlGate {
         |order by event_id
         |insert into alerts""".stripMargin, "alerts"))
   )
+
+  /** Shared by the batch form and its live twin: aggregate the
+    * windowed event-log live-row pairs per purchase user. The inner
+    * relation is the `sql_enrich_log_win` construction verbatim
+    * (click inserts at their instant ∪ 10-min view flush rows at
+    * their bucket END, tombstone-segmented); the wrap groups it.
+    * Long sums — exact arithmetic, order-free. */
+  private val logWinAggOracle: String =
+    """WITH lr AS (
+      |  SELECT user_id, event_id AS item, value AS v,
+      |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+      |      w := CAST(0 AS BIGINT)) AS ro
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, min(event_id) AS item,
+      |    round(sum(value), 2) AS v,
+      |    struct_pack(
+      |      o_ts := (epoch_ns(ts) // 600000000000 + 1)
+      |        * 600000000000,
+      |      o_id := CAST(0 AS BIGINT), w := CAST(1 AS BIGINT)) AS ro
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, epoch_ns(ts) // 600000000000),
+      |tmb AS (
+      |  SELECT user_id,
+      |    struct_pack(o_ts := epoch_ns(ts), o_id := event_id,
+      |      w := CAST(2 AS BIGINT)) AS ro
+      |  FROM events WHERE event_type = 'error' AND value > 170.0)
+      |SELECT user_id, count(*) AS n,
+      |  CAST(sum(item) AS BIGINT) AS s_item
+      |FROM (
+      |  SELECT e.user_id AS user_id, l.item AS item
+      |  FROM events e
+      |  JOIN lr l ON l.user_id = e.user_id
+      |    AND l.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+      |      o_id := e.event_id,
+      |      w := CAST(9223372036854775807 AS BIGINT))
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM tmb t WHERE t.user_id = e.user_id
+      |        AND t.ro > l.ro
+      |        AND t.ro <= struct_pack(o_ts := epoch_ns(e.ts),
+      |          o_id := e.event_id,
+      |          w := CAST(9223372036854775807 AS BIGINT)))
+      |  WHERE e.event_type = 'purchase')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sql_expression_window" ->
@@ -3558,6 +3701,15 @@ object SqlGate {
         |    = epoch_ns(b.ts) // 600000000000
         |ORDER BY err_id, buy_id""".stripMargin,
     "sql_join_timebatch_window" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id AS err_id, b.event_id AS buy_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE epoch_ns(a.ts) // 600000000000
+        |    = epoch_ns(b.ts) // 600000000000
+        |ORDER BY err_id, buy_id""".stripMargin,
+    // named windows fed by the same filters join identically
+    "sql_join_named_window" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'error'),
         |b AS (SELECT * FROM events WHERE event_type = 'purchase')
         |SELECT a.event_id AS err_id, b.event_id AS buy_id
@@ -4398,6 +4550,27 @@ object SqlGate {
         |  SELECT user_id, value, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND value > 150.0
+        |ORDER BY user_id""".stripMargin,
+    // on-demand update: last value per user, doubled where the
+    // mutation's predicate held, then the store read's filter
+    "sql_store_update" ->
+      """WITH last AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn
+        |    FROM events) WHERE rn = 1),
+        |upd AS (
+        |  SELECT user_id, CASE WHEN value > 150.0 THEN value * 2.0
+        |    ELSE value END AS last_value FROM last)
+        |SELECT user_id, last_value FROM upd WHERE last_value > 250.0
+        |ORDER BY user_id""".stripMargin,
+    // on-demand delete: last value per user minus the purged rows
+    "sql_store_delete" ->
+      """SELECT user_id, value AS last_value FROM (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND NOT (value < 100.0)
         |ORDER BY user_id""".stripMargin,
     "sql_delay_chained" ->
       """SELECT (epoch_ms(ts) + 90000) // 60000 * 60000 AS w_start_ms,
@@ -5906,6 +6079,9 @@ object SqlGate {
         |        w := CAST(9223372036854775807 AS BIGINT)))
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id, item, v""".stripMargin,
+    // aggregation over the windowed event-log pairs: same live-row
+    // construction, grouped per purchase user (long sums — exact)
+    "sql_app_enrich_log_win_agg_live" -> logWinAggOracle,
     // windowed shape-mix as-of: resets = view upserts at their
     // instant ∪ error-flush upserts at their bucket END; per purchase
     // cnt = last reset ≤ it + count of click folds after that reset

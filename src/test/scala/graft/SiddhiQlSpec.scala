@@ -1311,13 +1311,16 @@ class SiddhiQlSpec extends AnyFunSuite {
     // implicit + per-event fold + windowed IMPLICIT; these two pin
     // the remaining windowed shapes — a windowed FOLD writer whose
     // flush deltas stay an un-collapsed band, alone and alongside a
-    // per-event fold — against the batch replay byte-for-byte
+    // per-event fold — against the batch replay byte-for-byte.
+    // chunks=2 (r16 suite economics): still multi-chunk, so the
+    // chunking-invariance pin stands at half the trigger cost
     def runBoth(app: String): Unit = {
       val batch = SiddhiQL.compileApp(spark, sf, app)("q")
         .collect().toSeq
       val live = SiddhiQL.deployApp(spark, sf,
         "define stream events (event_id long, ts_ns long, user_id " +
-          "long, event_type string, value double);\n" + app, "q")
+          "long, event_type string, value double);\n" + app, "q",
+        chunks = 2)
         .collect().toSeq
       assert(batch.nonEmpty && live == batch,
         s"windowed shape-mix live (${live.size}) diverges from " +
@@ -1366,13 +1369,16 @@ class SiddhiQlSpec extends AnyFunSuite {
     // the gated arm (sql_app_enrich_log_win_live) covers per-event
     // inserts + a flush-insert member + sweepers; these pin the two
     // remaining windowed-log shapes — a log fed ONLY by flush inserts,
-    // and per-event inserts overlaid by a windowed UPSERT member
+    // and per-event inserts overlaid by a windowed UPSERT member.
+    // chunks=2 (r16 suite economics): still multi-chunk, so the
+    // chunking-invariance pin stands at half the trigger cost
     def runBoth(app: String): Unit = {
       val batch = SiddhiQL.compileApp(spark, sf, app)("q")
         .collect().toSeq
       val live = SiddhiQL.deployApp(spark, sf,
         "define stream events (event_id long, ts_ns long, user_id " +
-          "long, event_type string, value double);\n" + app, "q")
+          "long, event_type string, value double);\n" + app, "q",
+        chunks = 2)
         .collect().toSeq
       assert(batch.nonEmpty && live == batch,
         s"windowed-log live (${live.size}) diverges from batch " +
@@ -1406,6 +1412,83 @@ class SiddhiQlSpec extends AnyFunSuite {
         |  on CartO.user_id == e.user_id
         |select e.event_id as event_id, CartO.v as v
         |order by event_id, v insert into Out""".stripMargin)
+  }
+
+  test("windowed event-log member long-horizon soak: per-trigger wst " +
+       "reads grow with the batch's KEY history, not the table " +
+       "(r16, VERDICT r15 #1/#7)") {
+    // 30-trigger replay of a log table whose writers span 100 users
+    // while the READ side's purchases come from only 4 — the r15
+    // branch re-scanned the windowed member's whole flush-partial
+    // state per trigger (and log semantics mean that state can never
+    // compact), so its reads grew with the full 100-user × bucket
+    // history. The r16 __mk*-keyed store must scan only the 4
+    // purchase users' partial history: bounded by ~50 rows here vs
+    // the ~1200 partials the store accumulates by the tail.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logwin_soak").toString
+    val rows = (0 until 1800).map { i =>
+      val et = i % 6 match {
+        case 5 => "purchase"
+        case 0 => "click"
+        case _ => "view"
+      }
+      val u = if (et == "purchase") ((i / 6) % 4).toLong
+              else (i % 100).toLong
+      (i.toLong, 1600000000000000000L + i * 60000000000L, u, et,
+        (i % 97).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val app =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table LogW (user_id long, item long, v double);
+        |@info(name = 'add')
+        |from events[event_type == 'click']
+        |select user_id, event_id as item, value as v
+        |insert into LogW;
+        |@info(name = 'roll')
+        |from events[event_type == 'view']#window.timeBatch(10 min)
+        |select user_id, min(event_id) as item,
+        |  math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into LogW;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join LogW
+        |  on LogW.user_id == e.user_id
+        |select e.event_id as event_id, LogW.item as item, LogW.v as v
+        |order by event_id, item, v
+        |insert into Out""".stripMargin
+    val probe = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    SiddhiQL.foldReadProbe = Some(probe)
+    try {
+      val live = SiddhiQL.deployApp(spark, dir, app, "read", chunks = 30)
+        .collect().map(_.toSeq)
+      val batch = SiddhiQL.compileApp(spark, dir, app)("read")
+        .orderBy("event_id", "item", "v").collect().map(_.toSeq)
+      assert(live.nonEmpty && (live sameElements batch),
+        s"soak live (${live.length}) diverges from batch " +
+          s"(${batch.length})")
+      // the windowed member is writer 1 → state wst1; every read is
+      // post-prune (batch keys only). 4 purchase users hold ~12 view
+      // buckets each by the tail — far under the ~1200-partial store.
+      val wstReads = probe.filter(_._2 == "wst1").map(_._3)
+      assert(wstReads.length >= 30,
+        s"expected ≥30 wst1 probe entries: ${wstReads.length}")
+      assert(wstReads.max <= 120,
+        s"wst read grew past the 4 purchase users' bucket history " +
+          s"(max ${wstReads.max}): $wstReads")
+      assert(wstReads.last >= 10,
+        s"final-trigger wst read vacuously small: ${wstReads.last}")
+      // no unexpected full-read or prune fallbacks fired
+      val fallbacks = probe.filter(_._2.startsWith("__"))
+      assert(fallbacks.isEmpty, s"unexpected fallbacks: $fallbacks")
+      info(s"wst1 per-trigger reads: min ${wstReads.min}, " +
+        s"max ${wstReads.max}, last ${wstReads.last} " +
+        s"(rows=${live.length})")
+    } finally SiddhiQL.foldReadProbe = None
   }
 
   test("graft.live.watermark: one knob moves the source watermark AND " +
@@ -2607,5 +2690,77 @@ class SiddhiQlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(liveAgg.nonEmpty && liveAgg == truth,
       "windowed-writer enrich-agg != the as-of truth")
+  }
+
+  test("named-window JOIN sides rewrite to fed-stream#spec on both " +
+       "surfaces: live == batch (r16)") {
+    val app =
+      """define window ErrW (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(10 min);
+        |define window BuyW (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double) timeBatch(10 min);
+        |@info(name = 'fe')
+        |from events[event_type == 'error']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into ErrW;
+        |@info(name = 'fb')
+        |from events[event_type == 'purchase']
+        |select event_id, ts_ns, user_id, event_type, value
+        |insert into BuyW;
+        |@info(name = 'pairs')
+        |from ErrW as a join BuyW as b
+        |  on a.user_id == b.user_id
+        |select a.event_id as err_id, b.event_id as buy_id
+        |order by err_id, buy_id
+        |insert into Out""".stripMargin
+    val batch = SiddhiQL.compileApp(spark, sf, app)("pairs")
+      .collect().toSeq
+    val live = SiddhiQL.deployApp(spark, sf,
+      "define stream events (event_id long, ts_ns long, user_id " +
+        "long, event_type string, value double);\n" + app, "pairs")
+      .collect().toSeq
+    assert(batch.nonEmpty && live == batch,
+      s"named-window join live (${live.size}) != batch (${batch.size})")
+  }
+
+  test("on-demand DML guards: live refusal, writer-after-mutation, " +
+       "enrichment read of a mutated table all fail NAMED (r16)") {
+    // the point-in-time mutation composes with store reads only; the
+    // gated arms (sql_store_update/delete) pin the green path
+    val writer =
+      """define table OD (user_id long, v double);
+        |from events
+        |select user_id, value as v
+        |update or insert into OD on OD.user_id == user_id;
+        |""".stripMargin
+    val mut = "update OD set OD.v = 0.0 on OD.v > 150.0;\n"
+    def msg(app: String, live: Boolean = false): String =
+      intercept[IllegalArgumentException] {
+        if (live) SiddhiQL.deployApp(spark, sf,
+          "define stream events (event_id long, ts_ns long, user_id " +
+            "long, event_type string, value double);\n" + app, "q")
+        else SiddhiQL.compileApp(spark, sf, app)
+      }.getMessage
+    assert(msg(writer + mut +
+      "@info(name='q') from events select user_id, value as v " +
+      "update or insert into OD on OD.user_id == user_id", live = true)
+      .contains("point-in-time"))
+    assert(msg(writer + mut +
+      "@info(name='q') from events select user_id, value as v " +
+      "update or insert into OD on OD.user_id == user_id")
+      .contains("move the on-demand"))
+    assert(msg(writer + mut +
+      "@info(name='q') from events as e join OD on OD.user_id == " +
+      "e.user_id select e.event_id as event_id, OD.v as v " +
+      "order by event_id insert into Out")
+      .contains("store form"))
+    // mutating a non-table fails named; a never-fed table is a legal
+    // no-op (Siddhi's query() matching nothing)
+    assert(msg("update events set events.value = 0.0 on value > 1.0")
+      .contains("defined table"))
+    val noop = SiddhiQL.compileApp(spark, sf,
+      "define table OD (user_id long, v double);\n" + mut)
+    assert(noop.values.exists(_.isEmpty),
+      "never-fed on-demand mutation should yield the empty table")
   }
 }
