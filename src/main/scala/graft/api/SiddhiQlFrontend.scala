@@ -345,7 +345,33 @@ private[api] trait SiddhiQlFrontend extends Serializable {
         while (trySym(",")) arg()
         eatSym(")")
       }
-      WindowSpec(name, args.result(), sargs.result())
+      val spec = WindowSpec(name, args.result(), sargs.result())
+      // arg-count guards (r16 breadth audit): these windows' compile
+      // paths consume exactly the supported arguments, so an EXTRA
+      // reference argument (timeBatch's start-time alignment,
+      // externalTimeBatch's start/timeout) would otherwise be IGNORED
+      // silently — and a silently mis-aligned bucket is the worst
+      // failure class. Fail fast, naming the unsupported extra.
+      val (nNum, nStr) = (spec.args.length, spec.sargs.length)
+      name.toLowerCase match {
+        case "timebatch" | "time" | "length" | "lengthbatch" |
+             "delay" =>
+          if (nNum != 1 || nStr != 0)
+            fail(s"#window.$name takes exactly one argument (v1) — " +
+              "start-time alignment / eviction extras are not " +
+              s"supported; got $nNum numeric + $nStr named")
+        case "timelength" =>
+          if (nNum != 2 || nStr != 0)
+            fail(s"#window.$name takes exactly (duration, count); " +
+              s"got $nNum numeric + $nStr named")
+        case "externaltimebatch" =>
+          if (nNum != 1 || nStr != 1)
+            fail(s"#window.$name takes exactly (tsAttr, duration) " +
+              "(v1) — start-time / timeout extras are not " +
+              s"supported; got $nNum numeric + $nStr named")
+        case _ => ()
+      }
+      spec
     }
 
     def streamClause(): StreamClause = {

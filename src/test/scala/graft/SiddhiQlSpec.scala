@@ -2692,6 +2692,29 @@ class SiddhiQlSpec extends AnyFunSuite {
       "windowed-writer enrich-agg != the as-of truth")
   }
 
+  test("window arg-count guards: extra timeBatch/externalTimeBatch " +
+       "arguments fail NAMED instead of silently mis-bucketing (r16)") {
+    def msgW(q: String): String =
+      intercept[IllegalArgumentException](compile(q)).getMessage
+    // Siddhi's timeBatch(period, start.time) second argument would
+    // have been dropped on the floor — the worst failure class
+    assert(msgW("from events#window.timeBatch(10 min, 5) " +
+      "select count() as n insert into Out")
+      .contains("exactly one argument"))
+    assert(msgW("from events#window.time(10 min, 5) " +
+      "select event_id order by event_id insert into Out")
+      .contains("exactly one argument"))
+    assert(msgW("from events#window.externalTimeBatch(ts_ns, 10 min, " +
+      "5) select count() as n insert into Out")
+      .contains("start-time / timeout"))
+    assert(msgW("from events#window.timeLength(2 min) " +
+      "select event_id order by event_id insert into Out")
+      .contains("(duration, count)"))
+    // the supported shapes still parse
+    assert(compile("from events#window.timeBatch(10 min) " +
+      "select count() as n insert into Out").collect().nonEmpty)
+  }
+
   test("named-window JOIN sides rewrite to fed-stream#spec on both " +
        "surfaces: live == batch (r16)") {
     val app =
