@@ -2156,6 +2156,18 @@ private[api] trait SiddhiQlLive extends Serializable {
                 pruned
               }
             }
+            // null-safe row-level prune of an __mk*-keyed state read
+            // against the key relation keyedRead handed back (a
+            // LocalRelation for small batches) — shared by every
+            // channel that keys a store on its join-key projections
+            def pruneMkG(rel: DataFrame, kdf2: DataFrame,
+                mkCols2: Seq[String]): DataFrame =
+              rel.as("t").join(kdf2.as("k"),
+                  mkCols2.map(c2 =>
+                    col(s"t.$c2") <=> col(s"k.$c2"))
+                    .reduce(_ && _), "left_semi")
+                .select(rel.columns.toSeq
+                  .map(c2 => col(s"t.$c2")): _*)
             def tReadPruned(sp: SparkSession, d2: String,
                 acc: Map[String, LiveState], batch: DataFrame,
                 benv: Map[String, DataFrame]): DataFrame = {
@@ -2773,6 +2785,70 @@ private[api] trait SiddhiQlLive extends Serializable {
                     case _ => None
                   }
                 }.toMap
+              // (r17, VERDICT r16 #1) __mk*-keyed flush-partial
+              // stores for this branch's WINDOWED members — the
+              // discipline the event-log branch proved in r16: a
+              // windowed member whose join keys are NON-AGGREGATE
+              // writer outputs (bucket membership stable under
+              // partial merge; the key item exprs evaluate over raw
+              // source rows AND partial state rows) keys its wst
+              // store and compacted wbase on the join-key
+              // projections, so per-trigger reads bucket-restrict to
+              // the trigger's key domain (batch keys ∪ — for shape
+              // mixes — the fold-touched keys pass 2 reads flushes
+              // for) instead of scanning the whole accumulated
+              // state. A member whose keys are aggregate-valued or
+              // not bare writer outputs keeps the r15 full() read —
+              // a fallback, not a refusal: correct, compaction-
+              // bounded, just key-unpruned.
+              def mkOfKes(kes: List[(String, String, Expr)],
+                  rel: DataFrame, fromFlush: Boolean): DataFrame =
+                rel.select(kes.zipWithIndex.map {
+                  case ((kc, a2, e2), j2) =>
+                    (if (fromFlush) col(a2) else expr(sqlOf(e2)))
+                      .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
+                  rel.columns.toSeq.map(col): _*)
+              val winMkM: Map[Int, List[(String, String, Expr)]] =
+                writers.indices.flatMap { wi =>
+                  infosM(wi).left.toOption.flatMap { p =>
+                    scala.util.Try {
+                      val items2 = itemsOf(writers(wi)._1)
+                      val picked = keyOrderM.map { kc =>
+                        val rhs =
+                          keysPer(wi).find(_._1 == kc).get._2.trim
+                        val byAlias =
+                          if (rhs.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                            items2.find(_._2 == rhs)
+                          else None
+                        byAlias.orElse(items2.find(_._2 == kc)) match {
+                          case Some((it2, a2, false)) =>
+                            Some((kc, a2, it2.e))
+                          case _ => None
+                        }
+                      }
+                      if (picked.exists(_.isEmpty)) None
+                      else {
+                        val kes = picked.flatten
+                        // deploy-time analysis: the key exprs must
+                        // resolve over the partial-state schema, the
+                        // raw source proto AND the flush schema — any
+                        // failure keeps the full-read path
+                        mkOfKes(kes,
+                          emptyOf(sp0, p.stateSchema), false).schema
+                        mkOfKes(kes, loadTable(sp0, "",
+                          writers(wi)._4, protoEnvM), false).schema
+                        mkOfKes(kes, emptyOf(sp0, p.flushOf(
+                          emptyOf(sp0, p.stateSchema)).schema),
+                          true).schema
+                        Some(wi -> kes)
+                      }
+                    }.toOption.flatten
+                  }
+                }.toMap
+              def mkOfM(wi: Int, rel: DataFrame): DataFrame =
+                mkOfKes(winMkM(wi), rel, fromFlush = false)
+              def mkOfFlM(wi: Int, rel: DataFrame): DataFrame =
+                mkOfKes(winMkM(wi), rel, fromFlush = true)
               // latest update per key, true __ord kept: max of
               // (__ord, payload) per __mk* — __ord is unique per row
               def latestMerge(prior: DataFrame, delta: DataFrame)
@@ -2868,6 +2944,27 @@ private[api] trait SiddhiQlLive extends Serializable {
                 val states: Seq[(String, StructType, StateMode)] =
                   (writers.indices.map { wi =>
                     infosM(wi) match {
+                      case Left(p) if winMkM.contains(wi) =>
+                        // keyed on the join-key projections: the
+                        // probe evaluates the non-agg key exprs over
+                        // the writer's raw filtered source rows
+                        (s"wst$wi",
+                          mkOfM(wi, emptyOf(sp0, p.stateSchema)).schema,
+                          KeyedState(mkCols, (sp, d2, batch) => {
+                            scriptFns = fnsSnapM
+                            val benv =
+                              batchEnv(sp, d2, batch, statelessSnap)
+                            val base0 =
+                              loadTable(sp, d2, writers(wi)._4, benv)
+                            val base = (writers(wi)._1.stream match {
+                              case ss3: SingleStream => ss3.filter
+                              case _                 => None
+                            }).fold(base0)(f =>
+                              applyFilter(sp, d2, base0, f, benv))
+                            mkOfM(wi, base)
+                              .select(mkCols.map(col): _*)
+                          }, compactEvery =
+                            compactInfoM.get(wi).map(_._1)))
                       case Left(p) => (s"wst$wi", p.stateSchema,
                         KeyedState(p.keys, (sp, d2, batch) => {
                           scriptFns = fnsSnapM
@@ -2888,6 +2985,15 @@ private[api] trait SiddhiQlLive extends Serializable {
                     // per-writer base: rewrites ONLY on compaction
                     // generations (empty batchKeys ⇒ no touched
                     // buckets ⇒ the runner skips its write between)
+                    case (wi, (e, bks, fSch))
+                        if winMkM.contains(wi) =>
+                      val bSch =
+                        mkOfFlM(wi, emptyOf(sp0, fSch)).schema
+                      (s"wbase$wi", bSch, KeyedState(mkCols,
+                        (sp, _, _) => emptyOf(sp, StructType(
+                          bSch.filter(f => mkCols.contains(f.name))
+                            .toArray)),
+                        compactEvery = Some(e)))
                     case (wi, (e, bks, fSch)) =>
                       (s"wbase$wi", fSch, KeyedState(bks,
                         (sp, _, _) => emptyOf(sp, StructType(
@@ -2900,24 +3006,91 @@ private[api] trait SiddhiQlLive extends Serializable {
                     scriptFns = fnsSnapM
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
                     val kdf = batchKeyRel(sp, d2, batch, benv)
+                    val kdfMk = kdf.select(keyOrderM.zipWithIndex
+                      .map { case (kc, j2) =>
+                        col(kc).as(s"__mk$j2") }: _*)
                     var winFlushM = Map.empty[Int, DataFrame]
                     var uRelM = Map.empty[Int, DataFrame]
-                    // pass 1: windowed writers (flush partials ∪
-                    // compacted base) and implicit per-event writers
-                    // merge; SHAPE-MIX fold writers only derive their
-                    // deltas here — their state merge needs the
-                    // trigger's reset relation (pass 2)
                     var flushAllM = Map.empty[Int, DataFrame]
                     var deltaMkM = Map.empty[Int, DataFrame]
+                    // pass 1a: per-event writers — their deltas feed
+                    // the uRel overrides AND (shape mixes) the
+                    // fold-key relation the keyed windowed reads
+                    // below must also cover (pass 2 reads windowed
+                    // flushes for fold-TOUCHED keys, a superset of
+                    // the batch's event keys); SHAPE-MIX fold writers
+                    // only derive their deltas here — their state
+                    // merge needs the trigger's reset relation
+                    // (pass 2)
+                    val stUpdR = writers.indices.flatMap { wi =>
+                      infosM(wi) match {
+                        case Right(_) =>
+                          val (deltaRel0, _) = perEventURel(sp, d2,
+                            writers(wi)._1, writers(wi)._4, wi, benv)
+                          val deltaRel = fdEval(deltaRel0, wi)
+                          val (priorRel, kdfEff) =
+                            acc(s"pst$wi").keyedRead(kdfMk)
+                          uRelM += wi ->
+                            pruneMk(priorRel, kdfEff)
+                              .drop(mkCols: _*).unionByName(deltaRel)
+                          val dMk = withMk(deltaRel, wi)
+                          deltaMkM += wi -> dMk
+                          if (isShapeMix && wKinds(wi) == "fold") Nil
+                          else Seq(s"pst$wi" -> peMerge(
+                            acc(s"pst$wi").slice, dMk))
+                        case _ => Nil
+                      }
+                    }
+                    val foldWis = writers.indices.filter(wi =>
+                      isShapeMix && infosM(wi).isRight &&
+                        wKinds(wi) == "fold")
+                    val foldKeysO: Option[DataFrame] =
+                      if (foldWis.isEmpty) None
+                      else Some(foldWis.map(wi =>
+                        acc(s"pst$wi").slice
+                          .select(mkCols.map(col): _*)
+                          .unionByName(deltaMkM(wi)
+                            .select(mkCols.map(col): _*)))
+                        .reduce(_ unionByName _).distinct())
+                    // the key domain a keyed windowed read must cover
+                    // this trigger: the batch's event keys, plus (for
+                    // shape mixes) the fold-touched keys whose reset
+                    // scoping reads windowed flushes in pass 2
+                    val readKeys = foldKeysO.fold(kdfMk)(fk =>
+                      kdfMk.unionByName(fk).distinct())
+                    // pass 1b: windowed writers (flush partials ∪
+                    // compacted base) merge
                     val stUpd1 = writers.indices.flatMap { wi =>
                       infosM(wi) match {
                         case Left(p) =>
-                          val st1 = p.merge(acc(s"wst$wi").slice,
+                          val keyedWi = winMkM.contains(wi)
+                          val st1 = p.merge(
+                            if (keyedWi)
+                              acc(s"wst$wi").slice.drop(mkCols: _*)
+                            else acc(s"wst$wi").slice,
                             p.partialOf(loadTable(sp, d2,
                               writers(wi)._4, benv)))
                           // post-merge flush relation: untouched
-                          // buckets + this trigger's merged buckets
-                          val full0 = acc(s"wst$wi").full()
+                          // buckets + this trigger's merged buckets.
+                          // A KEYED store bucket-restricts the prior
+                          // read to the trigger's key domain BEFORE
+                          // the anti-join merge (r17): only those
+                          // keys' flushes can join this trigger, so
+                          // the read scans O(touched-key buckets),
+                          // not the whole accumulated partial history
+                          val full0 =
+                            if (keyedWi) {
+                              val (priorW, kEff) =
+                                acc(s"wst$wi").keyedRead(readKeys)
+                              val r = pruneMkG(priorW, kEff, mkCols)
+                                .drop(mkCols: _*)
+                              foldReadProbe.foreach { buf =>
+                                enrichReadGen += 1
+                                buf += ((enrichReadGen, s"wst$wi",
+                                  r.count()))
+                              }
+                              r
+                            } else acc(s"wst$wi").full()
                           val fullPost = full0.as("t")
                             .join(st1.select(p.keys.map(col): _*)
                                 .distinct().as("u"),
@@ -2931,32 +3104,57 @@ private[api] trait SiddhiQlLive extends Serializable {
                           // base — finished flush rows at TRUE __wb,
                           // so their as-of ords are exact
                           val flushAll = compactInfoM.get(wi) match {
-                            case Some(_) => p.flushOf(fullPost)
-                              .unionByName(acc(s"wbase$wi").full())
+                            case Some(_) =>
+                              val baseRel =
+                                if (keyedWi) {
+                                  val (pb, kbEff) = acc(s"wbase$wi")
+                                    .keyedRead(readKeys)
+                                  val r =
+                                    pruneMkG(pb, kbEff, mkCols)
+                                      .drop(mkCols: _*)
+                                  foldReadProbe.foreach { buf =>
+                                    enrichReadGen += 1
+                                    buf += ((enrichReadGen,
+                                      s"wbase$wi", r.count()))
+                                  }
+                                  r
+                                } else acc(s"wbase$wi").full()
+                              p.flushOf(fullPost)
+                                .unionByName(baseRel)
                             case None => p.flushOf(fullPost)
                           }
                           flushAllM += wi -> flushAll
                           winFlushM += wi ->
                             pruneToBatchKeys(flushAll, kdf)
+                          def wrapSt(r: DataFrame): DataFrame =
+                            if (keyedWi) mkOfM(wi, r) else r
                           compactInfoM.get(wi) match {
-                            case None => Seq(s"wst$wi" -> st1)
+                            case None => Seq(s"wst$wi" -> wrapSt(st1))
                             case Some((_, bks, fSch)) =>
+                              val bSchW =
+                                if (keyedWi)
+                                  mkOfFlM(wi,
+                                    emptyOf(sp, fSch)).schema
+                                else fSch
                               if (!acc(s"wst$wi").compacting)
-                                Seq(s"wst$wi" -> st1,
-                                  s"wbase$wi" -> emptyOf(sp, fSch))
+                                Seq(s"wst$wi" -> wrapSt(st1),
+                                  s"wbase$wi" -> emptyOf(sp, bSchW))
                               else {
                                 val maxTs = batch
                                   .agg(max(col("ts_ns"))).collect()(0)
                                 if (maxTs.isNullAt(0))
-                                  Seq(s"wst$wi" -> st1,
+                                  Seq(s"wst$wi" -> wrapSt(st1),
                                     s"wbase$wi" ->
                                       acc(s"wbase$wi").slice)
                                 else {
                                   val w = maxTs.getLong(0) - wmNs
                                   val frozenP = (col("__wb") + lit(1L)) *
                                     lit(p.tNs) <= lit(w)
-                                  val fresh =
+                                  val fresh0 =
                                     p.flushOf(st1.filter(frozenP))
+                                  val fresh =
+                                    if (keyedWi) mkOfFlM(wi, fresh0)
+                                    else fresh0
                                   val ww = org.apache.spark.sql
                                     .expressions.Window
                                     .partitionBy(bks.map(col): _*)
@@ -2967,28 +3165,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                                       row_number().over(ww))
                                     .where(col("__rn") === 1)
                                     .drop("__rn")
-                                  Seq(s"wst$wi" -> st1.filter(!frozenP),
+                                  Seq(s"wst$wi" ->
+                                      wrapSt(st1.filter(!frozenP)),
                                     s"wbase$wi" -> base2)
                                 }
                               }
                           }
-                        case Right(_) =>
-                          val (deltaRel0, _) = perEventURel(sp, d2,
-                            writers(wi)._1, writers(wi)._4, wi, benv)
-                          val deltaRel = fdEval(deltaRel0, wi)
-                          val kdfMk = kdf.select(keyOrderM.zipWithIndex
-                            .map { case (kc, j2) =>
-                              col(kc).as(s"__mk$j2") }: _*)
-                          val (priorRel, kdfEff) =
-                            acc(s"pst$wi").keyedRead(kdfMk)
-                          uRelM += wi ->
-                            pruneMk(priorRel, kdfEff)
-                              .drop(mkCols: _*).unionByName(deltaRel)
-                          val dMk = withMk(deltaRel, wi)
-                          deltaMkM += wi -> dMk
-                          if (isShapeMix && wKinds(wi) == "fold") Nil
-                          else Seq(s"pst$wi" -> peMerge(
-                            acc(s"pst$wi").slice, dMk))
+                        case _ => Nil
                       }
                     }
                     // pass 2 (shape mixes): per fold-touched key, the
@@ -2998,18 +3181,9 @@ private[api] trait SiddhiQlLive extends Serializable {
                     // (an OPEN bucket's flush must not scope: events
                     // before its end still admit earlier deltas) —
                     // then the scoped two-row collapses
-                    val foldWis = writers.indices.filter(wi =>
-                      isShapeMix && infosM(wi).isRight &&
-                        wKinds(wi) == "fold")
-                    val stUpd2 =
-                      if (foldWis.isEmpty) Nil
-                      else {
-                        val foldKeys = foldWis.map(wi =>
-                          acc(s"pst$wi").slice
-                            .select(mkCols.map(col): _*)
-                            .unionByName(deltaMkM(wi)
-                              .select(mkCols.map(col): _*)))
-                          .reduce(_ unionByName _).distinct()
+                    val stUpd2 = foldKeysO match {
+                      case None => Nil
+                      case Some(foldKeys) =>
                         val perEvR = writers.indices.collect {
                           case wj if infosM(wj).isRight &&
                               wKinds(wj) == "upsert" =>
@@ -3045,7 +3219,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                         foldWis.map(wi => s"pst$wi" -> foldMerge(
                           acc(s"pst$wi").slice, deltaMkM(wi), rstO))
                       }
-                    val stUpd = (stUpd1 ++ stUpd2).toMap
+                    val stUpd = (stUpdR ++ stUpd1 ++ stUpd2).toMap
                     stUpd + ("__out" -> enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
                       winFlush = winFlushM, uRelOverride = uRelM))
@@ -3099,22 +3273,76 @@ private[api] trait SiddhiQlLive extends Serializable {
               // band + base ≈ key domain), not O(every bucket partial
               // ever written) — the bound a long-running deployment
               // needs.
-              def winFoldOf(): (LiveFold, Seq[String],
+              def winFoldOf(): (
+                  (SparkSession, Map[String, LiveState], DataFrame)
+                    => DataFrame,
+                  (SparkSession, Map[String, LiveState], DataFrame,
+                    DataFrame) => DataFrame,
                   Seq[(String, StructType, StateMode)],
                   (SparkSession, Map[String, LiveState], DataFrame,
                     DataFrame) => Map[String, DataFrame]) = {
-                val (wfP, _) = flushPartialFold(
-                  emptyOf(sp0, srcTs.schema), ssW.filter, dAst.groupBy,
-                  itemsOf(dAst), tNsW, fnsSnapW, Nil,
-                  (_, flush) => flush)
-                val (stN, stSch, stMode) = wfP.schemas.head
-                val keysP = stMode match {
-                  case k: KeyedState => k.keys
-                  case _ => Seq("__wb")
-                }
-                val flushSchema = wfP.finish(sp0,
-                  Map("state" -> emptyOf(sp0, stSch))).schema
+                val p = flushPiecesOf(emptyOf(sp0, srcTs.schema),
+                  ssW.filter, dAst.groupBy, itemsOf(dAst), tNsW)
+                val stSch = p.stateSchema
+                val keysP = p.keys
+                val flushSchema =
+                  p.flushOf(emptyOf(sp0, stSch)).schema
                 val flushCols = flushSchema.map(_.name).toSet
+                // (r17, VERDICT r16 #1) __mk*-keyed store — the r16
+                // event-log discipline extended to this channel: when
+                // every enrichment join key is a NON-AGGREGATE writer
+                // output (its item expr evaluates over raw source
+                // rows AND partial state rows — group columns survive
+                // partialOf — so bucket membership is stable under
+                // partial merge), the flush-partial store and its
+                // compacted base key on the join-key projections and
+                // the per-trigger read bucket-restricts to the
+                // batch's event keys: O(batch-key history) instead of
+                // O(live band + whole key-domain base). Anything else
+                // (aggregate-valued or non-output join keys, exprs
+                // that don't analyze over the partial schema) keeps
+                // the r15 full() read — a fallback, not a refusal:
+                // reads stay compaction-bounded, just key-unpruned.
+                val mkInfoW: Option[(List[String],
+                    DataFrame => DataFrame, DataFrame => DataFrame)] =
+                  scala.util.Try {
+                    val items2 = itemsOf(dAst)
+                    val keyCols = enrichJoinKeys.map(_._1).distinct
+                    val picked = keyCols.map { kc =>
+                      items2.find(_._2 == kc) match {
+                        case Some((it2, _, false)) => Some(kc -> it2.e)
+                        case _ => None
+                      }
+                    }
+                    if (keyCols.isEmpty || picked.exists(_.isEmpty))
+                      None
+                    else {
+                      val kes = picked.flatten
+                      val mkCols =
+                        kes.indices.map(j2 => s"__mk$j2").toList
+                      def addSt(rel: DataFrame): DataFrame =
+                        rel.select(kes.zipWithIndex.map {
+                          case ((kc, e2), j2) =>
+                            expr(sqlOf(e2))
+                              .cast(dSchema(kc).dataType)
+                              .as(s"__mk$j2") } ++
+                          rel.columns.toSeq.map(col): _*)
+                      def addFl(rel: DataFrame): DataFrame =
+                        rel.select(kes.zipWithIndex.map {
+                          case ((kc, _), j2) =>
+                            col(kc).cast(dSchema(kc).dataType)
+                              .as(s"__mk$j2") } ++
+                          rel.columns.toSeq.map(col): _*)
+                      // deploy-time analysis over the partial/flush
+                      // schemas: a key expr that doesn't resolve
+                      // there keeps the full-read path
+                      addSt(emptyOf(sp0, stSch)).schema
+                      addFl(emptyOf(sp0, flushSchema)).schema
+                      Some((mkCols, addSt _, addFl _))
+                    }
+                  }.toOption.flatten
+                val stSchM = mkInfoW.fold(stSch)(i =>
+                  i._2(emptyOf(sp0, stSch)).schema)
                 // a group key must appear among the flush outputs for
                 // the base to key itself; otherwise keep the un-pruned
                 // store (correct, just O(history) — and the select-item
@@ -3131,41 +3359,75 @@ private[api] trait SiddhiQlLive extends Serializable {
                 val baseKeys: Seq[String] =
                   if (dAst.groupBy.nonEmpty) dAst.groupBy
                   else Seq("__wb")
+                val stMode0: StateMode = mkInfoW match {
+                  case Some((mkCols, addSt, _)) =>
+                    KeyedState(mkCols, (sp, _, batch) => {
+                      scriptFns = fnsSnapW
+                      val f = ssW.filter.fold(batch)(ff =>
+                        batch.where(expr(sqlOf(ff))))
+                      addSt(f).select(mkCols.map(col): _*)
+                    }, compactEvery = compactN)
+                  case None =>
+                    KeyedState(keysP, (sp, _, batch) => {
+                      scriptFns = fnsSnapW
+                      p.probeSel(batch)
+                    }, compactEvery = compactN)
+                }
+                val baseSch = mkInfoW.fold(flushSchema)(i =>
+                  i._3(emptyOf(sp0, flushSchema)).schema)
                 val schemas2: Seq[(String, StructType, StateMode)] =
                   compactN match {
                     case Some(e) => Seq(
-                      (stN, stSch, stMode match {
-                        case k: KeyedState =>
-                          k.copy(compactEvery = Some(e))
-                        case m => m
-                      }),
+                      ("state", stSchM, stMode0),
                       // the base only rewrites on compaction
                       // generations (batchKeys empty ⇒ no touched
                       // buckets ⇒ the runner skips its write)
-                      ("base", flushSchema, KeyedState(baseKeys,
-                        (sp, _, _) => emptyOf(sp, StructType(
-                          flushSchema.filter(f =>
-                            baseKeys.contains(f.name)).toArray)),
-                        Some(e))))
-                    case None => wfP.schemas
+                      ("base", baseSch, mkInfoW match {
+                        case Some((mkCols, _, _)) =>
+                          KeyedState(mkCols,
+                            (sp, _, _) => emptyOf(sp, StructType(
+                              baseSch.filter(f =>
+                                mkCols.contains(f.name)).toArray)),
+                            Some(e))
+                        case None =>
+                          KeyedState(baseKeys,
+                            (sp, _, _) => emptyOf(sp, StructType(
+                              flushSchema.filter(f =>
+                                baseKeys.contains(f.name)).toArray)),
+                            Some(e))
+                      }))
+                    case None => Seq(("state", stSchM, stMode0))
                   }
+                def mergeSt1(sp: SparkSession,
+                    acc: Map[String, LiveState], batch: DataFrame)
+                    : DataFrame = {
+                  scriptFns = fnsSnapW
+                  val s0 = mkInfoW.fold(acc("state").slice)(i =>
+                    acc("state").slice.drop(i._1: _*))
+                  p.merge(s0, p.partialOf(batch))
+                }
                 def split(sp: SparkSession,
                     acc: Map[String, LiveState], st1: DataFrame,
-                    batch: DataFrame): Map[String, DataFrame] =
-                  if (compactN.isEmpty) Map("state" -> st1)
+                    batch: DataFrame): Map[String, DataFrame] = {
+                  def wrapSt(r: DataFrame): DataFrame =
+                    mkInfoW.fold(r)(i => i._2(r))
+                  def wrapFl(r: DataFrame): DataFrame =
+                    mkInfoW.fold(r)(i => i._3(r))
+                  if (compactN.isEmpty) Map("state" -> wrapSt(st1))
                   else if (!acc("state").compacting)
-                    Map("state" -> st1,
-                      "base" -> emptyOf(sp, flushSchema))
+                    Map("state" -> wrapSt(st1),
+                      "base" -> emptyOf(sp, baseSch))
                   else {
                     val maxTs = batch.agg(max(col("ts_ns"))).collect()(0)
                     if (maxTs.isNullAt(0))
-                      Map("state" -> st1, "base" -> acc("base").slice)
+                      Map("state" -> wrapSt(st1),
+                        "base" -> acc("base").slice)
                     else {
                       val w = maxTs.getLong(0) - wmNs
                       val frozenP =
                         (col("__wb") + lit(1L)) * lit(tNsW) <= lit(w)
-                      val fresh = wfP.finish(sp,
-                        Map("state" -> st1.filter(frozenP)))
+                      val fresh =
+                        wrapFl(p.flushOf(st1.filter(frozenP)))
                       // latest flush per group key wins the base;
                       // UNGROUPED writers keep one global latest row —
                       // TakeOrderedAndProject (distributed), not a
@@ -3183,33 +3445,66 @@ private[api] trait SiddhiQlLive extends Serializable {
                             .withColumn("__rn", row_number().over(ww))
                             .where(col("__rn") === 1).drop("__rn")
                         }
-                      Map("state" -> st1.filter(!frozenP),
+                      Map("state" -> wrapSt(st1.filter(!frozenP)),
                         "base" -> base2)
                     }
                   }
-                (wfP, keysP, schemas2, split)
-              }
-              def flushRelOf(sp: SparkSession, wfP: LiveFold,
-                  keysP: Seq[String], acc: Map[String, LiveState],
-                  st1: DataFrame): DataFrame = {
-                // post-merge partials: untouched buckets from the
-                // live-band state (pruned by the compaction split),
-                // touched buckets replaced by st1 — then the frozen
-                // history re-enters as the compacted base (one
-                // latest-flush row per key, always admissible)
-                val full0 = acc("state").full()
-                val fullPost = full0.as("t")
-                  .join(st1.select(keysP.map(col): _*).distinct()
-                      .as("u"),
-                    keysP.map(k2 =>
-                      col(s"t.$k2") <=> col(s"u.$k2"))
-                      .reduce(_ && _), "left_anti")
-                  .select(full0.columns.toSeq
-                    .map(c2 => col(s"t.$c2")): _*)
-                  .unionByName(st1)
-                val flushLive = wfP.finish(sp, Map("state" -> fullPost))
-                acc.get("base").fold(flushLive)(b =>
-                  flushLive.unionByName(b.full()))
+                }
+                def flushRelOf(sp: SparkSession,
+                    acc: Map[String, LiveState], st1: DataFrame,
+                    kdf: DataFrame): DataFrame = {
+                  // post-merge partials: untouched buckets from the
+                  // live-band state (pruned by the compaction split),
+                  // touched buckets replaced by st1 — then the frozen
+                  // history re-enters as the compacted base (one
+                  // latest-flush row per key, always admissible). The
+                  // keyed store bucket-restricts both reads to the
+                  // batch's event keys BEFORE the anti-join merge
+                  // (only batch-key rows can join this trigger; st1
+                  // unions in unpruned, and the caller's
+                  // pruneToBatchKeys re-prunes at the row level).
+                  val (full0, baseRel) = mkInfoW match {
+                    case Some((mkCols, _, _)) =>
+                      val keyCols = enrichJoinKeys.map(_._1).distinct
+                      val kdfMk = kdf.select(keyCols.zipWithIndex.map {
+                        case (kc, j2) => col(kc).as(s"__mk$j2") }: _*)
+                      val (priorW, kEff) =
+                        acc("state").keyedRead(kdfMk)
+                      val f0 = pruneMkG(priorW, kEff, mkCols)
+                        .drop(mkCols: _*)
+                      foldReadProbe.foreach { buf =>
+                        enrichReadGen += 1
+                        buf += ((enrichReadGen, "state", f0.count()))
+                      }
+                      val b0 = acc.get("base").map { b =>
+                        val (pb, kbEff) = b.keyedRead(kdfMk)
+                        val r = pruneMkG(pb, kbEff, mkCols)
+                          .drop(mkCols: _*)
+                        foldReadProbe.foreach { buf =>
+                          enrichReadGen += 1
+                          buf += ((enrichReadGen, "base", r.count()))
+                        }
+                        r
+                      }
+                      (f0, b0)
+                    case None =>
+                      (acc("state").full(),
+                        acc.get("base").map(_.full()))
+                  }
+                  val fullPost = full0.as("t")
+                    .join(st1.select(keysP.map(col): _*).distinct()
+                        .as("u"),
+                      keysP.map(k2 =>
+                        col(s"t.$k2") <=> col(s"u.$k2"))
+                        .reduce(_ && _), "left_anti")
+                    .select(full0.columns.toSeq
+                      .map(c2 => col(s"t.$c2")): _*)
+                    .unionByName(st1)
+                  val flushLive = p.flushOf(fullPost)
+                  baseRel.fold(flushLive)(b =>
+                    flushLive.unionByName(b))
+                }
+                (mergeSt1, flushRelOf, schemas2, split)
               }
               if (hasAggE) {
                 // AGGREGATION ABOVE the as-of join: the shared
@@ -3218,20 +3513,21 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // maintains (winFlush)
                 val keyWA = name.orElse(ast.action.map(_.target))
                 if (keyWA.contains(out) || name.contains(out)) {
-                  val (wfP, keysP, wfSchemas, wfSplit) = winFoldOf()
+                  val (wfMerge, wfFlushRel, wfSchemas, wfSplit) =
+                    winFoldOf()
                   foldResult = Some(LiveFold(srcTs,
                     wfSchemas :+ aggTail.stateEntry("aggst", fnsSnapW),
                     (sp, d2, acc, batch) => {
                       scriptFns = fnsSnapW
-                      val st1 = wfP.fold(sp, d2, acc, batch)("state")
+                      val st1 = wfMerge(sp, acc, batch)
                       val benv = batchEnv(sp, d2, batch, statelessSnap)
                       // flush rows prune to the batch's event keys:
                       // only those keys can join this trigger (the
                       // time-banded store bounds the HISTORY axis,
                       // this bounds the KEY axis)
+                      val kdf = batchKeyRel(sp, d2, batch, benv)
                       val flushRel = pruneToBatchKeys(
-                        flushRelOf(sp, wfP, keysP, acc, st1),
-                        batchKeyRel(sp, d2, batch, benv))
+                        wfFlushRel(sp, acc, st1, kdf), kdf)
                       val enriched = enrichCompile(sp, d2,
                         aggTail.astRows, j, writers,
                         emptyOf(sp, dSchema), benv,
@@ -3256,16 +3552,17 @@ private[api] trait SiddhiQlLive extends Serializable {
                   statelessSnap))
               val keyW = name.orElse(ast.action.map(_.target))
               if (keyW.contains(out) || name.contains(out)) {
-                val (wfP, keysP, wfSchemas, wfSplit) = winFoldOf()
+                val (wfMerge, wfFlushRel, wfSchemas, wfSplit) =
+                  winFoldOf()
                 foldResult = Some(LiveFold(srcTs,
                   wfSchemas :+ (("__out", protoW.schema, AppendState)),
                   (sp, d2, acc, batch) => {
                     scriptFns = fnsSnapW
-                    val st1 = wfP.fold(sp, d2, acc, batch)("state")
+                    val st1 = wfMerge(sp, acc, batch)
                     val benv = batchEnv(sp, d2, batch, statelessSnap)
+                    val kdf = batchKeyRel(sp, d2, batch, benv)
                     val flushRel = pruneToBatchKeys(
-                      flushRelOf(sp, wfP, keysP, acc, st1),
-                      batchKeyRel(sp, d2, batch, benv))
+                      wfFlushRel(sp, acc, st1, kdf), kdf)
                     val enriched = enrichCompile(sp, d2, ast, j,
                       writers, emptyOf(sp, dSchema), benv,
                       winFlush = Map(0 -> flushRel))

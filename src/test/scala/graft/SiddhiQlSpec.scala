@@ -1491,6 +1491,118 @@ class SiddhiQlSpec extends AnyFunSuite {
     } finally SiddhiQL.foldReadProbe = None
   }
 
+  test("compacted as-of channels long-horizon soak: keyed wst/base " +
+       "reads track the batch's KEYS, not the key domain " +
+       "(r17, VERDICT r16 #1/#6)") {
+    // 30-trigger replay at compactEvery=2 over stores whose writers
+    // span 100 users while the read side's purchases come from only
+    // 4. The r16 branches read full() per trigger: the whole live
+    // band (all 100 users' un-frozen buckets) PLUS the key-domain
+    // base (~100 rows) every trigger. The r17 __mk*-keyed stores
+    // must scan only the 4 purchase users' live-band partials and
+    // base rows — O(batch-key history), far under the ~100-row
+    // key-domain floor the unkeyed read pays on the base alone.
+    // Covers BOTH compacted channels: the single-windowed as-of
+    // branch ("state"/"base") and the MIXED per-event + windowed
+    // group ("wst1"/"wbase1").
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_asof_soak").toString
+    val rows = (0 until 1800).map { i =>
+      val et = i % 3 match {
+        case 0 => "click"
+        case 1 => "view"
+        case _ => "purchase"
+      }
+      val u = if (et == "purchase") ((i / 3) % 4).toLong
+              else (i % 100).toLong
+      (i.toLong, 1600000000000000000L + i * 60000000000L, u, et,
+        (i % 97).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val single =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table WinS (user_id long, cnt long, total double);
+        |@info(name = 'roll')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, count() as cnt,
+        |  math:round(sum(value), 2) as total
+        |group by user_id
+        |update or insert into WinS on WinS.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join WinS
+        |  on WinS.user_id == e.user_id
+        |select e.event_id as event_id, WinS.cnt as cnt,
+        |  WinS.total as total
+        |order by event_id
+        |insert into Out""".stripMargin
+    val mixed =
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |define table MixC (user_id long, v double);
+        |@info(name = 'pe')
+        |from events[event_type == 'view']
+        |select user_id, math:round(value, 2) as v
+        |update or insert into MixC on MixC.user_id == user_id;
+        |@info(name = 'win')
+        |from events[event_type == 'click']#window.timeBatch(10 min)
+        |select user_id, math:round(sum(value), 2) as v
+        |group by user_id
+        |update or insert into MixC on MixC.user_id == user_id;
+        |@info(name = 'read')
+        |from events as e[event_type == 'purchase'] join MixC
+        |  on MixC.user_id == e.user_id
+        |select e.event_id as event_id, MixC.v as v
+        |order by event_id
+        |insert into Out""".stripMargin
+    spark.conf.set("graft.live.compactEvery", "2")
+    try {
+      def soak(app: String, wst: String, base: String): Unit = {
+        val probe =
+          scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+        SiddhiQL.foldReadProbe = Some(probe)
+        try {
+          val live = SiddhiQL.deployApp(spark, dir, app, "read",
+            chunks = 30).collect().map(_.toSeq)
+          val batch = SiddhiQL.compileApp(spark, dir, app)("read")
+            .orderBy("event_id").collect().map(_.toSeq)
+          assert(live.nonEmpty && (live sameElements batch),
+            s"soak live (${live.length}) != batch (${batch.length})")
+          val wstReads = probe.filter(_._2 == wst).map(_._3)
+          val baseReads = probe.filter(_._2 == base).map(_._3)
+          assert(wstReads.length >= 30,
+            s"expected ≥30 $wst probe entries: ${wstReads.length}")
+          // each purchase user gets one click per ~300 min, so the
+          // 4 batch keys hold only a handful of live-band partials —
+          // the unkeyed r16 read scanned the whole ~40-partial band
+          assert(wstReads.max <= 30,
+            s"$wst read grew past the batch keys' live band " +
+              s"(max ${wstReads.max}): $wstReads")
+          assert(wstReads.sum >= 1,
+            s"$wst reads vacuously empty across the soak")
+          // the base compacts to ≤1 flush row per key; the keyed
+          // read sees only the 4 purchase users' rows, never the
+          // 100-user key domain
+          assert(baseReads.nonEmpty && baseReads.max <= 4,
+            s"$base read grew past the batch keys: $baseReads")
+          assert(baseReads.max >= 1,
+            s"$base reads vacuously empty: compaction never froze " +
+              s"a batch key's bucket in 30 triggers")
+          val fallbacks = probe.filter(_._2.startsWith("__"))
+          assert(fallbacks.isEmpty,
+            s"unexpected fallbacks: $fallbacks")
+          info(s"$wst reads max ${wstReads.max} " +
+            s"last ${wstReads.last}; $base reads max " +
+            s"${baseReads.max} (rows=${live.length})")
+        } finally SiddhiQL.foldReadProbe = None
+      }
+      soak(single, "state", "base")
+      soak(mixed, "wst1", "wbase1")
+    } finally spark.conf.unset("graft.live.compactEvery")
+  }
+
   test("graft.live.watermark: one knob moves the source watermark AND " +
        "the compaction freeze bound in lockstep (r14)") {
     // same synthetic feed as the flush-partial store test: 1200 events
