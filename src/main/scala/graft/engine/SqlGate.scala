@@ -69,6 +69,31 @@ object SqlGate {
         |group by user_id
         |order by w_start_ms, user_id
         |insert into perMinute""".stripMargin),
+    // start-time ALIGNED timeBatch (r17): bucket boundaries at
+    // epoch + k·10min + 3min — the optional second argument the
+    // reference's timeBatch supports; the oracle's floor-div shift
+    // pins the non-epoch boundaries exactly
+    "sql_timebatch_aligned" -> q(
+      """from events#window.timeBatch(10 min, 3 min)
+        |select user_id, math:round(sum(value), 2) as total,
+        |  count() as n
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into aligned""".stripMargin),
+    // the live twin: Spark's window(col, dur, dur, startTime) carries
+    // the same offset natively; same DuckDB oracle
+    "sql_app_timebatch_aligned_live" -> ((s, d) => SiddhiQL.deployApp(
+      s, d,
+      """define stream events (event_id long, ts_ns long, user_id long,
+        |  event_type string, value double);
+        |
+        |@info(name = 'roll')
+        |from events#window.timeBatch(10 min, 3 min)
+        |select user_id, math:round(sum(value), 2) as total,
+        |  count() as n
+        |group by user_id
+        |order by w_start_ms, user_id
+        |insert into Out""".stripMargin, "roll")),
     "sql_lengthbatch" -> q(
       """from events#window.lengthBatch(100)
         |select max(value) as mx, count() as n
@@ -4617,6 +4642,16 @@ object SqlGate {
     "sql_timebatch_group" ->
       """SELECT epoch_ms(ts) // 60000 * 60000 AS w_start_ms, user_id,
         |  sum(value) AS total, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_timebatch_aligned" ->
+      """SELECT (epoch_ms(ts) - 180000) // 600000 * 600000 + 180000
+        |    AS w_start_ms,
+        |  user_id, round(sum(value), 2) AS total, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_app_timebatch_aligned_live" ->
+      """SELECT (epoch_ms(ts) - 180000) // 600000 * 600000 + 180000
+        |    AS w_start_ms,
+        |  user_id, round(sum(value), 2) AS total, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
     "sql_lengthbatch" ->
       """WITH ranked AS (

@@ -2805,14 +2805,15 @@ class SiddhiQlSpec extends AnyFunSuite {
   }
 
   test("window arg-count guards: extra timeBatch/externalTimeBatch " +
-       "arguments fail NAMED instead of silently mis-bucketing (r16)") {
+       "arguments fail NAMED instead of silently mis-bucketing " +
+       "(r16; r17 supports the timeBatch start-time second arg)") {
     def msgW(q: String): String =
       intercept[IllegalArgumentException](compile(q)).getMessage
-    // Siddhi's timeBatch(period, start.time) second argument would
-    // have been dropped on the floor — the worst failure class
-    assert(msgW("from events#window.timeBatch(10 min, 5) " +
+    // timeBatch now takes (period[, start-time]); a third argument
+    // still fails at parse
+    assert(msgW("from events#window.timeBatch(10 min, 5, 7) " +
       "select count() as n insert into Out")
-      .contains("exactly one argument"))
+      .contains("start-time offset"))
     assert(msgW("from events#window.time(10 min, 5) " +
       "select event_id order by event_id insert into Out")
       .contains("exactly one argument"))
@@ -2825,6 +2826,45 @@ class SiddhiQlSpec extends AnyFunSuite {
     // the supported shapes still parse
     assert(compile("from events#window.timeBatch(10 min) " +
       "select count() as n insert into Out").collect().nonEmpty)
+  }
+
+  test("start-time aligned timeBatch (r17): supported on the plain " +
+       "windowed aggregation; every other consumer fails NAMED") {
+    // supported: plain windowed aggregation, batch compile — aligned
+    // buckets start at epoch + k·10min + 3min
+    val aligned = compile("from events#window.timeBatch(10 min, 3 min) " +
+      "select count() as n group by user_id " +
+      "order by w_start_ms, user_id insert into Out").collect()
+    assert(aligned.nonEmpty &&
+      aligned.forall(_.getAs[Long]("w_start_ms") % 600000L == 180000L),
+      "aligned buckets must start at epoch + k*T + 3 min")
+    // an offset that is a multiple of the period IS epoch-aligned —
+    // normalization keeps every consumer available
+    assert(compile("from events#window.timeBatch(10 min, 20 min) " +
+      "select count() as n group by user_id " +
+      "order by w_start_ms, user_id insert into Out")
+      .collect().forall(_.getAs[Long]("w_start_ms") % 600000L == 0L))
+    def msgA(app: String, out: String): String =
+      intercept[IllegalArgumentException](
+        SiddhiQL.compileApp(spark, sf, app)(out)).getMessage
+    // DML writer windows refuse the offset by name
+    assert(msgA(
+      """define table T1 (user_id long, total double);
+        |@info(name = 'w')
+        |from events#window.timeBatch(10 min, 3 min)
+        |select user_id, sum(value) as total group by user_id
+        |update or insert into T1 on T1.user_id == user_id""".stripMargin,
+      "w").contains("start-time aligned timeBatch"))
+    // stream-stream join sides refuse it by name
+    assert(msgA(
+      """@info(name = 'j')
+        |from events as a[event_type == 'click']
+        |#window.timeBatch(10 min, 3 min) join
+        |events as b[event_type == 'purchase']#window.timeBatch(10 min)
+        |on a.user_id == b.user_id
+        |select a.event_id as ae, b.event_id as be
+        |order by ae, be insert into Out""".stripMargin,
+      "j").contains("start-time aligned timeBatch"))
   }
 
   test("named-window JOIN sides rewrite to fed-stream#spec on both " +
