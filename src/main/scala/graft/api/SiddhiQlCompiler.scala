@@ -432,7 +432,11 @@ private[api] trait SiddhiQlCompiler extends Serializable {
         val next =
           if (!isUpd) {
             p.eatKw("on")
-            cur.filter(!expr(colSql(p.expr())))
+            // delete only condition-MATCHED rows: a NULL condition
+            // keeps the row (the update arm's when/otherwise already
+            // does), so both mutation forms share Siddhi's null
+            // semantics
+            cur.filter(!coalesce(expr(colSql(p.expr())), lit(false)))
           } else {
             p.eatKw("set")
             val sets = List.newBuilder[(String, Expr)]
@@ -450,7 +454,14 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             while (p.trySym(",")) sets += one()
             p.eatKw("on")
             val cond = expr(colSql(p.expr()))
-            val setM = sets.result().toMap
+            val setL = sets.result()
+            val dup = setL.groupBy(_._1).collect {
+              case (c, as2) if as2.length > 1 => c
+            }
+            if (dup.nonEmpty)
+              fail("on-demand update sets column(s) " +
+                s"${dup.mkString(", ")} more than once")
+            val setM = setL.toMap
             cur.select(cur.columns.toSeq.map { c =>
               setM.get(c) match {
                 case Some(e2) => when(cond, expr(colSql(e2))

@@ -2466,23 +2466,24 @@ private[api] trait SiddhiQlLive extends Serializable {
               // Non-agg key item exprs evaluate over BOTH the partial
               // state rows (group columns survive partialOf) and the
               // writer's raw source rows (the touched-bucket probe).
+              // (r17, VERDICT r16 #3 / ADVICE) an AGGREGATE-valued or
+              // non-output key no longer REFUSES: that member keeps
+              // the r15 full() read on a (bucket, group)-keyed store —
+              // correct (merge stability never mattered for the
+              // unkeyed store), just key-unpruned — restoring the
+              // apps the r16 fail-fast had narrowed out.
               val winKeyExprsL: Map[Int, List[(String, Expr)]] =
                 writers.indices.flatMap { wi =>
-                  infosL(wi).left.toOption.map { _ =>
+                  infosL(wi).left.toOption.flatMap { _ =>
                     val items2 = itemsOf(writers(wi)._1)
-                    wi -> keyOrderL.map { kc =>
+                    val picked = keyOrderL.map { kc =>
                       items2.find(_._2 == kc) match {
-                        case Some((_, _, true)) =>
-                          fail("windowed event-log member's table " +
-                            s"key '$kc' is an AGGREGATE output (v1): " +
-                            "a log member's join keys must be " +
-                            "group-key outputs")
-                        case Some((it2, _, false)) => kc -> it2.e
-                        case None =>
-                          fail("windowed event-log member writer " +
-                            s"does not output table key '$kc'")
+                        case Some((it2, _, false)) => Some(kc -> it2.e)
+                        case _ => None
                       }
                     }
+                    if (picked.exists(_.isEmpty)) None
+                    else Some(wi -> picked.flatten)
                   }
                 }.toMap
               def mkOfW(wi: Int, rel: DataFrame): DataFrame =
@@ -2497,7 +2498,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                 val statesL: Seq[(String, StructType, StateMode)] =
                   writers.indices.map { wi =>
                     infosL(wi) match {
-                      case Left(p) =>
+                      case Left(p) if winKeyExprsL.contains(wi) =>
                         (s"wst$wi",
                           mkOfW(wi, emptyOf(sp0, p.stateSchema)).schema,
                           KeyedState(mkColsL, (sp, d2, batch) => {
@@ -2516,6 +2517,17 @@ private[api] trait SiddhiQlLive extends Serializable {
                             // the probe needs no partial aggregation
                             mkOfW(wi, base)
                               .select(mkColsL.map(col): _*)
+                          }))
+                      case Left(p) =>
+                        // aggregate-keyed member fallback (r17): the
+                        // (bucket, group)-keyed store with the r15
+                        // full() read
+                        (s"wst$wi", p.stateSchema,
+                          KeyedState(p.keys, (sp, d2, batch) => {
+                            scriptFns = fnsSnapL
+                            p.probeSel(loadTable(sp, d2,
+                              writers(wi)._4,
+                              batchEnv(sp, d2, batch, statelessSnap)))
                           }))
                       case Right(sch) => (s"elog$wi", sch,
                         KeyedState(mkColsL, (sp, d2, batch) => {
@@ -2543,8 +2555,11 @@ private[api] trait SiddhiQlLive extends Serializable {
                     val stUpd = writers.indices.map { wi =>
                       infosL(wi) match {
                         case Left(p) =>
+                          val keyedWi = winKeyExprsL.contains(wi)
                           val st1 = p.merge(
-                            acc(s"wst$wi").slice.drop(mkColsL: _*),
+                            if (keyedWi)
+                              acc(s"wst$wi").slice.drop(mkColsL: _*)
+                            else acc(s"wst$wi").slice,
                             p.partialOf(loadTable(sp, d2,
                               writers(wi)._4, benv)))
                           // bucket-restricted read of the batch's
@@ -2552,16 +2567,22 @@ private[api] trait SiddhiQlLive extends Serializable {
                           // emit this trigger, and the store is keyed
                           // on the same __mk* projection — so the
                           // read scans O(batch-key buckets), not the
-                          // whole ever-growing partial history
-                          val (priorW, kdfWEff) =
-                            acc(s"wst$wi").keyedRead(kdfMk)
-                          val full0 = pruneMkL(priorW, kdfWEff)
-                            .drop(mkColsL: _*)
-                          foldReadProbe.foreach { buf =>
-                            enrichReadGen += 1
-                            buf += ((enrichReadGen, s"wst$wi",
-                              full0.count()))
-                          }
+                          // whole ever-growing partial history.
+                          // Aggregate-keyed members (r17 fallback)
+                          // keep the full() read.
+                          val full0 =
+                            if (keyedWi) {
+                              val (priorW, kdfWEff) =
+                                acc(s"wst$wi").keyedRead(kdfMk)
+                              val r = pruneMkL(priorW, kdfWEff)
+                                .drop(mkColsL: _*)
+                              foldReadProbe.foreach { buf =>
+                                enrichReadGen += 1
+                                buf += ((enrichReadGen, s"wst$wi",
+                                  r.count()))
+                              }
+                              r
+                            } else acc(s"wst$wi").full()
                           val fullPost = full0.as("t")
                             .join(st1.select(p.keys.map(col): _*)
                                 .distinct().as("u"),
@@ -2579,7 +2600,8 @@ private[api] trait SiddhiQlLive extends Serializable {
                                 lit(0L).as("event_id"),
                                 lit(wi.toLong).as("w")))
                               .drop("__wb")
-                          s"wst$wi" -> mkOfW(wi, st1)
+                          s"wst$wi" ->
+                            (if (keyedWi) mkOfW(wi, st1) else st1)
                         case Right(_) =>
                           val delta = logDelta(sp, d2, wi, benv)
                           val (priorRel, kdfEff) =

@@ -1412,6 +1412,26 @@ class SiddhiQlSpec extends AnyFunSuite {
         |  on CartO.user_id == e.user_id
         |select e.event_id as event_id, CartO.v as v
         |order by event_id, v insert into Out""".stripMargin)
+    // (r17, VERDICT r16 #3) a windowed log member whose table key is
+    // an AGGREGATE output — bucket membership would move as partials
+    // merge, so the store cannot key on it; the r16 fail-fast is now
+    // a recorded full-read fallback (the r15 behavior), so the app
+    // deploys again and still equals batch
+    runBoth(
+      """define table LogA (k long, v double);
+        |@info(name='add') from events[event_type == 'click']
+        |select user_id as k, value as v
+        |insert into LogA;
+        |@info(name='roll') from events[event_type == 'view']
+        |#window.timeBatch(10 min)
+        |select max(user_id) as k, math:round(sum(value), 2) as v
+        |group by user_id
+        |insert into LogA;
+        |@info(name='q')
+        |from events as e[event_type == 'purchase'] join LogA
+        |  on LogA.k == e.user_id
+        |select e.event_id as event_id, LogA.v as v
+        |order by event_id, v insert into Out""".stripMargin)
   }
 
   test("windowed event-log member long-horizon soak: per-trigger wst " +
@@ -2937,5 +2957,24 @@ class SiddhiQlSpec extends AnyFunSuite {
       "define table OD (user_id long, v double);\n" + mut)
     assert(noop.values.exists(_.isEmpty),
       "never-fed on-demand mutation should yield the empty table")
+    // duplicate SET targets fail named instead of last-wins (r17)
+    assert(msg(writer +
+      "update OD set OD.v = 0.0, OD.v = 1.0 on OD.v > 150.0")
+      .contains("more than once"))
+    // delete keeps NULL-condition rows, matching the update arm's
+    // when/otherwise null semantics (r17): v null ⇒ v > 150 is NULL
+    // ⇒ the row survives the delete
+    val kept = SiddhiQL.compileApp(spark, sf,
+      """define table ODN (user_id long, v double);
+        |@info(name='seed') from events[event_type == 'click']
+        |select user_id, ifThenElse(user_id % 2 == 0,
+        |  convert(str:split('a', ',', 5), 'double'), value) as v
+        |update or insert into ODN on ODN.user_id == user_id;
+        |delete ODN on ODN.v > -999999.0;
+        |""".stripMargin)
+    val tail = kept("q1")
+    assert(tail.count() > 0 && tail.filter(col("v").isNull).count()
+        == tail.count(),
+      "delete must keep exactly the NULL-condition rows")
   }
 }
