@@ -2620,6 +2620,37 @@ private[api] trait SiddhiQlCompiler extends Serializable {
     case (it, i) => (it, alias(it, i), containsAgg(it.e))
   }
 
+  /** `sort(N, a, 'asc', b, 'desc', …)` — the multi-attribute
+    * comparator (r17 breadth audit: attributes past the first were
+    * silently DROPPED before). sargs alternate attribute names and
+    * optional direction strings; a direction binds to the attribute
+    * before it and defaults to ascending. Shared by the batch compile
+    * and the live running-top-N fold so both surfaces order
+    * identically. */
+  private[api] def sortComparator(sa: List[String],
+      cols: Seq[String]): Seq[Column] = {
+    def isDir(s2: String) =
+      s2.equalsIgnoreCase("asc") || s2.equalsIgnoreCase("desc")
+    if (sa.isEmpty) fail("sort needs an attribute argument")
+    val ords = Seq.newBuilder[Column]
+    var rest = sa
+    while (rest.nonEmpty) {
+      val attr = rest.head
+      if (isDir(attr))
+        fail(s"sort: direction '$attr' must follow an attribute")
+      if (!cols.contains(attr))
+        fail(s"sort attribute '$attr' is not a column")
+      rest = rest.tail
+      val asc = rest.headOption match {
+        case Some(d) if isDir(d) =>
+          rest = rest.tail; d.equalsIgnoreCase("asc")
+        case _ => true
+      }
+      ords += (if (asc) col(attr).asc else col(attr).desc)
+    }
+    ords.result()
+  }
+
   /** Grouped aggregation over `df` (plus any window-derived implicit
     * keys), or a plain projection when no item aggregates. */
   private[api] def selectOrAggregate(ast: Ast, df: DataFrame,
@@ -3447,34 +3478,38 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             expr(s"($attr div ${tNs}L) * ${tNs / 1000000}L"))
           grouped(Seq("w_start_ms" -> col("w_start_ms")), withW)
         case "sort" =>
-          // sort(N, attr, 'asc'|'desc'): retain the N first events by
-          // attr order. orderBy(...).limit(N) plans as a DISTRIBUTED
-          // TakeOrdered (per-partition top-N + merge), never a global
-          // sort — the shape that survives 100 TB
+          // sort(N, attr[, 'asc'|'desc'] ...): retain the N first
+          // events by the (multi-attribute, r17) comparator.
+          // orderBy(...).limit(N) plans as a DISTRIBUTED TakeOrdered
+          // (per-partition top-N + merge), never a global sort — the
+          // shape that survives 100 TB
           val n = args.headOption.getOrElse(
             fail("sort needs a count argument")).toInt
-          val sa = s.window.get.sargs
-          val attr = sa.headOption.getOrElse(
-            fail("sort needs an attribute argument"))
-          val asc = sa.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
-          val ord = if (asc)
-            Seq(col(attr).asc, col("ts_ns").asc, col("event_id").asc)
-          else Seq(col(attr).desc, col("ts_ns").asc, col("event_id").asc)
+          val ord = sortComparator(s.window.get.sargs, base.columns) ++
+            Seq(col("ts_ns").asc, col("event_id").asc)
           val kept = base.orderBy(ord: _*).limit(n)
           selectOrAggregate(ast, kept, Nil, windowed = false)
-        case n @ ("unique:first" | "unique:last") =>
+        case n @ ("unique:first" | "unique:last" | "unique:ever") =>
           // dedup retention window: keep the first/last event per
           // distinct key value (engine twin: Windows uniqueFirst/Last) —
-          // one row_number shuffle on the key, fully parallel
-          val attr = s.window.get.sargs.headOption.getOrElse(
-            fail(s"$n needs an attribute argument"))
+          // one row_number shuffle on the key, fully parallel.
+          // unique:ever retains the LATEST event per key forever, so
+          // its batch replay is exactly unique:last's. Composite keys
+          // (r17 breadth audit: attributes past the first were
+          // silently dropped) partition on every named attribute.
+          val attrs = s.window.get.sargs
+          if (attrs.isEmpty) fail(s"$n needs an attribute argument")
+          attrs.foreach(a2 =>
+            if (!base.columns.contains(a2))
+              fail(s"$n key '$a2' is not a column"))
           if (!base.columns.contains("ts_ns") ||
               !base.columns.contains("event_id"))
             fail(s"$n needs 'ts_ns' and 'event_id' to define arrival order")
           val o = if (n == "unique:first") "ts_ns, event_id"
                   else "ts_ns desc, event_id desc"
           val kept = base.withColumn("__rn", expr(
-              s"row_number() over (partition by $attr order by $o)"))
+              s"row_number() over (partition by " +
+                s"${attrs.mkString(", ")} order by $o)"))
             .where(col("__rn") === 1).drop("__rn")
           selectOrAggregate(ast, kept, Nil, windowed = false)
         case "frequent" =>
@@ -3636,7 +3671,8 @@ private[api] trait SiddhiQlCompiler extends Serializable {
             .toDF()
         case other => fail(s"unsupported window '$other' (supported: " +
           "timeBatch, lengthBatch, session, length, time, externalTime, " +
-          "externalTimeBatch, sort, unique:first, unique:last, frequent, " +
+          "externalTimeBatch, sort, unique:first, unique:last, " +
+          "unique:ever, frequent, " +
           "delay, cron, timeLength, expression)")
       }
     }

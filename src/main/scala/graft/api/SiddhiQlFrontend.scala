@@ -610,7 +610,21 @@ private[api] trait SiddhiQlFrontend extends Serializable {
           out.result()
         }
       val act: Option[Action] =
-        if (tryKw("insert")) { eatKw("into"); Some(InsertInto(ident())) }
+        if (tryKw("insert")) {
+          // Siddhi output-event selectors (r17 breadth audit, named
+          // instead of a generic parse error): `current events` IS
+          // the default emitted stream; expired/all re-emit window
+          // evictions, which the batch replay's output contract does
+          // not carry (the engine-level windowExpired gate covers the
+          // expired-stream semantics)
+          if (tryKw("current")) eatKw("events")
+          else if (isKw("expired") || isKw("all"))
+            fail("insert expired/all events (v1): the replay emits " +
+              "current events — expired-stream semantics are covered " +
+              "by the engine windowExpired surface " +
+              "(stream_window_expired)")
+          eatKw("into"); Some(InsertInto(ident()))
+        }
         else if (tryKw("delete")) {
           val t = ident(); eatKw("on"); Some(DeleteTable(t, expr()))
         } else if (tryKw("update")) {

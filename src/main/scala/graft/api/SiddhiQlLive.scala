@@ -1493,15 +1493,16 @@ private[api] trait SiddhiQlLive extends Serializable {
                 if (ast.select.exists(it => containsAgg(it.e)) ||
                     ast.groupBy.nonEmpty)
                   fail("live unique:first projects columns (v1)")
-                val attr = sargs2.headOption.getOrElse(
-                  fail("unique:first needs an attribute argument"))
-                if (!base.columns.contains(attr))
-                  fail(s"unique:first key '$attr' is not a column")
+                if (sargs2.isEmpty)
+                  fail("unique:first needs an attribute argument")
+                sargs2.foreach(a2 => if (!base.columns.contains(a2))
+                  fail(s"unique:first key '$a2' is not a column"))
                 // keyed dedup state is held forever BY CONTRACT —
                 // unique:first must remember every key it has seen, so
                 // state is bounded by the key domain, not the watermark
-                (selectOrAggregate(ast, base.dropDuplicates(attr), Nil,
-                  windowed = false), KStateless)
+                (selectOrAggregate(ast,
+                  base.dropDuplicates(sargs2.head, sargs2.tail: _*),
+                  Nil, windowed = false), KStateless)
               case Some(WindowSpec(n2, _, sargs2))
                   if n2.equalsIgnoreCase("expression") =>
                 // live retain-while window: the batch fold's eviction
@@ -1652,29 +1653,34 @@ private[api] trait SiddhiQlLive extends Serializable {
                   }
                 (folded.toDF(), KStateless)
               case Some(WindowSpec(n2, _, sargs2))
-                  if n2.equalsIgnoreCase("unique:last") =>
+                  if n2.equalsIgnoreCase("unique:last") ||
+                    n2.equalsIgnoreCase("unique:ever") =>
                 // live unique:last: keep-LAST per key — the emitted-row
                 // retraction (Update-mode semantics) Spark sinks can't
                 // express becomes a per-micro-batch keyed fold: each
                 // batch's rows merge into one state row per distinct
                 // key (the unique-window contract bounds state by the
-                // key domain, exactly like unique:first's dedup state)
+                // key domain, exactly like unique:first's dedup state).
+                // unique:ever retains the latest row per key forever —
+                // the identical fold. Composite keys (r17) fold on the
+                // attribute struct.
                 if (ast.rate.nonEmpty)
                   fail("live rate limiting applies to stateless stages " +
                     "(v1) — not above a unique window")
                 if (ast.select.exists(it => containsAgg(it.e)) ||
                     ast.groupBy.nonEmpty)
-                  fail("live unique:last projects columns (v1)")
-                val attr = sargs2.headOption.getOrElse(
-                  fail("unique:last needs an attribute argument"))
-                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                  fail(s"live $n2 projects columns (v1)")
+                if (sargs2.isEmpty)
+                  fail(s"$n2 needs an attribute argument")
+                (sargs2 ++ Seq("ts_ns", "event_id")).foreach(c =>
                   if (!base.columns.contains(c))
-                    fail(s"live unique:last needs column '$c'"))
+                    fail(s"live $n2 needs column '$c'"))
                 val items = itemsOf(ast)
                 def selLast(df: DataFrame): DataFrame =
                   df.select(items.map { case (it, a, _) =>
                     expr(sqlOf(it.e)).as(a) } ++ Seq(
-                    col(attr).as("__ukey"), col("ts_ns").as("__uord_ts"),
+                    struct(sargs2.map(col): _*).as("__ukey"),
+                    col("ts_ns").as("__uord_ts"),
                     col("event_id").as("__uord_id")): _*)
                 val schemaU = selLast(base).schema
                 val helperCols = Seq("__ukey", "__uord_ts", "__uord_id")
@@ -1694,7 +1700,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                     // keep-last is a per-__ukey merge: only buckets
                     // the batch's keys hash into are read and rewritten
                     KeyedState(Seq("__ukey"), (_, _, batch) =>
-                      batch.select(col(attr)
+                      batch.select(struct(sargs2.map(col): _*)
                         .cast(schemaU("__ukey").dataType)
                         .as("__ukey")))))
                 (emptyOf(base.sparkSession, schemaU), KFold)
@@ -1711,18 +1717,13 @@ private[api] trait SiddhiQlLive extends Serializable {
                     "(v1) — not above a sort window")
                 val nKeep = args2.headOption.getOrElse(
                   fail("sort needs a count argument")).toInt
-                val attr = sargs2.headOption.getOrElse(
-                  fail("sort needs an attribute argument"))
-                val asc =
-                  sargs2.drop(1).headOption.forall(_ equalsIgnoreCase "asc")
-                Seq(attr, "ts_ns", "event_id").foreach(c =>
+                Seq("ts_ns", "event_id").foreach(c =>
                   if (!base.columns.contains(c))
                     fail(s"live sort window needs column '$c'"))
-                val ordS =
-                  if (asc) Seq(col(attr).asc, col("ts_ns").asc,
-                    col("event_id").asc)
-                  else Seq(col(attr).desc, col("ts_ns").asc,
-                    col("event_id").asc)
+                // multi-attribute comparator (r17) — the batch
+                // compile's shared sortComparator, so live ≡ batch
+                val ordS = sortComparator(sargs2, base.columns) ++
+                  Seq(col("ts_ns").asc, col("event_id").asc)
                 val astS = ast
                 val keyS = name.orElse(ast.action.map(_.target))
                 if (keyS.contains(out) || name.contains(out))

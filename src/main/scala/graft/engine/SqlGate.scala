@@ -99,6 +99,20 @@ object SqlGate {
         |select max(value) as mx, count() as n
         |order by chunk_id
         |insert into perChunk""".stripMargin),
+    // MULTI-attribute sort comparator (r17 breadth audit: attributes
+    // past the first were silently dropped before)
+    "sql_sort_multi" -> q(
+      """from events#window.sort(50, user_id, 'asc', value, 'desc')
+        |select event_id, user_id, value
+        |order by event_id
+        |insert into kept""".stripMargin),
+    // unique:ever (latest per key, retained forever) with a COMPOSITE
+    // key — both r17 breadth-audit additions in one gate
+    "sql_unique_ever" -> q(
+      """from events#window.unique:ever(user_id, event_type)
+        |select user_id, event_type, value
+        |order by user_id, event_type
+        |insert into latest""".stripMargin),
     "sql_session_group" -> q(
       """from events#window.session(2 min)
         |select user_id, count() as n, sum(value) as total
@@ -4653,6 +4667,18 @@ object SqlGate {
         |    AS w_start_ms,
         |  user_id, round(sum(value), 2) AS total, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, user_id""".stripMargin,
+    "sql_sort_multi" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value FROM events
+        |  ORDER BY user_id ASC, value DESC, ts, event_id LIMIT 50)
+        |ORDER BY event_id""".stripMargin,
+    "sql_unique_ever" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "sql_lengthbatch" ->
       """WITH ranked AS (
         |  SELECT value,

@@ -2848,6 +2848,64 @@ class SiddhiQlSpec extends AnyFunSuite {
       "select count() as n insert into Out").collect().nonEmpty)
   }
 
+  test("r17 breadth audit: multi-attribute sort, composite-key " +
+       "unique windows, unique:ever — live == batch; expired-events " +
+       "selector fails NAMED") {
+    def liveEq(app: String, out: String): Unit = {
+      val batch = SiddhiQL.compileApp(spark, sf, app)(out)
+        .collect().toSeq
+      val live = SiddhiQL.deployApp(spark, sf,
+        "define stream events (event_id long, ts_ns long, user_id " +
+          "long, event_type string, value double);\n" + app, out,
+        chunks = 2).collect().toSeq
+      assert(batch.nonEmpty && live == batch,
+        s"$out: live (${live.size}) != batch (${batch.size})")
+    }
+    // multi-attribute sort comparator: second attribute + direction
+    // must influence the kept set identically on both surfaces
+    liveEq(
+      """@info(name='s')
+        |from events#window.sort(40, user_id, 'asc', value, 'desc')
+        |select event_id, user_id, value
+        |order by event_id insert into Out""".stripMargin, "s")
+    // composite-key unique:first
+    liveEq(
+      """@info(name='u')
+        |from events#window.unique:first(user_id, event_type)
+        |select event_id, user_id, event_type
+        |order by event_id insert into Out""".stripMargin, "u")
+    // unique:ever == keep-latest-per-composite-key, live fold
+    liveEq(
+      """@info(name='e')
+        |from events#window.unique:ever(user_id, event_type)
+        |select user_id, event_type, value
+        |order by user_id, event_type insert into Out""".stripMargin,
+      "e")
+    // a second attribute must CHANGE the result vs the single-key
+    // form (guards against the pre-r17 silent drop coming back)
+    val multi = SiddhiQL.compileApp(spark, sf,
+      """@info(name='u') from events#window.unique:first(user_id,
+        |event_type) select count() as n insert into Out""".stripMargin)(
+      "u").collect().head.getLong(0)
+    val single = SiddhiQL.compileApp(spark, sf,
+      """@info(name='u') from events#window.unique:first(user_id)
+        |select count() as n insert into Out""".stripMargin)(
+      "u").collect().head.getLong(0)
+    assert(multi > single,
+      s"composite key must keep more rows ($multi vs $single)")
+    // output-event selectors: current accepted (the default),
+    // expired/all named
+    assert(SiddhiQL.compile(spark, sf,
+      "from events[value > 120] select event_id " +
+        "order by event_id insert current events into Out")
+      .collect().nonEmpty)
+    val m = intercept[IllegalArgumentException](SiddhiQL.compile(
+      spark, sf, "from events#window.timeBatch(1 min) " +
+        "select count() as n insert expired events into Out"))
+      .getMessage
+    assert(m.contains("expired/all events"), m)
+  }
+
   test("start-time aligned timeBatch (r17): supported on the plain " +
        "windowed aggregation; every other consumer fails NAMED") {
     // supported: plain windowed aggregation, batch compile — aligned
