@@ -17,6 +17,16 @@ OUT="BENCH_LOCAL_r${ROUND}.json"
 LOGS=()
 METAS=()
 for i in $(seq 1 "$NRUNS"); do
+  # quiet-start cool-down (VERDICT r16 #4): wait for the 1-min load
+  # to drop below 0.5 before each run so every run is a clean-start
+  # sample; capped at 15 min so external smear can't wedge the bench
+  # (the recorded loadavg_before then documents the residual load)
+  WAITED=0
+  while [ "$(awk '{print ($1 < 0.5)}' /proc/loadavg)" != "1" ] \
+      && [ "$WAITED" -lt 900 ]; do
+    sleep 30; WAITED=$((WAITED+30))
+  done
+  [ "$WAITED" -gt 0 ] && echo "cooled down ${WAITED}s before run $i"
   LOAD0=$(cut -d' ' -f1-3 /proc/loadavg)
   T0=$(date -u +%Y-%m-%dT%H:%M:%SZ)
   LOG=$(mktemp)

@@ -2847,8 +2847,18 @@ private[api] trait SiddhiQlLive extends Serializable {
                     (if (fromFlush) col(a2) else expr(sqlOf(e2)))
                       .cast(dSchema(kc).dataType).as(s"__mk$j2") } ++
                   rel.columns.toSeq.map(col): _*)
+              // SHAPE MIXES keep the r16 (bucket, group)-keyed stores
+              // and full() reads end-to-end: pass 2 scopes fold
+              // collapses with windowed flushes for fold-TOUCHED keys
+              // (a superset of the batch's), and restricting the read
+              // through kdfMk ∪ foldKeys re-evaluates the fold delta
+              // lineage inside the keyread collect — measured SLOWER
+              // than the full read it replaced (shapemix 10× arm
+              // +28%). The keyed discipline applies to every other
+              // mixed group.
               val winMkM: Map[Int, List[(String, String, Expr)]] =
-                writers.indices.flatMap { wi =>
+                if (isShapeMix) Map.empty
+                else writers.indices.flatMap { wi =>
                   infosM(wi).left.toOption.flatMap { p =>
                     scala.util.Try {
                       val items2 = itemsOf(writers(wi)._1)
@@ -3053,14 +3063,11 @@ private[api] trait SiddhiQlLive extends Serializable {
                     var flushAllM = Map.empty[Int, DataFrame]
                     var deltaMkM = Map.empty[Int, DataFrame]
                     // pass 1a: per-event writers — their deltas feed
-                    // the uRel overrides AND (shape mixes) the
-                    // fold-key relation the keyed windowed reads
-                    // below must also cover (pass 2 reads windowed
-                    // flushes for fold-TOUCHED keys, a superset of
-                    // the batch's event keys); SHAPE-MIX fold writers
-                    // only derive their deltas here — their state
-                    // merge needs the trigger's reset relation
-                    // (pass 2)
+                    // the uRel overrides and (shape mixes) the
+                    // fold-key relation pass 2 scopes with;
+                    // SHAPE-MIX fold writers only derive their
+                    // deltas here — their state merge needs the
+                    // trigger's reset relation (pass 2)
                     val stUpdR = writers.indices.flatMap { wi =>
                       infosM(wi) match {
                         case Right(_) =>
@@ -3091,12 +3098,6 @@ private[api] trait SiddhiQlLive extends Serializable {
                           .unionByName(deltaMkM(wi)
                             .select(mkCols.map(col): _*)))
                         .reduce(_ unionByName _).distinct())
-                    // the key domain a keyed windowed read must cover
-                    // this trigger: the batch's event keys, plus (for
-                    // shape mixes) the fold-touched keys whose reset
-                    // scoping reads windowed flushes in pass 2
-                    val readKeys = foldKeysO.fold(kdfMk)(fk =>
-                      kdfMk.unionByName(fk).distinct())
                     // pass 1b: windowed writers (flush partials ∪
                     // compacted base) merge
                     val stUpd1 = writers.indices.flatMap { wi =>
@@ -3120,7 +3121,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                           val full0 =
                             if (keyedWi) {
                               val (priorW, kEff) =
-                                acc(s"wst$wi").keyedRead(readKeys)
+                                acc(s"wst$wi").keyedRead(kdfMk)
                               val r = pruneMkG(priorW, kEff, mkCols)
                                 .drop(mkCols: _*)
                               foldReadProbe.foreach { buf =>
@@ -3147,7 +3148,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                               val baseRel =
                                 if (keyedWi) {
                                   val (pb, kbEff) = acc(s"wbase$wi")
-                                    .keyedRead(readKeys)
+                                    .keyedRead(kdfMk)
                                   val r =
                                     pruneMkG(pb, kbEff, mkCols)
                                       .drop(mkCols: _*)
