@@ -4391,13 +4391,20 @@ private[api] trait SiddhiQlLive extends Serializable {
         .exists(_ > 0), "graft.live.shufflePartitions must be a " +
         s"positive integer; got '$livePartitions'")
     spark.conf.set("spark.sql.shuffle.partitions", livePartitions)
-    // A/B hook (r14): the fold runner's per-trigger probe collects are
-    // tiny 2-stage distincts under AQE — graft.live.aqe=false runs the
-    // replay with AQE off (one job per probe instead of two)
+    // Replay-loop AQE default: OFF (r17). Every per-trigger job here
+    // (probe collects, keyed-state reads, fold writes) runs over a few
+    // KB-to-MB of state/batch data, where AQE's one-job-per-query-stage
+    // materialization only multiplies driver scheduling round trips —
+    // re-measured after the r17 batch-persist change: interleaved A/B
+    // over 8 fold gates, AQE-off won 7/8 by 5-30% (the r14 A/B that
+    // called it neutral predates the persist, when re-executed feed
+    // plans dominated). `graft.live.aqe=true` restores adaptive
+    // planning — a REAL deployment with non-toy per-trigger volumes
+    // wants it for adaptive broadcast/skew handling on the fold joins.
     val prevAqe = spark.conf
       .getOption("spark.sql.adaptive.enabled")
-    spark.conf.getOption("graft.live.aqe").foreach(v =>
-      spark.conf.set("spark.sql.adaptive.enabled", v))
+    spark.conf.set("spark.sql.adaptive.enabled",
+      spark.conf.getOption("graft.live.aqe").getOrElse("false"))
     // the flush design is DATA-batch driven (sentinels advance the
     // watermark, the batch after them emits under it), so Spark's
     // extra no-data micro-batch per watermark advance only doubles the
@@ -4474,10 +4481,34 @@ private[api] trait SiddhiQlLive extends Serializable {
           def allStates(sp: SparkSession): Map[String, DataFrame] =
             lf.schemas.map { case (n, _, m) =>
               n -> fullState(sp, n, m) }.toMap
+          // decided ONCE per deployment from the feed's logical plan:
+          // a feed carrying a join / aggregation / window / stateful
+          // map is expensive enough that each trigger caches its batch
+          // (see the persist note inside the foreachBatch below)
+          val cacheFeed = {
+            import org.apache.spark.sql.catalyst.plans.logical._
+            lf.feed.queryExecution.logical.collectFirst {
+              case _: Join => (); case _: Aggregate => ()
+              case _: Window => (); case _: FlatMapGroupsWithState => ()
+            }.nonEmpty
+          }
           val q = phased("start")(lf.feed.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt("fold"))
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val sp = batch.sparkSession
+              // persist the trigger's batch ONCE when the feed plan is
+              // worth not re-running: every consumer below — the
+              // per-state bucket probes, keyedRead, the fold, and each
+              // state's write — otherwise RE-EXECUTES the whole
+              // micro-batch plan per action, the documented foreachBatch
+              // hazard the kind-4 update sink already guards against
+              // (ProfGate r17: probe:state ≈ write:state ≈ 0.6 s EACH on
+              // the stream-stream-join topologies = one full plan
+              // execution per job). Feeds that are a bare projection of
+              // the MemoryStream batch are cheaper to re-run than to
+              // cache, so only stateful/join/window feeds persist.
+              if (cacheFeed) batch.persist()
+              try {
               // buckets each keyed state's merge can touch — from the
               // batch's key values, before the fold reads any state; a
               // compaction generation (compactEvery) touches ALL
@@ -4494,6 +4525,17 @@ private[api] trait SiddhiQlLive extends Serializable {
                       case (n, _, KeyedState(keys, batchKeys, ce)) =>
                         scala.concurrent.Future {
                           n -> (if (ce.exists(e => (gen + 1) % e == 0))
+                              (0 until nBuckets): Seq[Int]
+                            else if (!latest.keysIterator.exists(
+                                _._1 == n))
+                              // no generation of this state exists yet
+                              // (every first trigger): there is nothing
+                              // to read whatever the batch's keys are,
+                              // and the write side lays files out by
+                              // partitionBy(__b) regardless — so skip
+                              // the probe JOB entirely and claim all
+                              // buckets (readPaths/hasFiles filter the
+                              // never-written ones on later reads)
                               (0 until nBuckets): Seq[Int]
                             else tagged(sp, s"probe:$n")(
                               batchKeys(sp, dir, batch)
@@ -4544,6 +4586,12 @@ private[api] trait SiddhiQlLive extends Serializable {
                           _ += ((gen + 1, s"__fullread_fallback:$n",
                             -1L)))
                         (fullState(sp, n, m), kdf)
+                      } else if (!latest.keysIterator.exists(
+                          _._1 == n)) {
+                        // no generation of this state yet (every first
+                        // trigger): the pruned read is empty whatever
+                        // the keys are — skip the keyread job
+                        (readPaths(sp, n, Nil), kdf)
                       } else {
                         // ONE job: distinct keys + their bucket. Small
                         // key sets (every harness batch; bounded by
@@ -4657,6 +4705,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                 }
               bookkeeping.foreach(_.apply())
               gen = g1
+              } finally { if (cacheFeed) batch.unpersist(); () }
             }.start())
           rows.grouped(per).foreach { g =>
             phased("trigger") {
@@ -4781,7 +4830,7 @@ private[api] trait SiddhiQlLive extends Serializable {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
-      if (spark.conf.getOption("graft.live.aqe").nonEmpty) prevAqe match {
+      prevAqe match {
         case Some(v) =>
           spark.conf.set("spark.sql.adaptive.enabled", v)
         case None =>
