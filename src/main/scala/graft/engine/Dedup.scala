@@ -512,39 +512,65 @@ object Dedup {
     * component min. Deterministic at any parallelism.
     * `localCheckpoint` keeps per-round lineage flat. */
   def ccLabels(edges0: DataFrame): (DataFrame, Int) = {
+    val sp = edges0.sparkSession
     val base = edges0.toDF("src", "dst").localCheckpoint()
-    val nodes = base.select(col("src").as("node")).distinct()
-      .localCheckpoint()
-    // self-loops fold "keep your own label" into the neighbor join, so a
-    // round is ONE join + ONE aggregate (no per-round union)
-    val edges = base.unionByName(
-      nodes.select(col("node").as("src"), col("node").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
-    def labSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
-    var prevSum = labSum(labels)
-    var changed = true
-    var rounds = 0
-    while (changed) {
-      val prop = edges.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("lab"))
-        .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
-      val jumped = prop.as("a")
-        .join(prop.select(col("node").as("jn"), col("lab").as("jlab")),
-          col("a.lab") === col("jn"), "left_outer")
-        .select(col("a.node").as("node"),
-          least(col("a.lab"), coalesce(col("jlab"), col("a.lab")))
-            .as("lab"))
+    // Scale-adaptive round width (opt guide §2): each fixpoint round is
+    // two keyed shuffles over the label relation, sized from the REAL
+    // edge count (~1M rows/partition) instead of the session-wide
+    // shuffle width — at toy SF the session default schedules 32
+    // near-empty tasks per stage × 3 jobs × rounds (pure scheduling
+    // latency), at 100 TB the width caps at the cluster parallelism.
+    // AQE stays off inside the loop for the same reason: its per-stage
+    // job materialization multiplies driver round trips on rounds whose
+    // size this sizing already bounds. Scoped + restored.
+    val nEdges = base.count()
+    val parts = math.max(1L, math.min(
+      sp.sparkContext.defaultParallelism.toLong,
+      nEdges / 1000000L + 1L)).toString
+    val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = sp.conf.getOption("spark.sql.adaptive.enabled")
+    sp.conf.set("spark.sql.shuffle.partitions", parts)
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nodes = base.select(col("src").as("node")).distinct()
         .localCheckpoint()
-      val s = labSum(jumped)
-      changed = s.compareTo(prevSum) != 0
-      prevSum = s
-      labels = jumped
-      rounds += 1
+      // self-loops fold "keep your own label" into the neighbor join, so a
+      // round is ONE join + ONE aggregate (no per-round union)
+      val edges = base.unionByName(
+        nodes.select(col("node").as("src"), col("node").as("dst")))
+        .localCheckpoint()
+      var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
+      def labSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
+          .collect()(0).getDecimal(0)
+      var prevSum = labSum(labels)
+      var changed = true
+      var rounds = 0
+      while (changed) {
+        val prop = edges.join(labels, col("dst") === col("node"))
+          .select(col("src").as("node"), col("lab"))
+          .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
+        val jumped = prop.as("a")
+          .join(prop.select(col("node").as("jn"), col("lab").as("jlab")),
+            col("a.lab") === col("jn"), "left_outer")
+          .select(col("a.node").as("node"),
+            least(col("a.lab"), coalesce(col("jlab"), col("a.lab")))
+              .as("lab"))
+          .localCheckpoint()
+        val s = labSum(jumped)
+        changed = s.compareTo(prevSum) != 0
+        prevSum = s
+        labels = jumped
+        rounds += 1
+      }
+      (labels, rounds)
+    } finally {
+      sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevAqe match {
+        case Some(v) => sp.conf.set("spark.sql.adaptive.enabled", v)
+        case None => sp.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
-    (labels, rounds)
   }
 
   /** dedup_components: near-dup CLUSTERS — connected components over the
