@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's final one-line JSON out of the last
+// ~2000 chars of `sbt "runMain graft.Bench"` output. sbt's default
+// LoggedOutput wraps forked stdout as "[info] {...}", which broke the
+// driver's parse in BENCH_r16/r17 ("parsed": null, PERF empty two rounds
+// running — VERDICT r17 item 2). StdoutOutput passes the forked process
+// stdout/stderr through verbatim, so the JSON line reaches the driver
+// bare and parseable. Humans lose nothing: sbt's own [info]/[success]
+// lines still print.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
