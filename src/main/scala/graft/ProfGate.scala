@@ -40,6 +40,12 @@ object ProfGate {
     val sites = scala.collection.concurrent
       .TrieMap.empty[String, (Long, Int)]
     val siteOf = scala.collection.concurrent.TrieMap.empty[Int, String]
+    // per-site STAGE census (r18): a fold write job at toy SF is a chain
+    // of tiny stages — stage count × fixed per-stage latency IS the job
+    // cost, so the lever hunt needs stages-per-site, not just jobs
+    val siteStages = scala.collection.concurrent
+      .TrieMap.empty[String, (Int, Long)]
+    val stageSite = scala.collection.concurrent.TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); starts(j.jobId) = j.time
@@ -47,6 +53,7 @@ object ProfGate {
           .flatMap(p => Option(p.getProperty("callSite.short")))
           .getOrElse("?")
         siteOf(j.jobId) = cs
+        j.stageIds.foreach(sid => stageSite(sid) = cs)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { t0 =>
@@ -55,11 +62,24 @@ object ProfGate {
           val (ms, n) = sites.getOrElse(cs, (0L, 0))
           sites(cs) = (ms + (j.time - t0), n + 1)
         }
+      override def onStageCompleted(
+          s: SparkListenerStageCompleted): Unit = {
+        val cs = stageSite.getOrElse(s.stageInfo.stageId, "?")
+        val ms = (for {
+          t0 <- s.stageInfo.submissionTime
+          t1 <- s.stageInfo.completionTime
+        } yield t1 - t0).getOrElse(0L)
+        val (n, acc) = siteStages.getOrElse(cs, (0, 0L))
+        siteStages(cs) = (n + 1, acc + ms)
+        if (sys.env.contains("SPARK_GRAFT_PROF_STAGES"))
+          println(s"  STG $cs id=${s.stageInfo.stageId} ms=$ms " +
+            s"tasks=${s.stageInfo.numTasks} ${s.stageInfo.name.take(70)}")
+      }
     })
     names.foreach { name =>
       // warm once per query (JIT + plan caches), measure the second run
       SparkEntry.queries(name)(spark, sfDir).count()
-      jobs.set(0); jobMs.set(0L); sites.clear()
+      jobs.set(0); jobMs.set(0L); sites.clear(); siteStages.clear()
       val phases = scala.collection.mutable.Buffer.empty[(String, Long)]
       graft.api.SiddhiQL.deployPhaseProbe = Some(phases)
       val t0 = System.nanoTime()
@@ -74,7 +94,9 @@ object ProfGate {
       println(f"PROF $name wall=${wall}%.0fms jobs=${jobs.get} " +
         f"jobMs=${jobMs.get} gap=${wall - jobMs.get}%.0fms" + ph)
       sites.toSeq.sortBy(-_._2._1).take(8).foreach {
-        case (cs, (ms, n)) => println(s"  SITE $cs n=$n ms=$ms")
+        case (cs, (ms, n)) =>
+          val (sn, sms) = siteStages.getOrElse(cs, (0, 0L))
+          println(s"  SITE $cs n=$n ms=$ms stages=$sn stageMs=$sms")
       }
     }
     spark.stop()

@@ -226,6 +226,17 @@ private[api] trait SiddhiQlLive extends Serializable {
     sp.sparkContext.setLocalProperty(k, tag)
     try body finally sp.sparkContext.setLocalProperty(k, prev)
   }
+
+  /** Single-JOB, single-STAGE distinct of a one-int-column relation
+    * (r18, guide §2.4): `.distinct().collect()` plans an Exchange, so
+    * every per-trigger bucket probe paid a two-stage round trip for a
+    * handful of ints. Partition-local sets + a driver-side union remove
+    * the exchange; the sets are bounded by the bucket-id domain
+    * (nBuckets), so driver volume is O(partitions × nBuckets) ints.
+    * Sorted so downstream path lists stay deterministic. */
+  private[api] def distinctIntsLocal(df: DataFrame): Seq[Int] =
+    df.rdd.mapPartitions(it =>
+      it.map(_.getInt(0)).toSet.iterator).collect().toSet.toSeq.sorted
   private[api] final case class KeyedState(keys: Seq[String],
       batchKeys: (SparkSession, String, DataFrame) => DataFrame,
       // every N generations the runner hands the fold the WHOLE state
@@ -4414,6 +4425,13 @@ private[api] trait SiddhiQlLive extends Serializable {
       .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       "false")
+    // NOTE (r18): an attempt to pack tiny state-generation files into
+    // fewer scan tasks via scoped openCostInBytes=0 + minPartitionNum=1
+    // was MEASURED AND REVERTED — it also collapses the event-log
+    // table loads (loadTable parquet scans inside enrich folds) into
+    // one serial task, regressing the elog gates 2-3× (A/B in
+    // OPTIMIZATION_r18.md). The tiny-file fan-out is addressed by the
+    // stateBuckets default below instead.
     // HARNESS scratch: streaming checkpoints (offsets/commits/state
     // deltas, fsync'd once per trigger) go to RAM-backed storage when
     // the platform offers it — the replay loop's bottleneck is the
@@ -4439,8 +4457,17 @@ private[api] trait SiddhiQlLive extends Serializable {
           // write the batch delta only; FULL states (tiny by
           // contract) rewrite whole.
           val tmp = graft.engine.Streaming.scratchDir("graft_live_fold")
+          // default bucket count 4 (r18; was 16): per-trigger cost has a
+          // component per touched bucket (scan splits, write tasks, one
+          // file per bucket per generation), and at replay granularity
+          // 16 buckets is pure fan-out waste — measured ~300-800 ms of
+          // 16-task stages per write job. Results are bucketing-invariant
+          // (internal layout only; oracle-pinned). A real deployment
+          // sizes `graft.live.stateBuckets` to its key domain (the
+          // per-trigger write cost O(touched buckets) contract needs
+          // bucket count >> concurrent hot keys at 100 TB).
           val nBuckets = spark.conf.getOption("graft.live.stateBuckets")
-            .map(_.toInt).getOrElse(16)
+            .map(_.toInt).getOrElse(4)
           var gen = 0
           // (state, bucket) -> generation holding that bucket's latest
           // rows; bucket -1 = the whole state (FullState). AppendState
@@ -4538,11 +4565,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                               // never-written ones on later reads)
                               (0 until nBuckets): Seq[Int]
                             else tagged(sp, s"probe:$n")(
-                              batchKeys(sp, dir, batch)
-                                .select(bucketCol(keys).cast("int")
-                                  .as("__b"))
-                                .distinct().collect()
-                                .map(_.getInt(0)).toSeq))
+                              distinctIntsLocal(
+                                batchKeys(sp, dir, batch)
+                                  .select(bucketCol(keys).cast("int")
+                                    .as("__b")))))
                         }(foldEc)
                     })(
                       scala.collection.BuildFrom.buildFromIterableOps,
@@ -4600,11 +4626,26 @@ private[api] trait SiddhiQlLive extends Serializable {
                         // re-evaluates nothing; bigger batches fall
                         // back to bucket ids only + the original
                         // relation (driver stays O(cap)).
+                        // r18: partition-LOCAL distinct (capped per
+                        // partition at keyLocalCap+1) + driver distinct
+                        // — drops the `.distinct()` Exchange, making
+                        // this a one-STAGE job. A partition whose local
+                        // distinct exceeds the cap implies the global
+                        // distinct does too, so the over-cap fallback
+                        // decision below is unchanged.
                         val kCols = kdf.columns.toSeq
                         val rows = tagged(sp, s"keyread:$n")(kdf
                           .select(kCols.map(col) :+
                             bucketCol(ks).cast("int").as("__b"): _*)
-                          .distinct().limit(keyLocalCap + 1).collect())
+                          .rdd.mapPartitions { it =>
+                            val seen = scala.collection.mutable
+                              .LinkedHashSet
+                              .empty[org.apache.spark.sql.Row]
+                            while (it.hasNext &&
+                                seen.size <= keyLocalCap)
+                              seen += it.next()
+                            seen.iterator
+                          }.collect().distinct)
                         // over-cap: RECORD the fallback (r15 — the
                         // scale path must show in the probe, so a
                         // rehearsal can assert it actually fired)
@@ -4614,11 +4655,10 @@ private[api] trait SiddhiQlLive extends Serializable {
                               rows.length.toLong)))
                         val bs =
                           if (rows.length > keyLocalCap)
-                            tagged(sp, s"keyread2:$n")(kdf
-                              .select(bucketCol(ks).cast("int")
-                                .as("__b"))
-                              .distinct().collect())
-                              .map(_.getInt(0)).toSeq
+                            tagged(sp, s"keyread2:$n")(
+                              distinctIntsLocal(kdf
+                                .select(bucketCol(ks).cast("int")
+                                  .as("__b"))))
                           else rows.map(_.getAs[Int]("__b"))
                             .distinct.toSeq
                         val kdfEff =
@@ -4745,7 +4785,7 @@ private[api] trait SiddhiQlLive extends Serializable {
             // survive scale, and nothing accumulates on the driver.
             val tmpU = graft.engine.Streaming.scratchDir("graft_upd")
             val nB = spark.conf.getOption("graft.live.stateBuckets")
-              .map(_.toInt).getOrElse(16)
+              .map(_.toInt).getOrElse(4) // r18: see fold runner's note
             val latestU = scala.collection.mutable.Map
               .empty[Int, Int] // bucket -> generation
             var genU = 0
@@ -4762,8 +4802,7 @@ private[api] trait SiddhiQlLive extends Serializable {
                 // the anti-join, and the union — one evaluation
                 bt.persist()
                 updateEmitProbe.foreach(_ += bt.count())
-                val touched = bt.select(col("__b")).distinct()
-                  .collect().map(_.getInt(0)).toSeq
+                val touched = distinctIntsLocal(bt.select(col("__b")))
                 val prior = {
                   val ps = touched.flatMap(b =>
                     latestU.get(b).map(g => pathU(g, b)))

@@ -134,18 +134,39 @@ object Similarity {
     * per-table plane count (candidate sparsity), not probe width. */
   def topkSrp(s: SparkSession, d: String): DataFrame = {
     graft.engine.expressions.CosineSimilarity.register(s)
-    def bucketExprT(t: Int): String = (0 until SrpPlanes).map { k =>
-      val planes = (0 until 64).map { dim =>
-        if (DedupKernels.md5Int48(s"${t * SrpPlanes + k}:$dim") % 2 == 0)
-          "1D"
-        else "-1D"
-      }.mkString("array(", ", ", ")")
-      s"(case when aggregate(zip_with(v, $planes, (x, p) -> x * p), " +
-        s"0D, (a, x) -> a + x) >= 0D then ${1 << k} else 0 end)"
-    }.mkString(" + ")
+    // r18: the signature is 12 tables × 6 planes = 72 ±1-signed dots per
+    // vector. The previous `aggregate(zip_with(v, planes, x*p), 0D, a+x)`
+    // SQL formulation evaluated interpreted (higher-order functions do
+    // not participate in whole-stage codegen) and allocated one
+    // intermediate array per plane per row — 72 allocations/row in the
+    // hot path. This typed kernel folds the SAME md5-derived ±1 signs
+    // over the SAME element order: `acc = 0.0; acc += v(i)*p(i)` is the
+    // identical IEEE addition sequence to the zip_with+aggregate fold,
+    // so every sign bit — and therefore every bucket, candidate set and
+    // final row — is bit-identical (oracle-pinned).
+    val planes: Array[Array[Double]] =
+      Array.tabulate(SrpTables * SrpPlanes) { p =>
+        Array.tabulate(64)(dim =>
+          if (DedupKernels.md5Int48(s"$p:$dim") % 2 == 0) 1.0 else -1.0)
+      }
+    val bucketsUdf = udf((v: Seq[Double]) => {
+      val va = v.toArray
+      Array.tabulate(SrpTables) { t =>
+        var b = 0
+        var k = 0
+        while (k < SrpPlanes) {
+          val pl = planes(t * SrpPlanes + k)
+          var acc = 0.0
+          var i = 0
+          while (i < va.length) { acc += va(i) * pl(i); i += 1 }
+          if (acc >= 0) b |= (1 << k)
+          k += 1
+        }
+        b
+      }
+    })
     val base = vecs(s, d)
-    val withB = base.withColumn("bs",
-      expr((0 until SrpTables).map(bucketExprT).mkString("array(", ", ", ")")))
+    val withB = base.withColumn("bs", bucketsUdf(col("v")))
     // the bucket join ships IDs ONLY (r12): the L-way exploded corpus
     // side would otherwise carry the 64-double vector through the
     // shuffle L times — candidate discovery needs (tbl, bucket,

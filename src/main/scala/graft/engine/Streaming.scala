@@ -452,6 +452,18 @@ object Streaming {
     val ms = MemoryStream[Ev]
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // r18: timer flushing here is DATA-batch driven (the two sentinel
+    // batches advance the watermark, then fire the expired timers), so
+    // the extra no-data micro-batch Spark schedules after every
+    // watermark advance only repeats the full per-trigger state-store
+    // commit for zero rows — ~2× the trigger count of this finite
+    // replay. Expiry is condition-based (deadline < watermark), so the
+    // emitted row set is identical either way; same rationale as
+    // runStream's existing disable. A long-running deployment keeps it
+    // on for idle-stream timer progress.
+    val prevNd = s.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = ms.toDS()
         .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
@@ -501,7 +513,15 @@ object Streaming {
       ms.addData(Ev(-2, maxTs + 3 * MIN5NS, -1, "sentinel", 0))
       q.processAllAvailable()
       q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     s.table("stream_cep_absence").orderBy("event_id")
   }
 
@@ -670,6 +690,12 @@ object Streaming {
       "rocksdb.changelogCheckpointing.enabled")
     s.conf.set("spark.sql.streaming.stateStore." +
       "rocksdb.changelogCheckpointing.enabled", "true")
+    // r18: same no-data micro-batch disable as cepAbsence — timer
+    // flushing is sentinel-(data-)batch driven; the per-watermark-advance
+    // no-data batch repeats the full RocksDB commit for zero rows.
+    val prevNd = s.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = ms.toDS()
         .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
@@ -703,6 +729,12 @@ object Streaming {
           "rocksdb.changelogCheckpointing.enabled", v)
         case None => s.conf.unset("spark.sql.streaming.stateStore." +
           "rocksdb.changelogCheckpointing.enabled")
+      }
+      prevNd match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
       }
     }
     s.table("stream_cep_absence_tws").orderBy("event_id")
